@@ -1,0 +1,122 @@
+"""Text-analysis Column builders for LLM-data-pipeline operators.
+
+All pure JVM built-ins (split/regexp/length/aggregate) — no Python UDFs —
+so they vectorize inside whole-stage codegen and scale linearly over a
+100 TB documents table. Used by operators/dedup.py and the text-analysis
+driver queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic. Scoring
+# is a pure token-membership count, so the whole thing stays JVM-side.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "la", "de", "que", "los", "un", "es"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"] + ("it", "for", "on", "with", "as", "this", "that")
+
+
+def _col(c: Column | str) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lowercased text, empty strings removed."""
+    arr = F.split(F.lower(_col(text)), r"\s+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def approx_bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation fragments of
+    the kind a byte-pair tokenizer splits on (letter runs, digit runs, other
+    non-space chars), plus a length/4 correction for very long words."""
+    c = _col(text)
+    fragments = F.size(
+        F.filter(F.split(c, r"(?<=[\p{L}\p{N}])(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}\s])|\s+"), lambda t: t != "")
+    )
+    long_word_extra = F.aggregate(
+        tokens(c),
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.length(t) > 8, (F.length(t) - 1) / F.lit(4)).otherwise(F.lit(0)).cast("int"),
+    )
+    return fragments + long_word_extra
+
+
+def word_stats(text: Column | str) -> dict[str, Column]:
+    """n_words, avg word length, stopword ratio — building blocks for the
+    quality score. Returned as a dict of named Columns."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    return {
+        "n_words": n,
+        "avg_word_len": F.when(n > 0, total_len / n).otherwise(F.lit(None).cast("double")),
+        "stopword_ratio": F.when(n > 0, stop_hits / n).otherwise(F.lit(None).cast("double")),
+    }
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = _col(text)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[.,!?;:'\"()\[\]{}-]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(None).cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length documents,
+    plausible word lengths and some stopword presence; penalizes extreme
+    punctuation. The exact blend is arbitrary but fixed — it is a filter
+    signal, not a model."""
+    stats = word_stats(text)
+    n_words = stats["n_words"].cast("double")
+    awl = F.coalesce(stats["avg_word_len"], F.lit(0.0))
+    stop = F.coalesce(stats["stopword_ratio"], F.lit(0.0))
+    pr = F.coalesce(punct_ratio(text), F.lit(0.0))
+    length_term = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    wordlen_term = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_term = F.least(stop * 5, F.lit(1.0))
+    punct_term = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(length_term * 0.4 + wordlen_term * 0.2 + stop_term * 0.2 + punct_term * 0.2, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-ID signal)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t, words=words: t.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Language with the highest stopword-hit count; ties broken by language
+    code order; 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(text)
+    pairs = F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())])
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    # array_max on struct compares by (score, lang); reverse-sort lang for
+    # deterministic a-before-z ties by negating? Keep simple: max by score,
+    # then lexicographically *largest* lang wins ties — fixed and documented.
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed,
+    punctuation-stripped text. Deterministic exact-dup key after trivial
+    formatting changes."""
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(_col(text)), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,48 @@
+"""Vector math over ``array<float/double>`` embedding columns.
+
+Pure higher-order-function Columns (zip_with / aggregate): the arithmetic
+runs in the JVM with strict left-to-right summation, which makes results
+bit-deterministic — important because ANN top-k ranking must be stable
+across partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product, summed left-to-right in double precision."""
+    prods = F.zip_with(_as_double(_col(a)), _as_double(_col(b)), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None).cast("double"))
+
+
+def sign_bucket(a: Column | str, dims: int = 8) -> Column:
+    """Sign-bit LSH bucket key: the concatenated signs of the first ``dims``
+    components. Groups vectors into 2^dims buckets so ANN search only
+    compares within a bucket — the cheap, deterministic scale path when no
+    trained index is available."""
+    arr = _col(a)
+    bits = [F.when(F.element_at(arr, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(dims)]
+    return F.concat(*bits)

@@ -1,0 +1,19 @@
+from edna_dbt_library_spark.sources.tables import (
+    TABLE_NAMES,
+    TIMESTAMP_NS_COLUMNS,
+    load_table,
+    load_tables,
+    register_views,
+)
+from edna_dbt_library_spark.sources.warehouse import Relation, TableMeta, Warehouse
+
+__all__ = [
+    "TABLE_NAMES",
+    "TIMESTAMP_NS_COLUMNS",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "Relation",
+    "TableMeta",
+    "Warehouse",
+]

@@ -1,0 +1,57 @@
+"""Loaders for the driver-provided parquet fixtures (TESTDATA.md).
+
+The fixtures carry parquet TIMESTAMP(NANOS) columns, which Spark's parquet
+reader rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong`` they
+arrive as epoch-nano longs and are converted here to microsecond
+TimestampType (truncation — the same thing DuckDB's ``::TIMESTAMP`` cast
+does, so oracle comparisons line up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from edna_dbt_library_spark.functions.timestamps import ts_ns_to_timestamp
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Fixture columns stored as parquet TIMESTAMP(NANOS) (FIXTURES.md §A).
+TIMESTAMP_NS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing nano timestamps to TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in TIMESTAMP_NS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, ts_ns_to_timestamp(c))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture as a temp view (for spark.sql queries)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

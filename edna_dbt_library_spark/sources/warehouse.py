@@ -1,0 +1,191 @@
+"""Path-based parquet warehouse: the engine's storage layer.
+
+The reference delegates storage to BigQuery datasets/tables
+(``project.dataset.table``); here a relation is ``schema.table`` mapped to
+``<root>/<schema>/<table>/`` holding partitioned parquet plus a small
+``_edna_meta.json`` sidecar recording the table's partition/cluster spec
+(the information BigQuery keeps in table metadata,
+reference: macros/materialization/incremental_partition_merge.sql:29-37).
+
+Scale notes
+-----------
+* Writes are date-partitioned (`partitionBy(day)`), so incremental reads and
+  the partition-merge operator prune at the directory level — the parquet
+  analogue of BigQuery DAY partitioning + require_partition_filter.
+* ``overwrite_partitions`` relies on Spark's *dynamic* partition overwrite:
+  only partitions present in the batch are replaced; the other N thousand
+  partitions of a 100 TB table are untouched.
+* ``cluster_by`` maps to ``sortWithinPartitions`` before write — min/max
+  parquet stats then give file-level skipping on clustered columns (the
+  BigQuery clustering analogue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_FILE = "_edna_meta.json"
+
+
+@dataclass(frozen=True)
+class Relation:
+    """database.schema.identifier triple (reference: log_helpers.sql:2-18
+    uses BigQuery project/dataset/table). ``database`` is the warehouse
+    root; schema/identifier are directory levels."""
+
+    schema: str
+    identifier: str
+    database: str = "warehouse"
+
+    @property
+    def table_id(self) -> str:
+        return f"{self.database}.{self.schema}.{self.identifier}"
+
+
+@dataclass
+class TableMeta:
+    partition_by: str | None = None  # column holding the DAY partition date
+    partition_source: str | None = None  # timestamp column the date derives from
+    cluster_by: list[str] = field(default_factory=list)
+    schema_json: str | None = None
+
+
+class Warehouse:
+    """Minimal catalog over a directory tree of parquet tables."""
+
+    def __init__(self, spark: SparkSession, root: str, database: str = "warehouse"):
+        self.spark = spark
+        self.root = root
+        self.database = database
+        os.makedirs(root, exist_ok=True)
+
+    # --- paths / existence -------------------------------------------------
+    def path(self, rel: Relation) -> str:
+        return os.path.join(self.root, rel.schema, rel.identifier)
+
+    def exists(self, rel: Relation) -> bool:
+        p = self.path(rel)
+        if not os.path.isdir(p):
+            return False
+        for dirpath, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
+                return True
+        return False
+
+    def relation(self, schema: str, identifier: str) -> Relation:
+        return Relation(schema=schema, identifier=identifier, database=self.database)
+
+    # --- metadata sidecar --------------------------------------------------
+    def _meta_path(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), META_FILE)
+
+    def write_meta(self, rel: Relation, meta: TableMeta) -> None:
+        os.makedirs(self.path(rel), exist_ok=True)
+        with open(self._meta_path(rel), "w") as f:
+            json.dump(
+                {
+                    "partition_by": meta.partition_by,
+                    "partition_source": meta.partition_source,
+                    "cluster_by": meta.cluster_by,
+                    "schema_json": meta.schema_json,
+                },
+                f,
+            )
+
+    def read_meta(self, rel: Relation) -> TableMeta:
+        try:
+            with open(self._meta_path(rel)) as f:
+                d = json.load(f)
+            return TableMeta(
+                partition_by=d.get("partition_by"),
+                partition_source=d.get("partition_source"),
+                cluster_by=list(d.get("cluster_by") or []),
+                schema_json=d.get("schema_json"),
+            )
+        except FileNotFoundError:
+            return TableMeta()
+
+    # --- reads -------------------------------------------------------------
+    def read(self, rel: Relation) -> DataFrame:
+        return self.spark.read.parquet(self.path(rel))
+
+    # --- writes ------------------------------------------------------------
+    def _writer(self, df: DataFrame, meta: TableMeta):
+        if meta.cluster_by:
+            keys = [meta.partition_by] if meta.partition_by else []
+            df = df.sortWithinPartitions(*(keys + meta.cluster_by))
+        w = df.write.format("parquet")
+        if meta.partition_by:
+            w = w.partitionBy(meta.partition_by)
+        return w
+
+    def create_as(self, rel: Relation, df: DataFrame, meta: TableMeta | None = None) -> None:
+        """CREATE OR REPLACE TABLE AS SELECT with partition/cluster layout
+        (reference: incremental_partition_merge.sql:77-83, 228-235)."""
+        meta = meta or TableMeta()
+        meta.schema_json = df.schema.json()
+        self._writer(df, meta).mode("overwrite").save(self.path(rel))
+        self.write_meta(rel, meta)
+
+    def append(self, rel: Relation, df: DataFrame) -> None:
+        """INSERT INTO … SELECT (column-aligned by the caller;
+        reference: incremental_log.sql:146-151)."""
+        meta = self.read_meta(rel)
+        self._writer(df, meta).mode("append").save(self.path(rel))
+
+    def overwrite_partitions(self, rel: Relation, df: DataFrame) -> None:
+        """Dynamic partition overwrite: replaces exactly the partitions
+        present in ``df``, leaving all others in place. Requires
+        spark.sql.sources.partitionOverwriteMode=dynamic (session.py)."""
+        meta = self.read_meta(rel)
+        if not meta.partition_by:
+            raise ValueError(f"{rel.table_id} is not partitioned; cannot partition-overwrite")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self._writer(df, meta).mode("overwrite").save(self.path(rel))
+
+    def drop(self, rel: Relation) -> None:
+        shutil.rmtree(self.path(rel), ignore_errors=True)
+
+    # --- introspection (the INFORMATION_SCHEMA analogues) ------------------
+    def partitions(self, rel: Relation) -> list[str]:
+        """Partition values present on disk (directory listing — no data
+        scan; reference reads INFORMATION_SCHEMA.PARTITIONS,
+        log_helpers.sql:307-318)."""
+        meta = self.read_meta(rel)
+        if not meta.partition_by:
+            return []
+        prefix = meta.partition_by + "="
+        out = []
+        for d in os.listdir(self.path(rel)):
+            if d.startswith(prefix):
+                out.append(d[len(prefix):])
+        return sorted(out)
+
+    def size_info(self, rel: Relation) -> dict[str, int]:
+        """row_count / size_bytes (reference: __TABLES__ scan,
+        register_dataproduct_metadata.sql:35-49)."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.path(rel)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+        return {"row_count": self.read(rel).count(), "size_bytes": total}
+
+    def distinct_partition_dates(self, df: DataFrame, partition_field: str) -> list[str]:
+        """Touched-partition discovery on a batch: SELECT DISTINCT
+        DATE(field) — collected to the driver and inlined as literals in the
+        merge filter (manual dynamic partition pruning; reference:
+        macros/utils/partition_helpers.sql:18-31)."""
+        rows = (
+            df.select(F.to_date(F.col(partition_field)).alias("part_date"))
+            .where(F.col("part_date").isNotNull())
+            .distinct()
+            .collect()
+        )
+        return sorted(str(r["part_date"]) for r in rows)
