@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full physical plan,
+including final projections — unlike count(), which lets Spark drop
+unused columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edna_dbt_library_spark import queries as _q
+from edna_dbt_library_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the TPC-H-style relational queries plus one representative
+# of each extension-operator family. near_dup_jaccard is excluded: LSH
+# candidate verification on the synthetic shared-vocabulary corpus is
+# quadratic in corpus size and is covered by the correctness gate instead.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "incremental_window_agg",
+    "watermark_top1",
+    "merge_upsert_latest",
+    "sessionize_count",
+    "uuid_v3_customer",
+    "hex_roundtrip",
+    "ieee754_decode",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "simhash60",
+    "text_stats",
+    "lang_id_pred",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    registry = _q.queries()
+    spark = get_spark(app_name="edna-spark-bench")
+    # warm the JVM + parquet footers once so per-query times measure the
+    # queries, not session startup
+    _q.flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

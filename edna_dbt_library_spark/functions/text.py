@@ -93,13 +93,17 @@ def quality_score(text: Column | str) -> Column:
     return F.round(length_term * 0.4 + wordlen_term * 0.2 + stop_term * 0.2 + punct_term * 0.2, 6)
 
 
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    # NB: a default-arg lambda (lambda t, words=words: ...) would be seen by
+    # PySpark's HOF machinery as a two-parameter (element, index) lambda;
+    # close over `words` via this factory instead.
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit counts (the lang-ID signal)."""
     toks = tokens(text)
-    return {
-        lang: F.size(F.filter(toks, lambda t, words=words: t.isin(*words)))
-        for lang, words in LANG_STOPWORDS.items()
-    }
+    return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
 def lang_id(text: Column | str) -> Column:

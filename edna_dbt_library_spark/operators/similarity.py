@@ -1,0 +1,81 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two strategies:
+* ``brute_force_topk`` — broadcast the (small) query set against all
+  candidates; one pass over the big side, no shuffle of the candidates at
+  all. The right plan when |queries| is small: at 100 TB the candidate scan
+  is embarrassingly parallel and the per-row work is a JVM HOF dot product
+  inside codegen.
+* ``lsh_bucketed_topk`` — sign-bit LSH bucketing: queries only join
+  candidates in the same hyperplane-sign bucket, cutting compared pairs by
+  ~2^dims at some recall cost. The bucket key is deterministic, so the
+  join is a plain equi-join Catalyst can shuffle-partition (AQE handles
+  bucket skew).
+
+Ranking is made fully deterministic by rounding similarity to 6 decimals
+and tie-breaking on candidate id — stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.vectors import cosine, sign_bucket
+
+
+def _ranked_topk(joined: DataFrame, k: int) -> DataFrame:
+    sim = F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 6).alias("cosine_sim")
+    scored = joined.select("query_id", "vec_id", "label", sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine_sim")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast cross-join of queries × candidates.
+
+    ``queries`` needs columns (id_col, vec_col); candidates keep their
+    ``label``. Self-matches (same id) are excluded.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_embedding"))
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col("label"), F.col(vec_col).alias("c_embedding")
+    )
+    joined = c.crossJoin(q).where(F.col("vec_id") != F.col("query_id"))
+    return _ranked_topk(joined, k)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k restricted to the query's sign-bit bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_embedding"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("label"),
+        F.col(vec_col).alias("c_embedding"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))
+    return _ranked_topk(joined, k)

@@ -1,0 +1,812 @@
+"""Driver-contract query registry: every entry pairs a PySpark DataFrame
+builder with an equivalent ANSI-SQL oracle that DuckDB runs on the same
+parquet fixtures (see __spark_entry__.py and SURVEY.md §2/§5).
+
+Determinism rules applied throughout (so order-insensitive value hashes
+match bit-for-bit across engines):
+
+* Money/quantity aggregates go through DECIMAL (exact, associative), are
+  rounded, then cast to double — float summation order can then never
+  change a result.
+* Timestamps are emitted as canonical formatted strings (fixtures carry
+  nanosecond timestamps; both engines truncate to microseconds the same
+  way).
+* Every top-k has a total order (score desc, id asc); every window has a
+  unique tiebreaker.
+* All hashes are md5 hex (lowercase in both engines); min() over
+  fixed-width hex strings is the engine-portable MinHash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.binary import (
+    bytes4_to_int32,
+    double_from_components,
+    double_mantissa,
+    double_unbiased_exponent,
+    hex_to_int,
+    reverse_hex_bytes,
+    value_to_bitstring,
+)
+from edna_dbt_library_spark.functions.text import LANG_STOPWORDS, lang_id, punct_ratio, quality_score, tokens, word_stats
+from edna_dbt_library_spark.functions.timestamps import format_timestamp_utc
+from edna_dbt_library_spark.functions.uuid_fns import uuid_v3, uuid_v5
+from edna_dbt_library_spark.operators import (
+    brute_force_topk,
+    exact_duplicate_groups,
+    fingerprint_duplicate_groups,
+    latest_by_key,
+    lsh_bucketed_topk,
+    lsh_candidate_pairs,
+    near_duplicate_pairs,
+    ordered_string_agg,
+    simhash,
+    top1_per_key,
+)
+from edna_dbt_library_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared constants (used by BOTH the Spark builders and the SQL oracles)
+
+EV_LO = "2024-01-10 00:00:00"
+EV_HI = "2024-01-20 00:00:00"
+Q1_CUTOFF = "2000-09-02 00:00:00"
+Q3_DATE = "1999-01-01 00:00:00"
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1997-01-01 00:00:00"
+NS_ASCII = "30313233-3435-3637-3839-616263646566"  # bytes == "0123456789abcdef"
+NS_UUID5 = "3bfbbd36-410b-43fa-999a-bb990a6db5c7"
+SIMHASH_BITS = 60
+MINHASH_N = 8
+MINHASH_BANDS = 4
+SESSION_GAP_MIN = 30
+
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f UTC"
+
+# DuckDB fragment: whitespace tokens of lowercased text (mirror of
+# functions.text.tokens)
+DUCK_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the pre-registered table views
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(c, p: int = 12, s: int = 2):
+    return (F.col(c) if isinstance(c, str) else c).cast(f"decimal({p},{s})")
+
+
+def _r2d(c) -> F.Column:
+    """round(decimal, 2) -> double: exact aggregate, deterministic double."""
+    return F.round(c, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# 2E relational surface — TPC-H-style join/agg queries
+
+_Q1_ORACLE = f"""
+WITH base AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+           CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS disc_price,
+           CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+               * (1 + CAST(l_tax AS DECIMAL(12,2))) AS charge
+    FROM lineitem
+    WHERE l_shipdate::TIMESTAMP <= TIMESTAMP '{Q1_CUTOFF}'
+), agg AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(disc_price), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(charge), 2) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM base GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       round(sum_qty / count_order, 6) AS avg_qty,
+       round(sum_base_price / count_order, 6) AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+@_register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    agg = (
+        l.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _r2d(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _r2d(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2d(F.sum(charge)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate::TIMESTAMP < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate::TIMESTAMP > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("q3_top_orders", _Q3_ORACLE)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2d(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}'
+  AND o_orderdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'
+GROUP BY n_name
+"""
+
+
+@_register("q5_region_revenue", _Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2d(revenue).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2A/§2B semantics as queries (incremental window, watermark, merge-dedupe,
+# touched partitions)
+
+_WINDOW_AGG_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
+       strftime(min(ts::TIMESTAMP), '{TS_FMT_DUCK}') AS first_ts,
+       strftime(max(ts::TIMESTAMP), '{TS_FMT_DUCK}') AS last_ts
+FROM events
+WHERE ts::TIMESTAMP > TIMESTAMP '{EV_LO}' AND ts::TIMESTAMP <= TIMESTAMP '{EV_HI}'
+GROUP BY event_type
+"""
+
+
+@_register("incremental_window_agg", _WINDOW_AGG_ORACLE)
+def incremental_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-window scan `(prev_end, now]` + per-type rollup — the
+    incremental_log filter semantics (reference:
+    macros/materialization/incremental_log.sql:53-60)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where((F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2d(F.sum(_dec("value"))).alias("sum_value"),
+            format_timestamp_utc(F.min("ts")).alias("first_ts"),
+            format_timestamp_utc(F.max("ts")).alias("last_ts"),
+        )
+    )
+
+
+_WATERMARK_ORACLE = f"""
+SELECT user_id, event_id, strftime(ts::TIMESTAMP, '{TS_FMT_DUCK}') AS last_purchase_ts, value
+FROM (
+    SELECT user_id, event_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+) WHERE rn = 1
+"""
+
+
+@_register("watermark_top1", _WATERMARK_ORACLE)
+def watermark_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest successful event per key via ROW_NUMBER()=1 — the watermark
+    recovery idiom (reference: macros/utils/log_helpers.sql:100-106)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    top = top1_per_key(e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return top.select(
+        "user_id", "event_id", format_timestamp_utc("ts").alias("last_purchase_ts"), "value"
+    )
+
+
+_MERGE_LATEST_ORACLE = f"""
+SELECT user_id, event_type, event_id, strftime(ts::TIMESTAMP, '{TS_FMT_DUCK}') AS ts, value
+FROM (
+    SELECT user_id, event_type, event_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts::TIMESTAMP > TIMESTAMP '{EV_LO}' AND ts::TIMESTAMP <= TIMESTAMP '{EV_HI}'
+) WHERE rn = 1
+"""
+
+
+@_register("merge_upsert_latest", _MERGE_LATEST_ORACLE)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State a partition-merge target converges to: latest row per unique
+    key under the `S.event_time > T.event_time` recency rule (reference:
+    macros/materialization/incremental_partition_merge.sql:116-119)."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp"))
+    )
+    latest = latest_by_key(e, ["user_id", "event_type"], "ts", tiebreakers=["event_id"])
+    return latest.select(
+        "user_id", "event_type", "event_id", format_timestamp_utc("ts").alias("ts"), "value"
+    )
+
+
+_PARTS_ORACLE = f"""
+SELECT DISTINCT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS part_date
+FROM events
+WHERE ts::TIMESTAMP > TIMESTAMP '{EV_LO}' AND ts::TIMESTAMP <= TIMESTAMP '{EV_HI}'
+"""
+
+
+@_register("distinct_partitions", _PARTS_ORACLE)
+def distinct_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touched-partition discovery (reference:
+    macros/utils/partition_helpers.sql:18-21)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where((F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp")))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("part_date"))
+        .distinct()
+    )
+
+
+_STRAGG_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_asc,
+       string_agg(n_name, ',' ORDER BY n_name DESC) AS nations_desc
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@_register("ordered_string_agg", _STRAGG_ORACLE)
+def ordered_string_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered STRING_AGG (reference: macros/utils/binary_conversions.sql:69
+    uses STRING_AGG .. ORDER BY idx DESC)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    asc = ordered_string_agg(j, ["r_name"], "n_name", alias="nations_asc")
+    desc = ordered_string_agg(j, ["r_name"], "n_name", descending=True, alias="nations_desc")
+    return asc.join(desc, "r_name")
+
+
+_UNION_MINMAX_ORACLE = f"""
+SELECT strftime(min(ts), '{TS_FMT_DUCK}') AS lowest, strftime(max(ts), '{TS_FMT_DUCK}') AS highest
+FROM (
+    SELECT ts::TIMESTAMP AS ts FROM events
+    UNION ALL
+    SELECT o_orderdate::TIMESTAMP FROM orders
+)
+"""
+
+
+@_register("union_minmax", _UNION_MINMAX_ORACLE)
+def union_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + MIN/MAX over timestamps (reference:
+    macros/utils/log_helpers.sql:266-276,292-302)."""
+    e = _t(spark, sf_dir, "events").select(F.col("ts"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("ts"))
+    u = e.unionAll(o)
+    return u.agg(
+        format_timestamp_utc(F.min("ts")).alias("lowest"),
+        format_timestamp_utc(F.max("ts")).alias("highest"),
+    )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT p_partkey, (u.i - 1)::INTEGER AS idx, u.w AS word
+FROM (
+    SELECT p_partkey,
+           unnest(list_transform(str_split(p_type, ' '), (x, i) -> {'w': x, 'i': i})) AS u
+    FROM part WHERE p_partkey < 200
+)
+"""
+
+
+@_register("posexplode_words", _POSEXPLODE_ORACLE)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST .. WITH OFFSET (reference:
+    macros/utils/binary_conversions.sql:71-76) as posexplode."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select("p_partkey", F.posexplode(F.split(F.col("p_type"), " ")).alias("idx", "word"))
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+), l AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM e
+)
+SELECT user_id,
+       sum(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_MIN} * 60 * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM l GROUP BY user_id
+"""
+
+
+@_register("sessionize_count", _SESSION_ORACLE)
+def sessionize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming-style session windows computed
+    in batch)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    return (
+        e.withColumn("__new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("__new").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2D scalar surface
+
+_UUID3_ORACLE = """
+WITH h AS (
+    SELECT c_custkey, md5('0123456789abcdef' || c_name) AS hx FROM customer
+), v AS (
+    SELECT c_custkey, substr(hx, 1, 12) || '3' || substr(hx, 14) AS hx_v FROM h
+), m AS (
+    SELECT c_custkey, hx_v, substr(hx_v, 17, 1) AS d FROM v
+), r AS (
+    SELECT c_custkey,
+           substr(hx_v, 1, 16) ||
+           CASE WHEN d IN ('0','4','8','c') THEN '8'
+                WHEN d IN ('1','5','9','d') THEN '9'
+                WHEN d IN ('2','6','a','e') THEN 'a'
+                ELSE 'b' END ||
+           substr(hx_v, 18) AS hx_vr
+    FROM m
+)
+SELECT c_custkey,
+       lower(substr(hx_vr,1,8) || '-' || substr(hx_vr,9,4) || '-' || substr(hx_vr,13,4)
+             || '-' || substr(hx_vr,17,4) || '-' || substr(hx_vr,21)) AS correlation_id
+FROM r
+"""
+
+
+@_register("uuid_v3_customer", _UUID3_ORACLE)
+def uuid_v3_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RFC-4122 name-based UUID as a correlation key
+    (reference: macros/utils/uuid_generation.sql; v3/md5 here because the
+    oracle engine lacks sha1 — uuid_v5 is pytest-verified against RFC 4122
+    and exercised in entry())."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", uuid_v3(F.col("c_name"), NS_ASCII).alias("correlation_id"))
+
+
+_HEX_ORACLE = """
+WITH base AS (
+    SELECT p_partkey,
+           lpad(lower(hex(p_partkey)), 16, '0') AS h,
+           (p_partkey * 2654435761) % 4294967296 AS m
+    FROM part WHERE p_partkey < 500
+)
+SELECT p_partkey, h,
+       ('0x' || h)::BIGINT AS parsed,
+       array_to_string(list_reverse(regexp_extract_all(h, '..')), '') AS rev,
+       CASE WHEN m > 2147483647 THEN m - 4294967296 ELSE m END AS int32_val
+FROM base
+"""
+
+
+@_register("hex_roundtrip", _HEX_ORACLE)
+def hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hex_to_int / reverse_hex_bytes / bytes4_to_int32 round-trip
+    (reference: macros/utils/binary_conversions.sql:1-14,62-90)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    h = F.lpad(F.lower(F.hex(F.col("p_partkey"))), 16, "0")
+    m = F.pmod(F.col("p_partkey") * 2654435761, F.lit(4294967296))
+    return p.select(
+        "p_partkey",
+        h.alias("h"),
+        hex_to_int(h).alias("parsed"),
+        reverse_hex_bytes(h).alias("rev"),
+        bytes4_to_int32(F.unhex(F.lpad(F.hex(m), 8, "0"))).alias("int32_val"),
+    )
+
+
+_IEEE_ORACLE = """
+SELECT p_partkey,
+       round(pow(-1, p_partkey % 2)
+             * (1 + ((p_partkey * 2654435761) % 4503599627370496) / 4503599627370496.0)
+             * pow(2, (p_partkey % 40) - 20), 5) + 0.0 AS reconstructed
+FROM part
+"""
+
+
+@_register("ieee754_decode", _IEEE_ORACLE)
+def ieee754_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-754 double reconstruction from sign/exponent/fraction bitfields
+    (reference: macros/utils/binary_conversions.sql:108-166), driving
+    value_to_bitstring → double_mantissa/double_unbiased_exponent →
+    double_from_components end-to-end."""
+    p = _t(spark, sf_dir, "part")
+    sign = F.pmod(F.col("p_partkey"), F.lit(2))
+    exp_bits = value_to_bitstring(F.pmod(F.col("p_partkey"), F.lit(40)) - 20 + 1023, 11)
+    frac_bits = value_to_bitstring(F.pmod(F.col("p_partkey") * 2654435761, F.lit(4503599627370496)), 52)
+    val = double_from_components(sign, double_mantissa(frac_bits), double_unbiased_exponent(exp_bits))
+    # `+ 0.0` collapses IEEE negative zero (round of a tiny negative) so
+    # both engines agree on the canonical 0.0
+    return p.select("p_partkey", (val + F.lit(0.0)).alias("reconstructed"))
+
+
+# ---------------------------------------------------------------------------
+# extension operators: dedup / text analysis / similarity
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+@_register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_FP_ORACLE = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+@_register("dedup_fingerprint", _DEDUP_FP_ORACLE)
+def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    mh = ",\n           ".join(
+        f"min(md5('s{i}|' || w)) AS mh{i}" for i in range(MINHASH_N)
+    )
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS sig FROM sig".format(
+            b=b,
+            expr=" || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    toks = DUCK_TOKENS.format(c="text")
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct({toks})) AS w FROM documents
+), sig AS (
+    SELECT doc_id,
+           {mh}
+    FROM words GROUP BY doc_id
+), buckets AS (
+    {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS)
+
+
+def _near_dup_oracle(threshold: float = 0.7) -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct({toks})) AS w FROM documents
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+), cand AS (
+{_minhash_oracle()}
+), inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c JOIN words wa ON wa.doc_id = c.doc_a
+                JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= {threshold}
+"""
+
+
+@_register("near_dup_jaccard", _near_dup_oracle())
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_duplicate_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=MINHASH_N, bands=MINHASH_BANDS)
+
+
+def _simhash_oracle() -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(SIMHASH_BITS - 1, -1, -1)
+    )
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct({toks})) AS w FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+), agg AS (
+    SELECT doc_id,
+           {sums}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash_bits FROM agg
+"""
+
+
+@_register("simhash60", _simhash_oracle())
+def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def _text_stats_oracle() -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    stop_list = ", ".join(f"'{w}'" for w in
+                          ("the", "and", "of", "to", "in", "is", "a",
+                           "it", "for", "on", "with", "as", "this", "that"))
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, {toks} AS toks FROM documents
+), stats AS (
+    SELECT doc_id, text,
+           len(toks)::INTEGER AS n_words,
+           list_sum(list_transform(toks, x -> len(x)))::INTEGER AS total_len,
+           len(list_filter(toks, x -> list_contains([{stop_list}], x)))::INTEGER AS stop_hits,
+           (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')))::INTEGER AS n_punct,
+           length(text)::INTEGER AS n_chars
+    FROM base
+), derived AS (
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0 THEN total_len / n_words END AS awl,
+           CASE WHEN n_words > 0 THEN stop_hits / n_words END AS stop_ratio,
+           CASE WHEN n_chars > 0 THEN n_punct / n_chars END AS pr,
+           ceil(n_chars / 4.0)::INTEGER AS n_tokens_est
+    FROM stats
+)
+SELECT doc_id, n_words,
+       round(awl, 4) AS avg_word_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(pr, 4) AS punct_ratio,
+       n_tokens_est,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (CASE WHEN coalesce(awl, 0) >= 3 AND coalesce(awl, 0) <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+             + least(coalesce(stop_ratio, 0) * 5, 1.0) * 0.2
+             + (CASE WHEN coalesce(pr, 0) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+FROM derived
+"""
+
+
+@_register("text_stats", _text_stats_oracle())
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    stats = word_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        stats["n_words"].alias("n_words"),
+        F.round(stats["avg_word_len"], 4).alias("avg_word_len"),
+        F.round(stats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("n_tokens_est"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_oracle() -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(f"len(list_filter(toks, x -> list_contains([{words}], x)))::INTEGER AS s_{lang}")
+    scores = ",\n           ".join(score_cols)
+    # ties go to the lexicographically largest language (array_max on
+    # (score, lang) structs) — the CASE chain checks largest-first with >=
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang, {toks} AS toks FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+           {scores}
+    FROM base
+)
+SELECT doc_id, lang,
+       CASE WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'und' END AS pred_lang
+FROM scored
+"""
+
+
+@_register("lang_id_pred", _lang_oracle())
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+_ANN_TOPK_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine_sim
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, vec_id, label, cosine_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id, label, cosine_sim FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("ann_topk_bruteforce", _ANN_TOPK_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+_ANN_LSH_ORACLE = """
+WITH b AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 20
+), scored AS (
+    SELECT q.query_id, c.vec_id, c.label,
+           round(list_cosine_similarity(c.e, q.qe), 6) AS cosine_sim
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, vec_id, label, cosine_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id, label, cosine_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("ann_lsh_bucketed", _ANN_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return lsh_bucketed_topk(emb, queries, k=5, dims=8)
+
+
+# ---------------------------------------------------------------------------
+# flagship entry query (driver smoke check, sf0.001)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """S1+S4 in one query (SURVEY.md §7 phase 0): run-window filter over
+    events, uuid_v5 correlation key per user, top-1 per user via
+    ROW_NUMBER() = 1."""
+    e = load_table(spark, sf_dir, "events")
+    windowed = e.where(
+        (F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp"))
+    ).withColumn("correlation_id", uuid_v5(F.col("user_id").cast("string"), NS_UUID5))
+    top = top1_per_key(windowed, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return top.select(
+        "user_id",
+        "correlation_id",
+        "event_id",
+        format_timestamp_utc("ts").alias("last_ts"),
+        "event_type",
+        "value",
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's t2 correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet, compare row count + column names + order-insensitive values.
+
+Usage:
+    python tools/check_parity.py                 # all queries at sf0.01
+    python tools/check_parity.py q1 dedup        # substring filter
+    SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.001 python tools/check_parity.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon_cell(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NaN"
+        # full-precision double repr: bit-identical doubles -> identical repr
+        return repr(v)
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append("\x01".join(canon_cell(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    filters = sys.argv[1:]
+    import __spark_entry__ as entrymod
+    from edna_dbt_library_spark.session import get_spark
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = [n for n in qs if not filters or any(f in n for f in filters)]
+
+    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        ok = True
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+            ok = False
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            ok = False
+        if ok:
+            cs = canon_rows(s_cols, s_rows)
+            cd = canon_rows(d_cols, d_rows)
+            if cs != cd:
+                ok = False
+                diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+                print(f"FAIL {name}: value mismatch ({sum(1 for a, b in zip(cs, cd) if a != b)} rows)")
+                for a, b in diffs:
+                    print(f"    spark : {a[:220]}")
+                    print(f"    duckdb: {b[:220]}")
+        if ok:
+            print(f"OK   {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"{len(failures)}/{len(names)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"all {len(names)} queries match")
+
+
+if __name__ == "__main__":
+    main()
