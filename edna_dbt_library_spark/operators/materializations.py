@@ -1,0 +1,401 @@
+"""Table-level dataflow operators: the two incremental materializations.
+
+Parity targets:
+* ``incremental_log``   — windowed incremental APPEND with run-event
+  logging (reference: macros/materialization/incremental_log.sql).
+* ``incremental_partition_merge`` — partition-pruned MERGE upsert with
+  unique-key matching and optional event-time recency
+  (reference: macros/materialization/incremental_partition_merge.sql).
+
+Spark-first design (not a translation):
+* The run-window filter is a plain Catalyst predicate — it pushes into the
+  parquet scan (row-group min/max + partition pruning), which is the whole
+  performance story of incremental_log at 100 TB.
+* The MERGE is re-expressed for plain parquet as: read ONLY the touched
+  target partitions (static literal IN over collected batch dates — the
+  manual dynamic partition pruning of partition_helpers.sql:18-31), full
+  outer join with the batch on the unique key, per-column
+  matched/not-matched resolution, then DYNAMIC PARTITION OVERWRITE of just
+  those partitions. Untouched partitions are never read or written. This
+  is exactly the scan/write scope BigQuery's pruned MERGE has.
+* Batch staging mirrors the reference's layout-matched temp table
+  (:77-83): the batch is repartitioned by the partition date before the
+  join so the shuffle output lands partition-aligned for the write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.timestamps import fmt_ts
+from edna_dbt_library_spark.sources.event_log import (
+    RelationIds,
+    apply_history_load_limit,
+    get_last_successful_run_window_end,
+    ids_for_relation,
+    log_model_event,
+)
+from edna_dbt_library_spark.sources.warehouse import Relation, TableMeta, Warehouse
+
+PARTITION_COL = "_pdate"  # derived DAY partition column (DATE(partition field))
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    """BigQuery-style time partitioning config. Only DAY granularity is
+    supported, matching the reference's hard requirement
+    (incremental_partition_merge.sql:33-37)."""
+
+    field: str
+    granularity: str = "day"
+
+    def validate(self) -> None:
+        if self.granularity.lower() != "day":
+            raise ValueError(
+                f"only DAY partition granularity is supported (got '{self.granularity}')"
+            )
+
+
+@dataclass
+class IncrementalLogConfig:
+    run_window_column: str = "insertTime"
+    max_history_load_days: int | None = None
+    max_history_load_days_dev_ci: int | None = None
+    partition_by: PartitionSpec | None = None
+    cluster_by: list[str] = field(default_factory=list)
+    on_schema_change: str = "ignore"  # ignore | append_new_columns | sync_all_columns | fail
+    full_refresh: bool = False
+    source_rel: Relation | None = None  # watermark fallback source
+    dev_ci: bool | None = None  # None -> read env
+    empty_run: bool = False  # --empty: skip log writes
+
+
+@dataclass
+class PartitionMergeConfig:
+    partition_by: PartitionSpec = None  # required
+    unique_key: str | list[str] = None  # required
+    event_time: str | None = None
+    merge_update_columns: list[str] | None = None
+    merge_exclude_columns: list[str] | None = None
+    cluster_by: list[str] = field(default_factory=list)
+    full_refresh: bool = False
+
+
+def _with_partition_col(df: DataFrame, spec: PartitionSpec | None) -> tuple[DataFrame, TableMeta]:
+    meta = TableMeta()
+    if spec is not None:
+        spec.validate()
+        df = df.withColumn(PARTITION_COL, F.to_date(F.col(spec.field)))
+        meta.partition_by = PARTITION_COL
+        meta.partition_source = spec.field
+    return df, meta
+
+
+def read_table(wh: Warehouse, rel: Relation) -> DataFrame:
+    """User-facing read: hides the derived partition column."""
+    df = wh.read(rel)
+    return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
+
+
+# ---------------------------------------------------------------------------
+# incremental_log
+
+
+def run_incremental_log(
+    wh: Warehouse,
+    target: Relation,
+    model_df: DataFrame,
+    config: IncrementalLogConfig,
+    *,
+    domain: str = "analytics",
+    model_name: str | None = None,
+    node_unique_id: str | None = None,
+    invocation_id: str = "",
+    run_started_at: datetime | None = None,
+    deployed_table_id: str | None = None,
+) -> dict:
+    """Windowed incremental append (reference:
+    macros/materialization/incremental_log.sql:1-170).
+
+    Lifecycle (SURVEY.md §3.1): watermark recovery → history-load cap →
+    start event → window-filtered create/append → success event. If the
+    write fails, no success event is logged, so the next run recomputes the
+    same window — at-least-once, same crash semantics as the reference.
+    """
+    started = run_started_at or datetime.now(timezone.utc).replace(tzinfo=None)
+    started_str = fmt_ts(started)
+    ids = ids_for_relation(target, domain)
+    model_name = model_name or target.identifier
+    node_unique_id = node_unique_id or f"model.{domain}.{model_name}"
+
+    # watermark recovery (runtime→compile-time feedback: this collect()
+    # parameterizes the next plan)
+    prev_end = get_last_successful_run_window_end(
+        wh, ids, deployed_table_id=deployed_table_id, dev_ci=config.dev_ci, source_rel=config.source_rel
+    )
+    current_end = apply_history_load_limit(
+        config.max_history_load_days,
+        prev_end,
+        started,
+        config.max_history_load_days_dev_ci,
+        dev_ci=config.dev_ci,
+    )
+
+    log_model_event(
+        wh, ids, "model_run_started", prev_end, current_end,
+        model_name=model_name, node_unique_id=node_unique_id,
+        invocation_id=invocation_id, event_ts=started_str, empty_run=config.empty_run,
+    )
+
+    w = F.col(config.run_window_column).try_cast("timestamp")
+    upper = w <= F.lit(current_end.replace(" UTC", "")).cast("timestamp")
+    lower = w > F.lit(prev_end.replace(" UTC", "")).cast("timestamp")
+
+    exists = wh.exists(target)
+    from edna_dbt_library_spark.sources.event_log import is_dev_ci
+
+    dev_ci = is_dev_ci() if config.dev_ci is None else config.dev_ci
+
+    if not exists or config.full_refresh:
+        # fresh create: upper bound only (dev/ci non-full-refresh also
+        # applies the lower bound, reference :97-103)
+        filtered = model_df.where(upper & lower) if (dev_ci and not config.full_refresh) else model_df.where(upper)
+        out, meta = _with_partition_col(filtered, config.partition_by)
+        meta.cluster_by = list(config.cluster_by)
+        if config.full_refresh and exists:
+            wh.drop(target)
+        wh.create_as(target, out, meta)
+        action = "create"
+    else:
+        filtered = model_df.where(upper & lower)
+        dest_cols = _reconcile_schema(wh, target, filtered, config.on_schema_change)
+        meta = wh.read_meta(target)
+        if meta.partition_by == PARTITION_COL and meta.partition_source:
+            filtered = filtered.withColumn(PARTITION_COL, F.to_date(F.col(meta.partition_source)))
+            if PARTITION_COL not in dest_cols:
+                dest_cols = dest_cols + [PARTITION_COL]
+        # column-aligned insert (explicit dest column list, reference
+        # :140-151): never positional
+        filtered = filtered.select(*dest_cols)
+        wh.append(target, filtered)
+        if config.on_schema_change in ("append_new_columns", "sync_all_columns"):
+            meta.schema_json = filtered.schema.json()
+            meta.schema_evolved = True
+            wh.write_meta(target, meta)
+        action = "append"
+
+    log_model_event(
+        wh, ids, "model_run_succeeded", prev_end, current_end,
+        model_name=model_name, node_unique_id=node_unique_id,
+        invocation_id=invocation_id, empty_run=config.empty_run,
+    )
+    return {
+        "action": action,
+        "run_window_start": prev_end,
+        "run_window_end": current_end,
+        "relation": target,
+    }
+
+
+def _reconcile_schema(
+    wh: Warehouse, target: Relation, batch: DataFrame, on_schema_change: str
+) -> list[str]:
+    """dbt on_schema_change semantics (reference: incremental_log.sql:26,
+    114-136 delegates to dbt's process_schema_changes). Returns the
+    destination column list for the column-aligned insert:
+
+    * ignore            — target's columns (extra batch columns dropped)
+    * fail              — error on any difference
+    * append_new_columns — target's columns plus new batch columns (new
+      columns appear in new files; reads merge schemas)
+    * sync_all_columns  — batch's columns exactly (removed columns vanish
+      from the logical schema going forward)
+    """
+    tgt_order = [f.name for f in wh.read(target).schema.fields if f.name != PARTITION_COL]
+    tgt_cols = set(tgt_order)
+    batch_order = [c for c in batch.columns if c != PARTITION_COL]
+    batch_cols = set(batch_order)
+    missing = tgt_cols - batch_cols
+    if on_schema_change == "ignore":
+        if missing:
+            raise ValueError(
+                f"incremental_log: batch is missing target columns {sorted(missing)} "
+                "(on_schema_change='ignore' requires all destination columns)"
+            )
+        return tgt_order
+    if on_schema_change == "fail":
+        if batch_cols != tgt_cols:
+            raise ValueError(
+                f"incremental_log: schema changed (target {sorted(tgt_cols)} vs batch "
+                f"{sorted(batch_cols)}) and on_schema_change='fail'"
+            )
+        return tgt_order
+    if on_schema_change == "append_new_columns":
+        if missing:
+            raise ValueError(f"incremental_log: batch is missing target columns {sorted(missing)}")
+        return tgt_order + [c for c in batch_order if c not in tgt_cols]
+    if on_schema_change == "sync_all_columns":
+        return batch_order
+    raise ValueError(f"incremental_log: unknown on_schema_change '{on_schema_change}'")
+
+
+# ---------------------------------------------------------------------------
+# incremental_partition_merge
+
+
+def run_incremental_partition_merge(
+    wh: Warehouse,
+    target: Relation,
+    model_df: DataFrame,
+    config: PartitionMergeConfig,
+) -> dict:
+    """Partition-pruned MERGE upsert (reference:
+    macros/materialization/incremental_partition_merge.sql:1-322).
+
+    Steps (numbers refer to the reference's sections):
+    1. validate configs (DAY partitioning, unique_key required)
+    2. stage the batch with the target's layout
+    3. touched-partition discovery: SELECT DISTINCT DATE(pf) collected and
+       inlined as a static literal filter
+    4-6. key-match + recency predicate + column-set negotiation
+    7. write: first-run create / pruned merge / empty-batch short-circuit
+    """
+    # -- 1. validation
+    if config.partition_by is None:
+        raise ValueError("incremental_partition_merge: model must define partition_by.")
+    config.partition_by.validate()
+    keys = [config.unique_key] if isinstance(config.unique_key, str) else list(config.unique_key or [])
+    if not keys:
+        raise ValueError("incremental_partition_merge: config.unique_key is required and cannot be empty.")
+
+    pf = config.partition_by.field
+
+    # -- 2. stage the batch with target-compatible layout (:74-83). The
+    # repartition by partition date both co-locates the subsequent write
+    # and caps small-file explosion; cache because the batch is read twice
+    # (partition discovery + merge).
+    batch = model_df.withColumn(PARTITION_COL, F.to_date(F.col(pf)))
+    batch = batch.repartition(F.col(PARTITION_COL)).cache()
+
+    # -- 3. touched partitions as static literals (:86-95)
+    touched = sorted(
+        str(r[0])
+        for r in batch.select(PARTITION_COL).where(F.col(PARTITION_COL).isNotNull()).distinct().collect()
+    )
+
+    exists = wh.exists(target)
+    meta = TableMeta(partition_by=PARTITION_COL, partition_source=pf, cluster_by=list(config.cluster_by))
+
+    if not touched:
+        # -- empty batch (:269-298): first run creates an empty table with
+        # the batch schema; otherwise a 0-row no-op append.
+        if not exists:
+            wh.create_as(target, batch.limit(0), meta)
+            action = "create_empty"
+        else:
+            action = "noop"
+        batch.unpersist()
+        return {"action": action, "touched_partitions": [], "relation": target}
+
+    if not exists or config.full_refresh:
+        # -- first run / full refresh (:218-235)
+        if exists:
+            wh.drop(target)
+        wh.create_as(target, batch, meta)
+        batch.unpersist()
+        return {"action": "create", "touched_partitions": touched, "relation": target}
+
+    # -- 4-6. incremental MERGE path
+    target_df = wh.read(target)
+    # static partition pruning: only the touched partitions are read
+    # (directory-level pruning on the partition column, :239-252)
+    target_touched = target_df.where(F.col(PARTITION_COL).isin(touched))
+
+    tmp_cols = [c for c in batch.columns if c != PARTITION_COL]
+    tgt_cols = [c for c in target_df.columns if c != PARTITION_COL]
+    common = [c for c in tmp_cols if c in tgt_cols]  # intersection (:151-156)
+    if config.merge_update_columns is not None:  # whitelist (:158-167)
+        common = [c for c in common if c in config.merge_update_columns]
+    if config.merge_exclude_columns is not None:  # blacklist (:169-178)
+        common = [c for c in common if c not in config.merge_exclude_columns]
+    if not common:
+        raise ValueError(
+            "incremental_partition_merge: no overlapping columns between batch and "
+            f"{target.table_id} after applying merge_update_columns / merge_exclude_columns."
+        )
+
+    # ensure merge keys and recency column survive negotiation for the join
+    for k in keys:
+        if k not in tmp_cols or k not in tgt_cols:
+            raise ValueError(f"incremental_partition_merge: unique_key column '{k}' missing from batch or target")
+
+    # BigQuery MERGE errors when multiple source rows match one target row;
+    # a key-duplicated batch would silently multiply rows through the outer
+    # join, so the same contract is enforced here. One aggregation over the
+    # (cached) batch — batch-sized work, never target-sized.
+    dup = (
+        batch.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        dup_key = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            "incremental_partition_merge: batch contains multiple rows for unique_key "
+            f"{dup_key} — MERGE requires a key-unique batch (pre-aggregate with "
+            "operators.latest_by_key)"
+        )
+
+    s = batch.alias("s")
+    t = target_touched.alias("t")
+    on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys]
+    joined = t.join(s, on, "full_outer")
+
+    matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
+    s_only = F.col(f"t.{keys[0]}").isNull()
+    if config.event_time:
+        # WHEN MATCHED AND S.ev > T.ev (:116-119); otherwise keep T
+        take_s = matched & (F.col(f"s.{config.event_time}") > F.col(f"t.{config.event_time}"))
+    else:
+        take_s = matched
+
+    out_cols = []
+    for c in tgt_cols:
+        if c in common:
+            # matched+recency → S value; not-matched-insert → S value
+            # (columns outside `common` stay NULL on insert, like the
+            # reference's explicit INSERT column list :259-264)
+            expr = (
+                F.when(take_s | s_only, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            expr = F.col(f"t.{c}").alias(c)
+        out_cols.append(expr)
+    merged = joined.select(*out_cols)
+    # recompute the partition date from the OUTPUT partition field: an
+    # UPDATE that changes the partition field must move the row to its new
+    # partition, exactly as BigQuery repartitions on MERGE UPDATE
+    merged = merged.withColumn(PARTITION_COL, F.to_date(F.col(pf))).cache()
+
+    # -- 7. dynamic partition overwrite of exactly the touched partitions.
+    # A touched partition can end up EMPTY (all its rows moved to another
+    # day by a partition-field update); dynamic overwrite skips partitions
+    # absent from the output, so those are dropped explicitly.
+    written = {
+        str(r[0])
+        for r in merged.select(PARTITION_COL).where(F.col(PARTITION_COL).isNotNull()).distinct().collect()
+    }
+    wh.overwrite_partitions(target, merged)
+    for d in set(touched) - written:
+        wh.drop_partition(target, d)
+    merged.unpersist()
+    batch.unpersist()
+    return {"action": "merge", "touched_partitions": touched, "relation": target}

@@ -54,6 +54,7 @@ class TableMeta:
     partition_source: str | None = None  # timestamp column the date derives from
     cluster_by: list[str] = field(default_factory=list)
     schema_json: str | None = None
+    schema_evolved: bool = False  # files with heterogeneous schemas present
 
 
 class Warehouse:
@@ -73,6 +74,10 @@ class Warehouse:
         p = self.path(rel)
         if not os.path.isdir(p):
             return False
+        # the meta sidecar marks a created table even when it holds zero
+        # rows (a 0-row partitioned write produces no data files at all)
+        if os.path.exists(self._meta_path(rel)):
+            return True
         for dirpath, _dirs, files in os.walk(p):
             if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
                 return True
@@ -94,6 +99,7 @@ class Warehouse:
                     "partition_source": meta.partition_source,
                     "cluster_by": meta.cluster_by,
                     "schema_json": meta.schema_json,
+                    "schema_evolved": meta.schema_evolved,
                 },
                 f,
             )
@@ -107,13 +113,44 @@ class Warehouse:
                 partition_source=d.get("partition_source"),
                 cluster_by=list(d.get("cluster_by") or []),
                 schema_json=d.get("schema_json"),
+                schema_evolved=bool(d.get("schema_evolved", False)),
             )
         except FileNotFoundError:
             return TableMeta()
 
     # --- reads -------------------------------------------------------------
+    def _has_data_files(self, rel: Relation) -> bool:
+        for _dirpath, _dirs, files in os.walk(self.path(rel)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self, rel: Relation) -> DataFrame:
-        return self.spark.read.parquet(self.path(rel))
+        meta = self.read_meta(rel)
+        if meta.schema_json and not self._has_data_files(rel):
+            # empty table (created from a 0-row batch): schema comes from
+            # the sidecar, mirroring BigQuery's empty-CTAS table
+            import pyspark.sql.types as _T
+
+            schema = _T.StructType.fromJson(json.loads(meta.schema_json))
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            # schema-on-read union across heterogeneous files (the
+            # on_schema_change evolution path); scoped to evolved tables
+            # because footer merging has a cost at large file counts
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.path(rel))
+        if meta.schema_evolved and meta.schema_json:
+            import pyspark.sql.types as _T
+
+            logical = _T.StructType.fromJson(__import__("json").loads(meta.schema_json))
+            cols = [f.name for f in logical.fields if f.name in df.columns]
+            extra = [c for c in df.columns if c not in cols]
+            df = df.select(*(cols + extra)) if not meta.partition_by else df.select(
+                *(cols + [c for c in extra if c == meta.partition_by])
+            )
+        return df
 
     # --- writes ------------------------------------------------------------
     def _writer(self, df: DataFrame, meta: TableMeta):
@@ -151,6 +188,16 @@ class Warehouse:
 
     def drop(self, rel: Relation) -> None:
         shutil.rmtree(self.path(rel), ignore_errors=True)
+
+    def drop_partition(self, rel: Relation, value: str) -> None:
+        """Remove one partition directory (used when a merge empties a
+        touched partition)."""
+        meta = self.read_meta(rel)
+        if not meta.partition_by:
+            raise ValueError(f"{rel.table_id} is not partitioned")
+        shutil.rmtree(
+            os.path.join(self.path(rel), f"{meta.partition_by}={value}"), ignore_errors=True
+        )
 
     # --- introspection (the INFORMATION_SCHEMA analogues) ------------------
     def partitions(self, rel: Relation) -> list[str]:

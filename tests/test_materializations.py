@@ -1,0 +1,333 @@
+"""Multi-run scenario tests for the incremental materializations
+(SURVEY.md §5 point 3; FIXTURES.md §B incremental-target fixture):
+first-run create, incremental append, MERGE idempotency on overlap,
+event-time recency rejection, empty batch, history-load capping."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.materializations import (
+    IncrementalLogConfig,
+    PartitionMergeConfig,
+    PartitionSpec,
+    read_table,
+    run_incremental_log,
+    run_incremental_partition_merge,
+)
+from edna_dbt_library_spark.sources import Relation, Warehouse
+from edna_dbt_library_spark.sources.event_log import (
+    get_last_successful_run_window_end,
+    ids_for_relation,
+)
+from edna_dbt_library_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _events(spark):
+    return load_table(spark, SF, "events")
+
+
+# ---------------------------------------------------------------------------
+# incremental_log
+
+
+def test_incremental_log_create_then_append(spark, wh):
+    target = wh.relation("analytics_curated", "events_log")
+    events = _events(spark)
+
+    # run 1 at T1: full create, everything <= T1
+    t1 = dt.datetime(2024, 1, 15)
+    r1 = run_incremental_log(
+        wh, target, events,
+        IncrementalLogConfig(run_window_column="ts", dev_ci=False),
+        run_started_at=t1,
+    )
+    assert r1["action"] == "create"
+    n1 = read_table(wh, target).count()
+    expected1 = events.where(F.col("ts") <= F.lit("2024-01-15 00:00:00")).count()
+    assert n1 == expected1 > 0
+
+    # watermark was recorded
+    ids = ids_for_relation(target, "analytics")
+    wm = get_last_successful_run_window_end(wh, ids, dev_ci=False)
+    assert wm == "2024-01-15 00:00:00.000000 UTC"
+
+    # run 2 at T2: appends exactly (T1, T2]
+    t2 = dt.datetime(2024, 1, 20)
+    r2 = run_incremental_log(
+        wh, target, events,
+        IncrementalLogConfig(run_window_column="ts", dev_ci=False),
+        run_started_at=t2,
+    )
+    assert r2["action"] == "append"
+    assert r2["run_window_start"] == "2024-01-15 00:00:00.000000 UTC"
+    n2 = read_table(wh, target).count()
+    expected2 = events.where(F.col("ts") <= F.lit("2024-01-20 00:00:00")).count()
+    assert n2 == expected2
+
+    # run 3 with no new data beyond T2 boundary: zero-row append, no dupes
+    r3 = run_incremental_log(
+        wh, target, events,
+        IncrementalLogConfig(run_window_column="ts", dev_ci=False),
+        run_started_at=t2,
+    )
+    assert read_table(wh, target).count() == n2
+    assert r3["action"] == "append"
+
+
+def test_incremental_log_crash_recovery_recomputes_window(spark, wh):
+    """If a run logs 'started' but never 'succeeded', the next run reuses
+    the previous watermark (at-least-once, SURVEY.md §3.1)."""
+    target = wh.relation("analytics_curated", "events_crash")
+    events = _events(spark)
+    t1 = dt.datetime(2024, 1, 15)
+    run_incremental_log(
+        wh, target, events, IncrementalLogConfig(run_window_column="ts", dev_ci=False),
+        run_started_at=t1,
+    )
+    # simulate a crashed run: started logged, write "failed", no success row
+    from edna_dbt_library_spark.sources.event_log import log_model_event
+
+    ids = ids_for_relation(target, "analytics")
+    log_model_event(
+        wh, ids, "model_run_started", "2024-01-15 00:00:00.000000 UTC",
+        "2024-01-18 00:00:00.000000 UTC", model_name="events_crash",
+    )
+    wm = get_last_successful_run_window_end(wh, ids, dev_ci=False)
+    assert wm == "2024-01-15 00:00:00.000000 UTC"  # unchanged by the crash
+
+
+def test_incremental_log_partitioned_with_history_cap(spark, wh):
+    target = wh.relation("analytics_curated", "events_capped")
+    events = _events(spark)
+    t1 = dt.datetime(2024, 1, 10)
+    run_incremental_log(
+        wh, target, events,
+        IncrementalLogConfig(
+            run_window_column="ts",
+            partition_by=PartitionSpec("ts"),
+            cluster_by=["user_id"],
+            dev_ci=False,
+        ),
+        run_started_at=t1,
+    )
+    # run 2 started much later, but capped to 3 days of history per run
+    t2 = dt.datetime(2024, 1, 25)
+    r2 = run_incremental_log(
+        wh, target, events,
+        IncrementalLogConfig(
+            run_window_column="ts", partition_by=PartitionSpec("ts"),
+            max_history_load_days=3, dev_ci=False,
+        ),
+        run_started_at=t2,
+    )
+    assert r2["run_window_end"] == "2024-01-13 00:00:00.000000 UTC"
+    n = read_table(wh, target).count()
+    expected = events.where(F.col("ts") <= F.lit("2024-01-13 00:00:00")).count()
+    assert n == expected
+    # partition directories exist (day-partitioned layout)
+    assert len(wh.partitions(target)) >= 10
+
+
+def test_incremental_log_dev_ci_clamps_to_one_day(spark, wh):
+    target = wh.relation("analytics_curated", "events_devci")
+    events = _events(spark)
+    r = run_incremental_log(
+        wh, target, events,
+        IncrementalLogConfig(run_window_column="ts", max_history_load_days=30, dev_ci=True),
+        run_started_at=dt.datetime(2024, 1, 20),
+    )
+    # dev/ci: 1-day clamp from the 1900 default watermark... the clamp is
+    # relative to window_start, so the window ends 1900-01-02
+    assert r["run_window_end"] == "1900-01-02 00:00:00.000000 UTC"
+    assert read_table(wh, target).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental_partition_merge
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+
+
+TS = dt.datetime
+
+
+def test_merge_create_then_upsert_and_recency(spark, wh):
+    target = wh.relation("analytics_curated", "state")
+    cfg = PartitionMergeConfig(
+        partition_by=PartitionSpec("ts"), unique_key="event_id", event_time="ts"
+    )
+    # run 1: create
+    b1 = _batch(spark, [
+        (1, TS(2024, 1, 1, 10), 100, 1.0),
+        (2, TS(2024, 1, 1, 11), 101, 2.0),
+        (3, TS(2024, 1, 2, 9), 102, 3.0),
+    ])
+    r1 = run_incremental_partition_merge(wh, target, b1, cfg)
+    assert r1["action"] == "create"
+    assert read_table(wh, target).count() == 3
+
+    # run 2: newer update for key 1, stale update for key 2, new key 4
+    b2 = _batch(spark, [
+        (1, TS(2024, 1, 1, 12), 100, 10.0),   # newer -> update
+        (2, TS(2024, 1, 1, 10), 101, 20.0),   # stale -> rejected (S.ts > T.ts fails)
+        (4, TS(2024, 1, 3, 8), 103, 4.0),     # new key -> insert
+    ])
+    r2 = run_incremental_partition_merge(wh, target, b2, cfg)
+    assert r2["action"] == "merge"
+    assert sorted(r2["touched_partitions"]) == ["2024-01-01", "2024-01-03"]
+    state = {r["event_id"]: r for r in read_table(wh, target).collect()}
+    assert len(state) == 4
+    assert state[1]["value"] == 10.0 and state[1]["ts"] == TS(2024, 1, 1, 12)
+    assert state[2]["value"] == 2.0 and state[2]["ts"] == TS(2024, 1, 1, 11)  # stale rejected
+    assert state[3]["value"] == 3.0  # untouched partition intact
+    assert state[4]["value"] == 4.0
+
+    # run 3: exact replay of run 2 (idempotency — rerun after crash)
+    run_incremental_partition_merge(wh, target, b2, cfg)
+    state3 = {r["event_id"]: r for r in read_table(wh, target).collect()}
+    assert {k: (v["value"], v["ts"]) for k, v in state3.items()} == {
+        k: (v["value"], v["ts"]) for k, v in state.items()
+    }
+
+
+def test_merge_without_event_time_updates_unconditionally(spark, wh):
+    target = wh.relation("analytics_curated", "state_noev")
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="event_id")
+    b1 = _batch(spark, [(1, TS(2024, 1, 1, 10), 100, 1.0)])
+    run_incremental_partition_merge(wh, target, b1, cfg)
+    b2 = _batch(spark, [(1, TS(2024, 1, 1, 9), 100, 99.0)])  # older ts still updates
+    run_incremental_partition_merge(wh, target, b2, cfg)
+    row = read_table(wh, target).collect()[0]
+    assert row["value"] == 99.0 and row["ts"] == TS(2024, 1, 1, 9)
+
+
+def test_merge_empty_batch_paths(spark, wh):
+    target = wh.relation("analytics_curated", "state_empty")
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="event_id")
+    empty = _batch(spark, []).where(F.lit(False))
+    # first run, empty: creates empty table with schema
+    r1 = run_incremental_partition_merge(wh, target, empty, cfg)
+    assert r1["action"] == "create_empty"
+    assert read_table(wh, target).count() == 0
+    assert read_table(wh, target).columns == ["event_id", "ts", "user_id", "value"]
+    # later empty run: no-op
+    b1 = _batch(spark, [(1, TS(2024, 1, 1, 10), 100, 1.0)])
+    run_incremental_partition_merge(wh, target, b1, cfg)
+    r3 = run_incremental_partition_merge(wh, target, empty, cfg)
+    assert r3["action"] == "noop"
+    assert read_table(wh, target).count() == 1
+
+
+def test_merge_update_column_subset(spark, wh):
+    target = wh.relation("analytics_curated", "state_subset")
+    cfg = PartitionMergeConfig(
+        partition_by=PartitionSpec("ts"), unique_key="event_id",
+        merge_update_columns=["event_id", "ts", "value"],  # user_id excluded
+    )
+    b1 = _batch(spark, [(1, TS(2024, 1, 1, 10), 100, 1.0)])
+    run_incremental_partition_merge(wh, target, b1, cfg)
+    b2 = _batch(spark, [(1, TS(2024, 1, 1, 11), 999, 5.0)])
+    run_incremental_partition_merge(wh, target, b2, cfg)
+    row = read_table(wh, target).collect()[0]
+    assert row["value"] == 5.0 and row["user_id"] == 100  # user_id kept from target
+
+    # new keys insert NULL for non-updatable columns (explicit INSERT list)
+    b3 = _batch(spark, [(2, TS(2024, 1, 1, 12), 7, 6.0)])
+    run_incremental_partition_merge(wh, target, b3, cfg)
+    rows = {r["event_id"]: r for r in read_table(wh, target).collect()}
+    assert rows[2]["user_id"] is None
+
+
+def test_merge_key_outside_touched_partitions_duplicates(spark, wh):
+    """Partition-local key identity: a batch row whose key lives in an
+    UNtouched target partition is NOT matched (the partition-IN predicate
+    hides it) and is inserted — the same duplicate BigQuery's pruned MERGE
+    produces (reference: incremental_partition_merge.sql:239-252). This is
+    a documented reference quirk, asserted here so a refactor doesn't
+    silently change it."""
+    target = wh.relation("analytics_curated", "state_dup")
+    cfg = PartitionMergeConfig(
+        partition_by=PartitionSpec("ts"), unique_key="event_id", event_time="ts"
+    )
+    b1 = _batch(spark, [(1, TS(2024, 1, 1, 10), 100, 1.0)])
+    run_incremental_partition_merge(wh, target, b1, cfg)
+    b2 = _batch(spark, [(1, TS(2024, 1, 2, 8), 100, 2.0)])  # key 1, new day only
+    run_incremental_partition_merge(wh, target, b2, cfg)
+    rows = read_table(wh, target).collect()
+    assert len(rows) == 2  # duplicate key across partitions, like BigQuery
+    assert sorted(wh.partitions(target)) == ["2024-01-01", "2024-01-02"]
+
+
+def test_merge_partition_field_update_moves_row_and_drops_empty_dir(spark, wh):
+    """A matched UPDATE that changes the partition field relocates the row
+    (no duplicate), and a touched partition left empty by the move has its
+    directory dropped.
+
+    Setup: key1@Jan1, key2@Jan2. Batch: key1 newer at Jan2 (moves away
+    from Jan1), key2 STALE at Jan1 (rejected, but Jan1 becomes touched).
+    After the merge Jan1 holds no rows at all."""
+    target = wh.relation("analytics_curated", "state_move")
+    cfg = PartitionMergeConfig(
+        partition_by=PartitionSpec("ts"), unique_key="event_id", event_time="ts"
+    )
+    b1 = _batch(spark, [(1, TS(2024, 1, 1, 10), 100, 1.0),
+                        (2, TS(2024, 1, 2, 10), 101, 2.0)])
+    run_incremental_partition_merge(wh, target, b1, cfg)
+    b2 = _batch(spark, [(1, TS(2024, 1, 2, 8), 100, 10.0),   # newer: Jan1 -> Jan2
+                        (2, TS(2024, 1, 1, 9), 101, 99.0)])  # stale: rejected
+    r = run_incremental_partition_merge(wh, target, b2, cfg)
+    assert sorted(r["touched_partitions"]) == ["2024-01-01", "2024-01-02"]
+    state = {row["event_id"]: row for row in read_table(wh, target).collect()}
+    assert len(state) == 2
+    assert state[1]["ts"] == TS(2024, 1, 2, 8) and state[1]["value"] == 10.0
+    assert state[2]["ts"] == TS(2024, 1, 2, 10) and state[2]["value"] == 2.0
+    assert wh.partitions(target) == ["2024-01-02"]  # emptied Jan 1 dropped
+
+
+def test_merge_validations(spark, wh):
+    target = wh.relation("analytics_curated", "bad")
+    b = _batch(spark, [(1, TS(2024, 1, 1), 1, 1.0)])
+    with pytest.raises(ValueError, match="partition_by"):
+        run_incremental_partition_merge(wh, target, b, PartitionMergeConfig(unique_key="event_id"))
+    with pytest.raises(ValueError, match="DAY"):
+        run_incremental_partition_merge(
+            wh, target, b,
+            PartitionMergeConfig(partition_by=PartitionSpec("ts", "hour"), unique_key="event_id"),
+        )
+    with pytest.raises(ValueError, match="unique_key"):
+        run_incremental_partition_merge(
+            wh, target, b, PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key=[])
+        )
+
+
+def test_incremental_log_schema_evolution_append_new_columns(spark, wh):
+    target = wh.relation("analytics_curated", "evolving")
+    events = _events(spark)
+    run_incremental_log(
+        wh, target, events, IncrementalLogConfig(run_window_column="ts", dev_ci=False),
+        run_started_at=dt.datetime(2024, 1, 10),
+    )
+    evolved = events.withColumn("extra", F.lit("x"))
+    run_incremental_log(
+        wh, target, evolved,
+        IncrementalLogConfig(run_window_column="ts", on_schema_change="append_new_columns", dev_ci=False),
+        run_started_at=dt.datetime(2024, 1, 20),
+    )
+    out = read_table(wh, target)
+    assert "extra" in out.columns
+    n_new = out.where(F.col("extra").isNotNull()).count()
+    n_old = out.where(F.col("extra").isNull()).count()
+    assert n_new > 0 and n_old > 0
