@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched
+``mapInPandas`` UDFs.
+
+The Spark-side plumbing — schema convention, partitioning, UDF signatures,
+batch shapes — is real and tested. The actual byte decoding is STUBBED:
+this container has no image/audio libraries, so ``decode_images`` and
+``extract_features`` use a clearly-marked deterministic fake unless a real
+codec function is injected; ``require_real_codecs()`` raises
+NotImplementedError spelling out what a production deployment plugs in.
+
+Scale notes: media bytes travel in the ``content`` column, so operators
+keep batches small via ``MEDIA_BATCH_ROWS`` (maxRecordsPerBatch) rather
+than per-row Python calls; metadata-only transforms (frame planning,
+filtering by dimensions) stay in pure Column expressions and never
+deserialize bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_BATCH_ROWS = 64  # arrow batch cap for byte-heavy frames
+
+# convention: media tables/columns use this struct
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png, wav, mp4, ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def require_real_codecs() -> None:
+    """Production decode path — not available in this environment."""
+    raise NotImplementedError(
+        "real media decoding needs an image/audio stack (e.g. Pillow/librosa/pyav) "
+        "which is not installed here; inject a decode_fn into decode_images()/"
+        "extract_features() or install codecs and wire them in"
+    )
+
+
+def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic synthetic media: content = utf-8 bytes of the text,
+    metadata derived from its length. Stands in for a real binary column so
+    the plumbing is exercised end-to-end."""
+    length = F.length(F.col(text_col))
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        (length % 640 + 16).cast("int").alias("width"),
+        (length % 480 + 16).cast("int").alias("height"),
+        (length * 10).cast("long").alias("duration_ms"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).cast("binary").alias("content"),
+        meta.alias("media"),
+    )
+
+
+def _fake_decode(content: bytes, width: int, height: int) -> tuple[int, int, str]:
+    import hashlib
+
+    return width, height, hashlib.md5(content or b"").hexdigest()
+
+
+def decode_images(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, int, int], tuple[int, int, str]] | None = None,
+) -> DataFrame:
+    """Arrow-batched decode over (doc_id, content, media) rows.
+
+    ``decode_fn(content, width, height) -> (width, height, digest)`` is the
+    injectable codec; the default is the deterministic fake (see module
+    docstring — real decoding is stubbed in this environment)."""
+    fn = decode_fn or _fake_decode
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(MEDIA_BATCH_ROWS))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [
+                fn(c, w, h)
+                for c, w, h in zip(pdf["content"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "content_md5": [d[2] for d in decoded],
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "content", F.col("media.width").alias("width"), F.col("media.height").alias("height")
+    )
+    return flat.mapInPandas(run, DECODE_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    embed_fn: Callable[[bytes, int], list[float]] | None = None,
+) -> DataFrame:
+    """Feature extraction (image embedding) over Arrow batches. The default
+    embed_fn is a deterministic byte-histogram fake; a real deployment
+    injects a model call here (batched — never per row)."""
+
+    def _fake_embed(content: bytes, d: int) -> list[float]:
+        buckets = [0] * d
+        for b in content or b"":
+            buckets[b % d] += 1
+        total = float(sum(buckets)) or 1.0
+        return [b / total for b in buckets]
+
+    fn = embed_fn or _fake_embed
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [fn(c, dim) for c in pdf["content"]],
+                }
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def plan_frame_samples(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one row per frame timestamp.
+    Pure Column expressions over metadata — the bytes are never touched, so
+    this stays in whole-stage codegen and scales with row count, not byte
+    size. The decode of each planned frame is then a batched UDF downstream."""
+    vids = media.where(F.col("media.media_type").isin("video", "image"))
+    n_frames = F.greatest((F.col("media.duration_ms") / every_ms).cast("int"), F.lit(1))
+    return vids.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
+    ).select("doc_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))

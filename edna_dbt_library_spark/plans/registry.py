@@ -1,0 +1,134 @@
+"""Model registry + runner: the engine's replacement for dbt's
+parse→compile→materialize lifecycle (SURVEY.md §3.4).
+
+A Model is a named Python function ``(spark) -> DataFrame`` (the analogue
+of a compiled SELECT) plus a ModelNode carrying fqn/config/meta. The
+runner resolves env-aware naming, executes contract pre-hooks, dispatches
+to the configured materialization, and runs catalog registration
+post-hooks — the same orchestration the reference's materialization macros
+and hooks perform, minus Jinja.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from edna_dbt_library_spark.operators.materializations import (
+    IncrementalLogConfig,
+    PartitionMergeConfig,
+    run_incremental_log,
+    run_incremental_partition_merge,
+)
+from edna_dbt_library_spark.plans.catalog import is_registered_dataproduct, register_dataproduct_metadata
+from edna_dbt_library_spark.plans.contracts import validate_dataproduct
+from edna_dbt_library_spark.plans.naming import (
+    ModelNode,
+    generate_alias_name,
+    generate_schema_name,
+    get_deployed_relation,
+)
+from edna_dbt_library_spark.sources.warehouse import Relation, TableMeta, Warehouse
+
+
+@dataclass
+class Model:
+    node: ModelNode
+    builder: Callable[[SparkSession], DataFrame]
+    materialization: str = "table"  # table | view | incremental_log | incremental_partition_merge
+    mat_config: object | None = None  # IncrementalLogConfig | PartitionMergeConfig
+
+
+@dataclass
+class Runner:
+    wh: Warehouse
+    project_name: str
+    default_schema: str = "analytics"
+    context: str | None = None  # None -> env DBT_CLOUD_INVOCATION_CONTEXT
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def register(self, model: Model) -> None:
+        self.models[model.node.name] = model
+
+    def model(self, name=None, fqn=None, materialization="table", mat_config=None, **node_kwargs):
+        """Decorator: ``@runner.model(fqn=[...], ...)`` over a builder fn."""
+
+        def deco(fn):
+            node = ModelNode(name=name or fn.__name__, fqn=fqn or [], **node_kwargs)
+            if not node.unique_id:
+                node.unique_id = f"model.{self.project_name}.{node.name}"
+            self.register(Model(node=node, builder=fn, materialization=materialization, mat_config=mat_config))
+            return fn
+
+        return deco
+
+    # -- naming --------------------------------------------------------------
+    def target_relation(self, model: Model) -> Relation:
+        node = model.node
+        schema = generate_schema_name(
+            node.config.get("schema"),
+            node,
+            project_name=self.project_name,
+            default_schema=self.default_schema,
+            context=self.context,
+        )
+        alias = generate_alias_name(node.config.get("alias"), node)
+        return self.wh.relation(schema.strip(), alias)
+
+    # -- lifecycle -----------------------------------------------------------
+    def run(self, name: str, *, validate: bool = True, register_metadata: bool = True) -> dict:
+        model = self.models[name]
+        node = model.node
+        spark = self.wh.spark
+        target = self.target_relation(model)
+        df = model.builder(spark)
+
+        deployed = get_deployed_relation(target, node, context=self.context)
+        registered = is_registered_dataproduct(self.wh, deployed.schema, deployed.identifier)
+
+        if validate:
+            deployed_schema = None
+            if self.wh.exists(deployed):
+                from edna_dbt_library_spark.operators.materializations import read_table
+
+                # read_table hides the engine-internal _pdate partition
+                # column (BigQuery's partition pseudo-column is likewise
+                # absent from COLUMN_FIELD_PATHS)
+                deployed_schema = read_table(self.wh, deployed).schema
+            validate_dataproduct(
+                node=node,
+                model_df=df,
+                deployed_schema=deployed_schema,
+                deployed_schema_name=deployed.schema,
+                is_registered=registered,
+            )
+
+        if model.materialization == "incremental_log":
+            cfg = model.mat_config or IncrementalLogConfig()
+            result = run_incremental_log(
+                self.wh, target, df, cfg,
+                domain=node.domain or self.project_name,
+                model_name=node.name,
+                node_unique_id=node.unique_id,
+            )
+        elif model.materialization == "incremental_partition_merge":
+            cfg = model.mat_config
+            if cfg is None:
+                raise ValueError("incremental_partition_merge requires a PartitionMergeConfig")
+            result = run_incremental_partition_merge(self.wh, target, df, cfg)
+        elif model.materialization == "table":
+            self.wh.create_as(target, df, TableMeta())
+            result = {"action": "table", "relation": target}
+        elif model.materialization == "view":
+            df.createOrReplaceTempView(f"{target.schema}__{target.identifier}")
+            result = {"action": "view", "relation": target}
+        else:
+            raise ValueError(f"unknown materialization '{model.materialization}'")
+
+        if register_metadata and model.materialization != "view":
+            register_dataproduct_metadata(
+                self.wh, node=node, target=target, project_name=self.project_name
+            )
+        return result

@@ -781,6 +781,59 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, dims=8)
 
 
+_STREAM_WINDOW_ORACLE = """
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("stream_window_counts", _STREAM_WINDOW_ORACLE)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch form of the Structured
+    Streaming windowed-counts flow (streaming/incremental_stream.py); the
+    window() bucketing must agree with date_trunc semantics."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2d(F.sum(_dec("value"))).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       (length(text) % 640 + 16)::INTEGER AS width,
+       (length(text) % 480 + 16)::INTEGER AS height,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@_register("multimodal_decode", _MULTIMODAL_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow-batched mapInPandas decode
+    (operators/multimodal.py). The deterministic fake codec makes the
+    whole UDF pipeline oracle-checkable: the digest of the content bytes
+    must equal md5 of the source text."""
+    from edna_dbt_library_spark.operators.multimodal import attach_fake_media, decode_images
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_images(attach_fake_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # flagship entry query (driver smoke check, sf0.001)
 

@@ -1,0 +1,79 @@
+"""Structured Streaming variants of the incremental flows.
+
+The reference's incrementality is batch micro-windows over an event-time
+column (SURVEY.md §2A); run continuously, the same dataflow is a stream:
+``readStream → window filter/agg → writeStream`` where the checkpoint
+replaces the event-log watermark (the log table remains useful for
+observability, but exactly-once bookkeeping moves into the sink).
+
+* ``stream_incremental_append`` — the incremental_log analogue: continuous
+  partitioned append of new source files. With ``available_now`` it drains
+  everything pending and stops — a crash-safe, checkpointed version of one
+  incremental_log run.
+* ``stream_windowed_counts`` — watermarked tumbling-window aggregation for
+  late data (the semantics batch micro-windows approximate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from edna_dbt_library_spark.operators.materializations import PARTITION_COL, PartitionSpec
+
+
+def stream_incremental_append(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    target_path: str,
+    checkpoint_path: str,
+    partition_by: PartitionSpec | None = None,
+    available_now: bool = True,
+):
+    """Continuous incremental append from a parquet directory source.
+
+    Returns the started StreamingQuery; with ``available_now`` the caller
+    should ``awaitTermination()`` — the query drains all unprocessed files
+    (tracked in the checkpoint, replacing the runWindowEnd watermark) and
+    stops."""
+    src = spark.readStream.schema(schema).parquet(source_path)
+    if partition_by is not None:
+        partition_by.validate()
+        src = src.withColumn(PARTITION_COL, F.to_date(F.col(partition_by.field)))
+    writer = (
+        src.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if partition_by is not None:
+        writer = writer.partitionBy(PARTITION_COL)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per key. Late events within
+    ``watermark_delay`` still update their window; older ones are dropped —
+    the streaming-native form of the reference's history-load cap."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,240 @@
+"""§2C/§2F tests: naming resolution, schema flattener, contract checks,
+catalog upsert, and the end-to-end runner lifecycle."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from edna_dbt_library_spark.plans import (
+    ContractError,
+    DataproductEntry,
+    FieldPath,
+    Model,
+    ModelNode,
+    Runner,
+    catalog_relation,
+    dataproduct_id,
+    flatten_schema,
+    generate_alias_name,
+    generate_schema_name,
+    get_deployed_relation,
+    get_missing_columns,
+    is_registered_dataproduct,
+    upsert_dataproduct_entry,
+    validate_preview_where_clause,
+    validate_semantic_versioning,
+)
+from edna_dbt_library_spark.sources import Relation, Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+NODE = ModelNode(
+    name="orders_daily",
+    fqn=["analytics", "sales", "dataproduct", "orders_daily"],
+    description="daily orders",
+)
+
+
+def test_generate_schema_name():
+    assert generate_schema_name(None, NODE, project_name="proj", default_schema="dflt", context="ci") == "dflt"
+    dev = generate_schema_name(None, NODE, project_name="proj", default_schema="dflt", context="dev")
+    assert dev.startswith("dbt_cloud_user_")
+    assert generate_schema_name(None, NODE, project_name="proj", default_schema="dflt", context="") == "proj_sales"
+    curated = ModelNode(name="x", fqn=["analytics", "sales", "staging"])
+    assert (
+        generate_schema_name(None, curated, project_name="proj", default_schema="dflt", context="")
+        == "proj_sales_curated"
+    )
+
+
+def test_generate_alias_name_versions():
+    # no version -> bare name
+    assert generate_alias_name(None, ModelNode(name="m", fqn=[])) == "m"
+    # dataproduct version 1 / 1.0 -> no suffix (trim('.0') quirk)
+    n = ModelNode(name="m", fqn=[], config={"dataproduct": {"version": "1.0", "owner": "o"}})
+    assert generate_alias_name(None, n) == "m"
+    n2 = ModelNode(name="m", fqn=[], config={"dataproduct": {"version": "2.1", "owner": "o"}})
+    assert generate_alias_name(None, n2) == "m_v2-1"
+    # node version fallback
+    n3 = ModelNode(name="m", fqn=[], version="3")
+    assert generate_alias_name(None, n3) == "m_v3"
+    # custom override wins
+    assert generate_alias_name("  custom  ", n2) == "custom"
+
+
+def test_get_deployed_relation_rewrites_dev_schema():
+    rel = Relation(schema="dbt_cloud_user_9", identifier="orders_daily")
+    dep = get_deployed_relation(rel, NODE, context="dev")
+    assert dep.schema == "analytics_sales"
+    cur = ModelNode(name="x", fqn=["analytics", "sales", "curated"])
+    dep2 = get_deployed_relation(rel, cur, context="ci")
+    assert dep2.schema == "analytics_sales_curated"
+    # prod: unchanged
+    assert get_deployed_relation(rel, NODE, context="").schema == "dbt_cloud_user_9"
+
+
+def test_flatten_schema_nested_paths():
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("x", T.StringType()),
+                        T.StructField("y", T.StructType([T.StructField("z", T.DoubleType())])),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "arr", T.ArrayType(T.StructType([T.StructField("e", T.IntegerType())]))
+            ),
+        ]
+    )
+    paths = {fp.field_path for fp in flatten_schema(schema)}
+    assert paths == {"a", "s", "s.x", "s.y", "s.y.z", "arr", "arr.e"}
+
+
+def test_get_missing_columns_struct_exempt():
+    old = [FieldPath("a", "BIGINT"), FieldPath("s", "STRUCT<X: STRING>"), FieldPath("s.x", "STRING")]
+    new = [FieldPath("a", "BIGINT")]
+    missing = {c.field_path for c in get_missing_columns(old, new)}
+    assert missing == {"s.x"}  # container 's' exempt, leaf not
+
+
+@pytest.mark.parametrize("good", ["1.0", "2.1.3", "10.2.3.4", 2.1])
+def test_semver_ok(good):
+    validate_semantic_versioning(good)
+
+
+@pytest.mark.parametrize("bad", ["1", "1.2.3.4.5", "a.b", "1.x"])
+def test_semver_bad(bad):
+    with pytest.raises(ContractError):
+        validate_semantic_versioning(bad)
+
+
+def test_preview_where_clause(spark):
+    df = spark.range(5).select(F.col("id").alias("a"))
+    validate_preview_where_clause(df, "a > 2")
+    with pytest.raises(ContractError):
+        validate_preview_where_clause(df, "nonexistent_column > 2")
+
+
+def test_catalog_upsert_and_lookup(spark, wh):
+    entry = DataproductEntry(
+        description="d", display_name="Orders", domain="proj", dataproduct_group="sales",
+        dataset_id="proj_sales", table_name="orders_daily", dbt_id="model.proj.orders_daily",
+        owner="team", columns=[("a", "BIGINT", "col a")], labels=[("env", "prod")],
+        row_count=10, size_bytes=1000, version="2.0", name="orders_daily",
+    )
+    assert not is_registered_dataproduct(wh, "proj_sales", "orders_daily")
+    upsert_dataproduct_entry(wh, entry)
+    assert is_registered_dataproduct(wh, "proj_sales", "orders_daily")
+    row1 = wh.read(catalog_relation(wh)).collect()[0]
+    assert row1["id"] == dataproduct_id("proj_sales", "orders_daily")
+    assert row1["bigquery"]["datasetId"] == "proj_sales"
+    assert row1["columns"][0]["description"] == "col a"
+    registered_time = row1["registeredTime"]
+
+    # second upsert: update, registeredTime preserved, still one row
+    entry.description = "updated"
+    upsert_dataproduct_entry(wh, entry)
+    rows = wh.read(catalog_relation(wh)).collect()
+    assert len(rows) == 1
+    assert rows[0]["description"] == "updated"
+    assert rows[0]["registeredTime"] == registered_time
+
+    # different table -> second row
+    entry2 = DataproductEntry(
+        description="d2", display_name="Other", domain="proj", dataproduct_group="sales",
+        dataset_id="proj_sales", table_name="other", dbt_id="model.proj.other",
+        owner="team", name="other",
+    )
+    upsert_dataproduct_entry(wh, entry2)
+    assert wh.read(catalog_relation(wh)).count() == 2
+
+
+def test_runner_end_to_end_dataproduct(spark, wh):
+    runner = Runner(wh=wh, project_name="analytics", context="")
+
+    node = ModelNode(
+        name="user_values",
+        fqn=["analytics", "sales", "dataproduct", "user_values"],
+        config={"dataproduct": {"owner": "team-x", "version": "2.0"}},
+        description="per-user totals",
+        columns={
+            "user_id": {"description": "user key"},
+            "total": {"description": "sum of values"},
+        },
+        path="sales/dataproduct/user_values.sql",
+    )
+
+    def builder(s):
+        from edna_dbt_library_spark.sources.tables import load_table
+
+        ev = load_table(s, "/root/testdata/sf0.001", "events")
+        return ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+
+    runner.register(Model(node=node, builder=builder))
+    result = runner.run("user_values")
+    target = result["relation"]
+    assert target.schema == "analytics_sales" and target.identifier == "user_values_v2"
+    assert wh.read(target).count() > 0
+    # registered in the catalog with size info
+    assert is_registered_dataproduct(wh, "analytics_sales", "user_values_v2")
+    row = wh.read(catalog_relation(wh)).collect()[0]
+    assert row["rowCount"] == wh.read(target).count()
+    assert row["owner"] == "team-x"
+
+    # re-run: validation passes against deployed schema, update not insert
+    runner.run("user_values")
+    assert wh.read(catalog_relation(wh)).count() == 1
+
+    # contract: dropping a column from a registered product fails
+    def builder_dropped(s):
+        from edna_dbt_library_spark.sources.tables import load_table
+
+        ev = load_table(s, "/root/testdata/sf0.001", "events")
+        return ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    node2 = ModelNode(
+        name="user_values", fqn=node.fqn, config=node.config, description="v2",
+        columns={"user_id": {"description": "user key"}, "n": {"description": "count"}},
+    )
+    runner.register(Model(node=node2, builder=builder_dropped))
+    with pytest.raises(ContractError, match="can't be changed"):
+        runner.run("user_values")
+
+
+def test_runner_contract_failures(spark, wh):
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    # missing owner
+    node = ModelNode(
+        name="no_owner", fqn=["analytics", "sales", "dataproduct", "no_owner"],
+        config={"dataproduct": {}}, description="x",
+    )
+    runner.register(Model(node=node, builder=lambda s: s.range(1)))
+    with pytest.raises(ContractError, match="owner"):
+        runner.run("no_owner")
+    # curated placement rejected for dataproducts
+    node2 = ModelNode(
+        name="misplaced", fqn=["analytics", "sales", "curated", "misplaced"],
+        config={"dataproduct": {"owner": "t"}}, description="x",
+        columns={"id": {"description": "d"}},
+    )
+    runner.register(Model(node=node2, builder=lambda s: s.range(1)))
+    with pytest.raises(ContractError, match="dataproduct"):
+        runner.run("misplaced")
+    # missing description
+    node3 = ModelNode(
+        name="no_desc", fqn=["analytics", "sales", "dataproduct", "no_desc"],
+        config={"dataproduct": {"owner": "t"}},
+        columns={"id": {"description": "d"}},
+    )
+    runner.register(Model(node=node3, builder=lambda s: s.range(1)))
+    with pytest.raises(ContractError, match="description"):
+        runner.run("no_desc")
