@@ -51,24 +51,52 @@ def _word_set(text_col: str) -> Column:
     return F.array_distinct(tokens(F.col(text_col)))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure enough input partitions to use every core before a
+    row-multiplying explode. A small documents table often arrives as ONE
+    parquet file = one partition, serializing the whole shingle+hash map
+    side; the fix is a cheap pre-explode repartition of the compact rows.
+    No-op (no shuffle) when the scan is already parallel enough — at real
+    scale (many files) this never triggers."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# universal-hash family over a single md5-derived base value:
+#   x  = int(first 15 hex chars of md5(word))          (60-bit, engine-portable)
+#   h_i(x) = (x mod M) * A_i + B_i  mod M,   M = 2^31 - 1 (prime)
+# One md5 per word instead of one per (word, seed): 8x fewer digest calls,
+# and the shuffled aggregation state is 8 longs instead of 8 hex strings.
+MINHASH_MODULUS = 2147483647
+MINHASH_A = (1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841, 15485863)
+MINHASH_B = (15487469, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939)
+
+
+def minhash_word_value(word: Column) -> Column:
+    """60-bit integer base hash of a word (15 hex chars of md5 — fits a
+    signed long in every engine)."""
+    return F.conv(F.substring(F.md5(word), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc MinHash signature over the distinct-word set.
-
-    Hash family: ``md5('s<i>|' || word)`` per seed i, minimum taken
-    *lexicographically* over the fixed-width hex digests — order-isomorphic
-    to a uniform integer hash but reproducible in any engine with md5
-    (deterministic dedup keys matter as much here as in the reference's
-    UUIDv5, macros/utils/uuid_generation.sql). Signature columns are named
-    mh0..mh{n-1}.
-    """
-    words = docs.select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
+    """Per-doc MinHash signature over the distinct-word set, using the
+    universal integer family above — deterministic across engines, runs and
+    partitionings (dedup keys need the same reproducibility as the
+    reference's UUIDv5, macros/utils/uuid_generation.sql). Signature
+    columns are named mh0..mh{n-1}."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
+    words = _fan_out(docs).select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
+    x = minhash_word_value(F.col("w")) % MINHASH_MODULUS
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("w")))).alias(f"mh{i}")
+        F.min(F.pmod(x * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_MODULUS))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return words.groupBy(id_col).agg(*aggs)
@@ -80,11 +108,17 @@ def lsh_candidate_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: split the signature into ``bands`` bands
     of ``num_hashes//bands`` rows; docs sharing any full band signature
     become a candidate pair. Output: (doc_a, doc_b) with doc_a < doc_b,
-    distinct."""
+    distinct.
+
+    ``max_bucket_size`` is the production stop-bucket cap: buckets larger
+    than this are non-discriminative (near-identical boilerplate clusters)
+    and would contribute O(bucket^2) pairs; dropping them bounds the join
+    output. Default None = exact LSH semantics (what the oracle checks)."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
@@ -92,13 +126,28 @@ def lsh_candidate_pairs(
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("sig"),
+            # '_'-separated so ('1','23') never collides with ('12','3')
+            F.concat_ws("_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("sig"),
         )
         for b in range(bands)
     ]
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    # materialize the bucket table once: the self-join would otherwise
+    # execute the whole tokenize→hash→aggregate pipeline twice (measured 8x
+    # slower at sf0.1). localCheckpoint also truncates the lineage, so the
+    # join plans against the compact (id, band, sig) rows only.
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -154,7 +203,7 @@ def simhash(
     Output: (id, simhash_bits as a '0'/'1' string, msb first)."""
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
-    words = docs.select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
+    words = _fan_out(docs).select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
     h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     words = words.withColumn("h", h)
     sums = [

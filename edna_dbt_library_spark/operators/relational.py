@@ -71,11 +71,31 @@ def window_filter(df: DataFrame, ts_col: str, lower_exclusive: str | None, upper
     macros/materialization/incremental_log.sql:53-60). Expressed as a plain
     filter so Catalyst pushes it into the parquet scan (min/max row-group
     skipping + partition pruning at scale).
+
+    When the loader retained a raw epoch-nanos column (``_{ts_col}_ns``,
+    see sources.tables.load_table) a *superset* range on that raw long is
+    ANDed in: the raw predicate is scan-pushable (row-group skipping on a
+    100 TB table), while the exact predicate on the converted timestamp
+    keeps the boundary semantics bit-exact.
     """
+    import datetime as _dt
+
     c = F.col(ts_col).try_cast("timestamp")
     cond = c <= F.lit(upper_inclusive).cast("timestamp")
     if lower_exclusive is not None:
         cond = cond & (c > F.lit(lower_exclusive).cast("timestamp"))
+
+    raw = f"_{ts_col}_ns"
+    if raw in df.columns:
+        def _epoch_us(s: str) -> int:
+            dt = _dt.datetime.fromisoformat(s.replace(" UTC", ""))
+            return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+        # converted_us = floor(ns/1000), so converted <= hi  <=>  ns <= hi_us*1000 + 999
+        # and converted > lo  <=>  ns >= (lo_us+1)*1000  =>  ns > lo_us*1000 + 999
+        cond = cond & (F.col(raw) <= F.lit(_epoch_us(upper_inclusive) * 1000 + 999))
+        if lower_exclusive is not None:
+            cond = cond & (F.col(raw) > F.lit(_epoch_us(lower_exclusive) * 1000 + 999))
     return df.where(cond)
 
 

@@ -21,12 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from edna_dbt_library_spark.functions.vectors import cosine, sign_bucket
+from edna_dbt_library_spark.functions.vectors import dot, norm, sign_bucket
 
 
 def _ranked_topk(joined: DataFrame, k: int) -> DataFrame:
-    sim = F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 6).alias("cosine_sim")
-    scored = joined.select("query_id", "vec_id", "label", sim)
+    # norms are precomputed per side BEFORE the join (see callers): the
+    # naive cosine() would re-aggregate both norms for every (query,
+    # candidate) pair — 3 array folds per pair instead of 1. The value is
+    # bit-identical (same expression over the same doubles), only the
+    # evaluation count changes.
+    d = dot(F.col("q_embedding"), F.col("c_embedding"))
+    sim = F.when(
+        (F.col("q_norm") > 0) & (F.col("c_norm") > 0), d / (F.col("q_norm") * F.col("c_norm"))
+    ).otherwise(F.lit(None).cast("double"))
+    scored = joined.select("query_id", "vec_id", "label", F.round(sim, 6).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -48,10 +56,17 @@ def brute_force_topk(
     ``label``. Self-matches (same id) are excluded.
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_embedding"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_embedding"),
+            norm(F.col(vec_col)).alias("q_norm"),
+        )
     )
     c = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col("label"), F.col(vec_col).alias("c_embedding")
+        F.col(id_col).alias("vec_id"),
+        F.col("label"),
+        F.col(vec_col).alias("c_embedding"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     joined = c.crossJoin(q).where(F.col("vec_id") != F.col("query_id"))
     return _ranked_topk(joined, k)
@@ -69,12 +84,14 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_embedding"),
+        norm(F.col(vec_col)).alias("q_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col("label"),
         F.col(vec_col).alias("c_embedding"),
+        norm(F.col(vec_col)).alias("c_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))

@@ -260,9 +260,11 @@ def incremental_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-window scan `(prev_end, now]` + per-type rollup — the
     incremental_log filter semantics (reference:
     macros/materialization/incremental_log.sql:53-60)."""
+    from edna_dbt_library_spark.operators import window_filter
+
     e = _t(spark, sf_dir, "events")
     return (
-        e.where((F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp")))
+        window_filter(e, "ts", EV_LO, EV_HI)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -311,9 +313,9 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State a partition-merge target converges to: latest row per unique
     key under the `S.event_time > T.event_time` recency rule (reference:
     macros/materialization/incremental_partition_merge.sql:116-119)."""
-    e = _t(spark, sf_dir, "events").where(
-        (F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp"))
-    )
+    from edna_dbt_library_spark.operators import window_filter
+
+    e = window_filter(_t(spark, sf_dir, "events"), "ts", EV_LO, EV_HI)
     latest = latest_by_key(e, ["user_id", "event_type"], "ts", tiebreakers=["event_id"])
     return latest.select(
         "user_id", "event_type", "event_id", format_timestamp_utc("ts").alias("ts"), "value"
@@ -331,9 +333,11 @@ WHERE ts::TIMESTAMP > TIMESTAMP '{EV_LO}' AND ts::TIMESTAMP <= TIMESTAMP '{EV_HI
 def distinct_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Touched-partition discovery (reference:
     macros/utils/partition_helpers.sql:18-21)."""
+    from edna_dbt_library_spark.operators import window_filter
+
     e = _t(spark, sf_dir, "events")
     return (
-        e.where((F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp")))
+        window_filter(e, "ts", EV_LO, EV_HI)
         .select(F.date_format("ts", "yyyy-MM-dd").alias("part_date"))
         .distinct()
     )
@@ -552,14 +556,20 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from edna_dbt_library_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_MODULUS
+
     rows_per_band = MINHASH_N // MINHASH_BANDS
+    m = MINHASH_MODULUS
     mh = ",\n           ".join(
-        f"min(md5('s{i}|' || w)) AS mh{i}" for i in range(MINHASH_N)
+        f"min(((x % {m}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {m}) AS mh{i}"
+        for i in range(MINHASH_N)
     )
     bands = "\n    UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {expr} AS sig FROM sig".format(
             b=b,
-            expr=" || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+            expr=" || '_' || ".join(
+                f"mh{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
         )
         for b in range(MINHASH_BANDS)
     )
@@ -567,10 +577,12 @@ def _minhash_oracle() -> str:
     return f"""
 WITH words AS (
     SELECT doc_id, unnest(list_distinct({toks})) AS w FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS x FROM words
 ), sig AS (
     SELECT doc_id,
            {mh}
-    FROM words GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 ), buckets AS (
     {bands}
 )
@@ -582,6 +594,39 @@ FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id 
 @_register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS)
+
+
+LSH_BUCKET_CAP = 256
+
+
+def _minhash_capped_oracle() -> str:
+    base = _minhash_oracle()
+    # same pipeline with the stop-bucket cap: buckets larger than
+    # LSH_BUCKET_CAP are non-discriminative and dropped before pairing
+    return base.replace(
+        """)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+        f"""), capped AS (
+    SELECT doc_id, band, sig
+    FROM (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM buckets)
+    WHERE bn <= {LSH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+    )
+
+
+@_register("dedup_minhash_lsh_capped", _minhash_capped_oracle())
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path: identical LSH with the production
+    stop-bucket cap — a bucket holding >cap docs is boilerplate-cluster
+    noise contributing O(bucket²) pairs and no dedup signal."""
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS, max_bucket_size=LSH_BUCKET_CAP
+    )
 
 
 def _near_dup_oracle(threshold: float = 0.7) -> str:
@@ -842,10 +887,12 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     """S1+S4 in one query (SURVEY.md §7 phase 0): run-window filter over
     events, uuid_v5 correlation key per user, top-1 per user via
     ROW_NUMBER() = 1."""
+    from edna_dbt_library_spark.operators import window_filter
+
     e = load_table(spark, sf_dir, "events")
-    windowed = e.where(
-        (F.col("ts") > F.lit(EV_LO).cast("timestamp")) & (F.col("ts") <= F.lit(EV_HI).cast("timestamp"))
-    ).withColumn("correlation_id", uuid_v5(F.col("user_id").cast("string"), NS_UUID5))
+    windowed = window_filter(e, "ts", EV_LO, EV_HI).withColumn(
+        "correlation_id", uuid_v5(F.col("user_id").cast("string"), NS_UUID5)
+    )
     top = top1_per_key(windowed, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
     return top.select(
         "user_id",

@@ -34,14 +34,28 @@ TIMESTAMP_NS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+def raw_ns_col(c: str) -> str:
+    """Name of the retained raw epoch-nanos column for timestamp ``c``."""
+    return f"_{c}_ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing nano timestamps to TimestampType."""
+    """Load one fixture table, normalizing nano timestamps to TimestampType.
+
+    The raw epoch-nanos long survives as ``_{col}_ns``: predicates on the
+    *converted* timestamp cannot reach the parquet scan (Catalyst won't
+    invert the div-1000 expression), so window filters additionally apply a
+    superset range on the raw column — that one pushes down to row-group
+    min/max skipping, which is the entire incremental-scan story at scale
+    (see operators.relational.window_filter)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in TIMESTAMP_NS_COLUMNS.get(name, ()):
         if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, ts_ns_to_timestamp(c))
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(raw_ns_col(c), F.col(c)).withColumn(c, ts_ns_to_timestamp(c))
     return df
 
 
