@@ -72,6 +72,41 @@ def brute_force_topk(
     return _ranked_topk(joined, k)
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bucket LSH blocking,
+    then exact cosine within each bucket, keeping pairs ≥ threshold.
+
+    The self-join compares only same-bucket vectors (2^dims blocking), so
+    the pair count scales with bucket sizes, not N² — same shape as the
+    MinHash-LSH text pipeline, on vectors. Output: (id_a, id_b, cosine_sim)
+    with id_a < id_b."""
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    a, c = b.alias("a"), b.alias("b")
+    d = dot(F.col("a.e"), F.col("b.e"))
+    sim = F.when((F.col("a.n") > 0) & (F.col("b.n") > 0), d / (F.col("a.n") * F.col("b.n")))
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

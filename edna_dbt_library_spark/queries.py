@@ -529,6 +529,74 @@ def ieee754_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", (val + F.lit(0.0)).alias("reconstructed"))
 
 
+@_register("uuid_v5_events", None)  # no oracle: DuckDB 1.0 lacks sha1 — rows-only
+def uuid_v5_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship scalar — SHA-1 UUIDv5 correlation ids
+    (macros/utils/uuid_generation.sql:1-46). Verified against Python's
+    RFC-4122 uuid.uuid5 in tests/test_uuid.py; registered without an
+    oracle because the oracle engine has no sha1."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        uuid_v5(F.col("user_id").cast("string"), NS_UUID5).alias("user_uuid"),
+        uuid_v5(F.concat_ws("|", "user_id", "event_type"), NS_UUID5).alias("user_event_uuid"),
+    )
+
+
+_B64HEX_ORACLE = """
+WITH base AS (
+    SELECT p_partkey, lpad(lower(hex(p_partkey)), 16, '0') AS h FROM part WHERE p_partkey < 300
+)
+SELECT p_partkey,
+       CASE WHEN substr(h, 3, 1) = '' THEN NULL
+            ELSE nullif(strpos('0123456789abcdef', substr(h, 3, 1)) - 1, -1) END AS hex3,
+       CASE WHEN substr(h, 16, 1) = '' THEN NULL
+            ELSE nullif(strpos('0123456789abcdef', substr(h, 16, 1)) - 1, -1) END AS hex16,
+       CASE WHEN substr(h, 20, 1) = '' THEN NULL
+            ELSE nullif(strpos('0123456789abcdef', substr(h, 20, 1)) - 1, -1) END AS hex_oob,
+       CASE WHEN substr(h, 2, 1) = '' THEN NULL
+            ELSE nullif(strpos('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/',
+                               substr(h, 2, 1)) - 1, -1) END AS b64_2
+FROM base
+"""
+
+
+@_register("base64_hex_map", _B64HEX_ORACLE)
+def base64_hex_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64_map / hex_map character-ordinal decoding incl. past-end NULL
+    (reference: macros/utils/binary_conversions.sql:17-59)."""
+    from edna_dbt_library_spark.functions.binary import base64_map, hex_map
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    h = F.lpad(F.lower(F.hex(F.col("p_partkey"))), 16, "0")
+    return p.select(
+        "p_partkey",
+        hex_map(h, 3).alias("hex3"),
+        hex_map(h, 16).alias("hex16"),
+        hex_map(h, 20).alias("hex_oob"),  # past end -> NULL
+        base64_map(h, 2).alias("b64_2"),
+    )
+
+
+_BITSTRING_ORACLE = """
+SELECT p_partkey,
+       lpad(bin(p_partkey % 1048576), 20, '0') AS bits,
+       (p_partkey % 1048576)::BIGINT AS roundtrip
+FROM part
+"""
+
+
+@_register("bitstring_roundtrip", _BITSTRING_ORACLE)
+def bitstring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_to_bitstring -> bitstring_to_int round-trip at width 20
+    (reference: macros/utils/binary_conversions.sql:108-130)."""
+    from edna_dbt_library_spark.functions.binary import bitstring_to_int, value_to_bitstring
+
+    p = _t(spark, sf_dir, "part")
+    bits = value_to_bitstring(F.pmod(F.col("p_partkey"), F.lit(1048576)), 20)
+    return p.select("p_partkey", bits.alias("bits"), bitstring_to_int(bits).alias("roundtrip"))
+
+
 # ---------------------------------------------------------------------------
 # extension operators: dedup / text analysis / similarity
 
@@ -877,6 +945,36 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_images(attach_fake_media(docs))
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH b AS (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+           (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+    FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.25
+"""
+
+
+@_register("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bucket blocking + exact cosine ≥
+    threshold (operators/similarity.py). Threshold 0.5 so the synthetic
+    embeddings (no true dups) still produce verifiable pairs."""
+    from edna_dbt_library_spark.operators.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.25, dims=8)
 
 
 # ---------------------------------------------------------------------------
