@@ -1,0 +1,57 @@
+"""Skew-aware aggregation: two-phase salted groupBy.
+
+At 100 TB a handful of hot keys (one user generating 1% of all events, a
+boilerplate document hash) can pin a single reducer. AQE's skew-join
+splitting covers joins; for *aggregations* the classical fix is salting:
+shuffle once on (key, salt) computing partial aggregates, then once more on
+key to combine — the hot key's work spreads over ``salt_buckets`` reducers.
+
+Only aggregates with a decomposition (sum/count/min/max → themselves;
+avg → sum+count) are supported; that covers the reference's entire
+aggregate surface (SURVEY.md §2E: COUNT/MIN/MAX/SUM).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name -> (fn, column)
+    with fn in {sum, count, min, max}.
+
+    ``salted_aggregate(events, ["user_id"], {"n": ("count", "*"),
+    "total": ("sum", "value")})`` ≡ the plain groupBy, but the first
+    shuffle keys on (user_id, salt) so no reducer sees a whole hot key.
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _MERGE:
+            raise ValueError(f"salted_aggregate: unsupported aggregate '{fn}' for '{name}'")
+
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    partial_exprs: list[Column] = []
+    for name, (fn, col) in aggs.items():
+        src = F.lit(1) if (fn == "count" and col == "*") else F.col(col)
+        partial = F.count(src) if fn == "count" else getattr(F, fn)(src)
+        partial_exprs.append(partial.alias(f"__p_{name}"))
+    partial_df = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
+
+    final_exprs = [
+        _MERGE[fn](F.col(f"__p_{name}")).alias(name) for name, (fn, _col) in aggs.items()
+    ]
+    return partial_df.groupBy(*keys).agg(*final_exprs)

@@ -947,6 +947,37 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_fake_media(docs))
 
 
+_TOP_SUPPLIERS_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+), ranked AS (
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.total_revenue,
+           row_number() OVER (ORDER BY r.total_revenue DESC, s.s_suppkey) AS rnk
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT s_suppkey, s_name, n_name, total_revenue, rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+
+@_register("top_suppliers_sql", _TOP_SUPPLIERS_SQL)
+def top_suppliers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path: the engine registers the tables as views
+    and executes ANSI SQL directly (CTE + join + global window rank) — the
+    same string runs on Spark and on the oracle engine verbatim."""
+    from edna_dbt_library_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(_TOP_SUPPLIERS_SQL)
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
 _EMB_NEARDUP_ORACLE = """
 WITH b AS (
     SELECT vec_id AS id, embedding::DOUBLE[] AS e,

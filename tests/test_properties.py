@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the scalar library — inputs are
+generated per property but evaluated in ONE Spark job per example set to
+keep runtime sane."""
+
+import struct
+import uuid as pyuuid
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions import (
+    bitstring_to_int,
+    bytes4_to_int32,
+    double_from_components,
+    double_mantissa,
+    double_unbiased_exponent,
+    hex_to_int,
+    uuid_v5,
+    value_to_bitstring,
+)
+
+SETTLE = settings(max_examples=8, deadline=None)
+
+
+def _eval_batch(spark, values, col_builder, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r["out"] for r in df.select(col_builder(F.col("v")).alias("out")).collect()]
+
+
+@SETTLE
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=40))
+def test_hex_to_int_matches_python(spark, xs):
+    hexes = [format(x, "x") for x in xs]
+    got = _eval_batch(spark, hexes, hex_to_int)
+    for x, g in zip(xs, got):
+        expected = x if x < 2**63 else None  # SAFE_CAST: signed-64 overflow -> NULL
+        assert g == expected
+
+
+@SETTLE
+@given(st.lists(st.integers(min_value=0, max_value=2**62 - 1), min_size=1, max_size=40))
+def test_bitstring_roundtrip_property(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "v long")
+    out = df.select(
+        bitstring_to_int(value_to_bitstring(F.col("v"), 63)).alias("rt"), F.col("v")
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["v"]
+
+
+@SETTLE
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=40))
+def test_bytes4_int32_roundtrip(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "v long")
+    # encode as unsigned 32-bit hex -> bytes -> decode back to signed
+    enc = F.unhex(F.lpad(F.hex(F.pmod(F.col("v"), F.lit(2**32))), 8, "0"))
+    out = df.select(bytes4_to_int32(enc).alias("rt"), F.col("v")).collect()
+    for r in out:
+        assert r["rt"] == r["v"]
+
+
+@SETTLE
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=25))
+def test_uuid_v5_matches_rfc4122(spark, names):
+    ns = "3bfbbd36-410b-43fa-999a-bb990a6db5c7"
+    got = _eval_batch(spark, names, lambda c: uuid_v5(c, ns))
+    for name, g in zip(names, got):
+        assert g == str(pyuuid.uuid5(pyuuid.UUID(ns), name))
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=1e-3,
+            max_value=1e6,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ieee754_reconstruction_property(spark, xs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = []
+    for x in xs:
+        raw = struct.unpack(">Q", struct.pack(">d", x))[0]
+        rows.append(
+            (x, raw >> 63, format((raw >> 52) & 0x7FF, "011b"), format(raw & ((1 << 52) - 1), "052b"))
+        )
+    df = spark.createDataFrame(rows, "x double, sign long, exp string, frac string")
+    out = df.select(
+        "x",
+        double_from_components(
+            F.col("sign"), double_mantissa(F.col("frac")), double_unbiased_exponent(F.col("exp"))
+        ).alias("rt"),
+    ).collect()
+    for r in out:
+        expected = float(Decimal(r["x"]).quantize(Decimal("0.00001"), rounding=ROUND_HALF_UP))
+        assert r["rt"] == expected

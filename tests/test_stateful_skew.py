@@ -1,0 +1,117 @@
+"""Stateful streaming operators (applyInPandasWithState) and the salted
+aggregation skew path."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.skew import salted_aggregate
+from edna_dbt_library_spark.sources.tables import load_table
+from edna_dbt_library_spark.streaming.stateful import stream_dedup_by_key, stream_latest_by_key
+
+SF = "/root/testdata/sf0.001"
+
+ROWS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _drain(spark, src_dir, build_query, tmp_path, name):
+    """Run a stream from a file source with one file per micro-batch so
+    state must carry across batches."""
+    out = (
+        build_query()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_dedup_by_key(spark, tmp_path):
+    src = str(tmp_path / "src")
+    TS = dt.datetime
+    # batch file 1: keys 1,2 ; batch file 2: replay of key 1 + new key 3
+    b1 = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10), 100, 1.0), (2, TS(2024, 1, 1, 11), 101, 2.0)], ROWS_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(1, TS(2024, 1, 2, 9), 100, 99.0), (3, TS(2024, 1, 2, 10), 102, 3.0)], ROWS_SCHEMA
+    )
+    b1.coalesce(1).write.parquet(src, mode="overwrite")
+    b2.coalesce(1).write.parquet(src, mode="append")
+
+    schema = b1.schema
+
+    def q():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        return stream_dedup_by_key(stream.groupBy("event_id"), schema)
+
+    got = _drain(spark, src, q, tmp_path, "dedup_sink")
+    rows = {r["event_id"]: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["value"] in (1.0, 99.0)  # exactly one row for key 1
+    assert got.count() == 3
+
+
+def test_stream_latest_by_key_recency(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    TS = dt.datetime
+    b1 = spark.createDataFrame([(1, TS(2024, 1, 1, 10), 100, 1.0)], ROWS_SCHEMA)
+    # stale update (earlier ts) must be suppressed; newer must pass
+    b2 = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 9), 100, 50.0), (1, TS(2024, 1, 1, 12), 100, 2.0)], ROWS_SCHEMA
+    )
+    b1.coalesce(1).write.parquet(src, mode="overwrite")
+    b2.coalesce(1).write.parquet(src, mode="append")
+    schema = b1.schema
+
+    def q():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        return stream_latest_by_key(stream.groupBy("user_id"), schema, "ts")
+
+    got = _drain(spark, src, q, tmp_path, "latest_sink").collect()
+    values = sorted((r["ts"], r["value"]) for r in got)
+    # first row emitted, stale 9:00 suppressed, newer 12:00 emitted
+    assert [v for _, v in values] == [1.0, 2.0]
+
+
+def test_salted_aggregate_equals_plain(spark):
+    events = load_table(spark, SF, "events")
+    plain = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    salted = salted_aggregate(
+        events,
+        ["user_id"],
+        {"n": ("count", "*"), "total": ("sum", "value"), "first_ts": ("min", "ts"), "last_ts": ("max", "ts")},
+        salt_buckets=8,
+    )
+    p = {r["user_id"]: r for r in plain.collect()}
+    s = {r["user_id"]: r for r in salted.collect()}
+    assert set(p) == set(s)
+    for k in p:
+        assert p[k]["n"] == s[k]["n"]
+        assert abs(p[k]["total"] - s[k]["total"]) < 1e-6  # float partials may reorder
+        assert p[k]["first_ts"] == s[k]["first_ts"]
+        assert p[k]["last_ts"] == s[k]["last_ts"]
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    import pytest
+
+    events = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        salted_aggregate(events, ["user_id"], {"a": ("avg", "value")})
