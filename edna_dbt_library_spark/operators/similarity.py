@@ -72,6 +72,78 @@ def brute_force_topk(
     return _ranked_topk(joined, k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted-file index skeleton.
+
+    * index build: every vector is assigned to its nearest "centroid" cell
+      (centroids here are the first ``n_cells`` vectors by id — a
+      deterministic stand-in for k-means centroids, keeping the whole
+      operator oracle-checkable; swap in trained centroids in production).
+    * search: each query probes its ``n_probe`` nearest cells and ranks
+      only the vectors in those cells.
+
+    Scale shape: assignment is a broadcast cross-join against n_cells rows
+    (one pass over the corpus, done once at index-build time); search
+    touches ~n_probe/n_cells of the data instead of all of it.
+    """
+    from edna_dbt_library_spark.operators.relational import top1_per_key
+
+    cent = F.broadcast(
+        embeddings.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
+    )
+
+    def _cell_scores(df: DataFrame, out_id: str) -> DataFrame:
+        side = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("e"),
+            norm(F.col(vec_col)).alias("n"),
+            *([F.col("label")] if "label" in df.columns else []),
+        )
+        d = dot(F.col("e"), F.col("ce"))
+        sim = F.when((F.col("n") > 0) & (F.col("cn") > 0), d / (F.col("n") * F.col("cn")))
+        return side.crossJoin(cent).withColumn("c_sim", F.round(sim, 6))
+
+    # index: nearest cell per vector (ties -> smallest cid)
+    assigned = top1_per_key(
+        _cell_scores(embeddings, "vec_id"),
+        ["vec_id"],
+        [F.col("c_sim").desc(), F.col("cid").asc()],
+    ).select("vec_id", "label", "e", "n", F.col("cid").alias("cell"))
+
+    # search: n_probe nearest cells per query
+    from pyspark.sql import Window
+
+    qs = _cell_scores(queries, "query_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cid").asc())
+    probes = (
+        qs.withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", F.col("e").alias("q_embedding"), F.col("n").alias("q_norm"), F.col("cid").alias("cell"))
+    )
+
+    # each vector lives in exactly one cell and probed cells are distinct,
+    # so every (query, candidate) pair appears at most once — no dedup step
+    joined = assigned.join(F.broadcast(probes), "cell").where(F.col("vec_id") != F.col("query_id"))
+    joined = joined.select(
+        "query_id", "vec_id", "label",
+        F.col("e").alias("c_embedding"), F.col("n").alias("c_norm"),
+        "q_embedding", "q_norm",
+    )
+    return _ranked_topk(joined, k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,

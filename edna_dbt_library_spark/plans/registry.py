@@ -36,9 +36,17 @@ from edna_dbt_library_spark.sources.warehouse import Relation, TableMeta, Wareho
 @dataclass
 class Model:
     node: ModelNode
-    builder: Callable[[SparkSession], DataFrame]
+    builder: Callable[[SparkSession], DataFrame] | None = None
+    sql: str | None = None  # SQL-text model (the dbt-style compiled SELECT)
     materialization: str = "table"  # table | view | incremental_log | incremental_partition_merge
     mat_config: object | None = None  # IncrementalLogConfig | PartitionMergeConfig
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        if self.builder is not None:
+            return self.builder(spark)
+        if self.sql is not None:
+            return spark.sql(self.sql)
+        raise ValueError(f"model '{self.node.name}' has neither a builder nor sql text")
 
 
 @dataclass
@@ -83,7 +91,7 @@ class Runner:
         node = model.node
         spark = self.wh.spark
         target = self.target_relation(model)
-        df = model.builder(spark)
+        df = model.build(spark)
 
         deployed = get_deployed_relation(target, node, context=self.context)
         registered = is_registered_dataproduct(self.wh, deployed.schema, deployed.identifier)

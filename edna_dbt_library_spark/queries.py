@@ -947,6 +947,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_fake_media(docs))
 
 
+_IVF_ORACLE = """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16
+), scored AS (
+    SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS ee, c.cid,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) AS cs
+    FROM embeddings e, cent c
+), assigned AS (
+    SELECT vec_id, label, ee, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM scored)
+    WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, ee AS qe, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+          FROM scored WHERE vec_id < 5)
+    WHERE rn <= 4
+), cand AS (
+    SELECT p.query_id, a.vec_id, a.label,
+           round(list_cosine_similarity(a.ee, p.qe), 6) AS cosine_sim
+    FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+), ranked AS (
+    SELECT query_id, vec_id, label, cosine_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM cand
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id, label, cosine_sim FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (operators/similarity.ivf_topk): inverted-file cell
+    assignment + n_probe search — the trained-index scale path with
+    deterministic stand-in centroids."""
+    from edna_dbt_library_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4)
+
+
 _TOP_SUPPLIERS_SQL = """
 WITH revenue AS (
     SELECT l_suppkey,

@@ -1,0 +1,68 @@
+"""Bucketed co-located joins (shuffle-free plan), IVF ANN sanity, and
+SQL-text models in the runner."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.similarity import brute_force_topk, ivf_topk
+from edna_dbt_library_spark.sources.bucketed import create_bucketed_table, join_is_shuffle_free
+from edna_dbt_library_spark.sources.tables import load_table, register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        lineitem = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        bo = create_bucketed_table(spark, orders, "b_orders", ["o_orderkey"], 4, ["o_orderkey"])
+        bl = create_bucketed_table(spark, lineitem, "b_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert join_is_shuffle_free(joined), "bucketed equi-join should have no Exchange"
+        # and it computes the same result as the plain join
+        plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == plain
+        # control: the un-bucketed join DOES shuffle
+        assert not join_is_shuffle_free(lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a) == len(e) == 50
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"  # probing 4/16 cells
+
+
+def test_runner_sql_text_model(spark, tmp_path):
+    from edna_dbt_library_spark.plans import Model, ModelNode, Runner
+    from edna_dbt_library_spark.sources import Warehouse
+
+    register_views(spark, SF)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(name="type_counts", fqn=["analytics", "ops", "staging", "type_counts"])
+    runner.register(
+        Model(node=node, sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type")
+    )
+    result = runner.run("type_counts", validate=False, register_metadata=False)
+    out = wh.read(result["relation"])
+    assert out.columns == ["event_type", "n"]
+    assert out.count() == 5
+
+
+def test_model_without_builder_or_sql_raises(spark):
+    from edna_dbt_library_spark.plans import Model, ModelNode
+
+    m = Model(node=ModelNode(name="x", fqn=[]))
+    with pytest.raises(ValueError, match="neither"):
+        m.build(spark)
