@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "lang_id_pred",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "top_suppliers_sql",
+    "stream_window_counts",
+    "multimodal_decode",
+    "uuid_v5_events",
 ]
 
 

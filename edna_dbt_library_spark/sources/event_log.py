@@ -235,6 +235,77 @@ def get_last_successful_run_window_end(
     return ts or default
 
 
+def log_model_run_started_pre_hook(
+    wh: Warehouse,
+    relation: Relation,
+    domain: str,
+    *,
+    message: str | None = None,
+    max_history_load_days: int | None = None,
+    run_window_start: str | None = None,
+    run_window_end: str | None = None,
+    max_history_load_days_dev_ci: int | None = None,
+    table_window_end: str | None = None,
+    model_name: str = "",
+    dev_ci: bool | None = None,
+) -> tuple[str, str]:
+    """Pre-hook wrapper: resolve window bounds then log the started event
+    (reference: log_helpers.sql:165-188). Returns (start, end) so the
+    caller can reuse the resolved window."""
+    started_ts = fmt_ts(datetime.now(timezone.utc).replace(tzinfo=None))
+    ids = ids_for_relation(relation, domain)
+    if not run_window_start:
+        run_window_start = get_last_successful_run_window_end(wh, ids, dev_ci=dev_ci)
+    if not run_window_end:
+        run_window_end = apply_history_load_limit_adjusted(
+            max_history_load_days,
+            run_window_start,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+            max_history_load_days_dev_ci,
+            table_window_end,
+            dev_ci=dev_ci,
+        )
+    log_model_event(
+        wh, ids, "model_run_started", run_window_start, run_window_end,
+        model_name=model_name or relation.identifier, event_ts=started_ts, message=message,
+    )
+    return run_window_start, run_window_end
+
+
+def log_model_run_succeeded_post_hook(
+    wh: Warehouse,
+    relation: Relation,
+    domain: str,
+    *,
+    message: str | None = None,
+    max_history_load_days: int | None = None,
+    run_window_start: str | None = None,
+    run_window_end: str | None = None,
+    max_history_load_days_dev_ci: int | None = None,
+    table_window_end: str | None = None,
+    model_name: str = "",
+    dev_ci: bool | None = None,
+) -> tuple[str, str]:
+    """Post-hook wrapper (reference: log_helpers.sql:190-210)."""
+    ids = ids_for_relation(relation, domain)
+    if not run_window_start:
+        run_window_start = get_last_successful_run_window_end(wh, ids, dev_ci=dev_ci)
+    if not run_window_end:
+        run_window_end = apply_history_load_limit_adjusted(
+            max_history_load_days,
+            run_window_start,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+            max_history_load_days_dev_ci,
+            table_window_end,
+            dev_ci=dev_ci,
+        )
+    log_model_event(
+        wh, ids, "model_run_succeeded", run_window_start, run_window_end,
+        model_name=model_name or relation.identifier, message=message,
+    )
+    return run_window_start, run_window_end
+
+
 def apply_history_load_limit(
     max_history_load_days: int | None,
     window_start: str | None,

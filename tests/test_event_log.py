@@ -151,6 +151,29 @@ def test_history_load_limit_adjusted_table_window_end():
     assert got == "2024-01-15 00:00:00.000000 UTC"
 
 
+def test_hook_wrappers_roundtrip(spark, wh):
+    """Pre-hook resolves the window from the log; post-hook records the
+    success event the next pre-hook resumes from
+    (reference: log_helpers.sql:165-210)."""
+    from edna_dbt_library_spark.sources.event_log import (
+        log_model_run_started_pre_hook,
+        log_model_run_succeeded_post_hook,
+    )
+
+    ids = ids_for_relation(TARGET, "analytics")
+    log_model_event(wh, ids, "model_run_succeeded", None, "2024-01-05 00:00:00.000000 UTC")
+    start, end = log_model_run_started_pre_hook(
+        wh, TARGET, "analytics", max_history_load_days=3, dev_ci=False
+    )
+    assert start == "2024-01-05 00:00:00.000000 UTC"
+    assert end == "2024-01-08 00:00:00.000000 UTC"  # capped at start + 3 days
+    log_model_run_succeeded_post_hook(
+        wh, TARGET, "analytics", run_window_start=start, run_window_end=end, dev_ci=False
+    )
+    wm = get_last_successful_run_window_end(wh, ids, dev_ci=False)
+    assert wm == end
+
+
 def test_min_max_ts_string_helpers():
     ts = ["2024-01-02 00:00:00.000000 UTC", "2024-01-01 05:00:00.123456 UTC", None, "", "None"]
     assert min_ts_string(ts) == "2024-01-01 05:00:00.123456 UTC"
