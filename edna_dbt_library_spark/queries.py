@@ -947,6 +947,99 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_fake_media(docs))
 
 
+_Q13_ORACLE = """
+WITH counts AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM counts GROUP BY c_count
+"""
+
+
+@_register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + two-level aggregation (orders-per-customer
+    distribution) — the outer-join surface the MERGE uses internally,
+    exposed as a query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q17_ORACLE = """
+WITH avg_qty AS (
+    SELECT l_partkey,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) AS part_avg
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       count(*) AS n_small,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS small_revenue
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5 * a.part_avg
+GROUP BY l.l_partkey
+"""
+
+
+@_register("q17_small_quantity", _Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group average subquery + self-join filter (Q17 shape): rows
+    below half their part's average quantity. The per-part average is a
+    decimal-exact sum over a double count, so the 0.5*avg threshold is
+    bit-identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    avg_qty = (
+        l.groupBy("l_partkey")
+        .agg((_r2d(F.sum(_dec("l_quantity"))) / F.count(F.lit(1))).alias("part_avg"))
+    )
+    return (
+        l.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("part_avg"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _r2d(F.sum(_dec("l_extendedprice"))).alias("small_revenue"),
+        )
+    )
+
+
+_GROUPED_RANK_ORACLE = """
+SELECT user_id, event_id,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+       count(*) OVER (PARTITION BY user_id) AS n_user_events
+FROM events
+"""
+
+
+@_register("grouped_pandas_rank", _GROUPED_RANK_ORACLE)
+def grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user dense event ranking computed in
+    pandas (Arrow batches, one group per call) — the custom-stateful-logic
+    escape hatch, here with semantics a window oracle can verify."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True]).reset_index(drop=True)
+        pdf["value_rank"] = pdf.index + 1
+        pdf["n_user_events"] = len(pdf)
+        return pdf[["user_id", "event_id", "value_rank", "n_user_events"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        rank_group, "user_id bigint, event_id bigint, value_rank long, n_user_events long"
+    )
+
+
 _IVF_ORACLE = """
 WITH cent AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16
