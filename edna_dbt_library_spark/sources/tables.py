@@ -48,7 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     superset range on the raw column — that one pushes down to row-group
     min/max skipping, which is the entire incremental-scan story at scale
     (see operators.relational.window_filter)."""
+    # runtime-settable confs the queries depend on, pinned here because the
+    # driver may hand us a session built without them: nanos-as-long for
+    # the TIMESTAMP(NANOS) fixtures, UTC so date_format/window literals
+    # agree with the (timezone-naive) oracle engine.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in TIMESTAMP_NS_COLUMNS.get(name, ()):
