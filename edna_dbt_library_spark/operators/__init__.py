@@ -16,7 +16,27 @@ from edna_dbt_library_spark.operators.relational import (
     top1_per_key,
     window_filter,
 )
-from edna_dbt_library_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from edna_dbt_library_spark.operators.materializations import (
+    IncrementalLogConfig,
+    PartitionMergeConfig,
+    PartitionSpec,
+    read_table,
+    run_incremental_log,
+    run_incremental_partition_merge,
+)
+from edna_dbt_library_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_images,
+    extract_features,
+    plan_frame_samples,
+)
+from edna_dbt_library_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from edna_dbt_library_spark.operators.skew import salted_aggregate
 
 __all__ = [
     "dedup_exact",
@@ -35,4 +55,17 @@ __all__ = [
     "window_filter",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "embedding_near_duplicates",
+    "ivf_topk",
+    "salted_aggregate",
+    "IncrementalLogConfig",
+    "PartitionMergeConfig",
+    "PartitionSpec",
+    "read_table",
+    "run_incremental_log",
+    "run_incremental_partition_merge",
+    "attach_fake_media",
+    "decode_images",
+    "extract_features",
+    "plan_frame_samples",
 ]

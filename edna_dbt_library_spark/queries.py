@@ -947,6 +947,52 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_fake_media(docs))
 
 
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+       CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS c_acctbal,
+       n.n_name
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}'
+  AND o.o_orderdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@_register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: 4-way join, returned-item revenue per customer, top-20
+    with a total order."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_r2d(revenue).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round(_dec("c_acctbal"), 2).cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 _Q13_ORACLE = """
 WITH counts AS (
     SELECT c.c_custkey, count(o.o_orderkey) AS c_count
