@@ -1,0 +1,67 @@
+"""In-suite oracle parity: a fast subset of the queries()/oracle_sql()
+contract compared against DuckDB at sf0.001, so plain pytest exercises the
+same gate the driver and tools/check_parity.py run. The full set runs via
+tools/check_parity.py (all SFs)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+FAST_QUERIES = [
+    "q1_pricing_summary",
+    "watermark_top1",
+    "ordered_string_agg",
+    "uuid_v3_customer",
+    "hex_roundtrip",
+    "dedup_exact",
+    "text_stats",
+    "ann_topk_bruteforce",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "\x00"
+        if isinstance(v, float):
+            return "\x00nan" if math.isnan(v) else repr(v)
+        return str(v)
+
+    return sorted("\x01".join(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = duck.execute(entrymod.oracle_sql()[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _canon(s_cols, s_rows) == _canon(d_cols, d_rows)
+
+
+def test_every_query_has_entry_and_oracle_keys():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 36
+    assert set(oracles) <= set(qs)
+    # rows-only entries are the documented sha1 exception only
+    assert set(qs) - set(oracles) == {"uuid_v5_events"}
