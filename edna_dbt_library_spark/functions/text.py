@@ -43,8 +43,17 @@ def approx_bpe_token_count(text: Column | str) -> Column:
     the kind a byte-pair tokenizer splits on (letter runs, digit runs, other
     non-space chars), plus a length/4 correction for very long words."""
     c = _col(text)
+    # split at word/punct boundaries, after punct, at letter<->digit
+    # transitions, and on whitespace; zero-width splits can leave
+    # whitespace-prefixed fragments, so trim before counting
+    frag_pattern = (
+        r"(?<=[\p{L}\p{N}])(?=[^\p{L}\p{N}])"
+        r"|(?<=[^\p{L}\p{N}\s])"
+        r"|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})"
+        r"|\s+"
+    )
     fragments = F.size(
-        F.filter(F.split(c, r"(?<=[\p{L}\p{N}])(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}\s])|\s+"), lambda t: t != "")
+        F.filter(F.transform(F.split(c, frag_pattern), F.trim), lambda t: t != "")
     )
     long_word_extra = F.aggregate(
         tokens(c),

@@ -1,0 +1,59 @@
+"""Unit tests for text-analysis Column builders not fully covered by the
+oracle queries (BPE estimate, tokenizer edges, lang scoring)."""
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.text import (
+    approx_bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+
+
+def one(spark, text, col_builder):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(col_builder(F.col("t")).alias("v")).collect()[0]["v"]
+
+
+def test_tokens_edges(spark):
+    assert one(spark, "  The  quick   fox ", lambda c: tokens(c)) == ["the", "quick", "fox"]
+    assert one(spark, "", lambda c: token_count(c)) == 0
+    assert one(spark, "one", lambda c: token_count(c)) == 1
+
+
+def test_approx_bpe_counts_fragments(spark):
+    # pure words: one fragment per word
+    assert one(spark, "hello world", approx_bpe_token_count) == 2
+    # punctuation splits off as its own fragment
+    n = one(spark, "hello, world!", approx_bpe_token_count)
+    assert n == 4  # hello , world !
+    # digits/letters boundaries split
+    assert one(spark, "abc123", approx_bpe_token_count) == 2
+    # very long words get a length penalty (> 1 token per 4 chars-ish)
+    long_word = "a" * 24
+    assert one(spark, long_word, approx_bpe_token_count) > 1
+    assert one(spark, "", approx_bpe_token_count) == 0
+
+
+def test_fingerprint_normalizes(spark):
+    a = one(spark, "Hello,   World!", lambda c: fingerprint(c))
+    b = one(spark, "hello world", lambda c: fingerprint(c))
+    c = one(spark, "HELLO  WORLD", lambda c: fingerprint(c))
+    assert a == b == c
+    assert a != one(spark, "hello worlds", lambda c: fingerprint(c))
+
+
+def test_lang_id_basics(spark):
+    assert one(spark, "the cat and the dog of a king", lang_id) == "en"
+    assert one(spark, "der hund und die katze ist ein tier", lang_id) == "de"
+    assert one(spark, "xyzzy plugh qwerty", lang_id) == "und"
+
+
+def test_quality_score_range_and_monotonicity(spark):
+    short = one(spark, "x", quality_score)
+    decent = one(spark, "the cat and the dog walked to the house in a fine morning " * 10, quality_score)
+    assert 0.0 <= short <= 1.0 and 0.0 <= decent <= 1.0
+    assert decent > short
