@@ -85,6 +85,12 @@ class PartitionMergeConfig:
     full_refresh: bool = False
 
 
+def _strip_internal(df: DataFrame) -> DataFrame:
+    from edna_dbt_library_spark.sources.tables import strip_raw_ns_cols
+
+    return strip_raw_ns_cols(df)
+
+
 def _with_partition_col(df: DataFrame, spec: PartitionSpec | None) -> tuple[DataFrame, TableMeta]:
     meta = TableMeta()
     if spec is not None:
@@ -128,6 +134,7 @@ def run_incremental_log(
     """
     started = run_started_at or datetime.now(timezone.utc).replace(tzinfo=None)
     started_str = fmt_ts(started)
+    model_df = _strip_internal(model_df)
     ids = ids_for_relation(target, domain)
     model_name = model_name or target.identifier
     node_unique_id = node_unique_id or f"model.{domain}.{model_name}"
@@ -274,6 +281,7 @@ def run_incremental_partition_merge(
 
     pf = config.partition_by.field
 
+    model_df = _strip_internal(model_df)
     # -- 2. stage the batch with target-compatible layout (:74-83). The
     # repartition by partition date both co-locates the subsequent write
     # and caps small-file explosion; cache because the batch is read twice

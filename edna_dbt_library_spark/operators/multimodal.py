@@ -92,15 +92,21 @@ def _fake_decode(content: bytes, width: int, height: int) -> tuple[int, int, str
 def decode_images(
     media: DataFrame,
     decode_fn: Callable[[bytes, int, int], tuple[int, int, str]] | None = None,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Arrow-batched decode over (doc_id, content, media) rows.
 
     ``decode_fn(content, width, height) -> (width, height, digest)`` is the
     injectable codec; the default is the deterministic fake (see module
-    docstring — real decoding is stubbed in this environment)."""
+    docstring — real decoding is stubbed in this environment).
+    ``batch_rows`` caps the Arrow batch size — set it (e.g.
+    MEDIA_BATCH_ROWS) when content is real multi-MB media so a batch fits
+    in executor memory; leave None for Spark's default batching."""
     fn = decode_fn or _fake_decode
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(MEDIA_BATCH_ROWS))
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

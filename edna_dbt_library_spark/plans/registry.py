@@ -91,7 +91,9 @@ class Runner:
         node = model.node
         spark = self.wh.spark
         target = self.target_relation(model)
-        df = model.build(spark)
+        from edna_dbt_library_spark.sources.tables import strip_raw_ns_cols
+
+        df = strip_raw_ns_cols(model.build(spark))
 
         deployed = get_deployed_relation(target, node, context=self.context)
         registered = is_registered_dataproduct(self.wh, deployed.schema, deployed.identifier)

@@ -64,6 +64,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def strip_raw_ns_cols(df: DataFrame) -> DataFrame:
+    """Drop the loader's internal ``_{col}_ns`` pushdown companions (only
+    where the converted base column exists). Materializations and contract
+    checks call this so engine-internal columns never leak into user
+    tables or schema contracts."""
+    internal = [
+        c for c in df.columns
+        if c.startswith("_") and c.endswith("_ns") and c[1:-3] in df.columns
+    ]
+    return df.drop(*internal) if internal else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
