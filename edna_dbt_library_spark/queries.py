@@ -947,6 +947,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_fake_media(docs))
 
 
+_Q6_ORACLE = f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}'
+  AND l_shipdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'
+  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@_register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan + conjunctive range predicates + one aggregate —
+    the fully-pushed-down fast path."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit(Q5_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q5_HI).cast("timestamp"))
+            & _dec("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r2d(F.sum(_dec("l_extendedprice") * _dec("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q12_ORACLE = f"""
+SELECT o_orderpriority,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
+       sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}'
+  AND l_shipdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'
+GROUP BY o_orderpriority
+"""
+
+
+@_register("q12_priority_counts", _Q12_ORACLE)
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional CASE-WHEN aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned_count"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("kept_count"),
+        )
+    )
+
+
 _Q10_ORACLE = f"""
 SELECT c.c_custkey, c.c_name,
        CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
