@@ -33,6 +33,22 @@ def tokens(text: Column | str) -> Column:
     return F.filter(arr, lambda t: t != "")
 
 
+def shingles(text: Column | str, n: int = 2) -> Column:
+    """Word n-gram shingles (space-joined) of lowercased text — the MinHash
+    input for near-dup detection at n>1 (word order matters, unlike the
+    unigram set). Pure HOF: transform over an index sequence + slice."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text)
+    if n == 1:
+        return toks
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    return F.when(count > 0, F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens(text))

@@ -85,15 +85,23 @@ def minhash_signatures(
     num_hashes: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """Per-doc MinHash signature over the distinct-word set, using the
+    """Per-doc MinHash signature over the distinct shingle set (``shingle_n``
+    = 1 → word set; >1 → word n-grams, order-sensitive), using the
     universal integer family above — deterministic across engines, runs and
     partitionings (dedup keys need the same reproducibility as the
     reference's UUIDv5, macros/utils/uuid_generation.sql). Signature
     columns are named mh0..mh{n-1}."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
-    words = _fan_out(docs).select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
+    if shingle_n == 1:
+        sh = _word_set(text_col)
+    else:
+        from edna_dbt_library_spark.functions.text import shingles
+
+        sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    words = _fan_out(docs).select(F.col(id_col), F.explode(sh).alias("w"))
     x = minhash_word_value(F.col("w")) % MINHASH_MODULUS
     aggs = [
         F.min(F.pmod(x * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_MODULUS))).alias(f"mh{i}")
@@ -109,6 +117,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: split the signature into ``bands`` bands
     of ``num_hashes//bands`` rows; docs sharing any full band signature
@@ -118,11 +127,12 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` is the production stop-bucket cap: buckets larger
     than this are non-discriminative (near-identical boilerplate clusters)
     and would contribute O(bucket^2) pairs; dropping them bounds the join
-    output. Default None = exact LSH semantics (what the oracle checks)."""
+    output. Default None = exact LSH semantics (what the oracle checks).
+    ``shingle_n`` > 1 hashes word n-grams instead of the word set."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(docs, num_hashes, text_col, id_col)
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col, shingle_n)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -110,11 +110,14 @@ def sessionize(
     user_col: str,
     ts_col: str,
     gap_minutes: int = 30,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     previous event exceeds ``gap_minutes``. Two stacked windows over the
-    same (user, ts) ordering — one shuffle, both windows share the sort."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    same (user, ts) ordering — one shuffle, both windows share the sort.
+    Pass ``tiebreakers`` (e.g. the event id) for a total order when
+    timestamps can collide."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreakers)
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("__new_session", is_new).withColumn(

@@ -422,18 +422,12 @@ FROM l GROUP BY user_id
 @_register("sessionize_count", _SESSION_ORACLE)
 def sessionize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming-style session windows computed
-    in batch)."""
-    from pyspark.sql import Window
+    in batch), via operators.relational.sessionize."""
+    from edna_dbt_library_spark.operators import sessionize
 
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
-    return (
-        e.withColumn("__new", is_new)
-        .groupBy("user_id")
-        .agg(F.sum("__new").alias("n_sessions"))
-    )
+    s = sessionize(e, "user_id", "ts", gap_minutes=SESSION_GAP_MIN, tiebreakers=["event_id"])
+    return s.groupBy("user_id").agg(F.max("session_seq").cast("long").alias("n_sessions"))
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +617,13 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_duplicate_groups(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle() -> str:
+DUCK_BIGRAMS = (
+    "list_filter(list_transform({toks}, (x, i) -> "
+    "CASE WHEN i < len({toks}) THEN x || ' ' || {toks}[i+1] END), x -> x IS NOT NULL)"
+)
+
+
+def _minhash_oracle(shingle_expr: str | None = None) -> str:
     from edna_dbt_library_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_MODULUS
 
     rows_per_band = MINHASH_N // MINHASH_BANDS
@@ -641,7 +641,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    toks = DUCK_TOKENS.format(c="text")
+    toks = shingle_expr or DUCK_TOKENS.format(c="text")
     return f"""
 WITH words AS (
     SELECT doc_id, unnest(list_distinct({toks})) AS w FROM documents
@@ -662,6 +662,19 @@ FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id 
 @_register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS)
+
+
+@_register(
+    "dedup_minhash_bigram",
+    _minhash_oracle(DUCK_BIGRAMS.format(toks=DUCK_TOKENS.format(c="text"))),
+)
+def dedup_minhash_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive near-dup: MinHash over word BIGRAM shingles — the
+    shingle→minhash→band→bucket-join pipeline where word order matters
+    (functions/text.shingles)."""
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS, shingle_n=2
+    )
 
 
 LSH_BUCKET_CAP = 256
