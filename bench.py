@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_counts",
+    "q13_customer_distribution",
+    "q17_small_quantity",
     "incremental_window_agg",
     "watermark_top1",
     "merge_upsert_latest",
@@ -44,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_minhash_lsh_capped",
+    "dedup_minhash_bigram",
     "simhash60",
     "text_stats",
     "lang_id_pred",
@@ -55,6 +61,7 @@ BENCH_QUERIES = [
     "stream_window_counts",
     "multimodal_decode",
     "uuid_v5_events",
+    "grouped_pandas_rank",
 ]
 
 

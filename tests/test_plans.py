@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties ARCHITECTURE.md
+claims must stay true (pushdown reaches the scan, dimension joins
+broadcast, no accidental sort-merge joins or extra shuffles)."""
+
+import re
+
+import pytest
+
+from edna_dbt_library_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue() + "\n" + df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_filter_pushes_raw_ns_range(spark):
+    plan = plan_text(Q.queries()["incremental_window_agg"](spark, SF))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert re.search(r"GreaterThan\(ts,\d{15,}\)", pushed), pushed
+    assert re.search(r"LessThanOrEqual\(ts,\d{15,}\)", pushed), pushed
+
+
+def test_q5_star_join_broadcasts_all_dimensions(spark):
+    plan = plan_text(Q.queries()["q5_region_revenue"](spark, SF))
+    # the three explicitly-hinted dims plus whatever AQE further broadcasts
+    # at this tiny SF; the invariant is: broadcasts, never sort-merge
+    assert re.findall(r"BroadcastHashJoin", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_range_predicates(spark):
+    plan = plan_text(Q.queries()["q6_forecast_revenue"](spark, SF))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24" in pushed
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q3_top_orders", "watermark_top1"])
+def test_no_sort_merge_joins_in_headline_queries(spark, name):
+    plan = plan_text(Q.queries()[name](spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_frame_planner_has_no_python_udf(spark):
+    from edna_dbt_library_spark.operators import attach_fake_media, plan_frame_samples
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    media = attach_fake_media(load_table(spark, SF, "documents").limit(5))
+    plan = plan_text(plan_frame_samples(media))
+    assert "mapinpandas" not in plan.lower().replace(" ", "")
+    assert "BatchEvalPython" not in plan
