@@ -71,7 +71,8 @@ class IncrementalLogConfig:
     full_refresh: bool = False
     source_rel: Relation | None = None  # watermark fallback source
     dev_ci: bool | None = None  # None -> read env
-    empty_run: bool = False  # --empty: skip log writes
+    empty_run: bool = False  # --empty: skip log writes (caller supplies the LIMIT 0 input)
+    copy_partitions: bool = False  # rejected, like the reference
 
 
 @dataclass
@@ -132,6 +133,11 @@ def run_incremental_log(
     write fails, no success event is logged, so the next run recomputes the
     same window — at-least-once, same crash semantics as the reference.
     """
+    if config.copy_partitions:
+        raise ValueError(
+            "incremental_log: `copy_partitions=true` is only valid with "
+            "insert_overwrite/microbatch, which this materialization does not use."
+        )
     started = run_started_at or datetime.now(timezone.utc).replace(tzinfo=None)
     started_str = fmt_ts(started)
     model_df = _strip_internal(model_df)

@@ -297,6 +297,16 @@ def test_merge_partition_field_update_moves_row_and_drops_empty_dir(spark, wh):
     assert wh.partitions(target) == ["2024-01-02"]  # emptied Jan 1 dropped
 
 
+def test_incremental_log_rejects_copy_partitions(spark, wh):
+    """reference: incremental_log.sql:35-39."""
+    target = wh.relation("analytics_curated", "nope")
+    with pytest.raises(ValueError, match="copy_partitions"):
+        run_incremental_log(
+            wh, target, _events(spark),
+            IncrementalLogConfig(run_window_column="ts", copy_partitions=True, dev_ci=False),
+        )
+
+
 def test_merge_validations(spark, wh):
     target = wh.relation("analytics_curated", "bad")
     b = _batch(spark, [(1, TS(2024, 1, 1), 1, 1.0)])
