@@ -168,6 +168,60 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash Hamming-neighbor pairs via band blocking.
+
+    The ``bits``-bit signature splits into ``bands`` substrings; by the
+    pigeonhole principle two signatures within Hamming distance
+    ``bands - 1`` share at least one exact band, so candidate generation is
+    an equi-join per band (never all-pairs). Candidates are then verified
+    exactly with ``bit_count(xor)`` ≤ ``max_hamming``. Output:
+    (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+
+    Note: blocking guarantees recall only up to ``bands - 1`` bit flips;
+    pairs at distance in (bands-1, max_hamming] are found only when the
+    flips happen to cluster inside few bands — the standard
+    recall/cost trade of banded SimHash at scale.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    sig = simhash(docs, bits, text_col, id_col).withColumn(
+        "sig_int", F.conv(F.col("simhash_bits"), 2, 10).cast("long")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring(F.col("simhash_bits"), b * width + 1, width).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.col("sig_int"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "sig_int", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    buckets = buckets.localCheckpoint(eager=True)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
+    return (
+        a.join(b, ["band", "bsig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -765,6 +765,39 @@ def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+def _simhash_pairs_oracle(max_hamming: int = 6, bands: int = 4) -> str:
+    width = SIMHASH_BITS // bands
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, sig_int, {b} AS band, substr(simhash_bits, {b * width + 1}, {width}) AS bsig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+{_simhash_oracle()}
+), sig AS (
+    SELECT doc_id, simhash_bits,
+           ('0b' || simhash_bits)::BIGINT AS sig_int
+    FROM base
+), buckets AS (
+    {band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig_int, b.sig_int))::INTEGER AS hamming
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig_int, b.sig_int)) <= {max_hamming}
+"""
+
+
+@_register("simhash_near_pairs", _simhash_pairs_oracle())
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash Hamming-neighbor search
+    (operators/dedup.simhash_near_pairs)."""
+    from edna_dbt_library_spark.operators.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6, bands=4, bits=SIMHASH_BITS)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 def _text_stats_oracle() -> str:
     toks = DUCK_TOKENS.format(c="text")
     stop_list = ", ".join(f"'{w}'" for w in
