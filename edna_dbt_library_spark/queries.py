@@ -1052,6 +1052,63 @@ def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q14_ORACLE = f"""
+SELECT round(
+         100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE 0 END), 2) AS DOUBLE)
+         / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}' AND l_shipdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'
+"""
+
+
+@_register("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-sum ratio (promo revenue share)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * _r2d(F.sum(promo)) / _r2d(F.sum(rev)), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       median(value) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       CAST(round(CAST(min(value) AS DECIMAL(12,2)), 2) AS DOUBLE) AS min_value,
+       CAST(round(CAST(max(value) AS DECIMAL(12,2)), 2) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("median_quantiles", _MEDIAN_ORACLE)
+def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordinal aggregates: median and continuous 0.9-quantile (both
+    engines use linear interpolation over the sorted values, so doubles
+    match bit-for-bit)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.percentile("value", 0.9).alias("p90_value"),
+        F.round(_dec(F.min("value")), 2).cast("double").alias("min_value"),
+        F.round(_dec(F.max("value")), 2).cast("double").alias("max_value"),
+    )
+
+
 _Q10_ORACLE = f"""
 SELECT c.c_custkey, c.c_name,
        CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
