@@ -940,6 +940,97 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, dims=8)
 
 
+_RUNNING_TOTAL_ORACLE = f"""
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2)))
+            OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM events
+WHERE ts::TIMESTAMP > TIMESTAMP '{EV_LO}' AND ts::TIMESTAMP <= TIMESTAMP '{EV_HI}'
+"""
+
+
+@_register("running_total", _RUNNING_TOTAL_ORACLE)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (ROWS UNBOUNDED PRECEDING): per-user cumulative sum.
+    Decimal accumulation keeps the running values exact at any partition
+    count; the frame order is total (ts, event_id)."""
+    from pyspark.sql import Window
+
+    from edna_dbt_library_spark.operators import window_filter
+
+    e = window_filter(_t(spark, sf_dir, "events"), "ts", EV_LO, EV_HI)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_total"),
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d')
+FROM events WHERE event_type = 'error'
+"""
+
+
+@_register("except_users", _EXCEPT_ORACLE)
+def except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT = distinct semantics, hence subtract not
+    exceptAll): (user, day) pairs with a purchase but no error that day."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", day)
+    errors = e.where(F.col("event_type") == "error").select("user_id", day)
+    return purchases.subtract(errors)
+
+
+_ANTI_ORACLE = """
+SELECT o_orderkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+"""
+
+
+@_register("orders_without_returns", _ANTI_ORACLE)
+def orders_without_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): orders with no returned line items."""
+    o = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return o.join(returned, o.o_orderkey == returned.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@_register("rollup_revenue", _ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP: per-(flag,status), per-flag subtotals, grand total
+    in one aggregation pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        _r2d(F.sum(_dec("l_extendedprice"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 _STREAM_WINDOW_ORACLE = """
 SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
