@@ -940,6 +940,61 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, dims=8)
 
 
+_PIVOT_ORACLE = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@_register("pivot_event_counts", _PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type. The pivot values are explicit (no
+    data-dependent column discovery), which is also the scalable form — a
+    values-less pivot needs an extra distinct scan."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for absent combinations; the CASE oracle yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+_JSON_ORACLE = """
+SELECT json_extract_string(props, '$.k')::BIGINT AS k_value,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_register("json_extract_props", _JSON_ORACLE)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string payload column (get_json_object ≡
+    json_extract) + rollup by the extracted value."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.where(k.isNotNull())
+        .groupBy(k.alias("k_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 _RUNNING_TOTAL_ORACLE = f"""
 SELECT user_id, event_id,
        CAST(sum(CAST(value AS DECIMAL(12,2)))
