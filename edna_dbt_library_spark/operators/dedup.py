@@ -222,6 +222,57 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: assign every doc the
+    minimum doc id reachable through the pair graph (the cluster
+    representative / survivor; everything else is the kill set).
+
+    Iterative label propagation: each round every node adopts the minimum
+    label among itself and its neighbors; converges in O(diameter) rounds
+    (near-dup clusters are dense, so usually 2-4). Each round is one
+    grouped aggregation over the edge list; lineage is cut per round with
+    localCheckpoint so plans stay flat. Driver-side loop stops early when a
+    round changes nothing — the runtime→compile-time feedback pattern the
+    reference's partition discovery also uses.
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
+    doc appearing in any pair, cluster_id = min doc id of its component.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -677,6 +677,20 @@ def dedup_minhash_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("dedup_clusters", None)  # iterative fixpoint: not SQL-expressible -> rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clusters over capped-LSH candidate pairs
+    (operators/dedup.duplicate_clusters): every doc labeled with its
+    cluster's min doc id. Iterative label propagation with a driver-side
+    convergence loop — the documented non-SQL-expressible case."""
+    from edna_dbt_library_spark.operators.dedup import duplicate_clusters
+
+    pairs = lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS, max_bucket_size=64
+    )
+    return duplicate_clusters(pairs)
+
+
 LSH_BUCKET_CAP = 256
 
 

@@ -63,5 +63,5 @@ def test_every_query_has_entry_and_oracle_keys():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 36
     assert set(oracles) <= set(qs)
-    # rows-only entries are the documented sha1 exception only
-    assert set(qs) - set(oracles) == {"uuid_v5_events"}
+    # rows-only entries: the sha1 exception + the iterative algorithm
+    assert set(qs) - set(oracles) == {"uuid_v5_events", "dedup_clusters"}
