@@ -105,6 +105,152 @@ def distinct_partition_dates(df: DataFrame, partition_field: str) -> DataFrame:
     return df.select(F.to_date(F.col(partition_field)).alias("part_date")).distinct()
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    *,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    right_tiebreakers: Sequence[str] = (),
+    matched_ts: str | None = None,
+) -> DataFrame:
+    """As-of (temporal) join: for every left row attach the payload of the
+    right row with the greatest ``right_ts`` <= ``left_ts`` within the same
+    ``keys`` group (``direction='backward'``, inclusive; ``'forward'``
+    mirrors to the smallest ``right_ts`` >= ``left_ts``). Left rows with no
+    match keep NULL payload (left-outer semantics).
+
+    Spark has no ASOF JOIN; the naive encoding (inequality join + top-1)
+    materialises an O(left x right) intermediate per key. This instead uses
+    the union + ordered-window formulation: tag both sides, union them, and
+    take ``last(payload, ignorenulls)`` over a single (keys)-partitioned
+    sort — ONE shuffle, no join blow-up, linear in |left| + |right|, and
+    AQE-splittable per key group. The payload travels as one struct so all
+    matched columns come from the SAME right row even when payload columns
+    contain NULLs.
+
+    Determinism: right rows sort before left rows at equal timestamps (so
+    an equal-timestamp right row matches, per standard as-of semantics),
+    and ties between right rows at the same timestamp are broken by
+    ``right_tiebreakers`` (last wins — i.e. the greatest tiebreaker value).
+    Pass a unique right-side column there for reproducible output.
+
+    ``tolerance_seconds`` nulls out matches farther than the tolerance from
+    ``left_ts`` — equivalent to restricting the match window, since the
+    as-of match is the nearest right row by construction.
+
+    ``payload`` column names must not collide with left columns (alias
+    first). If ``matched_ts`` is given, the matched right timestamp is
+    emitted under that name.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = list(keys)
+    payload = list(payload)
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {sorted(clash)}")
+
+    packed = F.struct(F.col(right_ts).alias("__mts"), *[F.col(c) for c in payload])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ord_ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(t).alias(f"__tb{i}") for i, t in enumerate(right_tiebreakers)],
+        packed.alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ord_ts"),
+        F.lit(1).alias("__side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    ts_ord = F.col("__ord_ts").asc() if direction == "backward" else F.col("__ord_ts").desc()
+    order = [ts_ord, F.col("__side").asc()] + [
+        F.col(f"__tb{i}").asc() for i in range(len(right_tiebreakers))
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("__r", ignorenulls=True).over(w)
+    out = u.withColumn("__m", m).where(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        lts, mts = F.col(left_ts).cast("double"), F.col("__m.__mts").cast("double")
+        dist = (lts - mts) if direction == "backward" else (mts - lts)
+        out = out.withColumn(
+            "__m", F.when(dist <= F.lit(float(tolerance_seconds)), F.col("__m"))
+        )
+
+    cols = [F.col(c) for c in left.columns]
+    if matched_ts is not None:
+        cols.append(F.col("__m.__mts").alias(matched_ts))
+    cols += [F.col(f"__m.{c}").alias(c) for c in payload]
+    return out.select(*cols)
+
+
+def range_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval-overlap) join: every (point, interval) pair with
+    ``start_ts <= point_ts < end_ts`` and equal ``keys`` — the attribution
+    / validity-window join Spark would otherwise plan as a nested-loop or
+    per-key explosion.
+
+    Bucketed equi-join formulation: each interval is exploded to the
+    fixed-width time buckets it covers (``sequence`` + ``explode``), each
+    point is assigned its single containing bucket, and the join runs as a
+    plain HASH join on (keys..., bucket) with the exact range predicate as
+    a post-filter. Because a point lives in exactly ONE bucket, a pair can
+    match in at most one bucket — no duplicate elimination needed. Work
+    scales as |points| + |intervals| * ceil(span / bucket) instead of
+    |points| x |intervals| per key; pick ``bucket_seconds`` near the
+    typical interval span to keep the explosion factor small at 100 TB.
+
+    Column sets of the two inputs must be disjoint apart from ``keys``
+    (alias first). Inner-join semantics: unmatched points are dropped.
+    """
+    keys = list(keys)
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    def _bucket_of_us(us: Column) -> Column:
+        # exact floor-div in long arithmetic: us - pmod(us, b) is a multiple
+        # of b, so the double division below is exact (no rounding at the
+        # bucket boundary, which F.floor(us / b) cannot guarantee)
+        return ((us - F.pmod(us, F.lit(bucket_us))) / F.lit(bucket_us)).cast("long")
+
+    def _bucket(c: Column) -> Column:
+        return _bucket_of_us(F.unix_micros(c))
+
+    # exclusive end: the last covered bucket is the one containing end - 1 us
+    end_bucket = _bucket_of_us(F.unix_micros(F.col(end_ts)) - 1)
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(_bucket(F.col(start_ts)), end_bucket))
+    )
+    pt = points.withColumn("__bucket", _bucket(F.col(point_ts)))
+    cond = [pt[k] == iv[k] for k in keys] + [pt["__bucket"] == iv["__bucket"]]
+    joined = pt.join(iv, cond, "inner").where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    out_cols = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in keys
+    ]
+    return joined.select(*out_cols)
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -430,6 +430,85 @@ def sessionize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id").agg(F.max("session_seq").cast("long").alias("n_sessions"))
 
 
+_ASOF_ORACLE = """
+WITH m AS (
+    SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+           ) AS rn
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts::TIMESTAMP
+)
+SELECT e.event_id, e.user_id,
+       m.o_orderkey AS matched_orderkey,
+       m.o_totalprice AS matched_total
+FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+"""
+
+
+@_register("asof_latest_order", _ASOF_ORACLE)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the customer's latest order at or
+    before the event timestamp (operators.relational.asof_join — the
+    union+window single-shuffle formulation; the oracle is the naive
+    inequality-join + ROW_NUMBER encoding, a genuinely different
+    algorithm). Ties on o_orderdate break to the max o_orderkey in both."""
+    from edna_dbt_library_spark.operators import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    res = asof_join(
+        e, o, ["user_id"], "ts", "o_orderdate",
+        ["o_orderkey", "o_totalprice"], right_tiebreakers=["o_orderkey"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("matched_orderkey"),
+        F.col("o_totalprice").alias("matched_total"),
+    )
+
+
+_RANGE_ATTR_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       ((epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)) // 60000000)::BIGINT AS mins_after
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP
+ AND p.ts::TIMESTAMP < c.ts::TIMESTAMP + INTERVAL 2 HOUR
+"""
+
+
+@_register("range_attribution", _RANGE_ATTR_ORACLE)
+def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases attributed to same-user clicks in
+    the preceding 2 hours (operators.relational.range_interval_join — the
+    bucketed equi-join; the oracle is the direct inequality join). The
+    half-open [click, click+2h) window makes boundary semantics explicit."""
+    from edna_dbt_library_spark.operators import range_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withColumn("c_end", F.col("c_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    j = range_interval_join(
+        purchases, clicks, "p_ts", "c_ts", "c_end", keys=["user_id"], bucket_seconds=7200
+    )
+    mins = F.floor(
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))) / F.lit(60_000_000)
+    ).cast("long")
+    return j.select("click_id", "purchase_id", mins.alias("mins_after"))
+
+
 # ---------------------------------------------------------------------------
 # §2D scalar surface
 
