@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "uuid_v5_events",
     "grouped_pandas_rank",
+    "asof_latest_order",
+    "range_attribution",
+    "dedup_clusters",
 ]
 
 

@@ -246,6 +246,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
@@ -260,15 +261,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # labels only ever decrease, so the exact label sum is a strictly
+        # decreasing convergence metric: comparing sums costs one scan of
+        # the checkpointed frame instead of a join+shuffle per round.
+        # decimal(38,0) keeps the sum exact at any cluster size.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        converged = new_sum == prev_sum
+        prev_sum, labels = new_sum, new_labels
+        if converged:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
