@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "asof_latest_order",
     "range_attribution",
     "dedup_clusters",
+    "sample_stratified",
+    "pack_sequences",
+    "contamination_3gram",
 ]
 
 

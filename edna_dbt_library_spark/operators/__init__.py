@@ -38,6 +38,11 @@ from edna_dbt_library_spark.operators.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from edna_dbt_library_spark.operators.curation import (
+    contamination_flags,
+    deterministic_sample,
+    pack_sequences,
+)
 from edna_dbt_library_spark.operators.skew import salted_aggregate
 
 __all__ = [
@@ -62,6 +67,9 @@ __all__ = [
     "embedding_near_duplicates",
     "ivf_topk",
     "salted_aggregate",
+    "contamination_flags",
+    "deterministic_sample",
+    "pack_sequences",
     "IncrementalLogConfig",
     "PartitionMergeConfig",
     "PartitionSpec",

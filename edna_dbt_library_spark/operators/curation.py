@@ -1,0 +1,161 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+stratified sampling, sequence packing, and benchmark decontamination.
+
+These extend the reference's surface (it has no corpus-curation layer —
+the driver mandate adds them as first-class operators; see SURVEY.md §7
+phase 6). All three follow the reference's reproducibility rule for keys
+(macros/utils/uuid_generation.sql: derived ids must be stable across
+runs): every decision is a pure function of the row via the md5 idiom, so
+re-running on re-partitioned / re-ordered data — or on a different engine
+— selects exactly the same rows.
+
+Scale design (100 TB corpus):
+* Sampling is a scan-side filter — no shuffle, no state, embarrassingly
+  parallel; rates change per stratum without touching the data layout.
+* Packing shuffles once on a bounded shard key, then two window passes
+  over the same sort — the concat-then-chunk packing used by LLM data
+  loaders, computed without materializing concatenated text.
+* Decontamination hashes shingles to 60-bit longs before the join (8-byte
+  shuffle keys instead of arbitrary-length strings) and broadcasts the
+  benchmark set — heldout eval suites are tiny next to the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.text import shingles
+from edna_dbt_library_spark.operators.dedup import minhash_word_value
+
+
+def hash_permille(key: Column) -> Column:
+    """Deterministic uniform value in [0, 1000) from the md5 of ``key``
+    (cast to string) — the engine-portable sampling coin."""
+    return F.pmod(minhash_word_value(key.cast("string")), F.lit(1000))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key: Column | str,
+    rate_permille: int | None = None,
+    *,
+    strata_col: str | None = None,
+    strata_rates: Mapping[str, int] | None = None,
+    default_rate_permille: int = 0,
+) -> DataFrame:
+    """Hash-based sampling: keep a row iff md5(key) lands under the rate.
+
+    Unlike ``df.sample`` (seeded per-partition RNG: results change with
+    partitioning), membership here depends only on the row's key — stable
+    across runs, engines, and cluster sizes, and consistent across tables
+    sharing the key (sampling ``documents`` and ``annotations`` at the
+    same rate keeps them joinable).
+
+    Flat mode: ``rate_permille`` applies to every row. Stratified mode:
+    ``strata_rates`` maps values of ``strata_col`` to per-stratum rates
+    (e.g. keep all purchases, 10% of views), with
+    ``default_rate_permille`` for unlisted strata.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    if (rate_permille is None) == (strata_rates is None):
+        raise ValueError("pass exactly one of rate_permille or strata_rates")
+    if rate_permille is not None:
+        rate: Column = F.lit(int(rate_permille))
+    else:
+        if strata_col is None:
+            raise ValueError("strata_rates requires strata_col")
+        rate = F.lit(int(default_rate_permille))
+        for value, r in strata_rates.items():
+            rate = F.when(F.col(strata_col) == F.lit(value), F.lit(int(r))).otherwise(rate)
+    return df.where(hash_permille(key) < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_count: Column,
+    target_tokens: int,
+    num_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign every document the
+    training sequence it would start in, if the corpus were concatenated
+    in (shard, id) order and chunked into ``target_tokens``-sized pieces.
+
+    Documents are sharded by md5(id) so shards stay balanced and the
+    assignment is independent of the input partitioning; within a shard a
+    running token total over the id-ordered window yields each document's
+    byte-offset-like position, and integer division by the target gives
+    its sequence number. One shuffle (the shard sort); the window sum and
+    the derived columns share it. All arithmetic is exact long math —
+    ``start - pmod(start, target)`` rather than a double ``floor`` — so
+    bin boundaries cannot rounding-flip at any corpus size.
+
+    Output: (id, shard, n_tokens, seq_id, seq_offset) where ``seq_offset``
+    is the document's starting token offset within its sequence.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(minhash_word_value(F.col(id_col).cast("string")), F.lit(num_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.lit(int(target_tokens))
+    start = (F.col("cum") - F.col("n_tokens")).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            token_count.cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            ((start - F.pmod(start, t)) / t).cast("long").alias("seq_id"),
+            F.pmod(start, t).alias("seq_offset"),
+        )
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    heldout benchmark set — the decontamination sweep run before training
+    so eval data does not leak into the corpus.
+
+    Both sides explode to distinct n-gram shingles hashed to 60-bit longs
+    (compact shuffle keys; both engines hash identically so the oracle
+    reproduces even would-be collisions). The benchmark's distinct shingle
+    hashes are broadcast by default — the corpus side then never shuffles:
+    a 100 TB scan joins map-side against a few-MB eval set.
+
+    Output: (id, n_hits) for contaminated documents only, where n_hits
+    counts the distinct overlapping shingles.
+    """
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+        ).select(id_col, minhash_word_value(F.col("g")).alias("gh"))
+
+    bench = shingle_hashes(benchmark).select("gh").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        shingle_hashes(docs)
+        .join(bench, "gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("n_hits"))
+    )

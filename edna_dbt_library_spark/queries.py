@@ -756,6 +756,109 @@ def dedup_minhash_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"purchase": 1000, "click": 500, "view": 100}
+SAMPLE_DEFAULT = 50
+PACK_TARGET = 512
+PACK_SHARDS = 8
+CONTAM_N = 3
+CONTAM_MOD = 97
+
+# engine-portable md5 60-bit hash of an expression (DuckDB side); the Spark
+# side is operators.dedup.minhash_word_value
+DUCK_H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+_SAMPLE_ORACLE = f"""
+SELECT event_id, event_type FROM events
+WHERE {DUCK_H60.format(c="event_id::VARCHAR")} % 1000 <
+      CASE event_type WHEN 'purchase' THEN {SAMPLE_RATES['purchase']}
+                      WHEN 'click' THEN {SAMPLE_RATES['click']}
+                      WHEN 'view' THEN {SAMPLE_RATES['view']}
+                      ELSE {SAMPLE_DEFAULT} END
+"""
+
+
+@_register("sample_stratified", _SAMPLE_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling
+    (operators.curation.deterministic_sample): membership is a pure
+    function of md5(event_id), so the sample is reproducible across runs,
+    partitionings and engines — unlike df.sample's per-partition RNG."""
+    from edna_dbt_library_spark.operators import deterministic_sample
+
+    e = _t(spark, sf_dir, "events")
+    return deterministic_sample(
+        e, "event_id", strata_col="event_type",
+        strata_rates=SAMPLE_RATES, default_rate_permille=SAMPLE_DEFAULT,
+    ).select("event_id", "event_type")
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           {DUCK_H60.format(c="doc_id::VARCHAR")} % {PACK_SHARDS} AS shard,
+           len({DUCK_TOKENS.format(c="text")})::BIGINT AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS cum
+    FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       ((cum - n_tokens) // {PACK_TARGET})::BIGINT AS seq_id,
+       ((cum - n_tokens) % {PACK_TARGET})::BIGINT AS seq_offset
+FROM c
+"""
+
+
+@_register("pack_sequences", _PACK_ORACLE)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators.curation.
+    pack_sequences): md5-sharded, id-ordered running token totals chunked
+    into {PACK_TARGET}-token training sequences."""
+    from edna_dbt_library_spark.functions.text import token_count
+    from edna_dbt_library_spark.operators import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, token_count(F.col("text")), PACK_TARGET, PACK_SHARDS)
+
+
+def _contam_oracle() -> str:
+    n = CONTAM_N
+    toks = DUCK_TOKENS.format(c="text")
+    grams = (
+        f"list_distinct(list_filter(list_transform({toks}, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len({toks}) THEN array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') END), "
+        f"x -> x IS NOT NULL))"
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {DUCK_H60.format(c="unnest(" + grams + ")")} AS gh FROM documents
+), bench AS (
+    SELECT DISTINCT gh FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+)
+SELECT s.doc_id, count(DISTINCT s.gh) AS n_hits
+FROM sh s JOIN bench b ON s.gh = b.gh
+WHERE s.doc_id % {CONTAM_MOD} <> 0
+GROUP BY s.doc_id
+"""
+
+
+@_register("contamination_3gram", _contam_oracle())
+def contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.curation.contamination_flags):
+    flag corpus documents sharing any word 3-gram with the heldout slice
+    (doc_id % {CONTAM_MOD} == 0), via a broadcast hash semi-join on 60-bit
+    shingle hashes."""
+    from edna_dbt_library_spark.operators import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % CONTAM_MOD == 0)
+    corpus = d.where(F.col("doc_id") % CONTAM_MOD != 0)
+    return contamination_flags(corpus, bench, n=CONTAM_N)
+
+
 @_register("dedup_clusters", None)  # iterative fixpoint: not SQL-expressible -> rows-only
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup clusters over capped-LSH candidate pairs

@@ -1,0 +1,112 @@
+"""Curation operators: deterministic sampling, sequence packing,
+benchmark decontamination."""
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.curation import (
+    contamination_flags,
+    deterministic_sample,
+    hash_permille,
+    pack_sequences,
+)
+
+import pytest
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "k")
+
+
+def test_sample_rate_is_approximately_honored(spark):
+    kept = deterministic_sample(_ids(spark), "k", 250).count()
+    assert 0.2 < kept / 2000 < 0.3
+
+
+def test_sample_is_stable_under_repartitioning(spark):
+    df = _ids(spark)
+    a = {r["k"] for r in deterministic_sample(df, "k", 100).collect()}
+    b = {r["k"] for r in deterministic_sample(df.repartition(17), "k", 100).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sample_edge_rates_and_arg_validation(spark):
+    df = _ids(spark, 100)
+    assert deterministic_sample(df, "k", 0).count() == 0
+    assert deterministic_sample(df, "k", 1000).count() == 100
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "k")
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "k", 10, strata_rates={"a": 1})
+
+
+def test_sample_stratified_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 else "cold") for i in range(1000)], "k long, s string"
+    )
+    out = deterministic_sample(
+        df, "k", strata_col="s", strata_rates={"hot": 1000}, default_rate_permille=0
+    )
+    rows = out.collect()
+    assert len(rows) == 500 and all(r["s"] == "hot" for r in rows)
+
+
+def test_pack_sequences_exact_math(spark):
+    # one shard so the running order is just doc_id order
+    docs = spark.createDataFrame([(i, "") for i in range(1, 6)], "doc_id long, text string")
+    counts = {1: 100, 2: 300, 3: 200, 4: 50, 5: 500}
+    tok = F.element_at(
+        F.create_map(*[F.lit(x) for kv in counts.items() for x in kv]), F.col("doc_id")
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_tokens"])
+        for r in pack_sequences(docs, tok, 512, 1).collect()
+    }
+    # cumulative starts: 0, 100, 400, 600, 650
+    assert out[1] == (0, 0, 100)
+    assert out[2] == (0, 100, 300)
+    assert out[3] == (0, 400, 200)  # crosses the 512 boundary but STARTS in seq 0
+    assert out[4] == (1, 88, 50)  # 600 = 512 + 88
+    assert out[5] == (1, 138, 500)
+
+
+def test_pack_sequences_sharding_balances_and_is_deterministic(spark):
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("").alias("text"))
+    out = pack_sequences(docs, F.lit(10), 100, 8)
+    per_shard = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(per_shard) == set(range(8))
+    assert max(per_shard.values()) < 2 * min(per_shard.values())
+    again = pack_sequences(docs.repartition(13), F.lit(10), 100, 8)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def _contam_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 'quick brown fox' with bench
+            (2, "totally different words here"),
+            (3, "a quick brown fox appears twice quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "one quick brown fox ran away")], "doc_id long, text string"
+    )
+    return docs, bench
+
+
+def test_contamination_hits_and_counts(spark):
+    docs, bench = _contam_fixture(spark)
+    got = {r["doc_id"]: r["n_hits"] for r in contamination_flags(docs, bench, n=3).collect()}
+    assert got == {1: 1, 3: 1}  # doc 2 clean; doc 3's repeat counts once (distinct)
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    docs, bench = _contam_fixture(spark)
+    plan = contamination_flags(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_permille_range(spark):
+    vals = [r["p"] for r in _ids(spark, 500).select(hash_permille(F.col("k")).alias("p")).collect()]
+    assert all(0 <= v < 1000 for v in vals)
+    assert len(set(vals)) > 300  # spreads
