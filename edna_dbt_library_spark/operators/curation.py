@@ -153,9 +153,14 @@ def contamination_flags(
     bench = shingle_hashes(benchmark).select("gh").distinct()
     if broadcast_benchmark:
         bench = F.broadcast(bench)
+    # One row per distinct shingle STRING per doc (array_distinct before
+    # the explode; bench side distinct), so a plain count equals the
+    # number of distinct overlapping shingles with no distinct-agg state —
+    # and stays exact even if two strings hash-collide (the oracle counts
+    # the same multiset the same way).
     return (
         shingle_hashes(docs)
         .join(bench, "gh")
         .groupBy(id_col)
-        .agg(F.count_distinct("gh").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -838,7 +838,7 @@ WITH sh AS (
 ), bench AS (
     SELECT DISTINCT gh FROM sh WHERE doc_id % {CONTAM_MOD} = 0
 )
-SELECT s.doc_id, count(DISTINCT s.gh) AS n_hits
+SELECT s.doc_id, count(s.gh) AS n_hits
 FROM sh s JOIN bench b ON s.gh = b.gh
 WHERE s.doc_id % {CONTAM_MOD} <> 0
 GROUP BY s.doc_id
