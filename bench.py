@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "hex_roundtrip",
     "ieee754_decode",
     "dedup_exact",
+    "hll_distinct_orders",
+    "cms_user_freq",
     "dedup_fingerprint",
     "dedup_minhash_lsh_capped",
     "dedup_minhash_bigram",

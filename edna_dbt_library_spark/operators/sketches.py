@@ -1,0 +1,177 @@
+"""Mergeable sketch operators: HyperLogLog distinct-count and Count-Min
+frequency estimation.
+
+The reference has no sketches (its COUNT(DISTINCT ...) is delegated to
+BigQuery, macros/materialization — BigQuery itself answers
+APPROX_COUNT_DISTINCT with HLL++); the driver mandate asks for the
+scale-path equivalents as first-class operators. Both sketches here are
+**engine-portable and bit-deterministic**: every register/counter is an
+exact integer derived from the same md5 idiom the dedup family uses
+(operators/dedup.minhash_word_value, mirroring the reference's
+reproducible-key rule in macros/utils/uuid_generation.sql), so a DuckDB
+oracle reproduces the estimates bit-for-bit — including the final double
+(one literal-constant division; IEEE-754 division is deterministic).
+
+Scale design (100 TB):
+* HLL: per-group state is at most ``HLL_M`` (256) small integers,
+  reached via map-side-combining ``max`` — the shuffle moves O(groups ×
+  256) rows regardless of input size, vs. an exact COUNT DISTINCT whose
+  shuffle carries every distinct key. Registers are **mergeable** (max):
+  compute per day/partition, union + max to any coarser grouping —
+  the idiom for continuous rollups and cross-cluster combination.
+* CMS: global state is a fixed depth×width grid (4×2048 cells). Rows
+  explode to ``depth`` cells but partial aggregation collapses each task
+  to ≤ depth·width partial counts, so the shuffle is O(8192) rows per
+  task regardless of input size — no full-key shuffle ever happens.
+  Counters are mergeable by cell-wise sum; lookups broadcast the grid.
+
+Estimator notes: the HLL estimate is the raw Flajolet HLL formula
+(alpha_m · m² / Σ 2^-rho). The small-range linear-counting correction is
+deliberately omitted — it needs ln(), whose last-bit rounding is libm-
+specific and would break cross-engine bit parity; at the cardinalities
+the sketch is for (≫ m), the correction never fires. All Σ 2^-rho
+arithmetic is exact integer math scaled by 2^53 (rho ≤ 53, so every term
+is an integer), making the sum order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_MODULUS,
+    minhash_word_value,
+)
+
+# --- HyperLogLog parameters -------------------------------------------------
+HLL_P = 8  # register-index bits
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_VALUE_BITS = 60 - HLL_P  # minhash_word_value is a 60-bit hash
+HLL_RHO_MAX = HLL_VALUE_BITS + 1  # all-zero suffix
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# estimate = alpha*m^2 / sum(2^-rho); with the sum scaled by 2^RHO_MAX the
+# numerator becomes this single double literal (embedded identically in the
+# DuckDB oracle — same Python float, same parsed double).
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RHO_MAX)
+_EMPTY_TERM = 1 << HLL_RHO_MAX  # an unseen register has rho=0 -> 2^53
+
+
+def _as_col(key: Column | str) -> Column:
+    return F.col(key) if isinstance(key, str) else key
+
+
+def hll_registers(df: DataFrame, key: Column | str, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL register table: (group..., hll_idx, hll_rho).
+
+    The 60-bit hash splits into an 8-bit register index and a 52-bit
+    value whose leading-zero count (+1) is rho; ``length(conv(x, 10, 2))``
+    is the exact integer bit-length (no float log2, which mis-rounds near
+    powers of two). Register tables are the mergeable form: ``max(rho)``
+    over any union of register tables equals the registers of the
+    combined input (see hll_merge).
+    """
+    key = _as_col(key)
+    h = minhash_word_value(key.cast("string"))
+    rest = h.bitwiseAND(F.lit((1 << HLL_VALUE_BITS) - 1))
+    rho = F.when(rest == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright(h, HLL_VALUE_BITS).alias("hll_idx"),
+            rho.cast("int").alias("hll_rho"),
+        )
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("hll_rho").alias("hll_rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables to a coarser grouping (or combine unions of
+    independently-built sketches): cell-wise max."""
+    return registers.groupBy(*group_cols, "hll_idx").agg(F.max("hll_rho").alias("hll_rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw-HLL cardinality estimate per group from a register table.
+
+    Output: (group..., distinct_est double, registers_used long). The
+    denominator Σ 2^-rho is computed scaled by 2^53 so every term —
+    including the 2^53 of each of the (m − used) empty registers — is an
+    exact integer; the only float op is one literal/long division.
+    """
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - hll_rho)")).alias("_present"),
+        F.count(F.lit(1)).alias("registers_used"),
+    )
+    s = F.col("_present") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(_EMPTY_TERM)
+    return agg.select(
+        *group_cols,
+        (F.lit(HLL_NUMERATOR) / s.cast("double")).alias("distinct_est"),
+        "registers_used",
+    )
+
+
+def hll_distinct(df: DataFrame, key: Column | str, group_cols: list[str]) -> DataFrame:
+    """One-shot approximate COUNT(DISTINCT key) GROUP BY group_cols."""
+    return hll_estimate(hll_registers(df, key, group_cols), group_cols)
+
+
+# --- Count-Min sketch -------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_bucket(i: int, key: Column, width: int) -> Column:
+    """Row-i bucket index: the dedup module's universal hash family over
+    the shared 60-bit base value, folded to the sketch width."""
+    x = minhash_word_value(key.cast("string")) % MINHASH_MODULUS
+    return F.pmod(x * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_MODULUS)) % width
+
+
+def cms_build(
+    df: DataFrame, key: Column | str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min counter grid over occurrences of ``key``:
+    (cms_row, cms_col, cms_count), ≤ depth·width rows total.
+
+    Each input row scatters into one cell per hash row; the groupBy's
+    map-side combine collapses every task's contribution to the fixed
+    grid size before the (tiny) shuffle. Grids over disjoint inputs merge
+    by cell-wise sum (see test_sketches mergeability)."""
+    if depth > len(MINHASH_A):
+        raise ValueError(f"depth must be <= {len(MINHASH_A)}")
+    key = _as_col(key)
+    buckets = F.array(*[_cms_bucket(i, key, width) for i in range(depth)])
+    return (
+        df.where(key.isNotNull())
+        .select(F.posexplode(buckets).alias("cms_row", "cms_col"))
+        .groupBy("cms_row", "cms_col")
+        .agg(F.count(F.lit(1)).alias("cms_count"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates for each row of ``keys``: (key, est_count),
+    est = min over hash rows of the probed cell (0 if unseen). Always an
+    over-estimate (collisions only add). The grid is broadcast — probing
+    never shuffles the counters."""
+    key = F.col(key_col)
+    buckets = F.array(*[_cms_bucket(i, key, width) for i in range(depth)])
+    probes = keys.select(key_col, F.posexplode(buckets).alias("cms_row", "cms_col"))
+    return (
+        probes.join(F.broadcast(counters), ["cms_row", "cms_col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cms_count"), F.lit(0).cast("long"))).alias("est_count"))
+    )

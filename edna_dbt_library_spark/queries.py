@@ -1692,6 +1692,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mergeable sketches (operators/sketches.py): HLL distinct-count and
+# Count-Min frequency — register/counter math is exact integer arithmetic
+# over the shared md5 hash, so both engines land on identical estimates.
+
+
+def _hll_oracle() -> str:
+    from edna_dbt_library_spark.operators.sketches import HLL_M, HLL_NUMERATOR, HLL_RHO_MAX, HLL_VALUE_BITS
+
+    mask = (1 << HLL_VALUE_BITS) - 1
+    empty = 1 << HLL_RHO_MAX
+    return f"""
+WITH h AS (
+    SELECT l_returnflag, {DUCK_H60.format(c="l_orderkey::VARCHAR")} AS h
+    FROM lineitem WHERE l_orderkey IS NOT NULL
+), reg AS (
+    SELECT l_returnflag, h >> {HLL_VALUE_BITS} AS hll_idx,
+           max(CASE WHEN (h & {mask}) = 0 THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX} - length(bin(h & {mask})) END) AS hll_rho
+    FROM h GROUP BY 1, 2
+), agg AS (
+    SELECT l_returnflag,
+           sum(1::BIGINT << ({HLL_RHO_MAX} - hll_rho))::BIGINT
+             + ({HLL_M} - count(*)) * {empty} AS s,
+           count(*) AS registers_used
+    FROM reg GROUP BY 1
+)
+SELECT l_returnflag, {HLL_NUMERATOR!r} / s::DOUBLE AS distinct_est, registers_used
+FROM agg
+"""
+
+
+@_register("hll_distinct_orders", _hll_oracle())
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT l_orderkey) per returnflag via a
+    256-register HyperLogLog (operators/sketches.py): per-group shuffle
+    state is 256 small ints regardless of input size — the 100 TB answer
+    to distinct counting, bit-reproduced by the oracle because registers
+    are exact integers and the estimate is one IEEE double division."""
+    from edna_dbt_library_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "lineitem"), "l_orderkey", ["l_returnflag"])
+
+
+def _cms_oracle() -> str:
+    from edna_dbt_library_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_MODULUS
+    from edna_dbt_library_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    m, w = MINHASH_MODULUS, CMS_WIDTH
+    bucket = [f"(((x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {m}) % {w})" for i in range(CMS_DEPTH)]
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {i} AS cms_row, {bucket[i]} AS cms_col FROM x" for i in range(CMS_DEPTH)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT user_id, {i} AS cms_row, {bucket[i]} AS cms_col FROM keys"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH x AS (
+    SELECT user_id,
+           {DUCK_H60.format(c="user_id::VARCHAR")} % {m} AS x
+    FROM events WHERE user_id IS NOT NULL
+), cells AS (
+    {cells}
+), counters AS (
+    SELECT cms_row, cms_col, count(*) AS cms_count FROM cells GROUP BY 1, 2
+), keys AS (
+    SELECT DISTINCT user_id, x FROM x
+), probes AS (
+    {probes}
+)
+SELECT p.user_id, min(coalesce(c.cms_count, 0))::BIGINT AS est_count
+FROM probes p LEFT JOIN counters c USING (cms_row, cms_col)
+GROUP BY p.user_id
+"""
+
+
+@_register("cms_user_freq", _cms_oracle())
+def cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for every user (operators/
+    sketches.py): occurrences scatter into a fixed 4×2048 counter grid
+    (map-side combine bounds every task's shuffle output at 8192 cells);
+    lookups broadcast the grid and take the min over hash rows."""
+    from edna_dbt_library_spark.operators.sketches import cms_build, cms_lookup
+
+    e = _t(spark, sf_dir, "events")
+    counters = cms_build(e, "user_id")
+    keys = e.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    return cms_lookup(counters, keys, "user_id")
+
+
+# ---------------------------------------------------------------------------
 # flagship entry query (driver smoke check, sf0.001)
 
 

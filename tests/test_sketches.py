@@ -1,0 +1,95 @@
+"""Mergeable sketches: HyperLogLog distinct-count, Count-Min frequency."""
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    cms_build,
+    cms_lookup,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from edna_dbt_library_spark.sources import load_table
+
+
+def _lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    li = _lineitem(spark, sf_dir)
+    est = {r["l_returnflag"]: r["distinct_est"] for r in hll_distinct(li, "l_orderkey", ["l_returnflag"]).collect()}
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_orderkey").alias("d")).collect()
+    }
+    assert set(est) == set(exact)
+    for flag, d in exact.items():
+        # raw HLL (no small-range correction): ~1.04/sqrt(256) = 6.5% sigma;
+        # allow 4 sigma at the fixture cardinalities (~1.1k at sf0.001)
+        assert abs(est[flag] - d) / d < 0.26, (flag, est[flag], d)
+
+
+def test_hll_registers_merge_to_global(spark, sf_dir):
+    li = _lineitem(spark, sf_dir).withColumn("m", F.month("l_shipdate"))
+    fine = hll_registers(li, "l_orderkey", ["l_returnflag", "m"])
+    merged = hll_merge(fine, ["l_returnflag"])
+    direct = hll_registers(li, "l_orderkey", ["l_returnflag"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # and therefore identical estimates, bit for bit
+    a = sorted(map(tuple, hll_estimate(merged, ["l_returnflag"]).collect()))
+    b = sorted(map(tuple, hll_estimate(direct, ["l_returnflag"]).collect()))
+    assert a == b
+
+
+def test_hll_deterministic_under_repartitioning(spark, sf_dir):
+    li = _lineitem(spark, sf_dir)
+    a = sorted(map(tuple, hll_distinct(li, "l_orderkey", ["l_returnflag"]).collect()))
+    b = sorted(map(tuple, hll_distinct(li.repartition(13), "l_orderkey", ["l_returnflag"]).collect()))
+    assert a == b
+
+
+def test_hll_register_table_is_bounded(spark, sf_dir):
+    reg = hll_registers(_lineitem(spark, sf_dir), "l_orderkey", ["l_returnflag"])
+    per_group = reg.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] <= HLL_M for r in per_group)
+    rng = reg.agg(F.min("hll_rho"), F.max("hll_rho"), F.min("hll_idx"), F.max("hll_idx")).first()
+    assert rng[0] >= 1 and rng[1] <= 53 and rng[2] >= 0 and rng[3] <= HLL_M - 1
+
+
+def test_cms_never_underestimates_and_grid_is_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    counters = cms_build(ev, "user_id")
+    assert counters.count() <= CMS_DEPTH * CMS_WIDTH
+    keys = ev.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    est = cms_lookup(counters, keys, "user_id")
+    exact = ev.groupBy("user_id").count()
+    under = est.join(exact, "user_id").where(F.col("est_count") < F.col("count")).count()
+    assert under == 0
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    counters = cms_build(ev, "user_id")
+    ghosts = spark.range(10_000_000, 10_000_050).select(F.col("id").alias("user_id"))
+    est = cms_lookup(counters, ghosts, "user_id")
+    total = ev.where(F.col("user_id").isNotNull()).count()
+    # absent keys may collide but the min over 4 rows stays far below the mass
+    assert est.agg(F.max("est_count")).first()[0] <= total * 0.05
+
+
+def test_cms_counters_merge_by_cellwise_sum(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    even = cms_build(ev.where(F.col("event_id") % 2 == 0), "user_id")
+    odd = cms_build(ev.where(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        even.unionByName(odd)
+        .groupBy("cms_row", "cms_col")
+        .agg(F.sum("cms_count").alias("cms_count"))
+    )
+    direct = cms_build(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
