@@ -2,5 +2,14 @@ from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_incremental_append,
     stream_windowed_counts,
 )
+from edna_dbt_library_spark.streaming.sketch_stream import (
+    read_hll_estimates,
+    stream_hll_distinct,
+)
 
-__all__ = ["stream_incremental_append", "stream_windowed_counts"]
+__all__ = [
+    "stream_incremental_append",
+    "stream_windowed_counts",
+    "read_hll_estimates",
+    "stream_hll_distinct",
+]

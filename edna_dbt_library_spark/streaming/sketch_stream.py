@@ -1,0 +1,76 @@
+"""Streaming sketch maintenance: continuous approximate distinct-count.
+
+HLL registers are a plain ``max`` aggregation, so the streaming form
+needs no custom state store: each micro-batch computes its own register
+table (bounded at groups × 256 rows *whatever the batch size*) and
+``foreachBatch`` folds it into a persistent register store by cell-wise
+max — the same merge the batch operator exposes (operators/sketches.
+hll_merge), which is what makes the streamed estimate EXACTLY equal the
+batch estimate over the union of all micro-batches (asserted in
+tests/test_sketches.py). Estimates are served by reading the store, so
+queries never touch the stream.
+
+The store rewrite collects the merged registers to the driver first —
+deliberately: the register table is the sketch's bounded state (≤ 256
+small ints per group at any input scale), and materializing it breaks
+the read-then-overwrite cycle on the store path. This is the streaming
+analogue of the reference's run-window bookkeeping: tiny driver-side
+state per run, heavy data only ever scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+
+from edna_dbt_library_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+
+def _store_schema(group_fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(
+        [*group_fields, T.StructField("hll_idx", T.LongType()), T.StructField("hll_rho", T.IntegerType())]
+    )
+
+
+def stream_hll_distinct(
+    stream_df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    store_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Maintain a per-group HLL register store over a stream.
+
+    Returns the started StreamingQuery (``awaitTermination()`` to drain
+    with ``available_now``). Replayed micro-batches are harmless: merging
+    the same registers twice is idempotent (max), so the store is correct
+    under foreachBatch's at-least-once semantics."""
+    group_fields = [stream_df.schema[c] for c in group_cols]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, key, group_cols)
+        try:
+            existing = spark.read.parquet(store_path)
+            regs = hll_merge(existing.unionByName(regs), group_cols)
+        except AnalysisException:
+            pass  # first batch: no store yet
+        rows = regs.collect()  # bounded: <= groups * 256 cells
+        spark.createDataFrame(rows, _store_schema(group_fields)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store_path)
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_estimates(spark: SparkSession, store_path: str, group_cols: list[str]) -> DataFrame:
+    """Current distinct-count estimates from a register store — a tiny
+    scan, independent of how much data the stream has absorbed."""
+    return hll_estimate(spark.read.parquet(store_path), group_cols)

@@ -93,3 +93,25 @@ def test_cms_counters_merge_by_cellwise_sum(spark, sf_dir):
     )
     direct = cms_build(ev, "user_id")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_stream_hll_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Micro-batched register merging == one-shot batch sketch, bit for
+    bit — the mergeability property, exercised through the streaming
+    path (two availableNow drains over a growing file source)."""
+    from edna_dbt_library_spark.streaming import read_hll_estimates, stream_hll_distinct
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream_hll_distinct(stream, "user_id", ["event_type"], store, ckpt).awaitTermination(120)
+
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream_hll_distinct(stream, "user_id", ["event_type"], store, ckpt).awaitTermination(120)
+
+    streamed = sorted(map(tuple, read_hll_estimates(spark, store, ["event_type"]).collect()))
+    batch = sorted(map(tuple, hll_distinct(ev, "user_id", ["event_type"]).collect()))
+    assert streamed == batch
