@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "hll_distinct_orders",
     "cms_user_freq",
+    "histogram_quantiles_price",
     "dedup_fingerprint",
     "dedup_minhash_lsh_capped",
     "dedup_minhash_bigram",

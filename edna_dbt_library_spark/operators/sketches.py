@@ -122,6 +122,67 @@ def hll_distinct(df: DataFrame, key: Column | str, group_cols: list[str]) -> Dat
     return hll_estimate(hll_registers(df, key, group_cols), group_cols)
 
 
+# --- fixed-bin histogram quantiles ------------------------------------------
+HIST_BINS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    group_cols: list[str],
+    k: int = HIST_BINS,
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-width histogram:
+    (group..., q, est) — est is the upper edge of the first bin whose
+    cumulative count reaches rank ceil(q·n).
+
+    The scale path for quantiles: exact percentile needs a full sort (or
+    per-group collect) of every value; this keeps O(k) integer bin counts
+    per group — mergeable by bin-wise sum — at the cost of (hi−lo)/k
+    resolution. Two passes: a min/max/count aggregate (broadcast back),
+    then one binning aggregation. Every bin index is
+    ``floor(((x−lo)/(hi−lo))·k)`` — pure IEEE double ops with one
+    parenthesization shared with the oracle, so bin assignment (and hence
+    the estimate) is bit-identical across engines and partitionings.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        F.count(value_col).alias("_n"),
+    )
+    j = df.where(F.col(value_col).isNotNull()).join(F.broadcast(stats), group_cols)
+    bin_idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor(((F.col(value_col) - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))) * k),
+            F.lit(k - 1).cast("long"),
+        )
+    )
+    hist = (
+        j.select(*group_cols, "_lo", "_hi", "_n", bin_idx.alias("_bin"))
+        .groupBy(*group_cols, "_lo", "_hi", "_n", "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w))
+    expanded = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in quantiles])))
+    hit = (
+        expanded.where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("_bin").alias("_bin"), F.min("_lo").alias("_lo"), F.min("_hi").alias("_hi"))
+    )
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo") + (F.col("_bin") + 1) * ((F.col("_hi") - F.col("_lo")) / k)
+    )
+    return hit.select(*group_cols, "q", est.alias("est"))
+
+
 # --- Count-Min sketch -------------------------------------------------------
 CMS_DEPTH = 4
 CMS_WIDTH = 2048

@@ -1782,6 +1782,55 @@ def cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_lookup(counters, keys, "user_id")
 
 
+HIST_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _hist_oracle() -> str:
+    from edna_dbt_library_spark.operators.sketches import HIST_BINS as k
+
+    qs = ", ".join(f"{q!r}::DOUBLE" for q in HIST_QUANTILES)
+    return f"""
+WITH s AS (
+    SELECT l_linestatus, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+           count(l_extendedprice) AS n
+    FROM lineitem GROUP BY 1
+), b AS (
+    SELECT l.l_linestatus, s.lo, s.hi, s.n,
+           CASE WHEN s.hi = s.lo THEN 0
+                ELSE least(floor(((l.l_extendedprice - s.lo) / (s.hi - s.lo)) * {k})::BIGINT, {k - 1})
+           END AS bin
+    FROM lineitem l JOIN s USING (l_linestatus)
+    WHERE l.l_extendedprice IS NOT NULL
+), h AS (
+    SELECT l_linestatus, lo, hi, n, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4, 5
+), c AS (
+    SELECT *, sum(cnt) OVER (PARTITION BY l_linestatus ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+    FROM h
+), x AS (
+    SELECT c.*, qq.q FROM c CROSS JOIN (SELECT unnest([{qs}]) AS q) qq
+    WHERE cum >= ceil(q * n)::BIGINT
+), m AS (
+    SELECT l_linestatus, q, min(bin) AS bin, min(lo) AS lo, min(hi) AS hi FROM x GROUP BY 1, 2
+)
+SELECT l_linestatus, q,
+       CASE WHEN hi = lo THEN lo ELSE lo + (bin + 1) * ((hi - lo) / {k}) END AS est
+FROM m
+"""
+
+
+@_register("histogram_quantiles_price", _hist_oracle())
+def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin approximate quantiles of l_extendedprice per linestatus
+    (operators/sketches.histogram_quantiles): O(256) mergeable bin counts
+    per group instead of a full per-group sort — bin assignment is one
+    shared IEEE expression, so estimates hash-match the oracle."""
+    from edna_dbt_library_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", list(HIST_QUANTILES), ["l_linestatus"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry query (driver smoke check, sf0.001)
 

@@ -115,3 +115,54 @@ def test_stream_hll_matches_batch_exactly(spark, sf_dir, tmp_path):
     streamed = sorted(map(tuple, read_hll_estimates(spark, store, ["event_type"]).collect()))
     batch = sorted(map(tuple, hll_distinct(ev, "user_id", ["event_type"]).collect()))
     assert streamed == batch
+
+
+def test_histogram_quantiles_within_bin_resolution(spark, sf_dir):
+    from edna_dbt_library_spark.operators.sketches import HIST_BINS, histogram_quantiles
+
+    li = _lineitem(spark, sf_dir)
+    qs = [0.25, 0.5, 0.75, 0.95]
+    est = {
+        (r["l_linestatus"], r["q"]): r["est"]
+        for r in histogram_quantiles(li, "l_extendedprice", qs, ["l_linestatus"]).collect()
+    }
+    stats = {
+        r["l_linestatus"]: r
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("p"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for status, r in stats.items():
+        width = (r["hi"] - r["lo"]) / HIST_BINS
+        for q, exact in zip(qs, r["p"]):
+            assert abs(est[(status, q)] - exact) <= 2 * width, (status, q, est[(status, q)], exact)
+
+
+def test_histogram_quantiles_deterministic_and_monotone(spark, sf_dir):
+    from edna_dbt_library_spark.operators.sketches import histogram_quantiles
+
+    li = _lineitem(spark, sf_dir)
+    qs = [0.1, 0.5, 0.9]
+    a = sorted(map(tuple, histogram_quantiles(li, "l_extendedprice", qs, ["l_linestatus"]).collect()))
+    b = sorted(
+        map(tuple, histogram_quantiles(li.repartition(11), "l_extendedprice", qs, ["l_linestatus"]).collect())
+    )
+    assert a == b
+    by_group = {}
+    for g, q, e in a:
+        by_group.setdefault(g, []).append((q, e))
+    for ests in by_group.values():
+        vals = [e for _, e in sorted(ests)]
+        assert vals == sorted(vals)  # estimates monotone in q
+
+
+def test_histogram_quantiles_constant_column(spark):
+    from edna_dbt_library_spark.operators.sketches import histogram_quantiles
+
+    df = spark.range(100).select(F.lit("g").alias("g"), F.lit(7.5).alias("v"))
+    rows = histogram_quantiles(df, "v", [0.5], ["g"]).collect()
+    assert len(rows) == 1 and rows[0]["est"] == 7.5
