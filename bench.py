@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "range_attribution",
     "dedup_clusters",
     "sample_stratified",
+    "domain_mix_sample",
     "pack_sequences",
     "contamination_3gram",
 ]

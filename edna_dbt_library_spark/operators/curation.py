@@ -73,6 +73,58 @@ def deterministic_sample(
     return df.where(hash_permille(key) < rate)
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    key: Column | str,
+    domain_col: str,
+    weights: Mapping[str, float],
+) -> DataFrame:
+    """Rebalance a corpus to target mixture ``weights`` by deterministic
+    per-domain downsampling — the domain-mix step of an LLM data pipeline
+    (e.g. cap web text at 60%, keep all code).
+
+    The largest achievable corpus keeping the exact mixture is
+    ``scale = min(count_d / weight_d)`` rows; each domain then keeps
+    ``weight_d * scale`` of its ``count_d`` rows, i.e. a keep-rate of
+    ``(w*scale)/c`` — the binding domain keeps everything, oversized
+    domains are thinned. Membership reuses the md5 coin
+    (``hash_permille``), so the sample is stable across runs, engines and
+    partitionings. Domains absent from ``weights`` are dropped.
+
+    All rate arithmetic is IEEE double ops with one shared
+    parenthesization — ``floor(((w * scale) / c) * 1000)`` — so an oracle
+    engine computes bit-identical rates and selects identical rows.
+
+    Scale: counts are a map-side partial agg on a low-cardinality key
+    (#domains rows total); rates come back as a broadcast, so the sampling
+    pass itself is a scan-side filter with no shuffle of the corpus.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    w_expr: Column = F.lit(None).cast("double")
+    for value, w in weights.items():
+        w_expr = F.when(F.col(domain_col) == F.lit(value), F.lit(float(w))).otherwise(w_expr)
+    counts = (
+        df.where(F.col(domain_col).isin(list(weights)))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .withColumn("_w", w_expr)
+    )
+    scale = counts.agg(F.min(F.col("_c") / F.col("_w")).alias("_scale"))
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        domain_col,
+        F.least(
+            F.floor(((F.col("_w") * F.col("_scale")) / F.col("_c")) * 1000.0),
+            F.lit(1000).cast("long"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(hash_permille(key) < F.col("_rate"))
+        .drop("_rate")
+        .select(*df.columns)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_count: Column,

@@ -792,6 +792,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type")
 
 
+MIX_WEIGHTS = {"en": 0.25, "zh": 0.25, "es": 0.2, "de": 0.15, "fr": 0.15}
+
+
+def _mix_oracle() -> str:
+    vals = ", ".join(f"('{d}', {w!r}::DOUBLE)" for d, w in MIX_WEIGHTS.items())
+    return f"""
+WITH w(lang, w) AS (VALUES {vals}),
+c AS (
+    SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY 1
+),
+j AS (SELECT c.lang, c.c, w.w FROM c JOIN w USING (lang)),
+s AS (SELECT min(c / w) AS scale FROM j),
+r AS (
+    SELECT lang, least(floor(((w * scale) / c) * 1000.0)::BIGINT, 1000) AS rate
+    FROM j CROSS JOIN s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE {DUCK_H60.format(c="d.doc_id::VARCHAR")} % 1000 < r.rate
+"""
+
+
+@_register("domain_mix_sample", _mix_oracle())
+def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (operators.curation.domain_mix_sample):
+    deterministic per-language downsampling of `documents` to a target
+    mixture — keep-rates derive from one shared IEEE expression over the
+    per-domain counts, membership from the md5 coin, so both engines
+    select identical rows."""
+    from edna_dbt_library_spark.operators import domain_mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_mix_sample(d, "doc_id", "lang", MIX_WEIGHTS).select("doc_id", "lang")
+
+
 _PACK_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,

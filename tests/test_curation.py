@@ -110,3 +110,38 @@ def test_hash_permille_range(spark):
     vals = [r["p"] for r in _ids(spark, 500).select(hash_permille(F.col("k")).alias("p")).collect()]
     assert all(0 <= v < 1000 for v in vals)
     assert len(set(vals)) > 300  # spreads
+
+
+def _domains(spark):
+    # 600 a / 300 b / 100 c — a is the oversized domain
+    return (
+        spark.range(1000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "dom",
+            F.when(F.col("k") < 600, "a").when(F.col("k") < 900, "b").otherwise("c"),
+        )
+    )
+
+
+def test_domain_mix_binding_domain_keeps_everything(spark):
+    from edna_dbt_library_spark.operators.curation import domain_mix_sample
+
+    # weights make c the binding domain: scale = min(600/.4, 300/.3, 100/.3) = 333.3
+    kept = domain_mix_sample(_domains(spark), "k", "dom", {"a": 0.4, "b": 0.3, "c": 0.3})
+    by_dom = {r["dom"]: r["n"] for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by_dom["c"] == 100  # rate 1000 — binding domain fully kept
+    # thinned domains land near w*scale = 133.3 / 100.0 (hash-coin tolerance)
+    assert abs(by_dom["a"] - 133) < 40 and abs(by_dom["b"] - 100) < 35
+
+
+def test_domain_mix_drops_unlisted_domains_and_is_deterministic(spark):
+    from edna_dbt_library_spark.operators.curation import domain_mix_sample
+
+    df = _domains(spark)
+    kept = domain_mix_sample(df, "k", "dom", {"a": 0.5, "b": 0.5})
+    assert kept.where(F.col("dom") == "c").count() == 0
+    a = {r["k"] for r in kept.collect()}
+    b = {r["k"] for r in domain_mix_sample(df.repartition(13), "k", "dom", {"a": 0.5, "b": 0.5}).collect()}
+    assert a == b and len(a) > 0
+    assert kept.columns == df.columns  # original column order preserved
