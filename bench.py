@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "hll_distinct_orders",
     "cms_user_freq",
     "histogram_quantiles_price",
+    "bloom_semi_join_urgent",
     "dedup_fingerprint",
     "dedup_minhash_lsh_capped",
     "dedup_minhash_bigram",

@@ -236,3 +236,103 @@ def cms_lookup(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cms_count"), F.lit(0).cast("long"))).alias("est_count"))
     )
+
+
+# --- Bloom filter -----------------------------------------------------------
+BLOOM_BITS = 1 << 18  # 4096 words -> 32 KiB broadcast
+BLOOM_K = 3
+
+
+def _bloom_positions(key: Column, num_bits: int, k: int) -> list[Column]:
+    """k salted md5 bit positions in [0, num_bits) — same idiom as the
+    other sketches, so membership is engine- and partitioning-stable."""
+    return [
+        F.pmod(
+            minhash_word_value(F.concat(key.cast("string"), F.lit(f"#b{i}"))),
+            F.lit(num_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key: Column | str, num_bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Aggregate ``df``'s keys into a Bloom filter: a ONE-row DataFrame
+    with ``bf: array<long>`` of ``num_bits/64`` words.
+
+    Spark's own runtime filter (InjectRuntimeFilter / bloom_filter_agg) is
+    not user-invocable, so the bitmap is built from built-ins: k salted
+    positions per key, ``bit_or`` word aggregation (map-side combine caps
+    every task's shuffle at num_bits/64 rows), then a dense word array.
+    Mergeable across corpora by element-wise ``|``. An empty build side
+    yields the all-zero filter, which rejects every probe.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    num_words = num_bits // 64
+    pos = F.explode(F.array(*_bloom_positions(key, num_bits, k))).alias("p")
+    words = (
+        df.select(pos)
+        .groupBy(F.shiftright("p", 6).alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(p % 64 AS INT)))").alias("bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(num_words - 1)),
+        lambda w: F.coalesce(F.element_at("mp", w.cast("long")), F.lit(0).cast("long")),
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mp")
+    ).select(dense.alias("bf"))
+
+
+def bloom_filter_rows(
+    probe: DataFrame,
+    key: Column | str,
+    bloom: DataFrame,
+    num_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Keep probe rows whose key is *possibly* in the filter (no false
+    negatives). The 1-row filter broadcasts; the probe side is a pure
+    scan-side predicate — O(1) array word lookups, no shuffle, no state."""
+    key = F.col(key) if isinstance(key, str) else key
+    tagged = probe
+    for i, p in enumerate(_bloom_positions(key, num_bits, k)):
+        tagged = tagged.withColumn(f"_bp{i}", p)
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & F.expr(
+            f"(element_at(bf, cast(shiftright(_bp{i}, 6) AS INT) + 1)"
+            f" & shiftleft(1L, cast(_bp{i} % 64 AS INT))) != 0"
+        )
+    return (
+        tagged.join(F.broadcast(bloom))
+        .where(cond)
+        .drop("bf", *[f"_bp{i}" for i in range(k)])
+    )
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    num_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Semi-join ``probe`` to ``build`` with Bloom pre-pruning: the filter
+    eliminates most non-matching probe rows before any shuffle, the exact
+    left-semi join then removes the false positives — the RESULT is
+    exactly a semi-join (the filter only cuts the shuffled volume), which
+    is what makes it oracle-checkable against plain `IN (SELECT ...)`.
+
+    At 100 TB this is the manual form of Spark's runtime row-filter: the
+    32 KiB bitmap reaches every scan task, so only the ~matching fraction
+    of the corpus enters the semi-join shuffle.
+    """
+    bloom = bloom_build(build, build_key, num_bits, k)
+    candidates = bloom_filter_rows(probe, probe_key, bloom, num_bits, k)
+    keys = build.select(F.col(build_key).alias("__bloom_bk")).distinct()
+    return candidates.join(
+        keys, candidates[probe_key] == keys["__bloom_bk"], "left_semi"
+    )

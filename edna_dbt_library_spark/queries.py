@@ -1817,6 +1817,37 @@ def cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_lookup(counters, keys, "user_id")
 
 
+_BLOOM_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+@_register("bloom_semi_join_urgent", _BLOOM_ORACLE)
+def bloom_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/sketches.bloom_semi_join):
+    lineitems of urgent orders. The 32 KiB bitmap broadcasts to every scan
+    task and drops non-matching rows before the shuffle; the exact
+    left-semi join removes false positives, so the result — and hence the
+    oracle — is a plain IN-subquery semi-join."""
+    from edna_dbt_library_spark.operators import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r2d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        )
+    )
+
+
 HIST_QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 

@@ -166,3 +166,50 @@ def test_histogram_quantiles_constant_column(spark):
     df = spark.range(100).select(F.lit("g").alias("g"), F.lit(7.5).alias("v"))
     rows = histogram_quantiles(df, "v", [0.5], ["g"]).collect()
     assert len(rows) == 1 and rows[0]["est"] == 7.5
+
+
+def test_bloom_no_false_negatives_and_fp_removed(spark):
+    from edna_dbt_library_spark.operators.sketches import bloom_semi_join
+
+    probe = spark.range(20000).select(F.col("id").alias("k"))
+    build = spark.range(0, 20000, 7).select(F.col("id").alias("b"))  # every 7th key
+    got = sorted(r["k"] for r in bloom_semi_join(probe, build, "k", "b").collect())
+    want = sorted(range(0, 20000, 7))
+    assert got == want  # exactly the semi-join: no FNs, FPs removed
+
+
+def test_bloom_filter_prunes_most_non_members(spark):
+    from edna_dbt_library_spark.operators.sketches import bloom_build, bloom_filter_rows
+
+    probe = spark.range(20000).select(F.col("id").alias("k"))
+    build = spark.range(500).select(F.col("id").alias("k"))
+    bf = bloom_build(build, "k")
+    n_cand = bloom_filter_rows(probe, "k", bf).count()
+    # all 500 members + a tiny FP tail (expected FP rate ~(k*n/m)^k ≈ 1e-7)
+    assert 500 <= n_cand <= 520
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    from edna_dbt_library_spark.operators.sketches import bloom_build, bloom_filter_rows
+
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    bf = bloom_build(probe.where(F.lit(False)), "k")
+    assert bloom_filter_rows(probe, "k", bf).count() == 0
+
+
+def test_bloom_merge_by_elementwise_or(spark):
+    from edna_dbt_library_spark.operators.sketches import bloom_build, bloom_filter_rows
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").alias("k"))
+    # element-wise OR across the two filters == filter of the union
+    merged = (
+        bloom_build(a, "k").withColumnRenamed("bf", "bfa")
+        .crossJoin(bloom_build(b, "k"))
+        .select(F.zip_with("bfa", "bf", lambda x, y: x.bitwiseOR(y)).alias("bf"))
+    )
+    whole = bloom_build(a.unionAll(b), "k")
+    assert merged.collect() == whole.collect()
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    got = {r["k"] for r in bloom_filter_rows(probe, "k", merged).collect()}
+    assert set(range(600)) <= got
