@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "q12_priority_counts",
     "q13_customer_distribution",
     "q17_small_quantity",
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q22_global_sales",
     "incremental_window_agg",
     "watermark_top1",
     "merge_upsert_latest",

@@ -1817,6 +1817,184 @@ def cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_lookup(counters, keys, "user_id")
 
 
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate::TIMESTAMP) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+       OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}')
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@_register("q7_nation_volume", _Q7_ORACLE)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (adapted to fixture columns): bidirectional
+    two-nation trade volume by ship year. Nation is broadcast twice under
+    different roles; the disjunctive nation predicate prunes before the
+    big join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2)
+    ) | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_r2d(F.sum(volume)).alias("revenue"))
+    )
+
+
+Q15_LO, Q15_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total
+    FROM lineitem
+    WHERE l_shipdate::TIMESTAMP >= TIMESTAMP '{Q15_LO}'
+      AND l_shipdate::TIMESTAMP < TIMESTAMP '{Q15_HI}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(round(total, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total = (SELECT max(total) FROM rev)
+"""
+
+
+@_register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max subquery. The max
+    comparison happens on the DECIMAL aggregate (exact, associative), so
+    ties and equality are engine-independent; only the output is rounded
+    to double."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("total")
+    )
+    best = rev.agg(F.max("total").alias("best"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .where(F.col("total") == F.col("best"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _r2d(F.col("total")).alias("total_revenue"))
+    )
+
+
+Q18_MIN_QTY = 300
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > {Q18_MIN_QTY}
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@_register("q18_large_volume", _Q18_ORACLE)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery as a semi-join.
+    The qualifying-order set is tiny, so it broadcasts back onto lineitem
+    and orders — the big tables are each scanned once."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > Q18_MIN_QTY)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    return (
+        l.join(F.broadcast(big), l.l_orderkey == F.col("big_okey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_r2d(F.sum(_dec("l_quantity"))).alias("total_qty"))
+    )
+
+
+Q22_CUTOFF = "2001-01-01 00:00:00"
+
+_Q22_ORACLE = f"""
+WITH s AS (
+    SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(12,2))) AS t
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer CROSS JOIN s
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * s.n > s.t
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate::TIMESTAMP >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_mktsegment
+"""
+
+
+@_register("q22_global_sales", _Q22_ORACLE)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted): customers above the positive-average
+    balance with no recent orders (none since Q22_CUTOFF), per market
+    segment. The above-average test is
+    rewritten multiplicatively (bal*n > sum) so it stays in exact DECIMAL
+    arithmetic — no double division whose rounding could differ between
+    engines. NOT EXISTS is a left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    s = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("c_acctbal")).alias("t")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .where(_dec("c_acctbal") * F.col("n") > F.col("t"))
+        .join(
+            o.where(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp")).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r2d(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )
+
+
 _BLOOM_ORACLE = """
 SELECT l_returnflag,
        count(*) AS n_items,
