@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "incremental_window_agg",
     "watermark_top1",
     "merge_upsert_latest",
+    "scd2_user_history",
     "sessionize_count",
     "uuid_v3_customer",
     "hex_roundtrip",

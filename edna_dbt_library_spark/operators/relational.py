@@ -269,3 +269,36 @@ def sessionize(
     return df.withColumn("__new_session", is_new).withColumn(
         "session_seq", F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("__new_session")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    tiebreakers: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change stream:
+    each row becomes a version valid over ``[event_time, next event_time)``
+    for its key; the last version per key is open (``valid_to`` NULL,
+    ``is_current`` true).
+
+    The reference tracks only latest-state upserts (its recency-guarded
+    MERGE, macros/materialization/incremental_partition_merge.sql:116-119);
+    SCD2 is the history-preserving counterpart every warehouse needs
+    (dbt's own `snapshot` materialization computes exactly this). One
+    window (``lead`` over the per-key event order) — a single shuffle on
+    the key, no self-join; ``order`` must be total per key, so pass
+    ``tiebreakers`` when event times can tie.
+    """
+    order = [F.col(event_time).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(event_time).over(w)
+    return df.select(
+        "*",
+        F.col(event_time).alias(valid_from),
+        nxt.alias(valid_to),
+        nxt.isNull().alias(current_flag),
+    )

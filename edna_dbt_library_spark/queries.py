@@ -296,6 +296,37 @@ def watermark_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ORACLE = f"""
+SELECT user_id, event_id, event_type,
+       strftime(ts::TIMESTAMP, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts::TIMESTAMP) OVER w, '{TS_FMT_DUCK}') AS valid_to,
+       (lead(ts::TIMESTAMP) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+"""
+
+
+@_register("scd2_user_history", _SCD2_ORACLE)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (operators/relational.scd2_intervals): each
+    signup/purchase event becomes a dimension version valid until the
+    user's next event — dbt-snapshot semantics as one lead() window, a
+    single shuffle on the key."""
+    from edna_dbt_library_spark.operators.relational import scd2_intervals
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isin("signup", "purchase"))
+    iv = scd2_intervals(e, ["user_id"], "ts", tiebreakers=["event_id"])
+    return iv.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        format_timestamp_utc("valid_from").alias("valid_from"),
+        format_timestamp_utc("valid_to").alias("valid_to"),
+        "is_current",
+    )
+
+
 _MERGE_LATEST_ORACLE = f"""
 SELECT user_id, event_type, event_id, strftime(ts::TIMESTAMP, '{TS_FMT_DUCK}') AS ts, value
 FROM (

@@ -161,3 +161,39 @@ def test_range_join_plan_is_hash_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    from edna_dbt_library_spark.operators.relational import scd2_intervals
+
+    rows = [
+        ("u1", 1, "2024-01-01 00:00:00"),
+        ("u1", 2, "2024-01-03 00:00:00"),
+        ("u1", 3, "2024-01-07 00:00:00"),
+        ("u2", 4, "2024-02-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, ts string").select(
+        "k", "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = scd2_intervals(df, ["k"], "ts", tiebreakers=["id"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        # consecutive versions chain exactly; only the last is open
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"] and not a["is_current"]
+        assert versions[-1]["valid_to"] is None and versions[-1]["is_current"]
+    assert len(by_key["u1"]) == 3 and len(by_key["u2"]) == 1
+
+
+def test_scd2_intervals_tiebreaker_orders_equal_timestamps(spark):
+    from edna_dbt_library_spark.operators.relational import scd2_intervals
+
+    rows = [("u", 2, "2024-01-01 00:00:00"), ("u", 1, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "k string, id long, ts string").select(
+        "k", "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sorted(scd2_intervals(df, ["k"], "ts", tiebreakers=["id"]).collect(), key=lambda r: r["id"])
+    assert not out[0]["is_current"] and out[1]["is_current"]  # id breaks the tie
