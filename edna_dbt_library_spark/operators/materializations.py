@@ -413,3 +413,99 @@ def run_incremental_partition_merge(
     merged.unpersist()
     batch.unpersist()
     return {"action": "merge", "touched_partitions": touched, "relation": target}
+
+
+# ---------------------------------------------------------------------------
+# scd2_snapshot (extension: history-preserving dimension maintenance)
+
+
+@dataclass
+class Scd2Config:
+    unique_key: str | list[str] = None  # required
+    event_time: str = None  # required
+    tiebreakers: list[str] = field(default_factory=list)
+    full_refresh: bool = False
+
+
+def run_scd2_snapshot(
+    wh: Warehouse,
+    target: Relation,
+    batch_df: DataFrame,
+    config: Scd2Config,
+) -> dict:
+    """Incrementally maintain an SCD2 (type-2 slowly-changing-dimension)
+    history table from change batches — dbt's `snapshot` materialization,
+    which the reference lacks (its MERGE keeps only latest state,
+    incremental_partition_merge.sql:116-119; this is the
+    history-preserving counterpart).
+
+    Contract: ``(unique_key, event_time, tiebreakers)`` identifies an
+    event; replays and overlapping batches are deduplicated, so the run is
+    idempotent, and each batch converges the touched keys to the full
+    batch-recompute of their history — INCLUDING retroactive splices when
+    a late event lands between two existing versions.
+
+    Scale design: per-run work is bounded by the *touched keys'* history,
+    never the table. The batch's distinct keys broadcast into a semi-join
+    that prunes the target scan; those keys' events (existing versions
+    replayed + batch) re-window through one key shuffle; the write
+    overwrites only the partitions (DAY of ``valid_from``) holding
+    touched-key rows — a version's valid_from never changes, so rows never
+    move partitions and untouched partitions are never rewritten.
+    """
+    from edna_dbt_library_spark.operators.relational import scd2_intervals
+
+    keys = [config.unique_key] if isinstance(config.unique_key, str) else list(config.unique_key or [])
+    if not keys:
+        raise ValueError("scd2_snapshot: config.unique_key is required and cannot be empty.")
+    if not config.event_time:
+        raise ValueError("scd2_snapshot: config.event_time is required.")
+    ev, tb = config.event_time, list(config.tiebreakers)
+    scd_cols = ["valid_from", "valid_to", "is_current"]
+
+    batch = _strip_internal(batch_df).dropDuplicates(keys + [ev] + tb)
+    meta = TableMeta(partition_by=PARTITION_COL, partition_source="valid_from")
+    exists = wh.exists(target)
+
+    if not exists or config.full_refresh:
+        hist = scd2_intervals(batch, keys, ev, tiebreakers=tb).withColumn(
+            PARTITION_COL, F.to_date(F.col("valid_from"))
+        )
+        if exists:
+            wh.drop(target)
+        wh.create_as(target, hist, meta)
+        return {"action": "create", "relation": target}
+
+    if batch.isEmpty():
+        return {"action": "noop", "touched_partitions": [], "relation": target}
+
+    target_df = wh.read(target)
+    touched_keys = batch.select(*keys).distinct()
+    affected_old = target_df.join(F.broadcast(touched_keys), keys, "left_semi").cache()
+
+    # replay the touched keys' stored versions as events, merge the batch,
+    # and re-derive their whole history (late events splice for free)
+    replay = affected_old.drop(*scd_cols, PARTITION_COL)
+    events = replay.unionByName(batch).dropDuplicates(keys + [ev] + tb)
+    recomputed = (
+        scd2_intervals(events, keys, ev, tiebreakers=tb)
+        .withColumn(PARTITION_COL, F.to_date(F.col("valid_from")))
+        .cache()
+    )
+
+    # partitions to rewrite: wherever touched keys already live or now land
+    parts = sorted(
+        {str(r[0]) for r in affected_old.select(PARTITION_COL).distinct().collect()}
+        | {str(r[0]) for r in recomputed.select(PARTITION_COL).distinct().collect()}
+    )
+    preserve = target_df.where(F.col(PARTITION_COL).isin(parts)).join(
+        F.broadcast(touched_keys), keys, "left_anti"
+    )
+    final = preserve.unionByName(recomputed)
+    written = {str(r[0]) for r in final.select(PARTITION_COL).distinct().collect()}
+    wh.overwrite_partitions(target, final)
+    for d in set(parts) - written:
+        wh.drop_partition(target, d)
+    recomputed.unpersist()
+    affected_old.unpersist()
+    return {"action": "merge", "touched_partitions": parts, "relation": target}

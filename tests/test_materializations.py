@@ -341,3 +341,74 @@ def test_incremental_log_schema_evolution_append_new_columns(spark, wh):
     n_new = out.where(F.col("extra").isNotNull()).count()
     n_old = out.where(F.col("extra").isNull()).count()
     assert n_new > 0 and n_old > 0
+
+
+# ---------------------------------------------------------------------------
+# scd2_snapshot
+
+
+def _scd2_batch(spark, rows):
+    from pyspark.sql import functions as SF2
+
+    df = spark.createDataFrame(rows, "k string, ts string, attr string")
+    return df.select("k", SF2.col("ts").cast("timestamp").alias("ts"), "attr")
+
+
+def _scd2_state(wh, target):
+    return sorted(
+        (r["k"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"], r["attr"])
+        for r in read_table(wh, target).collect()
+    )
+
+
+def test_scd2_snapshot_incremental_converges_to_batch_recompute(spark, wh):
+    from edna_dbt_library_spark.operators.materializations import Scd2Config, run_scd2_snapshot
+    from edna_dbt_library_spark.operators.relational import scd2_intervals
+
+    cfg = Scd2Config(unique_key="k", event_time="ts")
+    b1 = _scd2_batch(spark, [("a", "2024-01-01 00:00:00", "v1"), ("b", "2024-01-02 00:00:00", "w1")])
+    b2 = _scd2_batch(spark, [("a", "2024-02-01 00:00:00", "v2")])
+
+    inc = wh.relation("dim", "cust_inc")
+    assert run_scd2_snapshot(wh, inc, b1, cfg)["action"] == "create"
+    assert run_scd2_snapshot(wh, inc, b2, cfg)["action"] == "merge"
+
+    full = wh.relation("dim", "cust_full")
+    run_scd2_snapshot(wh, full, b1.unionByName(b2), cfg)
+    assert _scd2_state(wh, inc) == _scd2_state(wh, full)
+    # a's first version closed, second open; b untouched and open
+    state = {(r[0], r[4]): r for r in _scd2_state(wh, inc)}
+    assert not state[("a", "v1")][3] and state[("a", "v1")][2] == "2024-02-01 00:00:00"
+    assert state[("a", "v2")][3] and state[("b", "w1")][3]
+
+
+def test_scd2_snapshot_late_event_splices_retroactively(spark, wh):
+    from edna_dbt_library_spark.operators.materializations import Scd2Config, run_scd2_snapshot
+
+    cfg = Scd2Config(unique_key="k", event_time="ts")
+    target = wh.relation("dim", "cust_late")
+    run_scd2_snapshot(wh, target, _scd2_batch(spark, [
+        ("a", "2024-01-01 00:00:00", "v1"), ("a", "2024-03-01 00:00:00", "v3")]), cfg)
+    # late event lands BETWEEN the two existing versions
+    run_scd2_snapshot(wh, target, _scd2_batch(spark, [("a", "2024-02-01 00:00:00", "v2")]), cfg)
+    state = {r[4]: r for r in _scd2_state(wh, target)}
+    assert state["v1"][2] == "2024-02-01 00:00:00"  # v1 now closes at the late event
+    assert state["v2"][2] == "2024-03-01 00:00:00" and not state["v2"][3]
+    assert state["v3"][3]
+
+
+def test_scd2_snapshot_replay_is_idempotent_and_untouched_keys_preserved(spark, wh):
+    from edna_dbt_library_spark.operators.materializations import Scd2Config, run_scd2_snapshot
+
+    cfg = Scd2Config(unique_key="k", event_time="ts")
+    target = wh.relation("dim", "cust_replay")
+    b1 = _scd2_batch(spark, [("a", "2024-01-01 00:00:00", "v1"), ("b", "2024-01-01 00:00:00", "w1")])
+    b2 = _scd2_batch(spark, [("a", "2024-02-01 00:00:00", "v2")])
+    run_scd2_snapshot(wh, target, b1, cfg)
+    run_scd2_snapshot(wh, target, b2, cfg)
+    before = _scd2_state(wh, target)
+    run_scd2_snapshot(wh, target, b2, cfg)  # replay
+    assert _scd2_state(wh, target) == before
+    # empty batch is a no-op
+    r = run_scd2_snapshot(wh, target, b2.where(F.lit(False)), cfg)
+    assert r["action"] == "noop" and _scd2_state(wh, target) == before
