@@ -333,3 +333,57 @@ def simhash(
         for i in range(bits - 1, -1, -1)
     ])
     return agg.select(F.col(id_col), sig.alias("simhash_bits"))
+
+
+def run_incremental_dedup(
+    wh,
+    store,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against ALL previously-ingested documents
+    without ever re-scanning the corpus: a persistent store keeps one
+    (fingerprint, id) row per unique document ever admitted; each batch
+    drops its internal duplicates, anti-joins the store, appends what
+    survives, and returns the admitted rows.
+
+    The fingerprint is functions/text.fingerprint (casefold/whitespace
+    normalized md5 — same stability contract as the reference's derived
+    keys, macros/utils/uuid_generation.sql). First-keeper choice inside a
+    batch is min(id) — deterministic under any partitioning. Replaying a
+    batch admits nothing (its fingerprints are already stored), so
+    ingestion is idempotent / at-least-once safe.
+
+    Scale: the store grows with *unique* documents but each run's cost is
+    bounded by the batch — the batch's fingerprints build a Bloom filter
+    (operators/sketches.bloom_build) that prunes the store scan to the
+    ~colliding fraction before the anti-join shuffle, the same
+    runtime-row-filter pattern as bloom_semi_join.
+    """
+    from edna_dbt_library_spark.functions.text import fingerprint
+    from edna_dbt_library_spark.operators.sketches import bloom_build, bloom_filter_rows
+
+    fp = batch.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp"), F.col(text_col)
+    )
+    # in-batch dedup: deterministic min-id keeper per fingerprint
+    w_min = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    batch_unique = fp.join(w_min, ["fp", id_col])
+
+    if wh.exists(store):
+        seen = wh.read(store)
+        bloom = bloom_build(batch_unique, F.col("fp"))
+        seen_hits = bloom_filter_rows(seen.select("fp"), F.col("fp"), bloom)
+        # materialize the result BEFORE appending: the plan reads the store
+        # path the append mutates (a cache would not survive — the write
+        # invalidates cached plans over the path), and a lazy re-execution
+        # after the write would see its own fingerprints and return empty
+        admitted = batch_unique.join(seen_hits, "fp", "left_anti").localCheckpoint(eager=True)
+        wh.append(store, admitted.select("fp", id_col))
+    else:
+        admitted = batch_unique
+        from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+        wh.create_as(store, admitted.select("fp", id_col), TableMeta())
+    return admitted.select(id_col, "fp", text_col)

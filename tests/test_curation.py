@@ -145,3 +145,37 @@ def test_domain_mix_drops_unlisted_domains_and_is_deterministic(spark):
     b = {r["k"] for r in domain_mix_sample(df.repartition(13), "k", "dom", {"a": 0.5, "b": 0.5}).collect()}
     assert a == b and len(a) > 0
     assert kept.columns == df.columns  # original column order preserved
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (batch vs persistent fingerprint store)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_across_batches_and_replay(spark, tmp_path):
+    from edna_dbt_library_spark.operators.dedup import run_incremental_dedup
+    from edna_dbt_library_spark.sources import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = wh.relation("dedup", "fps")
+
+    b1 = _docs(spark, [(1, "hello world"), (2, "Hello   WORLD"), (3, "unique one")])
+    a1 = run_incremental_dedup(wh, store, b1)
+    ids1 = sorted(r["doc_id"] for r in a1.collect())
+    assert ids1 == [1, 3]  # 2 is a normalized dup of 1; min-id keeper wins
+
+    # batch 2: one cross-batch dup, one new
+    b2 = _docs(spark, [(4, "hello world"), (5, "fresh text")])
+    a2 = run_incremental_dedup(wh, store, b2)
+    assert sorted(r["doc_id"] for r in a2.collect()) == [5]
+
+    # replaying batch 2 admits nothing (idempotent ingestion)
+    a3 = run_incremental_dedup(wh, store, b2)
+    assert a3.count() == 0
+
+    # store holds exactly one row per unique fingerprint ever admitted
+    stored = wh.read(store)
+    assert stored.count() == stored.select("fp").distinct().count() == 3
