@@ -3,13 +3,17 @@ from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_windowed_counts,
 )
 from edna_dbt_library_spark.streaming.sketch_stream import (
+    read_cms_counters,
     read_hll_estimates,
+    stream_cms_counts,
     stream_hll_distinct,
 )
 
 __all__ = [
     "stream_incremental_append",
     "stream_windowed_counts",
+    "read_cms_counters",
     "read_hll_estimates",
+    "stream_cms_counts",
     "stream_hll_distinct",
 ]

@@ -74,3 +74,47 @@ def read_hll_estimates(spark: SparkSession, store_path: str, group_cols: list[st
     """Current distinct-count estimates from a register store — a tiny
     scan, independent of how much data the stream has absorbed."""
     return hll_estimate(spark.read.parquet(store_path), group_cols)
+
+
+def stream_cms_counts(
+    stream_df: DataFrame,
+    key: str,
+    store_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Maintain a Count-Min frequency grid over a stream.
+
+    Unlike HLL (max-merge, replay-proof), CMS merges by SUM — replaying a
+    micro-batch would double-count. So each micro-batch's grid (≤
+    depth·width rows whatever the batch size) is written to its own
+    ``batch=<id>`` subdirectory with overwrite: foreachBatch's
+    at-least-once redelivery just rewrites the same subdir — the
+    idempotent-sink idiom for non-idempotent merges. Serving sums cells
+    across subdirs (a bounded scan: batches × 8192 rows); a periodic
+    compaction job may fold old subdirs into one, by the same cell-sum.
+    """
+    from edna_dbt_library_spark.operators.sketches import cms_build
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        grid = cms_build(batch_df, key)
+        grid.coalesce(1).write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_counters(spark: SparkSession, store_path: str) -> DataFrame:
+    """Current merged grid from a per-batch store: cell-wise sum across
+    micro-batch subdirectories — feed to operators/sketches.cms_lookup."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("cms_row", "cms_col")
+        .agg(F.sum("cms_count").alias("cms_count"))
+    )

@@ -213,3 +213,32 @@ def test_bloom_merge_by_elementwise_or(spark):
     probe = spark.range(1000).select(F.col("id").alias("k"))
     got = {r["k"] for r in bloom_filter_rows(probe, "k", merged).collect()}
     assert set(range(600)) <= got
+
+
+def test_stream_cms_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Per-batch grid subdirs summed at read == one-shot batch grid —
+    sum-mergeability through the streaming path, with the batch-id
+    subdir write making redelivery idempotent."""
+    from edna_dbt_library_spark.operators.sketches import cms_build, cms_lookup
+    from edna_dbt_library_spark.streaming.sketch_stream import read_cms_counters, stream_cms_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream_cms_counts(stream, "user_id", store, ckpt).awaitTermination(120)
+
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream_cms_counts(stream, "user_id", store, ckpt).awaitTermination(120)
+
+    merged = read_cms_counters(spark, store)
+    whole = cms_build(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    # estimates served from the streamed store equal batch estimates
+    keys = ev.select("user_id").distinct().limit(20)
+    a = sorted(map(tuple, cms_lookup(merged, keys, "user_id").collect()))
+    b = sorted(map(tuple, cms_lookup(whole, keys, "user_id").collect()))
+    assert a == b
