@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "domain_mix_sample",
     "pack_sequences",
+    "chunk_documents",
     "contamination_3gram",
 ]
 

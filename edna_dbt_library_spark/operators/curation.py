@@ -216,3 +216,50 @@ def contamination_flags(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int,
+    overlap_chars: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping windows — the chunking
+    step before embedding/context-window packing. Chunk i covers
+    ``[i*stride, i*stride + chunk_chars)`` with ``stride = chunk_chars −
+    overlap_chars``; the last chunk may be short, and an empty/NULL text
+    yields no chunks.
+
+    Pure Column algebra (sequence → explode → substring): chunk count and
+    boundaries are exact integer math, so the output is deterministic and
+    engine-portable; the explode is the only row amplification and carries
+    no shuffle — chunking pipelines scan-side, like all curation filters.
+
+    Output: (id, chunk_id, chunk_text, chunk_start) with 0-based
+    ``chunk_id`` and ``chunk_start`` (1-based substring offset kept
+    internal).
+    """
+    if not (0 <= overlap_chars < chunk_chars):
+        raise ValueError("require 0 <= overlap_chars < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    n = F.length(text_col)
+    # smallest c with c*stride + overlap >= n ==> ceil((n - overlap)/stride);
+    # clamped to >= 1 so a doc shorter than the overlap still yields its one
+    # (short) chunk — and so sequence() never sees a negative upper bound
+    # (sequence(0, -1) auto-steps BACKWARDS instead of returning empty)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        -F.floor(-(n - F.lit(overlap_chars)) / F.lit(stride)).cast("long"),
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    out = docs.where(F.col(text_col).isNotNull() & (n > 0)).select(
+        F.col(id_col), F.col(text_col), idx.alias("chunk_id")
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.substring(F.col(text_col), (start + 1).cast("int"), chunk_chars).alias("chunk_text"),
+        start.alias("chunk_start"),
+    )

@@ -858,6 +858,31 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_sample(d, "doc_id", "lang", MIX_WEIGHTS).select("doc_id", "lang")
 
 
+CHUNK_CHARS, CHUNK_OVERLAP = 200, 50
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id, t.i AS chunk_id,
+       substr(text, (t.i * {CHUNK_CHARS - CHUNK_OVERLAP})::INT + 1, {CHUNK_CHARS}) AS chunk_text,
+       (t.i * {CHUNK_CHARS - CHUNK_OVERLAP})::BIGINT AS chunk_start
+FROM documents,
+     unnest(generate_series(0::BIGINT,
+            (greatest(1, -floor(-(length(text) - {CHUNK_OVERLAP}) / {CHUNK_CHARS - CHUNK_OVERLAP})))::BIGINT - 1)) AS t(i)
+WHERE text IS NOT NULL AND length(text) > 0
+"""
+
+
+@_register("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking
+    (operators/curation.chunk_documents): sequence→explode→substring, all
+    exact integer boundary math shared with the oracle."""
+    from edna_dbt_library_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), CHUNK_CHARS, CHUNK_OVERLAP
+    )
+
+
 _PACK_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,

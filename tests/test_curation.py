@@ -179,3 +179,31 @@ def test_incremental_dedup_across_batches_and_replay(spark, tmp_path):
     # store holds exactly one row per unique fingerprint ever admitted
     stored = wh.read(store)
     assert stored.count() == stored.select("fp").distinct().count() == 3
+
+
+def test_chunk_documents_boundaries_and_reassembly(spark):
+    from edna_dbt_library_spark.operators.curation import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+    df = _docs(spark, [(1, text)])
+    rows = sorted(chunk_documents(df, 10, 3).collect(), key=lambda r: r["chunk_id"])
+    # stride 7: starts 0,7,14,21 -> ceil((26-3)/7)=4 chunks
+    assert [r["chunk_start"] for r in rows] == [0, 7, 14, 21]
+    assert [r["chunk_text"] for r in rows] == [text[0:10], text[7:17], text[14:24], text[21:26]]
+    # consecutive chunks overlap by exactly 3 chars
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"][-3:] == b["chunk_text"][:3]
+    # stride-concatenation reassembles the document exactly
+    assert rows[0]["chunk_text"] + "".join(r["chunk_text"][3:] for r in rows[1:]) == text
+
+
+def test_chunk_documents_short_empty_and_validation(spark):
+    from edna_dbt_library_spark.operators.curation import chunk_documents
+
+    df = _docs(spark, [(1, "ab"), (2, ""), (3, None)])
+    rows = chunk_documents(df, 10, 5).collect()
+    # doc shorter than the overlap still yields its single short chunk;
+    # empty/NULL docs yield nothing
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["chunk_text"] == "ab"
+    with pytest.raises(ValueError):
+        chunk_documents(df, 10, 10)
