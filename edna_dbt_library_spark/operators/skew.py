@@ -55,3 +55,39 @@ def salted_aggregate(
         _MERGE[fn](F.col(f"__p_{name}")).alias(name) for name, (fn, _col) in aggs.items()
     ]
     return partial_df.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join for when the small side is too large to
+    broadcast but the big side's join keys are skewed: the big side gets a
+    per-row salt, the small side is replicated once per salt bucket, and
+    the join runs on (keys, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers instead of pinning one.
+
+    Exactly equivalent to ``big.join(small, keys, how)`` for ``inner`` and
+    ``left``: each big-side row joins the single small-side replica
+    carrying its salt, so no duplicates and no misses. (``right``/``full``
+    are rejected — the replicated small side would multiply unmatched
+    right rows.) The salt is a per-row uniform draw that never reaches the
+    output, so its value needs no cross-run stability — only uniformity.
+
+    AQE's skew-join splitting (enabled in session.py) handles moderate
+    skew automatically at runtime; explicit salting is the deterministic
+    plan-level guarantee for pathological keys, and composes with
+    bucketed/pre-partitioned layouts where AQE cannot re-split.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in {'inner','left'}")
+    ks = list(keys)
+    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return big_s.join(small_s, ks + ["__salt"], how).drop("__salt")

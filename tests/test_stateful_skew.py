@@ -115,3 +115,28 @@ def test_salted_aggregate_rejects_non_decomposable(spark):
     events = load_table(spark, SF, "events")
     with pytest.raises(ValueError, match="unsupported aggregate"):
         salted_aggregate(events, ["user_id"], {"a": ("avg", "value")})
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    from edna_dbt_library_spark.operators.skew import salted_join
+
+    # 90% of big-side rows share one hot key
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    for how in ("inner", "left"):
+        a = sorted(map(tuple, salted_join(big, small, ["k"], how).collect()))
+        b = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    from edna_dbt_library_spark.operators.skew import salted_join
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
