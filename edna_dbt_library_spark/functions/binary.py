@@ -166,3 +166,32 @@ def double_from_components(sign: Column | str, mantissa: Column | str, unbiased_
         F.pow(F.lit(-1.0), s) * _col(mantissa) * F.pow(F.lit(2.0), _col(unbiased_exponent)),
         5,
     )
+
+
+def morton_key(cols: list[Column | str], bits_per_dim: int = 21) -> Column:
+    """Z-order (Morton) interleave of up to 3 non-negative long columns
+    into one sort key — multi-dimensional clustering for
+    ``sortWithinPartitions``/write-time layout, so parquet row-group
+    min/max stats prune on EVERY interleaved dimension, not just the
+    first sort column (the scale form of the reference's ``cluster_by``,
+    macros/materialization/incremental_partition_merge.sql:12,80, which
+    BigQuery serves natively).
+
+    Bit ``b`` of dimension ``d`` lands at position ``b*ndims + d``; with
+    the default 21 bits × 3 dims the key fits in 63 bits (non-negative
+    long). Values are masked to ``bits_per_dim`` bits — callers should
+    pre-quantize (e.g. ``(col/step).cast("long")``) so the range fits.
+    Pure shift/or Column algebra: whole-stage-codegen'd, no UDF.
+    """
+    ndims = len(cols)
+    if not (1 <= ndims <= 3):
+        raise ValueError("morton_key supports 1-3 dimensions")
+    if bits_per_dim * ndims > 63:
+        raise ValueError("bits_per_dim * ndims must be <= 63")
+    key = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        v = (_col(c).cast("long")).bitwiseAND(F.lit((1 << bits_per_dim) - 1))
+        for b in range(bits_per_dim):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, b * ndims + d))
+    return key

@@ -160,3 +160,77 @@ def test_double_mantissa_short_strings_zero_extend(spark):
     assert one(spark, double_mantissa(F.lit("1"))) == 1.5
     assert one(spark, double_mantissa(F.lit("01"))) == 1.25
     assert one(spark, double_mantissa(F.lit(""))) == 1.0
+
+
+def _py_morton(vals, bits):
+    key = 0
+    for d, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            key |= ((v >> b) & 1) << (b * len(vals) + d)
+    return key
+
+
+def test_morton_key_matches_reference_bit_for_bit(spark):
+    from edna_dbt_library_spark.functions.binary import morton_key
+
+    df = spark.range(300).select(
+        (F.col("id") * 7919 % 2048).alias("x"),
+        (F.col("id") * 104729 % 2048).alias("y"),
+        (F.col("id") * 1299709 % 2048).alias("z"),
+    )
+    rows = df.select("x", "y", "z", morton_key(["x", "y", "z"], 11).alias("m")).collect()
+    assert all(r["m"] == _py_morton([r["x"], r["y"], r["z"]], 11) for r in rows)
+    assert all(r["m"] >= 0 for r in rows)  # fits signed long
+
+
+def test_morton_key_validation(spark):
+    from edna_dbt_library_spark.functions.binary import morton_key
+
+    with pytest.raises(ValueError):
+        morton_key([])
+    with pytest.raises(ValueError):
+        morton_key(["a", "b"], bits_per_dim=32)  # 64 bits > 63
+
+
+def test_morton_layout_prunes_row_groups_on_second_dimension(spark, tmp_path):
+    """The point of Z-ordering: after sorting by the interleaved key, a
+    selective predicate on the SECOND dimension skips most row groups via
+    parquet min/max stats — with a plain x-sort it skips none."""
+    import pyarrow.parquet as pq
+
+    from edna_dbt_library_spark.functions.binary import morton_key
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") * 7919 % 1024).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("y"),  # independent of x
+    )
+
+    def overlap_fraction(order_cols):
+        path = str(tmp_path / ("z" if len(order_cols) > 1 else "plain"))
+        (
+            df.orderBy(*order_cols)
+            .coalesce(1)
+            .write.option("parquet.block.size", 64 * 1024)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        import glob
+
+        f = pq.ParquetFile(glob.glob(f"{path}/*.parquet")[0])
+        y_idx = f.schema_arrow.names.index("y")
+        hit = total = 0
+        for g in range(f.metadata.num_row_groups):
+            rg = f.metadata.row_group(g)
+            st = rg.column(y_idx).statistics
+            total += rg.num_rows  # row-weighted: tiny tail groups don't skew
+            if st.min <= 64 and st.max >= 0:  # query box: y in [0, 64]
+                hit += rg.num_rows
+        return hit / total, f.metadata.num_row_groups
+
+    z_frac, z_groups = overlap_fraction([morton_key(["x", "y"], 10)])
+    x_frac, x_groups = overlap_fraction(["x"])
+    assert z_groups > 4 and x_groups > 4  # enough row groups to mean anything
+    assert x_frac >= 0.9  # x-sorted: nearly every row group spans all of y
+    assert z_frac <= x_frac / 2  # z-ordered: most row groups exclude the y-box
