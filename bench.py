@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "domain_mix_sample",
     "pack_sequences",
     "chunk_documents",
+    "salted_join_priority",
+    "morton_zorder_key",
     "contamination_3gram",
 ]
 

@@ -2051,6 +2051,71 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@_register("salted_join_priority", _SALTED_ORACLE)
+def salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted big⋈big equi-join (operators/skew.salted_join):
+    lineitem salted per-row, orders replicated per salt bucket — exactly
+    equivalent to the plain join, so the oracle IS the plain join."""
+    from edna_dbt_library_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        salted_join(li, o, ["l_orderkey"], "inner", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r2d(F.sum(_dec("l_extendedprice"))).alias("sum_price"),
+        )
+    )
+
+
+MORTON_BITS = 10
+
+
+def _morton_oracle() -> str:
+    terms = []
+    for d, c in enumerate(("qx", "qy")):
+        for b in range(MORTON_BITS):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + d})")
+    expr = " | ".join(terms)
+    return f"""
+WITH q AS (
+    SELECT o_orderkey,
+           (o_custkey & 1023)::BIGINT AS qx,
+           (floor(o_totalprice / 1000)::BIGINT & 1023) AS qy
+    FROM orders
+)
+SELECT o_orderkey, qx, qy, ({expr})::BIGINT AS zkey FROM q
+"""
+
+
+@_register("morton_zorder_key", _morton_oracle())
+def morton_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order interleave (functions/binary.morton_key) of quantized
+    (custkey, totalprice) — the multi-dimension CLUSTER BY sort key,
+    bit-identical across engines (pure integer shift/or algebra)."""
+    from edna_dbt_library_spark.functions.binary import morton_key
+
+    q = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(1023)).alias("qx"),
+        F.floor(F.col("o_totalprice") / 1000).bitwiseAND(F.lit(1023)).alias("qy"),
+    )
+    return q.select(
+        "o_orderkey", "qx", "qy", morton_key(["qx", "qy"], MORTON_BITS).alias("zkey")
+    )
+
+
 _BLOOM_ORACLE = """
 SELECT l_returnflag,
        count(*) AS n_items,
