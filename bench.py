@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q22_global_sales",
     "incremental_window_agg",
     "watermark_top1",
+    "topk_orders_per_priority",
     "merge_upsert_latest",
     "scd2_user_history",
     "sessionize_count",

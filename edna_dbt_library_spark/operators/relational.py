@@ -302,3 +302,26 @@ def scd2_intervals(
         nxt.alias(valid_to),
         nxt.isNull().alias(current_flag),
     )
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k-per-group via ROW_NUMBER() <= k — the generalization of
+    ``top1_per_key`` (reference watermark idiom, log_helpers.sql:100-106)
+    used for per-group leaderboards and candidate pruning.
+
+    One shuffle on the keys; Spark's WindowGroupLimit pushes the k-limit
+    into the sort so no group ever materializes more than k rows on the
+    reduce side. ``order_by`` must be a total order per group (unique
+    tiebreaker) for deterministic membership and ranks.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

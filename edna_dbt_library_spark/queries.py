@@ -2051,6 +2051,32 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+@_register("topk_orders_per_priority", _TOPK_ORACLE)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority (operators/relational.
+    topk_per_key): WindowGroupLimit keeps at most k rows per group on the
+    reduce side; id tiebreak makes membership and rank deterministic."""
+    from edna_dbt_library_spark.operators.relational import topk_per_key
+
+    return topk_per_key(
+        _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
 _SALTED_ORACLE = """
 SELECT o_orderpriority,
        count(*) AS n_items,

@@ -197,3 +197,18 @@ def test_scd2_intervals_tiebreaker_orders_equal_timestamps(spark):
     )
     out = sorted(scd2_intervals(df, ["k"], "ts", tiebreakers=["id"]).collect(), key=lambda r: r["id"])
     assert not out[0]["is_current"] and out[1]["is_current"]  # id breaks the tie
+
+
+def test_topk_per_key_membership_rank_and_group_limit(spark):
+    from edna_dbt_library_spark.operators.relational import topk_per_key
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    out = topk_per_key(df, ["g"], [F.col("v").desc()], 3)
+    rows = out.collect()
+    assert len(rows) == 15 and all(r["rank"] in (1, 2, 3) for r in rows)
+    top_g0 = sorted(r["v"] for r in rows if r["g"] == 0)
+    assert top_g0 == [85, 90, 95]
+    # the k-limit is pushed into the window sort
+    assert "WindowGroupLimit" in out._jdf.queryExecution().executedPlan().toString()
