@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "q18_large_volume",
     "q22_global_sales",
+    "q19_disjunctive_revenue",
     "incremental_window_agg",
     "watermark_top1",
     "topk_orders_per_priority",
