@@ -276,13 +276,19 @@ def bloom_build(
         .groupBy(F.shiftright("p", 6).alias("w"))
         .agg(F.expr("bit_or(shiftleft(1L, cast(p % 64 AS INT)))").alias("bits"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(num_words - 1)),
-        lambda w: F.coalesce(F.element_at("mp", w.cast("long")), F.lit(0).cast("long")),
+    # densify via a full word range + ordered collect: O(m log m) once.
+    # (A map-based transform would linear-scan the map per element —
+    # O(m²) ≈ 17M comparisons on one row for the default size.)
+    full = (
+        df.sparkSession.range(num_words)
+        .withColumnRenamed("id", "w")
+        .join(F.broadcast(words), "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mp")
-    ).select(dense.alias("bf"))
+    packed = F.array_sort(F.collect_list(F.struct("w", "bits")))
+    return full.agg(
+        F.transform(packed, lambda x: x["bits"]).alias("bf")
+    )
 
 
 def bloom_filter_rows(
