@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q18_large_volume",
     "q22_global_sales",
     "q19_disjunctive_revenue",
+    "q4_priority_with_late_ship",
     "incremental_window_agg",
     "watermark_top1",
     "topk_orders_per_priority",

@@ -2051,6 +2051,41 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}'
+  AND o_orderdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate::TIMESTAMP > o_orderdate::TIMESTAMP
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@_register("q4_priority_with_late_ship", _Q4_ORACLE)
+def q4_priority_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to fixture columns): correlated EXISTS
+    with a cross-table predicate — a left-semi join whose condition mixes
+    the key equality with the correlated comparison, all evaluated inside
+    the join (no post-filter materialization of matches)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 _Q19_ORACLE = """
 SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
