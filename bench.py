@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "merge_upsert_latest",
     "scd2_user_history",
     "sessionize_count",
+    "session_windows_native",
     "uuid_v3_customer",
     "hex_roundtrip",
     "ieee754_decode",

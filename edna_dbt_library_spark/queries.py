@@ -2051,6 +2051,46 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH x AS (
+    SELECT user_id, ts::TIMESTAMP AS ts,
+           CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP)
+                     < INTERVAL {SESSION_GAP_MIN} MINUTE THEN 0 ELSE 1 END AS brk
+    FROM events
+), g AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    FROM x
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+@_register("session_windows_native", _SESSION_WINDOW_ORACLE)
+def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (F.session_window — the
+    Structured-Streaming sessionization primitive, here in its batch
+    form): sessions merge while consecutive events are < gap apart and
+    the window end is last_event + gap. The oracle re-derives the same
+    sessions with the islands technique (lag + running break-sum)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            format_timestamp_utc(F.col("w.start")).alias("session_start"),
+            format_timestamp_utc(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _Q4_ORACLE = f"""
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
