@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q22_global_sales",
     "q19_disjunctive_revenue",
     "q4_priority_with_late_ship",
+    "q21_waiting_supplier",
     "incremental_window_agg",
     "watermark_top1",
     "topk_orders_per_priority",
