@@ -100,3 +100,57 @@ def test_ieee754_reconstruction_property(spark, xs):
     for r in out:
         expected = float(Decimal(r["x"]).quantize(Decimal("0.00001"), rounding=ROUND_HALF_UP))
         assert r["rt"] == expected
+
+
+@SETTLE
+@given(
+    st.lists(st.text(alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]), min_size=1, max_size=300), min_size=1, max_size=10),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=49),
+)
+def test_chunk_documents_reassembly_property(spark, texts, chunk, overlap):
+    """For ANY text and any valid (chunk, overlap): stride-concatenation of
+    the chunks reproduces the document exactly, every chunk is ≤ chunk
+    chars, and consecutive chunks overlap by exactly `overlap` chars."""
+    from hypothesis import assume
+
+    from edna_dbt_library_spark.operators.curation import chunk_documents
+
+    assume(overlap < chunk)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = chunk_documents(df, chunk, overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert all(len(r["chunk_text"]) <= chunk for r in rows)
+        rebuilt = rows[0]["chunk_text"] + "".join(r["chunk_text"][overlap:] for r in rows[1:])
+        assert rebuilt == text, (chunk, overlap, text)
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40), st.integers(min_value=0, max_value=2**40)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=21),
+)
+def test_morton_key_matches_python_property(spark, pairs, bits):
+    from edna_dbt_library_spark.functions import morton_key
+
+    def py_morton(vals):
+        key = 0
+        for d, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for b in range(bits):
+                key |= ((v >> b) & 1) << (b * len(vals) + d)
+        return key
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [r["m"] for r in df.select(morton_key(["x", "y"], bits).alias("m")).collect()]
+    assert got == [py_morton(p) for p in [tuple(p) for p in pairs]]
