@@ -25,6 +25,7 @@ Spark-first design (not a translation):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -350,9 +351,14 @@ def run_incremental_partition_merge(
     # BigQuery MERGE errors when multiple source rows match one target row;
     # a key-duplicated batch would silently multiply rows through the outer
     # join, so the same contract is enforced here. One aggregation over the
-    # (cached) batch — batch-sized work, never target-sized.
+    # (cached) batch — batch-sized work, never target-sized. Rows with a
+    # NULL merge key are excluded: `s.k = t.k` is never TRUE for NULL, so
+    # they can match nothing (each inserts, exactly like the reference's
+    # MERGE, incremental_partition_merge.sql:247-264).
+    nonnull_keys = functools.reduce(lambda a, b: a & b, (F.col(k).isNotNull() for k in keys))
     dup = (
-        batch.groupBy(*keys)
+        batch.where(nonnull_keys)
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
         .limit(1)
@@ -366,13 +372,19 @@ def run_incremental_partition_merge(
             "operators.latest_by_key)"
         )
 
-    s = batch.alias("s")
-    t = target_touched.alias("t")
+    # Side-presence is tracked with non-nullable marker columns, NOT key
+    # nullability: a target row whose unique_key is NULL never matches
+    # (NULL = NULL is not TRUE) and must pass through untouched — the
+    # reference's MERGE has no WHEN NOT MATCHED BY SOURCE clause
+    # (incremental_partition_merge.sql:247-264), so unmatched target rows
+    # (NULL-keyed ones included) are never updated or deleted.
+    s = batch.withColumn("__s_exists", F.lit(1)).alias("s")
+    t = target_touched.withColumn("__t_exists", F.lit(1)).alias("t")
     on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys]
     joined = t.join(s, on, "full_outer")
 
-    matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
-    s_only = F.col(f"t.{keys[0]}").isNull()
+    matched = F.col("t.__t_exists").isNotNull() & F.col("s.__s_exists").isNotNull()
+    s_only = F.col("t.__t_exists").isNull()
     if config.event_time:
         # WHEN MATCHED AND S.ev > T.ev (:116-119); otherwise keep T
         take_s = matched & (F.col(f"s.{config.event_time}") > F.col(f"t.{config.event_time}"))

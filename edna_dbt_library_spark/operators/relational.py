@@ -88,8 +88,15 @@ def window_filter(df: DataFrame, ts_col: str, lower_exclusive: str | None, upper
     raw = f"_{ts_col}_ns"
     if raw in df.columns:
         def _epoch_us(s: str) -> int:
+            # Integer arithmetic, NOT float timestamp()*1e6: the float ulp
+            # at ~2026 epoch seconds is ~0.45 us, so multiply-then-truncate
+            # can land one microsecond low and silently exclude a row at
+            # the inclusive window end (which the next run's exclusive
+            # lower bound then skips forever).
             dt = _dt.datetime.fromisoformat(s.replace(" UTC", ""))
-            return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (dt - epoch) // _dt.timedelta(microseconds=1)
 
         # converted_us = floor(ns/1000), so converted <= hi  <=>  ns <= hi_us*1000 + 999
         # and converted > lo  <=>  ns >= (lo_us+1)*1000  =>  ns > lo_us*1000 + 999

@@ -271,6 +271,44 @@ def test_merge_key_outside_touched_partitions_duplicates(spark, wh):
     assert sorted(wh.partitions(target)) == ["2024-01-01", "2024-01-02"]
 
 
+def test_merge_null_key_target_rows_pass_through_untouched(spark, wh):
+    """A target row with a NULL unique_key never matches any source row
+    (NULL = NULL is not TRUE) and the reference MERGE has no WHEN NOT
+    MATCHED BY SOURCE clause (incremental_partition_merge.sql:247-264) —
+    so merging an unrelated batch into the same partition must leave the
+    NULL-keyed row byte-identical, not NULL out its columns."""
+    target = wh.relation("analytics_curated", "state_nullkey")
+    cfg = PartitionMergeConfig(
+        partition_by=PartitionSpec("ts"), unique_key="event_id", event_time="ts"
+    )
+    b1 = _batch(spark, [
+        (None, TS(2024, 1, 1, 12), 77, 1.5),  # NULL-keyed row
+        (1, TS(2024, 1, 1, 10), 100, 1.0),
+    ])
+    run_incremental_partition_merge(wh, target, b1, cfg)
+    # merge an unrelated key into the SAME partition
+    b2 = _batch(spark, [(2, TS(2024, 1, 1, 11), 101, 2.0)])
+    run_incremental_partition_merge(wh, target, b2, cfg)
+    rows = read_table(wh, target).collect()
+    nulls = [r for r in rows if r["event_id"] is None]
+    assert len(nulls) == 1
+    assert nulls[0]["ts"] == TS(2024, 1, 1, 12)
+    assert nulls[0]["user_id"] == 77 and nulls[0]["value"] == 1.5
+    assert len(rows) == 3
+
+    # NULL-keyed SOURCE rows match nothing either: each one inserts, and
+    # two NULL-keyed batch rows are NOT a duplicate-key error (they can't
+    # both match one target row — they match none).
+    b3 = _batch(spark, [
+        (None, TS(2024, 1, 1, 13), 88, 3.0),
+        (None, TS(2024, 1, 1, 14), 99, 4.0),
+    ])
+    run_incremental_partition_merge(wh, target, b3, cfg)
+    rows = read_table(wh, target).collect()
+    assert len([r for r in rows if r["event_id"] is None]) == 3
+    assert len(rows) == 5
+
+
 def test_merge_partition_field_update_moves_row_and_drops_empty_dir(spark, wh):
     """A matched UPDATE that changes the partition field relocates the row
     (no duplicate), and a touched partition left empty by the move has its
@@ -295,6 +333,42 @@ def test_merge_partition_field_update_moves_row_and_drops_empty_dir(spark, wh):
     assert state[1]["ts"] == TS(2024, 1, 2, 8) and state[1]["value"] == 10.0
     assert state[2]["ts"] == TS(2024, 1, 2, 10) and state[2]["value"] == 2.0
     assert wh.partitions(target) == ["2024-01-02"]  # emptied Jan 1 dropped
+
+
+def test_window_filter_raw_ns_bound_is_exact_at_inclusive_end(spark):
+    """The raw `_ts_ns` superset bound must be computed with integer
+    arithmetic: a float `timestamp()*1e6` can truncate one microsecond low,
+    excluding a row exactly at the inclusive window end that the exact
+    timestamp predicate keeps — and the next run's exclusive lower bound
+    then skips it forever (at-least-once watermark violation)."""
+    import datetime as _dt
+
+    from edna_dbt_library_spark.operators.relational import window_filter
+
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    hi = "2026-03-01 12:34:56.789123"
+    hi_dt = _dt.datetime.fromisoformat(hi).replace(tzinfo=_dt.timezone.utc)
+    hi_us = (hi_dt - epoch) // _dt.timedelta(microseconds=1)
+    # boundary row: exactly at the inclusive end, with max sub-us nanos
+    # (converted value floor(ns/1000) == hi_us, so it MUST be kept)
+    rows = [
+        (1, hi_us * 1000 + 999),   # at inclusive end -> keep
+        (2, hi_us * 1000),         # at inclusive end -> keep
+        (3, (hi_us + 1) * 1000),   # 1us past the end -> drop
+    ]
+    # exact integer division, like sources.tables.load_table (double `/`
+    # would lose precision at ~1.7e18 ns)
+    df = spark.createDataFrame(rows, "id bigint, _ts_ns bigint").withColumn(
+        "ts", F.timestamp_micros(F.expr("_ts_ns div 1000"))
+    )
+    kept = sorted(r["id"] for r in window_filter(df, "ts", None, hi).collect())
+    assert kept == [1, 2]
+    # and the same boundary as an exclusive LOWER bound drops both end rows
+    kept_lo = sorted(
+        r["id"]
+        for r in window_filter(df, "ts", hi, "2027-01-01 00:00:00").collect()
+    )
+    assert kept_lo == [3]
 
 
 def test_incremental_log_rejects_copy_partitions(spark, wh):
