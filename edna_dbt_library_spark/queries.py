@@ -1229,11 +1229,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
 FROM events GROUP BY user_id
 """
 
@@ -1458,8 +1458,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = f"""
 SELECT o_orderpriority,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
-       sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS returned_count,
+       sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS kept_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate::TIMESTAMP >= TIMESTAMP '{Q5_LO}'
   AND l_shipdate::TIMESTAMP < TIMESTAMP '{Q5_HI}'

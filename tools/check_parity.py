@@ -27,16 +27,26 @@ TABLES = (
 
 
 def canon_cell(v):
+    """Type-faithful canonicalization: a DuckDB HUGEINT (Decimal via Arrow)
+    must NOT equal a Spark BIGINT (int) even when the numeric values agree —
+    the driver's gate hashes typed values, and r1's q12/pivot hash-fails
+    were exactly this class being masked by a plain str()."""
+    import decimal
+
     if v is None:
         return "\x00NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NaN"
         # full-precision double repr: bit-identical doubles -> identical repr
-        return repr(v)
-    if isinstance(v, bool):
-        return f"bool:{v}"
-    return str(v)
+        return f"float:{v!r}"
+    return f"{type(v).__name__}:{v}"
 
 
 def canon_rows(cols, rows):
@@ -78,8 +88,11 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Arrow fetch, not fetchall(): HUGEINT surfaces as Decimal here
+            # (as the driver sees it) instead of a plain Python int.
+            tbl = res.arrow()
+            d_cols = list(tbl.schema.names)
+            d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
