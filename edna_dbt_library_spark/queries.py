@@ -1728,23 +1728,31 @@ WITH revenue AS (
                           * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem
     GROUP BY l_suppkey
-), ranked AS (
-    SELECT s.s_suppkey, s.s_name, n.n_name, r.total_revenue,
-           row_number() OVER (ORDER BY r.total_revenue DESC, s.s_suppkey) AS rnk
+), top10 AS (
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.total_revenue
     FROM revenue r
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY r.total_revenue DESC, s.s_suppkey
+    LIMIT 10
 )
-SELECT s_suppkey, s_name, n_name, total_revenue, rnk
-FROM ranked WHERE rnk <= 10
+SELECT s_suppkey, s_name, n_name, total_revenue,
+       row_number() OVER (ORDER BY total_revenue DESC, s_suppkey) AS rnk
+FROM top10
 """
 
 
 @_register("top_suppliers_sql", _TOP_SUPPLIERS_SQL)
 def top_suppliers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text entry path: the engine registers the tables as views
-    and executes ANSI SQL directly (CTE + join + global window rank) — the
-    same string runs on Spark and on the oracle engine verbatim."""
+    and executes ANSI SQL directly — the same string runs on Spark and on
+    the oracle engine verbatim.
+
+    Scale shape: the global top-k is `ORDER BY ... LIMIT 10` (Spark plans
+    TakeOrderedAndProject — per-partition top-k + driver merge, never a
+    full global sort), and the unpartitioned row_number() window runs over
+    only the 10 surviving rows, so no data-sized single-partition WindowExec
+    exists at any scale (tests/test_plans.py asserts the plan)."""
     from edna_dbt_library_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)

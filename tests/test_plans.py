@@ -49,6 +49,21 @@ def test_no_sort_merge_joins_in_headline_queries(spark, name):
     assert "SortMergeJoin" not in plan
 
 
+def test_top_suppliers_topk_never_windows_full_data(spark):
+    """The global top-10 must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge); the unpartitioned row_number window may only run
+    over the ≤10 rows ABOVE that limit — a data-sized single-partition
+    WindowExec funnels every supplier through one task at scale."""
+    plan = plan_text(Q.queries()["top_suppliers_sql"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    # formatted-plan tree: Window's operator id must be AFTER (above) the
+    # TakeOrderedAndProject node, i.e. the window consumes the limited rows
+    m_win = re.search(r"\((\d+)\) Window", plan)
+    m_top = re.search(r"\((\d+)\) TakeOrderedAndProject", plan)
+    assert m_win and m_top
+    assert int(m_win.group(1)) > int(m_top.group(1)), plan
+
+
 def test_frame_planner_has_no_python_udf(spark):
     from edna_dbt_library_spark.operators import attach_fake_media, plan_frame_samples
     from edna_dbt_library_spark.sources.tables import load_table
