@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "stream_window_counts",
     "multimodal_decode",
     "uuid_v5_events",
-    "grouped_pandas_rank",
+    "grouped_theilsen_slope",
     "asof_latest_order",
     "range_attribution",
     "dedup_clusters",

@@ -1653,31 +1653,73 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GROUPED_RANK_ORACLE = """
-SELECT user_id, event_id,
-       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
-       count(*) OVER (PARTITION BY user_id) AS n_user_events
-FROM events
+_THEILSEN_ORACLE = """
+WITH p AS (
+    SELECT a.user_id,
+           (b.value - a.value) / (b.event_id - a.event_id) AS slope
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id
+)
+SELECT user_id,
+       round(median(slope), 6) + 0.0 AS theilsen_slope,
+       count(*)::BIGINT AS n_pairs
+FROM p GROUP BY user_id
 """
 
 
-@_register("grouped_pandas_rank", _GROUPED_RANK_ORACLE)
-def grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-user dense event ranking computed in
-    pandas (Arrow batches, one group per call) — the custom-stateful-logic
-    escape hatch, here with semantics a window oracle can verify."""
+@_register("grouped_theilsen_slope", _THEILSEN_ORACLE)
+def grouped_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas escape hatch, demonstrated on work a
+    built-in Column expression genuinely cannot express: the Theil–Sen
+    robust slope (median of all O(n²) pairwise slopes) of value over the
+    per-user event sequence.
+
+    Why Pandas here and not SQL: the relational formulation is a per-group
+    SELF-JOIN — it materializes and shuffles every pair (the oracle does
+    exactly that, which is fine for DuckDB at sf0.01). The grouped-map
+    form shuffles each group ONCE and builds the pair set in memory with
+    numpy, which is the right trade as long as single groups stay
+    driver-bounded (n_pairs is emitted so skewed groups are observable).
+    np.quantile(..., method='linear') matches DuckDB median's
+    quantile_cont interpolation; final rounding happens JVM-side with
+    F.round so half-away semantics match the oracle's round()."""
+    import numpy as np
     import pandas as pd
 
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
-    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True]).reset_index(drop=True)
-        pdf["value_rank"] = pdf.index + 1
-        pdf["n_user_events"] = len(pdf)
-        return pdf[["user_id", "event_id", "value_rank", "n_user_events"]]
+    def ts_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "theilsen_slope": pd.Series([], dtype="float64"),
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("event_id")
+        x = pdf["event_id"].to_numpy(dtype="int64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        i, j = np.triu_indices(n, k=1)
+        slopes = (y[j] - y[i]) / (x[j] - x[i])
+        med = float(np.quantile(slopes, 0.5, method="linear"))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "theilsen_slope": [med],
+                "n_pairs": [len(slopes)],
+            }
+        )
 
-    return e.groupBy("user_id").applyInPandas(
-        rank_group, "user_id bigint, event_id bigint, value_rank long, n_user_events long"
+    out = e.groupBy("user_id").applyInPandas(
+        ts_group, "user_id bigint, theilsen_slope double, n_pairs bigint"
+    )
+    return out.select(
+        "user_id",
+        (F.round("theilsen_slope", 6) + F.lit(0.0)).alias("theilsen_slope"),
+        "n_pairs",
     )
 
 
