@@ -633,17 +633,50 @@ def ieee754_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", (val + F.lit(0.0)).alias("reconstructed"))
 
 
-@_register("uuid_v5_events", None)  # no oracle: DuckDB 1.0 lacks sha1 — rows-only
+def _uuid5_oracle() -> str:
+    """DuckDB 1.0 has no sha1, so the oracle carries precomputed RFC-4122
+    uuid.uuid5 vectors (a VALUES table for the 50 user buckets and the 5
+    event types) inner-joined against the fixture-derived grid — if the
+    fixture ever produces a name outside the vector set, the join drops
+    rows and the gate fails honestly."""
+    import uuid as _uuid
+
+    ns = _uuid.UUID(NS_UUID5)
+    ku = ",\n           ".join(f"({k}, '{_uuid.uuid5(ns, f'u{k}')}')" for k in range(50))
+    types = ["click", "error", "purchase", "signup", "view"]
+    tu = ",\n           ".join(f"('{t}', '{_uuid.uuid5(ns, t)}')" for t in types)
+    return f"""
+WITH grid AS (
+    SELECT DISTINCT (user_id % 50)::BIGINT AS user_bucket, event_type FROM events
+), ku(b, user_bucket_uuid) AS (
+    VALUES {ku}
+), tu(t, event_type_uuid) AS (
+    VALUES {tu}
+)
+SELECT g.user_bucket, g.event_type, u.user_bucket_uuid, t.event_type_uuid
+FROM grid g
+JOIN ku u ON u.b::BIGINT = g.user_bucket
+JOIN tu t ON t.t = g.event_type
+"""
+
+
+@_register("uuid_v5_events", _uuid5_oracle())
 def uuid_v5_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship scalar — SHA-1 UUIDv5 correlation ids
-    (macros/utils/uuid_generation.sql:1-46). Verified against Python's
-    RFC-4122 uuid.uuid5 in tests/test_uuid.py; registered without an
-    oracle because the oracle engine has no sha1."""
+    (macros/utils/uuid_generation.sql:1-46), computed over the
+    fixture-derived (user bucket, event type) name grid and gated against
+    precomputed RFC-4122 ``uuid.uuid5`` vectors (the oracle engine has no
+    sha1 of its own). Bulk whole-table coverage stays in tests/test_uuid.py
+    and the flagship entry query."""
     e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        uuid_v5(F.col("user_id").cast("string"), NS_UUID5).alias("user_uuid"),
-        uuid_v5(F.concat_ws("|", "user_id", "event_type"), NS_UUID5).alias("user_event_uuid"),
+    grid = e.select((F.col("user_id") % 50).alias("user_bucket"), "event_type").distinct()
+    return grid.select(
+        "user_bucket",
+        "event_type",
+        uuid_v5(F.concat(F.lit("u"), F.col("user_bucket").cast("string")), NS_UUID5).alias(
+            "user_bucket_uuid"
+        ),
+        uuid_v5(F.col("event_type"), NS_UUID5).alias("event_type_uuid"),
     )
 
 
@@ -950,28 +983,13 @@ def contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, n=CONTAM_N)
 
 
-@_register("dedup_clusters", None)  # iterative fixpoint: not SQL-expressible -> rows-only
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-components dedup clusters over capped-LSH candidate pairs
-    (operators/dedup.duplicate_clusters): every doc labeled with its
-    cluster's min doc id. Iterative label propagation with a driver-side
-    convergence loop — the documented non-SQL-expressible case."""
-    from edna_dbt_library_spark.operators.dedup import duplicate_clusters
-
-    pairs = lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS, max_bucket_size=64
-    )
-    return duplicate_clusters(pairs)
-
-
 LSH_BUCKET_CAP = 256
 
 
-def _minhash_capped_oracle() -> str:
-    base = _minhash_oracle()
-    # same pipeline with the stop-bucket cap: buckets larger than
-    # LSH_BUCKET_CAP are non-discriminative and dropped before pairing
-    return base.replace(
+def _capped_pairs_sql(cap: int) -> str:
+    """The minhash-LSH pair pipeline with the stop-bucket cap: buckets
+    larger than `cap` are non-discriminative and dropped before pairing."""
+    return _minhash_oracle().replace(
         """)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -979,12 +997,53 @@ FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id 
         f"""), capped AS (
     SELECT doc_id, band, sig
     FROM (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM buckets)
-    WHERE bn <= {LSH_BUCKET_CAP}
+    WHERE bn <= {cap}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """,
     )
+
+
+def _minhash_capped_oracle() -> str:
+    return _capped_pairs_sql(LSH_BUCKET_CAP)
+
+
+def _clusters_oracle() -> str:
+    """Min-label connected components as a recursive transitive closure:
+    every node's full reachable set, then min per node. Quadratic in
+    component size — fine as a sf0.01 gate oracle; the Spark operator is
+    the O(diameter)-round scale path."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_capped_pairs_sql(64)}
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, other) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+)
+SELECT node::BIGINT AS doc_id, min(other)::BIGINT AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@_register("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clusters over capped-LSH candidate pairs
+    (operators/dedup.duplicate_clusters): every doc labeled with its
+    cluster's min doc id. Iterative label propagation with a driver-side
+    convergence loop; the oracle re-derives the same labels with a
+    DuckDB WITH RECURSIVE transitive closure."""
+    from edna_dbt_library_spark.operators.dedup import duplicate_clusters
+
+    pairs = lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), MINHASH_N, MINHASH_BANDS, max_bucket_size=64
+    )
+    return duplicate_clusters(pairs)
 
 
 @_register("dedup_minhash_lsh_capped", _minhash_capped_oracle())
