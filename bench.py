@@ -98,7 +98,7 @@ def sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
-    registry = _q.queries()
+    registry = _q.all_queries()
     spark = get_spark(app_name="edna-spark-bench")
     # warm the JVM + parquet footers once so per-query times measure the
     # queries, not session startup

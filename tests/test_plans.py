@@ -6,9 +6,15 @@ import re
 
 import pytest
 
-from edna_dbt_library_spark import queries as Q
+from edna_dbt_library_spark import queries as _qmod
 
 SF = "/root/testdata/sf0.001"
+
+
+class Q:  # plan tests cover core and extra-registry queries alike
+    @staticmethod
+    def queries():
+        return _qmod.all_queries()
 
 
 def plan_text(df) -> str:

@@ -60,11 +60,14 @@ def canon_rows(cols, rows):
 
 def main():
     filters = sys.argv[1:]
-    import __spark_entry__ as entrymod
+    from edna_dbt_library_spark import queries as qmod
     from edna_dbt_library_spark.session import get_spark
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # full registry: the driver-facing CORE_ORDER 50 plus the locally-
+    # verified extras; CORE entries are checked first
+    core = set(qmod.CORE_ORDER)
+    qs = {**qmod.queries(), **qmod.extra_queries()}
+    oracles = qmod.all_oracle_sql()
     names = [n for n in qs if not filters or any(f in n for f in filters)]
 
     spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
@@ -115,8 +118,9 @@ def main():
                 for a, b in diffs:
                     print(f"    spark : {a[:220]}")
                     print(f"    duckdb: {b[:220]}")
+        tag = "" if name in core else " [extra]"
         if ok:
-            print(f"OK   {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+            print(f"OK   {name}{tag}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
 
