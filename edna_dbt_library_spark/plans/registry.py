@@ -91,7 +91,13 @@ class Runner:
         node = model.node
         spark = self.wh.spark
         target = self.target_relation(model)
+        from edna_dbt_library_spark.plans.grants import validate_grant_config
         from edna_dbt_library_spark.sources.tables import strip_raw_ns_cols
+
+        # validate the grants config up front (dbt: compile-time error),
+        # before any data is written
+        validate_grant_config(node.config.get("grants"))
+        existed_before = self.wh.exists(target)
 
         df = strip_raw_ns_cols(model.build(spark))
 
@@ -136,6 +142,25 @@ class Runner:
             result = {"action": "view", "relation": target}
         else:
             raise ValueError(f"unknown materialization '{model.materialization}'")
+
+        if model.materialization != "view":
+            # grants + persisted-docs epilogue (reference:
+            # incremental_log.sql:161-166). should_revoke mirrors dbt: only
+            # a replaced relation invalidates standing grants — a no-op /
+            # pure-append incremental run keeps them and merges new ones.
+            from edna_dbt_library_spark.plans.grants import apply_grants, persist_docs
+
+            full_refresh = bool(getattr(model.mat_config, "full_refresh", False))
+            replaced = (
+                model.materialization == "table"
+                or full_refresh
+                or result.get("action") in ("create", "create_empty")
+            )
+            should_revoke = existed_before and replaced
+            result["grants"] = apply_grants(
+                self.wh, target, node.config.get("grants"), should_revoke
+            )
+            result["persisted_docs"] = persist_docs(self.wh, target, node)
 
         if register_metadata and model.materialization != "view":
             register_dataproduct_metadata(

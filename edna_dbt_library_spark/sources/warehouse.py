@@ -55,6 +55,13 @@ class TableMeta:
     cluster_by: list[str] = field(default_factory=list)
     schema_json: str | None = None
     schema_evolved: bool = False  # files with heterogeneous schemas present
+    # grants/docs carried through the runner (reference:
+    # incremental_log.sql:27,161-166 apply_grants/persist_docs). Parquet
+    # paths have no ACL engine, so the orchestration surface RECORDS them
+    # here (and catalog labels) instead of enforcing.
+    grants: dict | None = None  # privilege -> [grantees]
+    description: str | None = None
+    column_descriptions: dict | None = None  # column -> description
 
 
 class Warehouse:
@@ -100,6 +107,9 @@ class Warehouse:
                     "cluster_by": meta.cluster_by,
                     "schema_json": meta.schema_json,
                     "schema_evolved": meta.schema_evolved,
+                    "grants": meta.grants,
+                    "description": meta.description,
+                    "column_descriptions": meta.column_descriptions,
                 },
                 f,
             )
@@ -114,6 +124,9 @@ class Warehouse:
                 cluster_by=list(d.get("cluster_by") or []),
                 schema_json=d.get("schema_json"),
                 schema_evolved=bool(d.get("schema_evolved", False)),
+                grants=d.get("grants"),
+                description=d.get("description"),
+                column_descriptions=d.get("column_descriptions"),
             )
         except FileNotFoundError:
             return TableMeta()

@@ -238,3 +238,97 @@ def test_runner_contract_failures(spark, wh):
     runner.register(Model(node=node3, builder=lambda s: s.range(1)))
     with pytest.raises(ContractError, match="description"):
         runner.run("no_desc")
+
+
+# ---------------------------------------------------------------------------
+# grants + persist_docs epilogue (reference: incremental_log.sql:27,161-166)
+
+
+def test_grants_and_persist_docs_roundtrip(spark, wh):
+    from edna_dbt_library_spark.operators.materializations import IncrementalLogConfig
+
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(
+        name="granted",
+        fqn=["analytics", "sales", "curated", "granted"],
+        config={
+            "grants": {"roles/viewer": ["user:a@x", "group:g@x"], "roles/editor": "user:e@x"},
+            "persist_docs": {"relation": True, "columns": True},
+        },
+        description="granted model",
+        columns={"id": {"description": "the id"}},
+    )
+    runner.register(Model(node=node, builder=lambda s: s.range(3).select(F.col("id"))))
+    result = runner.run("granted", validate=False, register_metadata=False)
+    target = result["relation"]
+    # string grantee normalized to a list; lists deduped+sorted
+    assert result["grants"] == {
+        "roles/viewer": ["group:g@x", "user:a@x"],
+        "roles/editor": ["user:e@x"],
+    }
+    meta = wh.read_meta(target)
+    assert meta.grants == result["grants"]
+    assert meta.description == "granted model"
+    assert meta.column_descriptions == {"id": "the id"}
+
+    # table rebuild replaces the relation -> standing grants revoked:
+    # recorded state becomes exactly the new config
+    node.config["grants"] = {"roles/viewer": ["user:b@x"]}
+    result2 = runner.run("granted", validate=False, register_metadata=False)
+    assert result2["grants"] == {"roles/viewer": ["user:b@x"]}
+    assert wh.read_meta(target).grants == {"roles/viewer": ["user:b@x"]}
+
+
+def test_grants_merge_on_incremental_append(spark, wh):
+    import datetime as dt
+
+    from edna_dbt_library_spark.operators.materializations import IncrementalLogConfig
+
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(
+        name="inc_granted",
+        fqn=["analytics", "sales", "curated", "inc_granted"],
+        config={"grants": {"roles/viewer": ["user:a@x"]}},
+    )
+
+    def builder(s):
+        return s.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10))], "id bigint, ts timestamp"
+        )
+
+    runner.register(
+        Model(
+            node=node,
+            builder=builder,
+            materialization="incremental_log",
+            mat_config=IncrementalLogConfig(run_window_column="ts", dev_ci=False),
+        )
+    )
+    r1 = runner.run("inc_granted", validate=False, register_metadata=False)
+    assert r1["grants"] == {"roles/viewer": ["user:a@x"]}
+    # in-place append keeps standing grants and merges new ones (no revoke)
+    node.config["grants"] = {"roles/viewer": ["user:b@x"]}
+    r2 = runner.run("inc_granted", validate=False, register_metadata=False)
+    assert r2["grants"] == {"roles/viewer": ["user:a@x", "user:b@x"]}
+
+
+def test_grants_validation_rejects_malformed_config(spark, wh):
+    from edna_dbt_library_spark.plans.grants import validate_grant_config
+
+    with pytest.raises(ValueError, match="mapping"):
+        validate_grant_config(["roles/viewer"])
+    with pytest.raises(ValueError, match="privilege"):
+        validate_grant_config({"": ["user:a@x"]})
+    with pytest.raises(ValueError, match="grantees"):
+        validate_grant_config({"roles/viewer": [1, 2]})
+    # a model with a bad grants config fails BEFORE writing anything
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(
+        name="badgrant",
+        fqn=["analytics", "sales", "curated", "badgrant"],
+        config={"grants": "roles/viewer"},
+    )
+    runner.register(Model(node=node, builder=lambda s: s.range(1)))
+    with pytest.raises(ValueError, match="mapping"):
+        runner.run("badgrant", validate=False, register_metadata=False)
+    assert not wh.exists(runner.target_relation(runner.models["badgrant"]))
