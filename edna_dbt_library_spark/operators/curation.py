@@ -33,8 +33,10 @@ from edna_dbt_library_spark.operators.dedup import minhash_word_value
 
 def hash_permille(key: Column) -> Column:
     """Deterministic uniform value in [0, 1000) from the md5 of ``key``
-    (cast to string) — the engine-portable sampling coin."""
-    return F.pmod(minhash_word_value(key.cast("string")), F.lit(1000))
+    (cast to string) — the engine-portable sampling coin. Pinned to the
+    md5 path (fast=False): sample MEMBERSHIP must never change because a
+    performance flag (SPARK_GRAFT_FAST_HASH) was flipped."""
+    return F.pmod(minhash_word_value(key.cast("string"), fast=False), F.lit(1000))
 
 
 def deterministic_sample(
@@ -150,7 +152,9 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    shard = F.pmod(minhash_word_value(F.col(id_col).cast("string")), F.lit(num_shards))
+    # shard assignment pinned to md5 (fast=False): packed-sequence layout
+    # must not change when the perf flag flips
+    shard = F.pmod(minhash_word_value(F.col(id_col).cast("string"), fast=False), F.lit(num_shards))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

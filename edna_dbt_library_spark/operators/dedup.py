@@ -74,9 +74,33 @@ MINHASH_A = (1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841, 154
 MINHASH_B = (15487469, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939)
 
 
-def minhash_word_value(word: Column) -> Column:
-    """60-bit integer base hash of a word (15 hex chars of md5 — fits a
-    signed long in every engine)."""
+# Opt-in production hash fast path: xxhash64 stays entirely inside
+# whole-stage codegen (one JVM hash call) where the md5 route pays
+# digest → hex string → substring → base-conversion per shingle — the CPU
+# dominator of the dedup/decontamination family (~43% of bench r1).
+# md5 remains the default because it is the engine-portable oracle hash:
+# the DuckDB gate reproduces it bit-for-bit, which xxhash64 (Spark-
+# specific seed/variant) cannot. Flip per call (fast=True) or per run
+# (SPARK_GRAFT_FAST_HASH=1) in production where no cross-engine parity
+# gate applies; candidate quality is equivalent (both are uniform 60-bit
+# hashes) but bucket contents — and would-be collisions — differ.
+FAST_HASH_ENV = "SPARK_GRAFT_FAST_HASH"
+
+
+def _fast_hash_default() -> bool:
+    import os
+
+    return os.environ.get(FAST_HASH_ENV, "").strip().lower() not in ("", "0", "false")
+
+
+def minhash_word_value(word: Column, fast: bool | None = None) -> Column:
+    """60-bit integer base hash of a word. Default: 15 hex chars of md5
+    (fits a signed long in every engine, oracle-portable). fast=True (or
+    SPARK_GRAFT_FAST_HASH=1): xxhash64 masked to the same 60-bit range."""
+    if fast is None:
+        fast = _fast_hash_default()
+    if fast:
+        return F.xxhash64(word).bitwiseAND(F.lit((1 << 60) - 1))
     return F.conv(F.substring(F.md5(word), 1, 15), 16, 10).cast("long")
 
 
@@ -321,8 +345,7 @@ def simhash(
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
     words = _fan_out(docs).select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
-    words = words.withColumn("h", h)
+    words = words.withColumn("h", minhash_word_value(F.col("w")))
     sums = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)

@@ -207,3 +207,39 @@ def test_chunk_documents_short_empty_and_validation(spark):
     assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["chunk_text"] == "ab"
     with pytest.raises(ValueError):
         chunk_documents(df, 10, 10)
+
+
+def test_fast_hash_flag_speeds_shingles_without_changing_semantics(spark, monkeypatch):
+    """SPARK_GRAFT_FAST_HASH swaps the shingle hash (md5 chain ->
+    xxhash64): contamination output is identical on collision-free data,
+    the sampling coin is PINNED to md5 (membership never moves with a perf
+    flag), and the fast expression contains no md5 call."""
+    from edna_dbt_library_spark.operators.dedup import minhash_word_value
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    base = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_flags(corpus, bench, n=3).collect()
+    }
+    coin_base = {r["k"] for r in deterministic_sample(_ids(spark), "k", 100).collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    fast = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_flags(corpus, bench, n=3).collect()
+    }
+    assert fast == base and len(base) > 0
+    coin_fast = {r["k"] for r in deterministic_sample(_ids(spark), "k", 100).collect()}
+    assert coin_fast == coin_base
+
+    # the fast expression is md5-free and stays in the 60-bit range
+    expr = str(minhash_word_value(F.lit("w"))._jc)
+    assert "md5" not in expr and "xxhash64" in expr
+    row = spark.range(1).select(
+        minhash_word_value(F.lit("hello")).alias("h")
+    ).collect()[0]
+    assert 0 <= row["h"] < (1 << 60)
