@@ -33,7 +33,11 @@ def main() -> None:
         "| query | BHJ | SMJ | Exch | push | notes |",
         "|---|---|---|---|---|---|",
     ]
-    for name, fn in entrymod.queries().items():
+    from edna_dbt_library_spark import queries as qmod
+
+    audited = {**qmod.queries(), **qmod.extra_queries()}
+    core = set(qmod.CORE_ORDER)
+    for name, fn in audited.items():
         try:
             df = fn(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -52,8 +56,10 @@ def main() -> None:
         notes = []
         if "InMemoryTableScan" in plan or "LocalTableScan" in plan and "Scan parquet" not in plan:
             notes.append("materialized input")
-        if "mapInPandas" in plan.lower() or "FlatMapGroupsInPandas" in plan:
+        if "mapinpandas" in plan.lower() or "FlatMapGroupsInPandas" in plan:
             notes.append("arrow-batched python")
+        if name not in core:
+            notes.append("extra")
         lines.append(
             f"| {name} | {bhj} | {smj} | {exch} | {nontrivial}/{len(pushed)} | {', '.join(notes)} |"
         )
