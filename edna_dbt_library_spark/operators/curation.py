@@ -191,35 +191,38 @@ def contamination_flags(
     heldout benchmark set — the decontamination sweep run before training
     so eval data does not leak into the corpus.
 
-    Both sides explode to distinct n-gram shingles hashed to 60-bit longs
-    (compact shuffle keys; both engines hash identically so the oracle
-    reproduces even would-be collisions). The benchmark's distinct shingle
-    hashes are broadcast by default — the corpus side then never shuffles:
-    a 100 TB scan joins map-side against a few-MB eval set.
+    Broadcast mode (the default, and the 100 TB path): the benchmark's
+    distinct shingle STRINGS are broadcast and the corpus side joins
+    map-side — no corpus shuffle, and no hashing at all on the big side.
+    Hashing every corpus shingle buys nothing here (the compact-key
+    argument only applies to shuffle keys) and was the CPU dominator of
+    bench r1 (md5 → hex → base-conversion per shingle); the string join
+    is also exact — no hash-collision false hits.
+
+    Shuffle mode (``broadcast_benchmark=False``, for an eval set too big
+    to broadcast): both sides reduce to 60-bit shingle hashes first so the
+    shuffle moves 8-byte keys instead of raw n-gram strings; collisions
+    can add spurious hits at ~2^-60 per pair.
 
     Output: (id, n_hits) for contaminated documents only, where n_hits
-    counts the distinct overlapping shingles.
+    counts the distinct overlapping shingles (array_distinct before the
+    explode + bench-side distinct ⇒ a plain count, no distinct-agg state).
     """
-    def shingle_hashes(df: DataFrame) -> DataFrame:
+    def shingle_rows(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
-        ).select(id_col, minhash_word_value(F.col("g")).alias("gh"))
+        )
 
-    bench = shingle_hashes(benchmark).select("gh").distinct()
     if broadcast_benchmark:
-        bench = F.broadcast(bench)
-    # One row per distinct shingle STRING per doc (array_distinct before
-    # the explode; bench side distinct), so a plain count equals the
-    # number of distinct overlapping shingles with no distinct-agg state —
-    # and stays exact even if two strings hash-collide (the oracle counts
-    # the same multiset the same way).
-    return (
-        shingle_hashes(docs)
-        .join(bench, "gh")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+        bench = F.broadcast(shingle_rows(benchmark).select("g").distinct())
+        joined = shingle_rows(docs).join(bench, "g")
+    else:
+        def hashed(df: DataFrame) -> DataFrame:
+            return shingle_rows(df).select(id_col, minhash_word_value(F.col("g")).alias("gh"))
+
+        joined = hashed(docs).join(hashed(benchmark).select("gh").distinct(), "gh")
+    return joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
 
 
 def chunk_documents(

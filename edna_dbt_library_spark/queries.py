@@ -1042,12 +1042,12 @@ def _contam_oracle() -> str:
     )
     return f"""
 WITH sh AS (
-    SELECT doc_id, {DUCK_H60.format(c="unnest(" + grams + ")")} AS gh FROM documents
+    SELECT doc_id, unnest({grams}) AS g FROM documents
 ), bench AS (
-    SELECT DISTINCT gh FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+    SELECT DISTINCT g FROM sh WHERE doc_id % {CONTAM_MOD} = 0
 )
-SELECT s.doc_id, count(s.gh) AS n_hits
-FROM sh s JOIN bench b ON s.gh = b.gh
+SELECT s.doc_id, count(s.g) AS n_hits
+FROM sh s JOIN bench b ON s.g = b.g
 WHERE s.doc_id % {CONTAM_MOD} <> 0
 GROUP BY s.doc_id
 """
@@ -1057,8 +1057,8 @@ GROUP BY s.doc_id
 def contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.curation.contamination_flags):
     flag corpus documents sharing any word 3-gram with the heldout slice
-    (doc_id % {CONTAM_MOD} == 0), via a broadcast hash semi-join on 60-bit
-    shingle hashes."""
+    (doc_id % {CONTAM_MOD} == 0), via a broadcast join on the raw shingle
+    strings — no hashing on the corpus side."""
     from edna_dbt_library_spark.operators import contamination_flags
 
     d = _t(spark, sf_dir, "documents")
