@@ -244,16 +244,28 @@ def range_interval_join(
 
     # exclusive end: the last covered bucket is the one containing end - 1 us
     end_bucket = _bucket_of_us(F.unix_micros(F.col(end_ts)) - 1)
+    # The interval side's join columns are RENAMED (not referenced through
+    # df[col]): when both inputs derive from the same DataFrame (a
+    # self-join, e.g. click->purchase attribution over one events scan),
+    # pt[k] == iv[k] is a same-origin attribute pair that Spark only
+    # resolves through its dataset-id disambiguation heuristic (and warns
+    # "trivially true equals predicate"). Disjoint names need no heuristic.
     iv = intervals.withColumn(
-        "__bucket", F.explode(F.sequence(_bucket(F.col(start_ts)), end_bucket))
+        "__rbucket", F.explode(F.sequence(_bucket(F.col(start_ts)), end_bucket))
+    ).select(
+        *[F.col(k).alias(f"__rk{i}") for i, k in enumerate(keys)],
+        "__rbucket",
+        *[F.col(c) for c in intervals.columns if c not in keys],
     )
     pt = points.withColumn("__bucket", _bucket(F.col(point_ts)))
-    cond = [pt[k] == iv[k] for k in keys] + [pt["__bucket"] == iv["__bucket"]]
+    cond = [F.col(f"__rk{i}") == F.col(k) for i, k in enumerate(keys)] + [
+        F.col("__bucket") == F.col("__rbucket")
+    ]
     joined = pt.join(iv, cond, "inner").where(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
     )
-    out_cols = [pt[c] for c in points.columns] + [
-        iv[c] for c in intervals.columns if c not in keys
+    out_cols = [F.col(c) for c in points.columns] + [
+        F.col(c) for c in intervals.columns if c not in keys
     ]
     return joined.select(*out_cols)
 
