@@ -2675,6 +2675,311 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion set (extras): the six shapes the core list lacks —
+# correlated min (q2), market share (q8), profit roll-up (q9), global
+# HAVING fraction (q11), NOT-IN distinct-count (q16), nested-IN ratio
+# (q20). The fixtures carry no partsupp table, so the part-supplier
+# relation and its cost/availability columns are derived from lineitem
+# (min unit price as supply cost; shipped quantity as capacity), keeping
+# each query's join/subquery SHAPE intact.
+
+_Q2_ORACLE = """
+WITH supply AS (
+    SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+    FROM lineitem GROUP BY 1, 2
+), euro AS (
+    SELECT sp.l_partkey, sp.cost, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supply sp
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+       CAST(e.cost AS DOUBLE) AS supply_cost
+FROM part p JOIN euro e ON p.p_partkey = e.l_partkey
+WHERE p.p_size = 15
+  AND e.cost = (SELECT min(e2.cost) FROM euro e2 WHERE e2.l_partkey = p.p_partkey)
+"""
+
+
+@_register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery — for each size-15
+    part, the EUROPE suppliers offering the minimum supply cost. The
+    correlation is re-expressed as a per-part min aggregate joined back on
+    (part, cost): equality on the exact DECIMAL min keeps ties identical
+    across engines. Scale: supply is one lineitem shuffle; part/supplier/
+    nation/region are broadcast dims; the min-join re-shuffles only the
+    already-aggregated supply rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro = (
+        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("l_partkey", "cost", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = euro.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    return (
+        euro.join(best, ["l_partkey"])
+        .where(F.col("cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+_Q8_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       round(
+         CAST(round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+         / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE),
+       6) + 0.0 AS market_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+@_register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of a region's market for one part
+    type, per year — conditional-sum ratio over a seven-table star. Both
+    numerator and denominator are exact DECIMAL sums rounded to double
+    before the one shared division (the q14 pattern), so the share is
+    bit-identical across engines. All dims broadcast; lineitem->orders is
+    the only big join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                _r2d(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)))
+                / _r2d(F.sum(vol)),
+                6,
+            ).alias("market_share")
+        )
+        .withColumn("market_share", F.col("market_share") + F.lit(0.0))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(0.1 AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+@_register("q9_product_profit", _Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern. The fixtures lack partsupp.ps_supplycost, so
+    unit cost is modeled as 10% of p_retailprice — the profit expression
+    keeps Q9's sum-of-differences form in exact DECIMAL arithmetic."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity") * F.lit(0.1).cast("decimal(12,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_r2d(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+_Q11_ORACLE = """
+WITH pv AS (
+    SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM pv
+WHERE val > (SELECT sum(val) * CAST(0.001 AS DECIMAL(6,3)) FROM pv)
+"""
+
+
+@_register("q11_important_stock", _Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers, kept
+    when above a fraction of the GLOBAL total — a scalar-subquery HAVING.
+    The threshold comparison runs on exact DECIMALs (sum and the 0.001
+    multiplier both decimal), so the boundary cannot float-drift; the
+    1-row global total is broadcast, never a single-partition window."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    threshold = pv.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(6,3)")).alias("cut")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .where(F.col("val") > F.col("cut"))
+        .select(F.col("l_partkey").alias("p_partkey"), _r2d(F.col("val")).alias("part_value"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("q16_parts_supplier_cnt", _Q16_ORACLE)
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    excluding a NOT-IN supplier set. The part-supplier relation is the
+    distinct (l_partkey, l_suppkey) projection of lineitem (no partsupp
+    fixture); NOT IN over the non-null key is a left_anti join."""
+    l = _t(spark, sf_dir, "lineitem")
+    supply = l.select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        supply.join(F.broadcast(bad), supply.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = """
+WITH ship AS (
+    SELECT l_suppkey,
+           sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS recent,
+           sum(CAST(l_quantity AS DECIMAL(12,2))) AS total
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (SELECT l_suppkey FROM ship WHERE recent * 7 > total)
+"""
+
+
+@_register("q20_promotion_suppliers", _Q20_ORACLE)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN supplier qualification — ASIA suppliers
+    whose 1996 shipments of 'red'-prefixed parts exceed 1/7 of their
+    all-time quantity for those parts (lineitem-derived stand-in for
+    ps_availqty). The IN collapses to a left_semi join on the aggregated
+    ship relation; the ratio test is exact DECIMAL (integer multiplier,
+    no division)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    in_window = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ship = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_window, _dec("l_quantity")).otherwise(zero)).alias("recent"),
+            F.sum(_dec("l_quantity")).alias("total"),
+        )
+        .where(F.col("recent") * 7 > F.col("total"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(ship, s.s_suppkey == ship.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
 # The driver's correctness gate scores exactly the FIRST 50 entries of
