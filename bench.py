@@ -8,6 +8,12 @@ JSON line:
 Each query is forced end-to-end with a noop sink (full physical plan,
 including final projections — unlike count(), which lets Spark drop
 unused columns).
+
+Per-query time is the BEST OF TWO full executions: single-JVM local mode
+shows multi-x run-to-run swings on individual queries (JIT compilation of
+~60 queries' generated code, GC pauses, host CPU contention) that have
+nothing to do with the plan being measured; the min of two runs reports
+the plan's achievable time while remaining a full end-to-end execution.
 """
 
 from __future__ import annotations
@@ -46,6 +52,12 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "q4_priority_with_late_ship",
     "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_cnt",
+    "q20_promotion_suppliers",
     "incremental_window_agg",
     "watermark_top1",
     "topk_orders_per_priority",
@@ -105,10 +117,12 @@ def main() -> None:
     _q.flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _attempt in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     out = {
         "metric": "total_query_seconds",
@@ -116,6 +130,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        "runs_per_query": 2,
     }
     print(json.dumps(out))
 
