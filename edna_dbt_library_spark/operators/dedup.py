@@ -270,19 +270,26 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    # One count up front sizes the whole loop: below the broadcast
+    # threshold each round's edge⋈label join is map-side (zero edge
+    # shuffle); above it the join falls back to a shuffle join — the
+    # only choice when the node set itself is cluster-scale.
+    n_nodes = labels.count()
+    small_labels = n_nodes <= 8_000_000  # ~128 MB of (long,long) rows
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
+        # Single-shuffle round: neighbor label contributions union the
+        # node's own label, then one grouped min. (The previous
+        # formulation ran a second left join of labels against the
+        # neighbor minima — an extra shuffle per round for the same
+        # "min over self ∪ neighbors" result.)
+        lbl = F.broadcast(labels) if small_labels else labels
+        contrib = edges.join(lbl, edges.v == lbl.id).select("u", "label")
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
+            contrib.unionAll(labels.select(F.col("id").alias("u"), "label"))
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("u").alias("id"), "label")
             .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so the exact label sum is a strictly

@@ -1927,8 +1927,15 @@ def grouped_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    out = e.groupBy("user_id").applyInPandas(
-        ts_group, "user_id bigint, theilsen_slope double, n_pairs bigint"
+    # Coalesce the grouped-map exchange so each Python task carries many
+    # groups: per-task worker round-trips, not the O(n²) numpy math, are
+    # the cost at this group size (see operators/grouped_map.py — 4-6×).
+    from edna_dbt_library_spark.operators.grouped_map import coalesce_for_grouped_map
+
+    out = (
+        coalesce_for_grouped_map(e, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(ts_group, "user_id bigint, theilsen_slope double, n_pairs bigint")
     )
     return out.select(
         "user_id",
