@@ -54,6 +54,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # agree with the (timezone-naive) oracle engine.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture generations vary: TIMESTAMP(NANOS) (handled below) vs
+    # TIMESTAMP(MICROS) without the UTC-adjusted flag, which Spark 4 would
+    # otherwise infer as TIMESTAMP_NTZ — a type unix_micros()/window()
+    # reject. Read naive parquet timestamps as plain TimestampType; with
+    # the UTC session zone the instant semantics are identical (and match
+    # DuckDB's naive reading of the same files).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in TIMESTAMP_NS_COLUMNS.get(name, ()):

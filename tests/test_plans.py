@@ -27,11 +27,16 @@ def plan_text(df) -> str:
     return buf.getvalue() + "\n" + df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_window_filter_pushes_raw_ns_range(spark):
+def test_window_filter_pushes_ts_range(spark):
+    """The run-window bounds must reach the parquet scan for row-group
+    skipping. Two fixture generations exist: TIMESTAMP(NANOS) parquet
+    (loader keeps a raw `_ts_ns` long; bounds push as epoch-nano ints) and
+    TIMESTAMP(MICROS) (native TimestampType; bounds push as timestamp
+    literals). Either form is a pushed range — no pushed range is a fail."""
     plan = plan_text(Q.queries()["incremental_window_agg"](spark, SF))
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
-    assert re.search(r"GreaterThan\(ts,\d{15,}\)", pushed), pushed
-    assert re.search(r"LessThanOrEqual\(ts,\d{15,}\)", pushed), pushed
+    assert "GreaterThan(ts," in pushed, pushed
+    assert "LessThanOrEqual(ts," in pushed, pushed
 
 
 def test_q5_star_join_broadcasts_all_dimensions(spark):
