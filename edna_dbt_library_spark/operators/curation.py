@@ -270,3 +270,133 @@ def chunk_documents(
         F.substring(F.col(text_col), (start + 1).cast("int"), chunk_chars).alias("chunk_text"),
         start.alias("chunk_start"),
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models", Table A1): docs above any of these are dropped as repetitive.
+REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals for Gopher-style quality filtering.
+
+    Signals (public definitions from Rae et al. 2021 Table A1, with the
+    standard occurrence-count approximation for n-gram char coverage —
+    overlapping occurrences are not interval-merged):
+
+    * ``dup_line_frac`` — fraction of (trimmed, non-empty) line instances
+      whose line occurs more than once in the doc.
+    * ``dup_line_char_frac`` — fraction of line characters inside such
+      duplicated lines.
+    * ``top_{2,3,4}gram_char_frac`` — chars covered by the single most
+      frequent word n-gram (count × n-gram length) over the doc length.
+    * ``dup_5gram_char_frac`` — chars covered by all 5-grams occurring
+      more than once, over the doc length, capped at 1.0.
+
+    Extends the reference surface (no curation layer there — driver
+    mandate, SURVEY.md §7 phase 6).
+
+    Scale design (100 TB corpus): one explode produces every (kind, item)
+    instance — lines plus all four n-gram sizes — in a single pass over
+    the text, then exactly TWO shuffles keyed by (doc_id, kind, item) and
+    (doc_id, kind): linear in corpus size, uniform keys (items are
+    per-document, so no global hot key), no Python, no all-pairs work.
+    The per-(doc,kind) rollup is a map-side-combinable aggregate; the top
+    n-gram is a lexicographic struct max — (count, chars) only, NO string
+    tie-break, so results never depend on engine collation.
+
+    Engine-portable doubles: every fraction is one IEEE division of two
+    exact BIGINTs, so DuckDB produces bit-identical values for the parity
+    gate (CLAUDE.md determinism rule).
+    """
+    from edna_dbt_library_spark.functions.text import shingles
+
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+
+    def _tag(kind: str, arr: Column) -> Column:
+        return F.transform(arr, lambda it: F.struct(F.lit(kind).alias("kind"), it.alias("item")))
+
+    tagged = F.concat(
+        _tag("line", lines),
+        *[_tag(f"g{n}", shingles(text, n)) for n in (2, 3, 4, 5)],
+    )
+    exploded = docs.where(text.isNotNull() & (F.length(text) > 0)).select(
+        F.col(id_col),
+        F.length(text).alias("_doc_chars"),
+        F.explode(tagged).alias("t"),
+    )
+    counted = exploded.groupBy(id_col, "_doc_chars", F.col("t.kind").alias("kind"), F.col("t.item").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.length("item")
+    per_kind = counted.groupBy(id_col, "_doc_chars", "kind").agg(
+        F.sum("cnt").alias("total_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_cnt"),
+        F.sum(F.col("cnt") * chars).alias("total_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * chars).otherwise(F.lit(0))).alias("dup_chars"),
+        F.max(F.struct(F.col("cnt").alias("c"), chars.alias("ch"))).alias("top"),
+    )
+    pivoted = (
+        per_kind.groupBy(id_col, "_doc_chars")
+        .pivot("kind", ["line", "g2", "g3", "g4", "g5"])
+        .agg(
+            F.first("total_cnt").alias("total_cnt"),
+            F.first("dup_cnt").alias("dup_cnt"),
+            F.first("total_chars").alias("total_chars"),
+            F.first("dup_chars").alias("dup_chars"),
+            F.first(F.col("top.c") * F.col("top.ch")).alias("top_chars"),
+        )
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        # NULLIF guard: ANSI mode turns x/0 into an error; a doc with no
+        # items of some kind (e.g. 4 words -> zero 5-grams) scores 0.0.
+        return F.coalesce(num / F.nullif(den.cast("bigint"), F.lit(0)), F.lit(0.0))
+
+    doc_chars = F.col("_doc_chars").cast("bigint")
+    return pivoted.select(
+        F.col(id_col),
+        _frac(F.col("line_dup_cnt"), F.col("line_total_cnt")).alias("dup_line_frac"),
+        _frac(F.col("line_dup_chars"), F.col("line_total_chars")).alias("dup_line_char_frac"),
+        _frac(F.col("g2_top_chars"), doc_chars).alias("top_2gram_char_frac"),
+        _frac(F.col("g3_top_chars"), doc_chars).alias("top_3gram_char_frac"),
+        _frac(F.col("g4_top_chars"), doc_chars).alias("top_4gram_char_frac"),
+        F.least(_frac(F.col("g5_dup_chars"), doc_chars), F.lit(1.0)).alias("dup_5gram_char_frac"),
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """repetition_stats + a ``keep`` flag: True iff every signal is at or
+    under its (Gopher-default) threshold. Join the result back on the id
+    (or filter on it) to drop repetitive docs before training."""
+    th = dict(REPETITION_THRESHOLDS)
+    th.update(thresholds or {})
+    unknown = set(th) - set(REPETITION_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
+    stats = repetition_stats(docs, text_col=text_col, id_col=id_col)
+    keep = None
+    for name, limit in th.items():
+        cond = F.col(name) <= F.lit(float(limit))
+        keep = cond if keep is None else (keep & cond)
+    return stats.withColumn("keep", keep)

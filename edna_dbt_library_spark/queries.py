@@ -2986,6 +2986,84 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text)::BIGINT AS doc_chars
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+lines AS (
+  SELECT doc_id, doc_chars, 'line' AS kind, trim(l) AS item
+  FROM base, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE trim(l) <> ''
+),
+words AS (
+  SELECT doc_id, doc_chars,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM base
+),
+grams AS (
+  SELECT doc_id, doc_chars, 'g' || n AS kind,
+         array_to_string(ws[i:i+n-1], ' ') AS item
+  FROM words, (VALUES (2),(3),(4),(5)) v(n),
+       unnest(generate_series(1, len(ws) - n + 1)) AS s(i)
+  WHERE len(ws) >= n
+),
+items AS (SELECT * FROM lines UNION ALL SELECT * FROM grams),
+counted AS (
+  SELECT doc_id, doc_chars, kind, item, count(*)::BIGINT AS cnt,
+         length(item)::BIGINT AS chars
+  FROM items GROUP BY 1,2,3,4
+),
+per_kind AS (
+  SELECT doc_id, doc_chars, kind,
+         sum(cnt)::BIGINT AS total_cnt,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_cnt,
+         sum(cnt * chars)::BIGINT AS total_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)::BIGINT AS dup_chars,
+         (max({'c': cnt, 'ch': chars})).c * (max({'c': cnt, 'ch': chars})).ch AS top_chars
+  FROM counted GROUP BY 1,2,3
+),
+piv AS (
+  SELECT doc_id, doc_chars,
+         max(CASE WHEN kind='line' THEN dup_cnt END) AS line_dup_cnt,
+         max(CASE WHEN kind='line' THEN total_cnt END) AS line_total_cnt,
+         max(CASE WHEN kind='line' THEN dup_chars END) AS line_dup_chars,
+         max(CASE WHEN kind='line' THEN total_chars END) AS line_total_chars,
+         max(CASE WHEN kind='g2' THEN top_chars END) AS g2_top_chars,
+         max(CASE WHEN kind='g3' THEN top_chars END) AS g3_top_chars,
+         max(CASE WHEN kind='g4' THEN top_chars END) AS g4_top_chars,
+         max(CASE WHEN kind='g5' THEN dup_chars END) AS g5_dup_chars
+  FROM per_kind GROUP BY 1,2
+)
+SELECT doc_id,
+       coalesce(line_dup_cnt / nullif(line_total_cnt, 0), 0.0) AS dup_line_frac,
+       coalesce(line_dup_chars / nullif(line_total_chars, 0), 0.0) AS dup_line_char_frac,
+       coalesce(g2_top_chars / nullif(doc_chars, 0), 0.0) AS top_2gram_char_frac,
+       coalesce(g3_top_chars / nullif(doc_chars, 0), 0.0) AS top_3gram_char_frac,
+       coalesce(g4_top_chars / nullif(doc_chars, 0), 0.0) AS top_4gram_char_frac,
+       least(coalesce(g5_dup_chars / nullif(doc_chars, 0), 0.0), 1.0) AS dup_5gram_char_frac,
+       (coalesce(line_dup_cnt / nullif(line_total_cnt, 0), 0.0) <= 0.30
+        AND coalesce(line_dup_chars / nullif(line_total_chars, 0), 0.0) <= 0.20
+        AND coalesce(g2_top_chars / nullif(doc_chars, 0), 0.0) <= 0.20
+        AND coalesce(g3_top_chars / nullif(doc_chars, 0), 0.0) <= 0.18
+        AND coalesce(g4_top_chars / nullif(doc_chars, 0), 0.0) <= 0.16
+        AND least(coalesce(g5_dup_chars / nullif(doc_chars, 0), 0.0), 1.0) <= 0.15) AS keep
+FROM piv
+"""
+
+
+@_register("repetition_filter", _REPETITION_ORACLE)
+def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 Table A1)
+    over the documents corpus: duplicate-line fractions, top-{2,3,4}-gram
+    char coverage, duplicated-5-gram char coverage, and the keep flag at
+    the published thresholds. One explode + two uniform-key shuffles; see
+    operators.curation.repetition_stats for the 100 TB design notes."""
+    from edna_dbt_library_spark.operators.curation import repetition_filter
+
+    return repetition_filter(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #

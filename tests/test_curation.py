@@ -243,3 +243,79 @@ def test_fast_hash_flag_speeds_shingles_without_changing_semantics(spark, monkey
         minhash_word_value(F.lit("hello")).alias("h")
     ).collect()[0]
     assert 0 <= row["h"] < (1 << 60)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from edna_dbt_library_spark.operators.curation import repetition_stats
+
+    # "a b\na b\nc d": lines [a b, a b, c d] -> dup 2/3 instances, 6/9 chars;
+    # words a b a b c d -> top 2-gram "a b" x2 -> 2*3=6 chars of len(text)=11
+    df = spark.createDataFrame([(1, "a b\na b\nc d")], "doc_id int, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["dup_line_frac"] == 2 / 3
+    assert r["dup_line_char_frac"] == 6 / 9
+    assert r["top_2gram_char_frac"] == 6 / 11
+    assert r["dup_5gram_char_frac"] == 0.0
+
+
+def test_repetition_dup_5gram_caps_at_one(spark):
+    from edna_dbt_library_spark.operators.curation import repetition_stats
+
+    # 6 x "x": both 5-grams are "x x x x x" (2 occurrences, 9 chars each)
+    # -> 18/11 uncapped -> 1.0
+    df = spark.createDataFrame([(1, "x x x x x x")], "doc_id int, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["dup_5gram_char_frac"] == 1.0
+
+
+def test_repetition_short_doc_scores_zero_not_error(spark):
+    from edna_dbt_library_spark.operators.curation import repetition_stats
+
+    # 1 word: no 2..5-grams at all; single line occurs once
+    df = spark.createDataFrame([(1, "hello")], "doc_id int, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["dup_line_frac"] == 0.0
+    for n in (2, 3, 4):
+        assert r[f"top_{n}gram_char_frac"] == 0.0
+    assert r["dup_5gram_char_frac"] == 0.0
+
+
+def test_repetition_filter_keep_flag_and_thresholds(spark):
+    from edna_dbt_library_spark.operators.curation import repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            # long enough that the top n-gram (count 1 everywhere) covers
+            # only a small char fraction — short docs legitimately fail the
+            # top-n-gram signal, as in the published filter
+            (2, "a quiet brown fox jumped over the lazy dog near riverbanks today "
+                "while scattered autumn leaves drifted slowly across cold meadows "
+                "under pale morning light and distant church bells rang softly "
+                "then children walked home through narrow cobbled streets carrying "
+                "warm bread from the corner bakery as evening settled gently over "
+                "rooftops and gardens filled with late blooming chrysanthemums"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in repetition_filter(df).collect()}
+    assert got == {1: False, 2: True}
+    # custom thresholds override; unknown signal names are rejected
+    loose = {r["doc_id"]: r["keep"] for r in repetition_filter(df, thresholds=dict.fromkeys(
+        ("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+         "top_3gram_char_frac", "top_4gram_char_frac", "dup_5gram_char_frac"), 10.0)).collect()}
+    assert loose == {1: True, 2: True}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown repetition signals"):
+        repetition_filter(df, thresholds={"nope": 0.1})
+
+
+def test_repetition_stats_stable_under_repartitioning(spark):
+    from edna_dbt_library_spark.operators.curation import repetition_stats
+
+    from edna_dbt_library_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    a = sorted(map(tuple, repetition_stats(docs).collect()))
+    b = sorted(map(tuple, repetition_stats(docs.repartition(7)).collect()))
+    assert a == b
