@@ -149,3 +149,37 @@ def fingerprint(text: Column | str) -> Column:
     formatting changes."""
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(_col(text)), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "))
     return F.md5(norm)
+
+
+# PII scrubbing patterns, constrained to the Java-regex ∩ RE2 common
+# subset (no lookaround, no backrefs) so Spark's regexp_replace and the
+# DuckDB oracle produce byte-identical redactions. Order matters: emails
+# are redacted before bare digit runs so an address is never half-eaten
+# by the phone rule. Known, documented ambiguities of the aggressive
+# scrubber: dotted version strings ("1.2.3.4") redact as IPs; 10-12 digit
+# runs redact as phones; 2-2-2-2 grouped international numbers do not.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\+?\b\d{1,2}[ .-]?\d{3}[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b",
+}
+
+
+def pii_redact(text: Column | str, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace emails / IPv4s / phone numbers with ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` tokens — the standard pre-training scrub step. Pure chained
+    ``regexp_replace`` (JVM codegen, no Python), linear over a 100 TB
+    corpus with zero shuffle; idempotent (tokens contain no redactable
+    text), and engine-portable by pattern construction (see PII_PATTERNS).
+    """
+    out = _col(text)
+    for kind in kinds or tuple(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_flags(text: Column | str) -> dict[str, Column]:
+    """Per-kind booleans (``has_email``/``has_ip``/``has_phone``) for
+    filtering or audit metrics without rewriting the text."""
+    c = _col(text)
+    return {f"has_{kind}": F.regexp_like(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}

@@ -3064,6 +3064,66 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_filter(_t(spark, sf_dir, "documents"))
 
 
+_PII_ORACLE = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.'
+              || (doc_id % 256) || '.7 call 555-867-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS raw
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id,
+         regexp_matches(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+         regexp_matches(raw, '\b(\d{1,3}\.){3}\d{1,3}\b') AS has_ip,
+         regexp_matches(raw, '\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\+?\b\d{1,2}[ .-]?\d{3}[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b') AS has_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\+?\b\d{1,2}[ .-]?\d{3}[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g') AS redacted
+  FROM injected
+)
+SELECT doc_id, redacted, has_email, has_ip, has_phone,
+       (regexp_matches(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        OR regexp_matches(redacted, '\b(\d{1,3}\.){3}\d{1,3}\b')
+        OR regexp_matches(redacted, '\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\+?\b\d{1,2}[ .-]?\d{3}[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b')) AS pii_left
+FROM redacted
+"""
+
+
+@_register("pii_redact_docs", _PII_ORACLE)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic injected PII (the
+    synthetic corpus carries none): append a doc_id-derived email, IPv4
+    and phone, then redact and flag. ``pii_left`` re-probes the redacted
+    text and must be uniformly false — asserted by the oracle comparison
+    itself. Scan-side chained regexp_replace; zero shuffle."""
+    from edna_dbt_library_spark.functions.text import pii_flags, pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 call 555-867-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    flags = pii_flags(raw)
+    red = pii_redact(raw)
+    left = None
+    for c in pii_flags(red).values():
+        left = c if left is None else (left | c)
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        flags["has_email"].alias("has_email"),
+        flags["has_ip"].alias("has_ip"),
+        flags["has_phone"].alias("has_phone"),
+        left.alias("pii_left"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #

@@ -57,3 +57,38 @@ def test_quality_score_range_and_monotonicity(spark):
     decent = one(spark, "the cat and the dog walked to the house in a fine morning " * 10, quality_score)
     assert 0.0 <= short <= 1.0 and 0.0 <= decent <= 1.0
     assert decent > short
+
+
+def test_pii_redact_all_kinds(spark):
+    from edna_dbt_library_spark.functions.text import pii_redact
+
+    got = one(spark, "mail a.b+c@ex.co.uk, host 10.0.3.7, call (555) 123-4567", pii_redact)
+    assert got == "mail <EMAIL>, host <IP>, call <PHONE>"
+
+
+def test_pii_redact_phone_shapes_and_non_matches(spark):
+    from edna_dbt_library_spark.functions.text import pii_redact
+
+    assert one(spark, "+1 555 867 5309", pii_redact) == "<PHONE>"
+    assert one(spark, "123-456-7890 ok", pii_redact) == "<PHONE> ok"
+    # 16-digit run (card-like) and short numbers are NOT phones
+    assert one(spark, "num 1234567890123456 qty 123", pii_redact) == "num 1234567890123456 qty 123"
+    # email is consumed before phone/ip rules can bite its digits
+    assert one(spark, "x 123-456-7890@d.com y", pii_redact) == "x <EMAIL> y"
+
+
+def test_pii_redact_is_idempotent(spark):
+    from edna_dbt_library_spark.functions.text import pii_redact
+
+    once = one(spark, "a@b.io at 1.2.3.4 tel 555-867-5309", pii_redact)
+    twice = one(spark, once, pii_redact)
+    assert once == twice == "<EMAIL> at <IP> tel <PHONE>"
+
+
+def test_pii_flags(spark):
+    from edna_dbt_library_spark.functions.text import pii_flags
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a@b.io only",)], "t string")
+    row = df.select([v.alias(k) for k, v in pii_flags(F.col("t")).items()]).collect()[0]
+    assert row["has_email"] and not row["has_ip"] and not row["has_phone"]
