@@ -400,3 +400,74 @@ def repetition_filter(
         cond = F.col(name) <= F.lit(float(limit))
         keep = cond if keep is None else (keep & cond)
     return stats.withColumn("keep", keep)
+
+
+def weighted_sample(df: DataFrame, weight: Column, key: Column | str) -> DataFrame:
+    """Keep each row with probability ``weight`` (a per-row Column in
+    [0, 1]) — quality-weighted / curriculum sampling: keep iff
+    ``md5_60bit(key) < floor(weight * 2^60)``.
+
+    Same determinism contract as deterministic_sample (membership is a
+    pure function of the row key — stable across runs, partitionings and
+    engines; the md5 path is pinned for the same reason), but the rate
+    varies per row, so quality scores, fitted curriculum weights, or any
+    other Column can drive the mixture. The threshold comparison is exact
+    integer math: ``floor(weight * 2^60)`` is one IEEE multiply + floor on
+    both engines, never a float-vs-int comparison.
+
+    Scale: scan-side filter, zero shuffle, composes with any downstream
+    layout. (weight > 1 keeps everything; weight <= 0 keeps nothing.)
+    """
+    key_col = (F.col(key) if isinstance(key, str) else key).cast("string")
+    h = minhash_word_value(key_col, fast=False)
+    threshold = F.floor(weight * F.lit(float(1 << 60))).cast("long")
+    return df.where(h < threshold)
+
+
+def shuffle_assignment(df: DataFrame, n_shards: int, key: str, salt: str = "") -> DataFrame:
+    """Attach the deterministic shuffle columns ``_skey`` (60-bit md5 of
+    salt||key — the reproducible permutation order) and ``_shard``
+    (``_skey mod n_shards``). Pure scan-side expressions; shared by
+    export_shuffled_shards and the shard-summary driver query so the
+    written layout and the audited assignment can never drift apart."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key_col = F.concat(F.lit(salt), F.col(key).cast("string"))
+    h = minhash_word_value(key_col, fast=False)
+    return df.withColumn("_skey", h).withColumn(
+        "_shard", F.pmod(F.col("_skey"), F.lit(n_shards)).cast("int")
+    )
+
+
+def export_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    salt: str = "",
+) -> None:
+    """Write ``df`` as ``n_shards`` deterministically shuffled parquet
+    shards (``_shard=K/`` directories) — the export step before training:
+    data loaders stream shards independently and read rows in ``_skey``
+    order, giving a reproducible global permutation without any
+    full-dataset sort on the read path.
+
+    The permutation is the md5 idiom again: ``_skey = md5_60bit(salt ||
+    key)`` orders rows pseudo-randomly but reproducibly (change ``salt``
+    for a fresh epoch permutation); ``_shard = _skey mod n_shards``.
+    Membership and order depend only on (key, salt) — never on input
+    partitioning, cluster size, or engine.
+
+    Scale (100 TB): one range shuffle on (_shard, _skey) both balances
+    output tasks and pre-sorts rows so each shard directory's files are
+    internally ordered and non-overlapping in key range; uniform md5 keys
+    mean no skew by construction. No driver-side collection.
+    """
+    out = shuffle_assignment(df, n_shards, key, salt)
+    (
+        out.repartitionByRange(n_shards, "_shard", "_skey")
+        .sortWithinPartitions("_shard", "_skey")
+        .write.partitionBy("_shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

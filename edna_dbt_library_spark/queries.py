@@ -3124,6 +3124,83 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, {DUCK_TOKENS.format(c="text")} AS toks, text FROM documents
+), stats AS (
+    SELECT doc_id,
+           len(toks)::INTEGER AS n_words,
+           list_sum(list_transform(toks, x -> len(x)))::INTEGER AS total_len,
+           len(list_filter(toks, x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'a',
+               'it', 'for', 'on', 'with', 'as', 'this', 'that'], x)))::INTEGER AS stop_hits,
+           (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')))::INTEGER AS n_punct,
+           length(text)::INTEGER AS n_chars
+    FROM base
+), q AS (
+    SELECT doc_id,
+           round(least(n_words / 100.0, 1.0) * 0.4
+             + (CASE WHEN coalesce(CASE WHEN n_words > 0 THEN total_len / n_words END, 0) >= 3
+                      AND coalesce(CASE WHEN n_words > 0 THEN total_len / n_words END, 0) <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+             + least(coalesce(CASE WHEN n_words > 0 THEN stop_hits / n_words END, 0) * 5, 1.0) * 0.2
+             + (CASE WHEN coalesce(CASE WHEN n_chars > 0 THEN n_punct / n_chars END, 0) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
+           6) AS quality
+    FROM stats
+)
+SELECT doc_id, quality FROM q
+WHERE {DUCK_H60.format(c="doc_id::VARCHAR")} < floor(quality * 1152921504606846976.0)::BIGINT
+"""
+
+
+@_register("weighted_sample_quality", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each document survives with
+    probability equal to its quality score (functions.text.quality_score)
+    — the curriculum/quality-mixing step of a training-data pipeline.
+    Deterministic md5 coin against floor(quality * 2^60); scan-side
+    filter, zero shuffle (operators.curation.weighted_sample)."""
+    from edna_dbt_library_spark.operators.curation import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return weighted_sample(d.withColumn("quality", q), F.col("quality"), "doc_id").select(
+        "doc_id", "quality"
+    )
+
+
+_SHUFFLE_SHARDS_ORACLE = f"""
+WITH assigned AS (
+    SELECT doc_id,
+           {DUCK_H60.format(c="'epoch0' || doc_id::VARCHAR")} AS skey
+    FROM documents
+)
+SELECT (skey % 16)::INTEGER AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       min(skey)::BIGINT AS min_skey,
+       max(skey)::BIGINT AS max_skey
+FROM assigned GROUP BY 1
+"""
+
+
+@_register("shuffle_shards_summary", _SHUFFLE_SHARDS_ORACLE)
+def shuffle_shards_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the deterministic training-shard permutation: per-shard
+    row counts, id checksums and shuffle-key ranges for a 16-shard
+    epoch-0 export of documents (operators.curation.shuffle_assignment —
+    the same expressions export_shuffled_shards writes with). Uniform
+    md5 keys make the count distribution the balance proof."""
+    from edna_dbt_library_spark.operators.curation import shuffle_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    a = shuffle_assignment(d, 16, "doc_id", salt="epoch0")
+    return a.groupBy(F.col("_shard").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("_skey").alias("min_skey"),
+        F.max("_skey").alias("max_skey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
