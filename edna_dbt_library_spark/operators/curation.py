@@ -297,12 +297,22 @@ def repetition_stats(
 
     * ``dup_line_frac`` — fraction of (trimmed, non-empty) line instances
       whose line occurs more than once in the doc.
-    * ``dup_line_char_frac`` — fraction of line characters inside such
-      duplicated lines.
+    * ``dup_line_char_frac`` — chars inside duplicated lines over ALL
+      document characters (the Table A1 denominator — not just line
+      characters — so the published 0.20 threshold applies unmodified).
     * ``top_{2,3,4}gram_char_frac`` — chars covered by the single most
       frequent word n-gram (count × n-gram length) over the doc length.
     * ``dup_5gram_char_frac`` — chars covered by all 5-grams occurring
       more than once, over the doc length, capped at 1.0.
+
+    Total row coverage: EVERY input doc gets exactly one output row.
+    Docs that yield no countable items — NULL/empty text, whitespace-only
+    text, a lone word with no lines after trimming — score 0.0 on every
+    signal (and therefore ``keep=True`` in repetition_filter): repetition
+    evidence is absent, so this filter has no grounds to drop them;
+    length/quality filters are the right tool for that. Without this
+    left-join-back a consumer joining verdicts on doc_id would silently
+    lose those docs.
 
     Extends the reference surface (no curation layer there — driver
     mandate, SURVEY.md §7 phase 6).
@@ -369,14 +379,23 @@ def repetition_stats(
         return F.coalesce(num / F.nullif(den.cast("bigint"), F.lit(0)), F.lit(0.0))
 
     doc_chars = F.col("_doc_chars").cast("bigint")
-    return pivoted.select(
+    scored = pivoted.select(
         F.col(id_col),
         _frac(F.col("line_dup_cnt"), F.col("line_total_cnt")).alias("dup_line_frac"),
-        _frac(F.col("line_dup_chars"), F.col("line_total_chars")).alias("dup_line_char_frac"),
+        _frac(F.col("line_dup_chars"), doc_chars).alias("dup_line_char_frac"),
         _frac(F.col("g2_top_chars"), doc_chars).alias("top_2gram_char_frac"),
         _frac(F.col("g3_top_chars"), doc_chars).alias("top_3gram_char_frac"),
         _frac(F.col("g4_top_chars"), doc_chars).alias("top_4gram_char_frac"),
         F.least(_frac(F.col("g5_dup_chars"), doc_chars), F.lit(1.0)).alias("dup_5gram_char_frac"),
+    )
+    # Total coverage: left-join stats back onto the input ids so item-less
+    # docs surface as all-zeros rows instead of silently vanishing. The
+    # join key is the (unique) doc id — broadcast-or-shuffle per AQE; the
+    # stats side is already aggregated to one row per doc.
+    signal_names = list(REPETITION_THRESHOLDS)
+    return docs.select(F.col(id_col)).join(scored, on=id_col, how="left").select(
+        F.col(id_col),
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in signal_names],
     )
 
 

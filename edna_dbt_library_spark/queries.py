@@ -3034,21 +3034,31 @@ piv AS (
          max(CASE WHEN kind='g4' THEN top_chars END) AS g4_top_chars,
          max(CASE WHEN kind='g5' THEN dup_chars END) AS g5_dup_chars
   FROM per_kind GROUP BY 1,2
+),
+scored AS (
+  SELECT doc_id,
+         coalesce(line_dup_cnt / nullif(line_total_cnt, 0), 0.0) AS dup_line_frac,
+         coalesce(line_dup_chars / nullif(doc_chars, 0), 0.0) AS dup_line_char_frac,
+         coalesce(g2_top_chars / nullif(doc_chars, 0), 0.0) AS top_2gram_char_frac,
+         coalesce(g3_top_chars / nullif(doc_chars, 0), 0.0) AS top_3gram_char_frac,
+         coalesce(g4_top_chars / nullif(doc_chars, 0), 0.0) AS top_4gram_char_frac,
+         least(coalesce(g5_dup_chars / nullif(doc_chars, 0), 0.0), 1.0) AS dup_5gram_char_frac
+  FROM piv
 )
-SELECT doc_id,
-       coalesce(line_dup_cnt / nullif(line_total_cnt, 0), 0.0) AS dup_line_frac,
-       coalesce(line_dup_chars / nullif(line_total_chars, 0), 0.0) AS dup_line_char_frac,
-       coalesce(g2_top_chars / nullif(doc_chars, 0), 0.0) AS top_2gram_char_frac,
-       coalesce(g3_top_chars / nullif(doc_chars, 0), 0.0) AS top_3gram_char_frac,
-       coalesce(g4_top_chars / nullif(doc_chars, 0), 0.0) AS top_4gram_char_frac,
-       least(coalesce(g5_dup_chars / nullif(doc_chars, 0), 0.0), 1.0) AS dup_5gram_char_frac,
-       (coalesce(line_dup_cnt / nullif(line_total_cnt, 0), 0.0) <= 0.30
-        AND coalesce(line_dup_chars / nullif(line_total_chars, 0), 0.0) <= 0.20
-        AND coalesce(g2_top_chars / nullif(doc_chars, 0), 0.0) <= 0.20
-        AND coalesce(g3_top_chars / nullif(doc_chars, 0), 0.0) <= 0.18
-        AND coalesce(g4_top_chars / nullif(doc_chars, 0), 0.0) <= 0.16
-        AND least(coalesce(g5_dup_chars / nullif(doc_chars, 0), 0.0), 1.0) <= 0.15) AS keep
-FROM piv
+SELECT d.doc_id,
+       coalesce(s.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(s.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(s.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       coalesce(s.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+       coalesce(s.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+       coalesce(s.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+       (coalesce(s.dup_line_frac, 0.0) <= 0.30
+        AND coalesce(s.dup_line_char_frac, 0.0) <= 0.20
+        AND coalesce(s.top_2gram_char_frac, 0.0) <= 0.20
+        AND coalesce(s.top_3gram_char_frac, 0.0) <= 0.18
+        AND coalesce(s.top_4gram_char_frac, 0.0) <= 0.16
+        AND coalesce(s.dup_5gram_char_frac, 0.0) <= 0.15) AS keep
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 

@@ -248,14 +248,32 @@ def test_fast_hash_flag_speeds_shingles_without_changing_semantics(spark, monkey
 def test_repetition_stats_hand_computed(spark):
     from edna_dbt_library_spark.operators.curation import repetition_stats
 
-    # "a b\na b\nc d": lines [a b, a b, c d] -> dup 2/3 instances, 6/9 chars;
-    # words a b a b c d -> top 2-gram "a b" x2 -> 2*3=6 chars of len(text)=11
+    # "a b\na b\nc d": lines [a b, a b, c d] -> dup 2/3 instances; dup line
+    # chars 6 over len(text)=11 (Gopher A1 denominator is ALL doc chars);
+    # words a b a b c d -> top 2-gram "a b" x2 -> 2*3=6 chars of 11
     df = spark.createDataFrame([(1, "a b\na b\nc d")], "doc_id int, text string")
     r = repetition_stats(df).collect()[0]
     assert r["dup_line_frac"] == 2 / 3
-    assert r["dup_line_char_frac"] == 6 / 9
+    assert r["dup_line_char_frac"] == 6 / 11
     assert r["top_2gram_char_frac"] == 6 / 11
     assert r["dup_5gram_char_frac"] == 0.0
+
+
+def test_repetition_itemless_docs_get_zero_rows(spark):
+    """Every input doc gets a row: whitespace-only / NULL-text docs score
+    0.0 on all signals and keep=True instead of silently vanishing."""
+    from edna_dbt_library_spark.operators.curation import repetition_filter
+
+    df = spark.createDataFrame(
+        [(1, "  \n \n  "), (2, None), (3, ""), (4, "normal text here")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for d in (1, 2, 3):
+        assert rows[d]["keep"] is True
+        assert rows[d]["dup_line_frac"] == 0.0
+        assert rows[d]["dup_5gram_char_frac"] == 0.0
 
 
 def test_repetition_dup_5gram_caps_at_one(spark):
