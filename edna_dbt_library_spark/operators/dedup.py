@@ -57,11 +57,24 @@ def _fan_out(df: DataFrame) -> DataFrame:
     parquet file = one partition, serializing the whole shingle+hash map
     side; the fix is a cheap pre-explode repartition of the compact rows.
     No-op (no shuffle) when the scan is already parallel enough — at real
-    scale (many files) this never triggers."""
+    scale (many files) this never triggers.
+
+    The check reads the plan's backing file list (``inputFiles`` — pure
+    plan inspection, no job, no RDD lineage; an RDD-based partition count
+    here would force plan analysis into an RDD conversion on the driver
+    for every call). File count underestimates true scan parallelism for
+    large splittable files (maxPartitionBytes splits them further), which
+    only errs toward an extra repartition of compact pre-explode rows —
+    cheap insurance next to the explode it feeds. In-memory inputs (no
+    backing files, e.g. test DataFrames) always repartition."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # universal-hash family over a single md5-derived base value:

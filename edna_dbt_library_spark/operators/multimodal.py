@@ -55,8 +55,134 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),  # png | wav | unknown
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+# PNG IHDR color type -> sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_media_header(content: bytes | None) -> dict | None:
+    """Pure-stdlib (struct-only) header parse of REAL media bytes: PNG
+    IHDR (width/height/channels) and RIFF/WAVE fmt+data chunks (channels,
+    sample rate, exact duration). Returns None for anything it cannot
+    identify — full pixel/sample decoding still requires the injected
+    codec stack (require_real_codecs). This is the honest container-level
+    subset: byte-exact per the PNG/RIFF specs, no external deps, enough
+    to drive format routing, dimension filtering, and frame planning on
+    real files."""
+    if not content:
+        return None
+    import struct
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 26 and content[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", content[16:24])
+        color_type = content[25]
+        return {
+            "format": "png",
+            "width": width,
+            "height": height,
+            "channels": _PNG_CHANNELS.get(color_type),
+            "sample_rate": None,
+            "duration_ms": None,
+        }
+    if content[:4] == b"RIFF" and len(content) >= 12 and content[8:12] == b"WAVE":
+        pos, channels, rate, bits, data_len = 12, None, None, None, None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            body = content[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                channels, rate = struct.unpack("<HI", body[2:8])
+                (bits,) = struct.unpack("<H", body[14:16])
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if channels and rate and bits and data_len is not None:
+            return {
+                "format": "wav",
+                "width": None,
+                "height": None,
+                "channels": channels,
+                "sample_rate": rate,
+                "duration_ms": data_len * 8000 // (rate * channels * bits),
+            }
+    return None
+
+
+def probe_media_headers(media: DataFrame, batch_rows: int | None = None) -> DataFrame:
+    """Format-sniff a binary ``content`` column over Arrow batches: one
+    output row per input with parsed container metadata (or
+    format='unknown' and NULL fields), byte count and digest. The
+    ingest-side routing step of a multimodal pipeline — runs on real
+    bytes with zero codec dependencies, so it works in this container and
+    scales exactly like decode_images (bounded Arrow batches, no per-row
+    Python overhead beyond the parse itself)."""
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                meta = parse_media_header(content)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "format": meta["format"] if meta else "unknown",
+                        "width": meta["width"] if meta else None,
+                        "height": meta["height"] if meta else None,
+                        "channels": meta["channels"] if meta else None,
+                        "sample_rate": meta["sample_rate"] if meta else None,
+                        "duration_ms": meta["duration_ms"] if meta else None,
+                        "n_bytes": len(content) if content is not None else 0,
+                        "content_md5": hashlib.md5(content or b"").hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return media.select("doc_id", "content").mapInPandas(run, PROBE_SCHEMA)
+
+
+def header_decode(content: bytes, width: int, height: int) -> tuple[int, int, str]:
+    """decode_fn for decode_images that reads dimensions from the REAL
+    bytes (PNG IHDR via parse_media_header) instead of trusting caller
+    metadata; non-PNG content falls back to the claimed metadata. Plugs
+    the stdlib parser into the injectable codec hook so the Arrow decode
+    path is exercised end-to-end on genuine image bytes."""
+    import hashlib
+
+    digest = hashlib.md5(content or b"").hexdigest()
+    meta = parse_media_header(content)
+    if meta and meta["format"] == "png":
+        return meta["width"], meta["height"], digest
+    return width, height, digest
+
+
 def require_real_codecs() -> None:
-    """Production decode path — not available in this environment."""
+    """Production decode path — not available in this environment.
+
+    Container headers (PNG/WAV) are parsed for real by
+    parse_media_header/probe_media_headers; everything past the header —
+    pixel decode, resampling, frame extraction — needs an injected codec
+    stack."""
     raise NotImplementedError(
         "real media decoding needs an image/audio stack (e.g. Pillow/librosa/pyav) "
         "which is not installed here; inject a decode_fn into decode_images()/"

@@ -3212,6 +3212,129 @@ def shuffle_shards_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Driver-facing consolidations: each bundles already-registered granular
+# queries (which stay in the registry, locally verified) into one scored
+# row, so every operator family fits inside the driver's 50-row scoring
+# window. Spark side composes the registered builders; oracle side nests
+# the component oracles as derived tables — the two can never drift from
+# their granular counterparts.
+
+_CURATION_QUALITY_ORACLE = f"""
+WITH rep AS ({_REPETITION_ORACLE}),
+     pii AS ({_PII_ORACLE}),
+     tq AS ({_text_quality_langid_oracle()})
+SELECT rep.doc_id,
+       tq.pred_lang,
+       tq.quality,
+       rep.dup_line_frac, rep.dup_line_char_frac,
+       rep.top_2gram_char_frac, rep.top_3gram_char_frac, rep.top_4gram_char_frac,
+       rep.dup_5gram_char_frac,
+       rep.keep AS keep_repetition,
+       pii.redacted, pii.has_email, pii.has_ip, pii.has_phone, pii.pii_left
+FROM rep
+JOIN pii ON pii.doc_id = rep.doc_id
+JOIN tq  ON tq.doc_id = rep.doc_id
+"""
+
+
+@_register("curation_quality", _CURATION_QUALITY_ORACLE)
+def curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation verdict in one scored row: n-gram
+    language ID + quality score (functions/text.py), the six Gopher
+    repetition signals with their keep flag (operators/curation.py —
+    Rae et al. 2021 Table A1), and PII detection/redaction over
+    deterministically injected email/IPv4/phone (functions/text.py:150+;
+    ``pii_left`` re-probes the redacted text and must be uniformly
+    false). This is the row a 100 TB pretraining pipeline computes for
+    every document before sampling: one corpus scan per family, one
+    doc_id join to assemble — no extra shuffle beyond the repetition
+    aggregate. Granular variants (text_quality_langid,
+    repetition_filter, pii_redact_docs) stay registered for pinpoint
+    debugging."""
+    rep = REGISTRY["repetition_filter"].spark(spark, sf_dir).withColumnRenamed(
+        "keep", "keep_repetition"
+    )
+    pii = REGISTRY["pii_redact_docs"].spark(spark, sf_dir)
+    tq = REGISTRY["text_quality_langid"].spark(spark, sf_dir).select(
+        "doc_id", "pred_lang", "quality"
+    )
+    return rep.join(pii, "doc_id").join(tq, "doc_id")
+
+
+_NEAR_DUP_PAIRS_ORACLE = f"""
+WITH jac AS ({_near_dup_oracle()}),
+     sim AS ({_simhash_pairs_oracle()})
+SELECT 'minhash_jaccard' AS method, doc_a, doc_b, jaccard AS score FROM jac
+UNION ALL
+SELECT 'simhash_hamming' AS method, doc_a, doc_b, hamming::DOUBLE AS score FROM sim
+"""
+
+
+@_register("near_dup_pairs", _NEAR_DUP_PAIRS_ORACLE)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both near-duplicate pair detectors in one scored row, tagged by
+    method: MinHash-LSH candidates verified at Jaccard >= 0.7 (score =
+    exact n-gram Jaccard) and banded SimHash neighbors at Hamming <= 6
+    (score = exact Hamming distance). Granular variants
+    (near_dup_jaccard, simhash_near_pairs) stay registered."""
+    j = REGISTRY["near_dup_jaccard"].spark(spark, sf_dir)
+    s = REGISTRY["simhash_near_pairs"].spark(spark, sf_dir)
+    return j.select(
+        F.lit("minhash_jaccard").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").cast("double").alias("score"),
+    ).unionAll(
+        s.select(
+            F.lit("simhash_hamming").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
+    )
+
+
+_UUID_IDS_ORACLE = f"""
+WITH v3 AS ({_UUID3_ORACLE}),
+     v5 AS ({_uuid5_oracle()})
+SELECT 'v3_customer' AS src, c_custkey::BIGINT AS key_num, '' AS key_str,
+       correlation_id AS uuid_a, '' AS uuid_b
+FROM v3
+UNION ALL
+SELECT 'v5_events' AS src, user_bucket::BIGINT AS key_num, event_type AS key_str,
+       user_bucket_uuid AS uuid_a, event_type_uuid AS uuid_b
+FROM v5
+"""
+
+
+@_register("uuid_deterministic_ids", _UUID_IDS_ORACLE)
+def uuid_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deterministic-id surface
+    (macros/utils/uuid_generation.sql) in one scored row: md5-based
+    UUIDv3 correlation ids over customer names and SHA-1 UUIDv5 over the
+    fixture-derived (user bucket, event type) grid, gated against
+    precomputed RFC-4122 ``uuid.uuid5`` vectors. Granular variants
+    (uuid_v3_customer, uuid_v5_events) stay registered."""
+    v3 = REGISTRY["uuid_v3_customer"].spark(spark, sf_dir)
+    v5 = REGISTRY["uuid_v5_events"].spark(spark, sf_dir)
+    return v3.select(
+        F.lit("v3_customer").alias("src"),
+        F.col("c_custkey").cast("bigint").alias("key_num"),
+        F.lit("").alias("key_str"),
+        F.col("correlation_id").alias("uuid_a"),
+        F.lit("").alias("uuid_b"),
+    ).unionAll(
+        v5.select(
+            F.lit("v5_events").alias("src"),
+            F.col("user_bucket").cast("bigint").alias("key_num"),
+            F.col("event_type").alias("key_str"),
+            F.col("user_bucket_uuid").alias("uuid_a"),
+            F.col("event_type_uuid").alias("uuid_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
 # The driver's correctness gate scores exactly the FIRST 50 entries of
@@ -3254,23 +3377,26 @@ CORE_ORDER = [
     "q21_waiting_supplier",
     "q22_global_sales",
     "pivot_event_counts",
-    # §2D scalar functions
+    # §2D scalar functions (uuid_deterministic_ids consolidates
+    # uuid_v3_customer + uuid_v5_events, both still registered granular)
     "binary_codecs",
     "ieee754_decode",
-    "uuid_v3_customer",
-    "uuid_v5_events",
-    # dedup family
+    "uuid_deterministic_ids",
+    # dedup family (near_dup_pairs consolidates near_dup_jaccard +
+    # simhash_near_pairs)
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "near_dup_jaccard",
-    "simhash_near_pairs",
+    "near_dup_pairs",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    # curation / text
+    # curation / text (curation_quality consolidates text_quality_langid
+    # + repetition_filter + pii_redact_docs into the per-doc verdict row)
     "contamination_3gram",
     "sample_stratified",
     "chunk_documents",
-    "text_quality_langid",
+    "curation_quality",
+    "weighted_sample_quality",
+    "shuffle_shards_summary",
     "grouped_theilsen_slope",
     # similarity search
     "ann_topk_bruteforce",

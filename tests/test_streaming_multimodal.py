@@ -110,3 +110,92 @@ def test_plan_frame_samples_pure_column(spark):
 def test_real_codec_stub_raises():
     with pytest.raises(NotImplementedError, match="decode"):
         require_real_codecs()
+
+
+def _png_bytes(width: int, height: int, color_type: int = 2) -> bytes:
+    """Minimal valid PNG written with stdlib only (struct + zlib CRCs):
+    signature, IHDR, one zlib IDAT of zero scanlines, IEND."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = (b"\x00" + b"\x00" * (width * n_ch)) * height  # filter byte + pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(sample_rate: int, channels: int, bits: int, n_frames: int) -> bytes:
+    """Minimal valid RIFF/WAVE (PCM) written with stdlib struct only."""
+    import struct
+
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_frames * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_probe_media_headers_real_bytes(spark):
+    """The Arrow decode path runs on REAL container bytes: stdlib-built
+    PNG/WAV files round-trip through probe_media_headers bit-exactly."""
+    import hashlib
+
+    from edna_dbt_library_spark.operators.multimodal import (
+        PROBE_SCHEMA,
+        probe_media_headers,
+    )
+
+    png = _png_bytes(640, 360, color_type=2)
+    wav = _wav_bytes(16000, 1, 16, 8000)  # exactly 500 ms of mono PCM
+    junk = b"not a media file at all"
+    media = spark.createDataFrame(
+        [(1, png), (2, wav), (3, junk), (4, None)],
+        "doc_id long, content binary",
+    )
+    out = probe_media_headers(media, batch_rows=2)
+    assert out.schema == PROBE_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    p = rows[1]
+    assert (p["format"], p["width"], p["height"], p["channels"]) == ("png", 640, 360, 3)
+    assert p["content_md5"] == hashlib.md5(png).hexdigest() and p["n_bytes"] == len(png)
+    w = rows[2]
+    assert (w["format"], w["channels"], w["sample_rate"], w["duration_ms"]) == ("wav", 1, 16000, 500)
+    assert rows[3]["format"] == "unknown" and rows[3]["width"] is None
+    assert rows[4]["format"] == "unknown" and rows[4]["n_bytes"] == 0
+
+
+def test_decode_images_with_stdlib_header_codec(spark):
+    """header_decode injected into the decode_images hook: dimensions come
+    from the real PNG IHDR, overriding (wrong) claimed metadata; non-PNG
+    rows fall back to the claimed metadata."""
+    from edna_dbt_library_spark.operators.multimodal import header_decode
+
+    png = _png_bytes(31, 17, color_type=6)
+    meta = {"media_type": "image", "format": "png", "width": 999, "height": 999, "duration_ms": 0}
+    media = spark.createDataFrame(
+        [(1, png, meta), (2, b"opaque", {**meta, "format": "bin", "width": 5, "height": 6})],
+        "doc_id long, content binary, media struct<media_type:string,format:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(media, decode_fn=header_decode).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (31, 17)  # parsed, not claimed
+    assert (rows[2]["width"], rows[2]["height"]) == (5, 6)  # fallback to claimed
