@@ -72,61 +72,161 @@ def brute_force_topk(
     return _ranked_topk(joined, k)
 
 
+KMEANS_SCALE = 1024  # power-of-two quantization: float -> exact integer
+
+
+def quantize_vec(vec: "F.Column | str", scale: int = KMEANS_SCALE) -> "F.Column":
+    """``array<float> -> array<long>``: round(x * scale) per component.
+    With a power-of-two scale, float->double cast and the multiply are
+    both IEEE-exact, and round() is half-away-from-zero in Spark and
+    DuckDB alike — so the quantized vector is bit-identical across
+    engines, which is what lets k-means run as exact integer arithmetic
+    under the parity gate."""
+    c = vec if not isinstance(vec, str) else F.col(vec)
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _int_sqdist(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Exact squared L2 distance between two array<long> vectors."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _int_mean(s: "F.Column", n: "F.Column") -> "F.Column":
+    """Round-half-away-from-zero integer mean of a long sum over n rows:
+    sign(s) * floor((2|s| + n) / (2n)). The division is IEEE double over
+    exact integers far below 2^53, so floor lands identically in every
+    engine (an integer `div` would differ between truncating and flooring
+    semantics on negatives — this formulation never divides a negative)."""
+    mag = F.floor((2 * F.abs(s) + n) / (2.0 * n)).cast("long")
+    return F.when(s >= 0, mag).otherwise(-mag)
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over quantized integer vectors: returns the trained
+    centroids as (cid, cv array<long>).
+
+    Deterministic and engine-exact by construction: components are
+    quantized once (quantize_vec), every distance is exact integer
+    squared-L2, assignment ties break on smallest cid, and the centroid
+    update is an exact integer rounded mean — no floating-point
+    accumulation anywhere, so the same data yields the same centroids on
+    any partitioning, cluster size, or SQL engine (the DuckDB oracle
+    replays the identical arithmetic).
+
+    Seeding: the ``n_cells`` lowest-id vectors (deterministic; swap for
+    k-means|| sampling at production scale if id order correlates with
+    content). A cell that loses all members keeps its previous centroid.
+
+    Scale shape per iteration: one broadcast cross-join pass over the
+    corpus (n_cells × dims longs per row, JVM codegen), then one
+    posexplode + groupBy(cell, dim) shuffle whose key space is exactly
+    n_cells × dims — map-side combine collapses the traffic to
+    #partitions × n_cells × dims rows regardless of corpus size.
+    Centroids (n_cells rows) are localCheckpoint'd each round to cut the
+    re-execution lineage, mirroring dedup.duplicate_clusters."""
+    from edna_dbt_library_spark.operators.relational import top1_per_key
+
+    q = embeddings.select(
+        F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
+    )
+    cent = (
+        q.where(F.col("vid") < n_cells)
+        .select(F.col("vid").cast("long").alias("cid"), F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            "vid", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+        )
+        assigned = top1_per_key(
+            scored, ["vid"], [F.col("dist").asc(), F.col("cid").asc()]
+        ).select("vid", "qv", F.col("cid").alias("cell"))
+        sums = (
+            assigned.select("cell", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        upd = (
+            sums.select("cell", "dim", _int_mean(F.col("s"), F.col("n")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(upd, cent.cid == upd.cell, "left")
+            .select("cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate top-k: an inverted-file index skeleton.
+    """IVF approximate top-k with k-means-trained centroids.
 
-    * index build: every vector is assigned to its nearest "centroid" cell
-      (centroids here are the first ``n_cells`` vectors by id — a
-      deterministic stand-in for k-means centroids, keeping the whole
-      operator oracle-checkable; swap in trained centroids in production).
+    * train: ``train_iters`` exact-integer Lloyd iterations over the
+      quantized corpus (kmeans_cells) — real computed centroids, not a
+      stand-in, and still bit-exact under the cross-engine parity gate.
+    * index build: every vector joins its nearest centroid cell (integer
+      squared-L2, ties to smallest cid) — the standard IVF coarse
+      quantizer.
     * search: each query probes its ``n_probe`` nearest cells and ranks
-      only the vectors in those cells.
+      only vectors in those cells by exact cosine on the ORIGINAL float
+      vectors (quantization only shapes the cells, never the scores).
 
-    Scale shape: assignment is a broadcast cross-join against n_cells rows
-    (one pass over the corpus, done once at index-build time); search
-    touches ~n_probe/n_cells of the data instead of all of it.
+    Scale shape: training is train_iters+1 broadcast passes over the
+    embedding corpus; search touches ~n_probe/n_cells of the data.
     """
+    from pyspark.sql import Window
+
     from edna_dbt_library_spark.operators.relational import top1_per_key
 
     cent = F.broadcast(
-        embeddings.where(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("ce"),
-            norm(F.col(vec_col)).alias("cn"),
-        )
+        kmeans_cells(embeddings, n_cells, train_iters, KMEANS_SCALE, id_col, vec_col)
     )
 
-    def _cell_scores(df: DataFrame, out_id: str) -> DataFrame:
+    def _cell_dists(df: DataFrame, out_id: str) -> DataFrame:
         side = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias("e"),
             norm(F.col(vec_col)).alias("n"),
+            quantize_vec(vec_col).alias("qv"),
             *([F.col("label")] if "label" in df.columns else []),
         )
-        d = dot(F.col("e"), F.col("ce"))
-        sim = F.when((F.col("n") > 0) & (F.col("cn") > 0), d / (F.col("n") * F.col("cn")))
-        return side.crossJoin(cent).withColumn("c_sim", F.round(sim, 6))
+        return side.crossJoin(cent).withColumn(
+            "dist", _int_sqdist(F.col("qv"), F.col("cv"))
+        )
 
     # index: nearest cell per vector (ties -> smallest cid)
     assigned = top1_per_key(
-        _cell_scores(embeddings, "vec_id"),
+        _cell_dists(embeddings, "vec_id"),
         ["vec_id"],
-        [F.col("c_sim").desc(), F.col("cid").asc()],
+        [F.col("dist").asc(), F.col("cid").asc()],
     ).select("vec_id", "label", "e", "n", F.col("cid").alias("cell"))
 
     # search: n_probe nearest cells per query
-    from pyspark.sql import Window
-
-    qs = _cell_scores(queries, "query_id")
-    w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cid").asc())
+    qs = _cell_dists(queries, "query_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
     probes = (
         qs.withColumn("__pr", F.row_number().over(w))
         .where(F.col("__pr") <= n_probe)

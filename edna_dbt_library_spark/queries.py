@@ -1944,44 +1944,96 @@ def grouped_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE = """
-WITH cent AS (
-    SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16
-), scored AS (
-    SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS ee, c.cid,
-           round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) AS cs
-    FROM embeddings e, cent c
+def _ivf_oracle(
+    n_cells: int = 16, n_probe: int = 4, iters: int = 2, scale: int = 1024,
+    n_queries: int = 5, k: int = 10,
+) -> str:
+    """IVF with k-means-trained centroids, replayed exactly: quantize to
+    integers (round(x*2^10) — IEEE-exact in both engines), run ``iters``
+    unrolled Lloyd iterations in pure integer arithmetic (exact squared-L2
+    assignment, round-half-away integer means via a never-negative floor
+    division), then assign/probe against the final centroids and rank by
+    exact cosine on the ORIGINAL float vectors. Mirrors
+    operators/similarity.kmeans_cells + ivf_topk step for step."""
+    parts = [f"""
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ee,
+           list_transform(embedding, x -> round(x::DOUBLE * {scale}.0)::BIGINT) AS qv
+    FROM embeddings
+), qd AS (
+    SELECT vec_id, i AS dim, qv[i] AS v
+    FROM base, unnest(generate_series(1, len(qv))) AS t(i)
+), c0 AS (
+    SELECT vec_id AS cid, dim, v FROM qd WHERE vec_id < {n_cells}
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f""", a{it} AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
+    FROM qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
+), m{it} AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM a{it}
+    ) WHERE rn = 1
+), u{it} AS (
+    SELECT m{it}.cell AS cid, q.dim,
+           CASE WHEN sum(q.v) >= 0
+                THEN floor((2 * sum(q.v) + count(*)) / (2.0 * count(*)))::BIGINT
+                ELSE -(floor((2 * (-sum(q.v)) + count(*)) / (2.0 * count(*)))::BIGINT)
+           END AS v
+    FROM qd q JOIN m{it} ON m{it}.vec_id = q.vec_id GROUP BY 1, 2
+), c{it} AS (
+    SELECT p.cid, p.dim, coalesce(u{it}.v, p.v) AS v
+    FROM {prev} p LEFT JOIN u{it} ON u{it}.cid = p.cid AND u{it}.dim = p.dim
+)""")
+        prev = f"c{it}"
+    parts.append(f""", af AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
+    FROM qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
 ), assigned AS (
-    SELECT vec_id, label, ee, cid AS cell
-    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM scored)
-    WHERE rn = 1
+    SELECT b.vec_id, b.label, b.ee, mf.cell
+    FROM base b JOIN (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM af
+        ) WHERE rn = 1
+    ) mf ON mf.vec_id = b.vec_id
 ), probes AS (
-    SELECT vec_id AS query_id, ee AS qe, cid AS cell
-    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-          FROM scored WHERE vec_id < 5)
-    WHERE rn <= 4
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM af WHERE vec_id < {n_queries}
+    ) WHERE rn <= {n_probe}
+), qe AS (
+    SELECT vec_id AS query_id, ee AS q_ee FROM base WHERE vec_id < {n_queries}
 ), cand AS (
     SELECT p.query_id, a.vec_id, a.label,
-           round(list_cosine_similarity(a.ee, p.qe), 6) AS cosine_sim
-    FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+           round(list_cosine_similarity(a.ee, q.q_ee), 6) AS cosine_sim
+    FROM probes p
+    JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN qe q ON q.query_id = p.query_id
 ), ranked AS (
     SELECT query_id, vec_id, label, cosine_sim,
            row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
     FROM cand
 )
-SELECT query_id, rank::INTEGER AS rank, vec_id, label, cosine_sim FROM ranked WHERE rank <= 10
-"""
+SELECT query_id, rank::INTEGER AS rank, vec_id, label, cosine_sim FROM ranked WHERE rank <= {k}""")
+    return "".join(parts)
 
 
-@_register("ann_ivf_topk", _IVF_ORACLE)
+@_register("ann_ivf_topk", _ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (operators/similarity.ivf_topk): inverted-file cell
-    assignment + n_probe search — the trained-index scale path with
-    deterministic stand-in centroids."""
+    """IVF ANN with REAL k-means-trained centroids
+    (operators/similarity.kmeans_cells + ivf_topk): two exact-integer
+    Lloyd iterations train the coarse quantizer, every vector indexes
+    into its nearest cell, each query probes its 4 nearest cells, and
+    candidates rank by exact cosine on the original floats. The oracle
+    replays the identical integer arithmetic, so the trained index is
+    hash-gated end-to-end — no stand-in centroids."""
     from edna_dbt_library_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4, train_iters=2
+    )
 
 
 _TOP_SUPPLIERS_SQL = """

@@ -35,12 +35,36 @@ def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries, k=10)
-    approx = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    approx = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4, train_iters=2)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(a) == len(e) == 50
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall}"  # probing 4/16 cells
+    # probing 4/16 trained cells; measured 0.86-0.90 on the fixtures
+    assert recall >= 0.7, f"IVF recall collapsed: {recall}"
+
+
+def test_kmeans_cells_trains_and_is_deterministic(spark):
+    from edna_dbt_library_spark.operators.similarity import kmeans_cells, quantize_vec
+
+    emb = load_table(spark, SF, "embeddings")
+    cent = kmeans_cells(emb, n_cells=16, iters=2)
+    rows = {r["cid"]: list(r["cv"]) for r in cent.collect()}
+    assert set(rows) == set(range(16))
+    assert all(len(v) == 64 for v in rows.values())
+    # training moved the centroids off their seed vectors (Lloyd update
+    # really ran): at least half the cells differ from the seed
+    seed = {
+        r["vec_id"]: list(r["q"])
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", quantize_vec("embedding").alias("q"))
+        .collect()
+    }
+    moved = sum(1 for cid, cv in rows.items() if cv != seed[cid])
+    assert moved >= 8, f"only {moved}/16 centroids moved from their seeds"
+    # bit-exact under repartitioning: pure integer arithmetic everywhere
+    again = {r["cid"]: list(r["cv"]) for r in kmeans_cells(emb.repartition(7), n_cells=16, iters=2).collect()}
+    assert again == rows
 
 
 def test_runner_sql_text_model(spark, tmp_path):
