@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "pii_redact_docs",
     "weighted_sample_quality",
     "shuffle_shards_summary",
+    "winnow_fingerprints",
+    "dedup_lines_docs",
 ]
 
 

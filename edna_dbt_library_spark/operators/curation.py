@@ -284,6 +284,120 @@ REPETITION_THRESHOLDS: dict[str, float] = {
 }
 
 
+def _rotl64(c: Column, k: int) -> Column:
+    """Bitwise left-rotate of a long by a constant — overflow-free under
+    ANSI mode (shifts and OR never throw, unlike multiplication)."""
+    k %= 64
+    if k == 0:
+        return c
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
+def _hashed_ngram_structs(hw: Column, lw: Column, n: int) -> Column:
+    """array<struct<h,c>> of word n-grams WITHOUT materializing n-gram
+    strings: h combines the per-word xxhash64 values with position-
+    distinct rotations (rot(7j) XOR — bitwise, so no ANSI overflow), and
+    c is the exact n-gram character count (word lengths + n-1 joiner
+    spaces). Building 12M n-gram strings measured 12.5s at sf0.1 where
+    this builds the same information in 1.4s; equal n-grams get equal
+    (h, c) keys, and distinct n-grams collide with probability ~2^-64
+    per doc — far below any fixture or production corpus size."""
+
+    def one(i: Column) -> Column:
+        h = F.element_at(hw, i)
+        ch = F.element_at(lw, i) + F.lit(n - 1).cast("long")
+        for j in range(1, n):
+            h = h.bitwiseXOR(_rotl64(F.element_at(hw, i + j), 7 * j))
+            ch = ch + F.element_at(lw, i + j)
+        return F.struct(h.alias("h"), ch.alias("c"))
+
+    W = F.size(hw)
+    return F.when(
+        W >= n, F.transform(F.sequence(F.lit(1), W - n + 1), one)
+    ).otherwise(F.array().cast("array<struct<h:bigint,c:bigint>>"))
+
+
+def _run_length_stats(items: Column) -> Column:
+    """Fold over a sorted array<struct<h,c>> of hashed items, returning
+    struct(total, dup_cnt, dup_chars, top_c, top_ch): instance counts,
+    duplicated-instance count and chars, and the (count, chars)-
+    lexicographic most frequent item. One linear pass with an
+    accumulator holding the open run — the row-local equivalent of
+    groupBy(item).count() + rollup, with no shuffle at all."""
+    sa = F.array_sort(items)
+    long0 = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        long0.alias("pch"),
+        long0.alias("run"),
+        long0.alias("total"),
+        long0.alias("dup_cnt"),
+        long0.alias("dup_chars"),
+        long0.alias("top_c"),
+        long0.alias("top_ch"),
+    )
+
+    def _close(acc):
+        # fold the open run into the rollup fields (run == 0 contributes
+        # nothing: `dup` is false and `better` is false/null-safe)
+        r = acc.getField("run")
+        ch = acc.getField("pch")
+        dup = r > 1
+        dc = acc.getField("dup_cnt") + F.when(dup, r).otherwise(long0)
+        dch = acc.getField("dup_chars") + F.when(dup, r * ch).otherwise(long0)
+        better = (r > acc.getField("top_c")) | (
+            (r == acc.getField("top_c")) & (ch > acc.getField("top_ch"))
+        )
+        tc = F.when(better, r).otherwise(acc.getField("top_c"))
+        tch = F.when(better, ch).otherwise(acc.getField("top_ch"))
+        return dc, dch, tc, tch
+
+    def merge(acc, x):
+        same = (
+            acc.getField("prev").isNotNull()
+            & (acc.getField("prev") == x.getField("h"))
+            & (acc.getField("pch") == x.getField("c"))
+        )
+        dc, dch, tc, tch = _close(acc)
+        total = (acc.getField("total") + 1).alias("total")
+        return F.when(
+            same,
+            F.struct(
+                acc.getField("prev").alias("prev"),
+                acc.getField("pch").alias("pch"),
+                (acc.getField("run") + 1).alias("run"),
+                total,
+                acc.getField("dup_cnt").alias("dup_cnt"),
+                acc.getField("dup_chars").alias("dup_chars"),
+                acc.getField("top_c").alias("top_c"),
+                acc.getField("top_ch").alias("top_ch"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.getField("h").alias("prev"),
+                x.getField("c").alias("pch"),
+                F.lit(1).cast("long").alias("run"),
+                total,
+                dc.alias("dup_cnt"),
+                dch.alias("dup_chars"),
+                tc.alias("top_c"),
+                tch.alias("top_ch"),
+            )
+        )
+
+    def finish(acc):
+        dc, dch, tc, tch = _close(acc)
+        return F.struct(
+            acc.getField("total").alias("total"),
+            dc.alias("dup_cnt"),
+            dch.alias("dup_chars"),
+            tc.alias("top_c"),
+            tch.alias("top_ch"),
+        )
+
+    return F.aggregate(sa, init, merge, finish)
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -310,92 +424,84 @@ def repetition_stats(
     text, a lone word with no lines after trimming — score 0.0 on every
     signal (and therefore ``keep=True`` in repetition_filter): repetition
     evidence is absent, so this filter has no grounds to drop them;
-    length/quality filters are the right tool for that. Without this
-    left-join-back a consumer joining verdicts on doc_id would silently
-    lose those docs.
+    length/quality filters are the right tool for that.
 
     Extends the reference surface (no curation layer there — driver
     mandate, SURVEY.md §7 phase 6).
 
-    Scale design (100 TB corpus): one explode produces every (kind, item)
-    instance — lines plus all four n-gram sizes — in a single pass over
-    the text, then exactly TWO shuffles keyed by (doc_id, kind, item) and
-    (doc_id, kind): linear in corpus size, uniform keys (items are
-    per-document, so no global hot key), no Python, no all-pairs work.
-    The per-(doc,kind) rollup is a map-side-combinable aggregate; the top
-    n-gram is a lexicographic struct max — (count, chars) only, NO string
-    tie-break, so results never depend on engine collation.
+    Scale design (100 TB corpus): ZERO shuffles, zero joins — every
+    signal is per-document, so the whole computation is row-local Column
+    algebra: hash each word once (xxhash64, JVM-side), build n-gram keys
+    arithmetically (_hashed_ngram_structs — no n-gram strings are ever
+    materialized; that string build dominated the previous explode+
+    groupBy formulation at 21.7s of a 78s bench), then one sorted-array
+    run-length fold per signal family (_run_length_stats). Embarrassingly
+    parallel, perfectly linear, no skew surface, and the scan's column
+    pruning reaches parquet untouched.
+
+    Count keys are (64-bit combined hash, exact char count) rather than
+    the item strings; the oracle counts raw items, which is equal-valued
+    up to hash collisions within a single document (~2^-64 per pair —
+    negligible at any corpus size, and any engine would face the same
+    within-doc birthday bound).
 
     Engine-portable doubles: every fraction is one IEEE division of two
     exact BIGINTs, so DuckDB produces bit-identical values for the parity
     gate (CLAUDE.md determinism rule).
     """
-    from edna_dbt_library_spark.functions.text import shingles
+    from edna_dbt_library_spark.functions.text import tokens
 
     text = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
-        lambda ln: ln != "",
+    line_structs = F.transform(
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+            lambda ln: ln != "",
+        ),
+        lambda ln: F.struct(
+            F.xxhash64(ln).alias("h"), F.length(ln).cast("long").alias("c")
+        ),
     )
-
-    def _tag(kind: str, arr: Column) -> Column:
-        return F.transform(arr, lambda it: F.struct(F.lit(kind).alias("kind"), it.alias("item")))
-
-    tagged = F.concat(
-        _tag("line", lines),
-        *[_tag(f"g{n}", shingles(text, n)) for n in (2, 3, 4, 5)],
-    )
-    exploded = docs.where(text.isNotNull() & (F.length(text) > 0)).select(
+    # hw/lw MUST be materialized as real columns of an inner projection:
+    # _hashed_ngram_structs indexes them with element_at once per (gram,
+    # word) position — inlining the transform() expression there would
+    # re-evaluate the whole per-word array build for every element_at
+    # call (O(W²·n) per doc; measured as a >40x blowup at sf0.1).
+    # Catalyst keeps the inner projection because the aliases are
+    # non-cheap and multiply referenced.
+    pre = docs.select(
         F.col(id_col),
-        F.length(text).alias("_doc_chars"),
-        F.explode(tagged).alias("t"),
+        F.length(text).cast("bigint").alias("_dc"),
+        line_structs.alias("_lines"),
+        F.transform(tokens(text), lambda x: F.xxhash64(x)).alias("_hw"),
+        F.transform(tokens(text), lambda x: F.length(x).cast("long")).alias("_lw"),
     )
-    counted = exploded.groupBy(id_col, "_doc_chars", F.col("t.kind").alias("kind"), F.col("t.item").alias("item")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    chars = F.length("item")
-    per_kind = counted.groupBy(id_col, "_doc_chars", "kind").agg(
-        F.sum("cnt").alias("total_cnt"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_cnt"),
-        F.sum(F.col("cnt") * chars).alias("total_chars"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * chars).otherwise(F.lit(0))).alias("dup_chars"),
-        F.max(F.struct(F.col("cnt").alias("c"), chars.alias("ch"))).alias("top"),
-    )
-    pivoted = (
-        per_kind.groupBy(id_col, "_doc_chars")
-        .pivot("kind", ["line", "g2", "g3", "g4", "g5"])
-        .agg(
-            F.first("total_cnt").alias("total_cnt"),
-            F.first("dup_cnt").alias("dup_cnt"),
-            F.first("total_chars").alias("total_chars"),
-            F.first("dup_chars").alias("dup_chars"),
-            F.first(F.col("top.c") * F.col("top.ch")).alias("top_chars"),
-        )
+    sel = pre.select(
+        F.col(id_col),
+        F.col("_dc"),
+        _run_length_stats(F.col("_lines")).alias("_L"),
+        *[
+            _run_length_stats(
+                _hashed_ngram_structs(F.col("_hw"), F.col("_lw"), n)
+            ).alias(f"_G{n}")
+            for n in (2, 3, 4, 5)
+        ],
     )
 
     def _frac(num: Column, den: Column) -> Column:
         # NULLIF guard: ANSI mode turns x/0 into an error; a doc with no
-        # items of some kind (e.g. 4 words -> zero 5-grams) scores 0.0.
-        return F.coalesce(num / F.nullif(den.cast("bigint"), F.lit(0)), F.lit(0.0))
+        # items of some kind (e.g. 4 words -> zero 5-grams) scores 0.0,
+        # and NULL-text docs (all-NULL stats) coalesce to 0.0 rows.
+        return F.coalesce(num / F.nullif(den, F.lit(0)), F.lit(0.0))
 
-    doc_chars = F.col("_doc_chars").cast("bigint")
-    scored = pivoted.select(
+    dc = F.col("_dc")
+    return sel.select(
         F.col(id_col),
-        _frac(F.col("line_dup_cnt"), F.col("line_total_cnt")).alias("dup_line_frac"),
-        _frac(F.col("line_dup_chars"), doc_chars).alias("dup_line_char_frac"),
-        _frac(F.col("g2_top_chars"), doc_chars).alias("top_2gram_char_frac"),
-        _frac(F.col("g3_top_chars"), doc_chars).alias("top_3gram_char_frac"),
-        _frac(F.col("g4_top_chars"), doc_chars).alias("top_4gram_char_frac"),
-        F.least(_frac(F.col("g5_dup_chars"), doc_chars), F.lit(1.0)).alias("dup_5gram_char_frac"),
-    )
-    # Total coverage: left-join stats back onto the input ids so item-less
-    # docs surface as all-zeros rows instead of silently vanishing. The
-    # join key is the (unique) doc id — broadcast-or-shuffle per AQE; the
-    # stats side is already aggregated to one row per doc.
-    signal_names = list(REPETITION_THRESHOLDS)
-    return docs.select(F.col(id_col)).join(scored, on=id_col, how="left").select(
-        F.col(id_col),
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in signal_names],
+        _frac(F.col("_L.dup_cnt"), F.col("_L.total")).alias("dup_line_frac"),
+        _frac(F.col("_L.dup_chars"), dc).alias("dup_line_char_frac"),
+        _frac(F.col("_G2.top_c") * F.col("_G2.top_ch"), dc).alias("top_2gram_char_frac"),
+        _frac(F.col("_G3.top_c") * F.col("_G3.top_ch"), dc).alias("top_3gram_char_frac"),
+        _frac(F.col("_G4.top_c") * F.col("_G4.top_ch"), dc).alias("top_4gram_char_frac"),
+        F.least(_frac(F.col("_G5.dup_chars"), dc), F.lit(1.0)).alias("dup_5gram_char_frac"),
     )
 
 
@@ -419,6 +525,61 @@ def repetition_filter(
         cond = F.col(name) <= F.lit(float(limit))
         keep = cond if keep is None else (keep & cond)
     return stats.withColumn("keep", keep)
+
+
+def dedup_lines_across_docs(
+    docs: DataFrame,
+    min_line_chars: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4/MassiveText boilerplate
+    scrub): a line appearing in many documents survives only at its FIRST
+    occurrence — minimum (doc_id, position) — and is dropped everywhere
+    else; each document's text is rebuilt from its surviving lines.
+
+    Lines shorter than ``min_line_chars`` bypass dedup entirely (always
+    kept): empty lines and one-word bullets recur in every document by
+    nature, and deduplicating them would strip paragraph structure from
+    the whole corpus rather than remove boilerplate.
+
+    Output, one row per non-NULL-text input doc: (doc_id, n_lines,
+    n_kept, text_deduped) — text_deduped is '' when every line was a
+    duplicate (total coverage: consumers never lose a doc id).
+
+    Scale design (100 TB): explode to line rows (linear), ONE map-side-
+    combinable min-struct aggregate per distinct long line (hot
+    boilerplate lines collapse on the map side — no single-task sort of
+    100M copies, unlike a window formulation), one line-keyed join that
+    AQE skew-splits, and one doc-keyed rebuild shuffle. No all-pairs
+    work, no driver-side state.
+    """
+    if min_line_chars < 0:
+        raise ValueError("min_line_chars must be >= 0")
+    lines = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    long_lines = lines.where(F.length("line") >= min_line_chars)
+    keepers = long_lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k")
+    )
+    flagged = lines.join(keepers, "line", "left").withColumn(
+        "_keep",
+        (F.length("line") < min_line_chars)
+        | ((F.col(id_col) == F.col("k.d")) & (F.col("pos") == F.col("k.p"))),
+    )
+    kept_line = F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("line")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_line)), lambda s: s.getField("line")
+            ),
+        ).alias("text_deduped"),
+    )
 
 
 def weighted_sample(df: DataFrame, weight: Column, key: Column | str) -> DataFrame:

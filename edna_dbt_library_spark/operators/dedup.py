@@ -259,6 +259,68 @@ def simhash_near_pairs(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool | None = None,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every character
+    ``k``-gram of the normalized text, then keep the minimum hash of each
+    ``window`` of consecutive positions. Output one row per distinct
+    selected hash: (doc_id, fp, first_window) where ``first_window`` is
+    the earliest window start achieving that minimum.
+
+    Guarantee: any shared substring of length >= k + window - 1 between
+    two documents produces at least one identical fingerprint in both
+    (the winnowing coverage theorem), so joining on ``fp`` finds partial
+    overlaps — plagiarism / quotation / template reuse — that whole-doc
+    hashing (functions.text.fingerprint) and set-based MinHash both miss.
+    Expected density ~2/(window+1) of positions selected.
+
+    Normalization: lowercase + whitespace collapsed to single spaces +
+    trim, mirroring the exact-dup fingerprint, so formatting changes
+    don't shift grams. Docs shorter than k + window - 1 normalized chars
+    yield no rows (nothing to guarantee — handle short docs with exact
+    hashing).
+
+    Scale design (100 TB): one explode to L rows per doc (linear, same
+    class as shingle hashing), one window pass partitioned by doc id,
+    one (doc, fp) group — uniform per-document keys, no all-pairs work;
+    the md5-per-gram cost dominates and the ``fast`` xxhash64 flag
+    removes it in production exactly as in MinHash (oracle stays md5).
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), norm.alias("_t"), F.length(norm).alias("_len")
+    )
+    grams = base.where(F.col("_len") >= k).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1).cast("long"), (F.col("_len") - k + 1).cast("long"))).alias("pos"),
+        F.col("_t"),
+    ).select(
+        id_col,
+        "pos",
+        minhash_word_value(F.substring(F.col("_t"), F.col("pos").cast("int"), k), fast=fast).alias("h"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    n = Window.partitionBy(id_col)
+    windowed = grams.select(
+        id_col,
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    ).where(F.col("pos") <= F.col("_n") - window + 1)
+    return windowed.groupBy(id_col, "fp").agg(F.min("pos").alias("first_window"))
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: assign every doc the
     minimum doc id reachable through the pair graph (the cluster

@@ -3263,6 +3263,80 @@ def shuffle_shards_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_LINES_ORACLE = """
+WITH base AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ls
+    FROM documents WHERE text IS NOT NULL
+), lines AS (
+    SELECT doc_id, i - 1 AS pos, ls[i] AS line
+    FROM base, unnest(generate_series(1, len(ls))) AS s(i)
+), keepers AS (
+    SELECT line, min({'d': doc_id, 'p': pos}) AS k
+    FROM lines WHERE length(line) >= 10 GROUP BY line
+), flagged AS (
+    SELECT l.doc_id, l.pos, l.line,
+           (length(l.line) < 10 OR (l.doc_id = (k.k).d AND l.pos = (k.k).p)) AS keep
+    FROM lines l LEFT JOIN keepers k ON k.line = l.line
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(keep::BIGINT)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_deduped
+FROM flagged GROUP BY doc_id
+"""
+
+
+@_register("dedup_lines_docs", _DEDUP_LINES_ORACLE)
+def dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (C4/MassiveText boilerplate scrub):
+    every line of >= 10 chars survives only at its minimum (doc_id, pos)
+    occurrence; documents are rebuilt from surviving lines
+    (operators/curation.dedup_lines_across_docs). One map-side-combined
+    aggregate + one AQE-skew-splittable join + one rebuild shuffle."""
+    from edna_dbt_library_spark.operators.curation import dedup_lines_across_docs
+
+    return dedup_lines_across_docs(_t(spark, sf_dir, "documents"), min_line_chars=10)
+
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+_WINNOW_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT doc_id, i AS pos,
+           ('0x' || substr(md5(substr(t, i, {_WINNOW_K})), 1, 15))::BIGINT AS h
+    FROM norm, unnest(generate_series(1, length(t) - {_WINNOW_K} + 1)) AS s(i)
+    WHERE length(t) >= {_WINNOW_K}
+), windowed AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM grams
+)
+SELECT doc_id, fp, min(pos)::BIGINT AS first_window
+FROM windowed WHERE pos <= n - {_WINNOW_W} + 1
+GROUP BY 1, 2
+"""
+
+
+@_register("winnow_fingerprints", _WINNOW_ORACLE)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS, SIGMOD 2003) over the
+    documents corpus: char-8-gram rolling hashes, window-4 minima — any
+    shared substring of >= 11 normalized chars between two docs yields a
+    common fingerprint (operators/dedup.winnowing_fingerprints). The
+    partial-overlap complement to whole-doc hashing and set-based
+    MinHash."""
+    from edna_dbt_library_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WINNOW_K, window=_WINNOW_W
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing consolidations: each bundles already-registered granular
 # queries (which stay in the registry, locally verified) into one scored

@@ -337,3 +337,47 @@ def test_repetition_stats_stable_under_repartitioning(spark):
     a = sorted(map(tuple, repetition_stats(docs).collect()))
     b = sorted(map(tuple, repetition_stats(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_dedup_lines_across_docs_semantics(spark):
+    """Boilerplate line survives only at min (doc_id, pos); short lines
+    bypass; docs rebuilt in order; total coverage incl. all-dup docs."""
+    from edna_dbt_library_spark.operators.curation import dedup_lines_across_docs
+
+    boiler = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique first line\n{boiler}\nshort\nanother unique line"),
+            (2, f"{boiler}\ndifferent content here entirely"),
+            (3, boiler),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines_across_docs(df, min_line_chars=10).collect()}
+    assert set(rows) == {1, 2, 3}  # NULL text dropped, all-dup doc kept
+    # doc 1 holds the first occurrence (pos 1) -> keeps everything
+    assert rows[1]["text_deduped"] == f"unique first line\n{boiler}\nshort\nanother unique line"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (4, 4)
+    # doc 2 loses the boilerplate line but keeps its own content
+    assert rows[2]["text_deduped"] == "different content here entirely"
+    assert (rows[2]["n_lines"], rows[2]["n_kept"]) == (2, 1)
+    # doc 3 was nothing but boilerplate -> empty rebuild, still present
+    assert rows[3]["text_deduped"] == "" and rows[3]["n_kept"] == 0
+
+
+def test_dedup_lines_short_line_bypass_and_determinism(spark):
+    from edna_dbt_library_spark.operators.curation import dedup_lines_across_docs
+
+    df = spark.createDataFrame(
+        [(1, "short\nshort\nshort"), (2, "short")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines_across_docs(df, min_line_chars=10).collect()}
+    # 'short' < 10 chars: never deduplicated, even within one doc
+    assert rows[1]["n_kept"] == 3 and rows[2]["n_kept"] == 1
+    a = sorted(map(tuple, dedup_lines_across_docs(df).collect()))
+    b = sorted(map(tuple, dedup_lines_across_docs(df.repartition(4)).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_line_chars"):
+        dedup_lines_across_docs(df, min_line_chars=-1)

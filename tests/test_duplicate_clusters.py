@@ -45,3 +45,67 @@ def test_clusters_on_lsh_pairs(spark):
     label = {r["doc_id"]: r["cluster_id"] for r in rows}
     for p in pairs.collect():
         assert label[p["doc_a"]] == label[p["doc_b"]]
+
+
+def test_winnowing_hand_computed_selection(spark):
+    """k=2, window=2 over 'abcd': grams ab,bc,cd -> windows (ab,bc),(bc,cd);
+    each fingerprint is the min hash of its window, positions are 1-based."""
+    from edna_dbt_library_spark.operators.dedup import (
+        minhash_word_value,
+        winnowing_fingerprints,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    got = {(r["fp"], r["first_window"]) for r in
+           winnowing_fingerprints(df, k=2, window=2).collect()}
+    h = {g: spark.range(1).select(minhash_word_value(F.lit(g)).alias("h")).collect()[0]["h"]
+         for g in ("ab", "bc", "cd")}
+    expect = {}
+    for start, pair in ((1, ("ab", "bc")), (2, ("bc", "cd"))):
+        fp = min(h[g] for g in pair)
+        expect.setdefault(fp, start)
+    assert got == set(expect.items())
+
+
+def test_winnowing_shared_substring_guarantee_and_determinism(spark):
+    """Docs sharing a substring of >= k+window-1 chars share a fingerprint;
+    selection is stable under repartitioning."""
+    from edna_dbt_library_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"left context before {shared} and some trailing text"),
+            (2, f"completely different opening {shared} different ending too"),
+            (3, "no overlap with anything else here at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 44-char substring must share a fingerprint"
+    # density sanity: winnowing selects far fewer fingerprints than grams
+    n_grams = len("completely different opening " + shared + " different ending too") - 8 + 1
+    assert len(by_doc[2]) < n_grams / 2
+    a = sorted(map(tuple, fps.collect()))
+    b = sorted(map(tuple, winnowing_fingerprints(df.repartition(5), k=8, window=4).collect()))
+    assert a == b
+
+
+def test_winnowing_short_docs_and_validation(spark):
+    import pytest as _pytest
+
+    from edna_dbt_library_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "exactly11ch")], "doc_id long, text string"
+    )
+    rows = winnowing_fingerprints(df, k=8, window=4).collect()
+    # doc 3 has exactly k+window-1 = 11 chars -> exactly one window
+    assert {r["doc_id"] for r in rows} == {3}
+    assert len(rows) == 1 and rows[0]["first_window"] == 1
+    with _pytest.raises(ValueError, match="k and window"):
+        winnowing_fingerprints(df, k=0)
