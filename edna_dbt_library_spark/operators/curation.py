@@ -15,9 +15,9 @@ Scale design (100 TB corpus):
 * Packing shuffles once on a bounded shard key, then two window passes
   over the same sort — the concat-then-chunk packing used by LLM data
   loaders, computed without materializing concatenated text.
-* Decontamination hashes shingles to 60-bit longs before the join (8-byte
-  shuffle keys instead of arbitrary-length strings) and broadcasts the
-  benchmark set — heldout eval suites are tiny next to the corpus.
+* Decontamination reduces both sides to arithmetic 64-bit shingle
+  hashes (no n-gram strings are ever built) and broadcasts the benchmark
+  set — heldout eval suites are tiny next to the corpus.
 """
 
 from __future__ import annotations
@@ -27,7 +27,6 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from edna_dbt_library_spark.functions.text import shingles
 from edna_dbt_library_spark.operators.dedup import minhash_word_value
 
 
@@ -191,37 +190,55 @@ def contamination_flags(
     heldout benchmark set — the decontamination sweep run before training
     so eval data does not leak into the corpus.
 
-    Broadcast mode (the default, and the 100 TB path): the benchmark's
-    distinct shingle STRINGS are broadcast and the corpus side joins
-    map-side — no corpus shuffle, and no hashing at all on the big side.
-    Hashing every corpus shingle buys nothing here (the compact-key
-    argument only applies to shuffle keys) and was the CPU dominator of
-    bench r1 (md5 → hex → base-conversion per shingle); the string join
-    is also exact — no hash-collision false hits.
+    Both sides reduce to arithmetic 64-bit shingle hashes built straight
+    from per-word xxhash64 values (position-rotated XOR — see
+    _hashed_ngram_structs): no n-gram STRINGS are ever materialized on
+    either side. String shingle builds were the CPU dominator of this
+    operator in every earlier round (r1: md5 per shingle; r2: raw-string
+    concat_ws — profiling the repetition family showed the string build
+    itself costs ~10x the hashing). Collisions can add a spurious hit at
+    ~2^-64 per (corpus shingle, bench shingle) pair — negligible against
+    any eval-set size, and the DuckDB oracle joins raw strings, so the
+    parity gate would catch a collision if one ever landed in a fixture.
 
-    Shuffle mode (``broadcast_benchmark=False``, for an eval set too big
-    to broadcast): both sides reduce to 60-bit shingle hashes first so the
-    shuffle moves 8-byte keys instead of raw n-gram strings; collisions
-    can add spurious hits at ~2^-60 per pair.
+    Broadcast mode (the default, and the 100 TB path): the benchmark's
+    distinct hashes broadcast (8 bytes per shingle — an eval suite of
+    millions of shingles is still a few MB) and the corpus side joins
+    map-side with no corpus shuffle. Shuffle mode
+    (``broadcast_benchmark=False``, for an eval set too big to
+    broadcast): the same 8-byte keys shuffle instead.
 
     Output: (id, n_hits) for contaminated documents only, where n_hits
     counts the distinct overlapping shingles (array_distinct before the
     explode + bench-side distinct ⇒ a plain count, no distinct-agg state).
     """
-    def shingle_rows(df: DataFrame) -> DataFrame:
-        return df.select(
+    from edna_dbt_library_spark.functions.text import tokens
+
+    def gram_hash_rows(df: DataFrame) -> DataFrame:
+        # _hw must be a materialized column: element_at over an inlined
+        # transform() re-evaluates the array build per element (see
+        # repetition_stats)
+        pre = df.select(
             F.col(id_col),
-            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+            F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
         )
+        hw = F.col("_hw")
 
+        def one(i: Column) -> Column:
+            h = F.element_at(hw, i)
+            for j in range(1, n):
+                h = h.bitwiseXOR(_rotl64(F.element_at(hw, i + j), 7 * j))
+            return h
+
+        grams = F.when(
+            F.size(hw) >= n, F.transform(F.sequence(F.lit(1), F.size(hw) - n + 1), one)
+        ).otherwise(F.array().cast("array<bigint>"))
+        return pre.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gh"))
+
+    bench = gram_hash_rows(benchmark).select("gh").distinct()
     if broadcast_benchmark:
-        bench = F.broadcast(shingle_rows(benchmark).select("g").distinct())
-        joined = shingle_rows(docs).join(bench, "g")
-    else:
-        def hashed(df: DataFrame) -> DataFrame:
-            return shingle_rows(df).select(id_col, minhash_word_value(F.col("g")).alias("gh"))
-
-        joined = hashed(docs).join(hashed(benchmark).select("gh").distinct(), "gh")
+        bench = F.broadcast(bench)
+    joined = gram_hash_rows(docs).join(bench, "gh")
     return joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
 
 
