@@ -132,8 +132,6 @@ def kmeans_cells(
     #partitions × n_cells × dims rows regardless of corpus size.
     Centroids (n_cells rows) are localCheckpoint'd each round to cut the
     re-execution lineage, mirroring dedup.duplicate_clusters."""
-    from edna_dbt_library_spark.operators.relational import top1_per_key
-
     q = embeddings.select(
         F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
     )
@@ -143,12 +141,22 @@ def kmeans_cells(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
+        # argmin as a map-side-combinable min(struct(dist, cid)) — ties
+        # break on smallest cid by struct ordering. Beats a row_number
+        # window (which must SORT every vector's n_cells rows in one
+        # task per vid hash range); the aggregate pre-combines per
+        # partition, so the shuffle carries one row per vector.
         scored = q.crossJoin(F.broadcast(cent)).select(
             "vid", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
         )
-        assigned = top1_per_key(
-            scored, ["vid"], [F.col("dist").asc(), F.col("cid").asc()]
-        ).select("vid", "qv", F.col("cid").alias("cell"))
+        assigned = (
+            scored.groupBy("vid")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("_m"),
+                F.first("qv").alias("qv"),
+            )
+            .select("vid", "qv", F.col("_m.cid").alias("cell"))
+        )
         sums = (
             assigned.select("cell", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cell", "dim")
@@ -199,8 +207,6 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    from edna_dbt_library_spark.operators.relational import top1_per_key
-
     cent = F.broadcast(
         kmeans_cells(embeddings, n_cells, train_iters, KMEANS_SCALE, id_col, vec_col)
     )
@@ -217,12 +223,20 @@ def ivf_topk(
             "dist", _int_sqdist(F.col("qv"), F.col("cv"))
         )
 
-    # index: nearest cell per vector (ties -> smallest cid)
-    assigned = top1_per_key(
-        _cell_dists(embeddings, "vec_id"),
-        ["vec_id"],
-        [F.col("dist").asc(), F.col("cid").asc()],
-    ).select("vec_id", "label", "e", "n", F.col("cid").alias("cell"))
+    # index: nearest cell per vector (ties -> smallest cid) — same
+    # map-side-combinable argmin as training; payload columns are
+    # constant per vec_id so first() is deterministic
+    assigned = (
+        _cell_dists(embeddings, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("_m"),
+            F.first("label").alias("label"),
+            F.first("e").alias("e"),
+            F.first("n").alias("n"),
+        )
+        .select("vec_id", "label", "e", "n", F.col("_m.cid").alias("cell"))
+    )
 
     # search: n_probe nearest cells per query
     qs = _cell_dists(queries, "query_id")
