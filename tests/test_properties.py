@@ -154,3 +154,31 @@ def test_morton_key_matches_python_property(spark, pairs, bits):
     df = spark.createDataFrame(pairs, "x long, y long")
     got = [r["m"] for r in df.select(morton_key(["x", "y"], bits).alias("m")).collect()]
     assert got == [py_morton(p) for p in [tuple(p) for p in pairs]]
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=120), min_size=2, max_size=8
+    ),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=2, max_value=5),
+)
+def test_winnowing_coverage_guarantee_property(spark, texts, k, w):
+    """Winnowing theorem (Schleimer et al. 2003): two docs sharing a
+    normalized substring of length >= k + w - 1 share >= 1 fingerprint.
+    Adversarially tiny alphabet maximizes repeated grams/hash ties."""
+    from edna_dbt_library_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "abab abba bab abab ab"  # 21 chars > k + w - 1 for all gen'd (k, w)
+    rows = [(i, t[: len(t) // 2] + shared + t[len(t) // 2 :]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnowing_fingerprints(df, k=k, window=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    docs = {i for i, _ in rows}
+    # every pair of docs embeds `shared`, so every pair must overlap
+    for a in docs:
+        for b in docs:
+            if a < b:
+                assert fps[a] & fps[b], (k, w, texts[a], texts[b])
