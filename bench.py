@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "shuffle_shards_summary",
     "winnow_fingerprints",
     "dedup_lines_docs",
+    "embedding_cell_outliers",
 ]
 
 

@@ -317,3 +317,51 @@ def lsh_bucketed_topk(
     )
     joined = c.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))
     return _ranked_topk(joined, k)
+
+
+def cell_outliers(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    top_k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding outlier candidates: the ``top_k`` vectors most distant
+    from their own trained k-means centroid, per cell — the vectors the
+    coarse quantizer explains worst. The data-quality companion of the
+    IVF index (mislabeled / corrupted / out-of-distribution embeddings
+    surface here first), computed from the same kmeans_cells training.
+
+    Everything that determines membership and ranking is exact integer
+    arithmetic (quantized vectors, integer squared-L2, integer
+    centroids), so the result is bit-identical across engines and
+    partitionings with no floating-point caveats at all.
+
+    Scale shape: training passes (kmeans_cells) + one broadcast argmin
+    pass + one top-k window over n_cells partitions.
+    """
+    cent = F.broadcast(
+        kmeans_cells(embeddings, n_cells, iters, KMEANS_SCALE, id_col, vec_col)
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("label"),
+        quantize_vec(vec_col).alias("qv"),
+    )
+    scored = q.crossJoin(cent).select(
+        "vec_id", "label", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"), F.first("label").alias("label"))
+        .select(
+            "vec_id", "label", F.col("_m.cid").alias("cell"), F.col("_m.dist").alias("dist")
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("cell", "rank", "vec_id", "label", "dist")
+    )

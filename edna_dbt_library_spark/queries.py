@@ -1944,17 +1944,15 @@ def grouped_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(
-    n_cells: int = 16, n_probe: int = 4, iters: int = 2, scale: int = 1024,
-    n_queries: int = 5, k: int = 10,
-) -> str:
-    """IVF with k-means-trained centroids, replayed exactly: quantize to
+def _kmeans_cte_chain(n_cells: int = 16, iters: int = 2, scale: int = 1024) -> str:
+    """Shared k-means oracle CTE chain, replayed exactly: quantize to
     integers (round(x*2^10) — IEEE-exact in both engines), run ``iters``
     unrolled Lloyd iterations in pure integer arithmetic (exact squared-L2
     assignment, round-half-away integer means via a never-negative floor
-    division), then assign/probe against the final centroids and rank by
-    exact cosine on the ORIGINAL float vectors. Mirrors
-    operators/similarity.kmeans_cells + ivf_topk step for step."""
+    division). Ends with ``af`` = every vector's exact integer distance to
+    every FINAL centroid — both the IVF search and the outlier query
+    build on it. Mirrors operators/similarity.kmeans_cells step for
+    step."""
     parts = [f"""
 WITH base AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS ee,
@@ -1990,7 +1988,19 @@ WITH base AS (
     parts.append(f""", af AS (
     SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
     FROM qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
-), assigned AS (
+)""")
+    return "".join(parts)
+
+
+def _ivf_oracle(
+    n_cells: int = 16, n_probe: int = 4, iters: int = 2, scale: int = 1024,
+    n_queries: int = 5, k: int = 10,
+) -> str:
+    """IVF search over the shared k-means chain: assign/probe against the
+    final centroids, rank by exact cosine on the ORIGINAL float vectors.
+    Mirrors operators/similarity.ivf_topk."""
+    parts = [_kmeans_cte_chain(n_cells, iters, scale)]
+    parts.append(f""", assigned AS (
     SELECT b.vec_id, b.label, b.ee, mf.cell
     FROM base b JOIN (
         SELECT vec_id, cid AS cell FROM (
@@ -2034,6 +2044,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4, train_iters=2
     )
+
+
+def _outliers_oracle(n_cells: int = 16, iters: int = 2, top_k: int = 3) -> str:
+    """Per-cell embedding outliers over the shared k-means chain: final
+    assignment distances (exact integers), top-k most distant per cell.
+    Mirrors operators/similarity.cell_outliers; ::BIGINT casts collapse
+    DuckDB's HUGEINT sums to the Spark long type."""
+    return f"""{_kmeans_cte_chain(n_cells, iters)}, m AS (
+    SELECT vec_id, cid AS cell, dist::BIGINT AS dist FROM (
+        SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM af
+    ) WHERE rn = 1
+)
+SELECT cell, rank::INTEGER AS rank, vec_id, label, dist FROM (
+    SELECT m.cell, m.vec_id, e.label, m.dist,
+           row_number() OVER (PARTITION BY m.cell ORDER BY m.dist DESC, m.vec_id) AS rank
+    FROM m JOIN embeddings e ON e.vec_id = m.vec_id
+) WHERE rank <= {top_k}"""
+
+
+@_register("embedding_cell_outliers", _outliers_oracle())
+def embedding_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality sweep (operators/similarity.cell_outliers):
+    the 3 vectors each trained k-means cell explains worst — exact
+    integer distances to the cell centroid, so the whole verdict is
+    bit-exact across engines. Surfaces mislabeled / out-of-distribution
+    embeddings from the same training the IVF index uses."""
+    from edna_dbt_library_spark.operators.similarity import cell_outliers
+
+    return cell_outliers(_t(spark, sf_dir, "embeddings"), n_cells=16, iters=2, top_k=3)
 
 
 _TOP_SUPPLIERS_SQL = """

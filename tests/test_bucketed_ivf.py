@@ -90,3 +90,25 @@ def test_model_without_builder_or_sql_raises(spark):
     m = Model(node=ModelNode(name="x", fqn=[]))
     with pytest.raises(ValueError, match="neither"):
         m.build(spark)
+
+
+def test_cell_outliers_exact_and_deterministic(spark):
+    from edna_dbt_library_spark.operators.similarity import cell_outliers
+
+    emb = load_table(spark, SF, "embeddings")
+    out = cell_outliers(emb, n_cells=16, iters=2, top_k=3)
+    rows = out.collect()
+    # every cell yields at most top_k rows with ranks 1..k and
+    # non-increasing distances
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["dist"] for r in rs]
+        assert dists == sorted(dists, reverse=True)
+        assert all(d >= 0 for d in dists)
+    # bit-exact under repartitioning (pure integer arithmetic)
+    again = sorted(map(tuple, cell_outliers(emb.repartition(7), n_cells=16, iters=2, top_k=3).collect()))
+    assert sorted(map(tuple, rows)) == again
