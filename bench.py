@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "dedup_lines_docs",
     "embedding_cell_outliers",
+    "winnow_overlap_pairs",
 ]
 
 

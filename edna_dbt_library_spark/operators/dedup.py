@@ -321,6 +321,59 @@ def winnowing_fingerprints(
     return windowed.groupBy(id_col, "fp").agg(F.min("pos").alias("first_window"))
 
 
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+    max_bucket_size: int | None = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool | None = None,
+) -> DataFrame:
+    """Partial-overlap document pairs from winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected rolling-hash fingerprints — the
+    plagiarism / quotation / template-reuse detector. Finds pairs whose
+    overlap is a contiguous PASSAGE, which set-based MinHash (whole-doc
+    similarity) dilutes away on long documents.
+
+    ``max_bucket_size`` is the stop-fingerprint cap, exactly the LSH
+    stop-bucket argument (see lsh_candidate_pairs and the measured
+    numbers in PLAN_AUDIT.md): a fingerprint appearing in more docs than
+    the cap is corpus boilerplate contributing O(bucket²) pairs and no
+    passage-overlap signal. None = exact semantics.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
+
+    Scale: fingerprint generation is linear (winnowing_fingerprints);
+    the pair join is bounded by capped bucket sizes; the pair count
+    aggregate is map-side combinable. Same shape as MinHash-LSH
+    candidate generation — never all-pairs."""
+    from pyspark.sql import Window
+
+    fps = winnowing_fingerprints(
+        docs, k=k, window=window, text_col=text_col, id_col=id_col, fast=fast
+    ).select(F.col(id_col), "fp")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    fps = fps.localCheckpoint(eager=True)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: assign every doc the
     minimum doc id reachable through the pair graph (the cluster

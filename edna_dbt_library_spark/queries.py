@@ -3377,6 +3377,41 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVERLAP_MIN_SHARED, _OVERLAP_CAP = 5, 64
+
+_OVERLAP_PAIRS_ORACLE = f"""
+WITH w AS ({_WINNOW_ORACLE}),
+kept AS (
+    SELECT fp FROM w GROUP BY fp HAVING count(*) <= {_OVERLAP_CAP}
+),
+f AS (
+    SELECT w.doc_id, w.fp FROM w JOIN kept USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_OVERLAP_MIN_SHARED}
+"""
+
+
+@_register("winnow_overlap_pairs", _OVERLAP_PAIRS_ORACLE)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-overlap pairs from winnowing fingerprints
+    (operators/dedup.winnowing_overlap_pairs): docs sharing >=
+    {_OVERLAP_MIN_SHARED} selected rolling-hash fingerprints, with
+    boilerplate fingerprints capped at {_OVERLAP_CAP} docs (the LSH
+    stop-bucket argument). The contiguous-passage complement of
+    MinHash-LSH whole-doc similarity."""
+    from edna_dbt_library_spark.operators.dedup import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_OVERLAP_MIN_SHARED,
+        max_bucket_size=_OVERLAP_CAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing consolidations: each bundles already-registered granular
 # queries (which stay in the registry, locally verified) into one scored

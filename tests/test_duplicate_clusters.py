@@ -109,3 +109,22 @@ def test_winnowing_short_docs_and_validation(spark):
     assert len(rows) == 1 and rows[0]["first_window"] == 1
     with _pytest.raises(ValueError, match="k and window"):
         winnowing_fingerprints(df, k=0)
+
+
+def test_winnowing_overlap_pairs_finds_shared_passage(spark):
+    from edna_dbt_library_spark.operators.dedup import winnowing_overlap_pairs
+
+    passage = "the five boxing wizards jump quickly over every lazy dog tonight"
+    rows = [
+        (1, f"intro text alpha beta {passage} closing remarks one"),
+        (2, f"unrelated opening words {passage} and a different tail"),
+        (3, "completely disjoint content with nothing shared at all here"),
+        (4, "another disjoint document with its own private words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnowing_overlap_pairs(df, min_shared=3, max_bucket_size=None).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 3
+    # raising min_shared above the overlap kills the pair
+    assert winnowing_overlap_pairs(df, min_shared=10_000).count() == 0
