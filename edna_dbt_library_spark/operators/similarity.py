@@ -109,6 +109,7 @@ def kmeans_cells(
     scale: int = KMEANS_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: str = "lowest-id",
 ) -> DataFrame:
     """Lloyd k-means over quantized integer vectors: returns the trained
     centroids as (cid, cv array<long>).
@@ -121,9 +122,14 @@ def kmeans_cells(
     any partitioning, cluster size, or SQL engine (the DuckDB oracle
     replays the identical arithmetic).
 
-    Seeding: the ``n_cells`` lowest-id vectors (deterministic; swap for
-    k-means|| sampling at production scale if id order correlates with
-    content). A cell that loses all members keeps its previous centroid.
+    Seeding: ``seed="lowest-id"`` (default) takes the ``n_cells``
+    lowest-id vectors — the oracle-replayed choice. ``seed="hash"``
+    takes the ``n_cells`` vectors with the smallest md5(id) instead: a
+    deterministic pseudo-random sample for production corpora where id
+    order correlates with content (ingest time, source grouping) and
+    lowest-id seeds would all land in one region. The pick is a
+    TakeOrderedAndProject (per-partition top-n, no global sort). A cell
+    that loses all members keeps its previous centroid.
 
     Scale shape per iteration: one broadcast cross-join pass over the
     corpus (n_cells × dims longs per row, JVM codegen), then one
@@ -135,11 +141,24 @@ def kmeans_cells(
     q = embeddings.select(
         F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
     )
-    cent = (
-        q.where(F.col("vid") < n_cells)
-        .select(F.col("vid").cast("long").alias("cid"), F.col("qv").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
+    if seed == "lowest-id":
+        cent = q.where(F.col("vid") < n_cells).select(
+            F.col("vid").cast("long").alias("cid"), F.col("qv").alias("cv")
+        )
+    elif seed == "hash":
+        from edna_dbt_library_spark.operators.dedup import minhash_word_value
+
+        h = minhash_word_value(F.col("vid").cast("string"), fast=False)
+        picked = q.select("vid", "qv", h.alias("_h")).orderBy("_h", "vid").limit(n_cells)
+        # the window runs over the n_cells surviving rows only
+        w = Window.orderBy("_h", "vid")
+        cent = picked.select(
+            (F.row_number().over(w) - 1).cast("long").alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    else:
+        raise ValueError(f"unknown seed mode: {seed!r}")
+    cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
         # argmin as a map-side-combinable min(struct(dist, cid)) — ties
         # break on smallest cid by struct ordering. Beats a row_number

@@ -112,3 +112,18 @@ def test_cell_outliers_exact_and_deterministic(spark):
     # bit-exact under repartitioning (pure integer arithmetic)
     again = sorted(map(tuple, cell_outliers(emb.repartition(7), n_cells=16, iters=2, top_k=3).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_kmeans_hash_seeding_mode(spark):
+    import pytest as _pytest
+
+    from edna_dbt_library_spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, SF, "embeddings")
+    hashed = {r["cid"]: list(r["cv"]) for r in kmeans_cells(emb, n_cells=8, iters=1, seed="hash").collect()}
+    assert set(hashed) == set(range(8)) and all(len(v) == 64 for v in hashed.values())
+    # deterministic under repartitioning, like the default seeding
+    again = {r["cid"]: list(r["cv"]) for r in kmeans_cells(emb.repartition(5), n_cells=8, iters=1, seed="hash").collect()}
+    assert again == hashed
+    with _pytest.raises(ValueError, match="seed mode"):
+        kmeans_cells(emb, seed="random")
