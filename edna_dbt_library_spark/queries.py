@@ -3423,7 +3423,8 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATION_QUALITY_ORACLE = f"""
 WITH rep AS ({_REPETITION_ORACLE}),
      pii AS ({_PII_ORACLE}),
-     tq AS ({_text_quality_langid_oracle()})
+     tq AS ({_text_quality_langid_oracle()}),
+     ld AS ({_DEDUP_LINES_ORACLE})
 SELECT rep.doc_id,
        tq.pred_lang,
        tq.quality,
@@ -3431,10 +3432,14 @@ SELECT rep.doc_id,
        rep.top_2gram_char_frac, rep.top_3gram_char_frac, rep.top_4gram_char_frac,
        rep.dup_5gram_char_frac,
        rep.keep AS keep_repetition,
-       pii.redacted, pii.has_email, pii.has_ip, pii.has_phone, pii.pii_left
+       pii.redacted, pii.has_email, pii.has_ip, pii.has_phone, pii.pii_left,
+       coalesce(ld.n_lines, 0) AS n_lines,
+       coalesce(ld.n_kept, 0) AS n_kept_lines,
+       coalesce(ld.text_deduped, '') AS text_deduped
 FROM rep
 JOIN pii ON pii.doc_id = rep.doc_id
 JOIN tq  ON tq.doc_id = rep.doc_id
+LEFT JOIN ld ON ld.doc_id = rep.doc_id
 """
 
 
@@ -3449,9 +3454,11 @@ def curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     false). This is the row a 100 TB pretraining pipeline computes for
     every document before sampling: one corpus scan per family, one
     doc_id join to assemble — no extra shuffle beyond the repetition
-    aggregate. Granular variants (text_quality_langid,
-    repetition_filter, pii_redact_docs) stay registered for pinpoint
-    debugging."""
+    aggregate. Round 3 adds the corpus-wide line-dedup verdict
+    (n_lines / n_kept_lines / text_deduped, left-joined with zero/''
+    fill so coverage stays total). Granular variants
+    (text_quality_langid, repetition_filter, pii_redact_docs,
+    dedup_lines_docs) stay registered for pinpoint debugging."""
     rep = REGISTRY["repetition_filter"].spark(spark, sf_dir).withColumnRenamed(
         "keep", "keep_repetition"
     )
@@ -3459,38 +3466,71 @@ def curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = REGISTRY["text_quality_langid"].spark(spark, sf_dir).select(
         "doc_id", "pred_lang", "quality"
     )
-    return rep.join(pii, "doc_id").join(tq, "doc_id")
+    ld = REGISTRY["dedup_lines_docs"].spark(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_lines"),
+        F.col("n_kept").alias("n_kept_lines"),
+        "text_deduped",
+    )
+    return (
+        rep.join(pii, "doc_id")
+        .join(tq, "doc_id")
+        .join(ld, "doc_id", "left")
+        .withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0).cast("bigint")))
+        .withColumn(
+            "n_kept_lines", F.coalesce(F.col("n_kept_lines"), F.lit(0).cast("bigint"))
+        )
+        .withColumn("text_deduped", F.coalesce(F.col("text_deduped"), F.lit("")))
+    )
 
 
 _NEAR_DUP_PAIRS_ORACLE = f"""
 WITH jac AS ({_near_dup_oracle()}),
-     sim AS ({_simhash_pairs_oracle()})
+     sim AS ({_simhash_pairs_oracle()}),
+     win AS ({_OVERLAP_PAIRS_ORACLE})
 SELECT 'minhash_jaccard' AS method, doc_a, doc_b, jaccard AS score FROM jac
 UNION ALL
 SELECT 'simhash_hamming' AS method, doc_a, doc_b, hamming::DOUBLE AS score FROM sim
+UNION ALL
+SELECT 'winnow_passage' AS method, doc_a, doc_b, n_shared::DOUBLE AS score FROM win
 """
 
 
 @_register("near_dup_pairs", _NEAR_DUP_PAIRS_ORACLE)
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both near-duplicate pair detectors in one scored row, tagged by
-    method: MinHash-LSH candidates verified at Jaccard >= 0.7 (score =
-    exact n-gram Jaccard) and banded SimHash neighbors at Hamming <= 6
-    (score = exact Hamming distance). Granular variants
-    (near_dup_jaccard, simhash_near_pairs) stay registered."""
+    """All three near-duplicate pair detectors in one scored row, tagged
+    by method: MinHash-LSH candidates verified at Jaccard >= 0.7 (score =
+    exact n-gram Jaccard), banded SimHash neighbors at Hamming <= 6
+    (score = exact Hamming distance), and winnowing passage-overlap
+    pairs (score = shared selected fingerprints) — whole-doc set
+    similarity, bit-level similarity, and contiguous-passage overlap
+    respectively. Granular variants (near_dup_jaccard,
+    simhash_near_pairs, winnow_overlap_pairs) stay registered."""
     j = REGISTRY["near_dup_jaccard"].spark(spark, sf_dir)
     s = REGISTRY["simhash_near_pairs"].spark(spark, sf_dir)
-    return j.select(
-        F.lit("minhash_jaccard").alias("method"),
-        "doc_a",
-        "doc_b",
-        F.col("jaccard").cast("double").alias("score"),
-    ).unionAll(
-        s.select(
-            F.lit("simhash_hamming").alias("method"),
+    wp = REGISTRY["winnow_overlap_pairs"].spark(spark, sf_dir)
+    return (
+        j.select(
+            F.lit("minhash_jaccard").alias("method"),
             "doc_a",
             "doc_b",
-            F.col("hamming").cast("double").alias("score"),
+            F.col("jaccard").cast("double").alias("score"),
+        )
+        .unionAll(
+            s.select(
+                F.lit("simhash_hamming").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("hamming").cast("double").alias("score"),
+            )
+        )
+        .unionAll(
+            wp.select(
+                F.lit("winnow_passage").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("n_shared").cast("double").alias("score"),
+            )
         )
     )
 
