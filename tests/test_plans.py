@@ -83,3 +83,29 @@ def test_frame_planner_has_no_python_udf(spark):
     plan = plan_text(plan_frame_samples(media))
     assert "mapinpandas" not in plan.lower().replace(" ", "")
     assert "BatchEvalPython" not in plan
+
+
+def test_repetition_stats_is_zero_shuffle(spark):
+    """The round-3 rewrite made every Gopher repetition signal row-local:
+    the physical plan must contain NO shuffle exchange and no Python —
+    one scan, Column algebra only."""
+    from edna_dbt_library_spark.operators.curation import repetition_filter
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    plan = plan_text(repetition_filter(load_table(spark, SF, "documents")))
+    assert not re.search(r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)", plan), plan
+    assert "BatchEvalPython" not in plan and "mapinpandas" not in plan.lower().replace(" ", "")
+
+
+def test_contamination_corpus_side_never_shuffles(spark):
+    """Decontamination must broadcast the benchmark hashes: the corpus
+    side's rows reach the join without a shuffle exchange on the
+    corpus-derived gram rows (only the tiny bench distinct may
+    exchange)."""
+    from edna_dbt_library_spark.operators.curation import contamination_flags
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = plan_text(contamination_flags(d.where("doc_id % 10 <> 0"), d.where("doc_id % 10 = 0")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
