@@ -127,3 +127,28 @@ def test_kmeans_hash_seeding_mode(spark):
     assert again == hashed
     with _pytest.raises(ValueError, match="seed mode"):
         kmeans_cells(emb, seed="random")
+
+
+def test_kmeans_empty_cell_inherits_previous_centroid(spark):
+    """Seeds 0 and 1 are identical vectors: every point ties to cell 0
+    (smaller cid wins), cell 1 goes empty and must keep its seed
+    centroid instead of vanishing or going NULL."""
+    from edna_dbt_library_spark.operators.similarity import kmeans_cells, quantize_vec
+
+    rows = [
+        (0, [1.0, 1.0]),
+        (1, [1.0, 1.0]),  # duplicate of seed 0
+        (2, [1.2, 0.9]),
+        (3, [0.9, 1.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one iteration: every point ties to cell 0, so cell 1 is empty for
+    # that round (a second iteration would legitimately repopulate it
+    # once cell 0's centroid moves off the seed)
+    cent = {r["cid"]: list(r["cv"]) for r in kmeans_cells(emb, n_cells=2, iters=1).collect()}
+    assert set(cent) == {0, 1}
+    seed1 = list(
+        emb.where("vec_id = 1").select(quantize_vec("embedding").alias("q")).collect()[0]["q"]
+    )
+    assert cent[1] == seed1  # empty cell inherited its seed
+    assert cent[0] != seed1  # populated cell moved to the mean
