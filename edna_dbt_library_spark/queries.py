@@ -3453,8 +3453,12 @@ def curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pii_left`` re-probes the redacted text and must be uniformly
     false). This is the row a 100 TB pretraining pipeline computes for
     every document before sampling: one corpus scan per family, one
-    doc_id join to assemble — no extra shuffle beyond the repetition
-    aggregate. Round 3 adds the corpus-wide line-dedup verdict
+    doc_id join to assemble. Composing from the registered granular
+    builders costs one corpus scan per family; a production pipeline
+    would fuse the scan-side families (langid/quality/repetition/PII are
+    all row-local post-rewrite) into one projection — the composition is
+    chosen here so the scored row can never drift from the granular
+    queries it certifies. Round 3 adds the corpus-wide line-dedup verdict
     (n_lines / n_kept_lines / text_deduped, left-joined with zero/''
     fill so coverage stays total). Granular variants
     (text_quality_langid, repetition_filter, pii_redact_docs,
