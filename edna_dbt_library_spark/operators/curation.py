@@ -419,6 +419,7 @@ def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: Mapping[str, Column] | None = None,
 ) -> DataFrame:
     """Per-document repetition signals for Gopher-style quality filtering.
 
@@ -465,6 +466,12 @@ def repetition_stats(
     Engine-portable doubles: every fraction is one IEEE division of two
     exact BIGINTs, so DuckDB produces bit-identical values for the parity
     gate (CLAUDE.md determinism rule).
+
+    ``carry`` maps extra output column names to Column expressions over
+    the input row (e.g. language ID, quality score, PII flags): they are
+    computed in the same scan projection and ride through to the output,
+    letting curation_verdict fuse every row-local curation family into
+    this one pass with no join.
     """
     from edna_dbt_library_spark.functions.text import tokens
 
@@ -485,12 +492,14 @@ def repetition_stats(
     # call (O(W²·n) per doc; measured as a >40x blowup at sf0.1).
     # Catalyst keeps the inner projection because the aliases are
     # non-cheap and multiply referenced.
+    carry = dict(carry or {})
     pre = docs.select(
         F.col(id_col),
         F.length(text).cast("bigint").alias("_dc"),
         line_structs.alias("_lines"),
         F.transform(tokens(text), lambda x: F.xxhash64(x)).alias("_hw"),
         F.transform(tokens(text), lambda x: F.length(x).cast("long")).alias("_lw"),
+        *[c.alias(name) for name, c in carry.items()],
     )
     sel = pre.select(
         F.col(id_col),
@@ -502,6 +511,7 @@ def repetition_stats(
             ).alias(f"_G{n}")
             for n in (2, 3, 4, 5)
         ],
+        *[F.col(name) for name in carry],
     )
 
     def _frac(num: Column, den: Column) -> Column:
@@ -519,6 +529,7 @@ def repetition_stats(
         _frac(F.col("_G3.top_c") * F.col("_G3.top_ch"), dc).alias("top_3gram_char_frac"),
         _frac(F.col("_G4.top_c") * F.col("_G4.top_ch"), dc).alias("top_4gram_char_frac"),
         F.least(_frac(F.col("_G5.dup_chars"), dc), F.lit(1.0)).alias("dup_5gram_char_frac"),
+        *[F.col(name) for name in carry],
     )
 
 
@@ -531,17 +542,23 @@ def repetition_filter(
     """repetition_stats + a ``keep`` flag: True iff every signal is at or
     under its (Gopher-default) threshold. Join the result back on the id
     (or filter on it) to drop repetitive docs before training."""
+    stats = repetition_stats(docs, text_col=text_col, id_col=id_col)
+    return stats.withColumn("keep", _repetition_keep_expr(thresholds))
+
+
+def _repetition_keep_expr(thresholds: Mapping[str, float] | None) -> Column:
+    """AND of every repetition signal at or under its threshold; rejects
+    unknown signal names."""
     th = dict(REPETITION_THRESHOLDS)
     th.update(thresholds or {})
     unknown = set(th) - set(REPETITION_THRESHOLDS)
     if unknown:
         raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
-    stats = repetition_stats(docs, text_col=text_col, id_col=id_col)
     keep = None
     for name, limit in th.items():
         cond = F.col(name) <= F.lit(float(limit))
         keep = cond if keep is None else (keep & cond)
-    return stats.withColumn("keep", keep)
+    return keep
 
 
 def dedup_lines_across_docs(
@@ -668,3 +685,38 @@ def export_shuffled_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def curation_verdict(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """The fused production form of the per-document curation row: ONE
+    corpus scan, ONE projection, ZERO shuffles computing language ID,
+    quality score, all six Gopher repetition signals with their keep
+    flag, and PII detection + redaction together. This is what runs over
+    100 TB; the driver-scored ``curation_quality`` query instead composes
+    the granular registered queries (one scan per family) so the scored
+    row provably matches each of them — same values, different plan
+    (asserted equal in tests).
+
+    Output columns: id, the six repetition signal fracs, pred_lang,
+    quality, redacted, has_email/has_ip/has_phone, keep_repetition.
+    Every input doc gets exactly one row (signals coalesce to 0.0 for
+    item-less docs, keep_repetition=True)."""
+    from edna_dbt_library_spark.functions.text import lang_id, pii_flags, pii_redact, quality_score
+
+    text = F.col(text_col)
+    flags = pii_flags(text)
+    carry = {
+        "pred_lang": lang_id(text),
+        "quality": quality_score(text),
+        "redacted": pii_redact(text),
+        "has_email": flags["has_email"],
+        "has_ip": flags["has_ip"],
+        "has_phone": flags["has_phone"],
+    }
+    stats = repetition_stats(docs, text_col=text_col, id_col=id_col, carry=carry)
+    return stats.withColumn("keep_repetition", _repetition_keep_expr(thresholds))

@@ -381,3 +381,42 @@ def test_dedup_lines_short_line_bypass_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_line_chars"):
         dedup_lines_across_docs(df, min_line_chars=-1)
+
+
+def test_curation_verdict_fused_single_scan(spark):
+    """The fused production verdict matches the per-family operators
+    value-for-value AND its plan is one scan with zero shuffle
+    exchanges and no joins."""
+    import re
+
+    from edna_dbt_library_spark.functions.text import lang_id, pii_flags, quality_score
+    from edna_dbt_library_spark.operators.curation import curation_verdict, repetition_filter
+    from edna_dbt_library_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    v = curation_verdict(docs)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)", plan), plan
+    assert "Join" not in plan, plan
+    rows = {r["doc_id"]: r for r in v.collect()}
+    # repetition family agrees with the standalone operator
+    rep = {r["doc_id"]: r for r in repetition_filter(docs).collect()}
+    assert set(rows) == set(rep)
+    for d, r in rows.items():
+        assert r["dup_line_frac"] == rep[d]["dup_line_frac"]
+        assert r["dup_5gram_char_frac"] == rep[d]["dup_5gram_char_frac"]
+        assert r["keep_repetition"] == rep[d]["keep"]
+    # scan-side families agree with the granular Column builders
+    flags = pii_flags(F.col("text"))
+    base = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("pl"),
+            quality_score(F.col("text")).alias("q"),
+            flags["has_email"].alias("he"),
+        ).collect()
+    }
+    for d, r in rows.items():
+        assert (r["pred_lang"], r["quality"], r["has_email"]) == (
+            base[d]["pl"], base[d]["q"], base[d]["he"])
