@@ -101,6 +101,17 @@ near-universal shingles (boilerplate), so their pairs carry no dedup
 signal the smaller buckets don't already provide. This is the measured
 proof behind the `max_bucket_size` default in production
 (`dedup_minhash_lsh_capped`) and the 100 TB claim in VERDICT §LLM ops.
+
+## SPARK_GRAFT_FAST_HASH production path (measured round 3)
+
+The md5-based 60-bit hash is pinned wherever the DuckDB oracle must
+reproduce values (sampling membership, MinHash signatures, winnowing
+fingerprints); `SPARK_GRAFT_FAST_HASH=1` switches eligible operators to
+codegen-native xxhash64 in production. Median-of-3 at sf0.1, local[32]:
+`winnow_fingerprints` 3.34s → 2.14s (md5-per-char-gram dominates its
+cost), `simhash60` 1.60s → 1.46s, `dedup_minhash_lsh_capped` ~flat at
+1.0-1.2s (hashing no longer dominant there after the universal-hash
+family rework). Oracle-gated queries always run the md5 path.
 """
 
 
