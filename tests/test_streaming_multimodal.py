@@ -199,3 +199,30 @@ def test_decode_images_with_stdlib_header_codec(spark):
     rows = {r["doc_id"]: r for r in decode_images(media, decode_fn=header_decode).collect()}
     assert (rows[1]["width"], rows[1]["height"]) == (31, 17)  # parsed, not claimed
     assert (rows[2]["width"], rows[2]["height"]) == (5, 6)  # fallback to claimed
+
+
+def test_curation_verdict_runs_under_structured_streaming(spark, tmp_path):
+    """The fused curation verdict is stateless row-local Column algebra,
+    so it runs UNCHANGED as a streaming transformation — no watermark,
+    no stateful operator, no plan rewrite — and a drained stream equals
+    the batch result bit-for-bit."""
+    from edna_dbt_library_spark.operators.curation import curation_verdict
+
+    docs = load_table(spark, SF, "documents").limit(60).select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream_in = spark.readStream.schema(docs.schema).parquet(src)
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        curation_verdict(stream_in)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    batch = sorted(map(tuple, curation_verdict(spark.read.parquet(src)).collect()))
+    assert streamed == batch and len(streamed) == 60
