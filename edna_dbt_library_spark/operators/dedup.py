@@ -349,12 +349,23 @@ def winnowing_overlap_pairs(
     the pair join is bounded by capped bucket sizes; the pair count
     aggregate is map-side combinable. Same shape as MinHash-LSH
     candidate generation — never all-pairs."""
-    from pyspark.sql import Window
-
     fps = winnowing_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col, fast=fast
     ).select(F.col(id_col), "fp")
+    return _overlap_pairs_from_fps(fps, min_shared, max_bucket_size, id_col)
+
+
+def _overlap_pairs_from_fps(
+    fps: DataFrame,
+    min_shared: int,
+    max_bucket_size: int | None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp) rows -> (doc_a, doc_b, n_shared) pairs at >= min_shared
+    shared fingerprints, with the stop-fingerprint cap applied first."""
     if max_bucket_size is not None:
+        from pyspark.sql import Window
+
         w = Window.partitionBy("fp")
         fps = (
             fps.withColumn("__bn", F.count(F.lit(1)).over(w))
@@ -545,3 +556,85 @@ def run_incremental_dedup(
 
         wh.create_as(store, admitted.select("fp", id_col), TableMeta())
     return admitted.select(id_col, "fp", text_col)
+
+
+def run_incremental_passage_dedup(
+    wh,
+    store,
+    batch: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+    max_bucket_size: int | None = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level incremental dedup: admit only batch documents that do
+    not substantially overlap the already-ingested corpus — the crawl-
+    ingestion companion of run_incremental_dedup, but at winnowing
+    fingerprint granularity, so re-posted articles with new boilerplate,
+    quoted passages and lightly-edited copies are caught, not just
+    byte-identical texts.
+
+    Rules (all deterministic):
+    * In-batch: passage-overlap pairs (>= ``min_shared`` shared
+      fingerprints, stop-fingerprint cap applied) are clustered
+      transitively (duplicate_clusters) and only each cluster's min-id
+      doc survives.
+    * Against the store: a doc is rejected when >= ``min_shared`` of its
+      fingerprints are already stored, OR when ALL of its fingerprints
+      are (full passage containment — this also makes replaying a batch
+      admit nothing, for any doc long enough to fingerprint at all).
+    * Docs too short to produce any fingerprint (< k + window - 1
+      normalized chars) are always admitted here — run them through the
+      exact-fingerprint store (run_incremental_dedup) instead; the two
+      compose.
+
+    Store schema: one (fp, doc_id) row per fingerprint of every admitted
+    doc. Each run's cost is bounded by the batch: the batch's
+    fingerprints build a Bloom filter that prunes the store scan before
+    the membership join, as in run_incremental_dedup.
+
+    Returns the admitted batch rows (id, text).
+    """
+    from edna_dbt_library_spark.operators.sketches import bloom_build, bloom_filter_rows
+
+    fps = winnowing_fingerprints(
+        batch, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "fp").localCheckpoint(eager=True)
+
+    # in-batch transitive passage clusters -> min-id keeper
+    pairs = _overlap_pairs_from_fps(fps, min_shared, max_bucket_size, id_col)
+    labels = duplicate_clusters(pairs)
+    kill = labels.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    batch_kept = batch.join(kill, id_col, "left_anti")
+    fps_kept = fps.join(kill, id_col, "left_anti")
+
+    if wh.exists(store):
+        bloom = bloom_build(fps_kept, F.col("fp"))
+        seen_fps = bloom_filter_rows(
+            wh.read(store).select("fp").distinct(), F.col("fp"), bloom
+        )
+        overlap = (
+            fps_kept.join(seen_fps, "fp", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n_hit"))
+        )
+        totals = fps_kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_fp"))
+        rejected = (
+            totals.join(overlap, id_col)
+            .where(
+                (F.col("_n_hit") >= min_shared) | (F.col("_n_hit") == F.col("_n_fp"))
+            )
+            .select(id_col)
+        )
+        admitted = batch_kept.join(rejected, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        wh.append(store, fps_kept.join(rejected, id_col, "left_anti").select("fp", id_col))
+    else:
+        admitted = batch_kept.localCheckpoint(eager=True)
+        from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+        wh.create_as(store, fps_kept.select("fp", id_col), TableMeta())
+    return admitted.select(id_col, text_col)

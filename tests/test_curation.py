@@ -420,3 +420,35 @@ def test_curation_verdict_fused_single_scan(spark):
     for d, r in rows.items():
         assert (r["pred_lang"], r["quality"], r["has_email"]) == (
             base[d]["pl"], base[d]["q"], base[d]["he"])
+
+
+def test_incremental_passage_dedup_across_batches(spark, tmp_path):
+    from edna_dbt_library_spark.operators.dedup import run_incremental_passage_dedup
+    from edna_dbt_library_spark.sources import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = wh.relation("dedup", "passage_fps")
+    passage = ("the quick brown fox jumps over the lazy dog while distant "
+               "church bells rang softly across the cold evening meadows")
+
+    # batch 1: docs 1 and 2 share the passage (in-batch near-dup, min id
+    # wins); doc 3 is independent
+    b1 = _docs(spark, [
+        (1, f"original article intro {passage} original article outro"),
+        (2, f"reposted with new frame {passage} totally new comments below"),
+        (3, "independent content with no shared passages whatsoever in it"),
+    ])
+    a1 = sorted(r["doc_id"] for r in run_incremental_passage_dedup(wh, store, b1).collect())
+    assert a1 == [1, 3]
+
+    # batch 2: doc 4 re-quotes the stored passage -> rejected; doc 5 fresh
+    b2 = _docs(spark, [
+        (4, f"a brand new wrapper around {passage} and some fresh words"),
+        (5, "genuinely novel text that overlaps nothing stored so far okay"),
+    ])
+    a2 = sorted(r["doc_id"] for r in run_incremental_passage_dedup(wh, store, b2).collect())
+    assert a2 == [5]
+
+    # replaying batch 2 admits nothing (full-containment rule)
+    a3 = run_incremental_passage_dedup(wh, store, b2)
+    assert a3.count() == 0
