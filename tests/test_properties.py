@@ -182,3 +182,21 @@ def test_winnowing_coverage_guarantee_property(spark, texts, k, w):
         for b in docs:
             if a < b:
                 assert fps[a] & fps[b], (k, w, texts[a], texts[b])
+
+
+@SETTLE
+@given(st.binary(min_size=0, max_size=200))
+def test_parse_media_header_never_crashes_on_junk(spark, blob):
+    """Format sniffing over arbitrary bytes (truncated headers, random
+    RIFF/PNG prefixes) must return a dict or None, never raise — the
+    ingest path sees every malformed file on the crawl."""
+    from edna_dbt_library_spark.operators.multimodal import parse_media_header
+
+    for payload in (
+        blob,
+        b"\x89PNG\r\n\x1a\n" + blob,  # PNG magic + junk
+        b"RIFF" + blob,               # RIFF magic + junk
+        b"RIFF\xff\xff\xff\xffWAVE" + blob,
+    ):
+        meta = parse_media_header(payload)
+        assert meta is None or isinstance(meta, dict)
