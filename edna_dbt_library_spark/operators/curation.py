@@ -215,24 +215,11 @@ def contamination_flags(
     from edna_dbt_library_spark.functions.text import tokens
 
     def gram_hash_rows(df: DataFrame) -> DataFrame:
-        # _hw must be a materialized column: element_at over an inlined
-        # transform() re-evaluates the array build per element (see
-        # repetition_stats)
         pre = df.select(
             F.col(id_col),
             F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
         )
-        hw = F.col("_hw")
-
-        def one(i: Column) -> Column:
-            h = F.element_at(hw, i)
-            for j in range(1, n):
-                h = h.bitwiseXOR(_rotl64(F.element_at(hw, i + j), 7 * j))
-            return h
-
-        grams = F.when(
-            F.size(hw) >= n, F.transform(F.sequence(F.lit(1), F.size(hw) - n + 1), one)
-        ).otherwise(F.array().cast("array<bigint>"))
+        grams = _hashed_ngram_values(F.col("_hw"), n)
         return pre.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gh"))
 
     bench = gram_hash_rows(benchmark).select("gh").distinct()
@@ -308,6 +295,26 @@ def _rotl64(c: Column, k: int) -> Column:
     if k == 0:
         return c
     return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
+def _hashed_ngram_values(hw: Column, n: int) -> Column:
+    """array<long> of combined word n-gram hashes (no char counts) —
+    the slice+zip_with construction of _hashed_ngram_structs (see its
+    docstring for why per-element element_at indexing is forbidden
+    here), for consumers that only join/count on the hash."""
+    W = F.size(hw)
+
+    def xor_rot(rot: int):
+        return lambda a, b: a.bitwiseXOR(_rotl64(b, rot))
+
+    def build() -> Column:
+        m = W - n + 1
+        h = F.slice(hw, 1, m)
+        for j in range(1, n):
+            h = F.zip_with(h, F.slice(hw, 1 + j, m), xor_rot(7 * j))
+        return h
+
+    return F.when(W >= n, build()).otherwise(F.array().cast("array<bigint>"))
 
 
 def _hashed_ngram_structs(hw: Column, lw: Column, n: int) -> Column:
