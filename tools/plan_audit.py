@@ -102,6 +102,17 @@ signal the smaller buckets don't already provide. This is the measured
 proof behind the `max_bucket_size` default in production
 (`dedup_minhash_lsh_capped`) and the 100 TB claim in VERDICT §LLM ops.
 
+Round-3 operators on the same 27k-doc stress corpus (hot boilerplate
+lines/passages everywhere): corpus-wide line dedup 2.5s (the map-side
+min-struct keeper absorbs the duplicated-line skew), capped winnowing
+passage pairs 17,278 pairs / 21.2s, fused curation verdict 23.1s. The
+verdict number is itself a stress catch: the first fused build ran
+756s here because Catalyst collapsed the word-array projection into
+per-element element_at indexing (O(W²·n) per doc) over
+ExistingRDD-backed inputs — the gram builders now use position-shifted
+slice+zip_with construction, immune to that collapse by evaluating
+each array input once per row.
+
 ## SPARK_GRAFT_FAST_HASH production path (measured round 3)
 
 The md5-based 60-bit hash is pinned wherever the DuckDB oracle must
