@@ -128,27 +128,29 @@ def main() -> None:
     # queries, not session startup
     _q.flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     # pass 0 is the untimed warm pass (codegen/JIT + shuffle-file warmup);
-    # passes 1-3 are timed, interleaved across queries so a transient
-    # host-load spike hits one sample of many queries, not all samples of
-    # one query.
-    for attempt in range(4):
+    # the next SPARK_GRAFT_BENCH_RUNS (default 3) passes are timed,
+    # interleaved across queries so a transient host-load spike hits one
+    # sample of many queries, not all samples of one query; the median of
+    # the timed passes is reported.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for attempt in range(runs + 1):
         for name in BENCH_QUERIES:
             t0 = time.time()
             registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             if attempt > 0:
                 samples[name].append(time.time() - t0)
 
-    timings = {name: round(sorted(s)[1], 3) for name, s in samples.items()}
+    timings = {name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()}
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
-        "runs_per_query": 3,
-        "method": "median_of_3_after_warm_pass",
+        "runs_per_query": runs,
+        "method": f"median_of_{runs}_after_warm_pass",
     }
     print(json.dumps(out))
 
