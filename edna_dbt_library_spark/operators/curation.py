@@ -510,13 +510,13 @@ def repetition_stats(
             F.xxhash64(ln).alias("h"), F.length(ln).cast("long").alias("c")
         ),
     )
-    # hw/lw MUST be materialized as real columns of an inner projection:
-    # _hashed_ngram_structs indexes them with element_at once per (gram,
-    # word) position — inlining the transform() expression there would
-    # re-evaluate the whole per-word array build for every element_at
-    # call (O(W²·n) per doc; measured as a >40x blowup at sf0.1).
-    # Catalyst keeps the inner projection because the aliases are
-    # non-cheap and multiply referenced.
+    # hw/lw are materialized as columns of an inner projection so each
+    # gram builder's slice reads a computed value when Catalyst keeps
+    # the projection; when it instead collapses the projections (it
+    # does over some input plans), the slice+zip_with construction in
+    # _hashed_ngram_structs bounds the damage to n re-builds per row —
+    # see its docstring for the measured element_at O(W²·n) failure
+    # mode this replaced.
     carry = dict(carry or {})
     pre = docs.select(
         F.col(id_col),
