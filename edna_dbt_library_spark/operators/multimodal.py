@@ -3,11 +3,14 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` UDFs.
 
 The Spark-side plumbing — schema convention, partitioning, UDF signatures,
-batch shapes — is real and tested. The actual byte decoding is STUBBED:
-this container has no image/audio libraries, so ``decode_images`` and
-``extract_features`` use a clearly-marked deterministic fake unless a real
-codec function is injected; ``require_real_codecs()`` raises
-NotImplementedError spelling out what a production deployment plugs in.
+batch shapes — is real and tested. Byte decoding in-container is real for
+the formats stdlib can express: PNG headers AND pixels
+(``parse_media_header`` / ``decode_png_pixels`` — zlib inflate +
+per-scanline unfilter per the spec) and RIFF/WAVE headers. Formats that
+genuinely need a codec library (JPEG, video) remain STUBBED:
+``decode_images`` / ``extract_features`` accept an injected codec
+function, and ``require_real_codecs()`` raises NotImplementedError
+spelling out what a production deployment plugs in.
 
 Scale notes: media bytes travel in the ``content`` column, so operators
 keep batches small via ``MEDIA_BATCH_ROWS`` (maxRecordsPerBatch) rather
@@ -88,6 +91,12 @@ def parse_media_header(content: bytes | None) -> dict | None:
 
     if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 26 and content[12:16] == b"IHDR":
         width, height = struct.unpack(">II", content[16:24])
+        # IHDR fields are unsigned 32-bit; the PROBE/DECODE schemas declare
+        # int32. A corrupt/hostile header with a dimension > 2^31-1 must
+        # read as unparseable, not blow up the Arrow conversion inside
+        # mapInPandas and fail the whole ingest job.
+        if not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF):
+            return None
         color_type = content[25]
         return {
             "format": "png",
@@ -109,7 +118,7 @@ def parse_media_header(content: bytes | None) -> dict | None:
             elif cid == b"data":
                 data_len = clen
             pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-        if channels and rate and bits and data_len is not None:
+        if channels and rate and bits and data_len is not None and rate <= 0x7FFFFFFF:
             return {
                 "format": "wav",
                 "width": None,
@@ -161,6 +170,123 @@ def probe_media_headers(media: DataFrame, batch_rows: int | None = None) -> Data
     return media.select("doc_id", "content").mapInPandas(run, PROBE_SCHEMA)
 
 
+def decode_png_pixels(content: bytes | None) -> dict | None:
+    """Pure-stdlib PNG PIXEL decode (PNG spec §9 filtering, §13 decoder
+    conformance): chunk walk, zlib-inflate of the concatenated IDAT
+    stream, then per-scanline unfilter (None/Sub/Up/Average/Paeth).
+
+    Supports the baseline subset that covers the overwhelming majority of
+    crawled PNGs: bit depth 8, color types 0/2/3/4/6 (palette expanded
+    via PLTE), no interlace. Returns ``{"width", "height", "channels",
+    "pixels"}`` with ``pixels`` the reconstructed ``height*width*channels``
+    sample bytes, or None for anything else (Adam7, 16-bit, truncated or
+    hostile streams) — callers fall back to header-only metadata rather
+    than failing the job.
+
+    This closes the container honesty gate for images: no codec library
+    is needed to get real samples out of real PNG bytes. It runs inside
+    the Arrow-batched ``decode_images`` path (Python per scanline is the
+    cost of stdlib-only; a production stack injects a native codec via
+    ``decode_fn`` for throughput). JPEG/video stay behind
+    ``require_real_codecs``.
+    """
+    import struct
+    import zlib
+
+    if not content or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width, height = 8, None, None
+    bit_depth = color_type = interlace = None
+    idat, plte = bytearray(), None
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated stream
+        if ctype == b"IHDR" and clen >= 13:
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc32
+    if (
+        width is None
+        or bit_depth != 8
+        or interlace != 0
+        or color_type not in _PNG_CHANNELS
+        or not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF)
+    ):
+        return None
+    channels = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        return None
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            return None  # invalid filter type
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    pixels = bytes(out)
+    if color_type == 3:  # expand palette indices to RGB
+        if plte is None or len(plte) < 3 * (max(pixels) + 1 if pixels else 1):
+            return None
+        pixels = b"".join(plte[3 * i : 3 * i + 3] for i in pixels)
+        channels = 3
+    return {"width": width, "height": height, "channels": channels, "pixels": pixels}
+
+
+def pixel_decode(content: bytes, width: int, height: int) -> tuple[int, int, str]:
+    """decode_fn for ``decode_images`` that FULLY decodes PNG pixels
+    (decode_png_pixels) and digests the reconstructed pixel buffer — the
+    digest proves the real samples were unfiltered, not merely that the
+    header was read. Non-PNG / non-baseline content falls back to
+    header_decode (header-derived dimensions, content digest)."""
+    import hashlib
+
+    decoded = decode_png_pixels(content)
+    if decoded is not None:
+        return (
+            decoded["width"],
+            decoded["height"],
+            hashlib.md5(decoded["pixels"]).hexdigest(),
+        )
+    return header_decode(content, width, height)
+
+
 def header_decode(content: bytes, width: int, height: int) -> tuple[int, int, str]:
     """decode_fn for decode_images that reads dimensions from the REAL
     bytes (PNG IHDR via parse_media_header) instead of trusting caller
@@ -177,16 +303,19 @@ def header_decode(content: bytes, width: int, height: int) -> tuple[int, int, st
 
 
 def require_real_codecs() -> None:
-    """Production decode path — not available in this environment.
+    """Production decode path for codec-requiring formats — not available
+    in this environment.
 
-    Container headers (PNG/WAV) are parsed for real by
-    parse_media_header/probe_media_headers; everything past the header —
-    pixel decode, resampling, frame extraction — needs an injected codec
-    stack."""
+    PNG is decoded for real in-container (headers via parse_media_header,
+    pixels via decode_png_pixels/pixel_decode); WAV headers likewise.
+    JPEG decode, audio resampling, and video frame extraction need an
+    injected codec stack."""
     raise NotImplementedError(
-        "real media decoding needs an image/audio stack (e.g. Pillow/librosa/pyav) "
-        "which is not installed here; inject a decode_fn into decode_images()/"
-        "extract_features() or install codecs and wire them in"
+        "JPEG/video/audio-sample decoding needs a codec stack (e.g. "
+        "Pillow/librosa/pyav) which is not installed here; inject a decode_fn "
+        "into decode_images()/extract_features() or install codecs and wire "
+        "them in (PNG pixels and PNG/WAV headers decode stdlib-only via "
+        "decode_png_pixels/parse_media_header)"
     )
 
 

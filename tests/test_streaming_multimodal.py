@@ -201,6 +201,159 @@ def test_decode_images_with_stdlib_header_codec(spark):
     assert (rows[2]["width"], rows[2]["height"]) == (5, 6)  # fallback to claimed
 
 
+def _encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    color_type: int,
+    filters: list[int] | None = None,
+    palette: bytes | None = None,
+) -> bytes:
+    """Full stdlib PNG encoder for test vectors: applies the chosen filter
+    type per scanline (forward direction of PNG spec §9), so the decoder's
+    unfilter path is exercised on every filter type, not just None."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * n_ch
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        filt = bytearray(line)
+        if f == 1:  # Sub
+            for i in range(n_ch, stride):
+                filt[i] = (line[i] - line[i - n_ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                filt[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - n_ch] if i >= n_ch else 0
+                filt[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - n_ch] if i >= n_ch else 0
+                b = prev[i]
+                c = prev[i - n_ch] if i >= n_ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (line[i] - pr) & 0xFF
+        raw += bytes([f]) + bytes(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    # split IDAT in two chunks to exercise concatenation
+    comp = zlib.compress(bytes(raw))
+    mid = len(comp) // 2
+    return out + chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:]) + chunk(b"IEND", b"")
+
+
+def _test_pixels(width: int, height: int, n_ch: int) -> bytes:
+    return bytes((i * 31 + (i // (width * n_ch)) * 7) % 256 for i in range(width * height * n_ch))
+
+
+def test_decode_png_pixels_roundtrip_all_filters():
+    """Encoder applies every filter type (None/Sub/Up/Average/Paeth);
+    decoder must reconstruct the exact pixel bytes for each color type."""
+    from edna_dbt_library_spark.operators.multimodal import decode_png_pixels
+
+    for color_type, n_ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        w, h = 13, 11
+        pixels = _test_pixels(w, h, n_ch)
+        png = _encode_png(pixels, w, h, color_type, filters=[0, 1, 2, 3, 4])
+        d = decode_png_pixels(png)
+        assert d is not None, color_type
+        assert (d["width"], d["height"], d["channels"]) == (w, h, n_ch)
+        assert d["pixels"] == pixels, f"pixel mismatch for color_type={color_type}"
+
+
+def test_decode_png_pixels_palette_and_rejects():
+    from edna_dbt_library_spark.operators.multimodal import decode_png_pixels
+
+    # palette image: indices expand through PLTE to RGB
+    palette = bytes(range(48))  # 16 RGB entries
+    idx = bytes(i % 16 for i in range(7 * 5))
+    png = _encode_png(idx, 7, 5, 3, filters=[0, 1, 2], palette=palette)
+    d = decode_png_pixels(png)
+    assert d is not None and d["channels"] == 3
+    expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert d["pixels"] == expect
+
+    # non-baseline and hostile streams return None, never raise
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(b"not png") is None
+    good = _encode_png(_test_pixels(4, 4, 3), 4, 4, 2)
+    assert decode_png_pixels(good[:40]) is None  # truncated
+    interlaced = bytearray(good)
+    interlaced[28] = 1  # IHDR interlace flag
+    assert decode_png_pixels(bytes(interlaced)) is None
+    bit16 = bytearray(good)
+    bit16[24] = 16  # IHDR bit depth
+    assert decode_png_pixels(bytes(bit16)) is None
+
+
+def test_decode_images_real_png_pixels_on_spark(spark):
+    """decode_images with pixel_decode digests the DECODED pixel buffer of
+    a real PNG end-to-end through the Arrow path — proof the engine
+    reconstructs actual samples in-container, not just headers."""
+    import hashlib
+
+    from edna_dbt_library_spark.operators.multimodal import pixel_decode
+
+    w, h = 19, 9
+    pixels = _test_pixels(w, h, 3)
+    png = _encode_png(pixels, w, h, 2, filters=[4, 3, 2, 1, 0])
+    meta = {"media_type": "image", "format": "png", "width": 999, "height": 999, "duration_ms": 0}
+    media = spark.createDataFrame(
+        [(1, png, meta), (2, b"opaque", {**meta, "format": "bin", "width": 5, "height": 6})],
+        "doc_id long, content binary, media struct<media_type:string,format:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(media, decode_fn=pixel_decode).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (w, h)
+    assert rows[1]["content_md5"] == hashlib.md5(pixels).hexdigest()  # digest of PIXELS
+    assert (rows[2]["width"], rows[2]["height"]) == (5, 6)  # non-PNG falls back
+
+
+def test_probe_media_headers_hostile_dimensions_dont_fail_job(spark):
+    """A hostile PNG IHDR with width > 2^31-1 (unsigned 32-bit) must read
+    as 'unknown', not blow up the Arrow int32 conversion inside
+    mapInPandas and fail the whole ingest."""
+    import struct
+    import zlib
+
+    from edna_dbt_library_spark.operators.multimodal import probe_media_headers
+
+    ihdr = struct.pack(">IIBBBBB", 0x80000001, 17, 8, 2, 0, 0, 0)
+    hostile = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    media = spark.createDataFrame(
+        [(1, hostile), (2, _png_bytes(8, 8))], "doc_id long, content binary"
+    )
+    rows = {r["doc_id"]: r for r in probe_media_headers(media).collect()}
+    assert rows[1]["format"] == "unknown" and rows[1]["width"] is None
+    assert rows[2]["format"] == "png"  # sane rows still parse
+
+
 def test_curation_verdict_runs_under_structured_streaming(spark, tmp_path):
     """The fused curation verdict is stateless row-local Column algebra,
     so it runs UNCHANGED as a streaming transformation — no watermark,
