@@ -65,8 +65,14 @@ def _fan_out(df: DataFrame) -> DataFrame:
     for every call). File count underestimates true scan parallelism for
     large splittable files (maxPartitionBytes splits them further), which
     only errs toward an extra repartition of compact pre-explode rows —
-    cheap insurance next to the explode it feeds. In-memory inputs (no
-    backing files, e.g. test DataFrames) always repartition."""
+    cheap insurance next to the explode it feeds.
+
+    Non-file-backed inputs (cached/localCheckpoint'd intermediates, test
+    DataFrames) report zero files; for those the fallback is the RDD
+    partition count — acceptable there because a materialized input's
+    lineage is already truncated, so ``df.rdd`` is a cheap wrapper, not a
+    forced re-analysis — and the repartition is skipped when the input is
+    already parallel enough."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
@@ -74,6 +80,12 @@ def _fan_out(df: DataFrame) -> DataFrame:
         n_files = 0
     if n_files >= target:
         return df
+    if n_files == 0:
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
     return df.repartition(target)
 
 
@@ -266,6 +278,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     fast: bool | None = None,
+    segment: int | None = 65536,
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson
     & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every character
@@ -288,36 +301,77 @@ def winnowing_fingerprints(
     hashing).
 
     Scale design (100 TB): one explode to L rows per doc (linear, same
-    class as shingle hashing), one window pass partitioned by doc id,
-    one (doc, fp) group — uniform per-document keys, no all-pairs work;
-    the md5-per-gram cost dominates and the ``fast`` xxhash64 flag
-    removes it in production exactly as in MinHash (oracle stays md5).
+    class as shingle hashing), one window pass partitioned by
+    (doc id, segment), one (doc, fp) group — uniform per-document keys,
+    no all-pairs work; the md5-per-gram cost dominates and the ``fast``
+    xxhash64 flag removes it in production exactly as in MinHash (oracle
+    stays md5).
+
+    ``segment`` bounds the giant-document straggler: the window pass
+    partitions on (doc, segment) where each segment covers at most
+    ``segment`` window-start positions, so no single task ever holds a
+    whole document's grams — a GB-scale outlier doc becomes many
+    bounded tasks instead of one spilling straggler. The fingerprint
+    set is IDENTICAL to the unchunked construction (``segment=None``)
+    by construction: positions are global, every window-start position
+    belongs to exactly one segment, and each segment regenerates the
+    ``window - 1`` boundary grams it needs (equivalently: text chunks
+    overlapping by k + window - 2 chars), so every window min is
+    computed over exactly the same grams. Gram hashes are computed
+    streaming from the full text BEFORE the window shuffle — only
+    (pos, hash) rows, at most ``segment + window - 1`` per task, ever
+    reach an executor's window state.
     """
     from pyspark.sql import Window
 
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
+    if segment is not None and segment < 1:
+        raise ValueError("segment must be >= 1 or None")
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    base = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), norm.alias("_t"), F.length(norm).alias("_len")
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), norm.alias("_t"), F.length(norm).alias("_len"))
+        # docs below k + window - 1 chars have no window position at all
+        .where(F.col("_len") >= k + window - 1)
+        # _w = number of window-start positions (pos 1.._w, global)
+        .withColumn("_w", (F.col("_len") - k - window + 2).cast("long"))
     )
-    grams = base.where(F.col("_len") >= k).select(
+    seg_size = F.col("_w") if segment is None else F.lit(int(segment)).cast("long")
+    segs = base.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(1).cast("long"), (F.col("_len") - k + 1).cast("long"))).alias("pos"),
+        F.col("_t"),
+        F.col("_w"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("_w") - 1) / seg_size).cast("long"),
+            )
+        ).alias("_seg"),
+    )
+    w_start = F.col("_seg") * seg_size + 1  # first window-start pos (global)
+    w_end = F.least((F.col("_seg") + 1) * seg_size, F.col("_w"))  # last one
+    g_end = w_end + window - 1  # last gram pos any of this segment's windows reads
+    grams = segs.select(
+        F.col(id_col),
+        F.col("_seg"),
+        w_end.alias("_we"),
+        F.explode(F.sequence(w_start, g_end)).alias("pos"),
         F.col("_t"),
     ).select(
         id_col,
+        "_seg",
+        "_we",
         "pos",
         minhash_word_value(F.substring(F.col("_t"), F.col("pos").cast("int"), k), fast=fast).alias("h"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    n = Window.partitionBy(id_col)
+    w = Window.partitionBy(id_col, "_seg").orderBy("pos").rowsBetween(0, window - 1)
     windowed = grams.select(
         id_col,
         "pos",
         F.min("h").over(w).alias("fp"),
-        F.count(F.lit(1)).over(n).alias("_n"),
-    ).where(F.col("pos") <= F.col("_n") - window + 1)
+        F.col("_we"),
+    ).where(F.col("pos") <= F.col("_we"))
     return windowed.groupBy(id_col, "fp").agg(F.min("pos").alias("first_window"))
 
 
@@ -568,6 +622,7 @@ def run_incremental_passage_dedup(
     max_bucket_size: int | None = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fast: bool = False,
 ) -> DataFrame:
     """Passage-level incremental dedup: admit only batch documents that do
     not substantially overlap the already-ingested corpus — the crawl-
@@ -595,12 +650,22 @@ def run_incremental_passage_dedup(
     fingerprints build a Bloom filter that prunes the store scan before
     the membership join, as in run_incremental_dedup.
 
+    The fingerprint hash mode is PINNED per store via the explicit
+    ``fast`` parameter (default False = md5, matching
+    run_incremental_dedup's pinned functions/text.fingerprint). The
+    SPARK_GRAFT_FAST_HASH env var is deliberately NOT consulted here:
+    md5 and xxhash64 fingerprints never collide, so a session-level
+    flag differing between the run that wrote the store and a later run
+    would make every membership join match nothing and silently admit
+    every duplicate. Callers that opt into ``fast=True`` must use it
+    for the store's whole lifetime.
+
     Returns the admitted batch rows (id, text).
     """
     from edna_dbt_library_spark.operators.sketches import bloom_build, bloom_filter_rows
 
     fps = winnowing_fingerprints(
-        batch, k=k, window=window, text_col=text_col, id_col=id_col
+        batch, k=k, window=window, text_col=text_col, id_col=id_col, fast=fast
     ).select(F.col(id_col), "fp").localCheckpoint(eager=True)
 
     # in-batch transitive passage clusters -> min-id keeper

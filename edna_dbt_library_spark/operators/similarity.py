@@ -123,7 +123,9 @@ def kmeans_cells(
     replays the identical arithmetic).
 
     Seeding: ``seed="lowest-id"`` (default) takes the ``n_cells``
-    lowest-id vectors — the oracle-replayed choice. ``seed="hash"``
+    true lowest-id vectors (TakeOrderedAndProject pick, cid = 0-based
+    rank) — the oracle-replayed choice, correct for sparse or non-zero-
+    based id spaces, not just dense ones. ``seed="hash"``
     takes the ``n_cells`` vectors with the smallest md5(id) instead: a
     deterministic pseudo-random sample for production corpora where id
     order correlates with content (ingest time, source grouping) and
@@ -142,8 +144,15 @@ def kmeans_cells(
         F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
     )
     if seed == "lowest-id":
-        cent = q.where(F.col("vid") < n_cells).select(
-            F.col("vid").cast("long").alias("cid"), F.col("qv").alias("cv")
+        # true n_cells lowest ids, NOT `vid < n_cells`: a filter on the id
+        # value silently yields fewer (possibly zero) centroids when ids
+        # are sparse or non-zero-based. Same TakeOrderedAndProject shape
+        # as the hash mode; the rank window runs over n_cells rows only.
+        picked = q.orderBy("vid").limit(n_cells)
+        w = Window.orderBy("vid")
+        cent = picked.select(
+            (F.row_number().over(w) - 1).cast("long").alias("cid"),
+            F.col("qv").alias("cv"),
         )
     elif seed == "hash":
         from edna_dbt_library_spark.operators.dedup import minhash_word_value

@@ -1961,8 +1961,11 @@ WITH base AS (
 ), qd AS (
     SELECT vec_id, i AS dim, qv[i] AS v
     FROM base, unnest(generate_series(1, len(qv))) AS t(i)
+), seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT DISTINCT vec_id FROM qd) ORDER BY vec_id LIMIT {n_cells}
 ), c0 AS (
-    SELECT vec_id AS cid, dim, v FROM qd WHERE vec_id < {n_cells}
+    SELECT s.cid, q.dim, q.v FROM qd q JOIN seeds s ON s.vec_id = q.vec_id
 )"""]
     prev = "c0"
     for it in range(1, iters + 1):

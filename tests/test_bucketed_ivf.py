@@ -67,6 +67,23 @@ def test_kmeans_cells_trains_and_is_deterministic(spark):
     assert again == rows
 
 
+def test_kmeans_lowest_id_seed_handles_sparse_ids(spark):
+    """seed="lowest-id" must take the true n_cells lowest ids: on a
+    sparse, non-zero-based id space a `vid < n_cells` filter would pick
+    ZERO seeds and every downstream IVF/outlier query would silently
+    return empty. Centroids must also match the dense-id run exactly —
+    the id remap is monotonic, so seeds, assignments and updates are the
+    same vectors throughout."""
+    from edna_dbt_library_spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, SF, "embeddings")
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * 1000 + 5_000_000)
+    cent = {r["cid"]: list(r["cv"]) for r in kmeans_cells(sparse, n_cells=8, iters=1).collect()}
+    assert set(cent) == set(range(8))
+    dense = {r["cid"]: list(r["cv"]) for r in kmeans_cells(emb, n_cells=8, iters=1).collect()}
+    assert cent == dense
+
+
 def test_runner_sql_text_model(spark, tmp_path):
     from edna_dbt_library_spark.plans import Model, ModelNode, Runner
     from edna_dbt_library_spark.sources import Warehouse

@@ -452,3 +452,21 @@ def test_incremental_passage_dedup_across_batches(spark, tmp_path):
     # replaying batch 2 admits nothing (full-containment rule)
     a3 = run_incremental_passage_dedup(wh, store, b2)
     assert a3.count() == 0
+
+    # the store's hash mode is PINNED: flipping the session-level fast-hash
+    # env var between runs must NOT change the store fingerprints, or every
+    # membership join would silently match nothing and admit all dups
+    import os
+
+    from edna_dbt_library_spark.operators.dedup import FAST_HASH_ENV
+
+    old = os.environ.get(FAST_HASH_ENV)
+    os.environ[FAST_HASH_ENV] = "1"
+    try:
+        a4 = run_incremental_passage_dedup(wh, store, b2)
+        assert a4.count() == 0, "env flag leaked into the pinned store hash mode"
+    finally:
+        if old is None:
+            os.environ.pop(FAST_HASH_ENV, None)
+        else:
+            os.environ[FAST_HASH_ENV] = old

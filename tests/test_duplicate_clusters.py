@@ -111,6 +111,28 @@ def test_winnowing_short_docs_and_validation(spark):
         winnowing_fingerprints(df, k=0)
 
 
+def test_winnowing_segment_boundaries_exact_equality(spark):
+    """Segment sizes at and around every boundary (1, tiny, mid, >= W,
+    default) reproduce the unchunked fingerprint set bit-for-bit on a
+    multi-KB doc, a mid-size doc and a too-short doc."""
+    from edna_dbt_library_spark.operators.dedup import winnowing_fingerprints
+
+    long_text = " ".join(f"tok{i % 37} w{(i * i) % 101}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text[100:1500]), (3, "short")],
+        "doc_id long, text string",
+    )
+    ref = sorted(map(tuple, winnowing_fingerprints(df, k=8, window=4, segment=None).collect()))
+    assert ref, "fixture must fingerprint"
+    for seg in (1, 7, 64, 65536, 10_000_000):
+        got = sorted(map(tuple, winnowing_fingerprints(df, k=8, window=4, segment=seg).collect()))
+        assert got == ref, f"segment={seg} diverged from unchunked"
+    import pytest
+
+    with pytest.raises(ValueError, match="segment"):
+        winnowing_fingerprints(df, segment=0)
+
+
 def test_winnowing_overlap_pairs_finds_shared_passage(spark):
     from edna_dbt_library_spark.operators.dedup import winnowing_overlap_pairs
 

@@ -185,6 +185,31 @@ def test_winnowing_coverage_guarantee_property(spark, texts, k, w):
 
 
 @SETTLE
+@given(
+    st.lists(st.text(alphabet="abc \n", min_size=0, max_size=150), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=7),
+)
+def test_winnowing_segmented_equals_unchunked_property(spark, texts, k, w, seg):
+    """Bounded-segment winnowing (the giant-document guard) must produce
+    the EXACT row set of the unchunked construction — fingerprints AND
+    first_window positions — for any segment size, including the
+    pathological seg=1 (every window its own segment). The winnowing
+    coverage theorem then survives by construction."""
+    from edna_dbt_library_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    seg_rows = sorted(
+        map(tuple, winnowing_fingerprints(df, k=k, window=w, segment=seg).collect())
+    )
+    ref_rows = sorted(
+        map(tuple, winnowing_fingerprints(df, k=k, window=w, segment=None).collect())
+    )
+    assert seg_rows == ref_rows
+
+
+@SETTLE
 @given(st.binary(min_size=0, max_size=200))
 def test_parse_media_header_never_crashes_on_junk(spark, blob):
     """Format sniffing over arbitrary bytes (truncated headers, random
