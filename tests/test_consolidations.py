@@ -1,0 +1,139 @@
+"""Score-window insurance: the driver-scored consolidated queries must
+equal the composition of their granular counterparts row-for-row, and the
+fused single-scan production path must equal the composed scored path on
+the FULL sf0.01 corpus.
+
+The consolidated builders currently compose the granular REGISTRY entries,
+so these tests are tautology-adjacent today — their value is the contract:
+a future edit that rewrites a consolidated builder (or a granular one)
+cannot silently diverge the scored row from the granular queries it
+certifies, nor the production fused plan from the scored row."""
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark import queries as qmod
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_curation_quality_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["curation_quality"](spark, SF)
+
+    rep = reg["repetition_filter"](spark, SF).withColumnRenamed("keep", "keep_repetition")
+    pii = reg["pii_redact_docs"](spark, SF)
+    tq = reg["text_quality_langid"](spark, SF).select("doc_id", "pred_lang", "quality")
+    ld = reg["dedup_lines_docs"](spark, SF).select(
+        "doc_id", "n_lines", F.col("n_kept").alias("n_kept_lines"), "text_deduped"
+    )
+    composed = (
+        rep.join(pii, "doc_id")
+        .join(tq, "doc_id")
+        .join(ld, "doc_id", "left")
+        .withColumn("n_lines", F.coalesce("n_lines", F.lit(0).cast("bigint")))
+        .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0).cast("bigint")))
+        .withColumn("text_deduped", F.coalesce("text_deduped", F.lit("")))
+        .select(*scored.columns)
+    )
+    assert sorted(scored.columns) == sorted(
+        set(rep.columns) | set(pii.columns) | {"pred_lang", "quality"}
+        | {"n_lines", "n_kept_lines", "text_deduped"}
+    )
+    assert _rows(scored) == _rows(composed)
+
+
+def test_near_dup_pairs_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["near_dup_pairs"](spark, SF)
+
+    parts = []
+    for method, name, score_col in [
+        ("minhash_jaccard", "near_dup_jaccard", "jaccard"),
+        ("simhash_hamming", "simhash_near_pairs", "hamming"),
+        ("winnow_passage", "winnow_overlap_pairs", "n_shared"),
+    ]:
+        parts.append(
+            reg[name](spark, SF).select(
+                F.lit(method).alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col(score_col).cast("double").alias("score"),
+            )
+        )
+    composed = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    assert _rows(scored) == _rows(composed.select(*scored.columns))
+
+
+def test_uuid_deterministic_ids_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["uuid_deterministic_ids"](spark, SF)
+
+    v3 = reg["uuid_v3_customer"](spark, SF).select(
+        F.lit("v3_customer").alias("src"),
+        F.col("c_custkey").cast("bigint").alias("key_num"),
+        F.lit("").alias("key_str"),
+        F.col("correlation_id").alias("uuid_a"),
+        F.lit("").alias("uuid_b"),
+    )
+    v5 = reg["uuid_v5_events"](spark, SF).select(
+        F.lit("v5_events").alias("src"),
+        F.col("user_bucket").cast("bigint").alias("key_num"),
+        F.col("event_type").alias("key_str"),
+        F.col("user_bucket_uuid").alias("uuid_a"),
+        F.col("event_type_uuid").alias("uuid_b"),
+    )
+    assert _rows(scored) == _rows(v3.unionAll(v5).select(*scored.columns))
+
+
+def test_fused_verdict_equals_composed_scored_row_at_sf01(spark):
+    """Production fused path parity on the FULL sf0.01 documents corpus:
+    curation_verdict (one scan, zero shuffles) must agree value-for-value
+    with the driver-scored curation_quality composition — the scored row
+    certifies the plan that actually runs at 100 TB, not a sibling
+    implementation.
+
+    The comparison is family-wise on identical inputs: the scored
+    composition computes langid/quality/repetition on the RAW text but
+    its PII family on deterministically INJECTED text (the synthetic
+    corpus carries no PII), so the fused scan is checked against each
+    family on the input that family actually saw."""
+    from edna_dbt_library_spark.operators.curation import curation_verdict
+    from edna_dbt_library_spark.sources import load_table
+
+    docs = load_table(spark, SF01, "documents")
+    scored = qmod.all_queries()["curation_quality"](spark, SF01)
+
+    raw_cols = [
+        "doc_id", "pred_lang", "quality",
+        "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "keep_repetition",
+    ]
+    fused_raw = curation_verdict(docs)
+    f_rows = _rows(fused_raw.select(*raw_cols))
+    s_rows = _rows(scored.select(*raw_cols))
+    assert len(f_rows) == len(s_rows) > 0
+    assert f_rows == s_rows
+
+    # PII family: same doc_id-derived injection the scored query applies
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 call 555-867-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    pii_cols = ["doc_id", "redacted", "has_email", "has_ip", "has_phone"]
+    f_pii = _rows(curation_verdict(injected).select(*pii_cols))
+    s_pii = _rows(scored.select(*pii_cols))
+    assert f_pii == s_pii
+    # and the injection really exercised the redactor corpus-wide
+    assert all(r[2] and r[3] and r[4] for r in s_pii)
