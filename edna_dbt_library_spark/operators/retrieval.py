@@ -1,0 +1,249 @@
+"""Corpus retrieval & statistical language-model scoring, Spark-first.
+
+Two operator families a training-data pipeline needs beyond dedup:
+
+* ``bm25_topk`` — Okapi BM25 ranked retrieval over the ``documents``
+  table: the standard quality tool for "find the corpus passages most
+  relevant to this probe query" (eval-set leakage triage, targeted
+  corpus inspection, RAG ground-truth building). The index build is the
+  classic two-shuffle inverted index (term frequencies + document
+  lengths); scoring touches ONLY the postings of the query's terms.
+* ``lm_cross_entropy`` — CCNet-style statistical LM quality scoring
+  (Wenzek et al., 2020: filtering CommonCrawl by LM perplexity): train
+  an add-alpha-smoothed bigram model on the corpus (or a reference
+  split), score every document by its per-bigram cross-entropy. High
+  cross-entropy = the document looks nothing like the reference corpus
+  (gibberish, boilerplate soup, wrong language) — the canonical
+  pretraining quality filter alongside the Gopher heuristics in
+  operators/curation.py.
+
+Cross-engine determinism (the repo-wide rules): every per-term /
+per-bigram double contribution is rounded to 9 decimals and cast to
+DECIMAL before the sum — decimal addition is exact and associative, so
+no partitioning can reorder a float sum — then the final score rounds
+to 6 decimals with an id tiebreak on every top-k. ``ln`` is the one
+transcendental in play; it runs on bit-identical double inputs in both
+engines and its result is rounded to 9 decimals before aggregation.
+
+Scale shape (100 TB): the corpus-wide work is the index build — two
+map-side-combinable groupBys (tf, then dl/df derived FROM tf, never a
+second corpus scan). BM25 scoring broadcasts the (tiny) query-term ×
+idf table so only matching postings survive the probe; the LM model
+join shuffles on the bigram key, whose cardinality is bounded by
+observed-vocabulary², not corpus size. No window runs over more than
+one query's candidates or one model key's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.text import tokens
+
+#: separator for composite bigram keys — never appears in whitespace tokens
+BIGRAM_SEP = "\x01"
+
+#: decimal type for exact, associative summation of rounded contributions
+_DEC = "decimal(28,9)"
+
+
+def doc_term_freqs(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term) term frequencies + per-doc token length in ONE corpus
+    scan: tf via explode+groupBy, dl re-aggregated from tf (sum of a
+    doc's term counts == its token count) so the text is tokenized once.
+    Returns (doc_id, term, tf, dl)."""
+    tf = (
+        documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: (query_id, rank, doc_id, score).
+
+    ``queries`` is a small (query_id, text) frame; DISTINCT query terms
+    are used (query-side tf is ignored — standard for short probe
+    queries). idf is the Lucene-standard non-negative form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; the per-term contribution is
+    ``idf * tf / (tf + k1 * (1 - b + b * dl/avgdl))``.
+
+    Plan: index (tf+dl, corpus shuffles) → df per term → query terms
+    join df (broadcast queries: few terms) → broadcast that scored
+    probe table into the postings join, so the corpus side is FILTERED
+    to matching postings before its only post-index shuffle (the
+    per-(query, doc) score agg, map-side combinable). Corpus stats
+    (N, avgdl) ride in as a broadcast single-row crossJoin, keeping the
+    plan fully lazy."""
+    tfdl = doc_term_freqs(documents, id_col, text_col)
+    stats = tfdl.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    qterms = (
+        queries.select(F.col("query_id"), tokens(text_col).alias("_toks"))
+        .select("query_id", F.explode("_toks").alias("term"))
+        .distinct()
+    )
+    # idf per (query, term): tiny — broadcast the query side into df
+    probe = (
+        df_t.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.log(
+                F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = tfdl.join(F.broadcast(probe), "term").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.col("idf")
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            9,
+        )
+        .cast(_DEC)
+        .alias("c"),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _bigrams(toks: "F.Column") -> "F.Column":
+    """Adjacent-pair composite keys via position-shifted slice+zip_with —
+    the projection-collapse-immune gram construction (each array input
+    evaluates once per row; see PLAN_AUDIT.md round-3 catch)."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, c: F.concat(a, F.lit(BIGRAM_SEP), c),
+    )
+
+
+def bigram_model(
+    documents: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the count model: returns (unigrams, bigrams, totals) as
+    DataFrames — (w, c1), (bg, c2), and a single row (t_tokens, vocab).
+    Pure counting, two map-side-combinable groupBys."""
+    toks = documents.select(tokens(text_col).alias("_toks"))
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        toks.where(F.size("_toks") >= 2)
+        .select(F.explode(_bigrams(F.col("_toks"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    totals = uni.agg(
+        F.sum("c1").cast("double").alias("t_tokens"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    return uni, big, totals
+
+
+def lm_cross_entropy(
+    documents: DataFrame,
+    train_documents: DataFrame | None = None,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document bigram cross-entropy against an add-alpha-smoothed
+    LM trained on ``train_documents`` (default: the scored corpus
+    itself): (doc_id, n_bigrams, cross_entropy).
+
+    Probability model (interpolated add-alpha, never zero):
+    ``p1(w) = (c1(w) + 1) / (T + V)`` (Laplace unigram, handles OOV),
+    ``p(w2|w1) = (c2(w1,w2) + alpha * p1(w2)) / (c1(w1) + alpha)``
+    — an unseen history backs off to exactly ``p1(w2)``. Score =
+    mean of ``-ln p`` over the document's bigrams (docs with < 2
+    tokens score NULL with n_bigrams = 0).
+
+    Scale: scoring joins doc-bigram counts against the model on the
+    bigram key (both sides shuffle-partition on it; cardinality is
+    bounded by observed vocab², independent of corpus size) and the
+    unigram backoff on w2 / history count on w1. Pass
+    ``broadcast_model=True`` when the trained model is known to fit in
+    the driver (small vocab) to turn all three into broadcast joins and
+    leave the corpus unshuffled until the per-doc mean."""
+    uni, big, totals = bigram_model(
+        documents if train_documents is None else train_documents, text_col
+    )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+
+    doc_bg = (
+        documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select("doc_id", F.explode(_bigrams(F.col("_toks"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            "bg",
+            "n",
+            F.split_part(F.col("bg"), F.lit(BIGRAM_SEP), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(BIGRAM_SEP), F.lit(2)).alias("w2"),
+        )
+    )
+    joined = (
+        doc_bg.join(hint(big), "bg", "left")
+        .join(hint(uni.select(F.col("w").alias("w1"), F.col("c1").alias("h1"))), "w1", "left")
+        .join(hint(uni.select(F.col("w").alias("w2"), F.col("c1").alias("u2"))), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p1 = (F.coalesce(F.col("u2"), F.lit(0)) + 1.0) / (F.col("t_tokens") + F.col("vocab"))
+    p = (F.coalesce(F.col("c2"), F.lit(0)) + alpha * p1) / (
+        F.coalesce(F.col("h1"), F.lit(0)) + alpha
+    )
+    per_doc = joined.select(
+        "doc_id", "n", (F.round(-F.log(p), 9) * F.col("n")).cast(_DEC).alias("nll")
+    ).groupBy("doc_id")
+    scored = per_doc.agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.sum("n"), 6).cast("double").alias("cross_entropy"),
+    )
+    # docs with < 2 tokens: present in the corpus, no bigram rows
+    short = (
+        documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .where(F.size("_toks") < 2)
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("cross_entropy"),
+        )
+    )
+    return scored.unionByName(short)

@@ -217,12 +217,18 @@ def ivf_topk(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with k-means-trained centroids.
 
     * train: ``train_iters`` exact-integer Lloyd iterations over the
       quantized corpus (kmeans_cells) — real computed centroids, not a
       stand-in, and still bit-exact under the cross-engine parity gate.
+      Training is per-CORPUS, not per-query: pass ``centroids`` (a
+      (cid, cv) frame from a prior ``kmeans_cells``) to skip it — the
+      embedding stress harness measured training as the dominant
+      end-to-end cost (PLAN_AUDIT.md "embedding scale stress"), so
+      production trains once and searches many times.
     * index build: every vector joins its nearest centroid cell (integer
       squared-L2, ties to smallest cid) — the standard IVF coarse
       quantizer.
@@ -237,6 +243,8 @@ def ivf_topk(
 
     cent = F.broadcast(
         kmeans_cells(embeddings, n_cells, train_iters, KMEANS_SCALE, id_col, vec_col)
+        if centroids is None
+        else centroids
     )
 
     def _cell_dists(df: DataFrame, out_id: str) -> DataFrame:
@@ -354,6 +362,7 @@ def cell_outliers(
     top_k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding outlier candidates: the ``top_k`` vectors most distant
     from their own trained k-means centroid, per cell — the vectors the
@@ -367,10 +376,14 @@ def cell_outliers(
     partitionings with no floating-point caveats at all.
 
     Scale shape: training passes (kmeans_cells) + one broadcast argmin
-    pass + one top-k window over n_cells partitions.
+    pass + one top-k window over n_cells partitions. Pass ``centroids``
+    to reuse an already-trained model (training dominates wall time —
+    PLAN_AUDIT.md "embedding scale stress").
     """
     cent = F.broadcast(
         kmeans_cells(embeddings, n_cells, iters, KMEANS_SCALE, id_col, vec_col)
+        if centroids is None
+        else centroids
     )
     q = embeddings.select(
         F.col(id_col).alias("vec_id"),

@@ -169,3 +169,20 @@ def test_kmeans_empty_cell_inherits_previous_centroid(spark):
     )
     assert cent[1] == seed1  # empty cell inherited its seed
     assert cent[0] != seed1  # populated cell moved to the mean
+
+
+def test_ivf_and_outliers_reuse_precomputed_centroids(spark):
+    """centroids= skips training but is result-identical to the inline
+    train (train-once / search-many production path, PLAN_AUDIT.md
+    "embedding scale stress": training dominates end-to-end wall)."""
+    from edna_dbt_library_spark.operators.similarity import cell_outliers, kmeans_cells
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cent = kmeans_cells(emb, n_cells=16, iters=2)
+    inline = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4, train_iters=2)
+    reused = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4, centroids=cent)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, reused.collect()))
+    o_inline = cell_outliers(emb, n_cells=16, iters=2, top_k=3)
+    o_reused = cell_outliers(emb, n_cells=16, top_k=3, centroids=cent)
+    assert sorted(map(tuple, o_inline.collect())) == sorted(map(tuple, o_reused.collect()))
