@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "dedup_lines_docs",
     "embedding_cell_outliers",
     "winnow_overlap_pairs",
+    "bm25_topk_docs",
+    "lm_cross_entropy_docs",
 ]
 
 

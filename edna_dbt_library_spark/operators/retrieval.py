@@ -51,18 +51,18 @@ _DEC = "decimal(28,9)"
 def doc_term_freqs(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc, term) term frequencies + per-doc token length in ONE corpus
-    scan: tf via explode+groupBy, dl re-aggregated from tf (sum of a
-    doc's term counts == its token count) so the text is tokenized once.
-    Returns (doc_id, term, tf, dl)."""
-    tf = (
+    """(doc, term) term frequencies + per-doc token length in ONE
+    shuffle: the doc length rides along as ``size(tokens)`` computed
+    BEFORE the explode, so tf and dl come out of a single
+    groupBy(doc, term) — no second dl aggregation and no doc-keyed
+    join. Returns (doc_id, term, tf, dl)."""
+    return (
         documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
-        .select("doc_id", F.explode("_toks").alias("term"))
+        .select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select("doc_id", "term", "tf", "dl")
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    return tf.join(dl, "doc_id")
 
 
 def bm25_topk(
@@ -90,9 +90,17 @@ def bm25_topk(
     (N, avgdl) ride in as a broadcast single-row crossJoin, keeping the
     plan fully lazy."""
     tfdl = doc_term_freqs(documents, id_col, text_col)
-    stats = tfdl.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    # corpus stats from the PRE-explode projection: a column-pruned
+    # re-scan with map-side partial aggregation to one row — cheaper at
+    # scale than re-shuffling the tf table by doc (docs with zero tokens
+    # have no postings and are excluded on both paths)
+    stats = (
+        documents.select(F.size(tokens(text_col)).alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
     )
     df_t = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
 
@@ -229,17 +237,31 @@ def lm_cross_entropy(
     p = (F.coalesce(F.col("c2"), F.lit(0)) + alpha * p1) / (
         F.coalesce(F.col("h1"), F.lit(0)) + alpha
     )
-    per_doc = joined.select(
-        "doc_id", "n", (F.round(-F.log(p), 9) * F.col("n")).cast(_DEC).alias("nll")
-    ).groupBy("doc_id")
-    scored = per_doc.agg(
-        F.sum("n").alias("n_bigrams"),
-        F.round(F.sum("nll") / F.sum("n"), 6).cast("double").alias("cross_entropy"),
+    # Exact integer nano-nats end-to-end: the 9-dp rounded -ln(p) becomes
+    # an exact BIGINT (decimal * 1e9), so the per-doc sum is exact and the
+    # final 6-dp mean is a floor over exact integers — round(double, 6)
+    # at the very end would sit on a systematic half-boundary (9-dp sums
+    # divided by small n) where Spark's exact-decimal HALF_UP and
+    # DuckDB's float-path round disagree. -ln(p) > 0 always (p < 1 by
+    # construction: c2 <= c1 and p1 < 1), so no sign handling.
+    units = (F.round(-F.log(p), 9).cast(_DEC) * F.lit(1_000_000_000)).cast("long")
+    per_doc = joined.select("doc_id", "n", (units * F.col("n")).alias("nll_units")).groupBy(
+        "doc_id"
     )
-    # docs with < 2 tokens: present in the corpus, no bigram rows
+    s, nb = F.sum("nll_units"), F.sum("n")
+    # half-away-from-zero mean in millionths: floor((2S + 1000N)/(2000N));
+    # the double division is exact-floor-safe for ints far below 2^53
+    millionths = F.floor((2 * s + 1000 * nb) / (2000.0 * nb)).cast("long")
+    scored = per_doc.agg(
+        nb.alias("n_bigrams"),
+        (millionths / F.lit(1_000_000.0)).alias("cross_entropy"),
+    )
+    # docs with < 2 tokens (including NULL text, whose token array is
+    # NULL — a bare size() predicate would drop the doc from BOTH
+    # branches): present in the corpus, no bigram rows
     short = (
         documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
-        .where(F.size("_toks") < 2)
+        .where((F.size("_toks") < 2) | F.col("_toks").isNull())
         .select(
             "doc_id",
             F.lit(0).cast("long").alias("n_bigrams"),

@@ -3583,6 +3583,131 @@ def uuid_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval & statistical-LM scoring (operators/retrieval.py): BM25
+# ranked probes over the corpus and CCNet-style bigram cross-entropy
+# quality scores. Extra-registry (locally verified via pytest +
+# tools/check_parity.py like the other post-window additions).
+
+#: fixed probe set: three in-vocabulary probes + one with an OOV term
+#: (the OOV term must drop out of scoring identically in both engines)
+BM25_PROBES = [
+    ("probe_spark", "spark window agg"),
+    ("probe_merge", "merge batch customer"),
+    ("probe_vector", "vector stream filter"),
+    ("probe_oov", "spark zzzunseenterm"),
+]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    qtoks = DUCK_TOKENS.format(c="qtext")
+    values = ", ".join(f"('{q}', '{t}')" for q, t in BM25_PROBES)
+    return f"""
+WITH probes(query_id, qtext) AS (VALUES {values}),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM probes),
+probe AS (
+    SELECT qt.query_id, qt.term,
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf, s.avgdl
+    FROM qt JOIN dft d USING (term) CROSS JOIN stats s
+),
+contrib AS (
+    SELECT p.query_id, tf.doc_id,
+           round(p.idf * tf.tf
+                 / (tf.tf + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl.dl / p.avgdl)),
+                 9)::DECIMAL(28,9) AS c
+    FROM tf JOIN probe p USING (term) JOIN dl USING (doc_id)
+),
+scored AS (
+    SELECT query_id, doc_id, round(sum(c), 6)::DOUBLE AS score
+    FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INTEGER AS rank, doc_id, score FROM ranked WHERE rank <= {k}"""
+
+
+@_register("bm25_topk_docs", _bm25_oracle())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/retrieval.bm25_topk) over
+    the documents table for a fixed probe set: the inverted-index build
+    is two map-side-combinable corpus shuffles; scoring broadcasts the
+    (query term, idf) probe table so only matching postings survive.
+    One probe carries an out-of-vocabulary term that must drop out of
+    scoring identically in both engines."""
+    from edna_dbt_library_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = spark.createDataFrame(BM25_PROBES, "query_id string, text string")
+    return bm25_topk(docs, probes, k=10, k1=BM25_K1, b=BM25_B)
+
+
+def _lm_oracle(alpha: float = 0.5) -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM toks),
+c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM uni GROUP BY 1),
+tot AS (SELECT sum(c1)::DOUBLE AS t_tokens, count(*)::DOUBLE AS vocab FROM c1),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || chr(1) || l[i + 1])) AS bg
+    FROM toks WHERE len(l) >= 2
+),
+c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
+docbg AS (
+    SELECT doc_id, bg, count(*)::BIGINT AS n,
+           split_part(bg, chr(1), 1) AS w1, split_part(bg, chr(1), 2) AS w2
+    FROM bg GROUP BY doc_id, bg
+),
+j AS (
+    SELECT d.doc_id, d.n,
+           (round(-ln((coalesce(c2.c2, 0) + {alpha!r} * ((coalesce(u2.c1, 0) + 1.0) / (t.t_tokens + t.vocab)))
+                      / (coalesce(h1.c1, 0) + {alpha!r})), 9)::DECIMAL(28,9)
+            * 1000000000)::BIGINT * d.n AS nll_units
+    FROM docbg d
+    LEFT JOIN c2 USING (bg)
+    LEFT JOIN c1 h1 ON h1.w = d.w1
+    LEFT JOIN c1 u2 ON u2.w = d.w2
+    CROSS JOIN tot t
+),
+scored AS (
+    -- exact-integer half-away mean in millionths of a nat, then /1e6:
+    -- round(double, 6) here would sit on systematic half-boundaries
+    SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           floor((2 * sum(nll_units) + 1000 * sum(n)) / (2000.0 * sum(n)))::BIGINT
+               / 1000000.0 AS cross_entropy
+    FROM j GROUP BY 1
+),
+short AS (SELECT doc_id, 0::BIGINT AS n_bigrams, NULL::DOUBLE AS cross_entropy
+          FROM toks WHERE len(l) < 2 OR l IS NULL)
+SELECT * FROM scored UNION ALL SELECT * FROM short"""
+
+
+@_register("lm_cross_entropy_docs", _lm_oracle())
+def lm_cross_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical LM quality scoring
+    (operators/retrieval.lm_cross_entropy): add-alpha-smoothed bigram
+    model trained on the corpus itself, every document scored by its
+    mean per-bigram negative log-likelihood. High cross-entropy = the
+    document looks nothing like the corpus (the canonical pretraining
+    quality filter next to the Gopher heuristics). Per-bigram
+    contributions round to 9 decimals and sum as DECIMAL so no
+    partitioning can reorder a float sum."""
+    from edna_dbt_library_spark.operators.retrieval import lm_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_cross_entropy(docs, alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
 # The driver's correctness gate scores exactly the FIRST 50 entries of

@@ -1,0 +1,175 @@
+"""BM25 retrieval + bigram-LM cross-entropy (operators/retrieval.py):
+hand-computed scores on tiny corpora, OOV/short-doc edges, and the
+broadcast-model plan variant staying result-identical."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.retrieval import (
+    BIGRAM_SEP,
+    bigram_model,
+    bm25_topk,
+    doc_term_freqs,
+    lm_cross_entropy,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, text string")
+
+
+def _bm25_expected(corpus, qterms, k1=1.2, b=0.75):
+    """Reference BM25 in plain Python (same formula, float math)."""
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in set(qterms):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            contrib = idf * tf / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            s += round(contrib, 9)
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_hand_computation(spark):
+    corpus = [
+        (1, "spark window agg window"),
+        (2, "spark join"),
+        (3, "merge batch merge merge"),
+        (4, "window"),
+    ]
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in bm25_topk(
+            _docs(spark, corpus), _queries(spark, [("q", "spark window")]), k=10
+        ).collect()
+    }
+    exp = _bm25_expected(corpus, ["spark", "window"])
+    assert set(got) == set(exp)
+    for d, score in exp.items():
+        assert got[d][1] == pytest.approx(score, abs=1e-6)
+    # doc 1 has both terms (one twice) — must outrank single-term docs
+    assert got[1][0] == 1
+
+
+def test_bm25_oov_and_tie_order(spark):
+    corpus = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")]
+    docs = _docs(spark, corpus)
+    # all-OOV query: no postings match -> no rows for that query
+    rows = bm25_topk(docs, _queries(spark, [("oov", "zzz qqq")]), k=5).collect()
+    assert rows == []
+    # identical docs tie on score -> rank breaks on doc_id ascending
+    r = bm25_topk(docs, _queries(spark, [("q", "alpha")]), k=5).collect()
+    assert [(x["rank"], x["doc_id"]) for x in sorted(r, key=lambda x: x["rank"])] == [
+        (1, 1),
+        (2, 2),
+    ]
+
+
+def test_doc_term_freqs_single_scan_lengths(spark):
+    tfdl = doc_term_freqs(_docs(spark, [(1, "a b a"), (2, "c")]))
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in tfdl.collect()}
+    assert rows == {(1, "a"): (2, 3), (1, "b"): (1, 3), (2, "c"): (1, 1)}
+
+
+def _lm_expected(corpus, score_docs, alpha=0.5):
+    """Reference bigram LM in plain Python, mirroring the exact-integer
+    nano-nat pipeline (round 9dp -> integer units -> floored mean)."""
+    toks = {d: t.lower().split() for d, t in corpus}
+    c1, c2 = {}, {}
+    for t in toks.values():
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+        for a, bb in zip(t, t[1:]):
+            c2[(a, bb)] = c2.get((a, bb), 0) + 1
+    T, V = sum(c1.values()), len(c1)
+    out = {}
+    for d, t in score_docs:
+        ws = t.lower().split()
+        if len(ws) < 2:
+            out[d] = (0, None)
+            continue
+        units = 0
+        for a, bb in zip(ws, ws[1:]):
+            p1 = (c1.get(bb, 0) + 1.0) / (T + V)
+            p = (c2.get((a, bb), 0) + alpha * p1) / (c1.get(a, 0) + alpha)
+            units += round(round(-math.log(p), 9) * 1_000_000_000)
+        n = len(ws) - 1
+        out[d] = (n, math.floor((2 * units + 1000 * n) / (2000.0 * n)) / 1e6)
+    return out
+
+
+def test_lm_cross_entropy_matches_hand_computation(spark):
+    corpus = [(1, "a b a b c"), (2, "a b a"), (3, "c c c"), (4, "solo")]
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in lm_cross_entropy(_docs(spark, corpus)).collect()
+    }
+    exp = _lm_expected(corpus, corpus)
+    assert set(got) == set(exp)
+    for d, (n, ce) in exp.items():
+        assert got[d][0] == n
+        if ce is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(ce, abs=1e-9)
+    # the common-pattern doc must score lower entropy than the rare one
+    assert got[1][1] < got[3][1]
+
+
+def test_lm_train_split_and_oov_backoff(spark):
+    train = _docs(spark, [(1, "a b a b"), (2, "b a b a")])
+    # score a doc whose history word never appears in training: the
+    # conditional must back off to exactly p1(w2)
+    score = _docs(spark, [(9, "zzz a")])
+    row = lm_cross_entropy(score, train_documents=train).collect()[0]
+    exp = _lm_expected([(1, "a b a b"), (2, "b a b a")], [(9, "zzz a")])
+    assert (row["n_bigrams"], row["cross_entropy"]) == (
+        exp[9][0],
+        pytest.approx(exp[9][1], abs=1e-9),
+    )
+
+
+def test_lm_null_and_empty_text_docs_kept_as_unscored(spark):
+    """NULL/empty text must yield (doc_id, 0, NULL), not silently vanish
+    (tokens(NULL) is a NULL array whose size() fails both branch
+    predicates without the explicit isNull arm)."""
+    docs = spark.createDataFrame([(1, None), (2, ""), (3, "a b")], "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"]) for r in lm_cross_entropy(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == (0, None) and rows[2] == (0, None)
+    assert rows[3][0] == 1 and rows[3][1] is not None
+
+
+def test_lm_broadcast_model_identical(spark):
+    corpus = [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5} end") for i in range(40)]
+    docs = _docs(spark, corpus)
+    plain = sorted(map(tuple, lm_cross_entropy(docs).collect()))
+    bcast = sorted(map(tuple, lm_cross_entropy(docs, broadcast_model=True).collect()))
+    assert plain == bcast
+
+
+def test_bigram_model_counts(spark):
+    uni, big, totals = bigram_model(_docs(spark, [(1, "a b a"), (2, "b b")]))
+    assert {(r["w"], r["c1"]) for r in uni.collect()} == {("a", 2), ("b", 3)}
+    assert {(r["bg"], r["c2"]) for r in big.collect()} == {
+        (f"a{BIGRAM_SEP}b", 1),
+        (f"b{BIGRAM_SEP}a", 1),
+        (f"b{BIGRAM_SEP}b", 1),
+    }
+    t = totals.collect()[0]
+    assert (t["t_tokens"], t["vocab"]) == (5.0, 2.0)

@@ -113,6 +113,41 @@ ExistingRDD-backed inputs — the gram builders now use position-shifted
 slice+zip_with construction, immune to that collapse by evaluating
 each array input once per row.
 
+## Embedding scale stress — skewed cells, convergence, probe selectivity
+
+`tools/embedding_scale_stress.py`, measured 2026-08-14 (round 4) on
+local[32]: 30,000 vectors = sf0.1 embeddings ×10 deterministically
+perturbed variants + a 10,000-vector hot cluster packed around one
+point — the dense-region shape (boilerplate pages, template
+screenshots) that floods one IVF cell in production corpora.
+
+k-means convergence (exact-integer Lloyd, n_cells=16): total squared
+centroid displacement per pass 25,426,104 → 669,252 → 106,905 → 89,435
+— the geometry settles in 2 passes (the production `train_iters=2`
+default captures >97% of total movement); the hot cluster absorbs
+exactly one centroid (max cell = 10,000 vectors = 33.3% of the corpus,
+all 16 cells populated).
+
+| measurement | value |
+|---|---|
+| probe selectivity, uniform estimate (n_probe/n_cells) | 0.25 |
+| probe selectivity, measured avg over 5 queries | 0.2491 |
+| probe selectivity, hot-cluster query (worst case) | 0.4844 |
+| recall@10 of IVF (n_probe=4) vs exact brute force | 0.98 |
+| ivf_topk end-to-end (train 2 passes + index + search) | 25.9s |
+| brute force exact baseline (same 5 queries) | 2.4s |
+| cell_outliers (train + argmin + per-cell top-k) | 20.3s |
+
+Two audit conclusions. (1) Skew moves the *worst-case* probe cost, not
+the average: a query landing in the hot region scans its hot cell —
+48% here — so at 100 TB the mitigation is more cells (n_cells scales
+the key space, not the shuffle volume) or splitting cells above a size
+cap, not more probes. (2) At 30k vectors, TRAINING dominates
+end-to-end wall (brute force beats IVF below ~10⁵ vectors); the train
+cost is per-corpus, not per-query — `ivf_topk`/`cell_outliers` accept
+precomputed `centroids=` so production trains once and searches many
+times, which is where the n_probe/n_cells scan saving actually pays.
+
 ## SPARK_GRAFT_FAST_HASH production path (measured round 3)
 
 The md5-based 60-bit hash is pinned wherever the DuckDB oracle must
