@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "winnow_overlap_pairs",
     "bm25_topk_docs",
     "lm_cross_entropy_docs",
+    "semantic_dedup_embeddings",
 ]
 
 

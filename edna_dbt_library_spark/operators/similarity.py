@@ -355,6 +355,93 @@ def lsh_bucketed_topk(
     return _ranked_topk(joined, k)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023: "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    with k-means, compare vectors pairwise ONLY within their cluster,
+    and keep one representative per within-cell connected component of
+    cosine-similar (>= threshold) vectors. Prunes semantically redundant
+    training examples that exact/minhash dedup can't see (paraphrases,
+    re-encodings, near-identical screenshots).
+
+    Output: one row per vector — (vec_id, label, cell, cluster_id,
+    keep). cluster_id is the min vec_id of the vector's duplicate
+    component (NULL when it has no in-cell near-duplicate); keep is
+    true for the component representative (the min id — deterministic;
+    the paper keeps a near-arbitrary member) and for singletons.
+
+    Scale shape: cell assignment is the shared broadcast-argmin pass;
+    the pairwise stage is the classic within-bucket self-join — O(Σ
+    cell²) worst case, which is exactly why the coarse quantizer must
+    have enough cells. The embedding stress harness measured a hot
+    cluster absorbing 33% of a skewed corpus into one cell
+    (PLAN_AUDIT.md) — at scale raise n_cells (shuffle key space only)
+    or pre-split giant cells before this join; the threshold filter
+    runs inside the join so only qualifying pairs materialize.
+    Components come from dedup.duplicate_clusters (O(diameter)
+    label-propagation rounds, single shuffle each).
+    """
+    from edna_dbt_library_spark.operators.dedup import duplicate_clusters
+
+    cent = F.broadcast(
+        kmeans_cells(embeddings, n_cells, iters, KMEANS_SCALE, id_col, vec_col)
+        if centroids is None
+        else centroids
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("label"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+        quantize_vec(vec_col).alias("qv"),
+    )
+    scored = q.crossJoin(cent).select(
+        "vec_id", "label", "e", "n", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("_m"),
+            F.first("label").alias("label"),
+            F.first("e").alias("e"),
+            F.first("n").alias("n"),
+        )
+        .select("vec_id", "label", "e", "n", F.col("_m.cid").alias("cell"))
+        .localCheckpoint(eager=True)  # reused by both join sides + the verdict
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    d = dot(F.col("a.e"), F.col("b.e"))
+    sim = F.when((F.col("a.n") > 0) & (F.col("b.n") > 0), d / (F.col("a.n") * F.col("b.n")))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    clusters = duplicate_clusters(pairs.select("doc_a", "doc_b"))
+    return assigned.join(
+        clusters, assigned.vec_id == clusters.doc_id, "left"
+    ).select(
+        "vec_id",
+        "label",
+        "cell",
+        F.col("cluster_id"),
+        (F.col("cluster_id").isNull() | (F.col("vec_id") == F.col("cluster_id"))).alias("keep"),
+    )
+
+
 def cell_outliers(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -3582,6 +3582,57 @@ def uuid_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(n_cells: int = 16, iters: int = 2, threshold: float = 0.9) -> str:
+    """SemDeDup verdict over the shared k-means chain: within-cell
+    cosine pairs >= threshold, recursive transitive closure to min-id
+    components, keep = representative-or-singleton. Mirrors
+    operators/similarity.semantic_dedup (the Spark side runs
+    O(diameter) label propagation instead of the quadratic closure)."""
+    chain = _kmeans_cte_chain(n_cells, iters).replace("WITH base", "WITH RECURSIVE base", 1)
+    return f"""{chain}, mf AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM af
+    ) WHERE rn = 1
+), asg AS (
+    SELECT b.vec_id, b.label, b.ee, mf.cell FROM base b JOIN mf ON mf.vec_id = b.vec_id
+), p AS (
+    SELECT a.vec_id AS da, b.vec_id AS db
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.ee, b.ee), 6) >= {threshold!r}
+), edges AS (
+    SELECT da AS x, db AS y FROM p UNION SELECT db AS x, da AS y FROM p
+), reach(node, other) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+    UNION
+    SELECT r.node, e.y FROM reach r JOIN edges e ON r.other = e.x
+), cl AS (
+    SELECT node AS vec_id, min(other) AS cluster_id FROM reach GROUP BY node
+)
+SELECT a.vec_id, a.label, a.cell::BIGINT AS cell, cl.cluster_id::BIGINT AS cluster_id,
+       (cl.cluster_id IS NULL OR a.vec_id = cl.cluster_id) AS keep
+FROM asg a LEFT JOIN cl ON cl.vec_id = a.vec_id"""
+
+
+@_register("semantic_dedup_embeddings", _semantic_dedup_oracle(threshold=0.28))
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication
+    (operators/similarity.semantic_dedup): k-means cells from the
+    shared exact-integer chain, within-cell cosine pairs above
+    threshold, min-id connected components, one kept representative
+    per component. The whole verdict — membership, pairs, components,
+    keep flags — is hash-gated against the DuckDB replay. Threshold
+    0.28 is fixture-specific: the synthetic embeddings are near-random
+    (max cosine ~0.35), and 0.28 yields a non-trivial duplicate graph
+    (hundreds of pairs, multi-node components, real keep=false rows)
+    so the gate exercises every path; production corpora use the
+    operator default 0.9."""
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_cells=16, iters=2, threshold=0.28
+    )
+
+
 # ---------------------------------------------------------------------------
 # Retrieval & statistical-LM scoring (operators/retrieval.py): BM25
 # ranked probes over the corpus and CCNet-style bigram cross-entropy

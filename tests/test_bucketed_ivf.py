@@ -186,3 +186,42 @@ def test_ivf_and_outliers_reuse_precomputed_centroids(spark):
     o_inline = cell_outliers(emb, n_cells=16, iters=2, top_k=3)
     o_reused = cell_outliers(emb, n_cells=16, top_k=3, centroids=cent)
     assert sorted(map(tuple, o_inline.collect())) == sorted(map(tuple, o_reused.collect()))
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark):
+    """A planted group of near-identical vectors must collapse to one
+    kept representative (the min id); unrelated vectors stay kept."""
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    # plant 3 copies of vector 7 (tiny perturbation keeps cosine ~1)
+    clones = emb.where(F.col("vec_id") == 7).crossJoin(
+        spark.range(3).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("vec_id") * 1000 + F.col("rep") + 1).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * (F.lit(1.0) + F.col("rep").cast("double") / 1e5)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(clones)
+    verdict = semantic_dedup(corpus, n_cells=8, iters=2, threshold=0.95)
+    rows = {r["vec_id"]: r for r in verdict.collect()}
+    assert len(rows) == corpus.count()
+    group = [7, 7001, 7002, 7003]
+    # all four live in one component rooted at 7; only 7 is kept
+    assert all(rows[v]["cluster_id"] == 7 for v in group), [rows[v] for v in group]
+    assert [v for v in group if rows[v]["keep"]] == [7]
+    # keep flag is consistent: keeper iff singleton or component root
+    for r in rows.values():
+        assert r["keep"] == (r["cluster_id"] is None or r["vec_id"] == r["cluster_id"])
+
+
+def test_semantic_dedup_reuses_centroids(spark):
+    from edna_dbt_library_spark.operators.similarity import kmeans_cells, semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    cent = kmeans_cells(emb, n_cells=8, iters=2)
+    inline = semantic_dedup(emb, n_cells=8, iters=2, threshold=0.9)
+    reused = semantic_dedup(emb, n_cells=8, threshold=0.9, centroids=cent)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, reused.collect()))
