@@ -1,0 +1,173 @@
+"""JSONL/CSV ingestion contracts (sources/ingest.py): quarantine
+semantics for malformed lines and missing required fields, schema
+pinning, deterministic content ids."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from edna_dbt_library_spark.sources.ingest import (
+    CORRUPT_COL,
+    load_csv,
+    load_jsonl,
+    with_ingest_ids,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("fetched_at", T.LongType()),
+    ]
+)
+
+
+def _write(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_jsonl_good_bad_split(spark, tmp_path):
+    p = _write(
+        tmp_path / "crawl.jsonl",
+        [
+            json.dumps({"url": "http://a", "text": "hello world", "fetched_at": 1}),
+            '{"url": "http://broken", "text": "unterminated',  # malformed
+            json.dumps({"url": None, "text": "no url", "fetched_at": 2}),  # missing required
+            json.dumps({"url": "http://c", "text": "ok", "fetched_at": 3}),
+            '{"url": "http://d", "text": "bad type", "fetched_at": "NaN"}',  # type mismatch
+        ],
+    )
+    res = load_jsonl(spark, p, SCHEMA, required=("url",))
+    good = sorted(r["url"] for r in res.good.collect())
+    assert good == ["http://a", "http://c"]
+    assert res.good.columns == ["url", "text", "fetched_at"]  # corrupt col never leaks
+    rows = res.quarantine.collect()
+    # classification is stable under pruning: count() (no columns) and
+    # collect() (all columns) must agree — the JSON DataSource's corrupt
+    # column does NOT guarantee this, which is why ingestion parses via
+    # text + from_json
+    assert res.quarantine.count() == len(rows) == 3
+    q = {r["reason"]: r["raw"] for r in rows}
+    assert "malformed" in q and "missing_required:url" in q
+    # quarantine preserves the ORIGINAL raw line for replay
+    assert q["missing_required:url"].startswith('{"url": null')
+
+
+def test_jsonl_requires_explicit_schema(spark, tmp_path):
+    with pytest.raises(TypeError):
+        load_jsonl(spark, str(tmp_path), None)  # type: ignore[arg-type]
+    clash = T.StructType([T.StructField(CORRUPT_COL, T.StringType())])
+    with pytest.raises(ValueError):
+        load_jsonl(spark, str(tmp_path), clash)
+
+
+def test_csv_split_and_types(spark, tmp_path):
+    p = _write(
+        tmp_path / "vendor.csv",
+        [
+            "url,text,fetched_at",
+            "http://a,hello,1",
+            "http://b,world,not_a_number",  # type mismatch -> malformed
+            ",missing url,3",  # empty required field
+            "http://d,ok,4",
+        ],
+    )
+    res = load_csv(spark, p, SCHEMA, required=("url",))
+    assert sorted(r["url"] for r in res.good.collect()) == ["http://a", "http://d"]
+    reasons = sorted(r["reason"] for r in res.quarantine.collect())
+    assert reasons == ["malformed", "missing_required:url"]
+
+
+def test_multiple_missing_required_listed(spark, tmp_path):
+    p = _write(tmp_path / "x.jsonl", [json.dumps({"fetched_at": 9})])
+    res = load_jsonl(spark, p, SCHEMA, required=("url", "text"))
+    assert res.quarantine.collect()[0]["reason"] == "missing_required:url,text"
+    assert res.good.count() == 0
+
+
+def test_with_ingest_ids_deterministic_and_content_keyed(spark, tmp_path):
+    rows = [("http://a", "hello"), ("http://b", "hello"), ("http://a", "hello")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    ids = with_ingest_ids(df, ("url", "text"))
+    got = [r["doc_id"] for r in ids.collect()]
+    assert got[0] == got[2] != got[1]  # same content -> same id; diff content -> diff id
+    assert all(v >= 0 for v in got)
+    # replay (fresh frame, different partitioning) yields identical ids
+    again = with_ingest_ids(df.repartition(7), ("url", "text"))
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(got)
+    # separator prevents boundary gaming: ("ab","c") != ("a","bc")
+    d2 = spark.createDataFrame([("ab", "c"), ("a", "bc")], "url string, text string")
+    i2 = [r["doc_id"] for r in with_ingest_ids(d2, ("url", "text")).collect()]
+    assert i2[0] != i2[1]
+    with pytest.raises(ValueError):
+        with_ingest_ids(df, ())
+
+
+def test_ingest_feeds_curation_pipeline(spark, tmp_path):
+    """End-to-end: ingest -> ids -> exact dedup keeps one row per text."""
+    from edna_dbt_library_spark.operators.dedup import exact_duplicate_groups
+
+    lines = [
+        json.dumps({"url": f"http://site/{i}", "text": f"doc body {i % 3}", "fetched_at": i})
+        for i in range(9)
+    ]
+    p = _write(tmp_path / "c.jsonl", lines)
+    res = load_jsonl(spark, p, SCHEMA, required=("url", "text"))
+    docs = with_ingest_ids(res.good, ("text",))
+    groups = exact_duplicate_groups(docs.select("doc_id", "text"))
+    # 3 distinct bodies, replicated 3x -> ids collide exactly per body
+    assert docs.select("doc_id").distinct().count() == 3
+    assert groups.count() == 3
+
+
+def test_ingest_contract_runs_under_structured_streaming(spark, tmp_path):
+    """The text + from_json split is stateless scan-side Column algebra,
+    so the SAME parse expression ingests a streaming drop folder
+    unchanged: a drained availableNow stream splits good/quarantine
+    identically to the batch read."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from edna_dbt_library_spark.sources.ingest import CORRUPT_COL
+    from pyspark.sql import types as T
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write(
+        src / "part-0.jsonl",
+        [
+            _json.dumps({"url": "http://a", "text": "hi", "fetched_at": 1}),
+            '{"broken',
+            _json.dumps({"url": None, "text": "no url", "fetched_at": 2}),
+        ],
+    )
+    read_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parse = F.from_json(
+        "value", read_schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    )
+    is_bad = (
+        F.col(f"r.{CORRUPT_COL}").isNotNull() | F.col("r").isNull() | F.col("r.url").isNull()
+    )
+    stream_in = spark.readStream.text(str(src)).select("value", parse.alias("r"))
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        stream_in.select(
+            F.col("r.url").alias("url"), is_bad.alias("bad"), F.col("value").alias("raw")
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 3
+    assert sorted(r["raw"] for r in out.where("bad").collect()) != []
+    assert [r["url"] for r in out.where("NOT bad").collect()] == ["http://a"]
+    assert out.where("bad").count() == 2
