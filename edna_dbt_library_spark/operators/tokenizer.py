@@ -1,0 +1,179 @@
+"""Byte-pair-encoding tokenizer: distributed-corpus training statistics,
+driver-side merge learning, Arrow-batched distributed encoding.
+
+Why this exists: sequence packing and token-budget accounting
+(operators/curation.pack_sequences, functions/text.approx_bpe_token_count)
+need REAL token counts for a real vocabulary, not a regex estimate. BPE
+(Sennrich et al., 2016, "Neural machine translation of rare words with
+subword units") is the canonical subword scheme.
+
+Scale split — each stage runs where it belongs:
+
+* ``train_bpe`` — the only corpus-scale statistic BPE training needs is
+  the WORD FREQUENCY table, which Spark computes distributed (explode +
+  groupBy, map-side combinable) and caps at ``max_words`` by a
+  TakeOrderedAndProject (count desc, word asc — deterministic). Only
+  that bounded vocabulary reaches the driver; the merge loop itself is
+  inherently sequential (merge t+1 depends on merge t) and runs over
+  the word-freq dict in pure Python — exactly how every production BPE
+  trainer works (they train on word counts, not the raw corpus).
+* ``bpe_encode`` — encoding is an iterative, data-dependent merge loop
+  per word that Column algebra cannot express; it runs as Arrow-batched
+  ``mapInPandas`` (the library's documented escape hatch — no
+  row-at-a-time Python UDF) with a per-batch word→tokens memo, so each
+  DISTINCT word in a batch is encoded once no matter how often it
+  repeats (natural-language corpora repeat almost every word).
+
+Determinism: merge selection breaks count ties on the lexicographically
+smallest pair (the choice that reproduces the worked example in the BPE
+paper), encoding resolves rank ties leftmost-first, and pre-tokenization
+is the library-wide lowercase-whitespace ``tokens()`` — so the same
+corpus yields the same merges and the same encoding on any
+partitioning, cluster size, or replay.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.functions.text import tokens
+
+END = "</w>"  # end-of-word marker (paper's notation)
+
+
+def word_frequencies(
+    documents: DataFrame, text_col: str = "text", max_words: int = 100_000
+) -> list[tuple[str, int]]:
+    """Distributed word-frequency table, capped at the ``max_words`` most
+    frequent words (ties broken on the word — deterministic). The cap
+    bounds the driver collect by VOCABULARY size, not corpus size; the
+    dropped long tail carries negligible pair mass for merge learning."""
+    rows = (
+        documents.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in rows]
+
+
+def learn_merges(word_freqs: list[tuple[str, int]], num_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency dict. Pure
+    Python, O(num_merges × Σ|word|); deterministic: highest pair count
+    wins, ties go to the lexicographically smallest pair."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs:
+        key = tuple(w) + (END,)
+        vocab[key] = vocab.get(key, 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe(
+    documents: DataFrame,
+    num_merges: int = 512,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Train BPE merges on a corpus: distributed word counting, then the
+    sequential merge loop on the driver (see module docstring)."""
+    return learn_merges(word_frequencies(documents, text_col, max_words), num_merges)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with learned merge ranks: repeatedly apply the
+    lowest-rank applicable merge (leftmost on rank ties)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """Distributed BPE encoding: (doc_id, n_tokens[, tokens]).
+
+    Arrow-batched mapInPandas with a per-batch word→encoding memo (each
+    distinct word in a batch is encoded once). NULL text encodes to
+    n_tokens = 0 with an empty token list — the row survives, matching
+    the ingestion/curation convention."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = f"{id_col} long, n_tokens long" + (", tokens array<string>" if keep_tokens else "")
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        # exact mirror of functions.text.tokens: Java's \s is ASCII-only,
+        # so the Python split must be too (str.split() is Unicode-aware
+        # and would tokenize NBSP-separated text differently)
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = encode_word(word, ranks)
+            return got
+
+        for pdf in batches:
+            ids, counts, toks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = (
+                    [w for w in ws.split(text.lower()) if w] if isinstance(text, str) else []
+                )
+                out: list[str] = []
+                for w in words:
+                    out.extend(enc(w))
+                ids.append(did)
+                counts.append(len(out))
+                if keep_tokens:
+                    toks.append(out)
+            data = {id_col: ids, "n_tokens": counts}
+            if keep_tokens:
+                data["tokens"] = toks
+            yield pd.DataFrame(data)
+
+    return documents.select(id_col, text_col).mapInPandas(run, schema)
