@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "bm25_topk_docs",
     "lm_cross_entropy_docs",
     "semantic_dedup_embeddings",
+    "tfidf_top_terms_docs",
 ]
 
 

@@ -145,6 +145,46 @@ def bm25_topk(
     )
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf
+    (score = tf * ln(n_docs / df), rounded to 6 decimals, ties on term
+    asc): the standard keyword-extraction / topic-fingerprinting tool
+    over a corpus — what a curation pipeline uses to label clusters,
+    audit domain mixes, and spot template families.
+
+    Scale shape: the same single-shuffle tf+dl build as BM25, a
+    map-side-combinable df aggregation, one term-keyed join back, and a
+    per-document top-k window (each window sees only one document's
+    distinct terms). No per-term contribution is ever SUMMED, so plain
+    double rounding is deterministic here — there is no accumulation
+    order to pin. Output: (doc_id, rank, term, score)."""
+    tfdl = doc_term_freqs(documents, id_col, text_col)
+    n_docs = tfdl.groupBy("doc_id").agg(F.lit(1).alias("_one")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    df_t = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tfdl.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
 def _bigrams(toks: "F.Column") -> "F.Column":
     """Adjacent-pair composite keys via position-shifted slice+zip_with —
     the projection-collapse-immune gram construction (each array input

@@ -3701,6 +3701,37 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, probes, k=10, k1=BM25_K1, b=BM25_B)
 
 
+def _tfidf_oracle(k: int = 5) -> str:
+    toks = DUCK_TOKENS.format(c="text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / d.df), 6) AS score
+    FROM tf JOIN dft d USING (term) CROSS JOIN nd n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, rank::INTEGER AS rank, term, score FROM ranked WHERE rank <= {k}"""
+
+
+@_register("tfidf_top_terms_docs", _tfidf_oracle())
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf terms
+    (operators/retrieval.tfidf_top_terms): keyword extraction over the
+    documents table — no per-term sums, so the score is a single
+    rounded double product and the whole ranking hash-gates without
+    decimal accumulation machinery."""
+    from edna_dbt_library_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _lm_oracle(alpha: float = 0.5) -> str:
     toks = DUCK_TOKENS.format(c="text")
     return f"""

@@ -173,3 +173,24 @@ def test_bigram_model_counts(spark):
     }
     t = totals.collect()[0]
     assert (t["t_tokens"], t["vocab"]) == (5.0, 2.0)
+
+
+def test_tfidf_top_terms_hand_check(spark):
+    from edna_dbt_library_spark.operators.retrieval import tfidf_top_terms
+
+    corpus = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry dates"),
+    ]
+    rows = tfidf_top_terms(_docs(spark, corpus), k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score"]) for r in rows}
+    n = 3.0
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[(1, 1)] == ("apple", pytest.approx(round(2 * math.log(3), 6)))
+    assert got[(1, 2)] == ("banana", pytest.approx(round(math.log(1.5), 6)))
+    # doc 3: cherry tf=3 df=2 -> 3*ln(1.5)=1.216...; dates tf=1 df=1 -> ln(3)=1.0986
+    assert got[(3, 1)] == ("cherry", pytest.approx(round(3 * math.log(1.5), 6)))
+    assert got[(3, 2)] == ("dates", pytest.approx(round(math.log(3), 6)))
+    # doc 2: equal scores (both ln(1.5)) -> tie broken on term asc
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
