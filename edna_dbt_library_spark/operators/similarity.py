@@ -431,6 +431,13 @@ def semantic_dedup(
         .where(F.col("cosine_sim") >= threshold)
     )
     clusters = duplicate_clusters(pairs.select("doc_a", "doc_b"))
+    # clusters is already materialized (duplicate_clusters checkpoints
+    # its rounds), so its size is known for free: broadcast the verdict
+    # join while the duplicate set is driver-bounded, fall back to a
+    # shuffle join when duplication is corpus-scale — the same
+    # size-gated choice duplicate_clusters makes for its label joins.
+    if clusters.count() <= 8_000_000:  # ~128 MB of (long, long) rows
+        clusters = F.broadcast(clusters)
     return assigned.join(
         clusters, assigned.vec_id == clusters.doc_id, "left"
     ).select(
