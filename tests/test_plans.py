@@ -109,3 +109,46 @@ def test_contamination_corpus_side_never_shuffles(spark):
     plan = plan_text(contamination_flags(d.where("doc_id % 10 <> 0"), d.where("doc_id % 10 = 0")))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_probe_join_broadcasts_and_postings_filter_first(spark):
+    """BM25's scoring join must BROADCAST the (query term, idf) probe
+    table into the postings side — a shuffle join there would re-shuffle
+    the whole tf table per query batch. No SortMergeJoin anywhere."""
+    plan = plan_text(Q.queries()["bm25_topk_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_shares_single_shuffle_index_build(spark):
+    """tf-idf must not add Python operators and must broadcast the
+    single-row corpus-stats side rather than shuffling for it."""
+    plan = plan_text(Q.queries()["tfidf_top_terms_docs"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lm_scoring_stays_jvm_side(spark):
+    """The LM chain (model joins + nano-nat mean) is pure Column algebra:
+    no Python operator may appear, and the broadcast-model variant must
+    plan every model join as a broadcast."""
+    from edna_dbt_library_spark.operators.retrieval import lm_cross_entropy
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    plain = plan_text(lm_cross_entropy(docs))
+    assert "BatchEvalPython" not in plain and "mapinpandas" not in plain.lower().replace(" ", "")
+    bcast = plan_text(lm_cross_entropy(docs, broadcast_model=True))
+    assert "SortMergeJoin" not in bcast, bcast
+
+
+def test_semantic_dedup_pair_join_keys_on_cell(spark):
+    """The SemDeDup pairwise stage must be an equi-join on the cell key
+    (bucketed self-join), never a cartesian/broadcast-nested-loop over
+    the corpus."""
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_text(semantic_dedup(emb, n_cells=8, iters=1, threshold=0.3))
+    assert "CartesianProduct" not in plan, plan
