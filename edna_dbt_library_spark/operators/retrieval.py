@@ -73,8 +73,18 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: (query_id, rank, doc_id, score).
+
+    ``max_df_frac`` drops query terms whose document frequency exceeds
+    that fraction of the corpus BEFORE the postings join — the standard
+    stop-term guard: a term in 80% of documents drags its entire
+    posting list (nearly the whole corpus) through the scoring join
+    while its near-zero idf contributes nothing to the ranking. The
+    filter runs on the tiny probe table, so it costs nothing and bounds
+    the scoring join's input by construction (measured in
+    PLAN_AUDIT.md "retrieval scale stress").
 
     ``queries`` is a small (query_id, text) frame; DISTINCT query terms
     are used (query-side tf is ignored — standard for short probe
@@ -110,10 +120,11 @@ def bm25_topk(
         .distinct()
     )
     # idf per (query, term): tiny — broadcast the query side into df
+    probe = df_t.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
+    if max_df_frac is not None:
+        probe = probe.where(F.col("df") / F.col("n_docs") <= max_df_frac)
     probe = (
-        df_t.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
+        probe.select(
             "query_id",
             "term",
             F.log(

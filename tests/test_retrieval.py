@@ -194,3 +194,19 @@ def test_tfidf_top_terms_hand_check(spark):
     assert got[(3, 2)] == ("dates", pytest.approx(round(math.log(3), 6)))
     # doc 2: equal scores (both ln(1.5)) -> tie broken on term asc
     assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+
+
+def test_bm25_max_df_frac_drops_stop_terms(spark):
+    from edna_dbt_library_spark.operators.retrieval import bm25_topk as _bm25
+
+    # "the" appears in every doc (df frac 1.0); "rare" in one
+    corpus = [(i, f"the filler w{i}" + (" rare" if i == 2 else "")) for i in range(1, 6)]
+    docs = _docs(spark, corpus)
+    q = _queries(spark, [("q", "the rare")])
+    full = {r["doc_id"]: r["score"] for r in _bm25(docs, q, k=10).collect()}
+    capped = {r["doc_id"]: r["score"] for r in _bm25(docs, q, k=10, max_df_frac=0.5).collect()}
+    # without the guard every doc matches via "the"; with it only the
+    # rare-term doc scores, and its score drops by exactly the (tiny)
+    # stop-term contribution
+    assert set(full) == {1, 2, 3, 4, 5} and set(capped) == {2}
+    assert capped[2] <= full[2]

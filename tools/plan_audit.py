@@ -148,6 +148,38 @@ cost is per-corpus, not per-query — `ivf_topk`/`cell_outliers` accept
 precomputed `centroids=` so production trains once and searches many
 times, which is where the n_probe/n_cells scan saving actually pays.
 
+## Retrieval scale stress — stop-term posting lists and the probe guard
+
+`tools/retrieval_scale_stress.py`, measured 2026-08-14 (round 4) on
+local[32]: 50,000 docs = sf0.1 documents ×10, every copy suffixed with
+a universal boilerplate sentence — the crawl shape where a handful of
+terms appear in ~100% of documents. Inverted index: 1,662,310 postings.
+
+| BM25 probe | postings touched | wall (s) | rows |
+|---|---|---|---|
+| discriminative query (3 terms) | 116,000 (7.0%) | 6.95* | 10 |
+| + 5 stop terms, unguarded | 316,000 (19.0%) | 4.22 | 10 |
+| + 5 stop terms, `max_df_frac=0.9` | 116,000 (7.0%) | 3.89 | 10 |
+
+(*first run carries the index-build JIT; the comparison rows run warm.)
+The guarded top-10 is IDENTICAL to the unguarded one (overlap 10/10):
+terms in ~100% of documents have idf ≈ ln(1 + 0.5/N) ≈ 0, so their
+posting lists — 50,000 rows EACH here, the whole corpus at any scale —
+flow through the scoring join and then contribute nothing. The
+probe-side `max_df_frac` filter removes them before the join at zero
+cost (it runs on the tiny query×term table), which is the difference
+between "scoring touches the query's postings" being a real bound and
+a vacuous one. Caveat measured the other way first: with the guard at
+0.5 on THIS synthetic corpus every query term dropped (the shared
+fixture vocabulary puts ordinary words in ~77% of docs) and the query
+returned empty — the guard is a stop-TERM filter, not a relevance
+filter, so production thresholds belong at 0.8–0.95.
+
+Same 50k corpus: bigram-LM cross-entropy scores all docs in 10.9s
+(model join keyed on bigrams — vocab² bounded); BPE encodes 3.21M
+tokens in 3.5s (~0.9–1.2M tokens/s on local[32], per-batch word memo
+doing the heavy lifting on the repeated boilerplate).
+
 ## SPARK_GRAFT_FAST_HASH production path (measured round 3)
 
 The md5-based 60-bit hash is pinned wherever the DuckDB oracle must

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Scale stress for the retrieval/LM/tokenizer family: a 10x corpus with
+universal boilerplate terms, measuring how stop-term posting lists blow
+up the BM25 scoring join and how the max_df_frac probe guard bounds it.
+
+Why this exists: BM25's scale claim is "scoring touches only the
+postings of the query's terms" — which is vacuous when a query contains
+a stop term whose posting list IS the corpus. This harness builds that
+corpus (every doc gets a shared boilerplate suffix), probes with a
+discriminative query, a stop-term-polluted query, and the guarded
+variant, and records postings touched + wall for each, plus bigram-LM
+model size/scoring wall and BPE encode throughput at 10x. Results land
+in PLAN_AUDIT.md ("retrieval scale stress").
+
+Usage: python tools/retrieval_scale_stress.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.retrieval import (
+    bm25_topk,
+    doc_term_freqs,
+    lm_cross_entropy,
+)
+from edna_dbt_library_spark.operators.tokenizer import bpe_encode, train_bpe
+from edna_dbt_library_spark.session import get_spark
+from edna_dbt_library_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BOILER = "terms of service privacy policy all rights reserved cookie notice"
+
+
+def build_corpus(spark):
+    """10x the sf0.1 documents, every copy suffixed with a universal
+    boilerplate sentence — the web-crawl shape where a handful of terms
+    appear in ~100% of documents."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return docs.crossJoin(spark.range(10).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + BOILER)).alias("text"),
+    )
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, round(time.time() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="retrieval-scale-stress")
+    docs = build_corpus(spark).localCheckpoint(eager=True)
+    n = docs.count()
+    out = {"corpus_docs": n, "sf_dir": SF_DIR}
+
+    tfdl = doc_term_freqs(docs).localCheckpoint(eager=True)
+    out["postings_rows"] = tfdl.count()
+
+    def postings_touched(qtext, max_df_frac=None):
+        qterms = [w for w in qtext.split()]
+        df_t = tfdl.where(F.col("term").isin(qterms))
+        if max_df_frac is not None:
+            keep = (
+                df_t.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") / n <= max_df_frac)
+            )
+            df_t = df_t.join(keep.select("term"), "term")
+        return df_t.count()
+
+    probes = spark.createDataFrame(
+        [
+            ("disc", "spark window agg"),
+            ("stop", "spark window agg terms of service cookie"),
+        ],
+        "query_id string, text string",
+    )
+    for qid, qtext, guard in (
+        ("disc", "spark window agg", None),
+        ("stop", "spark window agg terms of service cookie", None),
+        ("stop_guarded", "spark window agg terms of service cookie", 0.9),
+    ):
+        q = spark.createDataFrame([(qid, qtext)], "query_id string, text string")
+        rows, sec = timed(
+            lambda: bm25_topk(docs, q, k=10, max_df_frac=guard).collect()
+        )
+        out[f"bm25_{qid}"] = {
+            "sec": sec,
+            "rows": len(rows),
+            "postings_touched": postings_touched(qtext, guard),
+        }
+
+    # guarded vs unguarded stop query must agree on the top docs ranked
+    # by the discriminative terms (the stop terms add near-zero score)
+    g = bm25_topk(docs, probes.where(F.col("query_id") == "stop"), k=10, max_df_frac=0.9)
+    u = bm25_topk(docs, probes.where(F.col("query_id") == "stop"), k=10)
+    out["guarded_topk_overlap"] = len(
+        {r["doc_id"] for r in g.collect()} & {r["doc_id"] for r in u.collect()}
+    )
+
+    _, lm_sec = timed(lambda: lm_cross_entropy(docs).count())
+    out["lm_cross_entropy"] = {"sec": lm_sec}
+
+    merges, train_sec = timed(lambda: train_bpe(docs, num_merges=256))
+    toks, enc_sec = timed(
+        lambda: bpe_encode(docs, merges).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    out["bpe"] = {
+        "merges": len(merges),
+        "train_sec": train_sec,
+        "encode_sec": enc_sec,
+        "tokens": toks,
+        "tokens_per_sec": int(toks / enc_sec) if enc_sec else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
