@@ -212,6 +212,79 @@ class Warehouse:
             os.path.join(self.path(rel), f"{meta.partition_by}={value}"), ignore_errors=True
         )
 
+    def partition_file_stats(self, rel: Relation) -> dict[str | None, tuple[int, int]]:
+        """Per-partition (parquet file count, bytes) from a directory
+        listing — no data scan. Unpartitioned tables report one entry
+        keyed None."""
+        meta = self.read_meta(rel)
+        root = self.path(rel)
+        stats: dict[str | None, tuple[int, int]] = {}
+        if not meta.partition_by:
+            n, b = 0, 0
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(dirpath, fn))
+            return {None: (n, b)}
+        prefix = meta.partition_by + "="
+        for d in os.listdir(root):
+            if not d.startswith(prefix):
+                continue
+            n, b = 0, 0
+            for dirpath, _dirs, files in os.walk(os.path.join(root, d)):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(dirpath, fn))
+            stats[d[len(prefix):]] = (n, b)
+        return stats
+
+    def compact(
+        self,
+        rel: Relation,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict[str | None, tuple[int, int]]:
+        """Rewrite fragmented partitions into ~``target_file_bytes``
+        files — the small-files maintenance every incremental parquet
+        warehouse needs: each micro-batch append lays down its own files,
+        and a year of hourly appends turns one partition into thousands
+        of KB-sized parquet footers that dominate scan planning time.
+
+        Scope is bounded like the merge materialization: only partitions
+        whose file count exceeds both ``min_files`` and the byte-derived
+        target count are rewritten (directory listing decides — no data
+        scan), each via dynamic partition overwrite, so a table with one
+        hot fragmented partition rewrites exactly that partition.
+        Idempotent: a second run finds every partition already at target
+        and rewrites nothing. Row content is untouched (tests pin
+        read-back equality); clustering order is re-applied by the
+        shared writer. Returns {partition: (files_before, files_after)}
+        for the rewritten partitions only.
+        """
+        meta = self.read_meta(rel)
+        report: dict[str | None, tuple[int, int]] = {}
+        for part, (nfiles, nbytes) in self.partition_file_stats(rel).items():
+            want = max(1, -(-nbytes // target_file_bytes))  # ceil
+            if nfiles <= max(want, min_files):
+                continue
+            if part is None:
+                # unpartitioned: whole-table rewrite; materialize first —
+                # the source files are the overwrite target
+                df = self.read(rel).repartition(want).localCheckpoint(eager=True)
+                self._writer(df, meta).mode("overwrite").save(self.path(rel))
+            else:
+                df = (
+                    self.read(rel)
+                    .where(F.col(meta.partition_by).cast("string") == part)
+                    .repartition(want)
+                    .localCheckpoint(eager=True)
+                )
+                self.overwrite_partitions(rel, df)
+            report[part] = (nfiles, self.partition_file_stats(rel).get(part, (0, 0))[0])
+        return report
+
     # --- introspection (the INFORMATION_SCHEMA analogues) ------------------
     def partitions(self, rel: Relation) -> list[str]:
         """Partition values present on disk (directory listing — no data
