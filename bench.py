@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "lm_cross_entropy_docs",
     "semantic_dedup_embeddings",
     "tfidf_top_terms_docs",
+    "profile_orders_columns",
 ]
 
 

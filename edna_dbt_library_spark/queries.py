@@ -3701,6 +3701,46 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, probes, k=10, k1=BM25_K1, b=BM25_B)
 
 
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _profile_oracle() -> str:
+    """Per-column content profile replay. Columns restricted to BIGINT/
+    VARCHAR, whose ::VARCHAR rendering is engine-identical (doubles and
+    timestamps format differently between Spark and DuckDB)."""
+    blocks = []
+    for c in PROFILE_COLS:
+        blocks.append(f"""
+SELECT '{c}' AS "column", s.n_rows, s.n_nulls, s.null_frac, s.n_distinct,
+       s.min_value, s.max_value, t.top_value, t.top_value_count
+FROM (
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS null_frac,
+           count(DISTINCT {c})::BIGINT AS n_distinct,
+           min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+    FROM orders
+) s CROSS JOIN (
+    SELECT value AS top_value, cnt::BIGINT AS top_value_count FROM (
+        SELECT {c}::VARCHAR AS value, count(*) AS cnt FROM orders
+        WHERE {c} IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, value LIMIT 1
+    )
+) t""")
+    return " UNION ALL ".join(blocks)
+
+
+@_register("profile_orders_columns", _profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish content profile (operators/profiling.profile_columns,
+    exact=True for the cross-engine gate): null counts/fractions, exact
+    cardinalities, native-typed min/max rendered as strings, and the
+    dominant value with a value-asc tie break — one wide single-scan
+    aggregate plus one shared top-value shuffle for all four columns."""
+    from edna_dbt_library_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"), list(PROFILE_COLS), exact=True)
+
+
 def _tfidf_oracle(k: int = 5) -> str:
     toks = DUCK_TOKENS.format(c="text")
     return f"""

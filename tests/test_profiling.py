@@ -1,0 +1,85 @@
+"""Column profiling (operators/profiling.py): hand-checked stats,
+null/all-null edges, native-type min/max, approx-vs-exact distinct,
+and the single-scan plan shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.profiling import profile_columns
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", None),
+        (3, "a", None),
+        (None, "a", None),
+    ]
+    return spark.createDataFrame(rows, "k long, s string, x double")
+
+
+def test_profile_hand_check(spark):
+    prof = {r["column"]: r for r in profile_columns(_df(spark), exact=True).collect()}
+    assert set(prof) == {"k", "s", "x"}
+    k = prof["k"]
+    assert (k["n_rows"], k["n_nulls"], k["null_frac"], k["n_distinct"]) == (4, 1, 0.25, 3)
+    # native-typed min/max: longs compare numerically, rendered as strings
+    assert (k["min_value"], k["max_value"]) == ("1", "3")
+    s = prof["s"]
+    assert (s["n_distinct"], s["top_value"], s["top_value_count"]) == (2, "a", 3)
+    x = prof["x"]
+    assert (x["n_nulls"], x["null_frac"], x["top_value"], x["top_value_count"]) == (
+        3,
+        0.75,
+        "10.0",
+        1,
+    )
+
+
+def test_profile_native_numeric_ordering(spark):
+    """String min of [9, 10] would be '10'; the profile must say 9."""
+    df = spark.createDataFrame([(9,), (10,)], "v long")
+    r = profile_columns(df, exact=True).collect()[0]
+    assert (r["min_value"], r["max_value"]) == ("9", "10")
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, dead string")
+    r = {x["column"]: x for x in profile_columns(df, ["dead"], exact=True).collect()}["dead"]
+    assert (r["n_nulls"], r["null_frac"], r["n_distinct"]) == (2, 1.0, 0)
+    assert r["min_value"] is None and r["top_value"] is None and r["top_value_count"] == 0
+
+
+def test_profile_top_value_tie_breaks_on_value(spark):
+    df = spark.createDataFrame([("b",), ("a",)], "v string")
+    r = profile_columns(df, exact=True).collect()[0]
+    assert (r["top_value"], r["top_value_count"]) == ("a", 1)
+
+
+def test_profile_unknown_column_raises(spark):
+    with pytest.raises(ValueError):
+        profile_columns(_df(spark), ["nope"])
+
+
+def test_profile_approx_close_to_exact(spark):
+    df = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") % 97).alias("m"))
+    got = {r["column"]: r["n_distinct"] for r in profile_columns(df).collect()}
+    assert got["m"] == pytest.approx(97, rel=0.05)
+    assert got["k"] == pytest.approx(5000, rel=0.1)  # default rsd is 0.05, ~2 sigma
+
+
+def test_profile_scalar_stats_are_one_scan(spark):
+    """The wide agg must be ONE aggregate over one scan (map-side
+    combinable), not one job per column: a single Aggregate in the
+    optimized plan of the scalar-profile half."""
+    from edna_dbt_library_spark.operators.profiling import profile_columns as pc
+
+    df = _df(spark)
+    plan = pc(df, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # the dominant-value branch adds its own shuffle; the scalar branch
+    # must not shuffle more than the final single-row aggregation
+    exch = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)", plan))
+    assert exch <= 4, plan
