@@ -225,3 +225,47 @@ def test_parse_media_header_never_crashes_on_junk(spark, blob):
     ):
         meta = parse_media_header(payload)
         assert meta is None or isinstance(meta, dict)
+
+
+URL_CHARS = st.text(
+    alphabet="abcXYZ019:/?&=#._-%~ ", min_size=0, max_size=40
+)
+
+
+@SETTLE
+@given(st.lists(URL_CHARS, min_size=1, max_size=12))
+def test_canonicalize_url_idempotent_and_total_property(spark, raws):
+    """canonicalize(canonicalize(x)) == canonicalize(x) for arbitrary
+    URL-ish junk, and the builder never throws under ANSI."""
+    from edna_dbt_library_spark.functions.urls import canonicalize_url
+
+    once = _eval_batch(spark, raws, canonicalize_url)
+    twice = _eval_batch(spark, once, canonicalize_url)
+    assert once == twice
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=10), min_size=1, max_size=20
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+def test_bpe_encode_lossless_property(spark, words, n_merges):
+    """For ANY corpus and merge depth: every word's encoding concatenates
+    back to word + end marker, and deeper merge tables never produce
+    more tokens for the training corpus."""
+    from edna_dbt_library_spark.operators.tokenizer import (
+        END,
+        encode_word,
+        learn_merges,
+    )
+
+    freqs = [(w, 1 + i % 3) for i, w in enumerate(dict.fromkeys(words))]
+    merges = learn_merges(freqs, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    shallow = {p: i for i, p in enumerate(merges[: max(0, n_merges - 1)])}
+    for w, _f in freqs:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END
+        assert len(toks) <= len(encode_word(w, shallow))
