@@ -3829,6 +3829,94 @@ def lm_cross_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_cross_entropy(docs, alpha=0.5)
 
 
+_ANN_TOPK_COLS = ["query_id", "rank", "vec_id", "label", "cosine_sim"]
+
+
+def _ann_topk_consolidated_oracle() -> str:
+    bf = REGISTRY["ann_topk_bruteforce"].oracle
+    ivf = REGISTRY["ann_ivf_topk"].oracle
+    cols = ", ".join(_ANN_TOPK_COLS)
+    return f"""
+SELECT 'bruteforce' AS method, {cols} FROM ({bf})
+UNION ALL
+SELECT 'ivf' AS method, {cols} FROM ({ivf})"""
+
+
+@_register("ann_topk", _ann_topk_consolidated_oracle())
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search in one method-tagged scored row: the exact
+    brute-force cosine baseline AND the k-means-trained IVF index
+    (granular ann_topk_bruteforce / ann_ivf_topk stay registered).
+    Same consolidation pattern as near_dup_pairs: both methods' full
+    rankings hash-gate under one driver row, freeing a scored slot for
+    the retrieval family."""
+    bf = REGISTRY["ann_topk_bruteforce"].spark(spark, sf_dir)
+    ivf = REGISTRY["ann_ivf_topk"].spark(spark, sf_dir)
+    return bf.select(F.lit("bruteforce").alias("method"), *_ANN_TOPK_COLS).unionAll(
+        ivf.select(F.lit("ivf").alias("method"), *_ANN_TOPK_COLS)
+    )
+
+
+def _retrieval_scores_oracle() -> str:
+    bm25 = REGISTRY["bm25_topk_docs"].oracle
+    tfidf = REGISTRY["tfidf_top_terms_docs"].oracle
+    lm = REGISTRY["lm_cross_entropy_docs"].oracle
+    return f"""
+SELECT 'bm25' AS src, query_id AS query_key, rank, doc_id::VARCHAR AS item,
+       score, 0::BIGINT AS n
+FROM ({bm25})
+UNION ALL
+SELECT 'tfidf' AS src, doc_id::VARCHAR AS query_key, rank, term AS item,
+       score, 0::BIGINT AS n
+FROM ({tfidf})
+UNION ALL
+SELECT 'lm' AS src, doc_id::VARCHAR AS query_key, 0::INTEGER AS rank, '' AS item,
+       cross_entropy AS score, n_bigrams AS n
+FROM ({lm})"""
+
+
+@_register("retrieval_scores", _retrieval_scores_oracle())
+def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval/LM family in one src-tagged scored row: BM25
+    ranked probes (with the OOV term), per-doc tf-idf keywords, and
+    bigram-LM cross-entropy — granular queries stay registered
+    (bm25_topk_docs, tfidf_top_terms_docs, lm_cross_entropy_docs).
+    Aligned schema: (src, query_key, rank, item, score, n)."""
+    bm25 = REGISTRY["bm25_topk_docs"].spark(spark, sf_dir)
+    tfidf = REGISTRY["tfidf_top_terms_docs"].spark(spark, sf_dir)
+    lm = REGISTRY["lm_cross_entropy_docs"].spark(spark, sf_dir)
+    return (
+        bm25.select(
+            F.lit("bm25").alias("src"),
+            F.col("query_id").alias("query_key"),
+            "rank",
+            F.col("doc_id").cast("string").alias("item"),
+            "score",
+            F.lit(0).cast("long").alias("n"),
+        )
+        .unionAll(
+            tfidf.select(
+                F.lit("tfidf").alias("src"),
+                F.col("doc_id").cast("string").alias("query_key"),
+                "rank",
+                F.col("term").alias("item"),
+                "score",
+                F.lit(0).cast("long").alias("n"),
+            )
+        )
+        .unionAll(
+            lm.select(
+                F.lit("lm").alias("src"),
+                F.col("doc_id").cast("string").alias("query_key"),
+                F.lit(0).cast("int").alias("rank"),
+                F.lit("").alias("item"),
+                F.col("cross_entropy").alias("score"),
+                F.col("n_bigrams").alias("n"),
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
@@ -3893,9 +3981,12 @@ CORE_ORDER = [
     "weighted_sample_quality",
     "shuffle_shards_summary",
     "grouped_theilsen_slope",
-    # similarity search
-    "ann_topk_bruteforce",
-    "ann_ivf_topk",
+    # similarity search (ann_topk consolidates ann_topk_bruteforce +
+    # ann_ivf_topk method-tagged, freeing one slot for retrieval_scores
+    # = bm25_topk_docs + tfidf_top_terms_docs + lm_cross_entropy_docs;
+    # all granular variants stay registered)
+    "ann_topk",
+    "retrieval_scores",
     # sketches
     "hll_distinct_orders",
     "cms_user_freq",

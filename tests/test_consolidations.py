@@ -137,3 +137,45 @@ def test_fused_verdict_equals_composed_scored_row_at_sf01(spark):
     assert f_pii == s_pii
     # and the injection really exercised the redactor corpus-wide
     assert all(r[2] and r[3] and r[4] for r in s_pii)
+
+
+def test_ann_topk_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = _rows(reg["ann_topk"](spark, SF))
+    cols = ["query_id", "rank", "vec_id", "label", "cosine_sim"]
+    bf = reg["ann_topk_bruteforce"](spark, SF).select(F.lit("bruteforce").alias("method"), *cols)
+    ivf = reg["ann_ivf_topk"](spark, SF).select(F.lit("ivf").alias("method"), *cols)
+    composed = _rows(bf.unionAll(ivf))
+    assert scored == composed and len(scored) > 0
+
+
+def test_retrieval_scores_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = _rows(reg["retrieval_scores"](spark, SF))
+    bm25 = reg["bm25_topk_docs"](spark, SF)
+    tfidf = reg["tfidf_top_terms_docs"](spark, SF)
+    lm = reg["lm_cross_entropy_docs"](spark, SF)
+    composed = _rows(
+        bm25.select(
+            F.lit("bm25").alias("src"), F.col("query_id").alias("query_key"), "rank",
+            F.col("doc_id").cast("string").alias("item"), "score",
+            F.lit(0).cast("long").alias("n"),
+        )
+        .unionAll(
+            tfidf.select(
+                F.lit("tfidf").alias("src"), F.col("doc_id").cast("string").alias("query_key"),
+                "rank", F.col("term").alias("item"), "score", F.lit(0).cast("long").alias("n"),
+            )
+        )
+        .unionAll(
+            lm.select(
+                F.lit("lm").alias("src"), F.col("doc_id").cast("string").alias("query_key"),
+                F.lit(0).cast("int").alias("rank"), F.lit("").alias("item"),
+                F.col("cross_entropy").alias("score"), F.col("n_bigrams").alias("n"),
+            )
+        )
+    )
+    assert scored == composed
+    # every family contributes rows to the scored window
+    srcs = {r[0] for r in scored}
+    assert srcs == {"bm25", "tfidf", "lm"}
