@@ -363,6 +363,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023: "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the corpus
@@ -383,9 +384,16 @@ def semantic_dedup(
     cell²) worst case, which is exactly why the coarse quantizer must
     have enough cells. The embedding stress harness measured a hot
     cluster absorbing 33% of a skewed corpus into one cell
-    (PLAN_AUDIT.md) — at scale raise n_cells (shuffle key space only)
-    or pre-split giant cells before this join; the threshold filter
-    runs inside the join so only qualifying pairs materialize.
+    (PLAN_AUDIT.md) — ``max_cell_size`` is the guard for that shape:
+    cells above the cap split into ceil(size/cap) deterministic
+    md5-derived sub-buckets and pairs only form within a sub-bucket,
+    bounding the join at O(Σ min(cell, cap)·cell) like the LSH
+    stop-bucket cap. The trade is the same one: pairs across
+    sub-buckets of a giant cell are missed, but a cell that big IS a
+    dense near-duplicate family (that's why it's big), so every
+    sub-bucket still collapses to one representative — the kill set
+    shrinks only by the sub-bucket count. With ``max_cell_size=None``
+    (default, and the oracle-gated path) semantics are exact SemDeDup.
     Components come from dedup.duplicate_clusters (O(diameter)
     label-propagation rounds, single shuffle each).
     """
@@ -417,11 +425,25 @@ def semantic_dedup(
         .select("vec_id", "label", "e", "n", F.col("_m.cid").alias("cell"))
         .localCheckpoint(eager=True)  # reused by both join sides + the verdict
     )
+    join_keys = ["cell"]
+    if max_cell_size is not None:
+        # sub-bucket giant cells: ceil(size/cap) deterministic md5 splits
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_sz"))
+        nb = F.ceil(F.col("_sz") / F.lit(max_cell_size)).cast("long")
+        from edna_dbt_library_spark.operators.dedup import minhash_word_value
+
+        sub = F.pmod(minhash_word_value(F.col("vec_id").cast("string"), fast=False), nb)
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cell")
+            .withColumn("_sub", sub)
+            .drop("_sz")
+        )
+        join_keys = ["cell", "_sub"]
     a, b = assigned.alias("a"), assigned.alias("b")
     d = dot(F.col("a.e"), F.col("b.e"))
     sim = F.when((F.col("a.n") > 0) & (F.col("b.n") > 0), d / (F.col("a.n") * F.col("b.n")))
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("doc_a"),

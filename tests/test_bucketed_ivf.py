@@ -225,3 +225,26 @@ def test_semantic_dedup_reuses_centroids(spark):
     inline = semantic_dedup(emb, n_cells=8, iters=2, threshold=0.9)
     reused = semantic_dedup(emb, n_cells=8, threshold=0.9, centroids=cent)
     assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, reused.collect()))
+
+
+def test_semantic_dedup_cell_cap_bounds_pairs_and_stays_consistent(spark):
+    """max_cell_size sub-buckets giant cells: the verdict still covers
+    every vector exactly once, keep flags stay consistent, and the kill
+    set can only SHRINK versus the exact run (pairs are a subset)."""
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=4, iters=1, threshold=0.25).collect()}
+    capped = {r["vec_id"]: r for r in semantic_dedup(
+        emb, n_cells=4, iters=1, threshold=0.25, max_cell_size=40
+    ).collect()}
+    assert set(capped) == set(exact)
+    for r in capped.values():
+        assert r["keep"] == (r["cluster_id"] is None or r["vec_id"] == r["cluster_id"])
+    killed_exact = sum(1 for r in exact.values() if not r["keep"])
+    killed_capped = sum(1 for r in capped.values() if not r["keep"])
+    assert 0 < killed_capped <= killed_exact
+    # a vector with no duplicate in the exact run can't acquire one capped
+    for v, r in exact.items():
+        if r["cluster_id"] is None:
+            assert capped[v]["cluster_id"] is None

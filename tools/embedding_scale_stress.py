@@ -209,6 +209,26 @@ def main() -> None:
     outl = cell_outliers(emb, n_cells=N_CELLS, iters=2, top_k=3).count()
     out["cell_outliers"] = {"sec": round(time.time() - t0, 2), "rows": outl}
 
+    # semantic dedup on the hot-cell corpus: the 10k-vector cell makes
+    # the exact within-cell self-join generate ~cell^2/2 candidate pairs
+    # (every hot vector is near-identical); max_cell_size bounds it
+    from pyspark.sql import functions as FF
+
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+    for label, cap in (("exact", None), ("cap1000", 1000)):
+        t0 = time.time()
+        v = semantic_dedup(emb, threshold=0.95, centroids=cent, max_cell_size=cap)
+        agg = v.agg(
+            FF.count(FF.lit(1)).alias("rows"),
+            FF.sum((~FF.col("keep")).cast("int")).alias("killed"),
+        ).collect()[0]
+        out[f"semantic_dedup_{label}"] = {
+            "sec": round(time.time() - t0, 2),
+            "rows": agg["rows"],
+            "killed": agg["killed"],
+        }
+
     print(json.dumps(out))
 
 

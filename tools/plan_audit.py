@@ -148,6 +148,21 @@ cost is per-corpus, not per-query — `ivf_topk`/`cell_outliers` accept
 precomputed `centroids=` so production trains once and searches many
 times, which is where the n_probe/n_cells scan saving actually pays.
 
+SemDeDup on the same hot corpus (threshold 0.95, reused centroids) —
+the within-cell self-join meets the 10,000-vector cell:
+
+| run | wall (s) | killed (of 30,000) |
+|---|---|---|
+| exact (cell² pairs in the hot cell) | 242.6 | 27,833 |
+| `max_cell_size=1000` (md5 sub-buckets) | 45.5 | 25,858 |
+
+The cap is 5.3× faster and keeps 93% of the kill set: a cell that
+big is by construction a dense near-duplicate family, so each of its
+~10 sub-buckets still collapses to one representative — the misses
+are cross-sub-bucket pairs whose members die in their own bucket
+anyway, plus one extra surviving representative per sub-bucket. Same
+trade as the LSH stop-bucket cap, measured on the same shape of data.
+
 ## Retrieval scale stress — stop-term posting lists and the probe guard
 
 `tools/retrieval_scale_stress.py`, measured 2026-08-14 (round 4) on
