@@ -5,7 +5,9 @@ from edna_dbt_library_spark.streaming.incremental_stream import (
 from edna_dbt_library_spark.streaming.sketch_stream import (
     read_cms_counters,
     read_hll_estimates,
+    read_profile_history,
     stream_cms_counts,
+    stream_column_profiles,
     stream_hll_distinct,
 )
 
@@ -14,6 +16,8 @@ __all__ = [
     "stream_windowed_counts",
     "read_cms_counters",
     "read_hll_estimates",
+    "read_profile_history",
     "stream_cms_counts",
+    "stream_column_profiles",
     "stream_hll_distinct",
 ]

@@ -118,3 +118,43 @@ def read_cms_counters(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("cms_row", "cms_col")
         .agg(F.sum("cms_count").alias("cms_count"))
     )
+
+
+def stream_column_profiles(
+    stream_df: DataFrame,
+    columns: list[str],
+    store_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Continuous data-quality monitoring: profile every micro-batch's
+    content (operators/profiling.profile_columns — null rates, exact
+    per-batch cardinalities, ranges, dominant values) into a
+    ``batch=<id>`` subdirectory, the same idempotent-sink idiom as the
+    CMS stream: foreachBatch's at-least-once redelivery just rewrites
+    the same subdir, so the quality time series never double-counts a
+    batch. A drifting null rate or cardinality collapse shows up as a
+    per-batch row the moment the bad batch lands — BEFORE it is merged
+    anywhere downstream.
+
+    The per-batch profile is a handful of rows (one per column)
+    whatever the batch size, so the store stays tiny and the serving
+    read is a bounded scan."""
+    from edna_dbt_library_spark.operators.profiling import profile_columns
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prof = profile_columns(batch_df, columns, exact=True)
+        prof.coalesce(1).write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_profile_history(spark: SparkSession, store_path: str) -> DataFrame:
+    """The quality time series: one row per (batch, column), ordered by
+    batch id — feed to alerting (null_frac jumps, n_distinct collapses)."""
+    return spark.read.parquet(store_path).orderBy("batch", "column")

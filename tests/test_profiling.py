@@ -83,3 +83,41 @@ def test_profile_scalar_stats_are_one_scan(spark):
     # must not shuffle more than the final single-row aggregation
     exch = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)", plan))
     assert exch <= 4, plan
+
+
+def test_stream_column_profiles_time_series(spark, tmp_path):
+    """Profiling composes with Structured Streaming: each micro-batch
+    lands one profile row per column in its own batch subdir (replay
+    rewrites, never double-counts), and the history read surfaces the
+    drift — a batch of nulls shows up as its own null_frac=1.0 row."""
+    from edna_dbt_library_spark.streaming import (
+        read_profile_history,
+        stream_column_profiles,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame([(3, None), (4, None)], "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema("k long, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = stream_column_profiles(
+        stream, ["k", "v"], str(tmp_path / "store"), str(tmp_path / "cp")
+    )
+    q.awaitTermination(120)
+
+    hist = read_profile_history(spark, str(tmp_path / "store")).collect()
+    by_batch = {}
+    for r in hist:
+        by_batch.setdefault(r["batch"], {})[r["column"]] = r
+    assert len(by_batch) == 2
+    fracs = sorted(b["v"]["null_frac"] for b in by_batch.values())
+    assert fracs == [0.0, 1.0]  # the all-null batch is its own visible row
+    for b in by_batch.values():
+        assert b["k"]["n_rows"] == 2 and b["k"]["n_nulls"] == 0
