@@ -504,11 +504,22 @@ def jaccard_pairs(
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """Exact word-set Jaccard for candidate pairs (the verify step after
-    LSH). Joins the token sets in twice by doc id — narrow joins, no
-    all-pairs blowup."""
-    sets_df = docs.select(F.col(id_col), _word_set(text_col).alias("ws"))
+    """Exact shingle-set Jaccard for candidate pairs (the verify step
+    after LSH). Joins the sets in twice by doc id — narrow joins, no
+    all-pairs blowup. ``shingle_n`` > 1 compares word n-gram sets
+    instead of word sets — on small-vocabulary corpora the word sets of
+    unrelated documents are nearly identical (both cover the whole
+    vocabulary), and only n-gram order separates them; match the
+    ``shingle_n`` used for the LSH candidates."""
+    if shingle_n == 1:
+        ws = _word_set(text_col)
+    else:
+        from edna_dbt_library_spark.functions.text import shingles
+
+        ws = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    sets_df = docs.select(F.col(id_col), ws.alias("ws"))
     a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("ws").alias("ws_a"))
     b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")

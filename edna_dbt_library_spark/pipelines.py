@@ -1,0 +1,138 @@
+"""End-to-end corpus curation pipeline: the composed production flow a
+training-data team runs, wiring the library's operators in the standard
+order with one call.
+
+Stage order follows the usual web-corpus recipe (each stage cuts volume
+before the next, more expensive one runs):
+
+1. **Quality + PII** — `curation_verdict`: ONE zero-shuffle scan scores
+   language, quality, all Gopher repetition signals, and redacts PII;
+   rows failing the keep flag / language / quality thresholds drop here,
+   before anything shuffles.
+2. **Exact dedup** — md5 fingerprint groupBy; the min-id keeper
+   survives. One shuffle on a uniform key.
+3. **Near dedup** — capped MinHash-LSH candidate pairs →
+   connected-components clusters → min-id keeper. The stop-bucket cap
+   is on by default (the measured 100 TB path, PLAN_AUDIT.md).
+4. **Token counting** — trained BPE if merges are supplied, else the
+   zero-shuffle regex estimate.
+5. **Shard export** — deterministic shuffled parquet shards, ready for
+   a data loader (skipped when ``out_path`` is None).
+
+Every stage is individually tested and oracle/plan-audited; this module
+only sequences them (no new distributed logic), returns per-stage row
+counts for the run report, and keeps the whole flow deterministic:
+same input -> same kept set, same ids, same shard layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationReport:
+    counts: dict[str, int] = field(default_factory=dict)
+    kept: DataFrame | None = None
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.8,
+    lsh_bucket_cap: int | None = 256,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    out_path: str | None = None,
+    n_shards: int = 16,
+    shard_salt: str = "",
+) -> CurationReport:
+    """Run the full curation flow; returns a :class:`CurationReport`
+    with per-stage surviving row counts and the final kept DataFrame
+    (with ``redacted`` text, quality metadata, and ``n_tokens``).
+
+    Stage counts are computed on checkpointed frames, so each stage's
+    work runs once even though the report reads every stage's count."""
+    from edna_dbt_library_spark.operators.curation import curation_verdict
+    from edna_dbt_library_spark.operators.dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+    from edna_dbt_library_spark.functions.text import approx_bpe_token_count, fingerprint
+
+    report = CurationReport()
+    report.counts["input"] = docs.count()
+
+    # 1. quality + PII (zero-shuffle scan; thresholds applied here)
+    scored = curation_verdict(docs, text_col=text_col, id_col=id_col)
+    kept = scored.where(
+        F.col("keep_repetition")
+        & F.col("pred_lang").isin(*languages)
+        & (F.col("quality") >= min_quality)
+    ).localCheckpoint(eager=True)
+    report.counts["after_quality"] = kept.count()
+
+    # 2. exact dedup on the REDACTED text (redaction-equal docs are dups)
+    kept = kept.withColumn("_fp", fingerprint(F.col("redacted")))
+    keepers = kept.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    kept = (
+        kept.join(keepers, "_fp")
+        .where(F.col(id_col) == F.col("_keep_id"))
+        .drop("_fp", "_keep_id")
+        .localCheckpoint(eager=True)
+    )
+    report.counts["after_exact_dedup"] = kept.count()
+
+    # 3. near dedup: capped LSH candidates -> exact Jaccard VERIFY ->
+    # clusters -> min-id keeper. The verify step is not optional: LSH
+    # candidates are a recall device, and clustering unverified
+    # candidates transitively merges everything that merely shares a
+    # band (on a shared-vocabulary corpus that is the entire corpus).
+    # 3-gram shingles on BOTH stages: unigram word sets of unrelated
+    # docs converge on small vocabularies (every doc covers the whole
+    # vocabulary); only n-gram order separates them
+    ddocs = kept.select(F.col(id_col), F.col("redacted").alias("text"))
+    cands = lsh_candidate_pairs(ddocs, max_bucket_size=lsh_bucket_cap, shingle_n=3)
+    pairs = jaccard_pairs(ddocs, cands, shingle_n=3).where(
+        F.col("jaccard") >= near_dup_threshold
+    )
+    clusters = duplicate_clusters(pairs.select("doc_a", "doc_b")).withColumnRenamed(
+        "doc_id", "_cl_id"
+    )
+    kept = (
+        kept.join(clusters, kept[id_col] == clusters["_cl_id"], "left")
+        .where(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
+        .select(*scored.columns)
+        .localCheckpoint(eager=True)
+    )
+    report.counts["after_near_dedup"] = kept.count()
+
+    # 4. token counts (trained BPE when merges are provided)
+    if bpe_merges:
+        from edna_dbt_library_spark.operators.tokenizer import bpe_encode
+
+        counts = bpe_encode(
+            kept.select(F.col(id_col), F.col("redacted").alias("text")), bpe_merges
+        )
+        kept = kept.join(counts, id_col)
+    else:
+        kept = kept.withColumn("n_tokens", approx_bpe_token_count(F.col("redacted")))
+    report.counts["total_tokens"] = int(
+        kept.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+    )
+
+    # 5. shard export
+    if out_path is not None:
+        from edna_dbt_library_spark.operators.curation import export_shuffled_shards
+
+        export_shuffled_shards(kept, out_path, n_shards, key=id_col, salt=shard_salt)
+        report.counts["shards"] = n_shards
+
+    report.kept = kept
+    return report

@@ -1,0 +1,74 @@
+"""End-to-end corpus curation pipeline (pipelines.curate_corpus):
+stage ordering, monotone shrinking counts, dedup/keeper behavior,
+determinism, trained-BPE wiring, and shard export."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.pipelines import curate_corpus
+from edna_dbt_library_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    """Fixture docs + planted junk: an exact duplicate pair, a near
+    duplicate, and a repetitive garbage doc."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(60)
+    base = docs.where(F.col("doc_id") == 3).collect()[0]["text"]
+    planted = spark.createDataFrame(
+        [
+            (9001, base),  # exact duplicate of doc 3 (min-id keeper: 3 survives)
+            (9002, base + " tail"),  # near duplicate
+            (9003, ("spam " * 60).strip()),  # repetition-filter kill
+        ],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(planted)
+
+
+def test_curate_corpus_stages_and_counts(spark):
+    rep = curate_corpus(_corpus(spark), min_quality=0.0)
+    c = rep.counts
+    assert c["input"] == 63
+    # counts shrink monotonically through the kill stages
+    assert c["input"] >= c["after_quality"] >= c["after_exact_dedup"] >= c["after_near_dedup"]
+    # the repetitive doc dies at quality, the exact clone at stage 2
+    kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
+    assert 9003 not in kept_ids
+    assert 9001 not in kept_ids and 3 in kept_ids  # min-id keeper
+    assert 9002 not in kept_ids  # near-dup cluster collapses to 3
+    assert c["total_tokens"] > 0
+    assert "n_tokens" in rep.kept.columns and "redacted" in rep.kept.columns
+
+
+def test_curate_corpus_is_deterministic(spark):
+    a = curate_corpus(_corpus(spark), min_quality=0.0)
+    b = curate_corpus(_corpus(spark).repartition(7), min_quality=0.0)
+    assert a.counts == b.counts
+    assert sorted(map(tuple, a.kept.select("doc_id", "n_tokens").collect())) == sorted(
+        map(tuple, b.kept.select("doc_id", "n_tokens").collect())
+    )
+
+
+def test_curate_corpus_with_trained_bpe_and_export(spark, tmp_path):
+    from edna_dbt_library_spark.operators.tokenizer import train_bpe
+
+    corpus = _corpus(spark)
+    merges = train_bpe(corpus, num_merges=64)
+    out = str(tmp_path / "shards")
+    rep = curate_corpus(
+        corpus, min_quality=0.0, bpe_merges=merges, out_path=out, n_shards=4
+    )
+    assert rep.counts["shards"] == 4
+    written = spark.read.parquet(out)
+    assert written.count() == rep.counts["after_near_dedup"]
+    # BPE token counts made it through the export
+    assert written.agg(F.sum("n_tokens")).collect()[0][0] == rep.counts["total_tokens"]
+
+
+def test_curate_corpus_language_filter(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    all_langs = curate_corpus(docs, languages=("en", "de", "zh", "fr"), min_quality=0.0)
+    en_only = curate_corpus(docs, languages=("en",), min_quality=0.0)
+    assert en_only.counts["after_quality"] <= all_langs.counts["after_quality"]
