@@ -48,6 +48,9 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     lsh_bucket_cap: int | None = 256,
     bpe_merges: list[tuple[str, str]] | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_cell_cap: int | None = 1000,
     out_path: str | None = None,
     n_shards: int = 16,
     shard_salt: str = "",
@@ -112,6 +115,30 @@ def curate_corpus(
         .localCheckpoint(eager=True)
     )
     report.counts["after_near_dedup"] = kept.count()
+
+    # 3b. semantic dedup (optional): prunes paraphrase-level redundancy
+    # the text stages can't see. embeddings carries (id_col, embedding,
+    # label); only vectors for still-kept docs participate, and the
+    # hot-cell cap is ON by default (PLAN_AUDIT.md "embedding stress").
+    if embeddings is not None:
+        from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+        vecs = embeddings.join(kept.select(id_col), id_col)
+        verdict = semantic_dedup(
+            vecs,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            max_cell_size=semantic_cell_cap,
+        ).withColumnRenamed("vec_id", "_sd_id")
+        kept = (
+            kept.join(
+                verdict.select("_sd_id", "keep"), kept[id_col] == F.col("_sd_id"), "left"
+            )
+            .where(F.coalesce(F.col("keep"), F.lit(True)))  # docs w/o vectors stay
+            .select(*scored.columns)
+            .localCheckpoint(eager=True)
+        )
+        report.counts["after_semantic_dedup"] = kept.count()
 
     # 4. token counts (trained BPE when merges are provided)
     if bpe_merges:

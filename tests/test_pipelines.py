@@ -72,3 +72,31 @@ def test_curate_corpus_language_filter(spark):
     all_langs = curate_corpus(docs, languages=("en", "de", "zh", "fr"), min_quality=0.0)
     en_only = curate_corpus(docs, languages=("en",), min_quality=0.0)
     assert en_only.counts["after_quality"] <= all_langs.counts["after_quality"]
+
+
+def test_curate_corpus_semantic_stage(spark):
+    """With embeddings supplied, paraphrase-level redundancy dies in the
+    semantic stage: planted near-identical vectors collapse to the
+    min-id survivor, docs without vectors pass through untouched."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .withColumnRenamed("vec_id", "doc_id")
+        .where(F.col("doc_id") < 40)  # docs 40..49 have no vector
+    )
+    # make docs 7 and 11 semantic twins (identical vectors)
+    twin = emb.where(F.col("doc_id") == 7).select(
+        F.lit(11).cast("long").alias("doc_id"), "embedding", "label"
+    )
+    emb = emb.where(F.col("doc_id") != 11).unionByName(twin)
+
+    rep = curate_corpus(
+        docs, min_quality=0.0, embeddings=emb, semantic_threshold=0.999
+    )
+    assert "after_semantic_dedup" in rep.counts
+    assert rep.counts["after_semantic_dedup"] <= rep.counts["after_near_dedup"]
+    kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
+    if 7 in kept_ids:  # unless an earlier stage killed 7 itself
+        assert 11 not in kept_ids
+    # vectorless docs survive the semantic stage
+    assert any(i >= 40 for i in kept_ids)
