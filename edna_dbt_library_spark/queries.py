@@ -3881,7 +3881,12 @@ def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked probes (with the OOV term), per-doc tf-idf keywords, and
     bigram-LM cross-entropy — granular queries stay registered
     (bm25_topk_docs, tfidf_top_terms_docs, lm_cross_entropy_docs).
-    Aligned schema: (src, query_key, rank, item, score, n)."""
+    Aligned schema: (src, query_key, rank, item, score, n).
+
+    Like every consolidation row, this is a GATE artifact (one driver
+    row certifying three operators), not a production plan — its
+    physical plan unions three independent pipelines; production calls
+    bm25_topk / tfidf_top_terms / lm_cross_entropy directly."""
     bm25 = REGISTRY["bm25_topk_docs"].spark(spark, sf_dir)
     tfidf = REGISTRY["tfidf_top_terms_docs"].spark(spark, sf_dir)
     lm = REGISTRY["lm_cross_entropy_docs"].spark(spark, sf_dir)
