@@ -86,8 +86,10 @@ def canonicalize_url(url: Column | str) -> Column:
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, F.lit(1), F.length(path) - 1),
     ).otherwise(path)
-    # query: drop tracking params, sort the rest, drop if empty
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    # query: drop tracking params, sort the rest, drop if empty.
+    # Anchored lazily to the pre-fragment region so a '?' inside the
+    # fragment ('http://h/x#a?b=1') never fabricates a query.
+    query = F.regexp_extract(c, r"^[^#]*?\?([^#]*)", 1)
     kvs = F.filter(F.split(query, "&"), lambda kv: (kv != "") & ~_is_tracking(kv))
     sorted_q = F.array_join(F.array_sort(kvs), "&")
     qpart = F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q))

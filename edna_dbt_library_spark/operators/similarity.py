@@ -404,9 +404,12 @@ def semantic_dedup(
         if centroids is None
         else centroids
     )
+    # label is metadata carried through when present (same guard as
+    # lsh_bucketed_topk's corpus side); frames without it get NULL
+    label = F.col("label") if "label" in embeddings.columns else F.lit(None).cast("string")
     q = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col("label"),
+        label.alias("label"),
         F.col(vec_col).alias("e"),
         norm(F.col(vec_col)).alias("n"),
         quantize_vec(vec_col).alias("qv"),

@@ -139,7 +139,12 @@ def bpe_encode(
     n_tokens = 0 with an empty token list — the row survives, matching
     the ingestion/curation convention."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    schema = f"{id_col} long, n_tokens long" + (", tokens array<string>" if keep_tokens else "")
+    # the id column keeps its source type (string md5 ids from
+    # sources/ingest work as well as bigint ids)
+    id_type = documents.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens long" + (
+        ", tokens array<string>" if keep_tokens else ""
+    )
 
     def run(batches):
         import re

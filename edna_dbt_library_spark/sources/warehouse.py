@@ -274,6 +274,10 @@ class Warehouse:
                 # the source files are the overwrite target
                 df = self.read(rel).repartition(want).localCheckpoint(eager=True)
                 self._writer(df, meta).mode("overwrite").save(self.path(rel))
+                # the whole-directory overwrite deleted the _edna_meta.json
+                # sidecar inside it — rewrite it (mirrors create_as) so
+                # clustering order / schema / grants survive compaction
+                self.write_meta(rel, meta)
             else:
                 df = (
                     self.read(rel)

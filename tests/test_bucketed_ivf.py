@@ -217,6 +217,23 @@ def test_semantic_dedup_prunes_planted_duplicates(spark):
         assert r["keep"] == (r["cluster_id"] is None or r["vec_id"] == r["cluster_id"])
 
 
+def test_semantic_dedup_without_label_column(spark):
+    """Frames without a 'label' column are accepted (r4 ADVICE: the
+    select was unconditional) — the verdict is identical modulo the
+    NULLed label metadata."""
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    with_label = semantic_dedup(emb, n_cells=8, iters=2, threshold=0.9)
+    no_label = semantic_dedup(emb.drop("label"), n_cells=8, iters=2, threshold=0.9)
+    assert with_label.columns == no_label.columns
+    a = sorted((r["vec_id"], r["cell"], r["cluster_id"], r["keep"]) for r in with_label.collect())
+    b_rows = no_label.collect()
+    assert all(r["label"] is None for r in b_rows)
+    b = sorted((r["vec_id"], r["cell"], r["cluster_id"], r["keep"]) for r in b_rows)
+    assert a == b
+
+
 def test_semantic_dedup_reuses_centroids(spark):
     from edna_dbt_library_spark.operators.similarity import kmeans_cells, semantic_dedup
 

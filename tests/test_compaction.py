@@ -69,7 +69,10 @@ def test_compact_respects_target_file_bytes(spark, wh):
 
 def test_compact_unpartitioned_whole_table(spark, wh):
     rel = wh.relation("s", "u")
-    wh.create_as(rel, spark.range(0).select(F.col("id").alias("k")), TableMeta())
+    meta = TableMeta(
+        cluster_by=["k"], description="d", grants={"roles/viewer": ["g"]}
+    )
+    wh.create_as(rel, spark.range(0).select(F.col("id").alias("k")), meta)
     for i in range(4):
         wh.append(rel, spark.range(i * 5, i * 5 + 5).select(F.col("id").alias("k")).coalesce(1))
     assert wh.partition_file_stats(rel)[None][0] >= 4
@@ -77,3 +80,9 @@ def test_compact_unpartitioned_whole_table(spark, wh):
     report = wh.compact(rel)
     assert report[None][1] == 1
     assert sorted(r["k"] for r in wh.read(rel).collect()) == before
+    # the whole-directory overwrite must not destroy the meta sidecar:
+    # clustering order / grants / description survive compaction
+    after = wh.read_meta(rel)
+    assert after.cluster_by == ["k"]
+    assert after.description == "d"
+    assert after.grants == {"roles/viewer": ["g"]}

@@ -96,6 +96,19 @@ def test_bpe_encode_null_and_empty_text(spark):
     assert rows[3]["tokens"] == ["hi" + END, "hi" + END]
 
 
+def test_bpe_encode_string_doc_ids(spark):
+    """The output schema derives the id type from the input frame (r4
+    ADVICE: it was hardcoded long) — md5-hex string ids from
+    sources/ingest must survive unchanged."""
+    docs = spark.createDataFrame(
+        [("ab12", "hi hi"), ("cd34", "hi")], "doc_id string, text string"
+    )
+    out = bpe_encode(docs, [("h", "i"), ("hi", END)])
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert rows == {"ab12": 2, "cd34": 1}
+
+
 def test_bpe_encode_is_arrow_batched(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     plan = bpe_encode(docs, [("a", END)])._jdf.queryExecution().executedPlan().toString()

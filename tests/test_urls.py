@@ -44,6 +44,10 @@ def test_canonicalize_cases(spark):
         "  example.com/x  ": "example.com/x",
         # junk passthrough (never throws under ANSI)
         "not a url at all": "not a url at all",
+        # '?' INSIDE the fragment is not a query (r4 ADVICE: the old
+        # pattern matched the first '?' anywhere and fabricated ?b=1)
+        "http://h/x#a?b=1": "http://h/x",
+        "http://h/x?real=1#a?fake=2": "http://h/x?real=1",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())
