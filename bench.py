@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "semantic_dedup_embeddings",
     "tfidf_top_terms_docs",
     "profile_orders_columns",
+    "url_canonical_docs",
+    "bpe_token_counts",
 ]
 
 

@@ -3923,6 +3923,277 @@ def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + BPE tokenizer families (functions/urls.py,
+# operators/tokenizer.py): the two most row-frequent crawl-pipeline
+# operators, oracle-gated.
+#
+# URLs are CONSTRUCTED from the documents fixture with one shared SQL
+# expression that both engines evaluate verbatim (cast/||/CASE are
+# portable), so the input is fixture-scaled and bit-identical by
+# construction; the oracle then mirrors the full canonicalization regex
+# algebra in DuckDB.
+
+#: shared Spark/DuckDB SQL building one deterministic messy URL per doc:
+#: default ports, mixed case, userinfo, tracking params, unsorted query,
+#: fragment containing '?', trailing slashes, and a scheme-less relative
+#: (exercises the passthrough + NULL-host branches).
+URL_BUILD_SQL = """CASE doc_id % 6
+  WHEN 0 THEN 'HTTP://Docs.Example.COM:80/wiki/Page_' || cast(doc_id AS string) || '/?b=2&a=1&utm_source=feed'
+  WHEN 1 THEN 'https://Host' || cast(doc_id % 10 AS string) || '.Example.com:443'
+  WHEN 2 THEN 'http://mirror.archive.org/snap/' || cast(doc_id AS string) || '#frag?fake=1'
+  WHEN 3 THEN 'https://' || lang || '.wiki.example.org:8443/wiki/Doc_' || cast(doc_id AS string) || '?id=' || cast(doc_id AS string) || '&fbclid=abc&z=9&utm_campaign=x'
+  WHEN 4 THEN '  docs.example.com/relative/' || cast(doc_id AS string) || '  '
+  ELSE 'http://User@Sub.Example.co/a/b/c/?z=1&y=2&x=3&gclid=g'
+END"""
+
+_URL_CANON_ORACLE = f"""
+WITH u AS (
+    SELECT doc_id, {URL_BUILD_SQL} AS url FROM documents
+), t AS (
+    SELECT doc_id, url, trim(url) AS c FROM u
+), x AS (
+    SELECT doc_id, url, c,
+           lower(regexp_extract(c, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host0,
+           regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+           regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rest,
+           regexp_extract(c, '^[^#]*?\\?([^#]*)', 1) AS query
+    FROM t
+), y AS (
+    SELECT *,
+           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                      OR (scheme = 'https' AND port = '443'))
+                THEN ':' || port ELSE '' END AS keep_port,
+           CASE WHEN rest = '' THEN '/' ELSE rest END AS path0
+    FROM x
+), z AS (
+    SELECT *,
+           CASE WHEN len(path0) > 1 AND path0 LIKE '%/'
+                THEN substr(path0, 1, len(path0) - 1) ELSE path0 END AS path,
+           list_sort(list_filter(string_split(query, '&'), kv -> kv <> '' AND NOT (
+               starts_with(lower(split_part(kv, '=', 1)), 'utm_')
+               OR lower(split_part(kv, '=', 1)) IN ('fbclid','gclid','msclkid','mc_eid','igshid','ref_src')
+           ))) AS kvs
+    FROM y
+)
+SELECT doc_id, url,
+       CASE WHEN scheme <> '' AND host0 <> ''
+            THEN scheme || '://' || host0 || keep_port || path ||
+                 CASE WHEN len(kvs) = 0 THEN '' ELSE '?' || array_to_string(kvs, '&') END
+            ELSE c END AS canon_url,
+       CASE WHEN host0 = '' THEN NULL ELSE host0 END AS host,
+       CASE WHEN host0 = '' THEN NULL
+            WHEN host0 NOT LIKE '%.%' THEN host0
+            ELSE regexp_extract(host0, '([^.]+\\.[^.]+)$', 1) END AS domain
+FROM z
+"""
+
+
+@_register("url_canonical_docs", _URL_CANON_ORACLE)
+def url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization family (functions/urls.py) oracle-gated at
+    fixture scale: equivalence folding (case, default ports, tracking
+    params, query sort, fragments — incl. a '?' inside the fragment),
+    host extraction past userinfo, and registered-domain grouping.
+    Zero-shuffle scan-side Column algebra; DuckDB replays the identical
+    regex pipeline."""
+    from edna_dbt_library_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+        url_registered_domain,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(URL_BUILD_SQL).alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        canonicalize_url("url").alias("canon_url"),
+        url_host("url").alias("host"),
+        url_registered_domain("url").alias("domain"),
+    )
+
+
+#: fixed literal BPE corpus: enough shared subwords for real merges, plus
+#: the edge rows (empty text, NULL text, single word, whitespace runs,
+#: mixed case, punctuation-glued words).
+BPE_SAMPLES = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "low lower lowest newest widest"),
+    (2, "the the the the"),
+    (3, "hello, world! hello again."),
+    (4, "tokenization of subwords via byte pair encoding"),
+    (5, "aaaa aaa aa a"),
+    (6, "spark window aggregation merge batch stream"),
+    (7, "  leading and trailing   whitespace  "),
+    (8, "MiXeD CaSe TeXt MIXED case text"),
+    (9, "punctuation...and---dashes don't split"),
+    (10, ""),
+    (11, "singleword"),
+    (12, "repeated repeated repeated tokens tokens"),
+    (13, "the newest widest lowest slowest"),
+    (14, "a b c d e f g h i j"),
+    (15, None),
+]
+BPE_NUM_MERGES = 48
+
+
+def _bpe_fixture_merges() -> list[tuple[str, str]]:
+    """Merge table learned (deterministically, driver-side) from the
+    literal corpus — consistent by construction, so rank-order
+    application and lowest-rank-first iteration agree."""
+    import re
+    from collections import Counter
+
+    from edna_dbt_library_spark.operators.tokenizer import learn_merges
+
+    ws = re.compile(r"\s+", re.ASCII)
+    freqs: Counter[str] = Counter()
+    for _sid, text in BPE_SAMPLES:
+        for w in ws.split((text or "").lower()):
+            if w:
+                freqs[w] += 1
+    return learn_merges(sorted(freqs.items()), BPE_NUM_MERGES)
+
+
+BPE_MERGES = _bpe_fixture_merges()
+
+
+def _bpe_count_rank_order(word: str, merges: list[tuple[str, str]]) -> int:
+    """Independent reference tokenizer: apply merge RULES in learned
+    rank order, each replacing left-to-right — a different algorithm
+    from operators.tokenizer.encode_word's lowest-rank-pair iteration,
+    so the oracle vectors are not self-certifying (same pattern as the
+    RFC-4122 uuid vectors)."""
+    from edna_dbt_library_spark.operators.tokenizer import END
+
+    syms = list(word) + [END]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def _bpe_counts_oracle() -> str:
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    rows = []
+    for sid, text in BPE_SAMPLES:
+        n = sum(
+            _bpe_count_rank_order(w, BPE_MERGES)
+            for w in ws.split((text or "").lower())
+            if w
+        )
+        rows.append(f"({sid}::BIGINT, {n}::BIGINT)")
+    return (
+        "SELECT sample_id, n_tokens FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS v(sample_id, n_tokens)"
+    )
+
+
+@_register("bpe_token_counts", _bpe_counts_oracle())
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE encoding (operators/tokenizer.bpe_encode — the
+    Arrow-batched mapInPandas production path, forced across 4
+    partitions) gated against token counts from an independent
+    rank-order reference implementation, VALUES-joined like the
+    RFC-4122 uuid vectors. NULL/empty text must encode to 0 tokens."""
+    from edna_dbt_library_spark.operators.tokenizer import bpe_encode
+
+    docs = spark.createDataFrame(
+        BPE_SAMPLES, "sample_id long, text string"
+    ).repartition(4)
+    return bpe_encode(docs, BPE_MERGES, id_col="sample_id")
+
+
+def _url_bpe_oracle() -> str:
+    u = REGISTRY["url_canonical_docs"].oracle
+    b = REGISTRY["bpe_token_counts"].oracle
+    return f"""
+SELECT 'url' AS src, doc_id::BIGINT AS id, url AS raw, canon_url, host, domain, 0::BIGINT AS n_tokens
+FROM ({u})
+UNION ALL
+SELECT 'bpe' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain, n_tokens
+FROM ({b})"""
+
+
+@_register("url_bpe_tokens", _url_bpe_oracle())
+def url_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-normalization family in one src-tagged scored row: URL
+    canonicalization over fixture-scaled constructed URLs AND
+    distributed BPE token counts against independent vectors — granular
+    queries stay registered (url_canonical_docs, bpe_token_counts).
+    Like every consolidation row, this is a GATE artifact (one driver
+    row certifying two operator families), not a production plan."""
+    u = REGISTRY["url_canonical_docs"].spark(spark, sf_dir)
+    b = REGISTRY["bpe_token_counts"].spark(spark, sf_dir)
+    return u.select(
+        F.lit("url").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("url").alias("raw"),
+        "canon_url",
+        "host",
+        "domain",
+        F.lit(0).cast("long").alias("n_tokens"),
+    ).unionAll(
+        b.select(
+            F.lit("bpe").alias("src"),
+            F.col("sample_id").cast("long").alias("id"),
+            F.lit("").alias("raw"),
+            F.lit("").alias("canon_url"),
+            F.lit("").alias("host"),
+            F.lit("").alias("domain"),
+            F.col("n_tokens"),
+        )
+    )
+
+
+def _sampling_methods_oracle() -> str:
+    s = REGISTRY["sample_stratified"].oracle
+    w = REGISTRY["weighted_sample_quality"].oracle
+    return f"""
+SELECT 'stratified_events' AS src, event_id::BIGINT AS id, event_type AS key, 0.0::DOUBLE AS score
+FROM ({s})
+UNION ALL
+SELECT 'weighted_quality' AS src, doc_id::BIGINT AS id, '' AS key, quality::DOUBLE AS score
+FROM ({w})"""
+
+
+@_register("sampling_methods", _sampling_methods_oracle())
+def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-sampling family in one src-tagged scored row:
+    hash-stratified event sampling AND quality-weighted document
+    sampling (granular sample_stratified / weighted_sample_quality stay
+    registered) — consolidated to free a scored slot for
+    url_bpe_tokens, same pattern as ann_topk/retrieval_scores."""
+    s = REGISTRY["sample_stratified"].spark(spark, sf_dir)
+    w = REGISTRY["weighted_sample_quality"].spark(spark, sf_dir)
+    return s.select(
+        F.lit("stratified_events").alias("src"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("event_type").alias("key"),
+        F.lit(0.0).cast("double").alias("score"),
+    ).unionAll(
+        w.select(
+            F.lit("weighted_quality").alias("src"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.lit("").alias("key"),
+            F.col("quality").cast("double").alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
 # The driver's correctness gate scores exactly the FIRST 50 entries of
@@ -3978,12 +4249,15 @@ CORE_ORDER = [
     "dedup_clusters",
     "dedup_embedding_cosine",
     # curation / text (curation_quality consolidates text_quality_langid
-    # + repetition_filter + pii_redact_docs into the per-doc verdict row)
+    # + repetition_filter + pii_redact_docs into the per-doc verdict row;
+    # sampling_methods consolidates sample_stratified +
+    # weighted_sample_quality; url_bpe_tokens consolidates
+    # url_canonical_docs + bpe_token_counts — all granulars registered)
     "contamination_3gram",
-    "sample_stratified",
+    "sampling_methods",
     "chunk_documents",
     "curation_quality",
-    "weighted_sample_quality",
+    "url_bpe_tokens",
     "shuffle_shards_summary",
     "grouped_theilsen_slope",
     # similarity search (ann_topk consolidates ann_topk_bruteforce +

@@ -90,6 +90,68 @@ def test_uuid_deterministic_ids_equals_granular_composition(spark):
     assert _rows(scored) == _rows(v3.unionAll(v5).select(*scored.columns))
 
 
+def test_sampling_methods_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["sampling_methods"](spark, SF)
+
+    s = reg["sample_stratified"](spark, SF).select(
+        F.lit("stratified_events").alias("src"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("event_type").alias("key"),
+        F.lit(0.0).cast("double").alias("score"),
+    )
+    w = reg["weighted_sample_quality"](spark, SF).select(
+        F.lit("weighted_quality").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.lit("").alias("key"),
+        F.col("quality").cast("double").alias("score"),
+    )
+    assert _rows(scored) == _rows(s.unionAll(w).select(*scored.columns))
+
+
+def test_url_bpe_tokens_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["url_bpe_tokens"](spark, SF)
+
+    u = reg["url_canonical_docs"](spark, SF).select(
+        F.lit("url").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("url").alias("raw"),
+        "canon_url",
+        "host",
+        "domain",
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+    b = reg["bpe_token_counts"](spark, SF).select(
+        F.lit("bpe").alias("src"),
+        F.col("sample_id").cast("long").alias("id"),
+        F.lit("").alias("raw"),
+        F.lit("").alias("canon_url"),
+        F.lit("").alias("host"),
+        F.lit("").alias("domain"),
+        F.col("n_tokens"),
+    )
+    assert _rows(scored) == _rows(u.unionAll(b).select(*scored.columns))
+
+
+def test_bpe_rank_order_reference_agrees_with_encode_word():
+    """The oracle's independent rank-order tokenizer and the engine's
+    lowest-rank-pair encode_word must agree on every fixture word (and
+    on unseen words) for the learned-consistent merge table."""
+    from edna_dbt_library_spark.operators.tokenizer import encode_word
+    from edna_dbt_library_spark.queries import (
+        BPE_MERGES,
+        BPE_SAMPLES,
+        _bpe_count_rank_order,
+    )
+
+    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+    words = {w for _sid, t in BPE_SAMPLES for w in (t or "").lower().split()}
+    words |= {"unseen", "zzz", "lowestest"}
+    for w in sorted(words):
+        assert _bpe_count_rank_order(w, BPE_MERGES) == len(encode_word(w, ranks)), w
+
+
 def test_fused_verdict_equals_composed_scored_row_at_sf01(spark):
     """Production fused path parity on the FULL sf0.01 documents corpus:
     curation_verdict (one scan, zero shuffles) must agree value-for-value
