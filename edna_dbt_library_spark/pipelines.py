@@ -11,6 +11,9 @@ before the next, more expensive one runs):
    before anything shuffles.
 2. **Exact dedup** — md5 fingerprint groupBy; the min-id keeper
    survives. One shuffle on a uniform key.
+2b. **Perplexity filter** (optional) — CCNet-style bigram-LM
+   cross-entropy threshold against a clean reference corpus, applied
+   after the cheap hash cut and before the shuffling near-dedup.
 3. **Near dedup** — capped MinHash-LSH candidate pairs →
    connected-components clusters → min-id keeper. The stop-bucket cap
    is on by default (the measured 100 TB path, PLAN_AUDIT.md).
@@ -27,6 +30,7 @@ same input -> same kept set, same ids, same shard layout.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -37,6 +41,34 @@ from pyspark.sql import functions as F
 class CurationReport:
     counts: dict[str, int] = field(default_factory=dict)
     kept: DataFrame | None = None
+
+
+def _stager(staging_path: str | None):
+    """Stage-boundary materializer. Without a staging path, stages pin
+    to ``localCheckpoint`` (executor memory/disk — fast, but an executor
+    loss replays the whole upstream pipeline, and each count is its own
+    job). With ``staging_path``, every boundary is WRITTEN to parquet
+    and re-read: one write job per stage, restart-safe lineage (the
+    reference's durable temp-table pattern,
+    incremental_partition_merge.sql:77-83), and the count comes from
+    parquet footer metadata — Catalyst serves count() on a bare parquet
+    scan without reading data. This is the 100 TB form."""
+
+    if staging_path is None:
+
+        def stage(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+            out = df.localCheckpoint(eager=True)
+            return out, out.count()
+
+    else:
+
+        def stage(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+            path = os.path.join(staging_path, name)
+            df.write.mode("overwrite").parquet(path)
+            out = df.sparkSession.read.parquet(path)
+            return out, out.count()  # metadata-only count over footers
+
+    return stage
 
 
 def curate_corpus(
@@ -51,16 +83,32 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
     semantic_cell_cap: int | None = 1000,
+    max_cross_entropy: float | None = None,
+    lm_train_docs: DataFrame | None = None,
+    lm_alpha: float = 0.5,
     out_path: str | None = None,
     n_shards: int = 16,
     shard_salt: str = "",
+    staging_path: str | None = None,
 ) -> CurationReport:
     """Run the full curation flow; returns a :class:`CurationReport`
     with per-stage surviving row counts and the final kept DataFrame
     (with ``redacted`` text, quality metadata, and ``n_tokens``).
 
-    Stage counts are computed on checkpointed frames, so each stage's
-    work runs once even though the report reads every stage's count."""
+    Stage counts are computed on materialized frames, so each stage's
+    work runs once even though the report reads every stage's count.
+    Pass ``staging_path`` to persist every stage boundary to parquet
+    (restart-safe, metadata-only counts) instead of localCheckpoint —
+    see :func:`_stager`; the kept set is identical either way (tested).
+
+    ``max_cross_entropy`` switches on the CCNet-style perplexity filter
+    (Wenzek et al., 2020): documents are scored by bigram-LM
+    cross-entropy against ``lm_train_docs`` (a clean reference corpus —
+    CCNet uses Wikipedia; defaults to the surviving corpus itself) and
+    rows above the threshold drop AFTER exact dedup (cheap hash cut
+    first) and BEFORE near-dedup, CCNet's own order. Unscoreable docs
+    (< 2 tokens) pass — absence of evidence keeps the row, matching the
+    semantic-stage convention for docs without vectors."""
     from edna_dbt_library_spark.operators.curation import curation_verdict
     from edna_dbt_library_spark.operators.dedup import (
         duplicate_clusters,
@@ -70,27 +118,50 @@ def curate_corpus(
     from edna_dbt_library_spark.functions.text import approx_bpe_token_count, fingerprint
 
     report = CurationReport()
+    stage = _stager(staging_path)
     report.counts["input"] = docs.count()
 
     # 1. quality + PII (zero-shuffle scan; thresholds applied here)
     scored = curation_verdict(docs, text_col=text_col, id_col=id_col)
-    kept = scored.where(
-        F.col("keep_repetition")
-        & F.col("pred_lang").isin(*languages)
-        & (F.col("quality") >= min_quality)
-    ).localCheckpoint(eager=True)
-    report.counts["after_quality"] = kept.count()
+    kept, report.counts["after_quality"] = stage(
+        scored.where(
+            F.col("keep_repetition")
+            & F.col("pred_lang").isin(*languages)
+            & (F.col("quality") >= min_quality)
+        ),
+        "after_quality",
+    )
 
     # 2. exact dedup on the REDACTED text (redaction-equal docs are dups)
     kept = kept.withColumn("_fp", fingerprint(F.col("redacted")))
     keepers = kept.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
-    kept = (
+    kept, report.counts["after_exact_dedup"] = stage(
         kept.join(keepers, "_fp")
         .where(F.col(id_col) == F.col("_keep_id"))
-        .drop("_fp", "_keep_id")
-        .localCheckpoint(eager=True)
+        .drop("_fp", "_keep_id"),
+        "after_exact_dedup",
     )
-    report.counts["after_exact_dedup"] = kept.count()
+
+    # 2b. perplexity filter (optional, CCNet order: after the cheap
+    # exact-hash cut, before the shuffling near-dedup stages)
+    if max_cross_entropy is not None:
+        from edna_dbt_library_spark.operators.retrieval import lm_cross_entropy
+
+        lm = lm_cross_entropy(
+            kept.select(F.col(id_col), F.col("redacted").alias("text")),
+            train_documents=lm_train_docs,
+            alpha=lm_alpha,
+            id_col=id_col,
+        ).withColumnRenamed("doc_id", "_lm_id")
+        kept, report.counts["after_perplexity"] = stage(
+            kept.join(lm, kept[id_col] == F.col("_lm_id"), "left")
+            .where(
+                F.col("cross_entropy").isNull()
+                | (F.col("cross_entropy") <= max_cross_entropy)
+            )
+            .select(*scored.columns),
+            "after_perplexity",
+        )
 
     # 3. near dedup: capped LSH candidates -> exact Jaccard VERIFY ->
     # clusters -> min-id keeper. The verify step is not optional: LSH
@@ -108,13 +179,12 @@ def curate_corpus(
     clusters = duplicate_clusters(pairs.select("doc_a", "doc_b")).withColumnRenamed(
         "doc_id", "_cl_id"
     )
-    kept = (
+    kept, report.counts["after_near_dedup"] = stage(
         kept.join(clusters, kept[id_col] == clusters["_cl_id"], "left")
         .where(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
-        .select(*scored.columns)
-        .localCheckpoint(eager=True)
+        .select(*scored.columns),
+        "after_near_dedup",
     )
-    report.counts["after_near_dedup"] = kept.count()
 
     # 3b. semantic dedup (optional): prunes paraphrase-level redundancy
     # the text stages can't see. embeddings carries (id_col, embedding,
@@ -130,15 +200,14 @@ def curate_corpus(
             id_col=id_col,
             max_cell_size=semantic_cell_cap,
         ).withColumnRenamed("vec_id", "_sd_id")
-        kept = (
+        kept, report.counts["after_semantic_dedup"] = stage(
             kept.join(
                 verdict.select("_sd_id", "keep"), kept[id_col] == F.col("_sd_id"), "left"
             )
             .where(F.coalesce(F.col("keep"), F.lit(True)))  # docs w/o vectors stay
-            .select(*scored.columns)
-            .localCheckpoint(eager=True)
+            .select(*scored.columns),
+            "after_semantic_dedup",
         )
-        report.counts["after_semantic_dedup"] = kept.count()
 
     # 4. token counts (trained BPE when merges are provided)
     if bpe_merges:

@@ -74,6 +74,81 @@ def test_curate_corpus_language_filter(spark):
     assert en_only.counts["after_quality"] <= all_langs.counts["after_quality"]
 
 
+def test_curate_corpus_staging_path_identical_kept_set(spark, tmp_path):
+    """Durable parquet staging (staging_path=) must produce the exact
+    kept set and stage counts of the localCheckpoint path, and leave
+    one parquet directory per stage boundary on disk (the restart-safe
+    artifact: a resumed run re-reads the last boundary instead of
+    replaying the pipeline)."""
+    import os
+
+    corpus = _corpus(spark)
+    ckpt = curate_corpus(corpus, min_quality=0.0)
+    staged = curate_corpus(
+        corpus, min_quality=0.0, staging_path=str(tmp_path / "staging")
+    )
+    assert staged.counts == ckpt.counts
+    assert sorted(map(tuple, staged.kept.select("doc_id", "n_tokens").collect())) == sorted(
+        map(tuple, ckpt.kept.select("doc_id", "n_tokens").collect())
+    )
+    stages = sorted(os.listdir(tmp_path / "staging"))
+    assert stages == ["after_exact_dedup", "after_near_dedup", "after_quality"]
+    # each boundary is independently readable parquet — the resume artifact
+    for s in stages:
+        back = spark.read.parquet(str(tmp_path / "staging" / s))
+        assert back.count() == staged.counts[s]
+
+
+def test_curate_corpus_perplexity_stage(spark):
+    """CCNet-style perplexity filter: a fully-OOV gibberish document
+    (scored against a clean reference LM) dies at the perplexity stage;
+    without the stage (or with an infinite threshold) it survives."""
+    from edna_dbt_library_spark.operators.retrieval import lm_cross_entropy
+
+    langs = ("en", "de", "zh", "fr", "es")
+    clean = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    # unique OOV content words (no repetition-filter kill) glued with
+    # English stopwords (so lang-id predicts 'en' and quality passes) —
+    # every content bigram is unseen by the clean reference LM
+    gib_words = " ".join(
+        f"the zxq{i}v of jkw{i}po" for i in range(12)
+    )
+    gib = spark.createDataFrame(
+        [(9050, gib_words)], "doc_id long, text string"
+    )
+    corpus = clean.unionByName(gib)
+
+    scores = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy(corpus, train_documents=clean).collect()
+    }
+    gib_ce = scores[9050]
+    assert gib_ce == max(v for v in scores.values() if v is not None)
+
+    # control: no perplexity stage -> the gibberish doc survives
+    rep0 = curate_corpus(corpus, languages=langs, min_quality=0.0)
+    assert "after_perplexity" not in rep0.counts
+    assert 9050 in {r["doc_id"] for r in rep0.kept.select("doc_id").collect()}
+
+    rep = curate_corpus(
+        corpus,
+        languages=langs,
+        min_quality=0.0,
+        max_cross_entropy=gib_ce - 1e-3,
+        lm_train_docs=clean,
+    )
+    assert rep.counts["after_perplexity"] <= rep.counts["after_exact_dedup"]
+    kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
+    assert 9050 not in kept_ids
+    # an infinite threshold keeps everything the hash stages kept
+    rep_inf = curate_corpus(
+        corpus, languages=langs, min_quality=0.0,
+        max_cross_entropy=1e9, lm_train_docs=clean,
+    )
+    assert rep_inf.counts["after_perplexity"] == rep_inf.counts["after_exact_dedup"]
+    assert 9050 in {r["doc_id"] for r in rep_inf.kept.select("doc_id").collect()}
+
+
 def test_curate_corpus_semantic_stage(spark):
     """With embeddings supplied, paraphrase-level redundancy dies in the
     semantic stage: planted near-identical vectors collapse to the
