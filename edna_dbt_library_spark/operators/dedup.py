@@ -271,6 +271,55 @@ def simhash_near_pairs(
     )
 
 
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded-Hamming neighbor pairs over an INTEGER signature
+    column — the blocking engine behind simhash_near_pairs, factored
+    for any precomputed signature (perceptual image hashes, feature
+    sketches). Bands are bit-slices extracted with shift+mask (pure
+    codegen); candidates equi-join per (band, slice), then verify with
+    exact ``bit_count(xor)``. Pigeonhole: recall is total while
+    ``max_hamming`` <= ``bands - 1``; beyond that, pairs are found only
+    when the flips cluster inside few bands. Output: (doc_a, doc_b,
+    hamming), doc_a < doc_b, distinct."""
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    mask = -1 if width >= 64 else (1 << width) - 1  # -1 = all-ones in two's complement
+    sig = F.col(sig_col).cast("long")
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask)).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = (
+        sigs.select(F.col(id_col), sig.alias("_sig"), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "_sig", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        a.join(b, ["band", "bsig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 8,

@@ -430,3 +430,155 @@ def plan_frame_samples(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "doc_id",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
     ).select("doc_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-dup pairs: the image-side counterpart
+# of text SimHash. dHash/aHash over REAL decoded pixels (decode_png_pixels)
+# — brightness shifts and small crops move only a few bits, so banded
+# Hamming blocking (operators.dedup.banded_hamming_pairs) finds
+# re-encoded / slightly-edited copies without an all-pairs join.
+
+PHASH_SCHEMA = "doc_id long, dhash long, ahash long, decoded boolean"
+
+
+def _luma_grid(
+    pixels: bytes, width: int, height: int, channels: int, gw: int, gh: int
+) -> list[list[int]]:
+    """Exact-integer box-averaged luma grid (gh rows × gw cols).
+
+    Luma is ITU-R BT.601 in integer thousandths ((299R + 587G + 114B)
+    // 1000); alpha channels are ignored. Tile boundaries are the
+    floor-divided index ranges (clamped to at least one source pixel,
+    so tiny images still hash), and each tile value is the integer mean
+    of its luma values — no floats anywhere, so the grid (and every
+    hash derived from it) is bit-stable across platforms."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels >= 3:
+        luma = (
+            299 * arr[:, :, 0].astype(np.int64)
+            + 587 * arr[:, :, 1].astype(np.int64)
+            + 114 * arr[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:  # grayscale / gray+alpha: channel 0 is the gray sample
+        luma = arr[:, :, 0].astype(np.int64)
+    grid = []
+    for ty in range(gh):
+        y0, y1 = ty * height // gh, max((ty + 1) * height // gh, ty * height // gh + 1)
+        row = []
+        for tx in range(gw):
+            x0, x1 = tx * width // gw, max((tx + 1) * width // gw, tx * width // gw + 1)
+            block = luma[y0:y1, x0:x1]
+            row.append(int(block.sum()) // block.size)
+        grid.append(row)
+    return grid
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash_int(
+    pixels: bytes, width: int, height: int, channels: int, hash_size: int = 8
+) -> int:
+    """Difference hash: ``hash_size``×``hash_size`` bits, bit (y, x) set
+    when tile (y, x) is strictly brighter than its right neighbor on a
+    ``(hash_size+1)``-wide luma grid. Invariant under global brightness
+    shifts (differences are unchanged short of clipping) — the property
+    that makes it the near-dup signature of choice for re-encoded
+    images. Returned as signed 64-bit (Spark LongType)."""
+    grid = _luma_grid(pixels, width, height, channels, hash_size + 1, hash_size)
+    bits = 0
+    for y in range(hash_size):
+        for x in range(hash_size):
+            bits = (bits << 1) | (1 if grid[y][x] > grid[y][x + 1] else 0)
+    return _to_signed64(bits)
+
+
+def ahash_int(
+    pixels: bytes, width: int, height: int, channels: int, hash_size: int = 8
+) -> int:
+    """Average hash: bit set when the tile is strictly brighter than the
+    whole-grid integer mean. Cheaper but brightness-sensitive — kept as
+    the second opinion / tie-breaking signature."""
+    grid = _luma_grid(pixels, width, height, channels, hash_size, hash_size)
+    total = sum(v for row in grid for v in row)
+    mean = total // (hash_size * hash_size)
+    bits = 0
+    for y in range(hash_size):
+        for x in range(hash_size):
+            bits = (bits << 1) | (1 if grid[y][x] > mean else 0)
+    return _to_signed64(bits)
+
+
+def perceptual_hash_images(
+    media: DataFrame,
+    hash_size: int = 8,
+    decode: Callable[[bytes], dict | None] | None = None,
+    batch_rows: int | None = None,
+) -> DataFrame:
+    """Arrow-batched perceptual hashes over (doc_id, content) rows:
+    (doc_id, dhash, ahash, decoded). Rows whose bytes don't decode
+    (non-PNG without an injected codec, hostile streams) yield NULL
+    hashes with decoded = false — they fall out of pair generation but
+    stay observable. ``decode`` defaults to the stdlib PNG pixel
+    decoder; a production stack injects its codec here (same contract:
+    bytes -> {width, height, channels, pixels})."""
+    fn = decode or decode_png_pixels
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, dh, ah, ok = [], [], [], []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                d = fn(bytes(content)) if content is not None else None
+                ids.append(did)
+                if d is None:
+                    dh.append(None)
+                    ah.append(None)
+                    ok.append(False)
+                else:
+                    args = (d["pixels"], d["width"], d["height"], d["channels"])
+                    dh.append(dhash_int(*args, hash_size))
+                    ah.append(ahash_int(*args, hash_size))
+                    ok.append(True)
+            yield pd.DataFrame(
+                {"doc_id": ids, "dhash": dh, "ahash": ah, "decoded": ok}
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_size: int = 8,
+    method: str = "dhash",
+    decode: Callable[[bytes], dict | None] | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: hash every decodable image
+    (one Arrow pass over the bytes), then banded Hamming blocking +
+    exact bit_count verify on the chosen signature — the image analogue
+    of dedup.simhash_near_pairs, sharing its pigeonhole recall bound
+    (full recall while ``max_hamming`` <= ``bands`` - 1; the defaults
+    keep that guarantee). Output: (doc_a, doc_b, hamming)."""
+    from edna_dbt_library_spark.operators.dedup import banded_hamming_pairs
+
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"unknown perceptual hash method: {method}")
+    sigs = perceptual_hash_images(media, hash_size, decode).where(F.col("decoded"))
+    return banded_hamming_pairs(
+        sigs,
+        sig_col=method,
+        bits=hash_size * hash_size,
+        bands=bands,
+        max_hamming=max_hamming,
+    )

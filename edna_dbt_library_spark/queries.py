@@ -4158,6 +4158,118 @@ def url_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual image near-dup pairs --------------------------------------
+# Deterministic PNG fixtures built at import (stdlib struct+zlib); the
+# oracle's expected dHashes are computed DIRECTLY from the pixel
+# functions (naive per-pixel loops — no PNG bytes, no decode, no numpy),
+# so the driver row certifies the whole chain: PNG encode -> distributed
+# Arrow decode (zlib inflate + unfilter) -> integer luma grid -> dHash ->
+# banded Hamming blocking == exhaustive SQL pairs (exact while
+# max_hamming <= bands-1).
+
+_IMG_W, _IMG_H = 64, 64
+
+
+def _img_pixfns() -> list[tuple[int, "Callable[[int, int], tuple[int, int, int]]"]]:
+    def grad(x, y):
+        return ((x * 200) // _IMG_W, (y * 200) // _IMG_H, ((x + y) * 100) // _IMG_W)
+
+    def grad_bright(x, y):  # +4 brightness: dHash-invariant twin of grad
+        r, g, b = grad(x, y)
+        return (r + 4, g + 4, b + 4)
+
+    def bands_img(x, y):
+        return (180 if (x // 8) % 2 == 0 else 40, 90, (y * 150) // _IMG_H)
+
+    def bands_shift(x, y):  # tiny vertical perturbation of bands_img
+        return bands_img(x, min(y + 1, _IMG_H - 1))
+
+    def noise(x, y):
+        v = (x * 31 + y * 17) * 2654435761 % 2**32
+        return (v % 251, (v >> 8) % 251, (v >> 16) % 251)
+
+    def rings(x, y):
+        d2 = (x - 32) * (x - 32) + (y - 32) * (y - 32)
+        return (200 if (d2 // 64) % 2 == 0 else 30, d2 % 200, 120)
+
+    return [(1, grad), (2, grad_bright), (3, bands_img), (4, bands_shift),
+            (5, noise), (6, rings)]
+
+
+def _img_png_bytes() -> list[tuple[int, bytes]]:
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    out = []
+    for did, pix in _img_pixfns():
+        raw = bytearray()
+        for y in range(_IMG_H):
+            raw.append(0)
+            for x in range(_IMG_W):
+                raw.extend(pix(x, y))
+        ihdr = struct.pack(">IIBBBBB", _IMG_W, _IMG_H, 8, 2, 0, 0, 0)
+        out.append(
+            (did, b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+        )
+    return out
+
+
+def _naive_dhash_from_pixfn(pix, w: int, h: int, hs: int = 8) -> int:
+    """Independent dHash: straight per-pixel loops over the SOURCE pixel
+    function — shares no code or data path with operators.multimodal."""
+    lum = [[(299 * pix(x, y)[0] + 587 * pix(x, y)[1] + 114 * pix(x, y)[2]) // 1000
+            for x in range(w)] for y in range(h)]
+    gw, gh = hs + 1, hs
+
+    def tile(tx, ty):
+        x0, x1 = tx * w // gw, max((tx + 1) * w // gw, tx * w // gw + 1)
+        y0, y1 = ty * h // gh, max((ty + 1) * h // gh, ty * h // gh + 1)
+        vals = [lum[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+        return sum(vals) // len(vals)
+
+    bits = 0
+    for ty in range(gh):
+        row = [tile(tx, ty) for tx in range(gw)]
+        for tx in range(hs):
+            bits = (bits << 1) | (1 if row[tx] > row[tx + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _image_phash_oracle(max_hamming: int = 3) -> str:
+    vals = ", ".join(
+        f"({did}, {_naive_dhash_from_pixfn(pix, _IMG_W, _IMG_H)}::BIGINT)"
+        for did, pix in _img_pixfns()
+    )
+    return f"""
+WITH h(doc_id, sig) AS (VALUES {vals})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+@_register("image_phash_pairs", _image_phash_oracle())
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs
+    (operators/multimodal.image_near_dup_pairs): real PNG bytes decoded
+    distributed (stdlib inflate+unfilter), dHashed, and paired via
+    banded Hamming blocking — gated against exhaustive pairs over
+    hashes computed independently from the source pixel functions.
+    max_hamming=3 < bands=4 keeps the pigeonhole recall guarantee, so
+    blocking must EQUAL the exhaustive answer."""
+    from edna_dbt_library_spark.operators.multimodal import image_near_dup_pairs
+
+    media = spark.createDataFrame(_img_png_bytes(), "doc_id long, content binary")
+    return image_near_dup_pairs(media, max_hamming=3, bands=4)
+
+
 def _sampling_methods_oracle() -> str:
     s = REGISTRY["sample_stratified"].oracle
     w = REGISTRY["weighted_sample_quality"].oracle

@@ -269,3 +269,28 @@ def test_bpe_encode_lossless_property(spark, words, n_merges):
         toks = encode_word(w, ranks)
         assert "".join(toks) == w + END
         assert len(toks) <= len(encode_word(w, shallow))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+def test_incremental_learn_merges_equals_naive_property(word_freqs, n_merges):
+    """The incremental pair-count trainer must produce the EXACT merge
+    list of the naive full-recount reference on any corpus (including
+    duplicate words, overlapping pairs like 'aaaa', and count ties) —
+    pure driver-side property, no Spark session needed."""
+    from edna_dbt_library_spark.operators.tokenizer import (
+        _learn_merges_naive,
+        learn_merges,
+    )
+
+    assert learn_merges(word_freqs, n_merges) == _learn_merges_naive(word_freqs, n_merges)

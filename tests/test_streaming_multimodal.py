@@ -379,3 +379,151 @@ def test_curation_verdict_runs_under_structured_streaming(spark, tmp_path):
     streamed = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     batch = sorted(map(tuple, curation_verdict(spark.read.parquet(src)).collect()))
     assert streamed == batch and len(streamed) == 60
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (multimodal.perceptual_hash_images /
+# image_near_dup_pairs): dHash/aHash over REAL decoded PNG pixels,
+# banded-Hamming blocking from operators.dedup.banded_hamming_pairs.
+
+
+def _png_rgb(width: int, height: int, pix) -> bytes:
+    """Valid PNG (color type 2, filter 0 scanlines) with REAL pixel
+    content from ``pix(x, y) -> (r, g, b)`` — stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        for x in range(width):
+            raw.extend(pix(x, y))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _grad(x, y):
+    return ((x * 200) // 64, (y * 200) // 64, ((x + y) * 100) // 64)
+
+
+def _grad_bright(x, y):
+    return tuple(v + 4 for v in _grad(x, y))
+
+
+def _grad_shift(x, y):
+    return _grad(min(x + 1, 63), y)
+
+
+def _noise(x, y):
+    v = (x * 31 + y * 17) * 2654435761 % 2**32
+    return (v % 251, (v >> 8) % 251, (v >> 16) % 251)
+
+
+def test_dhash_properties_on_decoded_pixels():
+    """dHash over real decoded PNG pixels: brightness shifts are
+    invariant (difference hash), a 1-px shift moves few bits, unrelated
+    noise is far; aHash is brightness-sensitive but stable."""
+    from edna_dbt_library_spark.operators.multimodal import (
+        ahash_int,
+        decode_png_pixels,
+        dhash_int,
+    )
+
+    def h(pix):
+        d = decode_png_pixels(_png_rgb(64, 64, pix))
+        assert d is not None and len(d["pixels"]) == 64 * 64 * 3
+        a = (d["pixels"], d["width"], d["height"], d["channels"])
+        return dhash_int(*a), ahash_int(*a)
+
+    d_base, a_base = h(_grad)
+    d_bright, _ = h(_grad_bright)
+    d_shift, _ = h(_grad_shift)
+    d_noise, a_noise = h(_noise)
+
+    def ham(u, v):
+        return bin((u ^ v) & (2**64 - 1)).count("1")
+
+    assert ham(d_base, d_bright) == 0  # brightness-invariant
+    assert ham(d_base, d_shift) <= 12  # small perturbation, few bits
+    assert ham(d_base, d_noise) >= 16  # unrelated content is far
+    assert a_base != a_noise
+
+
+def test_perceptual_hash_images_arrow_path(spark):
+    """The distributed Arrow path returns exactly the driver-side hashes;
+    non-PNG and NULL content yield NULL hashes with decoded=false."""
+    from edna_dbt_library_spark.operators.multimodal import (
+        decode_png_pixels,
+        dhash_int,
+        perceptual_hash_images,
+    )
+
+    base = _png_rgb(64, 64, _grad)
+    noise = _png_rgb(64, 64, _noise)
+    df = spark.createDataFrame(
+        [(1, base), (2, noise), (3, b"not a png"), (4, None)],
+        "doc_id long, content binary",
+    ).repartition(3)
+    rows = {r["doc_id"]: r for r in perceptual_hash_images(df).collect()}
+    d = decode_png_pixels(base)
+    assert rows[1]["dhash"] == dhash_int(
+        d["pixels"], d["width"], d["height"], d["channels"]
+    )
+    assert rows[1]["decoded"] and rows[2]["decoded"]
+    assert not rows[3]["decoded"] and rows[3]["dhash"] is None
+    assert not rows[4]["decoded"] and rows[4]["ahash"] is None
+    plan = perceptual_hash_images(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_image_near_dup_pairs_finds_planted_duplicates(spark):
+    """Planted brightness-perturbed copies pair with their originals;
+    unrelated images don't; and within the pigeonhole guarantee
+    (max_hamming <= bands-1) banded blocking equals the exhaustive
+    all-pairs answer computed driver-side."""
+    from edna_dbt_library_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        perceptual_hash_images,
+    )
+
+    imgs = [
+        (1, _png_rgb(64, 64, _grad)),
+        (2, _png_rgb(64, 64, _grad_bright)),  # near-dup of 1 (hamming 0)
+        (3, _png_rgb(64, 64, _noise)),
+        (4, _png_rgb(48, 32, lambda x, y: ((x * 5) % 200, (y * 7) % 200, 30))),
+        (5, b"junk bytes"),  # undecodable: must not appear in pairs
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, content binary")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(5 not in p for p in pairs)
+
+    # exhaustive reference over the collected hashes
+    hs = {
+        r["doc_id"]: r["dhash"] & (2**64 - 1)
+        for r in perceptual_hash_images(df).collect()
+        if r["decoded"]
+    }
+    expect = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert pairs == expect
