@@ -120,15 +120,24 @@ def learn_merges(word_freqs: list[tuple[str, int]], num_merges: int) -> list[tup
         key = tuple(w) + (END,)
         vocab[key] = vocab.get(key, 0) + f
 
+    import heapq
+
     pairs: Counter = Counter()
     # pair -> word keys that (at some point) contained it; stale members
     # (words since rewritten) are filtered on touch via the vocab lookup
     where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+    # lazy-deletion max-heap over (-count, pair): every count change
+    # pushes a fresh entry; stale entries (stored count != live count)
+    # are discarded at pop time. Best-pair selection is then O(log P)
+    # amortized instead of a full O(P) scan per merge — the second
+    # bottleneck once pair counts are incremental.
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def add_word(key: tuple[str, ...], f: int) -> None:
         for p in zip(key, key[1:]):
             pairs[p] += f
             where.setdefault(p, set()).add(key)
+            heapq.heappush(heap, (-pairs[p], p))
 
     def drop_word(key: tuple[str, ...], f: int) -> None:
         for p in zip(key, key[1:]):
@@ -136,15 +145,29 @@ def learn_merges(word_freqs: list[tuple[str, int]], num_merges: int) -> list[tup
             if pairs[p] <= 0:
                 del pairs[p]
                 where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-pairs[p], p))
 
+    # initial counts WITHOUT per-increment heap pushes; one heapify of
+    # the final counts seeds the selection heap
     for key, f in vocab.items():
-        add_word(key, f)
+        for p in zip(key, key[1:]):
+            pairs[p] += f
+            where.setdefault(p, set()).add(key)
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        if not pairs:
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if pairs.get(p, 0) == -negc:
+                best = p
+                break
+            heapq.heappop(heap)  # stale entry
+        if best is None:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         merged_sym = best[0] + best[1]
         for key in list(where.get(best, ())):

@@ -94,6 +94,26 @@ def _split(
     return IngestResult(good=good, quarantine=quarantine)
 
 
+def split_jsonl_lines(
+    lines: DataFrame,
+    schema: T.StructType,
+    required: tuple[str, ...] = (),
+) -> IngestResult:
+    """Split a one-column (``value`` string) frame of JSONL lines into
+    good/quarantine under the schema contract — the shared core of
+    :func:`load_jsonl` and the streaming ingest
+    (streaming/ingest_stream.py), so batch and per-micro-batch
+    classification are the same expressions by construction."""
+    schema = _require_schema(schema)
+    read_schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    parsed = F.from_json(
+        "value",
+        read_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    return _split(lines, parsed, schema, required)
+
+
 def load_jsonl(
     spark: SparkSession,
     path: str,
@@ -106,14 +126,7 @@ def load_jsonl(
     field) and rows with NULL required fields split into ``quarantine``
     as (reason, raw original line); everything else lands in ``good``
     with exactly the contract's columns."""
-    schema = _require_schema(schema)
-    read_schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
-    parsed = F.from_json(
-        "value",
-        read_schema,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-    )
-    return _split(spark.read.text(path), parsed, schema, required)
+    return split_jsonl_lines(spark.read.text(path), schema, required)
 
 
 def load_csv(

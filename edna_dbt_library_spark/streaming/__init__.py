@@ -2,6 +2,10 @@ from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_incremental_append,
     stream_windowed_counts,
 )
+from edna_dbt_library_spark.streaming.ingest_stream import (
+    read_ingested,
+    stream_jsonl_ingest,
+)
 from edna_dbt_library_spark.streaming.sketch_stream import (
     read_cms_counters,
     read_hll_estimates,
@@ -12,6 +16,8 @@ from edna_dbt_library_spark.streaming.sketch_stream import (
 )
 
 __all__ = [
+    "read_ingested",
+    "stream_jsonl_ingest",
     "stream_incremental_append",
     "stream_windowed_counts",
     "read_cms_counters",

@@ -171,3 +171,58 @@ def test_ingest_contract_runs_under_structured_streaming(spark, tmp_path):
     assert sorted(r["raw"] for r in out.where("bad").collect()) != []
     assert [r["url"] for r in out.where("NOT bad").collect()] == ["http://a"]
     assert out.where("bad").count() == 2
+
+
+def test_stream_jsonl_ingest_equals_batch_split(spark, tmp_path):
+    """Quarantine-aware streaming ingest (streaming/ingest_stream.py):
+    drained across multiple micro-batches (maxFilesPerTrigger=1), the
+    landed good/quarantine sets equal the batch load_jsonl split on the
+    same files — classification is stable under ANY micro-batch
+    chopping because both paths share split_jsonl_lines."""
+    import json as _json
+
+    from edna_dbt_library_spark.streaming import read_ingested, stream_jsonl_ingest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write(
+        src / "part-0.jsonl",
+        [
+            _json.dumps({"url": "http://a", "text": "hello", "fetched_at": 1}),
+            '{"broken json',
+            _json.dumps({"url": None, "text": "no url", "fetched_at": 2}),
+        ],
+    )
+    _write(
+        src / "part-1.jsonl",
+        [
+            _json.dumps({"url": "http://b", "text": "ok", "fetched_at": 3}),
+            '{"url": "http://c", "text": "bad", "fetched_at": "NaN"}',
+        ],
+    )
+    _write(
+        src / "part-2.jsonl",
+        [_json.dumps({"url": "http://d", "text": "late", "fetched_at": 4})],
+    )
+
+    store, cp = str(tmp_path / "store"), str(tmp_path / "cp")
+    q = stream_jsonl_ingest(
+        spark, str(src), SCHEMA, store, cp,
+        required=("url",), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    batch = load_jsonl(spark, str(src), SCHEMA, required=("url",))
+    s_good, s_quar = read_ingested(spark, store)
+    assert sorted(map(tuple, s_good.select("url", "text", "fetched_at").collect())) == sorted(
+        map(tuple, batch.good.collect())
+    )
+    assert sorted(map(tuple, s_quar.select("reason", "raw").collect())) == sorted(
+        map(tuple, batch.quarantine.collect())
+    )
+    # the backlog really was chopped: one batch=<id> dir per trigger
+    import os
+
+    assert len(os.listdir(tmp_path / "store" / "good")) >= 3
+    # count-vs-collect stability holds on the landed quarantine too
+    assert s_quar.count() == len(s_quar.collect()) == 3
