@@ -116,3 +116,122 @@ def profile_columns(
         "top_value",
         F.coalesce(F.col("top_value_count"), F.lit(0)).alias("top_value_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Profile drift gate: the CONTENT half of the pre-publish contract.
+# plans/contracts.py validates SHAPE (schema, versioning, descriptions);
+# this compares a batch's profile_columns output against a stored
+# baseline profile and fails the publish when the distributions moved —
+# a null-rate jump, a cardinality collapse, or a dominant value taking
+# over are exactly the incidents a schema check cannot see.
+
+DRIFT_SCHEMA = (
+    "column string, metric string, baseline_value double, "
+    "current_value double, drift double, tolerance double"
+)
+
+
+def profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    null_frac_tol: float = 0.05,
+    distinct_frac_tol: float = 0.5,
+    top_frac_tol: float = 0.2,
+) -> DataFrame:
+    """Violations between two ``profile_columns`` outputs, one row per
+    (column, metric) beyond tolerance. Profiles are one row per column
+    whatever the corpus size, so this is driver-scale DataFrame algebra
+    on top of the single-scan profile.
+
+    Metrics (all ratios of n_rows, so baselines transfer across batch
+    sizes):
+
+    * ``null_frac`` — absolute drift > ``null_frac_tol``.
+    * ``distinct_frac`` (n_distinct / n_rows) — RELATIVE drift
+      > ``distinct_frac_tol``: catches cardinality collapse (an id
+      column suddenly constant) and explosion (an enum going free-text)
+      at any scale of baseline cardinality.
+    * ``top_frac`` (top_value_count / n_rows) — one-sided increase
+      > ``top_frac_tol``: a dominant value taking over (default-value
+      flooding) fails; a value LOSING dominance doesn't.
+    * ``missing_column`` / ``new_column`` — profile row present on only
+      one side (values NULL).
+    """
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "column",
+            F.col("null_frac").alias(f"{tag}_null"),
+            (F.col("n_distinct") / F.col("n_rows")).alias(f"{tag}_dfrac"),
+            (F.col("top_value_count") / F.col("n_rows")).alias(f"{tag}_tfrac"),
+        )
+
+    j = prep(baseline, "b").join(prep(current, "c"), "column", "full_outer")
+    present = F.col("b_null").isNotNull() & F.col("c_null").isNotNull()
+
+    def row(metric: str, b, c, drift, tol: float, cond) -> DataFrame:
+        return j.where(present & cond).select(
+            "column",
+            F.lit(metric).alias("metric"),
+            b.cast("double").alias("baseline_value"),
+            c.cast("double").alias("current_value"),
+            drift.cast("double").alias("drift"),
+            F.lit(tol).cast("double").alias("tolerance"),
+        )
+
+    null_d = F.abs(F.col("c_null") - F.col("b_null"))
+    dist_d = F.abs(F.col("c_dfrac") - F.col("b_dfrac")) / F.greatest(
+        F.col("b_dfrac"), F.lit(1e-12)
+    )
+    top_d = F.col("c_tfrac") - F.col("b_tfrac")
+    out = (
+        row("null_frac", F.col("b_null"), F.col("c_null"), null_d,
+            null_frac_tol, null_d > null_frac_tol)
+        .unionByName(
+            row("distinct_frac", F.col("b_dfrac"), F.col("c_dfrac"), dist_d,
+                distinct_frac_tol, dist_d > distinct_frac_tol)
+        )
+        .unionByName(
+            row("top_frac", F.col("b_tfrac"), F.col("c_tfrac"), top_d,
+                top_frac_tol, top_d > top_frac_tol)
+        )
+    )
+    shape = j.where(~present).select(
+        "column",
+        F.when(F.col("c_null").isNull(), F.lit("missing_column"))
+        .otherwise(F.lit("new_column"))
+        .alias("metric"),
+        F.lit(None).cast("double").alias("baseline_value"),
+        F.lit(None).cast("double").alias("current_value"),
+        F.lit(None).cast("double").alias("drift"),
+        F.lit(None).cast("double").alias("tolerance"),
+    )
+    return out.unionByName(shape)
+
+
+def enforce_profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    null_frac_tol: float = 0.05,
+    distinct_frac_tol: float = 0.5,
+    top_frac_tol: float = 0.2,
+) -> None:
+    """The gate form: raise ``plans.contracts.ContractError`` listing
+    every drift violation — wire this next to ``validate_dataproduct``
+    in a publish hook so a batch that kept its schema but lost its
+    content never ships."""
+    from edna_dbt_library_spark.plans.contracts import ContractError
+
+    rows = profile_drift(
+        baseline, current, null_frac_tol, distinct_frac_tol, top_frac_tol
+    ).collect()
+    if rows:
+        lines = [
+            f"{r['column']}.{r['metric']}: baseline={r['baseline_value']} "
+            f"current={r['current_value']} drift={r['drift']} tol={r['tolerance']}"
+            for r in rows
+        ]
+        raise ContractError(
+            "profile drift beyond tolerance:\n  " + "\n  ".join(lines)
+        )

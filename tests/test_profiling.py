@@ -121,3 +121,86 @@ def test_stream_column_profiles_time_series(spark, tmp_path):
     assert fracs == [0.0, 1.0]  # the all-null batch is its own visible row
     for b in by_batch.values():
         assert b["k"]["n_rows"] == 2 and b["k"]["n_nulls"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Profile drift gate (profiling.profile_drift / enforce_profile_drift)
+
+
+def _drift_fixtures(spark):
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return base
+
+
+def test_profile_drift_clean_batch_passes(spark):
+    from edna_dbt_library_spark.operators.profiling import (
+        enforce_profile_drift,
+        profile_columns,
+        profile_drift,
+    )
+
+    base = _drift_fixtures(spark)
+    # a different (but same-distribution) slice of the same table
+    b = profile_columns(base.where(F.col("o_orderkey") % 2 == 0), exact=True)
+    c = profile_columns(base.where(F.col("o_orderkey") % 2 == 1), exact=True)
+    assert profile_drift(b, c).count() == 0
+    enforce_profile_drift(b, c)  # must not raise
+
+
+def test_profile_drift_gate_fails_injected_bad_batch(spark):
+    """An injected drifted batch — status NULLed on 40% of rows and a
+    collapsed (constant) price column — must fail the gate with the
+    right (column, metric) rows; the clean columns stay silent."""
+    import pytest as _pytest
+
+    from edna_dbt_library_spark.operators.profiling import (
+        enforce_profile_drift,
+        profile_columns,
+        profile_drift,
+    )
+    from edna_dbt_library_spark.plans.contracts import ContractError
+
+    base = _drift_fixtures(spark)
+    drifted = base.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 < 2, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),  # cardinality collapse + dominant value
+    )
+    b = profile_columns(base, exact=True)
+    c = profile_columns(drifted, exact=True)
+    v = {(r["column"], r["metric"]) for r in profile_drift(b, c).collect()}
+    assert ("o_orderstatus", "null_frac") in v
+    assert ("o_totalprice", "distinct_frac") in v
+    assert ("o_totalprice", "top_frac") in v
+    assert not any(col == "o_orderkey" for col, _m in v)
+    with _pytest.raises(ContractError, match="o_totalprice.distinct_frac"):
+        enforce_profile_drift(b, c)
+
+
+def test_profile_drift_column_set_changes(spark):
+    from edna_dbt_library_spark.operators.profiling import profile_columns, profile_drift
+
+    base = _drift_fixtures(spark)
+    b = profile_columns(base, exact=True)
+    c = profile_columns(base.drop("o_totalprice").withColumn("extra", F.lit(1)), exact=True)
+    v = {(r["column"], r["metric"]) for r in profile_drift(b, c).collect()}
+    assert ("o_totalprice", "missing_column") in v
+    assert ("extra", "new_column") in v
+
+
+def test_profile_drift_baselines_transfer_across_batch_sizes(spark):
+    """All drift metrics are ratios of n_rows, so a baseline profiled on
+    a 10x larger corpus gates a small batch without false alarms."""
+    from edna_dbt_library_spark.operators.profiling import profile_columns, profile_drift
+
+    base = _drift_fixtures(spark)
+    b = profile_columns(base, exact=True)  # full table baseline
+    c = profile_columns(base.where(F.col("o_orderkey") % 10 == 3), exact=True)
+    ok = profile_drift(b, c).where(F.col("metric") == "null_frac")
+    assert ok.count() == 0
