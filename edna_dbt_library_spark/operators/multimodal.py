@@ -307,15 +307,17 @@ def require_real_codecs() -> None:
     in this environment.
 
     PNG is decoded for real in-container (headers via parse_media_header,
-    pixels via decode_png_pixels/pixel_decode); WAV headers likewise.
-    JPEG decode, audio resampling, and video frame extraction need an
+    pixels via decode_png_pixels/pixel_decode), and WAV integer PCM
+    SAMPLES likewise (decode_wav_samples → audio_features /
+    perceptual_hash_audio). JPEG decode, compressed-audio codecs
+    (mp3/aac/opus), resampling, and video frame extraction need an
     injected codec stack."""
     raise NotImplementedError(
-        "JPEG/video/audio-sample decoding needs a codec stack (e.g. "
+        "JPEG/video/compressed-audio decoding needs a codec stack (e.g. "
         "Pillow/librosa/pyav) which is not installed here; inject a decode_fn "
         "into decode_images()/extract_features() or install codecs and wire "
-        "them in (PNG pixels and PNG/WAV headers decode stdlib-only via "
-        "decode_png_pixels/parse_media_header)"
+        "them in (PNG pixels and WAV PCM samples decode stdlib-only via "
+        "decode_png_pixels/decode_wav_samples)"
     )
 
 
@@ -581,4 +583,182 @@ def image_near_dup_pairs(
         bits=hash_size * hash_size,
         bands=bands,
         max_hamming=max_hamming,
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM SAMPLE decode + audio features/fingerprint: the audio
+# counterpart of decode_png_pixels / dHash. RIFF/WAVE integer PCM is
+# fully expressible with stdlib struct, so samples (not just headers)
+# decode honestly in-container; compressed codecs (mp3/aac/opus) stay
+# behind require_real_codecs.
+
+
+def decode_wav_samples(content: bytes | None) -> dict | None:
+    """Pure-stdlib WAV PCM sample decode: RIFF chunk walk (format 1 =
+    integer PCM; 8/16/24/32-bit), channel-averaged (integer floor) to a
+    mono sample list. Returns ``{"sample_rate", "channels", "n_frames",
+    "samples"}`` or None for non-PCM / truncated / hostile streams —
+    callers fall back to header metadata, same contract as the PNG
+    decoder."""
+    import struct
+
+    if not content or content[:4] != b"RIFF" or len(content) < 12 or content[8:12] != b"WAVE":
+        return None
+    pos, fmt_tag, channels, rate, bits, data = 12, None, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated
+        if cid == b"fmt " and clen >= 16:
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt_tag != 1 or not channels or not rate or bits not in (8, 16, 24, 32) or data is None:
+        return None
+    bytes_per = bits // 8
+    frame_size = bytes_per * channels
+    n_frames = len(data) // frame_size
+    samples: list[int] = []
+    for f in range(n_frames):
+        acc = 0
+        base = f * frame_size
+        for ch in range(channels):
+            raw = data[base + ch * bytes_per : base + (ch + 1) * bytes_per]
+            if bits == 8:  # WAV 8-bit is UNSIGNED, centered at 128
+                v = raw[0] - 128
+            else:
+                v = int.from_bytes(raw, "little", signed=True)
+            acc += v
+        # floor-division mono mix (exact integer; order-independent)
+        samples.append(acc // channels if acc >= 0 else -((-acc) // channels))
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "samples": samples,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_frames long, duration_ms long, "
+    "rms long, peak long, zero_crossings long, decoded boolean"
+)
+
+
+def audio_features(media: DataFrame, batch_rows: int | None = None) -> DataFrame:
+    """Arrow-batched SAMPLE-derived audio statistics per (doc_id,
+    content) row: exact integer RMS (isqrt of mean square), peak
+    amplitude, zero-crossing count, duration from the real frame count.
+    Undecodable rows keep NULL stats with decoded = false."""
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_frames", "duration_ms",
+                "rms", "peak", "zero_crossings", "decoded",
+            )}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_wav_samples(bytes(content)) if content is not None else None
+                out["doc_id"].append(did)
+                if d is None or d["n_frames"] == 0:
+                    for k in ("sample_rate", "n_frames", "duration_ms", "rms", "peak", "zero_crossings"):
+                        out[k].append(None)
+                    out["decoded"].append(False)
+                    continue
+                s = d["samples"]
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_frames"].append(d["n_frames"])
+                out["duration_ms"].append(d["n_frames"] * 1000 // d["sample_rate"])
+                out["rms"].append(math.isqrt(sum(v * v for v in s) // len(s)))
+                out["peak"].append(max(abs(v) for v in s))
+                out["zero_crossings"].append(
+                    sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+                )
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "content").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def audio_fingerprint_int(samples: list[int], n_bits: int = 64) -> int:
+    """Energy-delta fingerprint: split the mono samples into
+    ``n_bits + 1`` equal frames (floor boundaries, clamped non-empty),
+    frame energy = exact integer sum of squares, bit i set when frame
+    i+1 is strictly louder than frame i. Volume scaling multiplies all
+    energies by the same positive factor, so the comparisons — and the
+    fingerprint — are invariant, the audio analogue of dHash's
+    brightness invariance. Signed 64-bit (Spark LongType)."""
+    n = len(samples)
+    frames = n_bits + 1
+    energies = []
+    for i in range(frames):
+        lo, hi = i * n // frames, max((i + 1) * n // frames, i * n // frames + 1)
+        energies.append(sum(v * v for v in samples[lo:hi]))
+    bits = 0
+    for i in range(n_bits):
+        bits = (bits << 1) | (1 if energies[i + 1] > energies[i] else 0)
+    return _to_signed64(bits)
+
+
+AUDIO_PHASH_SCHEMA = "doc_id long, afp long, decoded boolean"
+
+
+def perceptual_hash_audio(
+    media: DataFrame, n_bits: int = 64, batch_rows: int | None = None
+) -> DataFrame:
+    """Arrow-batched audio fingerprints over (doc_id, content):
+    (doc_id, afp, decoded); non-PCM rows yield NULL with decoded=false."""
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps, ok = [], [], []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_wav_samples(bytes(content)) if content is not None else None
+                ids.append(did)
+                if d is None or d["n_frames"] == 0:
+                    fps.append(None)
+                    ok.append(False)
+                else:
+                    fps.append(audio_fingerprint_int(d["samples"], n_bits))
+                    ok.append(True)
+            yield pd.DataFrame({"doc_id": ids, "afp": fps, "decoded": ok})
+
+    return media.select("doc_id", "content").mapInPandas(run, AUDIO_PHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprint every decodable PCM row,
+    then the shared banded-Hamming blocking
+    (operators.dedup.banded_hamming_pairs) — full recall while
+    ``max_hamming`` <= ``bands`` - 1. Catches re-encoded / re-leveled
+    copies of the same recording without an all-pairs join."""
+    from edna_dbt_library_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = perceptual_hash_audio(media, n_bits).where(F.col("decoded"))
+    return banded_hamming_pairs(
+        sigs, sig_col="afp", bits=n_bits, bands=bands, max_hamming=max_hamming
     )

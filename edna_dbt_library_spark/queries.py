@@ -4270,6 +4270,91 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+# --- audio fingerprint near-dup pairs -------------------------------------
+# Same gating structure as image_phash_pairs: WAV PCM fixtures built at
+# import (stdlib struct), oracle fingerprints computed DIRECTLY from the
+# sample functions (naive loops — no WAV bytes, no decode), exhaustive
+# SQL pairs == banded blocking within the pigeonhole bound.
+
+_AUD_N, _AUD_RATE = 6500, 8000
+
+
+def _aud_samplefns() -> list[tuple[int, "Callable[[int], int]"]]:
+    def tone(period, amp, phase, env):
+        def s(i):
+            base = amp if ((i + phase) // period) % 2 == 0 else -amp
+            return base * env[(i // 100) % len(env)]
+
+        return s
+
+    return [
+        (1, tone(13, 800, 0, (1, 3, 2, 5, 4))),
+        (2, tone(13, 1600, 0, (1, 3, 2, 5, 4))),  # exact 2x re-level of doc 1
+        (3, tone(57, 800, 29, (5, 4, 3, 2, 1))),
+        (4, tone(101, 500, 3, (1, 2, 3, 4, 5))),
+        (5, tone(31, 700, 11, (3, 1, 4, 1, 5))),
+    ]
+
+
+def _aud_wav_bytes() -> list[tuple[int, bytes]]:
+    import struct
+
+    out = []
+    for did, s in _aud_samplefns():
+        data = b"".join(
+            int(s(i)).to_bytes(2, "little", signed=True) for i in range(_AUD_N)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, _AUD_RATE, _AUD_RATE * 2, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        out.append((did, b"RIFF" + struct.pack("<I", len(body)) + body))
+    return out
+
+
+def _naive_audio_fp(s, n: int, bits: int = 64) -> int:
+    """Independent energy-delta fingerprint from the SOURCE sample
+    function — shares no code or bytes with operators.multimodal."""
+    frames = bits + 1
+    e = []
+    for i in range(frames):
+        lo, hi = i * n // frames, max((i + 1) * n // frames, i * n // frames + 1)
+        e.append(sum(s(j) * s(j) for j in range(lo, hi)))
+    v = 0
+    for i in range(bits):
+        v = (v << 1) | (1 if e[i + 1] > e[i] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _audio_fp_oracle(max_hamming: int = 3) -> str:
+    vals = ", ".join(
+        f"({did}, {_naive_audio_fp(s, _AUD_N)}::BIGINT)" for did, s in _aud_samplefns()
+    )
+    return f"""
+WITH h(doc_id, sig) AS (VALUES {vals})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+@_register("audio_fp_pairs", _audio_fp_oracle())
+def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (operators/multimodal.audio_near_dup_pairs):
+    real WAV PCM bytes decoded distributed (stdlib RIFF walk + integer
+    mono mix), energy-delta fingerprinted (volume-invariant: doc 2 is
+    an exact 2x re-level of doc 1 and must pair at hamming 0), and
+    paired via the shared banded Hamming blocking — gated against
+    exhaustive pairs over fingerprints computed independently from the
+    source sample functions."""
+    from edna_dbt_library_spark.operators.multimodal import audio_near_dup_pairs
+
+    media = spark.createDataFrame(_aud_wav_bytes(), "doc_id long, content binary")
+    return audio_near_dup_pairs(media, max_hamming=3, bands=4)
+
+
 def _sampling_methods_oracle() -> str:
     s = REGISTRY["sample_stratified"].oracle
     w = REGISTRY["weighted_sample_quality"].oracle

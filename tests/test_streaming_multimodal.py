@@ -527,3 +527,132 @@ def test_image_near_dup_pairs_finds_planted_duplicates(spark):
         if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
     }
     assert pairs == expect
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample decode + audio features/fingerprints
+# (multimodal.decode_wav_samples / audio_features / audio_near_dup_pairs)
+
+
+def _wav_pcm(samples_per_channel, rate=8000, bits=16):
+    """Valid RIFF/WAVE integer PCM with REAL sample content.
+    ``samples_per_channel`` is a list of per-channel sample lists."""
+    import struct
+
+    channels = len(samples_per_channel)
+    n = len(samples_per_channel[0])
+    data = bytearray()
+    for f in range(n):
+        for ch in range(channels):
+            v = samples_per_channel[ch][f]
+            if bits == 8:
+                data.append((v + 128) & 0xFF)  # 8-bit WAV is unsigned
+            else:
+                data += int(v).to_bytes(bits // 8, "little", signed=True)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _tone(n, period, amp, phase=0, env=(1, 3, 2, 5, 4)):
+    """Deterministic integer square wave under a stepped loudness
+    envelope — the envelope PATTERN is what the energy-delta
+    fingerprint sees, so different patterns give distant prints."""
+    return [
+        (amp if ((i + phase) // period) % 2 == 0 else -amp) * env[(i // 100) % len(env)]
+        for i in range(n)
+    ]
+
+
+def test_decode_wav_samples_roundtrip_and_mix():
+    from edna_dbt_library_spark.operators.multimodal import decode_wav_samples
+
+    left = [0, 100, -100, 32000, -32000, 7]
+    right = [10, -100, 100, 32000, -32000, 8]
+    d = decode_wav_samples(_wav_pcm([left, right], rate=16000))
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (16000, 2, 6)
+    # integer mono mix, truncation toward zero
+    assert d["samples"] == [5, 0, 0, 32000, -32000, 7]
+    # mono 16-bit roundtrips exactly
+    assert decode_wav_samples(_wav_pcm([left]))["samples"] == left
+    # 8-bit unsigned recenters at 128
+    d8 = decode_wav_samples(_wav_pcm([[0, 127, -128]], bits=8))
+    assert d8["samples"] == [0, 127, -128]
+    # junk and non-PCM refuse politely
+    assert decode_wav_samples(b"not audio") is None
+    assert decode_wav_samples(None) is None
+
+
+def test_audio_features_hand_check(spark):
+    import math
+
+    from edna_dbt_library_spark.operators.multimodal import audio_features
+
+    s = [1000, -1000] * 400  # 800 frames at 8000 Hz -> 100 ms
+    df = spark.createDataFrame(
+        [(1, _wav_pcm([s])), (2, b"junk"), (3, None)], "doc_id long, content binary"
+    )
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+    r1 = rows[1]
+    assert r1["decoded"] and r1["n_frames"] == 800 and r1["duration_ms"] == 100
+    assert r1["peak"] == 1000 and r1["rms"] == math.isqrt(1000 * 1000)
+    assert r1["zero_crossings"] == 799  # alternates every sample
+    assert not rows[2]["decoded"] and rows[2]["rms"] is None
+    assert not rows[3]["decoded"]
+
+
+def test_audio_fingerprint_volume_invariance():
+    from edna_dbt_library_spark.operators.multimodal import (
+        audio_fingerprint_int,
+        decode_wav_samples,
+    )
+
+    base = _tone(6500, 13, 800)
+    louder = [v * 2 for v in base]  # exact 2x gain, no clipping
+    other = _tone(6500, 57, 800, phase=29, env=(5, 4, 3, 2, 1))
+    fp = lambda s: audio_fingerprint_int(s) & (2**64 - 1)
+    assert fp(base) == fp(louder)  # volume-invariant
+    dist = bin(fp(base) ^ fp(other)).count("1")
+    assert dist >= 10
+    # the fingerprint survives the WAV encode/decode roundtrip
+    assert fp(decode_wav_samples(_wav_pcm([base]))["samples"]) == fp(base)
+
+
+def test_audio_near_dup_pairs_finds_releveled_copy(spark):
+    from edna_dbt_library_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        perceptual_hash_audio,
+    )
+
+    base = _tone(6500, 13, 800)
+    rows = [
+        (1, _wav_pcm([base])),
+        (2, _wav_pcm([[v * 2 for v in base]])),  # re-leveled copy of 1
+        (3, _wav_pcm([_tone(6500, 57, 800, phase=29, env=(5, 4, 3, 2, 1))])),
+        (4, _wav_pcm([_tone(6500, 101, 500, phase=3, env=(1, 2, 3, 4, 5))])),
+        (5, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert all(5 not in p for p in pairs)
+    # banded blocking equals the exhaustive answer within the pigeonhole bound
+    hs = {
+        r["doc_id"]: r["afp"] & (2**64 - 1)
+        for r in perceptual_hash_audio(df).collect()
+        if r["decoded"]
+    }
+    expect = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert pairs == expect
