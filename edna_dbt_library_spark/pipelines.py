@@ -17,6 +17,9 @@ before the next, more expensive one runs):
 3. **Near dedup** — capped MinHash-LSH candidate pairs →
    connected-components clusters → min-id keeper. The stop-bucket cap
    is on by default (the measured 100 TB path, PLAN_AUDIT.md).
+3b/3c. **Semantic / media dedup** (optional) — SemDeDup over supplied
+   embeddings; perceptual near-dup (dHash / audio energy-delta
+   fingerprints) over attached media bytes.
 4. **Token counting** — trained BPE if merges are supplied, else the
    zero-shuffle regex estimate.
 5. **Shard export** — deterministic shuffled parquet shards, ready for
@@ -86,6 +89,9 @@ def curate_corpus(
     max_cross_entropy: float | None = None,
     lm_train_docs: DataFrame | None = None,
     lm_alpha: float = 0.5,
+    media: DataFrame | None = None,
+    media_kind: str = "image",
+    media_max_hamming: int = 3,
     out_path: str | None = None,
     n_shards: int = 16,
     shard_salt: str = "",
@@ -207,6 +213,38 @@ def curate_corpus(
             .where(F.coalesce(F.col("keep"), F.lit(True)))  # docs w/o vectors stay
             .select(*scored.columns),
             "after_semantic_dedup",
+        )
+
+    # 3c. media dedup (optional): perceptual near-dup on attached
+    # image/audio bytes — re-encoded or re-leveled copies of the same
+    # asset collapse to the min-id keeper even when their text differs.
+    # Only still-kept docs hash (the expensive byte pass runs after every
+    # text cut); docs without media pass through.
+    if media is not None:
+        from edna_dbt_library_spark.operators.dedup import duplicate_clusters
+        from edna_dbt_library_spark.operators.multimodal import (
+            audio_near_dup_pairs,
+            image_near_dup_pairs,
+        )
+
+        if media_kind not in ("image", "audio"):
+            raise ValueError(f"media_kind must be image|audio, got {media_kind!r}")
+        m = media.select(F.col(id_col).alias("doc_id"), "content").join(
+            kept.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        mpairs = (
+            image_near_dup_pairs(m, max_hamming=media_max_hamming)
+            if media_kind == "image"
+            else audio_near_dup_pairs(m, max_hamming=media_max_hamming)
+        )
+        mclusters = duplicate_clusters(mpairs.select("doc_a", "doc_b")).withColumnRenamed(
+            "doc_id", "_md_id"
+        )
+        kept, report.counts["after_media_dedup"] = stage(
+            kept.join(mclusters, kept[id_col] == F.col("_md_id"), "left")
+            .where(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
+            .select(*scored.columns),
+            "after_media_dedup",
         )
 
     # 4. token counts (trained BPE when merges are provided)

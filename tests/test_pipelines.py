@@ -149,6 +149,32 @@ def test_curate_corpus_perplexity_stage(spark):
     assert 9050 in {r["doc_id"] for r in rep_inf.kept.select("doc_id").collect()}
 
 
+def test_curate_corpus_media_dedup_stage(spark):
+    """With media supplied, docs whose attached images are perceptual
+    near-dups collapse to the min-id keeper; docs without media pass."""
+    from tests.test_streaming_multimodal import _grad, _grad_bright, _noise, _png_rgb
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(30)
+    media = spark.createDataFrame(
+        [
+            (2, _png_rgb(64, 64, _grad)),
+            (5, _png_rgb(64, 64, _grad_bright)),  # near-dup image of doc 2's
+            (9, _png_rgb(64, 64, _noise)),
+        ],
+        "doc_id long, content binary",
+    )
+    rep0 = curate_corpus(docs, min_quality=0.0)
+    kept0 = {r["doc_id"] for r in rep0.kept.select("doc_id").collect()}
+    assert {2, 5, 9} <= kept0  # all three survive the text stages
+
+    rep = curate_corpus(docs, min_quality=0.0, media=media, media_kind="image")
+    assert rep.counts["after_media_dedup"] == rep.counts["after_near_dedup"] - 1
+    kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
+    assert 2 in kept_ids and 5 not in kept_ids  # min-id keeper
+    assert 9 in kept_ids  # distinct image survives
+    assert (kept0 - {5}) == kept_ids  # media-less docs untouched
+
+
 def test_curate_corpus_semantic_stage(spark):
     """With embeddings supplied, paraphrase-level redundancy dies in the
     semantic stage: planted near-identical vectors collapse to the
