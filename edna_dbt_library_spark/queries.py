@@ -4270,6 +4270,79 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+# --- profile drift gate ----------------------------------------------------
+# The content-contract gate (operators/profiling.profile_drift): a
+# shared Spark/DuckDB SQL expression injects the drifted batch (40%
+# NULL flood on o_orderstatus; o_custkey collapsed to a constant), and
+# the oracle replays the full ratio algebra. All inputs are exact
+# integer counts, every double op is a deterministic IEEE chain over
+# them, so the violation rows hash bit-identically.
+
+DRIFT_COLS = ("o_orderkey", "o_orderstatus", "o_custkey")
+#: shared drifted-batch construction (portable SQL: CASE/%/casts)
+DRIFT_BUILD_SQL = (
+    "SELECT o_orderkey, "
+    "CASE WHEN o_orderkey % 5 < 2 THEN NULL ELSE o_orderstatus END AS o_orderstatus, "
+    "CAST(42 AS BIGINT) AS o_custkey FROM {src}"
+)
+DRIFT_TOLS = {"null_frac": 0.05, "distinct_frac": 0.5, "top_frac": 0.2}
+
+
+def _drift_stats_block(c: str, src: str) -> str:
+    return f"""
+SELECT '{c}' AS col,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS nf,
+       count(DISTINCT {c})::DOUBLE / count(*) AS dfrac,
+       (SELECT count(*) FROM {src} WHERE {c} IS NOT NULL GROUP BY {c}
+        ORDER BY count(*) DESC, {c}::VARCHAR LIMIT 1)::DOUBLE / count(*) AS tfrac
+FROM {src}"""
+
+
+def _profile_drift_oracle() -> str:
+    base = " UNION ALL ".join(_drift_stats_block(c, "orders") for c in DRIFT_COLS)
+    cur = " UNION ALL ".join(_drift_stats_block(c, "drifted") for c in DRIFT_COLS)
+    nt, dt, tt = DRIFT_TOLS["null_frac"], DRIFT_TOLS["distinct_frac"], DRIFT_TOLS["top_frac"]
+    return f"""
+WITH drifted AS ({DRIFT_BUILD_SQL.format(src="orders")}),
+b AS ({base}), c AS ({cur}),
+j AS (
+    SELECT b.col, b.nf AS b_null, b.dfrac AS b_dfrac, b.tfrac AS b_tfrac,
+           c.nf AS c_null, c.dfrac AS c_dfrac, c.tfrac AS c_tfrac
+    FROM b JOIN c USING (col)
+)
+SELECT col AS "column", 'null_frac' AS metric, b_null AS baseline_value,
+       c_null AS current_value, abs(c_null - b_null) AS drift, {nt!r}::DOUBLE AS tolerance
+FROM j WHERE abs(c_null - b_null) > {nt!r}
+UNION ALL
+SELECT col, 'distinct_frac', b_dfrac, c_dfrac,
+       abs(c_dfrac - b_dfrac) / greatest(b_dfrac, 1e-12), {dt!r}::DOUBLE
+FROM j WHERE abs(c_dfrac - b_dfrac) / greatest(b_dfrac, 1e-12) > {dt!r}
+UNION ALL
+SELECT col, 'top_frac', b_tfrac, c_tfrac, c_tfrac - b_tfrac, {tt!r}::DOUBLE
+FROM j WHERE c_tfrac - b_tfrac > {tt!r}"""
+
+
+@_register("profile_drift_orders", _profile_drift_oracle())
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift gate (operators/profiling.profile_drift): exact
+    profiles of orders vs a shared-SQL drifted batch; the violation set
+    — a null-rate jump on o_orderstatus, a cardinality collapse and a
+    dominant value takeover on o_custkey, and NOTHING on the clean
+    o_orderkey — must replay exactly in DuckDB."""
+    from edna_dbt_library_spark.operators.profiling import profile_columns, profile_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_drift_src")
+    drifted = spark.sql(DRIFT_BUILD_SQL.format(src="_drift_src"))
+    return profile_drift(
+        profile_columns(orders.select(*DRIFT_COLS), exact=True),
+        profile_columns(drifted, exact=True),
+        null_frac_tol=DRIFT_TOLS["null_frac"],
+        distinct_frac_tol=DRIFT_TOLS["distinct_frac"],
+        top_frac_tol=DRIFT_TOLS["top_frac"],
+    )
+
+
 # --- audio fingerprint near-dup pairs -------------------------------------
 # Same gating structure as image_phash_pairs: WAV PCM fixtures built at
 # import (stdlib struct), oracle fingerprints computed DIRECTLY from the
