@@ -4328,7 +4328,14 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles of orders vs a shared-SQL drifted batch; the violation set
     — a null-rate jump on o_orderstatus, a cardinality collapse and a
     dominant value takeover on o_custkey, and NOTHING on the clean
-    o_orderkey — must replay exactly in DuckDB."""
+    o_orderkey — must replay exactly in DuckDB.
+
+    GATE artifact (like retrieval_scores): its plan runs TWO exact
+    profiles (per-column count-distinct + shared top-value shuffle,
+    twice) plus the violation unions. Production profiles each batch
+    once (usually approx), stores the tiny per-column result, and the
+    drift comparison itself is driver-scale algebra over those stored
+    rows — the expensive part never reruns."""
     from edna_dbt_library_spark.operators.profiling import profile_columns, profile_drift
 
     orders = _t(spark, sf_dir, "orders")

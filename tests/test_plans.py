@@ -152,3 +152,46 @@ def test_semantic_dedup_pair_join_keys_on_cell(spark):
     emb = load_table(spark, SF, "embeddings")
     plan = plan_text(semantic_dedup(emb, n_cells=8, iters=1, threshold=0.3))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_perceptual_pair_chain_joins_signatures_not_bytes(spark):
+    """image/audio near-dup: the Arrow hashing pass materializes into
+    the banded bucket checkpoint, so the PAIR plan contains no Python
+    at all — the self-join runs over the pinned (id, sig, band, bsig)
+    frame, never re-decoding the bytes per join side."""
+    for name in ("image_phash_pairs", "audio_fp_pairs"):
+        plan = plan_text(Q.queries()[name](spark, SF))
+        assert "MapInPandas" not in plan, name  # bytes never re-enter
+        assert "BatchEvalPython" not in plan, name
+        assert "Scan ExistingRDD" in plan, name  # the checkpointed sigs
+
+
+def test_banded_hamming_band_join_no_smj(spark):
+    """The band-bucket self-join must hash-join (band values are tiny
+    ints + bit slices); a SortMergeJoin here means the blocking frame
+    lost its stats."""
+    from edna_dbt_library_spark.operators.dedup import banded_hamming_pairs
+    from pyspark.sql import functions as F
+
+    sigs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2654435761).alias("sig")
+    )
+    plan = plan_text(banded_hamming_pairs(sigs, "sig", bits=64, bands=4))
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_bpe_row_scan_side_and_single_arrow(spark):
+    """The consolidated url/bpe gate row: URL algebra is pure codegen
+    over the scan (zero shuffles on that branch); the BPE branch is one
+    Arrow pass over a literal frame."""
+    plan = Q.queries()["url_bpe_tokens"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_profile_drift_is_driver_scale_after_profiles(spark):
+    """The drift comparison joins two one-row-per-column profiles — no
+    Python UDFs; everything beyond the two profile scans is Column
+    algebra."""
+    plan = plan_text(Q.queries()["profile_drift_orders"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
