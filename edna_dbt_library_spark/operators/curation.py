@@ -74,6 +74,51 @@ def deterministic_sample(
     return df.where(hash_permille(key) < rate)
 
 
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split_col`` label
+    from disjoint md5 ranges over ``ppm(salt || key)`` (parts per
+    million). Membership is a pure function of the key, so it is stable
+    across runs, partitionings, engines and cluster sizes; every table
+    sharing the key lands in the same split (features and labels never
+    straddle train/test); and changing ``salt`` re-deals the whole
+    assignment without touching data. Fractions must sum to 1 (±1e-9);
+    ranges follow the mapping's insertion order, boundaries floored to
+    integer ppm with the LAST split absorbing the rounding remainder.
+    Zero shuffle — the label is scan-side Column algebra."""
+    fractions = dict(
+        {"train": 0.9, "val": 0.05, "test": 0.05} if fractions is None else fractions
+    )
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.col(key) if isinstance(key, str) else key
+    coin = F.pmod(
+        minhash_word_value(
+            F.concat(F.lit(salt), key.cast("string")), fast=False
+        ),
+        F.lit(1_000_000),
+    )
+    names = list(fractions)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(int(acc * 1_000_000))
+    label = F.lit(names[-1])
+    lo = 0
+    for name, hi in zip(names[:-1], bounds):
+        label = F.when((coin >= lo) & (coin < hi), F.lit(name)).otherwise(label)
+        lo = hi
+    return df.withColumn(split_col, label)
+
+
 def domain_mix_sample(
     df: DataFrame,
     key: Column | str,

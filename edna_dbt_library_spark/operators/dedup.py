@@ -320,6 +320,93 @@ def banded_hamming_pairs(
     )
 
 
+def edit_distance_pairs(
+    records: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+    lowercase: bool = True,
+    collapse_exact: bool = False,
+) -> DataFrame:
+    """Record-linkage candidate pairs within Levenshtein distance
+    ``max_dist`` — typo-level duplicate detection for short strings
+    (names, titles, product labels) where shingle/minhash machinery is
+    overkill and exact hashing misses single-character edits.
+
+    Blocking: (first character, length band of width ``max_dist + 1``).
+    The length dimension is LOSSLESS — two strings within distance k
+    differ in length by at most k, i.e. at most one band, and the
+    lower-id side is exploded to its {b-1, b, b+1} neighbor bands so
+    every qualifying pair shares a join key exactly once (no distinct
+    needed). The first-character key is the classic record-linkage
+    trade: an edit at position 0 crosses blocks (documented recall
+    loss, same contract as banded SimHash beyond ``bands - 1``).
+    Verification is exact JVM ``levenshtein`` on the blocked
+    candidates only. Output: (doc_a, doc_b, distance), doc_a < doc_b.
+
+    Scale guard — ``collapse_exact=True`` is the 100 TB form: rows
+    sharing an identical (normalized) string are a distance-0 CLIQUE,
+    and enumerating cliques is O(m²) per repeated value (measured on
+    the sf0.1 part fixture: 3.12M enumerated pairs, of which ALL are
+    exact-name duplicates over just 64 distinct strings). Collapsed
+    mode dedupes to distinct strings first (min-id representative +
+    clique size), runs the blocked edit-distance join between DISTINCT
+    strings only — bounded by distinct-value count², independent of
+    corpus duplication — and returns (doc_a, doc_b, distance, n_a,
+    n_b). Exact cliques themselves are one hash shuffle away via
+    ``exact_duplicate_groups``; they never belong in a pair join.
+    """
+    width = max_dist + 1
+    nm = F.col(text_col)
+    if lowercase:
+        nm = F.lower(nm)
+    base = records.select(F.col(id_col).alias("rid"), nm.alias("nm")).where(
+        F.col("nm").isNotNull() & (F.length("nm") > 0)
+    )
+    if collapse_exact:
+        base = base.groupBy("nm").agg(
+            F.min("rid").alias("rid"), F.count(F.lit(1)).alias("n_rows")
+        )
+    base = base.select(
+        "*",
+        F.substring("nm", 1, 1).alias("c1"),
+        F.floor(F.length("nm") / width).alias("b"),
+    )
+    extra_a = [F.col("n_rows").alias("n_a")] if collapse_exact else []
+    extra_b = [F.col("n_rows").alias("n_b")] if collapse_exact else []
+    a = base.select(
+        F.col("rid").alias("rid_a"),
+        F.col("nm").alias("nm_a"),
+        "c1",
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("band"),
+        *extra_a,
+    )
+    b = base.select(
+        F.col("rid").alias("rid_b"),
+        F.col("nm").alias("nm_b"),
+        "c1",
+        F.col("b").alias("band"),
+        *extra_b,
+    )
+    dist = F.levenshtein("nm_a", "nm_b")
+    out_cols = [
+        F.col("rid_a").alias("doc_a"),
+        F.col("rid_b").alias("doc_b"),
+        dist.cast("int").alias("distance"),
+    ]
+    if collapse_exact:
+        out_cols += [F.col("n_a"), F.col("n_b")]
+    return (
+        a.join(b, ["c1", "band"])
+        .where(F.col("rid_a") < F.col("rid_b"))
+        .where(F.abs(F.length("nm_a") - F.length("nm_b")) <= max_dist)
+        .select(*out_cols)
+        .where(F.col("distance") <= max_dist)
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 8,

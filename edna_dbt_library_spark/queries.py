@@ -4270,6 +4270,125 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+# --- edit-distance record linkage ------------------------------------------
+
+LINK_MAX_DIST = 1
+
+_LINKAGE_ORACLE = f"""
+WITH p AS (
+    SELECT p_partkey AS rid, lower(p_name) AS nm FROM part WHERE p_name IS NOT NULL AND len(p_name) > 0
+), blocked AS (
+    SELECT rid, nm, substr(nm, 1, 1) AS c1, (len(nm) // {LINK_MAX_DIST + 1})::BIGINT AS b FROM p
+), a AS (
+    SELECT rid, nm, c1, b + d.d AS band FROM blocked, (VALUES (-1), (0), (1)) d(d)
+)
+SELECT a.rid::BIGINT AS doc_a, bb.rid::BIGINT AS doc_b,
+       levenshtein(a.nm, bb.nm)::INTEGER AS distance
+FROM a JOIN blocked bb ON a.c1 = bb.c1 AND a.band = bb.b AND a.rid < bb.rid
+WHERE abs(len(a.nm) - len(bb.nm)) <= {LINK_MAX_DIST}
+  AND levenshtein(a.nm, bb.nm) <= {LINK_MAX_DIST}"""
+
+
+@_register("name_linkage_pairs", _LINKAGE_ORACLE)
+def name_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage (operators/dedup.edit_distance_pairs)
+    over part names: typo-level duplicate pairs within Levenshtein
+    distance 1, blocked on (first char, lossless length band), verified
+    with exact JVM levenshtein — the whole blocked pipeline replays in
+    DuckDB."""
+    from edna_dbt_library_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "part"), text_col="p_name", id_col="p_partkey",
+        max_dist=LINK_MAX_DIST,
+    )
+
+
+# --- ROLLUP / grouping-sets aggregates --------------------------------------
+
+_ROLLUP_REGION_ORACLE = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       (2 * grouping(r_name) + grouping(n_name))::BIGINT AS gid,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)"""
+
+
+@_register("rollup_region_revenue", _ROLLUP_REGION_ORACLE)
+def rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total) with
+    grouping-id disambiguation — the multi-level summary surface
+    (Spark df.rollup == SQL GROUP BY ROLLUP). Decimal-exact sums make
+    the subtotal doubles bit-identical; 'ALL' coalesce is safe because
+    neither name column is nullable in the data."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _r2d(F.sum(_dec("o_totalprice", 18, 2))).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.col("gid").cast("long").alias("gid"),
+            "total_revenue",
+            "n_orders",
+        )
+    )
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SALT = "epoch0"
+
+
+def _split_oracle() -> str:
+    coin = DUCK_H60.format(c=f"'{SPLIT_SALT}' || doc_id::VARCHAR") + " % 1000000"
+    names = list(SPLIT_FRACTIONS)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += SPLIT_FRACTIONS[name]
+        bounds.append(int(acc * 1_000_000))
+    whens, lo = [], 0
+    for name, hi in zip(names[:-1], bounds):
+        whens.append(f"WHEN c >= {lo} AND c < {hi} THEN '{name}'")
+        lo = hi
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH coined AS (SELECT doc_id, {coin} AS c FROM documents)
+SELECT doc_id, {case} AS split FROM coined"""
+
+
+@_register("train_val_test_split", _split_oracle())
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment
+    (operators/curation.hash_split): disjoint md5-ppm ranges keyed on
+    (salt, doc_id) — stable across engines and partitionings, so the
+    whole per-row assignment hash-gates."""
+    from edna_dbt_library_spark.operators.curation import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", SPLIT_FRACTIONS, salt=SPLIT_SALT).select(
+        "doc_id", "split"
+    )
+
+
 # --- profile drift gate ----------------------------------------------------
 # The content-contract gate (operators/profiling.profile_drift): a
 # shared Spark/DuckDB SQL expression injects the drifted batch (40%
