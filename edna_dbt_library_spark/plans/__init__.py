@@ -24,7 +24,7 @@ from edna_dbt_library_spark.plans.naming import (
     generate_schema_name,
     get_deployed_relation,
 )
-from edna_dbt_library_spark.plans.registry import Model, Runner
+from edna_dbt_library_spark.plans.registry import Model, ProfileGateConfig, Runner
 
 __all__ = [
     "CATALOG_SCHEMA",
@@ -50,5 +50,6 @@ __all__ = [
     "generate_schema_name",
     "get_deployed_relation",
     "Model",
+    "ProfileGateConfig",
     "Runner",
 ]

@@ -34,12 +34,30 @@ from edna_dbt_library_spark.sources.warehouse import Relation, TableMeta, Wareho
 
 
 @dataclass
+class ProfileGateConfig:
+    """Content-contract gate for the publish lifecycle: the batch's
+    column profile is checked against the baseline stored with the
+    deployed table (operators/profiling.profile_drift) BEFORE anything
+    is written; on a passing run the baseline refreshes. The schema
+    gate (validate_dataproduct) catches shape breaks, this catches a
+    batch that kept its schema but lost its content."""
+
+    columns: list[str] | None = None  # None -> every column
+    null_frac_tol: float = 0.05
+    distinct_frac_tol: float = 0.5
+    top_frac_tol: float = 0.2
+    exact: bool = False  # HLL++ distinct counts by default at scale
+    update_baseline: bool = True
+
+
+@dataclass
 class Model:
     node: ModelNode
     builder: Callable[[SparkSession], DataFrame] | None = None
     sql: str | None = None  # SQL-text model (the dbt-style compiled SELECT)
     materialization: str = "table"  # table | view | incremental_log | incremental_partition_merge
     mat_config: object | None = None  # IncrementalLogConfig | PartitionMergeConfig
+    profile_gate: ProfileGateConfig | None = None
 
     def build(self, spark: SparkSession) -> DataFrame:
         if self.builder is not None:
@@ -121,6 +139,26 @@ class Runner:
                 is_registered=registered,
             )
 
+        current_profile = None
+        if model.profile_gate is not None:
+            from edna_dbt_library_spark.operators.profiling import (
+                enforce_profile_drift,
+                profile_columns,
+            )
+
+            gate = model.profile_gate
+            current_profile = profile_columns(df, gate.columns, exact=gate.exact)
+            baseline = self.wh.read_profile(target)
+            if baseline is not None:
+                # fail BEFORE any write: a drifted batch never lands
+                enforce_profile_drift(
+                    baseline,
+                    current_profile,
+                    null_frac_tol=gate.null_frac_tol,
+                    distinct_frac_tol=gate.distinct_frac_tol,
+                    top_frac_tol=gate.top_frac_tol,
+                )
+
         if model.materialization == "incremental_log":
             cfg = model.mat_config or IncrementalLogConfig()
             result = run_incremental_log(
@@ -161,6 +199,15 @@ class Runner:
                 self.wh, target, node.config.get("grants"), should_revoke
             )
             result["persisted_docs"] = persist_docs(self.wh, target, node)
+
+        if (
+            current_profile is not None
+            and model.profile_gate.update_baseline
+            and model.materialization != "view"
+        ):
+            # the batch passed: it becomes the next run's baseline
+            self.wh.write_profile(target, current_profile)
+            result["profile_gate"] = "passed"
 
         if register_metadata and model.materialization != "view":
             register_dataproduct_metadata(

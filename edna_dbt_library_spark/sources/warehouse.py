@@ -131,6 +131,28 @@ class Warehouse:
         except FileNotFoundError:
             return TableMeta()
 
+    # --- profile baseline sidecar (content-contract gate) -------------------
+    # Stored as parquet under an underscore-prefixed directory INSIDE the
+    # table path: Spark's file index skips `_`-prefixed entries (the
+    # _SUCCESS/_metadata convention), so table reads never see it — same
+    # placement contract as the _edna_meta.json sidecar.
+    def _profile_path(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), "_edna_profile")
+
+    def write_profile(self, rel: Relation, profile: DataFrame) -> None:
+        """Persist a ``profile_columns`` output as the table's drift
+        baseline (one row per column — driver-scale however big the
+        table is)."""
+        os.makedirs(self.path(rel), exist_ok=True)
+        profile.coalesce(1).write.mode("overwrite").parquet(self._profile_path(rel))
+
+    def read_profile(self, rel: Relation) -> DataFrame | None:
+        """The stored baseline profile, or None when none exists yet."""
+        p = self._profile_path(rel)
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:
         for _dirpath, _dirs, files in os.walk(self.path(rel)):
@@ -221,7 +243,10 @@ class Warehouse:
         stats: dict[str | None, tuple[int, int]] = {}
         if not meta.partition_by:
             n, b = 0, 0
-            for dirpath, _dirs, files in os.walk(root):
+            for dirpath, dirs, files in os.walk(root):
+                # skip sidecars (_edna_profile, .stash dirs): Spark's
+                # file index ignores them, so must the file stats
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for fn in files:
                     if fn.endswith(".parquet"):
                         n += 1
@@ -273,10 +298,24 @@ class Warehouse:
                 # unpartitioned: whole-table rewrite; materialize first —
                 # the source files are the overwrite target
                 df = self.read(rel).repartition(want).localCheckpoint(eager=True)
-                self._writer(df, meta).mode("overwrite").save(self.path(rel))
-                # the whole-directory overwrite deleted the _edna_meta.json
-                # sidecar inside it — rewrite it (mirrors create_as) so
-                # clustering order / schema / grants survive compaction
+                # the whole-directory overwrite deletes every sidecar in
+                # the table dir: stash the profile baseline, then rewrite
+                # the meta sidecar (mirrors create_as) so clustering
+                # order / schema / grants / drift baseline all survive
+                prof_src = self._profile_path(rel)
+                stash = None
+                if os.path.isdir(prof_src):
+                    # stash OUTSIDE the table dir — the overwrite wipes it
+                    stash = os.path.join(
+                        self.root, f"._profile_stash__{rel.schema}__{rel.identifier}"
+                    )
+                    shutil.rmtree(stash, ignore_errors=True)
+                    shutil.move(prof_src, stash)
+                try:
+                    self._writer(df, meta).mode("overwrite").save(self.path(rel))
+                finally:
+                    if stash is not None:
+                        shutil.move(stash, prof_src)
                 self.write_meta(rel, meta)
             else:
                 df = (
@@ -288,6 +327,30 @@ class Warehouse:
                 self.overwrite_partitions(rel, df)
             report[part] = (nfiles, self.partition_file_stats(rel).get(part, (0, 0))[0])
         return report
+
+    def expire_partitions(self, rel: Relation, keep_from: str) -> list[str]:
+        """Retention maintenance: drop every DAY partition strictly older
+        than ``keep_from`` (an ISO date string). Pure directory-level
+        deletes decided from the partition listing — no data scan, no
+        rewrite of surviving partitions, so expiring 30 days out of a
+        100 TB / 3-year table touches exactly 30 directories. Returns
+        the dropped partition values (ISO-date directory names compare
+        correctly as strings). Unpartitioned tables raise — expiry
+        without a partition column would be a full rewrite, which is a
+        filter + create_as the caller should do explicitly."""
+        meta = self.read_meta(rel)
+        if not meta.partition_by:
+            raise ValueError(
+                f"{rel.table_id} is unpartitioned: retention needs a partition column"
+            )
+        dropped = []
+        for part in self.partitions(rel):
+            if part < keep_from:
+                shutil.rmtree(
+                    os.path.join(self.path(rel), f"{meta.partition_by}={part}")
+                )
+                dropped.append(part)
+        return dropped
 
     # --- introspection (the INFORMATION_SCHEMA analogues) ------------------
     def partitions(self, rel: Relation) -> list[str]:
@@ -308,7 +371,8 @@ class Warehouse:
         """row_count / size_bytes (reference: __TABLES__ scan,
         register_dataproduct_metadata.sql:35-49)."""
         total = 0
-        for dirpath, _dirs, files in os.walk(self.path(rel)):
+        for dirpath, dirs, files in os.walk(self.path(rel)):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]  # sidecars
             for fn in files:
                 if fn.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(dirpath, fn))

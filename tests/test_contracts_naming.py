@@ -332,3 +332,95 @@ def test_grants_validation_rejects_malformed_config(spark, wh):
     with pytest.raises(ValueError, match="mapping"):
         runner.run("badgrant", validate=False, register_metadata=False)
     assert not wh.exists(runner.target_relation(runner.models["badgrant"]))
+
+
+def test_runner_profile_gate_blocks_drifted_batch(spark, wh):
+    """The content gate in the publish lifecycle: run 1 stores the
+    baseline profile with the table; run 2 with same-shaped content
+    passes and refreshes it; run 3 with a NULL-flooded column fails
+    BEFORE anything is written (the deployed table keeps run 2's
+    rows)."""
+    from edna_dbt_library_spark.plans import ProfileGateConfig
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(
+        name="gated_events",
+        fqn=["analytics", "sales", "gated_events"],
+        path="sales/gated_events.sql",
+    )
+    state = {"mode": "clean"}
+
+    def builder(s):
+        ev = load_table(s, "/root/testdata/sf0.001", "events").select(
+            "event_id", "event_type", "value"
+        )
+        if state["mode"] == "drifted":
+            ev = ev.withColumn(
+                "event_type",
+                F.when(F.col("event_id") % 3 < 2, F.lit(None).cast("string")).otherwise(
+                    F.col("event_type")
+                ),
+            )
+        return ev
+
+    runner.register(
+        Model(node=node, builder=builder, profile_gate=ProfileGateConfig(exact=True))
+    )
+    r1 = runner.run("gated_events", validate=False, register_metadata=False)
+    assert r1["profile_gate"] == "passed"
+    target = r1["relation"]
+    assert wh.read_profile(target) is not None
+    baseline_rows = sorted(map(tuple, wh.read_profile(target).collect()))
+
+    r2 = runner.run("gated_events", validate=False, register_metadata=False)
+    assert r2["profile_gate"] == "passed"
+
+    state["mode"] = "drifted"
+    n_before = wh.read(target).count()
+    with pytest.raises(ContractError, match="event_type.null_frac"):
+        runner.run("gated_events", validate=False, register_metadata=False)
+    # nothing was written and the baseline is still the clean profile
+    assert wh.read(target).count() == n_before
+    assert sorted(map(tuple, wh.read_profile(target).collect())) == baseline_rows
+
+
+def test_warehouse_profile_survives_unpartitioned_compact(spark, wh):
+    from edna_dbt_library_spark.operators.profiling import profile_columns
+    from edna_dbt_library_spark.sources import TableMeta
+
+    rel = wh.relation("s", "p")
+    wh.create_as(rel, spark.range(0).select(F.col("id").alias("k")), TableMeta())
+    for i in range(4):
+        wh.append(rel, spark.range(i * 5, i * 5 + 5).select(F.col("id").alias("k")).coalesce(1))
+    wh.write_profile(rel, profile_columns(wh.read(rel), exact=True))
+    before = sorted(map(tuple, wh.read_profile(rel).collect()))
+    report = wh.compact(rel)
+    assert report[None][1] == 1
+    assert sorted(map(tuple, wh.read_profile(rel).collect())) == before
+    # the profile sidecar is invisible to table reads
+    assert wh.read(rel).count() == 20
+
+
+def test_warehouse_expire_partitions(spark, wh):
+    from edna_dbt_library_spark.sources import TableMeta
+
+    rel = wh.relation("s", "r")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 10) for i in range(3)],
+        "k long, p string",
+    )
+    wh.create_as(rel, df, TableMeta(partition_by="p"))
+    dropped = wh.expire_partitions(rel, keep_from="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = wh.read(rel)  # partition values read back type-inferred (DATE)
+    assert sorted(str(r["p"]) for r in left.select("p").distinct().collect()) == [
+        "2024-01-03",
+        "2024-01-10",
+    ]
+    # idempotent; unpartitioned tables refuse
+    assert wh.expire_partitions(rel, keep_from="2024-01-03") == []
+    rel2 = wh.relation("s", "u2")
+    wh.create_as(rel2, spark.range(3).select(F.col("id").alias("k")), TableMeta())
+    with pytest.raises(ValueError, match="unpartitioned"):
+        wh.expire_partitions(rel2, keep_from="2024-01-01")
