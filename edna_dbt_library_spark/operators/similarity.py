@@ -525,3 +525,140 @@ def cell_outliers(
         .where(F.col("rank") <= top_k)
         .select("cell", "rank", "vec_id", "label", "dist")
     )
+
+
+def _assign_cells(
+    batch: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Broadcast-argmin cell assignment: (vec_id, e, n, cell) — the same
+    exact-integer distance + smallest-cid tie break as semantic_dedup."""
+    q = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+        quantize_vec(vec_col).alias("qv"),
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "e", "n", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("_m"),
+            F.first("e").alias("e"),
+            F.first("n").alias("n"),
+        )
+        .select("vec_id", "e", "n", F.col("_m.cid").alias("cell"))
+    )
+
+
+def run_incremental_semantic_dedup(
+    wh,
+    store,
+    batch: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup a batch against EVERYTHING previously admitted without
+    re-deduping the corpus: the incremental form of
+    :func:`semantic_dedup`, mirroring dedup.run_incremental_dedup's
+    contract (admit = return value; replay admits nothing).
+
+    Store layout (two warehouse relations):
+
+    * ``<store>_centroids`` — the k-means cells, trained ONCE on the
+      first batch and then FROZEN: cell assignment must be the same
+      function forever or old and new vectors of one near-dup pair land
+      in different cells. (Retraining = rebuilding the store; the
+      IVF-standard reindex operation.)
+    * ``<store>`` — one (vec_id, cell, e, n) row per admitted vector.
+
+    Per batch: assign to cells (broadcast argmin, one pass); cluster
+    the batch's own within-cell near-dup pairs to min-id
+    representatives; reject representatives whose cell in the STORE
+    holds a vector within ``threshold`` cosine (the store scan prunes
+    to exactly the batch's touched cells before its only shuffle);
+    vec_ids already admitted are recognized and not re-added. Admitted
+    rows append to the store and are returned as (vec_id, cell).
+
+    Incremental semantics note: a batch component whose representative
+    duplicates the store is rejected WHOLE (its members are semantically
+    covered transitively) — the same greedy keep-first convention as
+    the text incremental store, not a global re-clustering.
+
+    Scale: per-batch cost is batch-assignments + Σ(batch_cell ×
+    store_cell) comparisons. The store side of a cell grows with the
+    unique corpus — size ``n_cells`` ∝ √N (the IVF convention) and
+    rebuild when hot cells outgrow, exactly like any IVF index; the
+    measured hot-cell trade for the in-corpus form is in PLAN_AUDIT.md.
+    """
+    from edna_dbt_library_spark.operators.dedup import duplicate_clusters
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    cent_rel = wh.relation(store.schema, store.identifier + "_centroids")
+    if wh.exists(cent_rel):
+        centroids = wh.read(cent_rel)
+    else:
+        centroids = kmeans_cells(batch, n_cells, iters, KMEANS_SCALE, id_col, vec_col)
+        wh.create_as(cent_rel, centroids, TableMeta())
+        centroids = wh.read(cent_rel)
+
+    assigned = _assign_cells(batch, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+
+    # in-batch within-cell near-dup pairs -> min-id component reps
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.when(
+        (F.col("a.n") > 0) & (F.col("b.n") > 0),
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")),
+    )
+    batch_pairs = (
+        a.join(b, "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(F.round(sim, 6) >= threshold)
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+    )
+    comps = duplicate_clusters(batch_pairs).withColumnRenamed("doc_id", "_c_id")
+    reps = (
+        assigned.join(comps, assigned.vec_id == F.col("_c_id"), "left")
+        .where(F.col("cluster_id").isNull() | (F.col("vec_id") == F.col("cluster_id")))
+        .select("vec_id", "e", "n", "cell")
+    )
+
+    if wh.exists(store):
+        kept = wh.read(store)
+        # prune the store scan to the batch's touched cells BEFORE the
+        # only shuffle (cells are the runtime row filter here)
+        touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+        kept_cells = kept.where(F.col("cell").isin(touched))
+        already = kept.select(F.col("vec_id").alias("_seen_id"))
+        k = kept_cells.select(
+            F.col("vec_id").alias("k_id"),
+            F.col("e").alias("k_e"),
+            F.col("n").alias("k_n"),
+            "cell",
+        )
+        ksim = F.when(
+            (F.col("n") > 0) & (F.col("k_n") > 0),
+            dot(F.col("e"), F.col("k_e")) / (F.col("n") * F.col("k_n")),
+        )
+        dup_of_store = (
+            reps.join(k, "cell")
+            .where(F.round(ksim, 6) >= threshold)
+            .select("vec_id")
+            .distinct()
+        )
+        admitted = (
+            reps.join(dup_of_store, "vec_id", "left_anti")
+            .join(already, reps.vec_id == F.col("_seen_id"), "left_anti")
+            .localCheckpoint(eager=True)  # materialize before mutating the store
+        )
+        wh.append(store, admitted.select("vec_id", "cell", "e", "n"))
+    else:
+        admitted = reps.localCheckpoint(eager=True)
+        wh.create_as(store, admitted.select("vec_id", "cell", "e", "n"), TableMeta())
+    return admitted.select("vec_id", "cell")

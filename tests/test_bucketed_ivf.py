@@ -265,3 +265,53 @@ def test_semantic_dedup_cell_cap_bounds_pairs_and_stays_consistent(spark):
     for v, r in exact.items():
         if r["cluster_id"] is None:
             assert capped[v]["cluster_id"] is None
+
+
+def test_incremental_semantic_dedup_store(spark, tmp_path):
+    """Incremental SemDeDup against a persistent store: batch 1 seeds
+    centroids + kept vectors; batch 2's near-copies of stored content
+    are rejected while genuinely new vectors are admitted; replaying a
+    batch admits nothing (idempotent, like the text store)."""
+    from edna_dbt_library_spark.operators.similarity import (
+        run_incremental_semantic_dedup,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = wh.relation("dedup", "vecstore")
+    emb = load_table(spark, SF, "embeddings")
+
+    b1 = emb.where(F.col("vec_id") < 100)
+    a1 = run_incremental_semantic_dedup(wh, store, b1, n_cells=8, threshold=0.95)
+    admitted1 = {r["vec_id"] for r in a1.collect()}
+    assert len(admitted1) > 0
+    assert wh.exists(wh.relation("dedup", "vecstore_centroids"))
+    n_store_1 = wh.read(store).count()
+    assert n_store_1 == len(admitted1)
+
+    # batch 2: clones of stored vectors under NEW ids + genuinely new ones
+    clones = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.000001)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    fresh = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 160))
+    a2 = run_incremental_semantic_dedup(
+        wh, store, clones.unionByName(fresh), n_cells=8, threshold=0.95
+    )
+    admitted2 = {r["vec_id"] for r in a2.collect()}
+    # every clone of an ADMITTED original is rejected; clones of vectors
+    # that were themselves deduped away in batch 1 are covered by their
+    # kept representative (>= cosine 0.95 transitively may not hold, so
+    # only assert clones of admitted originals)
+    clone_of_admitted = {v + 10_000 for v in admitted1 if v < 20}
+    assert clone_of_admitted.isdisjoint(admitted2)
+    assert any(v >= 100 for v in admitted2)  # fresh content got in
+    assert wh.read(store).count() == n_store_1 + len(admitted2)
+
+    # replay batch 1: nothing admitted, store unchanged
+    a3 = run_incremental_semantic_dedup(wh, store, b1, n_cells=8, threshold=0.95)
+    assert a3.count() == 0
+    assert wh.read(store).count() == n_store_1 + len(admitted2)
