@@ -4270,6 +4270,93 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+# --- set operations (INTERSECT / EXCEPT) ------------------------------------
+
+SETOP_BAL = 5000.0
+
+_SETOPS_ORACLE = f"""
+SELECT 'intersect' AS src, c_custkey::BIGINT AS custkey FROM (
+    SELECT c_custkey FROM customer WHERE c_acctbal > {SETOP_BAL!r}
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'except' AS src, c_custkey::BIGINT AS custkey FROM (
+    SELECT c_custkey FROM customer WHERE c_acctbal > {SETOP_BAL!r}
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)"""
+
+
+@_register("setops_customers", _SETOPS_ORACLE)
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (distinct both sides), src-tagged
+    in one row: rich customers who did / did not place an urgent order.
+    Spark's intersect()/exceptAll()-free distinct forms are one hash
+    shuffle each."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > SETOP_BAL).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return rich.intersect(urgent).select(
+        F.lit("intersect").alias("src"), F.col("custkey").cast("long")
+    ).unionAll(
+        rich.exceptAll(urgent.distinct())
+        .distinct()
+        .select(F.lit("except").alias("src"), F.col("custkey").cast("long"))
+    )
+
+
+# --- window ntile deciles ----------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT decile::INTEGER AS decile,
+       count(*)::BIGINT AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance,
+       min(c_custkey)::BIGINT AS min_key, max(c_custkey)::BIGINT AS max_key
+FROM (
+    SELECT c_custkey, c_acctbal,
+           ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+    FROM customer
+)
+GROUP BY decile"""
+
+
+@_register("ntile_balance_deciles", _NTILE_ORACLE)
+def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile report: ntile(10) over (balance desc, key) — total order
+    via the id tiebreak makes bucket membership engine-identical —
+    aggregated per decile (count, decimal-exact balance sum, key
+    range). The global window is the realistic shape for a REPORT over
+    an aggregate; a corpus-scale ranking would use the histogram
+    quantile sketch instead (histogram_quantiles_price)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2d(F.sum(_dec("c_acctbal", 18, 2))).alias("total_balance"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+        .select(
+            F.col("decile").cast("int"),
+            "n_customers",
+            "total_balance",
+            "min_key",
+            "max_key",
+        )
+    )
+
+
 # --- edit-distance record linkage ------------------------------------------
 
 LINK_MAX_DIST = 1

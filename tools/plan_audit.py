@@ -253,6 +253,28 @@ word set, so 512 → 32,768 merges adds only ~13s. A production 32–64k
 vocabulary is now a half-minute driver step instead of a stalled loop.
 Merge-list equality with the naive reference is pinned by a hypothesis
 property test (duplicate words, overlapping pairs, count ties).
+
+## Incremental semantic-dedup store (round 5)
+
+`run_incremental_semantic_dedup` measured on a 50k-vector 64-dim
+synthetic corpus (local[32], n_cells=64, threshold=0.95), 5 batches of
+10k fresh vectors + 2k near-clones of already-admitted content each:
+
+| batch | in | admitted | store after | wall |
+|---|---|---|---|---|
+| 0 (seeds centroids) | 10,000 | 10,000 | 10,000 | 23.5s |
+| 1 | 12,000 | 10,000 | 20,000 | 14.4s |
+| 2 | 12,000 | 10,000 | 30,000 | 19.7s |
+| 3 | 12,000 | 10,000 | 40,000 | 19.3s |
+| 4 | 12,000 | 10,000 | 50,000 | 29.0s |
+
+Every clone is rejected, every fresh vector admitted, and per-batch
+wall grows with store-cell occupancy (the batch-vs-store within-cell
+join — linear in stored vectors per touched cell), not with corpus
+history replay. The sizing rule is the IVF convention: n_cells ∝ √N
+keeps per-cell occupancy bounded; when hot cells outgrow it, retrain
+centroids and rebuild the store (an explicit reindex — frozen
+centroids are what keep old and new vectors comparable in between).
 """
 
 
