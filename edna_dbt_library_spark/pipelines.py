@@ -11,6 +11,8 @@ before the next, more expensive one runs):
    before anything shuffles.
 2. **Exact dedup** — md5 fingerprint groupBy; the min-id keeper
    survives. One shuffle on a uniform key.
+2a. **Decontamination** (optional) — drop docs sharing any word n-gram
+   with a heldout benchmark set (broadcast hash semi-join).
 2b. **Perplexity filter** (optional) — CCNet-style bigram-LM
    cross-entropy threshold against a clean reference corpus, applied
    after the cheap hash cut and before the shuffling near-dedup.
@@ -92,6 +94,8 @@ def curate_corpus(
     media: DataFrame | None = None,
     media_kind: str = "image",
     media_max_hamming: int = 3,
+    decontaminate_against: DataFrame | None = None,
+    decontamination_ngram: int = 3,
     out_path: str | None = None,
     n_shards: int = 16,
     shard_salt: str = "",
@@ -147,6 +151,24 @@ def curate_corpus(
         .drop("_fp", "_keep_id"),
         "after_exact_dedup",
     )
+
+    # 2a. benchmark decontamination (optional): docs sharing any word
+    # n-gram with the heldout eval set drop before anything expensive —
+    # the eval-leak sweep every training corpus runs (broadcast bench
+    # hashes, no corpus shuffle; operators/curation.contamination_flags)
+    if decontaminate_against is not None:
+        from edna_dbt_library_spark.operators.curation import contamination_flags
+
+        hits = contamination_flags(
+            kept.select(F.col(id_col), F.col("redacted").alias("text")),
+            decontaminate_against,
+            n=decontamination_ngram,
+            id_col=id_col,
+        ).withColumnRenamed(id_col, "_ct_id")
+        kept, report.counts["after_decontamination"] = stage(
+            kept.join(hits, kept[id_col] == F.col("_ct_id"), "left_anti"),
+            "after_decontamination",
+        )
 
     # 2b. perplexity filter (optional, CCNet order: after the cheap
     # exact-hash cut, before the shuffling near-dedup stages)

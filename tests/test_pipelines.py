@@ -201,3 +201,21 @@ def test_curate_corpus_semantic_stage(spark):
         assert 11 not in kept_ids
     # vectorless docs survive the semantic stage
     assert any(i >= 40 for i in kept_ids)
+
+
+def test_curate_corpus_decontamination_stage(spark):
+    """A doc quoting a benchmark prompt verbatim dies at the
+    decontamination stage; unrelated docs pass untouched."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    leak_text = docs.where(F.col("doc_id") == 5).collect()[0]["text"]
+    bench = spark.createDataFrame(
+        [(1, " ".join(leak_text.split()[:8]))], "doc_id long, text string"
+    )
+    rep = curate_corpus(docs, min_quality=0.0, decontaminate_against=bench)
+    assert "after_decontamination" in rep.counts
+    assert rep.counts["after_decontamination"] < rep.counts["after_exact_dedup"]
+    kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
+    assert 5 not in kept_ids
+    # control: without the stage doc 5 survives
+    rep0 = curate_corpus(docs, min_quality=0.0)
+    assert 5 in {r["doc_id"] for r in rep0.kept.select("doc_id").collect()}
