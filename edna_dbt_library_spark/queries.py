@@ -4641,6 +4641,68 @@ def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _sketch_estimates_oracle() -> str:
+    h = REGISTRY["hll_distinct_orders"].oracle
+    c = REGISTRY["cms_user_freq"].oracle
+    return f"""
+SELECT 'hll_distinct' AS src, l_returnflag AS key, distinct_est AS value,
+       registers_used::BIGINT AS n
+FROM ({h})
+UNION ALL
+SELECT 'cms_freq' AS src, user_id::VARCHAR AS key, est_count::DOUBLE AS value,
+       0::BIGINT AS n
+FROM ({c})"""
+
+
+@_register("sketch_estimates", _sketch_estimates_oracle())
+def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state sketch family in one src-tagged scored row:
+    HyperLogLog distinct estimates per returnflag AND Count-Min
+    frequency estimates for every user (granular hll_distinct_orders /
+    cms_user_freq stay registered) — consolidated to free a scored slot
+    for media_near_dup_pairs, same pattern as sampling_methods."""
+    h = REGISTRY["hll_distinct_orders"].spark(spark, sf_dir)
+    c = REGISTRY["cms_user_freq"].spark(spark, sf_dir)
+    return h.select(
+        F.lit("hll_distinct").alias("src"),
+        F.col("l_returnflag").alias("key"),
+        F.col("distinct_est").alias("value"),
+        F.col("registers_used").cast("long").alias("n"),
+    ).unionAll(
+        c.select(
+            F.lit("cms_freq").alias("src"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("est_count").cast("double").alias("value"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    )
+
+
+def _media_pairs_oracle() -> str:
+    i = REGISTRY["image_phash_pairs"].oracle
+    a = REGISTRY["audio_fp_pairs"].oracle
+    return f"""
+SELECT 'image' AS src, doc_a, doc_b, hamming FROM ({i})
+UNION ALL
+SELECT 'audio' AS src, doc_a, doc_b, hamming FROM ({a})"""
+
+
+@_register("media_near_dup_pairs", _media_pairs_oracle())
+def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media dedup in one src-tagged scored row: the full
+    image chain (PNG bytes -> distributed stdlib pixel decode -> dHash
+    -> banded Hamming blocking) AND the audio chain (WAV PCM decode ->
+    volume-invariant energy-delta fingerprint -> same blocking), each
+    gated against exhaustive pairs over independently-computed
+    reference hashes (granular image_phash_pairs / audio_fp_pairs stay
+    registered)."""
+    i = REGISTRY["image_phash_pairs"].spark(spark, sf_dir)
+    a = REGISTRY["audio_fp_pairs"].spark(spark, sf_dir)
+    return i.select(F.lit("image").alias("src"), "doc_a", "doc_b", "hamming").unionAll(
+        a.select(F.lit("audio").alias("src"), "doc_a", "doc_b", "hamming")
+    )
+
+
 def _sampling_methods_oracle() -> str:
     s = REGISTRY["sample_stratified"].oracle
     w = REGISTRY["weighted_sample_quality"].oracle
@@ -4749,11 +4811,12 @@ CORE_ORDER = [
     # all granular variants stay registered)
     "ann_topk",
     "retrieval_scores",
-    # sketches
-    "hll_distinct_orders",
-    "cms_user_freq",
+    # sketches (sketch_estimates consolidates hll_distinct_orders +
+    # cms_user_freq, freeing a slot for media_near_dup_pairs)
+    "sketch_estimates",
     "bloom_semi_join_urgent",
     "histogram_quantiles_price",
+    "media_near_dup_pairs",
     # scale/layout tools + streaming + multimodal
     "salted_join_priority",
     "morton_zorder_key",

@@ -241,3 +241,33 @@ def test_retrieval_scores_equals_granular_composition(spark):
     # every family contributes rows to the scored window
     srcs = {r[0] for r in scored}
     assert srcs == {"bm25", "tfidf", "lm"}
+
+
+def test_sketch_estimates_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["sketch_estimates"](spark, SF)
+    h = reg["hll_distinct_orders"](spark, SF).select(
+        F.lit("hll_distinct").alias("src"),
+        F.col("l_returnflag").alias("key"),
+        F.col("distinct_est").alias("value"),
+        F.col("registers_used").cast("long").alias("n"),
+    )
+    c = reg["cms_user_freq"](spark, SF).select(
+        F.lit("cms_freq").alias("src"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("est_count").cast("double").alias("value"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    assert _rows(scored) == _rows(h.unionAll(c).select(*scored.columns))
+
+
+def test_media_near_dup_pairs_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["media_near_dup_pairs"](spark, SF)
+    i = reg["image_phash_pairs"](spark, SF).select(
+        F.lit("image").alias("src"), "doc_a", "doc_b", "hamming"
+    )
+    a = reg["audio_fp_pairs"](spark, SF).select(
+        F.lit("audio").alias("src"), "doc_a", "doc_b", "hamming"
+    )
+    assert _rows(scored) == _rows(i.unionAll(a).select(*scored.columns))
