@@ -219,3 +219,47 @@ def test_curate_corpus_decontamination_stage(spark):
     # control: without the stage doc 5 survives
     rep0 = curate_corpus(docs, min_quality=0.0)
     assert 5 in {r["doc_id"] for r in rep0.kept.select("doc_id").collect()}
+
+
+def test_streaming_ingest_feeds_curation_end_to_end(spark, tmp_path):
+    """The full production flow composes: a JSONL drop folder streams
+    through quarantine-aware ingest, the landed good rows get
+    deterministic content ids, curate through the pipeline, take
+    train/val/test labels, and export as shards — every count
+    consistent across the chain."""
+    import json as _json
+
+    from edna_dbt_library_spark.operators.curation import hash_split
+    from edna_dbt_library_spark.sources.ingest import with_ingest_ids
+    from edna_dbt_library_spark.streaming import read_ingested, stream_jsonl_ingest
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, SF, "documents").limit(30).collect()
+    src = tmp_path / "drop"
+    src.mkdir()
+    lines = [
+        _json.dumps({"url": f"http://ex.com/{r['doc_id']}", "text": r["text"]})
+        for r in docs
+    ] + ['{"broken line', _json.dumps({"url": None, "text": "no url"})]
+    (src / "a.jsonl").write_text("\n".join(lines[:15]) + "\n")
+    (src / "b.jsonl").write_text("\n".join(lines[15:]) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    store, cp = str(tmp_path / "store"), str(tmp_path / "cp")
+    stream_jsonl_ingest(
+        spark, str(src), schema, store, cp, required=("url", "text")
+    ).awaitTermination(120)
+    good, quar = read_ingested(spark, store)
+    assert good.count() == 30 and quar.count() == 2
+
+    ingested = with_ingest_ids(good, ("url", "text"))
+    rep = curate_corpus(ingested, min_quality=0.0, out_path=str(tmp_path / "shards"), n_shards=2)
+    assert rep.counts["input"] == 30
+    final = hash_split(rep.kept, "doc_id")
+    rows = final.select("doc_id", "split", "n_tokens").collect()
+    assert len(rows) == rep.counts["after_near_dedup"] > 0
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    exported = spark.read.parquet(str(tmp_path / "shards"))
+    assert exported.count() == len(rows)
