@@ -25,6 +25,7 @@ from edna_dbt_library_spark.plans.naming import (
     get_deployed_relation,
 )
 from edna_dbt_library_spark.plans.registry import Model, ProfileGateConfig, Runner
+from edna_dbt_library_spark.plans.scale_lint import ScaleFinding, assert_scale_clean, explain_scale
 
 __all__ = [
     "CATALOG_SCHEMA",
@@ -51,5 +52,8 @@ __all__ = [
     "get_deployed_relation",
     "Model",
     "ProfileGateConfig",
+    "ScaleFinding",
+    "assert_scale_clean",
+    "explain_scale",
     "Runner",
 ]

@@ -195,3 +195,32 @@ def test_profile_drift_is_driver_scale_after_profiles(spark):
     algebra."""
     plan = plan_text(Q.queries()["profile_drift_orders"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_explain_scale_flags_hazards_and_passes_clean_plans(spark):
+    from edna_dbt_library_spark.plans import assert_scale_clean, explain_scale
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    # clean plan: broadcast star join — no warn findings
+    q5 = Q.queries()["q5_region_revenue"](spark, SF)
+    codes = {f.code for f in explain_scale(q5) if f.severity == "warn"}
+    assert codes == set()
+    assert_scale_clean(q5)  # must not raise
+
+    from pyspark.sql import functions as F
+
+    # hazard: an unkeyed cross join of two real tables
+    o = load_table(spark, SF, "orders").select("o_orderkey")
+    c = load_table(spark, SF, "customer").select("c_custkey")
+    cross = o.crossJoin(c).where((F.col("o_orderkey") + F.col("c_custkey")) % 97 == 0)
+    found = {f.code for f in explain_scale(cross) if f.severity == "warn"}
+    assert found & {"cartesian_product", "nested_loop_join"}
+    with pytest.raises(AssertionError, match="scale hazards"):
+        assert_scale_clean(cross)
+
+    # hazard: a row-at-a-time Python UDF
+    bad_udf = F.udf(lambda s: (s or "").upper())
+    udfed = load_table(spark, SF, "documents").select(bad_udf("text").alias("u"))
+    assert any(f.code == "python_row_udf" for f in explain_scale(udfed))
+    # allow-listing lets a deliberate exception through
+    assert_scale_clean(udfed, allow=("python_row_udf",))
