@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "profile_orders_columns",
     "url_canonical_docs",
     "bpe_token_counts",
+    "train_val_test_split",
+    "rollup_region_revenue",
+    "setops_customers",
+    "ntile_balance_deciles",
 ]
 
 
