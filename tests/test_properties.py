@@ -294,3 +294,76 @@ def test_incremental_learn_merges_equals_naive_property(word_freqs, n_merges):
     )
 
     assert learn_merges(word_freqs, n_merges) == _learn_merges_naive(word_freqs, n_merges)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=8),
+            st.text(alphabet="ab", min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_length_band_blocking_is_lossless_property(pairs):
+    """The neighbor length-band join key: for ANY two strings within
+    Levenshtein distance 1 sharing a first character, the lower side's
+    {b-1, b, b+1} bands always cover the other's band — the length
+    dimension of edit_distance_pairs' blocking loses nothing."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    width = 2  # max_dist 1 -> band width 2
+    for a, b in pairs:
+        if a[0] != b[0] or lev(a, b) > 1:
+            continue
+        ba, bb = len(a) // width, len(b) // width
+        assert bb in (ba - 1, ba, ba + 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-8000, max_value=8000), min_size=66, max_size=400),
+    st.integers(min_value=2, max_value=4),
+)
+def test_audio_fingerprint_volume_invariance_property(samples, gain):
+    """Energy-delta fingerprints are invariant under ANY exact positive
+    gain (energies scale by gain², comparisons unchanged)."""
+    from edna_dbt_library_spark.operators.multimodal import audio_fingerprint_int
+
+    assert audio_fingerprint_int(samples) == audio_fingerprint_int(
+        [v * gain for v in samples]
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+                  st.floats(min_value=0.05, max_value=1.0)),
+        min_size=1, max_size=4, unique_by=lambda t: t[0],
+    )
+)
+def test_hash_split_covers_every_row_exactly_once_property(spark, splits):
+    """For ANY normalized fraction mapping, every row gets exactly one
+    label and every label's range is honored (labels ⊆ mapping keys)."""
+    from edna_dbt_library_spark.operators.curation import hash_split
+
+    total = sum(f for _n, f in splits)
+    fractions = {n: f / total for n, f in splits}
+    # absorb float error into the last split so the sum is exactly 1
+    names = list(fractions)
+    fractions[names[-1]] += 1.0 - sum(fractions.values())
+    df = spark.range(200).select(F.col("id").alias("k"))
+    rows = hash_split(df, "k", fractions).collect()
+    assert len(rows) == 200
+    assert {r["split"] for r in rows} <= set(fractions)
