@@ -6,11 +6,16 @@ The Spark-side plumbing — schema convention, partitioning, UDF signatures,
 batch shapes — is real and tested. Byte decoding in-container is real for
 the formats stdlib can express: PNG headers AND pixels
 (``parse_media_header`` / ``decode_png_pixels`` — zlib inflate +
-per-scanline unfilter per the spec) and RIFF/WAVE headers. Formats that
-genuinely need a codec library (JPEG, video) remain STUBBED:
-``decode_images`` / ``extract_features`` accept an injected codec
-function, and ``require_real_codecs()`` raises NotImplementedError
-spelling out what a production deployment plugs in.
+per-scanline unfilter per the spec) and WAV integer-PCM SAMPLES
+(``decode_wav_samples`` — RIFF walk + exact integer mono mix). On top of
+the real decodes: perceptual dHash/aHash and audio energy-delta
+fingerprints for near-dup pairing (shared banded-Hamming blocking), and
+``image_feature_embeddings`` (luma-histogram embeddings bridging into
+the embedding operators). Formats that genuinely need a codec library
+(JPEG, video, compressed audio) remain STUBBED: ``decode_images`` /
+``extract_features`` accept an injected codec function, and
+``require_real_codecs()`` raises NotImplementedError spelling out what
+a production deployment plugs in.
 
 Scale notes: media bytes travel in the ``content`` column, so operators
 keep batches small via ``MEDIA_BATCH_ROWS`` (maxRecordsPerBatch) rather
@@ -761,4 +766,72 @@ def audio_near_dup_pairs(
     sigs = perceptual_hash_audio(media, n_bits).where(F.col("decoded"))
     return banded_hamming_pairs(
         sigs, sig_col="afp", bits=n_bits, bands=bands, max_hamming=max_hamming
+    )
+
+
+def luma_histogram_embed(
+    pixels: bytes, width: int, height: int, channels: int, bins: int = 32
+) -> list[float]:
+    """REAL image embedding from decoded pixels: L1-normalized luma
+    histogram (``bins`` buckets over 0..255). Stdlib+numpy only — the
+    honest in-container counterpart of the injectable model embedder in
+    ``extract_features``: coarse but real content signal (palette /
+    exposure / structure mass), good enough to drive the embedding
+    dedup/ANN machinery end-to-end on actual pixels."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels >= 3:
+        luma = (
+            299 * arr[:, :, 0].astype(np.int64)
+            + 587 * arr[:, :, 1].astype(np.int64)
+            + 114 * arr[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        luma = arr[:, :, 0].astype(np.int64)
+    counts = np.bincount((luma.ravel() * bins) // 256, minlength=bins)[:bins]
+    total = float(counts.sum()) or 1.0
+    return [float(c) / total for c in counts]
+
+
+def image_feature_embeddings(
+    media: DataFrame,
+    bins: int = 32,
+    decode: Callable[[bytes], dict | None] | None = None,
+    batch_rows: int | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL image features over (doc_id, content):
+    (doc_id, embedding array<float>, decoded) — decoded PNG pixels →
+    luma histogram, ready for the embedding operators (semantic_dedup,
+    brute_force_topk, cell_outliers) with id_col='doc_id',
+    vec_col='embedding'. Undecodable rows keep NULL embeddings with
+    decoded=false, same contract as perceptual_hash_images."""
+    fn = decode or decode_png_pixels
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, embs, ok = [], [], []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                d = fn(bytes(content)) if content is not None else None
+                ids.append(did)
+                if d is None:
+                    embs.append(None)
+                    ok.append(False)
+                else:
+                    embs.append(
+                        luma_histogram_embed(
+                            d["pixels"], d["width"], d["height"], d["channels"], bins
+                        )
+                    )
+                    ok.append(True)
+            yield pd.DataFrame({"doc_id": ids, "embedding": embs, "decoded": ok})
+
+    return media.select("doc_id", "content").mapInPandas(
+        run, "doc_id long, embedding array<float>, decoded boolean"
     )

@@ -656,3 +656,39 @@ def test_audio_near_dup_pairs_finds_releveled_copy(spark):
         if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
     }
     assert pairs == expect
+
+
+def test_image_feature_embeddings_feed_semantic_dedup(spark):
+    """Real pixel features bridge into the embedding operators: decoded
+    luma histograms of near-identical images collapse under
+    semantic_dedup, structurally different images survive."""
+    from edna_dbt_library_spark.operators.multimodal import (
+        image_feature_embeddings,
+        luma_histogram_embed,
+        decode_png_pixels,
+    )
+    from edna_dbt_library_spark.operators.similarity import semantic_dedup
+
+    imgs = [
+        (1, _png_rgb(64, 64, _grad)),
+        (2, _png_rgb(64, 64, _grad)),         # identical content
+        (3, _png_rgb(64, 64, _noise)),
+        (4, b"junk"),
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, content binary")
+    feats = image_feature_embeddings(df)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    d = decode_png_pixels(imgs[0][1])
+    expect = luma_histogram_embed(d["pixels"], 64, 64, 3)
+    assert [round(v, 6) for v in rows[1]["embedding"]] == [round(v, 6) for v in expect]
+    assert abs(sum(rows[1]["embedding"]) - 1.0) < 1e-6
+    assert rows[1]["embedding"] == rows[2]["embedding"]
+    assert rows[1]["embedding"] != rows[3]["embedding"]
+    assert not rows[4]["decoded"] and rows[4]["embedding"] is None
+
+    verdict = semantic_dedup(
+        feats.where("decoded"), n_cells=2, iters=1, threshold=0.999, id_col="doc_id"
+    )
+    v = {r["vec_id"]: r["keep"] for r in verdict.collect()}
+    assert v[1] and not v[2]  # identical histograms collapse to min id
+    assert v[3]
