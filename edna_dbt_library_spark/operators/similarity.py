@@ -662,3 +662,90 @@ def run_incremental_semantic_dedup(
         admitted = reps.localCheckpoint(eager=True)
         wh.create_as(store, admitted.select("vec_id", "cell", "e", "n"), TableMeta())
     return admitted.select("vec_id", "cell")
+
+
+def build_ivf_index(
+    wh,
+    index,
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index to the warehouse: ``<index>_centroids``
+    (cid, cv) plus ``<index>`` — the corpus with its cell assignment,
+    written DAY-free but CLUSTERED by cell (sortWithinPartitions via
+    the warehouse's cluster_by), so a probe reads contiguous row
+    groups. Build once, search many: the embedding stress harness
+    measured training as the dominant end-to-end cost (PLAN_AUDIT.md),
+    and re-assignment is the other corpus-sized pass this avoids."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    cent = kmeans_cells(embeddings, n_cells, iters, KMEANS_SCALE, id_col, vec_col)
+    cent_rel = wh.relation(index.schema, index.identifier + "_centroids")
+    wh.create_as(cent_rel, cent, TableMeta())
+    assigned = _assign_cells(embeddings, wh.read(cent_rel), id_col, vec_col)
+    label = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        *( [F.col("label")] if "label" in embeddings.columns else [F.lit(None).cast("string").alias("label")] ),
+    )
+    rows = assigned.join(label, "vec_id").select("vec_id", "label", "cell", "e", "n")
+    wh.create_as(index, rows, TableMeta(cluster_by=["cell"]))
+
+
+def ivf_topk_indexed(
+    wh,
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: queries probe their ``n_probe``
+    nearest stored centroids and rank ONLY the index rows in those
+    cells by exact cosine — no training, no corpus re-assignment, and
+    the cell filter prunes the index scan (cell-clustered row groups
+    skip on min/max stats). Must return exactly what the inline
+    ``ivf_topk`` returns for the same centroids (tested)."""
+    from pyspark.sql import Window
+
+    cent = F.broadcast(wh.read(wh.relation(index.schema, index.identifier + "_centroids")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_e"),
+        norm(F.col(vec_col)).alias("q_n"),
+        quantize_vec(vec_col).alias("qv"),
+    )
+    qcells = (
+        q.crossJoin(cent)
+        .withColumn("dist", _int_sqdist(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cid")
+            ),
+        )
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "q_e", "q_n", F.col("cid").alias("cell"))
+    )
+    idx = wh.read(index)
+    joined = idx.join(F.broadcast(qcells), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    d = dot(F.col("q_e"), F.col("e"))
+    sim = F.when(
+        (F.col("q_n") > 0) & (F.col("n") > 0), d / (F.col("q_n") * F.col("n"))
+    ).otherwise(F.lit(None).cast("double"))
+    scored = joined.select(
+        "query_id", "vec_id", "label", F.round(sim, 6).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine_sim")
+    )

@@ -315,3 +315,33 @@ def test_incremental_semantic_dedup_store(spark, tmp_path):
     a3 = run_incremental_semantic_dedup(wh, store, b1, n_cells=8, threshold=0.95)
     assert a3.count() == 0
     assert wh.read(store).count() == n_store_1 + len(admitted2)
+
+
+def test_persisted_ivf_index_matches_inline_search(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed must return exactly what the
+    inline ivf_topk returns for the same centroids — persistence cannot
+    change a single ranked row. The index table is cell-clustered so
+    probes skip row groups."""
+    from edna_dbt_library_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        kmeans_cells,
+        ivf_topk,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    index = wh.relation("ann", "emb_ivf")
+    build_ivf_index(wh, index, emb, n_cells=16, iters=2)
+
+    stored_cent = wh.read(wh.relation("ann", "emb_ivf_centroids"))
+    inline = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4, centroids=stored_cent)
+    indexed = ivf_topk_indexed(wh, index, queries, k=10, n_probe=4)
+    assert sorted(map(tuple, indexed.collect())) == sorted(map(tuple, inline.collect()))
+    # centroids persisted bit-exactly
+    fresh = kmeans_cells(emb, n_cells=16, iters=2)
+    assert sorted(map(tuple, stored_cent.collect())) == sorted(map(tuple, fresh.collect()))
+    # index table carries cluster_by metadata for row-group locality
+    assert wh.read_meta(index).cluster_by == ["cell"]
