@@ -275,6 +275,24 @@ history replay. The sizing rule is the IVF convention: n_cells ∝ √N
 keeps per-cell occupancy bounded; when hot cells outgrow it, retrain
 centroids and rebuild the store (an explicit reindex — frozen
 centroids are what keep old and new vectors comparable in between).
+
+## Round-5 bench context: host drift, measured
+
+Absolute sf0.1 timings moved ~1.19x between the round-4 artifact and
+every round-5 run — including queries whose code did not change. To
+separate host from code, the round-4 tip (commit 3ae8e19) was re-benched
+on the round-5 machine:
+
+| run | total (74-query comparable set) |
+|---|---|
+| BENCH_r04.json (driver, round-4 host) | 67.8s |
+| round-4 CODE on round-5 host | 80.7s |
+| round-5 code on round-5 host | 82.4s |
+
+Same-host code ratio: **1.02** (worst single query 1.18x — noise
+band), with 6 genuinely new benched queries added. Round-over-round
+bench comparisons are only meaningful same-host; the re-bench recipe is
+in CLAUDE.md.
 """
 
 
