@@ -43,15 +43,42 @@ def url_host(url: Column | str) -> Column:
     return F.when(h == "", F.lit(None).cast("string")).otherwise(F.lower(h))
 
 
-def url_registered_domain(url: Column | str, levels: int = 2) -> Column:
-    """Last ``levels`` host labels (e.g. ``example.co`` from
-    ``a.b.example.co``) — the grouping key for domain mixing when a full
-    public-suffix list is not available. NULL propagates from url_host."""
-    parts = F.split(url_host(url), r"\.")
+#: common multi-part registrable suffixes (a pragmatic public-suffix
+#: subset — swap in the full PSL for production crawls; each entry is
+#: checked as a label-aligned host suffix)
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "com.mx",
+    "co.in", "co.za", "com.sg", "com.tr", "com.ar",
+)
+
+
+def url_registered_domain(
+    url: Column | str,
+    levels: int = 2,
+    multi_suffixes: tuple[str, ...] = MULTI_PART_SUFFIXES,
+) -> Column:
+    """Registrable domain: last ``levels`` host labels (``example.co``
+    from ``a.b.example.co``), EXCEPT when the host ends in a known
+    multi-part public suffix — ``www.example.co.uk`` groups as
+    ``example.co.uk``, not the meaningless ``co.uk``. The suffix check
+    is label-aligned (``.co.uk`` with the dot), so ``marco.uk`` is
+    untouched and a host that IS a bare suffix falls through to the
+    default. Pure when-chain Column algebra (codegen, zero shuffle);
+    pass ``multi_suffixes=()`` for the plain ``levels``-label behavior.
+    NULL propagates from url_host."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
     n = F.size(parts)
-    return F.when(
-        n >= levels, F.array_join(F.slice(parts, n - levels + 1, levels), ".")
-    ).otherwise(F.array_join(parts, "."))
+
+    def last_k(k: int) -> Column:
+        return F.array_join(F.slice(parts, n - k + 1, k), ".")
+
+    out = F.when(n >= levels, last_k(levels)).otherwise(F.array_join(parts, "."))
+    for sfx in multi_suffixes:
+        k = len(sfx.split(".")) + 1  # suffix labels + the registrable label
+        out = F.when(host.endswith("." + sfx) & (n >= k), last_k(k)).otherwise(out)
+    return out
 
 
 def _is_tracking(kv: Column) -> Column:

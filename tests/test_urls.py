@@ -96,3 +96,28 @@ def test_urls_stay_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_registered_domain_multi_part_suffixes(spark):
+    """Public-suffix-aware grouping: multi-part suffixes keep the
+    registrable label, bare suffixes and near-miss hosts fall through
+    to the plain last-2-label rule."""
+    cases = {
+        "https://www.example.co.uk/x": "example.co.uk",
+        "http://sub.a.com.au": "a.com.au",
+        "http://deep.sub.shop.co.jp/p": "shop.co.jp",
+        "https://example.com/x": "example.com",
+        "http://co.uk/": "co.uk",        # host IS the suffix: default rule
+        "http://marco.uk": "marco.uk",   # label-aligned: not a .co.uk hit
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r["d"] for r in df.select(url_registered_domain("url").alias("d")).collect()]
+    assert got == list(cases.values())
+    # opting out restores the plain behavior
+    plain = [
+        r["d"]
+        for r in df.select(
+            url_registered_domain("url", multi_suffixes=()).alias("d")
+        ).collect()
+    ]
+    assert plain[0] == "co.uk"
