@@ -4641,6 +4641,54 @@ def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _binary_scalar_oracle() -> str:
+    c = REGISTRY["binary_codecs"].oracle
+    i = REGISTRY["ieee754_decode"].oracle
+    return f"""
+SELECT 'codecs' AS src, p_partkey, h, parsed, rev, int32_val, hex3, hex16,
+       hex_oob, b64_2, bits, roundtrip, NULL::DOUBLE AS reconstructed
+FROM ({c})
+UNION ALL
+SELECT 'ieee754' AS src, p_partkey, NULL::VARCHAR, NULL::BIGINT, NULL::VARCHAR,
+       NULL::BIGINT, NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::INTEGER,
+       NULL::VARCHAR, NULL::BIGINT, reconstructed
+FROM ({i})"""
+
+
+@_register("binary_scalar_codecs", _binary_scalar_oracle())
+def binary_scalar_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2D binary scalar surface in one src-tagged scored row: the
+    full codec battery (hex/base64/bitstring/reverse/int32 with
+    SAFE_CAST edges) AND the IEEE-754 double reconstruction (granular
+    binary_codecs / ieee754_decode stay registered) — consolidated to
+    free a scored slot for profile_drift_orders."""
+    c = REGISTRY["binary_codecs"].spark(spark, sf_dir)
+    i = REGISTRY["ieee754_decode"].spark(spark, sf_dir)
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    return c.select(
+        F.lit("codecs").alias("src"),
+        "p_partkey", "h", "parsed", "rev", "int32_val", "hex3", "hex16",
+        "hex_oob", "b64_2", "bits", "roundtrip",
+        null("double").alias("reconstructed"),
+    ).unionAll(
+        i.select(
+            F.lit("ieee754").alias("src"),
+            "p_partkey",
+            null("string").alias("h"),
+            null("bigint").alias("parsed"),
+            null("string").alias("rev"),
+            null("bigint").alias("int32_val"),
+            null("int").alias("hex3"),
+            null("int").alias("hex16"),
+            null("int").alias("hex_oob"),
+            null("int").alias("b64_2"),
+            null("string").alias("bits"),
+            null("bigint").alias("roundtrip"),
+            "reconstructed",
+        )
+    )
+
+
 def _sketch_estimates_oracle() -> str:
     h = REGISTRY["hll_distinct_orders"].oracle
     c = REGISTRY["cms_user_freq"].oracle
@@ -4782,10 +4830,12 @@ CORE_ORDER = [
     "q22_global_sales",
     "pivot_event_counts",
     # §2D scalar functions (uuid_deterministic_ids consolidates
-    # uuid_v3_customer + uuid_v5_events, both still registered granular)
-    "binary_codecs",
-    "ieee754_decode",
+    # uuid_v3_customer + uuid_v5_events; binary_scalar_codecs
+    # consolidates binary_codecs + ieee754_decode, freeing a slot for
+    # profile_drift_orders — all granulars registered)
+    "binary_scalar_codecs",
     "uuid_deterministic_ids",
+    "profile_drift_orders",
     # dedup family (near_dup_pairs consolidates near_dup_jaccard +
     # simhash_near_pairs)
     "dedup_exact_fingerprint",

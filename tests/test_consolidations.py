@@ -271,3 +271,31 @@ def test_media_near_dup_pairs_equals_granular_composition(spark):
         F.lit("audio").alias("src"), "doc_a", "doc_b", "hamming"
     )
     assert _rows(scored) == _rows(i.unionAll(a).select(*scored.columns))
+
+
+def test_binary_scalar_codecs_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["binary_scalar_codecs"](spark, SF)
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    c = reg["binary_codecs"](spark, SF).select(
+        F.lit("codecs").alias("src"),
+        "p_partkey", "h", "parsed", "rev", "int32_val", "hex3", "hex16",
+        "hex_oob", "b64_2", "bits", "roundtrip",
+        null("double").alias("reconstructed"),
+    )
+    i = reg["ieee754_decode"](spark, SF).select(
+        F.lit("ieee754").alias("src"),
+        "p_partkey",
+        null("string").alias("h"),
+        null("bigint").alias("parsed"),
+        null("string").alias("rev"),
+        null("bigint").alias("int32_val"),
+        null("int").alias("hex3"),
+        null("int").alias("hex16"),
+        null("int").alias("hex_oob"),
+        null("int").alias("b64_2"),
+        null("string").alias("bits"),
+        null("bigint").alias("roundtrip"),
+        "reconstructed",
+    )
+    assert _rows(scored) == _rows(c.unionAll(i).select(*scored.columns))
