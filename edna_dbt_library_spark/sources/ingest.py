@@ -129,6 +129,33 @@ def load_jsonl(
     return split_jsonl_lines(spark.read.text(path), schema, required)
 
 
+def split_csv_lines(
+    lines: DataFrame,
+    schema: T.StructType,
+    required: tuple[str, ...] = (),
+    header: bool = True,
+    sep: str = ",",
+) -> IngestResult:
+    """Split a one-column (``value`` string) frame of CSV lines into
+    good/quarantine under the schema contract — shared by
+    :func:`load_csv` and the streaming ingest, like
+    :func:`split_jsonl_lines`."""
+    schema = _require_schema(schema)
+    if header:
+        header_line = sep.join(f.name for f in schema.fields)
+        lines = lines.where(F.col("value") != header_line)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = F.from_csv(
+        "value",
+        ddl,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, "sep": sep},
+    )
+    return _split(lines, parsed, schema, required)
+
+
 def load_csv(
     spark: SparkSession,
     path: str,
@@ -145,21 +172,7 @@ def load_csv(
     multi-file drop sheds its own header. A data line that is literally
     identical to the header is indistinguishable from one and is
     dropped too (pathological by construction)."""
-    schema = _require_schema(schema)
-    lines = spark.read.text(path)
-    if header:
-        header_line = sep.join(f.name for f in schema.fields)
-        lines = lines.where(F.col("value") != header_line)
-    ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
-    )
-    parsed = F.from_csv(
-        "value",
-        ddl,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, "sep": sep},
-    )
-    return _split(lines, parsed, schema, required)
+    return split_csv_lines(spark.read.text(path), schema, required, header, sep)
 
 
 def with_ingest_ids(

@@ -4,6 +4,7 @@ from edna_dbt_library_spark.streaming.incremental_stream import (
 )
 from edna_dbt_library_spark.streaming.ingest_stream import (
     read_ingested,
+    stream_csv_ingest,
     stream_jsonl_ingest,
 )
 from edna_dbt_library_spark.streaming.sketch_stream import (
@@ -17,6 +18,7 @@ from edna_dbt_library_spark.streaming.sketch_stream import (
 
 __all__ = [
     "read_ingested",
+    "stream_csv_ingest",
     "stream_jsonl_ingest",
     "stream_incremental_append",
     "stream_windowed_counts",

@@ -65,10 +65,53 @@ def stream_jsonl_ingest(
     return writer.start()
 
 
+def stream_csv_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    store_path: str,
+    checkpoint_path: str,
+    required: tuple[str, ...] = (),
+    header: bool = True,
+    sep: str = ",",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """CSV twin of :func:`stream_jsonl_ingest`: the batch reader's own
+    split_csv_lines expressions over a streamed drop folder (per-file
+    header shedding included — the header filter is a row predicate, so
+    it works identically under any micro-batch chopping), landing into
+    the same ``batch=<id>`` idempotent good/quarantine sinks."""
+    from edna_dbt_library_spark.sources.ingest import split_csv_lines
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.text(source_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        res = split_csv_lines(pinned, schema, required, header, sep)
+        res.good.write.mode("overwrite").parquet(f"{store_path}/good/batch={batch_id}")
+        res.quarantine.write.mode("overwrite").parquet(
+            f"{store_path}/quarantine/batch={batch_id}"
+        )
+
+    writer = lines.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_ingested(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine) frames over everything the stream has landed —
-    plain parquet reads across the ``batch=<id>`` subdirectories."""
+    plain parquet reads across the ``batch=<id>`` subdirectories. The
+    inferred ``batch`` partition column is sink bookkeeping, not data,
+    and is dropped (contract: the landed frames equal the batch
+    reader's split exactly)."""
     return (
-        spark.read.parquet(f"{store_path}/good"),
-        spark.read.parquet(f"{store_path}/quarantine"),
+        spark.read.parquet(f"{store_path}/good").drop("batch"),
+        spark.read.parquet(f"{store_path}/quarantine").drop("batch"),
     )

@@ -226,3 +226,31 @@ def test_stream_jsonl_ingest_equals_batch_split(spark, tmp_path):
     assert len(os.listdir(tmp_path / "store" / "good")) >= 3
     # count-vs-collect stability holds on the landed quarantine too
     assert s_quar.count() == len(s_quar.collect()) == 3
+
+
+def test_stream_csv_ingest_equals_batch_split(spark, tmp_path):
+    """CSV streaming ingest: per-file headers shed under micro-batch
+    chopping, landed split equals batch load_csv."""
+    from edna_dbt_library_spark.streaming import read_ingested, stream_csv_ingest
+
+    src = tmp_path / "csvdrop"
+    src.mkdir()
+    hdr = "url,text,fetched_at"
+    _write(src / "p0.csv", [hdr, "http://a,hello,1", "http://b,ok,notanint"])
+    _write(src / "p1.csv", [hdr, ",missing url,2", "http://c,fine,3"])
+
+    store, cp = str(tmp_path / "cstore"), str(tmp_path / "ccp")
+    q = stream_csv_ingest(
+        spark, str(src), SCHEMA, store, cp,
+        required=("url",), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    from edna_dbt_library_spark.sources.ingest import load_csv
+
+    batch = load_csv(spark, str(src), SCHEMA, required=("url",))
+    s_good, s_quar = read_ingested(spark, store)
+    assert sorted(map(tuple, s_good.collect())) == sorted(map(tuple, batch.good.collect()))
+    assert sorted(map(tuple, s_quar.collect())) == sorted(
+        map(tuple, batch.quarantine.collect())
+    )
+    assert s_good.count() == 2 and s_quar.count() == 2
