@@ -55,7 +55,7 @@ class Model:
     node: ModelNode
     builder: Callable[[SparkSession], DataFrame] | None = None
     sql: str | None = None  # SQL-text model (the dbt-style compiled SELECT)
-    materialization: str = "table"  # table | view | incremental_log | incremental_partition_merge
+    materialization: str = "table"  # table | view | incremental_log | incremental_partition_merge | scd2_snapshot
     mat_config: object | None = None  # IncrementalLogConfig | PartitionMergeConfig
     profile_gate: ProfileGateConfig | None = None
 
@@ -172,6 +172,15 @@ class Runner:
             if cfg is None:
                 raise ValueError("incremental_partition_merge requires a PartitionMergeConfig")
             result = run_incremental_partition_merge(self.wh, target, df, cfg)
+        elif model.materialization == "scd2_snapshot":
+            from edna_dbt_library_spark.operators.materializations import (
+                run_scd2_snapshot,
+            )
+
+            cfg = model.mat_config
+            if cfg is None:
+                raise ValueError("scd2_snapshot requires a Scd2Config")
+            result = run_scd2_snapshot(self.wh, target, df, cfg)
         elif model.materialization == "table":
             self.wh.create_as(target, df, TableMeta())
             result = {"action": "table", "relation": target}

@@ -424,3 +424,45 @@ def test_warehouse_expire_partitions(spark, wh):
     wh.create_as(rel2, spark.range(3).select(F.col("id").alias("k")), TableMeta())
     with pytest.raises(ValueError, match="unpartitioned"):
         wh.expire_partitions(rel2, keep_from="2024-01-01")
+
+
+def test_runner_scd2_snapshot_materialization(spark, wh):
+    """The Runner dispatches dbt-snapshot semantics: two incremental
+    runs through the lifecycle converge to the same history the direct
+    operator computes from the full batch."""
+    from edna_dbt_library_spark.operators.materializations import Scd2Config
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(name="user_hist", fqn=["analytics", "s", "user_hist"], path="s/u.sql")
+    state = {"half": 1}
+
+    def builder(s):
+        ev = load_table(s, "/root/testdata/sf0.001", "events").select(
+            "user_id", "ts", "event_type"
+        )
+        return ev.where(F.col("ts") <= "2024-01-15") if state["half"] == 1 else ev
+
+    runner.register(
+        Model(
+            node=node,
+            builder=builder,
+            materialization="scd2_snapshot",
+            mat_config=Scd2Config(unique_key="user_id", event_time="ts",
+                                  tiebreakers=["event_type"]),
+        )
+    )
+    r1 = runner.run("user_hist", validate=False, register_metadata=False)
+    state["half"] = 2
+    r2 = runner.run("user_hist", validate=False, register_metadata=False)
+    target = r2["relation"]
+    got = wh.read(target)
+    assert {"valid_from", "valid_to", "is_current"} <= set(got.columns)
+    # one current row per user, history contiguous
+    cur = got.where("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+    # missing config refuses
+    runner.register(Model(node=ModelNode(name="bad", fqn=["analytics", "s", "bad"]),
+                          builder=builder, materialization="scd2_snapshot"))
+    with pytest.raises(ValueError, match="Scd2Config"):
+        runner.run("bad", validate=False, register_metadata=False)
