@@ -140,3 +140,49 @@ def test_salted_join_rejects_right_and_full(spark):
 
     with _pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="full")
+
+
+def test_stream_content_fingerprint_dedup(spark, tmp_path):
+    """Streaming CONTENT dedup: keying the stateful dedup on the text
+    fingerprint suppresses re-crawled duplicates across micro-batches —
+    exact same-content docs under different ids collapse to the first
+    arrival, distinct content passes. The streaming twin of
+    run_incremental_dedup's store semantics."""
+    from edna_dbt_library_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "docs_src")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b1 = spark.createDataFrame([(1, "hello world"), (2, "fresh content")], schema)
+    # batch 2: same content re-crawled under a new id + whitespace/case
+    # variant (fingerprint-normalized equal) + genuinely new doc
+    b2 = spark.createDataFrame(
+        [(10, "hello world"), (11, "  HELLO   world "), (12, "brand new")], schema
+    )
+    b1.coalesce(1).write.parquet(src, mode="overwrite")
+    b2.coalesce(1).write.parquet(src, mode="append")
+
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField("fp", T.StringType())]
+    )
+
+    def q():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("fp", fingerprint(F.col("text")))
+        )
+        return stream_dedup_by_key(stream.groupBy("fp"), out_schema)
+
+    got = _drain(spark, src, q, tmp_path, "content_dedup_sink")
+    rows = got.collect()
+    texts = sorted((r["text"] or "").strip().lower().split()[0] for r in rows)
+    assert got.count() == 3  # hello-world family collapsed to ONE row
+    fps = [r["fp"] for r in rows]
+    assert len(set(fps)) == 3
+    kept_hello = [r for r in rows if "hello" in r["text"].lower()]
+    assert len(kept_hello) == 1
