@@ -180,7 +180,6 @@ def test_stream_content_fingerprint_dedup(spark, tmp_path):
 
     got = _drain(spark, src, q, tmp_path, "content_dedup_sink")
     rows = got.collect()
-    texts = sorted((r["text"] or "").strip().lower().split()[0] for r in rows)
     assert got.count() == 3  # hello-world family collapsed to ONE row
     fps = [r["fp"] for r in rows]
     assert len(set(fps)) == 3
