@@ -293,6 +293,23 @@ Same-host code ratio: **1.02** (worst single query 1.18x — noise
 band), with 6 genuinely new benched queries added. Round-over-round
 bench comparisons are only meaningful same-host; the re-bench recipe is
 in CLAUDE.md.
+
+## Perceptual media dedup stress (round 5)
+
+5,250 real 64x64 PNGs (pseudo-random RGB content; 250 planted
+brightness-perturbed near-duplicates), local[32]:
+
+| stage | wall |
+|---|---|
+| Arrow hash pass (stdlib PNG decode + dHash/aHash, all 5,250 decoded) | 6.0s (~875 img/s) |
+| banded-Hamming pair stage (bands=4, max_hamming=3) | 2.9s |
+
+Found pairs = exactly the 250 planted near-dups (recall 1.000, zero
+false pairs — dHash distance 0 under the +4 brightness shift, unrelated
+pseudo-random images all beyond the verify threshold). Python-side
+per-scanline PNG decode dominates the hash pass; a production codec
+injected via the decode hook moves that ~linearly while the blocking
+join shape is unchanged.
 """
 
 
