@@ -367,3 +367,41 @@ def test_hash_split_covers_every_row_exactly_once_property(spark, splits):
     rows = hash_split(df, "k", fractions).collect()
     assert len(rows) == 200
     assert {r["split"] for r in rows} <= set(fractions)
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.one_of(
+            st.text(min_size=0, max_size=40).filter(lambda s: "\n" not in s and "\r" not in s),
+            st.builds(
+                lambda u, t: __import__("json").dumps({"url": u, "text": t}),
+                st.one_of(st.none(), st.text(max_size=15).filter(lambda s: "\n" not in s)),
+                st.text(max_size=15).filter(lambda s: "\n" not in s),
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_jsonl_ingest_total_classification_property(spark, tmp_path_factory, lines):
+    """For ANY line soup (valid JSON, junk, empty, unicode): ingestion
+    never throws, and every non-empty line lands in EXACTLY one of
+    good/quarantine — total, exclusive classification."""
+    from pyspark.sql import types as T
+
+    from edna_dbt_library_spark.sources.ingest import load_jsonl
+
+    p = tmp_path_factory.mktemp("fuzz") / "drop.jsonl"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    res = load_jsonl(spark, str(p), schema, required=("url",))
+    n_good, n_quar = res.good.count(), res.quarantine.count()
+    # spark.read.text drops nothing; every line classifies exactly once
+    n_lines = spark.read.text(str(p)).count()
+    assert n_good + n_quar == n_lines
+    # and the split is stable under a different downstream projection
+    assert len(res.good.collect()) == n_good
+    assert len(res.quarantine.collect()) == n_quar
