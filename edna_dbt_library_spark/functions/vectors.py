@@ -46,3 +46,30 @@ def sign_bucket(a: Column | str, dims: int = 8) -> Column:
     arr = _col(a)
     bits = [F.when(F.element_at(arr, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(dims)]
     return F.concat(*bits)
+
+
+def quantize_int8(vec: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization for embedding STORAGE:
+    ``struct(scale: float, q: array<tinyint>)`` with
+    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` — 4x
+    smaller than float32 on disk and in shuffle, the standard trade for
+    100 TB vector corpora. Zero vectors quantize to scale 0 / all-zero
+    codes. Pure HOF Column algebra (JVM codegen, zero Python)."""
+    v = _as_double(_col(vec))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("byte")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
+    return F.struct(scale.cast("float").alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(packed: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<float>`` with per-value
+    error bounded by ``scale / 2`` — cosine rankings survive (tested
+    recall on the fixtures), exact scores shift within the bound."""
+    p = _col(packed)
+    return F.transform(
+        p["q"], lambda x: (x.cast("double") * p["scale"].cast("double")).cast("float")
+    )

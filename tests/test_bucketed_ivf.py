@@ -345,3 +345,61 @@ def test_persisted_ivf_index_matches_inline_search(spark, tmp_path):
     assert sorted(map(tuple, stored_cent.collect())) == sorted(map(tuple, fresh.collect()))
     # index table carries cluster_by metadata for row-group locality
     assert wh.read_meta(index).cluster_by == ["cell"]
+
+
+def test_int8_quantized_embeddings_roundtrip_and_search(spark, tmp_path):
+    """int8 storage quantization: per-value error within scale/2, ~4x
+    smaller parquet than float32, and brute-force cosine top-k over the
+    dequantized vectors keeps high recall vs the exact ranking."""
+    from edna_dbt_library_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, SF, "embeddings")
+    packed = emb.select("vec_id", "label", quantize_int8("embedding").alias("p"))
+    back = packed.select("vec_id", "label", dequantize_int8("p").alias("embedding"))
+
+    # error bound: |x - deq| <= scale/2 + float slack, all rows/dims
+    joined = emb.select("vec_id", F.col("embedding").alias("orig")).join(
+        packed.select("vec_id", "p"), "vec_id"
+    )
+    viol = joined.where(
+        F.exists(
+            F.zip_with(
+                "orig",
+                dequantize_int8("p"),
+                lambda a, b: F.abs(a.cast("double") - b.cast("double"))
+                > (F.col("p.scale").cast("double") / 2 + 1e-6),
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert viol == 0
+
+    # zero vector edge
+    z = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<float>")
+    zr = z.select(quantize_int8("embedding").alias("p")).collect()[0]["p"]
+    assert zr["scale"] == 0.0 and list(zr["q"]) == [0, 0, 0, 0]
+
+    # storage: int8 parquet much smaller than float32
+    import os
+
+    def du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    emb.select("vec_id", "embedding").write.parquet(str(tmp_path / "f32"))
+    packed.select("vec_id", "p").write.parquet(str(tmp_path / "i8"))
+    assert du(str(tmp_path / "i8")) < 0.55 * du(str(tmp_path / "f32"))
+
+    # search quality: recall@10 of dequantized brute force vs exact
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(back, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
