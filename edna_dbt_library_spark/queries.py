@@ -4357,6 +4357,61 @@ def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 embedding quantization --------------------------------------------
+
+_QUANT_ORACLE = """
+WITH q AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+           embedding
+    FROM embeddings
+), codes AS (
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0
+                THEN list_transform(embedding, x -> round(x::DOUBLE / scale)::BIGINT)
+                ELSE list_transform(embedding, x -> 0::BIGINT) END AS c
+    FROM q
+)
+SELECT vec_id, scale,
+       list_sum(c)::BIGINT AS q_sum,
+       list_min(c)::BIGINT AS q_min,
+       list_max(c)::BIGINT AS q_max,
+       len(list_filter(c, x -> x <> 0))::BIGINT AS n_nonzero
+FROM codes"""
+
+
+@_register("quantized_embeddings_summary", _QUANT_ORACLE)
+def quantized_embeddings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization (functions/vectors.quantize_int8) gated via
+    engine-exact scalars: the per-vector scale (one IEEE division over
+    a deterministic max-abs fold) and code aggregates (sum/min/max/
+    nonzero count — round-half-away matches across engines). The codes
+    themselves are determined by these plus the error-bound pytest."""
+    from edna_dbt_library_spark.functions.vectors import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = e.select("vec_id", quantize_int8("embedding").alias("p"))
+    c = F.transform(F.col("p.q"), lambda x: x.cast("long"))
+    amax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = (amax / F.lit(127.0)).alias("scale")
+    return (
+        e.select("vec_id", scale)
+        .join(p, "vec_id")
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.array_min(c).alias("q_min"),
+            F.array_max(c).alias("q_max"),
+            F.size(F.filter(c, lambda x: x != 0)).cast("long").alias("n_nonzero"),
+        )
+    )
+
+
 # --- edit-distance record linkage ------------------------------------------
 
 LINK_MAX_DIST = 1
