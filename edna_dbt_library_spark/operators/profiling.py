@@ -235,3 +235,58 @@ def enforce_profile_drift(
         raise ContractError(
             "profile drift beyond tolerance:\n  " + "\n  ".join(lines)
         )
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Grouped z-score anomaly detection: rows whose value deviates from
+    their group mean by more than ``z_threshold`` standard deviations —
+    the numeric-outlier sweep that complements the drift gate (drift
+    catches a COLUMN moving; this catches individual rows inside an
+    otherwise-healthy batch).
+
+    Determinism design (the cross-engine gate): per-group sums of the
+    DECIMAL-cast value and its square are exact and associative, so
+    mean/variance/z derive from identical doubles on any partitioning
+    or engine; z is rounded to 6 before the threshold so boundary rows
+    classify identically. Population variance (``/n``); groups with
+    n < 2 or zero variance emit nothing.
+
+    Scale shape: one map-side-combinable groupBy over the group keys +
+    one broadcast-join of the tiny per-group stats back onto the scan —
+    the corpus never shuffles.
+    """
+    v = F.col(value_col).cast("decimal(28,6)")
+    stats = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(v).alias("_s1"),
+            F.sum(v * v).alias("_s2"),
+        )
+        .where(F.col("_n") >= 2)
+        .select(
+            *group_cols,
+            "_n",
+            (F.col("_s1").cast("double") / F.col("_n")).alias("_mean"),
+            (
+                (F.col("_s2").cast("double") - F.col("_s1").cast("double")
+                 * F.col("_s1").cast("double") / F.col("_n"))
+                / F.col("_n")
+            ).alias("_var"),
+        )
+        .where(F.col("_var") > 0)
+    )
+    z = F.round(
+        F.abs(F.col(value_col).cast("double") - F.col("_mean")) / F.sqrt("_var"), 6
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn("zscore", z)
+        .where(F.col("zscore") > z_threshold)
+        .select(*df.columns, "zscore")  # input column order, join keys un-fronted
+    )

@@ -4357,6 +4357,42 @@ def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- grouped z-score outlier detection --------------------------------------
+
+ZSCORE_THRESH = 2.5
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(28,6))) AS s1,
+           sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2
+    FROM events GROUP BY event_type
+), st AS (
+    SELECT event_type,
+           s1::DOUBLE / n AS mean,
+           (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / n AS var
+    FROM stats WHERE n >= 2
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(abs(e.value::DOUBLE - st.mean) / sqrt(st.var), 6) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE st.var > 0
+  AND round(abs(e.value::DOUBLE - st.mean) / sqrt(st.var), 6) > {ZSCORE_THRESH!r}"""
+
+
+@_register("zscore_outlier_events", _ZSCORE_ORACLE)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped z-score anomaly detection
+    (operators/profiling.group_zscore_outliers): per-event-type
+    decimal-exact mean/variance, rows beyond 2.5 sigma — the whole
+    outlier set plus its rounded z-scores hash-gates."""
+    from edna_dbt_library_spark.operators.profiling import group_zscore_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return group_zscore_outliers(e, "value", ["event_type"], ZSCORE_THRESH)
+
+
 # --- int8 embedding quantization --------------------------------------------
 
 _QUANT_ORACLE = """

@@ -204,3 +204,23 @@ def test_profile_drift_baselines_transfer_across_batch_sizes(spark):
     c = profile_columns(base.where(F.col("o_orderkey") % 10 == 3), exact=True)
     ok = profile_drift(b, c).where(F.col("metric") == "null_frac")
     assert ok.count() == 0
+
+
+def test_group_zscore_outliers_planted_anomaly(spark):
+    from edna_dbt_library_spark.operators.profiling import group_zscore_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 500])]
+    rows += [(100 + i, "b", 5.0) for i in range(5)]  # zero variance: no output
+    rows += [(200, "c", 1.0)]  # n < 2: no output
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = group_zscore_outliers(df, "value", ["event_type"], 2.5)
+    got = out.collect()
+    assert [r["event_id"] for r in got] == [9]  # only the planted spike
+    assert got[0]["zscore"] > 2.5
+    assert out.columns == ["event_id", "event_type", "value", "zscore"]
+    # deterministic under repartitioning
+    again = group_zscore_outliers(df.repartition(7), "value", ["event_type"], 2.5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # plan: stats broadcast back, corpus never shuffles for the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
