@@ -183,3 +183,41 @@ def pii_flags(text: Column | str) -> dict[str, Column]:
     filtering or audit metrics without rewriting the text."""
     c = _col(text)
     return {f"has_{kind}": F.regexp_like(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+#: basic named HTML entities decoded by strip_html (order matters:
+#: &amp; last so "&amp;lt;" decodes to "&lt;" not "<")
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column | str) -> Column:
+    """Crawl-page text extraction: drop <script>/<style> blocks and
+    HTML comments WITH their content, strip remaining tags, decode the
+    common entities, collapse whitespace. Pure regexp_replace chain —
+    zero UDFs, zero shuffles, runs at the scan like the PII redactor.
+
+    Deliberately a TEXT CLEANER, not a parser: nesting-abusing or
+    unterminated markup degrades to leaving text in place (never
+    drops non-markup content); a DOM-accurate boilerplate model
+    (trafilatura-class) is an injectable upgrade, the codec-hook
+    pattern. NULL propagates."""
+    c = _col(text)
+    # script/style/comment blocks: non-greedy, case-insensitive, dotall
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block-level closers become spacing so words don't glue together
+    c = F.regexp_replace(c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table)\b[^>]*>", " ")
+    # any remaining tag
+    c = F.regexp_replace(c, r"<[^>]+>", "")
+    for ent, rep in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

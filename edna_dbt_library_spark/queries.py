@@ -4357,6 +4357,59 @@ def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HTML boilerplate stripping ---------------------------------------------
+
+#: shared Spark/DuckDB SQL wrapping each document in crawl-page markup
+#: (script+style+comment blocks, headings, entities) for the strip gate
+HTML_BUILD_SQL = (
+    "'<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
+    "<body><h1>Doc ' || cast(doc_id AS string) || '</h1><p>' || text || "
+    "'</p><div>from &amp; dept &lt;' || lang || '&gt;</div><!-- crawler note -->"
+    "</body></html>'"
+)
+
+_STRIP_STEPS = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table)\b[^>]*>", " "),
+    (r"<[^>]+>", ""),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _strip_html_oracle() -> str:
+    expr = "h"
+    for pat, rep in _STRIP_STEPS:
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH w AS (SELECT doc_id, {HTML_BUILD_SQL} AS h FROM documents)
+SELECT doc_id, {expr} AS clean_text FROM w"""
+
+
+@_register("strip_html_docs", _strip_html_oracle())
+def strip_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (functions/text.strip_html) at fixture
+    scale: every document wrapped in shared-SQL crawl markup
+    (script/style/comment blocks with content, headings, entities),
+    stripped back by the zero-UDF regex chain, and the DuckDB oracle
+    replays the identical chain step for step."""
+    from edna_dbt_library_spark.functions.text import strip_html
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", strip_html(F.expr(HTML_BUILD_SQL)).alias("clean_text")
+    )
+
+
 # --- grouped z-score outlier detection --------------------------------------
 
 ZSCORE_THRESH = 2.5

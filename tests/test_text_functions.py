@@ -92,3 +92,29 @@ def test_pii_flags(spark):
     df = spark.createDataFrame([("a@b.io only",)], "t string")
     row = df.select([v.alias(k) for k, v in pii_flags(F.col("t")).items()]).collect()[0]
     assert row["has_email"] and not row["has_ip"] and not row["has_phone"]
+
+
+def test_strip_html_cases(spark):
+    from edna_dbt_library_spark.functions.text import strip_html
+    from pyspark.sql import functions as F
+
+    cases = {
+        "<p>hello <b>world</b></p>": "hello world",
+        "<script>var x = '<p>sneaky</p>';</script>after": "after",
+        "<style>p{}</style>text<!-- note -->": "text",
+        "a&amp;b &lt;c&gt; it&#39;s &quot;q&quot;&nbsp;end": 'a&b <c> it\'s "q" end',
+        # &amp;lt; decodes to the LITERAL &lt; (never double-decodes)
+        "x &amp;lt; y": "x &lt; y",
+        "<div>one</div><div>two</div>": "one two",
+        "no markup at all": "no markup at all",
+        "unterminated <script>rest": "unterminated rest",
+        "": "",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = [r["c"] for r in df.select(strip_html("t").alias("c")).collect()]
+    assert got == list(cases.values())
+    # NULL propagates; zero Python in the plan
+    nul = spark.createDataFrame([(None,)], "t string")
+    assert nul.select(strip_html("t").alias("c")).collect()[0]["c"] is None
+    plan = df.select(strip_html("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
