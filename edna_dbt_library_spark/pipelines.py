@@ -100,6 +100,7 @@ def curate_corpus(
     n_shards: int = 16,
     shard_salt: str = "",
     staging_path: str | None = None,
+    strip_markup: bool = False,
 ) -> CurationReport:
     """Run the full curation flow; returns a :class:`CurationReport`
     with per-stage surviving row counts and the final kept DataFrame
@@ -130,6 +131,14 @@ def curate_corpus(
     report = CurationReport()
     stage = _stager(staging_path)
     report.counts["input"] = docs.count()
+
+    # 0. markup stripping (optional, scan-side Column chain): raw crawl
+    # HTML becomes text BEFORE anything scores it — script/style payload
+    # would otherwise poison quality, language-id and every dedup stage
+    if strip_markup:
+        from edna_dbt_library_spark.functions.text import strip_html
+
+        docs = docs.withColumn(text_col, strip_html(F.col(text_col)))
 
     # 1. quality + PII (zero-shuffle scan; thresholds applied here)
     scored = curation_verdict(docs, text_col=text_col, id_col=id_col)

@@ -263,3 +263,24 @@ def test_streaming_ingest_feeds_curation_end_to_end(spark, tmp_path):
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     exported = spark.read.parquet(str(tmp_path / "shards"))
     assert exported.count() == len(rows)
+
+
+def test_curate_corpus_strip_markup_stage(spark):
+    """strip_markup=True: HTML-wrapped docs become equivalent to their
+    plain-text originals — the exact-dedup stage proves it by collapsing
+    a wrapped clone onto the plain doc."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(20)
+    base = docs.where(F.col("doc_id") == 3).collect()[0]["text"]
+    wrapped = spark.createDataFrame(
+        [(9100, f"<html><body><p>{base}</p><script>var x=1;</script></body></html>")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(wrapped)
+    rep = curate_corpus(corpus, min_quality=0.0, strip_markup=True)
+    kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
+    assert 9100 not in kept_ids and 3 in kept_ids  # stripped clone deduped onto 3
+    # stripped: the clone is EXACT-duplicate of doc 3 (dies at stage 2);
+    # unstripped it survives exact dedup (markup makes the text distinct)
+    # and only the fuzzier near-dedup can catch it
+    rep0 = curate_corpus(corpus, min_quality=0.0)
+    assert rep.counts["after_exact_dedup"] == rep0.counts["after_exact_dedup"] - 1
