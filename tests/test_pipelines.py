@@ -279,8 +279,9 @@ def test_curate_corpus_strip_markup_stage(spark):
     rep = curate_corpus(corpus, min_quality=0.0, strip_markup=True)
     kept_ids = {r["doc_id"] for r in rep.kept.select("doc_id").collect()}
     assert 9100 not in kept_ids and 3 in kept_ids  # stripped clone deduped onto 3
-    # stripped: the clone is EXACT-duplicate of doc 3 (dies at stage 2);
-    # unstripped it survives exact dedup (markup makes the text distinct)
-    # and only the fuzzier near-dedup can catch it
+    # stripped: the clone survives quality as clean text and dies as an
+    # EXACT duplicate of doc 3; unstripped the markup poisons scoring
+    # and it dies at quality instead (measured stage counts)
     rep0 = curate_corpus(corpus, min_quality=0.0)
-    assert rep.counts["after_exact_dedup"] == rep0.counts["after_exact_dedup"] - 1
+    assert rep.counts["after_quality"] == rep0.counts["after_quality"] + 1
+    assert rep.counts["after_exact_dedup"] == rep0.counts["after_exact_dedup"]
