@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "rollup_region_revenue",
     "setops_customers",
     "ntile_balance_deciles",
+    "strip_html_docs",
+    "zscore_outlier_events",
+    "quantized_embeddings_summary",
 ]
 
 
