@@ -206,7 +206,9 @@ def strip_html(text: Column | str) -> Column:
 
     Deliberately a TEXT CLEANER, not a parser: nesting-abusing or
     unterminated markup degrades to leaving text in place (never
-    drops non-markup content); a DOM-accurate boilerplate model
+    drops non-markup content — the catch-all requires a tag-like
+    start ``</?[A-Za-z!]``, so prose comparisons like ``x < y and
+    z > w`` survive intact); a DOM-accurate boilerplate model
     (trafilatura-class) is an injectable upgrade, the codec-hook
     pattern. NULL propagates."""
     c = _col(text)
@@ -216,8 +218,9 @@ def strip_html(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     # block-level closers become spacing so words don't glue together
     c = F.regexp_replace(c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table)\b[^>]*>", " ")
-    # any remaining tag
-    c = F.regexp_replace(c, r"<[^>]+>", "")
+    # any remaining TAG-LIKE span only: must open with a letter, '/' or
+    # '!' so bare '<'/'>' in prose/math never swallows the text between
+    c = F.regexp_replace(c, r"</?[A-Za-z!][^>]*>", "")
     for ent, rep in HTML_ENTITIES:
         c = F.regexp_replace(c, ent, rep)
     return F.trim(F.regexp_replace(c, r"\s+", " "))

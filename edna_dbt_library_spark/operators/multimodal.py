@@ -34,6 +34,23 @@ from pyspark.sql import types as T
 
 MEDIA_BATCH_ROWS = 64  # arrow batch cap for byte-heavy frames
 
+
+def _apply_batch_rows(media: DataFrame, batch_rows: int | None) -> None:
+    """Set ``spark.sql.execution.arrow.maxRecordsPerBatch`` for this
+    operator's Arrow transfer.
+
+    SESSION-SCOPED SIDE EFFECT, by design: the conf is read when the
+    returned (lazy) DataFrame EXECUTES, not when this builder runs, so a
+    save/restore around the mapInPandas construction would silently lose
+    the override before the job ever starts. Later Arrow jobs in the same
+    session inherit the last value passed; pass ``batch_rows`` explicitly
+    on each media operator (they all accept it) or reset the conf when
+    mixing media and non-media Arrow work in one session."""
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
+
 # convention: media tables/columns use this struct
 MEDIA_META_TYPE = T.StructType(
     [
@@ -143,10 +160,7 @@ def probe_media_headers(media: DataFrame, batch_rows: int | None = None) -> Data
     bytes with zero codec dependencies, so it works in this container and
     scales exactly like decode_images (bounded Arrow batches, no per-row
     Python overhead beyond the parse itself)."""
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -365,10 +379,7 @@ def decode_images(
     MEDIA_BATCH_ROWS) when content is real multi-MB media so a batch fits
     in executor memory; leave None for Spark's default batching."""
     fn = decode_fn or _fake_decode
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -534,10 +545,7 @@ def perceptual_hash_images(
     decoder; a production stack injects its codec here (same contract:
     bytes -> {width, height, channels, pixels})."""
     fn = decode or decode_png_pixels
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -660,10 +668,7 @@ def audio_features(media: DataFrame, batch_rows: int | None = None) -> DataFrame
     content) row: exact integer RMS (isqrt of mean square), peak
     amplitude, zero-crossing count, duration from the real frame count.
     Undecodable rows keep NULL stats with decoded = false."""
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
         import math
@@ -726,10 +731,7 @@ def perceptual_hash_audio(
 ) -> DataFrame:
     """Arrow-batched audio fingerprints over (doc_id, content):
     (doc_id, afp, decoded); non-PCM rows yield NULL with decoded=false."""
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -807,10 +809,7 @@ def image_feature_embeddings(
     vec_col='embedding'. Undecodable rows keep NULL embeddings with
     decoded=false, same contract as perceptual_hash_images."""
     fn = decode or decode_png_pixels
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from edna_dbt_library_spark.functions.vectors import dot, norm, sign_bucket
 
 
+def _label_expr(df: DataFrame):
+    """``label`` is optional caller metadata (the fixture carries it; a
+    bare (id, embedding) frame legitimately doesn't): pass it through
+    when present, else surface a typed NULL so every downstream select
+    stays analyzable — the guard semantic_dedup got from round-4 ADVICE,
+    applied uniformly."""
+    if "label" in df.columns:
+        return F.col("label")
+    return F.lit(None).cast("string").alias("label")
+
+
 def _ranked_topk(joined: DataFrame, k: int) -> DataFrame:
     # norms are precomputed per side BEFORE the join (see callers): the
     # naive cosine() would re-aggregate both norms for every (query,
@@ -64,7 +75,7 @@ def brute_force_topk(
     )
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col("label"),
+        _label_expr(embeddings),
         F.col(vec_col).alias("c_embedding"),
         norm(F.col(vec_col)).alias("c_norm"),
     )
@@ -253,7 +264,7 @@ def ivf_topk(
             F.col(vec_col).alias("e"),
             norm(F.col(vec_col)).alias("n"),
             quantize_vec(vec_col).alias("qv"),
-            *([F.col("label")] if "label" in df.columns else []),
+            _label_expr(df),
         )
         return side.crossJoin(cent).withColumn(
             "dist", _int_sqdist(F.col("qv"), F.col("cv"))
@@ -346,7 +357,7 @@ def lsh_bucketed_topk(
     )
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col("label"),
+        _label_expr(embeddings),
         F.col(vec_col).alias("c_embedding"),
         norm(F.col(vec_col)).alias("c_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
@@ -506,7 +517,7 @@ def cell_outliers(
     )
     q = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col("label"),
+        _label_expr(embeddings),
         quantize_vec(vec_col).alias("qv"),
     )
     scored = q.crossJoin(cent).select(

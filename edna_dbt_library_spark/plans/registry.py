@@ -147,7 +147,13 @@ class Runner:
             )
 
             gate = model.profile_gate
-            current_profile = profile_columns(df, gate.columns, exact=gate.exact)
+            # pin the profile once: the SAME evaluated stats are both
+            # enforced and (on pass) persisted as the next baseline — a
+            # nondeterministic builder can't enforce one profile and
+            # write another, and the batch isn't scanned twice
+            current_profile = profile_columns(
+                df, gate.columns, exact=gate.exact
+            ).localCheckpoint(eager=True)
             baseline = self.wh.read_profile(target)
             if baseline is not None:
                 # fail BEFORE any write: a drifted batch never lands

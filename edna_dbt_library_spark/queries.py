@@ -4373,7 +4373,7 @@ _STRIP_STEPS = [
     (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
     (r"(?s)<!--.*?-->", " "),
     (r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table)\b[^>]*>", " "),
-    (r"<[^>]+>", ""),
+    (r"</?[A-Za-z!][^>]*>", ""),
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),

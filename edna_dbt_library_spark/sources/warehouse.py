@@ -25,6 +25,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -315,7 +317,22 @@ class Warehouse:
                     self._writer(df, meta).mode("overwrite").save(self.path(rel))
                 finally:
                     if stash is not None:
-                        shutil.move(stash, prof_src)
+                        # a failed overwrite can remove the table dir
+                        # entirely; recreate it so the restore itself
+                        # can't raise and mask the original write error
+                        # (the baseline would be stranded in the stash)
+                        try:
+                            os.makedirs(self.path(rel), exist_ok=True)
+                            shutil.move(stash, prof_src)
+                        except OSError as restore_err:
+                            if sys.exc_info()[0] is None:
+                                raise  # no write error in flight: surface it
+                            warnings.warn(
+                                "profile-baseline restore failed after a "
+                                f"compact write error; baseline kept at {stash}: "
+                                f"{restore_err}",
+                                stacklevel=2,
+                            )
                 self.write_meta(rel, meta)
             else:
                 df = (

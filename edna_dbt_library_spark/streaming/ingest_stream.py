@@ -20,8 +20,28 @@ The good side lands with exactly the contract's columns, quarantine as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+#: quarantine rows always land with this shape (ingest.split_* contract)
+QUARANTINE_SCHEMA = T.StructType(
+    [T.StructField("reason", T.StringType()), T.StructField("raw", T.StringType())]
+)
+
+
+def _check_contract_schema(schema: T.StructType) -> None:
+    """The sink partitions on a bookkeeping column named ``batch``; a
+    contract column of the same name would collide with it on read (and
+    read_ingested's drop would silently discard real data) — reject it
+    at stream start instead of corrupting the store."""
+    if "batch" in schema.fieldNames():
+        raise ValueError(
+            "ingest contract schema must not name a column 'batch': the "
+            "streaming sink uses batch=<id> partition bookkeeping; rename "
+            "the column before streaming"
+        )
 
 
 def stream_jsonl_ingest(
@@ -42,6 +62,7 @@ def stream_jsonl_ingest(
     under any chopping — tested streamed==batch)."""
     from edna_dbt_library_spark.sources.ingest import split_jsonl_lines
 
+    _check_contract_schema(schema)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -84,6 +105,7 @@ def stream_csv_ingest(
     the same ``batch=<id>`` idempotent good/quarantine sinks."""
     from edna_dbt_library_spark.sources.ingest import split_csv_lines
 
+    _check_contract_schema(schema)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -105,13 +127,36 @@ def stream_csv_ingest(
     return writer.start()
 
 
-def read_ingested(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
+def read_ingested(
+    spark: SparkSession,
+    store_path: str,
+    schema: T.StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine) frames over everything the stream has landed —
     plain parquet reads across the ``batch=<id>`` subdirectories. The
-    inferred ``batch`` partition column is sink bookkeeping, not data,
-    and is dropped (contract: the landed frames equal the batch
-    reader's split exactly)."""
+    inferred ``batch`` partition column is sink bookkeeping, not data
+    (a contract column of that name is rejected at stream start), and
+    is dropped (contract: the landed frames equal the batch reader's
+    split exactly).
+
+    A store where the stream has not landed a batch yet is a legitimate
+    state (first trigger still running, empty source dir): pass the
+    contract ``schema`` to get correctly-typed EMPTY frames back instead
+    of an AnalysisException; without a schema an absent store raises a
+    clear error naming the missing directory."""
+    good_dir, quar_dir = f"{store_path}/good", f"{store_path}/quarantine"
+
+    def _read(path: str, empty_schema: T.StructType | None) -> DataFrame:
+        if not os.path.isdir(path):
+            if empty_schema is not None:
+                return spark.createDataFrame([], empty_schema)
+            raise FileNotFoundError(
+                f"ingest store has no landed batches yet: {path} does not "
+                "exist (pass schema= to read_ingested for empty frames)"
+            )
+        return spark.read.parquet(path).drop("batch")
+
     return (
-        spark.read.parquet(f"{store_path}/good").drop("batch"),
-        spark.read.parquet(f"{store_path}/quarantine").drop("batch"),
+        _read(good_dir, schema),
+        _read(quar_dir, QUARANTINE_SCHEMA if schema is not None else None),
     )

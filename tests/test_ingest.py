@@ -254,3 +254,37 @@ def test_stream_csv_ingest_equals_batch_split(spark, tmp_path):
         map(tuple, batch.quarantine.collect())
     )
     assert s_good.count() == 2 and s_quar.count() == 2
+
+
+def test_read_ingested_empty_store_and_batch_column_guard(spark, tmp_path):
+    """Round-5 ADVICE: an ingest store with no landed batches is a
+    legitimate state (first trigger still running) — with the contract
+    schema, read_ingested returns correctly-typed EMPTY frames; without
+    it, a clear FileNotFoundError (not an AnalysisException). And a
+    contract column named 'batch' would collide with the sink's
+    partition bookkeeping, so stream start rejects it."""
+    import pytest
+
+    from edna_dbt_library_spark.streaming import read_ingested
+    from edna_dbt_library_spark.streaming.ingest_stream import (
+        QUARANTINE_SCHEMA,
+        stream_csv_ingest,
+        stream_jsonl_ingest,
+    )
+
+    store = str(tmp_path / "never_landed")
+    good, quar = read_ingested(spark, store, schema=SCHEMA)
+    assert good.schema == SCHEMA and good.count() == 0
+    assert quar.schema == QUARANTINE_SCHEMA and quar.count() == 0
+
+    with pytest.raises(FileNotFoundError, match="no landed batches"):
+        read_ingested(spark, store)
+
+    bad = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("batch", T.LongType())]
+    )
+    src = tmp_path / "drop2"
+    src.mkdir()
+    for fn in (stream_jsonl_ingest, stream_csv_ingest):
+        with pytest.raises(ValueError, match="must not name a column 'batch'"):
+            fn(spark, str(src), bad, str(tmp_path / "s2"), str(tmp_path / "c2"))

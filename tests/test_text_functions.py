@@ -108,6 +108,12 @@ def test_strip_html_cases(spark):
         "<div>one</div><div>two</div>": "one two",
         "no markup at all": "no markup at all",
         "unterminated <script>rest": "unterminated rest",
+        # bare angle brackets in prose/math are NOT tags: the catch-all
+        # requires a tag-like start, so the span between them survives
+        # (round-5 ADVICE: '<[^>]+>' used to swallow ' y and z ')
+        "x < y and z > w": "x < y and z > w",
+        "cost<= 4 or >= 2": "cost<= 4 or >= 2",
+        "2 < 3, but <em>this</em> is a tag": "2 < 3, but this is a tag",
         "": "",
     }
     df = spark.createDataFrame([(t,) for t in cases], "t string")
