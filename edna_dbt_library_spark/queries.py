@@ -3491,57 +3491,6 @@ def curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEAR_DUP_PAIRS_ORACLE = f"""
-WITH jac AS ({_near_dup_oracle()}),
-     sim AS ({_simhash_pairs_oracle()}),
-     win AS ({_OVERLAP_PAIRS_ORACLE})
-SELECT 'minhash_jaccard' AS method, doc_a, doc_b, jaccard AS score FROM jac
-UNION ALL
-SELECT 'simhash_hamming' AS method, doc_a, doc_b, hamming::DOUBLE AS score FROM sim
-UNION ALL
-SELECT 'winnow_passage' AS method, doc_a, doc_b, n_shared::DOUBLE AS score FROM win
-"""
-
-
-@_register("near_dup_pairs", _NEAR_DUP_PAIRS_ORACLE)
-def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three near-duplicate pair detectors in one scored row, tagged
-    by method: MinHash-LSH candidates verified at Jaccard >= 0.7 (score =
-    exact n-gram Jaccard), banded SimHash neighbors at Hamming <= 6
-    (score = exact Hamming distance), and winnowing passage-overlap
-    pairs (score = shared selected fingerprints) — whole-doc set
-    similarity, bit-level similarity, and contiguous-passage overlap
-    respectively. Granular variants (near_dup_jaccard,
-    simhash_near_pairs, winnow_overlap_pairs) stay registered."""
-    j = REGISTRY["near_dup_jaccard"].spark(spark, sf_dir)
-    s = REGISTRY["simhash_near_pairs"].spark(spark, sf_dir)
-    wp = REGISTRY["winnow_overlap_pairs"].spark(spark, sf_dir)
-    return (
-        j.select(
-            F.lit("minhash_jaccard").alias("method"),
-            "doc_a",
-            "doc_b",
-            F.col("jaccard").cast("double").alias("score"),
-        )
-        .unionAll(
-            s.select(
-                F.lit("simhash_hamming").alias("method"),
-                "doc_a",
-                "doc_b",
-                F.col("hamming").cast("double").alias("score"),
-            )
-        )
-        .unionAll(
-            wp.select(
-                F.lit("winnow_passage").alias("method"),
-                "doc_a",
-                "doc_b",
-                F.col("n_shared").cast("double").alias("score"),
-            )
-        )
-    )
-
-
 _UUID_IDS_ORACLE = f"""
 WITH v3 AS ({_UUID3_ORACLE}),
      v5 AS ({_uuid5_oracle()})
@@ -4833,9 +4782,77 @@ def binary_scalar_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_PAIRS_ORACLE = f"""
+WITH jac AS ({_near_dup_oracle()}),
+     sim AS ({_simhash_pairs_oracle()}),
+     win AS ({_OVERLAP_PAIRS_ORACLE}),
+     ed AS ({_LINKAGE_ORACLE})
+SELECT 'minhash_jaccard' AS method, doc_a, doc_b, jaccard AS score FROM jac
+UNION ALL
+SELECT 'simhash_hamming' AS method, doc_a, doc_b, hamming::DOUBLE AS score FROM sim
+UNION ALL
+SELECT 'winnow_passage' AS method, doc_a, doc_b, n_shared::DOUBLE AS score FROM win
+UNION ALL
+SELECT 'edit_distance' AS method, doc_a, doc_b, distance::DOUBLE AS score FROM ed
+"""
+
+
+@_register("near_dup_pairs", _NEAR_DUP_PAIRS_ORACLE)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three near-duplicate pair detectors in one scored row, tagged
+    by method: MinHash-LSH candidates verified at Jaccard >= 0.7 (score =
+    exact n-gram Jaccard), banded SimHash neighbors at Hamming <= 6
+    (score = exact Hamming distance), and winnowing passage-overlap
+    pairs (score = shared selected fingerprints) — whole-doc set
+    similarity, bit-level similarity, and contiguous-passage overlap
+    respectively — plus (r6) blocked edit-distance record
+    linkage over part names (score = exact Levenshtein distance), the
+    typo-level fourth detector. Granular variants (near_dup_jaccard,
+    simhash_near_pairs, winnow_overlap_pairs, name_linkage_pairs) stay
+    registered."""
+    j = REGISTRY["near_dup_jaccard"].spark(spark, sf_dir)
+    s = REGISTRY["simhash_near_pairs"].spark(spark, sf_dir)
+    wp = REGISTRY["winnow_overlap_pairs"].spark(spark, sf_dir)
+    ed = REGISTRY["name_linkage_pairs"].spark(spark, sf_dir)
+    return (
+        j.select(
+            F.lit("minhash_jaccard").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").cast("double").alias("score"),
+        )
+        .unionAll(
+            s.select(
+                F.lit("simhash_hamming").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("hamming").cast("double").alias("score"),
+            )
+        )
+        .unionAll(
+            wp.select(
+                F.lit("winnow_passage").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("n_shared").cast("double").alias("score"),
+            )
+        )
+        .unionAll(
+            ed.select(
+                F.lit("edit_distance").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("distance").cast("double").alias("score"),
+            )
+        )
+    )
+
+
+
 def _sketch_estimates_oracle() -> str:
     h = REGISTRY["hll_distinct_orders"].oracle
     c = REGISTRY["cms_user_freq"].oracle
+    q = REGISTRY["histogram_quantiles_price"].oracle
     return f"""
 SELECT 'hll_distinct' AS src, l_returnflag AS key, distinct_est AS value,
        registers_used::BIGINT AS n
@@ -4843,18 +4860,26 @@ FROM ({h})
 UNION ALL
 SELECT 'cms_freq' AS src, user_id::VARCHAR AS key, est_count::DOUBLE AS value,
        0::BIGINT AS n
-FROM ({c})"""
+FROM ({c})
+UNION ALL
+SELECT 'hist_quantile' AS src, l_linestatus AS key, est AS value,
+       round(q * 100)::BIGINT AS n
+FROM ({q})"""
 
 
 @_register("sketch_estimates", _sketch_estimates_oracle())
 def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded-state sketch family in one src-tagged scored row:
     HyperLogLog distinct estimates per returnflag AND Count-Min
-    frequency estimates for every user (granular hll_distinct_orders /
-    cms_user_freq stay registered) — consolidated to free a scored slot
-    for media_near_dup_pairs, same pattern as sampling_methods."""
+    frequency estimates for every user AND (r6) fixed-bin histogram
+    quantile estimates per linestatus (n carries the quantile as an
+    exact integer percentile; granular hll_distinct_orders /
+    cms_user_freq / histogram_quantiles_price stay registered) —
+    consolidated to free scored slots, same pattern as
+    sampling_methods."""
     h = REGISTRY["hll_distinct_orders"].spark(spark, sf_dir)
     c = REGISTRY["cms_user_freq"].spark(spark, sf_dir)
+    q = REGISTRY["histogram_quantiles_price"].spark(spark, sf_dir)
     return h.select(
         F.lit("hll_distinct").alias("src"),
         F.col("l_returnflag").alias("key"),
@@ -4866,6 +4891,13 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("key"),
             F.col("est_count").cast("double").alias("value"),
             F.lit(0).cast("long").alias("n"),
+        )
+    ).unionAll(
+        q.select(
+            F.lit("hist_quantile").alias("src"),
+            F.col("l_linestatus").alias("key"),
+            F.col("est").cast("double").alias("value"),
+            F.round(F.col("q") * 100).cast("long").alias("n"),
         )
     )
 
@@ -4898,23 +4930,30 @@ def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sampling_methods_oracle() -> str:
     s = REGISTRY["sample_stratified"].oracle
     w = REGISTRY["weighted_sample_quality"].oracle
+    h = REGISTRY["train_val_test_split"].oracle
     return f"""
 SELECT 'stratified_events' AS src, event_id::BIGINT AS id, event_type AS key, 0.0::DOUBLE AS score
 FROM ({s})
 UNION ALL
 SELECT 'weighted_quality' AS src, doc_id::BIGINT AS id, '' AS key, quality::DOUBLE AS score
-FROM ({w})"""
+FROM ({w})
+UNION ALL
+SELECT 'hash_split' AS src, doc_id::BIGINT AS id, split AS key, 0.0::DOUBLE AS score
+FROM ({h})"""
 
 
 @_register("sampling_methods", _sampling_methods_oracle())
 def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic-sampling family in one src-tagged scored row:
     hash-stratified event sampling AND quality-weighted document
-    sampling (granular sample_stratified / weighted_sample_quality stay
-    registered) — consolidated to free a scored slot for
-    url_bpe_tokens, same pattern as ann_topk/retrieval_scores."""
+    sampling AND (r6) the deterministic 90/5/5 hash train/val/test
+    assignment — every per-doc split lands as key (granular
+    sample_stratified / weighted_sample_quality / train_val_test_split
+    stay registered) — consolidated to free scored slots, same pattern
+    as ann_topk/retrieval_scores."""
     s = REGISTRY["sample_stratified"].spark(spark, sf_dir)
     w = REGISTRY["weighted_sample_quality"].spark(spark, sf_dir)
+    h = REGISTRY["train_val_test_split"].spark(spark, sf_dir)
     return s.select(
         F.lit("stratified_events").alias("src"),
         F.col("event_id").cast("long").alias("id"),
@@ -4926,6 +4965,380 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("long").alias("id"),
             F.lit("").alias("key"),
             F.col("quality").cast("double").alias("score"),
+        )
+    ).unionAll(
+        h.select(
+            F.lit("hash_split").alias("src"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("split").alias("key"),
+            F.lit(0.0).cast("double").alias("score"),
+        )
+    )
+
+
+
+#: normalized-fingerprint expression shared with _DEDUP_FP_ORACLE
+_DUCK_FP_EXPR = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+INC_STORE_THRESHOLD = 0.28  # fixture-tuned (see semantic_dedup_embeddings)
+INC_STORE_CELLS = 16
+
+
+def _inc_store_oracle(n_cells: int = INC_STORE_CELLS, iters: int = 2,
+                      threshold: float = INC_STORE_THRESHOLD) -> str:
+    """Converged final state of the two persistent-store incremental
+    dedup operators after a deterministic two-batch-plus-replay run
+    (batch1 = even ids, batch2 = odd ids, then batch1 replayed):
+
+    * text store: one (fp, doc_id) row per unique normalized
+      fingerprint; the admitted id is min-id within the FIRST batch
+      that contributed the fingerprint (batch1 wins ties by arrival).
+    * semantic store: centroids train on batch1 only and freeze
+      (k-means chain restricted to even vec_ids); every vector assigns
+      against those frozen centroids; per batch, within-cell cosine
+      pairs >= threshold close transitively to min-id reps; batch2
+      reps are rejected when any ALREADY-STORED vector in their cell
+      is within threshold. Replay admits nothing by construction, so
+      the converged store is store1 UNION admitted2.
+    """
+    chain = _kmeans_cte_chain(n_cells, iters)
+    assert chain.count("FROM embeddings") == 1
+    # restrict the training corpus FIRST, then prepend the emb1 CTE —
+    # the other order would rewrite emb1's own FROM into a self-reference
+    chain = chain.replace("FROM embeddings", "FROM emb1", 1).replace(
+        "WITH base AS (",
+        "WITH RECURSIVE emb1 AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),\n"
+        "base AS (",
+        1,
+    )
+
+    def batch_closure(tag: str, b: int) -> str:
+        return f""", p{tag} AS (
+    SELECT a.vec_id AS da, b.vec_id AS db
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE a.batch = {b} AND b.batch = {b}
+      AND round(list_cosine_similarity(a.ee, b.ee), 6) >= {threshold!r}
+), e{tag} AS (
+    SELECT da AS x, db AS y FROM p{tag} UNION SELECT db AS x, da AS y FROM p{tag}
+), reach{tag}(node, other) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM e{tag})
+    UNION
+    SELECT r.node, e.y FROM reach{tag} r JOIN e{tag} e ON r.other = e.x
+), cl{tag} AS (
+    SELECT node AS vec_id, min(other) AS cluster_id FROM reach{tag} GROUP BY node
+), reps{tag} AS (
+    SELECT a.vec_id, a.ee, a.cell
+    FROM asg a LEFT JOIN cl{tag} ON cl{tag}.vec_id = a.vec_id
+    WHERE a.batch = {b} AND (cl{tag}.cluster_id IS NULL OR a.vec_id = cl{tag}.cluster_id)
+)"""
+
+    sem = f"""{chain}, ball AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ee,
+           list_transform(embedding, x -> round(x::DOUBLE * 1024.0)::BIGINT) AS qv
+    FROM embeddings
+), qall AS (
+    SELECT vec_id, i AS dim, qv[i] AS v
+    FROM ball, unnest(generate_series(1, len(qv))) AS t(i)
+), aall AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
+    FROM qall q JOIN c{iters} c ON c.dim = q.dim GROUP BY 1, 2
+), mall AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM aall
+    ) WHERE rn = 1
+), asg AS (
+    SELECT b.vec_id, b.ee, m.cell, b.vec_id % 2 AS batch
+    FROM ball b JOIN mall m ON m.vec_id = b.vec_id
+){batch_closure("1", 0)}{batch_closure("2", 1)}, adm2 AS (
+    SELECT r.vec_id, r.cell FROM reps2 r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM reps1 s
+        WHERE s.cell = r.cell
+          AND round(list_cosine_similarity(r.ee, s.ee), 6) >= {threshold!r}
+    )
+), sem_store AS (
+    SELECT vec_id, cell FROM reps1
+    UNION ALL
+    SELECT vec_id, cell FROM adm2
+), tfp AS (
+    SELECT doc_id, {_DUCK_FP_EXPR} AS fp, doc_id % 2 AS batch FROM documents
+), text_store AS (
+    SELECT fp,
+           coalesce(min(CASE WHEN batch = 0 THEN doc_id END),
+                    min(CASE WHEN batch = 1 THEN doc_id END)) AS doc_id
+    FROM tfp GROUP BY fp
+)
+SELECT 'text' AS src, doc_id::BIGINT AS id, fp AS key, 0::BIGINT AS cell
+FROM text_store
+UNION ALL
+SELECT 'semantic' AS src, vec_id::BIGINT AS id, '' AS key, cell::BIGINT AS cell
+FROM sem_store"""
+    return sem
+
+
+@_register("incremental_store_state", _inc_store_oracle())
+def incremental_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged-state gate for the PERSISTENT-STORE incremental dedup
+    operators (operators/dedup.run_incremental_dedup,
+    operators/similarity.run_incremental_semantic_dedup): actually runs
+    each operator through a scratch warehouse on a deterministic
+    two-batch split (even ids, then odd ids, then the FIRST batch
+    replayed — the replay must admit nothing), and returns the final
+    store contents. The DuckDB oracle declares the converged state the
+    stores must reach — the same two-run-converged-state encoding
+    merge_upsert_latest uses for the partition merge (reference
+    analogue: incremental_partition_merge.sql's rerun-idempotency
+    contract)."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.dedup import run_incremental_dedup
+    from edna_dbt_library_spark.operators.similarity import (
+        run_incremental_semantic_dedup,
+    )
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="edna_incstore_")
+    try:
+        wh = Warehouse(spark, root)
+        text_store = wh.relation("scratch", "inc_text")
+        for b in (0, 1, 0):  # batch1, batch2, batch1 REPLAY (admits nothing)
+            run_incremental_dedup(wh, text_store, d.where(F.col("doc_id") % 2 == b))
+        text_state = wh.read(text_store)
+
+        sem_store = wh.relation("scratch", "inc_sem")
+        for b in (0, 1, 0):
+            run_incremental_semantic_dedup(
+                wh,
+                sem_store,
+                e.where(F.col("vec_id") % 2 == b),
+                n_cells=INC_STORE_CELLS,
+                iters=2,
+                threshold=INC_STORE_THRESHOLD,
+            )
+        sem_state = wh.read(sem_store)
+
+        # pin before the scratch warehouse is deleted: the returned
+        # frame must not depend on the temp files
+        return (
+            text_state.select(
+                F.lit("text").alias("src"),
+                F.col("doc_id").cast("long").alias("id"),
+                F.col("fp").alias("key"),
+                F.lit(0).cast("long").alias("cell"),
+            )
+            .unionAll(
+                sem_state.select(
+                    F.lit("semantic").alias("src"),
+                    F.col("vec_id").cast("long").alias("id"),
+                    F.lit("").alias("key"),
+                    F.col("cell").cast("long").alias("cell"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round-6 consolidated rows: the driver scores exactly 50 queries, so the
+# round-5 late families land in the scored window as src-tagged unions
+# (the established consolidation pattern — every granular stays
+# registered, test_consolidations locks scored == composed granulars).
+
+
+_STRING_SHAPING_ORACLE = f"""
+WITH pe AS ({_POSEXPLODE_ORACLE}),
+     sa AS ({_STRAGG_ORACLE})
+SELECT 'posexplode' AS src, p_partkey::BIGINT AS id, idx::BIGINT AS idx,
+       '' AS key, word AS a, '' AS b
+FROM pe
+UNION ALL
+SELECT 'string_agg' AS src, 0::BIGINT AS id, 0::BIGINT AS idx,
+       r_name AS key, nations_asc AS a, nations_desc AS b
+FROM sa"""
+
+
+@_register("string_shaping", _STRING_SHAPING_ORACLE)
+def string_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-shaping relational surface in one src-tagged scored
+    row: UNNEST WITH OFFSET (posexplode over split words, reference
+    macros/utils/binary_conversions.sql:71-76) AND ordered STRING_AGG
+    both directions (reference :69) — exploding strings out of rows and
+    folding rows back into ordered strings. Granulars posexplode_words /
+    ordered_string_agg stay registered."""
+    pe = REGISTRY["posexplode_words"].spark(spark, sf_dir)
+    sa = REGISTRY["ordered_string_agg"].spark(spark, sf_dir)
+    return pe.select(
+        F.lit("posexplode").alias("src"),
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("idx").cast("long").alias("idx"),
+        F.lit("").alias("key"),
+        F.col("word").alias("a"),
+        F.lit("").alias("b"),
+    ).unionAll(
+        sa.select(
+            F.lit("string_agg").alias("src"),
+            F.lit(0).cast("long").alias("id"),
+            F.lit(0).cast("long").alias("idx"),
+            F.col("r_name").alias("key"),
+            F.col("nations_asc").alias("a"),
+            F.col("nations_desc").alias("b"),
+        )
+    )
+
+
+_RUN_WINDOW_BOUNDS_ORACLE = f"""
+WITH mm AS ({_UNION_MINMAX_ORACLE}),
+     pl AS ({_PARTS_ORACLE})
+SELECT 'bounds' AS src, lowest AS a, highest AS b FROM mm
+UNION ALL
+SELECT 'partition' AS src, part_date AS a, '' AS b FROM pl"""
+
+
+@_register("run_window_bounds", _RUN_WINDOW_BOUNDS_ORACLE)
+def run_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run-window bookkeeping family in one src-tagged scored row:
+    UNION ALL + MIN/MAX string-timestamp bounds (reference:
+    macros/utils/log_helpers.sql:266-302) AND touched-partition
+    discovery (reference: macros/utils/partition_helpers.sql:18-21).
+    Granulars union_minmax / distinct_partitions stay registered."""
+    mm = REGISTRY["union_minmax"].spark(spark, sf_dir)
+    pl = REGISTRY["distinct_partitions"].spark(spark, sf_dir)
+    return mm.select(
+        F.lit("bounds").alias("src"),
+        F.col("lowest").alias("a"),
+        F.col("highest").alias("b"),
+    ).unionAll(
+        pl.select(
+            F.lit("partition").alias("src"),
+            F.col("part_date").alias("a"),
+            F.lit("").alias("b"),
+        )
+    )
+
+
+_RELATIONAL_BREADTH_ORACLE = f"""
+WITH ro AS ({_ROLLUP_REGION_ORACLE}),
+     so AS ({_SETOPS_ORACLE}),
+     nt AS ({_NTILE_ORACLE})
+SELECT 'rollup' AS src, region AS k1, nation AS k2, gid AS id,
+       total_revenue AS value, n_orders AS n
+FROM ro
+UNION ALL
+SELECT 'setops' AS src, so.src AS k1, '' AS k2, custkey AS id,
+       0.0::DOUBLE AS value, 0::BIGINT AS n
+FROM so
+UNION ALL
+SELECT 'ntile' AS src, min_key::VARCHAR AS k1, max_key::VARCHAR AS k2,
+       decile::BIGINT AS id, total_balance AS value, n_customers AS n
+FROM nt"""
+
+
+@_register("relational_breadth", _RELATIONAL_BREADTH_ORACLE)
+def relational_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 relational-breadth trio in one src-tagged scored row:
+    hierarchical ROLLUP revenue with grouping-id (region -> nation ->
+    grand total), INTERSECT/EXCEPT set semantics over customers, and
+    ntile(10) balance deciles (decile aggregates + key range as string
+    keys). Granulars rollup_region_revenue / setops_customers /
+    ntile_balance_deciles stay registered."""
+    ro = REGISTRY["rollup_region_revenue"].spark(spark, sf_dir)
+    so = REGISTRY["setops_customers"].spark(spark, sf_dir)
+    nt = REGISTRY["ntile_balance_deciles"].spark(spark, sf_dir)
+    return ro.select(
+        F.lit("rollup").alias("src"),
+        F.col("region").alias("k1"),
+        F.col("nation").alias("k2"),
+        F.col("gid").cast("long").alias("id"),
+        F.col("total_revenue").cast("double").alias("value"),
+        F.col("n_orders").cast("long").alias("n"),
+    ).unionAll(
+        so.select(
+            F.lit("setops").alias("src"),
+            F.col("src").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("custkey").cast("long").alias("id"),
+            F.lit(0.0).cast("double").alias("value"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    ).unionAll(
+        nt.select(
+            F.lit("ntile").alias("src"),
+            F.col("min_key").cast("string").alias("k1"),
+            F.col("max_key").cast("string").alias("k2"),
+            F.col("decile").cast("long").alias("id"),
+            F.col("total_balance").cast("double").alias("value"),
+            F.col("n_customers").cast("long").alias("n"),
+        )
+    )
+
+
+_CONTENT_QUALITY_STATS_ORACLE = f"""
+WITH sh AS ({_strip_html_oracle()}),
+     zs AS ({_ZSCORE_ORACLE}),
+     qz AS ({_QUANT_ORACLE})
+SELECT 'strip_html' AS src, doc_id::BIGINT AS id, clean_text AS key,
+       0.0::DOUBLE AS value, 0.0::DOUBLE AS value2, 0::BIGINT AS n
+FROM sh
+UNION ALL
+SELECT 'zscore' AS src, event_id::BIGINT AS id, event_type AS key,
+       zscore AS value, zs.value::DOUBLE AS value2, 0::BIGINT AS n
+FROM zs
+UNION ALL
+SELECT 'quantized' AS src, vec_id::BIGINT AS id,
+       q_min::VARCHAR || ':' || q_max::VARCHAR || ':' || n_nonzero::VARCHAR AS key,
+       scale AS value, 0.0::DOUBLE AS value2, q_sum AS n
+FROM qz"""
+
+
+@_register("content_quality_stats", _CONTENT_QUALITY_STATS_ORACLE)
+def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 content-stats trio in one src-tagged scored row:
+    zero-UDF HTML boilerplate stripping (full cleaned text as key),
+    grouped z-score outliers (zscore + raw value), and int8 embedding
+    quantization (per-vector scale, exact code aggregates packed into
+    key/n). Granulars strip_html_docs / zscore_outlier_events /
+    quantized_embeddings_summary stay registered."""
+    sh = REGISTRY["strip_html_docs"].spark(spark, sf_dir)
+    zs = REGISTRY["zscore_outlier_events"].spark(spark, sf_dir)
+    qz = REGISTRY["quantized_embeddings_summary"].spark(spark, sf_dir)
+    return sh.select(
+        F.lit("strip_html").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("clean_text").alias("key"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.lit(0).cast("long").alias("n"),
+    ).unionAll(
+        zs.select(
+            F.lit("zscore").alias("src"),
+            F.col("event_id").cast("long").alias("id"),
+            F.col("event_type").alias("key"),
+            F.col("zscore").cast("double").alias("value"),
+            F.col("value").cast("double").alias("value2"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    ).unionAll(
+        qz.select(
+            F.lit("quantized").alias("src"),
+            F.col("vec_id").cast("long").alias("id"),
+            F.concat_ws(
+                ":",
+                F.col("q_min").cast("string"),
+                F.col("q_max").cast("string"),
+                F.col("n_nonzero").cast("string"),
+            ).alias("key"),
+            F.col("scale").cast("double").alias("value"),
+            F.lit(0.0).cast("double").alias("value2"),
+            F.col("q_sum").cast("long").alias("n"),
         )
     )
 
@@ -4944,13 +5357,14 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORE_ORDER = [
     # materializations / run-window / relational primitives
+    # (run_window_bounds consolidates union_minmax + distinct_partitions;
+    # string_shaping consolidates posexplode_words + ordered_string_agg —
+    # all granulars registered, r6)
     "incremental_window_agg",
     "watermark_top1",
     "merge_upsert_latest",
-    "distinct_partitions",
-    "union_minmax",
-    "ordered_string_agg",
-    "posexplode_words",
+    "run_window_bounds",
+    "string_shaping",
     # custom joins / sessions / SQL-text path
     "asof_latest_order",
     "range_attribution",
@@ -4973,6 +5387,9 @@ CORE_ORDER = [
     "q21_waiting_supplier",
     "q22_global_sales",
     "pivot_event_counts",
+    # round-5 relational breadth: ROLLUP + INTERSECT/EXCEPT + ntile
+    # deciles in one src-tagged row (r6 consolidation)
+    "relational_breadth",
     # §2D scalar functions (uuid_deterministic_ids consolidates
     # uuid_v3_customer + uuid_v5_events; binary_scalar_codecs
     # consolidates binary_codecs + ieee754_decode, freeing a slot for
@@ -4981,12 +5398,15 @@ CORE_ORDER = [
     "uuid_deterministic_ids",
     "profile_drift_orders",
     # dedup family (near_dup_pairs consolidates near_dup_jaccard +
-    # simhash_near_pairs)
+    # simhash_near_pairs + winnow_overlap_pairs + name_linkage_pairs)
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "near_dup_pairs",
     "dedup_clusters",
     "dedup_embedding_cosine",
+    # converged two-batch-plus-replay state of the persistent-store
+    # incremental dedup operators (r6 — closes verdict gap #2)
+    "incremental_store_state",
     # curation / text (curation_quality consolidates text_quality_langid
     # + repetition_filter + pii_redact_docs into the per-doc verdict row;
     # sampling_methods consolidates sample_stratified +
@@ -4999,6 +5419,9 @@ CORE_ORDER = [
     "url_bpe_tokens",
     "shuffle_shards_summary",
     "grouped_theilsen_slope",
+    # round-5 content stats: HTML strip + z-score outliers + int8
+    # quantization in one src-tagged row (r6 consolidation)
+    "content_quality_stats",
     # similarity search (ann_topk consolidates ann_topk_bruteforce +
     # ann_ivf_topk method-tagged, freeing one slot for retrieval_scores
     # = bm25_topk_docs + tfidf_top_terms_docs + lm_cross_entropy_docs;
@@ -5006,10 +5429,9 @@ CORE_ORDER = [
     "ann_topk",
     "retrieval_scores",
     # sketches (sketch_estimates consolidates hll_distinct_orders +
-    # cms_user_freq, freeing a slot for media_near_dup_pairs)
+    # cms_user_freq + histogram_quantiles_price)
     "sketch_estimates",
     "bloom_semi_join_urgent",
-    "histogram_quantiles_price",
     "media_near_dup_pairs",
     # scale/layout tools + streaming + multimodal
     "salted_join_priority",

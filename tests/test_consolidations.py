@@ -56,6 +56,7 @@ def test_near_dup_pairs_equals_granular_composition(spark):
         ("minhash_jaccard", "near_dup_jaccard", "jaccard"),
         ("simhash_hamming", "simhash_near_pairs", "hamming"),
         ("winnow_passage", "winnow_overlap_pairs", "n_shared"),
+        ("edit_distance", "name_linkage_pairs", "distance"),
     ]:
         parts.append(
             reg[name](spark, SF).select(
@@ -65,8 +66,11 @@ def test_near_dup_pairs_equals_granular_composition(spark):
                 F.col(score_col).cast("double").alias("score"),
             )
         )
-    composed = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    composed = parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3])
     assert _rows(scored) == _rows(composed.select(*scored.columns))
+    assert {r[0] for r in _rows(scored.select("method").distinct())} >= {
+        "minhash_jaccard", "simhash_hamming", "winnow_passage", "edit_distance"
+    }
 
 
 def test_uuid_deterministic_ids_equals_granular_composition(spark):
@@ -106,7 +110,13 @@ def test_sampling_methods_equals_granular_composition(spark):
         F.lit("").alias("key"),
         F.col("quality").cast("double").alias("score"),
     )
-    assert _rows(scored) == _rows(s.unionAll(w).select(*scored.columns))
+    h = reg["train_val_test_split"](spark, SF).select(
+        F.lit("hash_split").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("split").alias("key"),
+        F.lit(0.0).cast("double").alias("score"),
+    )
+    assert _rows(scored) == _rows(s.unionAll(w).unionAll(h).select(*scored.columns))
 
 
 def test_url_bpe_tokens_equals_granular_composition(spark):
@@ -258,7 +268,13 @@ def test_sketch_estimates_equals_granular_composition(spark):
         F.col("est_count").cast("double").alias("value"),
         F.lit(0).cast("long").alias("n"),
     )
-    assert _rows(scored) == _rows(h.unionAll(c).select(*scored.columns))
+    q = reg["histogram_quantiles_price"](spark, SF).select(
+        F.lit("hist_quantile").alias("src"),
+        F.col("l_linestatus").alias("key"),
+        F.col("est").cast("double").alias("value"),
+        F.round(F.col("q") * 100).cast("long").alias("n"),
+    )
+    assert _rows(scored) == _rows(h.unionAll(c).unionAll(q).select(*scored.columns))
 
 
 def test_media_near_dup_pairs_equals_granular_composition(spark):
@@ -299,3 +315,129 @@ def test_binary_scalar_codecs_equals_granular_composition(spark):
         "reconstructed",
     )
     assert _rows(scored) == _rows(c.unionAll(i).select(*scored.columns))
+
+
+def test_string_shaping_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["string_shaping"](spark, SF)
+    pe = reg["posexplode_words"](spark, SF).select(
+        F.lit("posexplode").alias("src"),
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("idx").cast("long").alias("idx"),
+        F.lit("").alias("key"),
+        F.col("word").alias("a"),
+        F.lit("").alias("b"),
+    )
+    sa = reg["ordered_string_agg"](spark, SF).select(
+        F.lit("string_agg").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("idx"),
+        F.col("r_name").alias("key"),
+        F.col("nations_asc").alias("a"),
+        F.col("nations_desc").alias("b"),
+    )
+    assert _rows(scored) == _rows(pe.unionAll(sa).select(*scored.columns))
+
+
+def test_run_window_bounds_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["run_window_bounds"](spark, SF)
+    mm = reg["union_minmax"](spark, SF).select(
+        F.lit("bounds").alias("src"),
+        F.col("lowest").alias("a"),
+        F.col("highest").alias("b"),
+    )
+    pl = reg["distinct_partitions"](spark, SF).select(
+        F.lit("partition").alias("src"),
+        F.col("part_date").alias("a"),
+        F.lit("").alias("b"),
+    )
+    assert _rows(scored) == _rows(mm.unionAll(pl).select(*scored.columns))
+
+
+def test_relational_breadth_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["relational_breadth"](spark, SF)
+    ro = reg["rollup_region_revenue"](spark, SF).select(
+        F.lit("rollup").alias("src"),
+        F.col("region").alias("k1"),
+        F.col("nation").alias("k2"),
+        F.col("gid").cast("long").alias("id"),
+        F.col("total_revenue").cast("double").alias("value"),
+        F.col("n_orders").cast("long").alias("n"),
+    )
+    so = reg["setops_customers"](spark, SF).select(
+        F.lit("setops").alias("src"),
+        F.col("src").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("custkey").cast("long").alias("id"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    nt = reg["ntile_balance_deciles"](spark, SF).select(
+        F.lit("ntile").alias("src"),
+        F.col("min_key").cast("string").alias("k1"),
+        F.col("max_key").cast("string").alias("k2"),
+        F.col("decile").cast("long").alias("id"),
+        F.col("total_balance").cast("double").alias("value"),
+        F.col("n_customers").cast("long").alias("n"),
+    )
+    assert _rows(scored) == _rows(ro.unionAll(so).unionAll(nt).select(*scored.columns))
+    assert {r[0] for r in _rows(scored.select("src").distinct())} == {
+        "rollup", "setops", "ntile"
+    }
+
+
+def test_content_quality_stats_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = reg["content_quality_stats"](spark, SF)
+    sh = reg["strip_html_docs"](spark, SF).select(
+        F.lit("strip_html").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("clean_text").alias("key"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    zs = reg["zscore_outlier_events"](spark, SF).select(
+        F.lit("zscore").alias("src"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("event_type").alias("key"),
+        F.col("zscore").cast("double").alias("value"),
+        F.col("value").cast("double").alias("value2"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    qz = reg["quantized_embeddings_summary"](spark, SF).select(
+        F.lit("quantized").alias("src"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.concat_ws(
+            ":",
+            F.col("q_min").cast("string"),
+            F.col("q_max").cast("string"),
+            F.col("n_nonzero").cast("string"),
+        ).alias("key"),
+        F.col("scale").cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.col("q_sum").cast("long").alias("n"),
+    )
+    assert _rows(scored) == _rows(sh.unionAll(zs).unionAll(qz).select(*scored.columns))
+
+
+def test_incremental_store_state_replay_is_idempotent(spark, tmp_path):
+    """The scored converged-state row replays batch1 after both batches —
+    the driver gate only passes when that replay admits NOTHING; this
+    lock asserts the same property directly on the scored row's split:
+    running the text operator on an already-ingested batch returns 0
+    admitted rows, and the store content is byte-stable across replays."""
+    from edna_dbt_library_spark.operators.dedup import run_incremental_dedup
+    from edna_dbt_library_spark.sources import Warehouse, load_table
+
+    wh = Warehouse(spark, str(tmp_path))
+    store = wh.relation("scratch", "t")
+    d = load_table(spark, SF, "documents")
+    b1 = d.where(F.col("doc_id") % 2 == 0)
+    run_incremental_dedup(wh, store, b1)
+    before = _rows(wh.read(store))
+    again = run_incremental_dedup(wh, store, b1)
+    assert again.count() == 0
+    assert _rows(wh.read(store)) == before
