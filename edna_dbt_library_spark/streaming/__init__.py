@@ -14,6 +14,7 @@ from edna_dbt_library_spark.streaming.sketch_stream import (
     stream_cms_counts,
     stream_column_profiles,
     stream_hll_distinct,
+    stream_profile_gate,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "stream_cms_counts",
     "stream_column_profiles",
     "stream_hll_distinct",
+    "stream_profile_gate",
 ]

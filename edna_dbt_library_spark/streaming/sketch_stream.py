@@ -158,3 +158,81 @@ def read_profile_history(spark: SparkSession, store_path: str) -> DataFrame:
     """The quality time series: one row per (batch, column), ordered by
     batch id — feed to alerting (null_frac jumps, n_distinct collapses)."""
     return spark.read.parquet(store_path).orderBy("batch", "column")
+
+
+def stream_profile_gate(
+    stream_df: DataFrame,
+    columns: list[str],
+    baseline: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    null_frac_tol: float = 0.05,
+    distinct_frac_tol: float = 0.5,
+    top_frac_tol: float = 0.2,
+    available_now: bool = True,
+):
+    """Continuous content-contract enforcement: the streaming form of the
+    Runner's profile-drift gate (plans/registry.py — ContractError before
+    any write). Every micro-batch's profile (profile_columns, exact) is
+    checked against the FROZEN ``baseline`` profile BEFORE any row lands:
+
+    * clean batch  -> rows land under ``{store_path}/good/batch=<id>``
+    * drifted batch -> rows are QUARANTINED under
+      ``{store_path}/blocked/batch=<id>`` with the violation rows beside
+      them under ``{store_path}/violations/batch=<id>`` for triage —
+      the drifted content NEVER reaches the good sink.
+
+    A raise inside foreachBatch would kill the whole stream (and
+    at-least-once redelivery would replay the same poison batch
+    forever), so the gate encodes the batch Runner's block decision as
+    quarantine-and-continue; downstream consumers read only ``good/``.
+    Idempotent sinks throughout (``batch=<id>`` overwrite), so replays
+    re-land identical verdicts. The baseline is pinned once at stream
+    start — a gate that re-evaluated its baseline per batch could drift
+    with the stream it is supposed to gate.
+
+    Compute the baseline from a known-good batch of COMPARABLE SIZE
+    (the batch Runner's contract): null_frac and top_frac transfer
+    across batch sizes, but distinct_frac of a low-cardinality column
+    is n_distinct/n_rows and scales inversely with batch size — a
+    whole-corpus baseline against small micro-batches trips the
+    distinct_frac tolerance on every enum-like column (measured on the
+    orders fixture: full-table baseline blocks every third-sized clean
+    batch; a batch-sized baseline gates correctly)."""
+    from edna_dbt_library_spark.operators.profiling import (
+        profile_columns,
+        profile_drift,
+    )
+
+    pinned_baseline = baseline.localCheckpoint(eager=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        if pinned.isEmpty():
+            return
+        prof = profile_columns(pinned, columns, exact=True)
+        viol = profile_drift(
+            pinned_baseline,
+            prof,
+            null_frac_tol=null_frac_tol,
+            distinct_frac_tol=distinct_frac_tol,
+            top_frac_tol=top_frac_tol,
+        ).localCheckpoint(eager=True)
+        if viol.isEmpty():
+            pinned.write.mode("overwrite").parquet(
+                f"{store_path}/good/batch={batch_id}"
+            )
+        else:
+            pinned.write.mode("overwrite").parquet(
+                f"{store_path}/blocked/batch={batch_id}"
+            )
+            viol.coalesce(1).write.mode("overwrite").parquet(
+                f"{store_path}/violations/batch={batch_id}"
+            )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
