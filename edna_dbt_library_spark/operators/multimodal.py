@@ -11,8 +11,10 @@ per-scanline unfilter per the spec) and WAV integer-PCM SAMPLES
 the real decodes: perceptual dHash/aHash and audio energy-delta
 fingerprints for near-dup pairing (shared banded-Hamming blocking), and
 ``image_feature_embeddings`` (luma-histogram embeddings bridging into
-the embedding operators). Formats that genuinely need a codec library
-(JPEG, video, compressed audio) remain STUBBED: ``decode_images`` /
+the embedding operators). JPEG gained a real stdlib BASELINE decoder in
+r6 (``decode_jpeg_pixels`` — Huffman + dequant + exact IDCT + YCbCr);
+formats that genuinely need a codec library (progressive JPEG, video,
+compressed audio) remain STUBBED: ``decode_images`` /
 ``extract_features`` accept an injected codec function, and
 ``require_real_codecs()`` raises NotImplementedError spelling out what
 a production deployment plugs in.
@@ -288,15 +290,397 @@ def decode_png_pixels(content: bytes | None) -> dict | None:
     return {"width": width, "height": height, "channels": channels, "pixels": pixels}
 
 
+
+
+# --- baseline JPEG (ITU-T T.81) pixel decode, stdlib-only -------------------
+
+#: zigzag order (T.81 Figure 5): zigzag index -> raster index in an 8x8 block
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_table() -> list[float]:
+    """cos((2x+1)*u*pi/16) * C(u)/2 lookup, flattened [x*8+u]."""
+    import math
+
+    t = []
+    for x in range(8):
+        for u in range(8):
+            c = math.sqrt(0.5) if u == 0 else 1.0
+            t.append(0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0))
+    return t
+
+
+_IDCT_T = _jpeg_idct_table()
+
+
+def _jpeg_idct_block(coef: list[int]) -> list[int]:
+    """Exact separable 2D IDCT (T.81 A.3.3) + level shift + clamp:
+    64 dequantized raster-order coefficients -> 64 samples 0..255.
+    Float path with a single final round — deterministic in IEEE doubles
+    on any platform (fixed evaluation order, no fused contractions in
+    CPython)."""
+    t = _IDCT_T
+    # rows: for each v, inverse transform over u
+    tmp = [0.0] * 64
+    for v in range(8):
+        base = v * 8
+        row = coef[base : base + 8]
+        if not any(row):
+            continue
+        for x in range(8):
+            acc = 0.0
+            xb = x * 8
+            for u in range(8):
+                cu = row[u]
+                if cu:
+                    acc += cu * t[xb + u]
+            tmp[base + x] = acc
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            acc = 0.0
+            yb = y * 8
+            for v in range(8):
+                cv = col[v]
+                if cv:
+                    acc += cv * t[yb + v]
+            s = int(acc + 128.5) if acc >= -128.5 else 0  # round half up + shift
+            out[y * 8 + x] = 255 if s > 255 else (0 if s < 0 else s)
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any real marker (caller handles RST)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf, self.nbits = 0, 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed byte
+            else:
+                return False  # real marker: stop
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Skip to the next marker byte pair; returns the marker code."""
+        self.buf, self.nbits = 0, 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                self.pos += 2
+                return m
+            self.pos += 1
+        return None
+
+
+def _jpeg_build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per T.81 Annex C: {(length, code) -> symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int | None:
+    code, length = 0, 0
+    while length < 16:
+        b = reader.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: t-bit raw value -> signed coefficient."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_pixels(content: bytes | None) -> dict | None:
+    """Pure-stdlib BASELINE-SEQUENTIAL JPEG pixel decode (ITU-T T.81:
+    SOF0, 8-bit, Huffman): marker walk (DQT/DHT/SOF0/DRI/SOS), canonical
+    Huffman entropy decode with restart-marker handling, dequantize +
+    dezigzag, exact float IDCT, nearest-neighbor chroma upsample, and
+    JFIF YCbCr->RGB (BT.601 full range). The companion of
+    decode_png_pixels behind the same contract: returns
+    ``{"width", "height", "channels", "pixels"}`` (channels 1 for
+    grayscale, 3 for color; pixels = height*width*channels bytes) or
+    None for anything outside the subset (progressive SOF2, arithmetic
+    coding, 12-bit, truncated or hostile streams) — callers fall back to
+    header metadata rather than failing the job.
+
+    Baseline-sequential is the dominant crawl-image coding (progressive
+    JPEG remains behind ``require_real_codecs``'s injectable hook);
+    chroma upsampling is nearest-neighbor — a valid T.81 decoder choice,
+    deterministic, and within +-1 of fancy upsampling everywhere the
+    perceptual hashes look. Python-per-block is the cost of stdlib-only
+    (same trade as decode_png_pixels); a production stack injects a
+    native codec for throughput."""
+    import struct
+
+    if not content or content[:2] != b"\xff\xd8":
+        return None
+    data = bytes(content)
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (width, height, comps)
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(data):
+            return None
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                n = 64 * (2 if prec else 1)
+                if b + n > len(body):
+                    return None
+                if prec:
+                    vals = list(struct.unpack(f">{64}H", body[b : b + n]))
+                else:
+                    vals = list(body[b : b + n])
+                qt[tid] = vals  # zigzag order
+                b += n
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tclass, tid = body[b] >> 4, body[b] & 0x0F
+                counts = list(body[b + 1 : b + 17])
+                n = sum(counts)
+                syms = body[b + 17 : b + 17 + n]
+                if len(syms) != n:
+                    return None
+                huff[(tclass, tid)] = _jpeg_build_huffman(counts, syms)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                return None
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8 or nc not in (1, 3) or not (0 < w and 0 < h):
+                return None
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                return None
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic: not baseline
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cs] = (tabs >> 4, tabs & 0x0F)
+            return _jpeg_decode_scan(
+                data, pos + seglen, frame, qt, huff, scan, restart_interval
+            )
+        # APPn/COM/others: skip
+        pos += seglen
+    return None
+
+
+def _jpeg_decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
+    w, h, comps = frame
+    if any(c["id"] not in scan or c["tq"] not in qt for c in comps):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]  # blocks per dimension
+        planes.append(bytearray(c["bw"] * 8 * c["bh"] * 8))
+    reader = _JpegBitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                m = reader.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    return None
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct = huff.get((0, scan[c["id"]][0]))
+                act = huff.get((1, scan[c["id"]][1]))
+                if dct is None or act is None:
+                    return None
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = _jpeg_decode_block(reader, dct, act, qt[c["tq"]])
+                        if coef is None:
+                            return None
+                        pred[ci] += coef[0]
+                        coef_r = [0] * 64
+                        coef_r[0] = pred[ci] * qt[c["tq"]][0]
+                        for z in range(1, 64):
+                            if coef[z]:
+                                coef_r[_JPEG_ZIGZAG[z]] = coef[z] * qt[c["tq"]][z]
+                        block = _jpeg_idct_block(coef_r)
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        stride = c["bw"] * 8
+                        pl = planes[ci]
+                        for yy in range(8):
+                            row = (oy + yy) * stride + ox
+                            pl[row : row + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+            mcu_count += 1
+    # assemble output: nearest-neighbor upsample + color convert
+    if len(comps) == 1:
+        c = comps[0]
+        stride = c["bw"] * 8
+        pl = planes[0]
+        out = bytearray(w * h)
+        for y in range(h):
+            sy = y * c["v"] // vmax
+            out[y * w : (y + 1) * w] = bytes(
+                pl[sy * stride + (x * c["h"] // hmax)] for x in range(w)
+            )
+        return {"width": w, "height": h, "channels": 1, "pixels": bytes(out)}
+    out = bytearray(w * h * 3)
+    strides = [c["bw"] * 8 for c in comps]
+    for y in range(h):
+        rows = [planes[i][(y * comps[i]["v"] // vmax) * strides[i] :] for i in range(3)]
+        o = y * w * 3
+        for x in range(w):
+            yv = rows[0][x * comps[0]["h"] // hmax]
+            cb = rows[1][x * comps[1]["h"] // hmax] - 128
+            cr = rows[2][x * comps[2]["h"] // hmax] - 128
+            r = int(yv + 1.402 * cr + 0.5) if yv + 1.402 * cr > 0 else 0
+            g = int(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+            b = int(yv + 1.772 * cb + 0.5) if yv + 1.772 * cb > 0 else 0
+            out[o] = 255 if r > 255 else (0 if r < 0 else r)
+            out[o + 1] = 255 if g > 255 else (0 if g < 0 else g)
+            out[o + 2] = 255 if b > 255 else (0 if b < 0 else b)
+            o += 3
+    return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
+
+
+def _jpeg_decode_block(reader, dct, act, q):
+    """One 8x8 block's ZIGZAG-order coefficients (DC as DIFF, undequantized)."""
+    t = _jpeg_huff_decode(reader, dct)
+    if t is None or t > 15:
+        return None
+    if t == 0:
+        diff = 0
+    else:
+        raw = reader.bits(t)
+        if raw is None:
+            return None
+        diff = _jpeg_extend(raw, t)
+    coef = [0] * 64
+    coef[0] = diff
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(reader, act)
+        if rs is None:
+            return None
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        raw = reader.bits(size)
+        if raw is None:
+            return None
+        coef[k] = _jpeg_extend(raw, size)
+        k += 1
+    return coef
+
+
+def decode_image_pixels(content: bytes | None) -> dict | None:
+    """Format-dispatching stdlib pixel decode: PNG (decode_png_pixels)
+    or baseline JPEG (decode_jpeg_pixels) by magic bytes; None for
+    anything else — the default decoder for perceptual_hash_images, so
+    the dominant two crawl-image formats hash without any codec
+    library."""
+    if not content:
+        return None
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(content)
+    return None
+
 def pixel_decode(content: bytes, width: int, height: int) -> tuple[int, int, str]:
-    """decode_fn for ``decode_images`` that FULLY decodes PNG pixels
-    (decode_png_pixels) and digests the reconstructed pixel buffer — the
-    digest proves the real samples were unfiltered, not merely that the
-    header was read. Non-PNG / non-baseline content falls back to
-    header_decode (header-derived dimensions, content digest)."""
+    """decode_fn for ``decode_images`` that FULLY decodes pixels (PNG via
+    decode_png_pixels, baseline JPEG via decode_jpeg_pixels) and digests
+    the reconstructed pixel buffer — the digest proves the real samples
+    were unfiltered/inverse-transformed, not merely that the header was
+    read. Unsupported content falls back to header_decode
+    (header-derived dimensions, content digest)."""
     import hashlib
 
-    decoded = decode_png_pixels(content)
+    decoded = decode_image_pixels(content)
     if decoded is not None:
         return (
             decoded["width"],
@@ -325,18 +709,20 @@ def require_real_codecs() -> None:
     """Production decode path for codec-requiring formats — not available
     in this environment.
 
-    PNG is decoded for real in-container (headers via parse_media_header,
-    pixels via decode_png_pixels/pixel_decode), and WAV integer PCM
-    SAMPLES likewise (decode_wav_samples → audio_features /
-    perceptual_hash_audio). JPEG decode, compressed-audio codecs
-    (mp3/aac/opus), resampling, and video frame extraction need an
-    injected codec stack."""
+    Decoded for real in-container: PNG headers AND pixels
+    (parse_media_header / decode_png_pixels), BASELINE-sequential JPEG
+    pixels (decode_jpeg_pixels, r6), and WAV integer PCM SAMPLES
+    (decode_wav_samples → audio_features / perceptual_hash_audio).
+    Progressive/arithmetic JPEG, compressed-audio codecs (mp3/aac/opus),
+    resampling, and video frame extraction need an injected codec
+    stack."""
     raise NotImplementedError(
-        "JPEG/video/compressed-audio decoding needs a codec stack (e.g. "
-        "Pillow/librosa/pyav) which is not installed here; inject a decode_fn "
-        "into decode_images()/extract_features() or install codecs and wire "
-        "them in (PNG pixels and WAV PCM samples decode stdlib-only via "
-        "decode_png_pixels/decode_wav_samples)"
+        "progressive-JPEG/video/compressed-audio decoding needs a codec "
+        "stack (e.g. Pillow/librosa/pyav) which is not installed here; "
+        "inject a decode_fn into decode_images()/extract_features() or "
+        "install codecs and wire them in (PNG pixels, baseline-JPEG "
+        "pixels and WAV PCM samples decode stdlib-only via "
+        "decode_png_pixels/decode_jpeg_pixels/decode_wav_samples)"
     )
 
 
@@ -541,10 +927,11 @@ def perceptual_hash_images(
     (doc_id, dhash, ahash, decoded). Rows whose bytes don't decode
     (non-PNG without an injected codec, hostile streams) yield NULL
     hashes with decoded = false — they fall out of pair generation but
-    stay observable. ``decode`` defaults to the stdlib PNG pixel
-    decoder; a production stack injects its codec here (same contract:
-    bytes -> {width, height, channels, pixels})."""
-    fn = decode or decode_png_pixels
+    stay observable. ``decode`` defaults to the stdlib format
+    dispatcher (PNG + baseline JPEG pixels); a production stack injects
+    its codec here (same contract: bytes -> {width, height, channels,
+    pixels})."""
+    fn = decode or decode_image_pixels
     _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:
