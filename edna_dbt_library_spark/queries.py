@@ -4977,6 +4977,104 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _inc_passage_store_oracle(
+    min_shared: int = _OVERLAP_MIN_SHARED, cap: int = _OVERLAP_CAP
+) -> str:
+    """Converged (fp, doc_id) store of run_incremental_passage_dedup
+    after the same even/odd/replay schedule as incremental_store_state:
+    per batch, winnowing fingerprints -> in-batch capped overlap pairs
+    -> transitive closure -> min-id keepers; batch-2 keepers are
+    rejected when >= min_shared of their fingerprints are already
+    stored OR all of them are (full containment — also what makes the
+    replay admit nothing, so the converged store is batch-1 keepers'
+    fps UNION admitted batch-2 keepers' fps)."""
+
+    def batch_side(tag: str, b: int) -> str:
+        return f""", k{tag} AS (
+    SELECT fp FROM wfp WHERE doc_id % 2 = {b} GROUP BY fp HAVING count(*) <= {cap}
+), pp{tag} AS (
+    SELECT a.doc_id AS da, b.doc_id AS db
+    FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN k{tag} k ON k.fp = a.fp
+    WHERE a.doc_id % 2 = {b} AND b.doc_id % 2 = {b}
+    GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+), pe{tag} AS (
+    SELECT da AS x, db AS y FROM pp{tag} UNION SELECT db AS x, da AS y FROM pp{tag}
+), preach{tag}(node, other) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM pe{tag})
+    UNION
+    SELECT r.node, e.y FROM preach{tag} r JOIN pe{tag} e ON r.other = e.x
+), pkill{tag} AS (
+    SELECT node AS doc_id FROM preach{tag} GROUP BY node
+    HAVING node <> min(other)
+)"""
+
+    return f"""
+WITH RECURSIVE wfp AS (
+    SELECT doc_id, fp FROM ({_WINNOW_ORACLE.strip()})
+){batch_side("1", 0)}{batch_side("2", 1)}, pstore1 AS (
+    SELECT fp, doc_id FROM wfp
+    WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM pkill1)
+), wk2 AS (
+    SELECT fp, doc_id FROM wfp
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM pkill2)
+), hit2 AS (
+    SELECT w.doc_id, count(*) AS n_hit
+    FROM wk2 w JOIN (SELECT DISTINCT fp FROM pstore1) s USING (fp)
+    GROUP BY 1
+), tot2 AS (
+    SELECT doc_id, count(*) AS n_fp FROM wk2 GROUP BY 1
+), rej2 AS (
+    SELECT t.doc_id FROM tot2 t JOIN hit2 h USING (doc_id)
+    WHERE h.n_hit >= {min_shared} OR h.n_hit = t.n_fp
+)
+SELECT fp, doc_id::BIGINT AS doc_id FROM pstore1
+UNION ALL
+SELECT fp, doc_id::BIGINT AS doc_id
+FROM wk2 WHERE doc_id NOT IN (SELECT doc_id FROM rej2)"""
+
+
+@_register("incremental_passage_store_state", _inc_passage_store_oracle())
+def incremental_passage_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged-state gate for the passage-level persistent store
+    (operators/dedup.run_incremental_passage_dedup): the third
+    incremental store operator, replayed even/odd/replay through a
+    scratch warehouse like incremental_store_state (kept extra-registry:
+    the scored row already carries the two primary stores and this
+    family's winnowing arithmetic is scored via near_dup_pairs). The
+    final (fp, doc_id) store must match the DuckDB declaration of the
+    converged state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.dedup import run_incremental_passage_dedup
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="edna_incpass_")
+    try:
+        wh = Warehouse(spark, root)
+        store = wh.relation("scratch", "inc_passage")
+        for b in (0, 1, 0):  # batch1, batch2, batch1 REPLAY (admits nothing)
+            run_incremental_passage_dedup(
+                wh,
+                store,
+                d.where(F.col("doc_id") % 2 == b),
+                k=_WINNOW_K,
+                window=_WINNOW_W,
+                min_shared=_OVERLAP_MIN_SHARED,
+                max_bucket_size=_OVERLAP_CAP,
+            )
+        return (
+            wh.read(store)
+            .select("fp", F.col("doc_id").cast("long").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+
 #: normalized-fingerprint expression shared with _DEDUP_FP_ORACLE
 _DUCK_FP_EXPR = (
     "md5(trim(regexp_replace(regexp_replace(lower(text), "

@@ -297,3 +297,61 @@ def test_stream_profile_gate_blocks_drifted_microbatch(spark, tmp_path):
     # two clean batch dirs landed, one blocked
     assert len(os.listdir(f"{store}/good")) == 2
     assert len(os.listdir(f"{store}/blocked")) == 1
+
+
+def test_stream_latest_by_key_equals_scored_merge_semantics(spark, tmp_path):
+    """stream_latest_by_key == the SCORED merge_upsert_latest converged
+    state on the real fixture window. Arrival order is (ts, event_id)
+    DESC chopped one file per trigger: each key's first arrival is its
+    global recency winner, every later row fails the strict `S.ts >
+    state.ts` rule (the reference's merge guard,
+    incremental_partition_merge.sql:116-119), so the emitted set IS the
+    converged table — including equal-ts ties, which must NOT advance."""
+    from edna_dbt_library_spark.operators import latest_by_key, window_filter
+    from edna_dbt_library_spark.sources import load_table
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    EV_LO, EV_HI = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    e = window_filter(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts", EV_LO, EV_HI
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+    ordered = e.orderBy(F.col("ts").desc(), F.col("event_id").desc()).collect()
+    src = tmp_path / "ev_chop"
+    src.mkdir()
+    step = -(-len(ordered) // 4)
+    for i in range(4):
+        chunk = ordered[i * step : (i + 1) * step]
+        if chunk:
+            spark.createDataFrame(chunk, e.schema).coalesce(1).write.parquet(
+                str(src / f"chunk{i}"), mode="overwrite"
+            )
+
+    def q():
+        stream = spark.readStream.schema(e.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src / "chunk*"))
+        return stream_latest_by_key(
+            stream.groupBy("user_id", "event_type"), e.schema, "ts"
+        )
+
+    got = _drain(spark, src, q, tmp_path, "scored_latest_stream")
+    # the operator emits EVERY advancing row (a change stream); the
+    # converged state is each key's last emission — max (ts, event_id)
+    final = {}
+    for r in got.collect():
+        k = (r["user_id"], r["event_type"])
+        if k not in final or (r["ts"], r["event_id"]) > (final[k]["ts"], final[k]["event_id"]):
+            final[k] = r
+    streamed = sorted(tuple(r) for r in final.values())
+    batch = sorted(
+        map(
+            tuple,
+            latest_by_key(
+                e, ["user_id", "event_type"], "ts", tiebreakers=["event_id"]
+            ).collect(),
+        )
+    )
+    assert len(streamed) == len(batch) > 0
+    assert streamed == batch
