@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "strip_html_docs",
     "zscore_outlier_events",
     "quantized_embeddings_summary",
+    "name_linkage_collapsed",
 ]
 
 

@@ -85,7 +85,7 @@ FEATURE_SCHEMA = T.StructType(
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("format", T.StringType()),  # png | wav | unknown
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|mp3|unknown
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -102,16 +102,31 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def parse_media_header(content: bytes | None) -> dict | None:
     """Pure-stdlib (struct-only) header parse of REAL media bytes: PNG
-    IHDR (width/height/channels) and RIFF/WAVE fmt+data chunks (channels,
-    sample rate, exact duration). Returns None for anything it cannot
-    identify — full pixel/sample decoding still requires the injected
-    codec stack (require_real_codecs). This is the honest container-level
-    subset: byte-exact per the PNG/RIFF specs, no external deps, enough
-    to drive format routing, dimension filtering, and frame planning on
-    real files."""
+    IHDR (width/height/channels), JPEG SOFn frame dimensions, RIFF/WAVE
+    fmt+data chunks (channels, sample rate, exact duration), ISO-BMFF
+    MP4 (mvhd duration + first video tkhd dimensions), and MPEG-1/2
+    Layer III (MP3) frame headers (channels, sample rate, CBR duration
+    estimate). Returns None for anything it cannot identify — full
+    sample decoding beyond PNG/baseline-JPEG/WAV still requires the
+    injected codec stack (require_real_codecs). This is the honest
+    container-level subset: byte-exact per the specs, no external deps,
+    enough to drive format routing, dimension filtering, and frame
+    planning on real files."""
     if not content:
         return None
     import struct
+
+    if content[:2] == b"\xff\xd8":
+        return _parse_jpeg_header(content)
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        return _parse_mp4_header(content)
+    if len(content) >= 4 and (
+        content[:3] == b"ID3"
+        or (content[0] == 0xFF and (content[1] & 0xE0) == 0xE0 and (content[1] & 0x06) == 0x02)
+    ):
+        mp3 = _parse_mp3_header(content)
+        if mp3 is not None:
+            return mp3
 
     if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 26 and content[12:16] == b"IHDR":
         width, height = struct.unpack(">II", content[16:24])
@@ -152,6 +167,148 @@ def parse_media_header(content: bytes | None) -> dict | None:
                 "duration_ms": data_len * 8000 // (rate * channels * bits),
             }
     return None
+
+
+def _parse_jpeg_header(content: bytes) -> dict | None:
+    """JPEG frame dimensions/channels from the first SOFn marker
+    (baseline through progressive — dimensions live in every frame
+    header even when pixel decode needs a codec)."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        if pos + 2 > len(content):
+            return None
+        (seglen,) = struct.unpack(">H", content[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(content):
+            return None
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF) and seglen >= 8:
+            h, w = struct.unpack(">HH", content[pos + 3 : pos + 7])
+            nc = content[pos + 7]
+            if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+                return None
+            return {
+                "format": "jpeg",
+                "width": w,
+                "height": h,
+                "channels": nc,
+                "sample_rate": None,
+                "duration_ms": None,
+            }
+        if marker == 0xDA:
+            return None  # scan before any frame header: malformed
+        pos += seglen
+    return None
+
+
+def _parse_mp4_header(content: bytes) -> dict | None:
+    """ISO-BMFF (MP4/MOV) box walk: mvhd movie duration + the first
+    video track's tkhd display dimensions. Box-exact per ISO 14496-12;
+    frame/sample decode stays behind the codec hook."""
+    import struct
+
+    duration_ms = width = height = None
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal duration_ms, width, height
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            (size,) = struct.unpack(">I", content[pos : pos + 4])
+            btype = content[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", content[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            if btype in (b"moov", b"trak", b"mdia"):
+                walk(body, pos + size, depth + 1)
+            elif btype == b"mvhd" and duration_ms is None and body + 20 <= hi:
+                ver = content[body]
+                if ver == 1 and body + 28 <= hi:
+                    (scale,) = struct.unpack(">I", content[body + 20 : body + 24])
+                    (dur,) = struct.unpack(">Q", content[body + 24 : body + 32])
+                else:
+                    (scale,) = struct.unpack(">I", content[body + 12 : body + 16])
+                    (dur,) = struct.unpack(">I", content[body + 16 : body + 20])
+                if scale:
+                    duration_ms = dur * 1000 // scale
+            elif btype == b"tkhd" and width is None and body + 84 <= hi:
+                # v0: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 = 24,
+                # + res 8 + layer/alt/vol/res 8 + matrix 36 = width at 76
+                # (v1 widens the three time/duration fields by 12)
+                ver = content[body]
+                off = body + (88 if ver == 1 else 76)
+                if off + 8 <= hi:
+                    w16, h16 = struct.unpack(">II", content[off : off + 8])
+                    if w16 and h16:  # 16.16 fixed point; audio tracks are 0x0
+                        width, height = w16 >> 16, h16 >> 16
+            pos += size
+
+    walk(0, len(content), 0)
+    if duration_ms is None and width is None:
+        return None
+    return {
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "channels": None,
+        "sample_rate": None,
+        "duration_ms": duration_ms,
+    }
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def _parse_mp3_header(content: bytes) -> dict | None:
+    """MPEG-1 Layer III frame header (optionally behind an ID3v2 tag):
+    channels + sample rate exact, duration a CBR estimate from the first
+    frame's bitrate (the honest header-level answer; VBR-accurate
+    duration needs a full frame walk or Xing parsing)."""
+    import struct
+
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # syncsafe 28-bit tag size
+        sz = ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14) | (
+            (content[8] & 0x7F) << 7
+        ) | (content[9] & 0x7F)
+        pos = 10 + sz
+    if pos + 4 > len(content):
+        return None
+    b0, b1, b2, b3 = content[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    if (b1 >> 3) & 0x03 != 0x03 or (b1 >> 1) & 0x03 != 0x01:
+        return None  # only MPEG-1 Layer III
+    bitrate_idx, rate_idx = b2 >> 4, (b2 >> 2) & 0x03
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[bitrate_idx] * 1000
+    rate = _MP3_RATES[rate_idx]
+    channels = 1 if (b3 >> 6) == 3 else 2
+    audio_bytes = len(content) - pos
+    return {
+        "format": "mp3",
+        "width": None,
+        "height": None,
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": audio_bytes * 8000 // bitrate,
+    }
 
 
 def probe_media_headers(media: DataFrame, batch_rows: int | None = None) -> DataFrame:

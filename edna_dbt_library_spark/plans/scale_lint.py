@@ -13,6 +13,10 @@ typed findings for the hazards that actually kill jobs at 100 TB:
   broadcast for a dimension join.
 * ``no_pushed_filter`` — a parquet scan with WHERE clauses upstream
   but no non-trivial pushed filter: the filter runs after full IO.
+* ``global_window`` — a Window fed by Exchange SinglePartition: the
+  whole input collapses to one task (unpartitioned window).
+* ``global_sort`` — informational: a global total-order Sort that is
+  not a fused top-k (TakeOrderedAndProject).
 * ``exchange_count`` — informational shuffle tally.
 
 Heuristics over plan text, deliberately conservative: findings are
@@ -106,6 +110,35 @@ def explain_scale(df: DataFrame) -> list[ScaleFinding]:
                     "filter on raw columns where possible",
                 )
             )
+    # a Window fed by Exchange SinglePartition = unpartitioned window
+    # over the WHOLE frame: one task sorts and scans everything — the
+    # classic 100 TB killer (fine for a report over a pre-aggregated
+    # frame, fatal on a corpus-sized one)
+    if re.search(r"Window .*\n(?:[^\n]*\n){0,3}?[^\n]*Exchange SinglePartition", plan):
+        out.append(
+            ScaleFinding(
+                "global_window",
+                "warn",
+                "Window over Exchange SinglePartition: the whole input "
+                "collapses to ONE task for an unpartitioned window — add "
+                "partitionBy, or use a sketch/top-k form "
+                "(histogram_quantiles, TakeOrderedAndProject)",
+            )
+        )
+    # global total-order Sort that isn't a top-k (TakeOrderedAndProject):
+    # a full range-shuffle + total sort of the frame
+    nsort = len(re.findall(r"Sort \[[^\]]*\], true", plan))
+    if nsort and "TakeOrderedAndProject" not in plan:
+        out.append(
+            ScaleFinding(
+                "global_sort",
+                "info",
+                f"{nsort} global Sort(s) without TakeOrderedAndProject: "
+                "total ordering range-shuffles the whole frame — use "
+                "limit-fused top-k, sortWithinPartitions, or drop the "
+                "ordering (writers don't need it)",
+            )
+        )
     nexch = len(
         re.findall(r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)", plan)
     )

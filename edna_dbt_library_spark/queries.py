@@ -4484,6 +4484,59 @@ def name_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKAGE_COLLAPSED_ORACLE = f"""
+WITH src AS (
+    SELECT p_partkey, p_name FROM part
+    UNION ALL
+    -- deterministic typo injection: every 50th part re-appears under a
+    -- shifted id with its last character dropped (distance exactly 1,
+    -- same first char, adjacent length band -> must be found)
+    SELECT p_partkey + 10000000, substr(p_name, 1, len(p_name) - 1)
+    FROM part WHERE p_partkey % 50 = 0 AND len(p_name) > 1
+), p AS (
+    SELECT min(p_partkey) AS rid, lower(p_name) AS nm, count(*)::BIGINT AS n_rows
+    FROM src WHERE p_name IS NOT NULL AND len(p_name) > 0
+    GROUP BY lower(p_name)
+), blocked AS (
+    SELECT rid, nm, n_rows, substr(nm, 1, 1) AS c1,
+           (len(nm) // {LINK_MAX_DIST + 1})::BIGINT AS b
+    FROM p
+), a AS (
+    SELECT rid, nm, n_rows, c1, b + d.d AS band FROM blocked, (VALUES (-1), (0), (1)) d(d)
+)
+SELECT a.rid::BIGINT AS doc_a, bb.rid::BIGINT AS doc_b,
+       levenshtein(a.nm, bb.nm)::INTEGER AS distance,
+       a.n_rows AS n_a, bb.n_rows AS n_b
+FROM a JOIN blocked bb ON a.c1 = bb.c1 AND a.band = bb.b AND a.rid < bb.rid
+WHERE abs(len(a.nm) - len(bb.nm)) <= {LINK_MAX_DIST}
+  AND levenshtein(a.nm, bb.nm) <= {LINK_MAX_DIST}"""
+
+
+@_register("name_linkage_collapsed", _LINKAGE_COLLAPSED_ORACLE)
+def name_linkage_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of edit-distance record linkage: distinct-string
+    pre-collapse (min-id representative + clique size) BEFORE the
+    blocked join, so cost is bounded by distinct-value count² instead of
+    corpus duplication (the enumerated form pays 3.12M distance-0
+    clique pairs on sf0.1 part — 31.6s vs ~1s collapsed; exact cliques
+    are one hash shuffle away via exact_duplicate_groups and never
+    belong in a pair join). This is the benched production path; the
+    enumerated name_linkage_pairs stays the scored-family granular,
+    same split as dedup_minhash_lsh vs _capped."""
+    from edna_dbt_library_spark.operators.dedup import edit_distance_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    typo = p.where((F.col("p_partkey") % 50 == 0) & (F.length("p_name") > 1)).select(
+        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("p_name"),
+    )
+    return edit_distance_pairs(
+        p.unionAll(typo), text_col="p_name", id_col="p_partkey",
+        max_dist=LINK_MAX_DIST, collapse_exact=True,
+    )
+
+
+
 # --- ROLLUP / grouping-sets aggregates --------------------------------------
 
 _ROLLUP_REGION_ORACLE = """

@@ -479,3 +479,49 @@ def test_phash_pairing_on_generated_jpegs(spark):
     assert (1, 2) in pairs
     assert (1, 4) in pairs or (2, 4) in pairs  # PNG and JPEG of same pixels pair
     assert not any(3 in p for p in pairs)
+
+
+def test_parse_media_header_jpeg_mp4_mp3():
+    """Container-level probes for the formats the crawl actually ships:
+    JPEG SOFn dims (including PROGRESSIVE — dims parse even though pixel
+    decode is honestly gated), hand-built ISO-BMFF moov/mvhd/tkhd, and
+    an MPEG-1 Layer III header behind an ID3v2 tag."""
+    from edna_dbt_library_spark.operators.multimodal import parse_media_header
+
+    jpg = encode_baseline_jpeg(_gray_pattern(24, 16), 24, 16, 1)
+    m = parse_media_header(jpg)
+    assert m == {
+        "format": "jpeg", "width": 24, "height": 16, "channels": 1,
+        "sample_rate": None, "duration_ms": None,
+    }
+    prog = jpg.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
+    assert parse_media_header(prog)["width"] == 24  # dims without decode
+
+    color = encode_baseline_jpeg(_smooth_rgb(8, 8), 8, 8, 3)
+    assert parse_media_header(color)["channels"] == 3
+
+    # minimal MP4: ftyp + moov(mvhd v0 timescale=1000 dur=2500,
+    # trak(tkhd v0 with 320x240 16.16 fixed)) — box-exact per 14496-12
+    def box(t, body):
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 2500) + bytes(80))
+    tkhd = box(
+        b"tkhd", bytes(76) + struct.pack(">II", 320 << 16, 240 << 16)
+    )
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", mvhd + box(b"trak", tkhd))
+    m = parse_media_header(mp4)
+    assert m["format"] == "mp4" and m["duration_ms"] == 2500
+    assert (m["width"], m["height"]) == (320, 240)
+
+    # MP3: ID3v2 tag (10-byte header, 0 payload) + MPEG-1 Layer III
+    # 128kbps 44100Hz stereo frame header + 4 KiB of payload
+    frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # 1111 1111 111 11 01 1...
+    mp3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0]) + frame_hdr + bytes(4096)
+    m = parse_media_header(mp3)
+    assert m["format"] == "mp3" and m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["duration_ms"] == (4 + 4096) * 8000 // 128000
+
+    # hostile: truncated boxes / garbage stay None or don't crash
+    assert parse_media_header(mp4[:10]) is None
+    assert parse_media_header(b"\xff\xe0aa") is None

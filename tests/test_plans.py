@@ -224,3 +224,33 @@ def test_explain_scale_flags_hazards_and_passes_clean_plans(spark):
     assert any(f.code == "python_row_udf" for f in explain_scale(udfed))
     # allow-listing lets a deliberate exception through
     assert_scale_clean(udfed, allow=("python_row_udf",))
+
+
+def test_explain_scale_flags_global_window_and_sort(spark):
+    """r6 linter additions: an unpartitioned Window collapses the frame
+    to one task (warn); a global total-order Sort that is not a fused
+    top-k is informational. Partitioned windows and limit-fused top-k
+    stay clean."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.plans import assert_scale_clean, explain_scale
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    o = load_table(spark, SF, "orders")
+    w_global = Window.orderBy(F.col("o_totalprice").desc())
+    ranked = o.select("o_orderkey", F.row_number().over(w_global).alias("rn"))
+    codes = {f.code for f in explain_scale(ranked)}
+    assert "global_window" in codes
+    with pytest.raises(AssertionError, match="scale hazards"):
+        assert_scale_clean(ranked)
+
+    w_part = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    per_key = o.select("o_orderkey", F.row_number().over(w_part).alias("rn"))
+    assert "global_window" not in {f.code for f in explain_scale(per_key)}
+    assert_scale_clean(per_key)
+
+    total = o.orderBy(F.col("o_totalprice").desc())
+    assert "global_sort" in {f.code for f in explain_scale(total)}
+    topk = o.orderBy(F.col("o_totalprice").desc()).limit(10)
+    assert "global_sort" not in {f.code for f in explain_scale(topk)}

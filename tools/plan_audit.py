@@ -306,6 +306,20 @@ is the honest outlier: its result set itself grows 10x (per-order
 aggregate over replicated orders), so its extra wall is output-bound,
 not plan degradation.
 
+## Edit-distance linkage: enumerated vs collapsed (round 6)
+
+First sf0.1 bench of `name_linkage_pairs` (the oracle-replayable
+enumerate-every-pair form) measured 31.6s — ALL of its 3.12M candidate
+pairs are distance-0 exact-name cliques over 64 distinct strings, the
+O(m²)-per-repeated-value blowup the docstring warns about.
+`name_linkage_collapsed` (distinct-string pre-collapse + typo-injected
+corpus so the gate has real distance-1 pairs) runs the same blocked
+join bounded by distinct-value count²: **0.72s at sf0.1 — 44x** — and
+is the benched production path, the same split as
+dedup_minhash_lsh vs _capped. Exact cliques come from
+exact_duplicate_groups (one hash shuffle); they never belong in a pair
+join.
+
 ## Round-5 bench context: host drift, measured
 
 Absolute sf0.1 timings moved ~1.19x between the round-4 artifact and
