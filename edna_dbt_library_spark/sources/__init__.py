@@ -11,6 +11,12 @@ from edna_dbt_library_spark.sources.ingest import (
     load_jsonl,
     with_ingest_ids,
 )
+from edna_dbt_library_spark.sources.warc import (
+    WARC_SCHEMA,
+    load_warc,
+    parse_warc_records,
+    warc_to_documents,
+)
 from edna_dbt_library_spark.sources.warehouse import Relation, TableMeta, Warehouse
 
 __all__ = [
@@ -26,4 +32,8 @@ __all__ = [
     "Relation",
     "TableMeta",
     "Warehouse",
+    "WARC_SCHEMA",
+    "load_warc",
+    "parse_warc_records",
+    "warc_to_documents",
 ]
