@@ -171,6 +171,56 @@ def domain_mix_sample(
     )
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    key: Column | str,
+    domain_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: downsample each domain to
+    the ``w_d ∝ count_d^alpha`` mixture (the multilingual/pretraining
+    upsampling-of-rare-domains rule; alpha=1 keeps natural proportions,
+    alpha→0 approaches uniform). No target weights to hand-tune —
+    the observed counts ARE the input, unlike domain_mix_sample.
+
+    The normalization constant cancels out of the keep-rate algebra:
+    the binding domain is the smallest, and
+    ``rate_d = (count_min / count_d)^(1-alpha)``, clamped to [0, 1000]
+    permille. For the default ``alpha=0.5`` every operation in that
+    chain (sqrt, min, divide, floor) is IEEE-EXACT, so the rates — and
+    with the md5 coin, the exact row membership — are bit-identical on
+    any engine or partitioning; other alphas use pow(), which is
+    correctly-rounded on common libms but not guaranteed by IEEE 754
+    (operationally fine, only the cross-engine gate pins 0.5).
+
+    Scale: one #domains-row partial agg, a broadcast of the rates, and
+    a scan-side coin filter — the corpus itself never shuffles.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    beta = 1.0 - float(alpha)
+
+    def powed(c: Column) -> Column:
+        if alpha == 0.5:
+            return F.sqrt(c)  # IEEE-exact
+        return F.pow(c, F.lit(beta))
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    mn = counts.agg(F.min(powed(F.col("_c"))).alias("_mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        domain_col,
+        F.least(
+            F.floor((F.col("_mn") / powed(F.col("_c"))) * 1000.0),
+            F.lit(1000).cast("long"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(hash_permille(key) < F.col("_rate"))
+        .drop("_rate")
+        .select(*df.columns)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_count: Column,

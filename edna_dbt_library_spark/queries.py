@@ -4484,6 +4484,37 @@ def name_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_MIX_ORACLE = f"""
+WITH c AS (
+    SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+), mn AS (
+    SELECT min(sqrt(n)) AS m FROM c
+), r AS (
+    SELECT lang,
+           least(floor((mn.m / sqrt(c.n)) * 1000.0), 1000)::BIGINT AS rate
+    FROM c CROSS JOIN mn
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE {DUCK_H60.format(c="d.doc_id::VARCHAR")} % 1000 < r.rate"""
+
+
+@_register("temperature_mix_sample", _TEMP_MIX_ORACLE)
+def temperature_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing
+    (operators/curation.temperature_mix_sample, alpha=0.5): downsample
+    each language toward the count^alpha mixture. rate_d =
+    sqrt(count_min/count_d) permille — sqrt/min/divide/floor are all
+    IEEE-exact, and membership is the shared md5 coin, so the exact
+    sampled row set hash-gates across engines."""
+    from edna_dbt_library_spark.operators.curation import temperature_mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix_sample(d, F.col("doc_id"), "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+
 _LINKAGE_COLLAPSED_ORACLE = f"""
 WITH src AS (
     SELECT p_partkey, p_name FROM part

@@ -470,3 +470,41 @@ def test_incremental_passage_dedup_across_batches(spark, tmp_path):
             os.environ.pop(FAST_HASH_ENV, None)
         else:
             os.environ[FAST_HASH_ENV] = old
+
+
+def test_temperature_mix_sample_semantics(spark):
+    """alpha=0.5 thins each domain to ~sqrt(count_min/count_d); alpha=1
+    keeps natural proportions (rate 1000 everywhere); determinism across
+    partitionings; the binding (smallest) domain keeps everything."""
+    import math
+
+    from edna_dbt_library_spark.operators import temperature_mix_sample
+    from edna_dbt_library_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cmin = min(counts.values())
+
+    out = temperature_mix_sample(d, F.col("doc_id"), "lang", alpha=0.5)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, c in counts.items():
+        expected_rate = min(math.floor(math.sqrt(cmin / c) * 1000), 1000) / 1000
+        # md5 coin is uniform: observed keep-rate within a loose binomial band
+        assert abs(kept.get(lang, 0) / c - expected_rate) < 0.12, (lang, kept.get(lang), c)
+    # smallest domain keeps all rows (rate clamps to 1000)
+    smallest = min(counts, key=counts.get)
+    assert kept[smallest] == counts[smallest]
+
+    # alpha=1: natural proportions — nothing dropped
+    assert temperature_mix_sample(d, F.col("doc_id"), "lang", alpha=1.0).count() == d.count()
+
+    # deterministic membership across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix_sample(
+            d.repartition(13), F.col("doc_id"), "lang", alpha=0.5
+        ).collect()
+    )
+    assert a == b
