@@ -138,6 +138,14 @@ def load_warc(
     files = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("source_file"), "content"
     )
+    return _extract_records(files, record_types)
+
+
+def _extract_records(
+    files: DataFrame, record_types: tuple[str, ...]
+) -> DataFrame:
+    """Distributed record extraction over (source_file, content) rows —
+    shared by the batch reader and the streaming foreachBatch sink."""
     # one archive per Arrow row: archives are big, never batch them up
     files.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
     wanted = tuple(record_types)

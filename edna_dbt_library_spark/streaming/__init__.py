@@ -6,6 +6,7 @@ from edna_dbt_library_spark.streaming.ingest_stream import (
     read_ingested,
     stream_csv_ingest,
     stream_jsonl_ingest,
+    stream_warc_ingest,
 )
 from edna_dbt_library_spark.streaming.sketch_stream import (
     read_cms_counters,
@@ -21,6 +22,7 @@ __all__ = [
     "read_ingested",
     "stream_csv_ingest",
     "stream_jsonl_ingest",
+    "stream_warc_ingest",
     "stream_incremental_append",
     "stream_windowed_counts",
     "read_cms_counters",

@@ -160,3 +160,56 @@ def read_ingested(
         _read(good_dir, schema),
         _read(quar_dir, QUARANTINE_SCHEMA if schema is not None else None),
     )
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    record_types: tuple[str, ...] = ("response",),
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming form of sources/warc.load_warc for a landing zone that
+    fills with crawl archives while the pipeline runs: readStream over
+    the binaryFile source (one archive per row — archives are the task
+    granule, so maxFilesPerTrigger directly sizes the micro-batch), the
+    SAME distributed parse_warc_records extraction as the batch reader
+    (shared helper, archives never touch the driver), and the repo's
+    ``batch=<id>`` idempotent parquet sink — an at-least-once redelivery
+    rewrites its subdir, so the landed record set equals the batch parse
+    no matter how the backlog was chopped or replayed. Read the store
+    back as plain parquet over ``{store_path}/records`` (the ``batch``
+    partition column is sink bookkeeping)."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warc import _extract_records
+
+    # the binaryFile source's schema is fixed but must be stated for a
+    # streaming read
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_path).select(
+        F.col("path").alias("source_file"), "content"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = _extract_records(batch_df, record_types)
+        out.write.mode("overwrite").parquet(f"{store_path}/records/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

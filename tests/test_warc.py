@@ -120,3 +120,41 @@ def test_load_warc_and_documents_bridge(spark, tmp_path):
 
     cleaned = docs.select(strip_html("text").alias("c")).collect()
     assert "hello crawl" in {r["c"] for r in cleaned}
+
+
+def test_stream_warc_ingest_equals_batch(spark, tmp_path):
+    """streamed==batch for WARC: archives drained one per trigger land
+    the same record set the batch reader produces; replays rewrite
+    batch=<id> subdirs instead of duplicating."""
+    from edna_dbt_library_spark.streaming import stream_warc_ingest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.warc").write_bytes(_archive())
+    (src / "b.warc.gz").write_bytes(
+        gzip.compress(
+            _record("response", "http://c.example/z", _http(200, "t/p", b"zz"), "r3")
+        )
+    )
+    (src / "c.warc").write_bytes(
+        _record("response", "http://d.example/w", _http(301, "t/h", b"moved"), "r4")
+    )
+
+    store, cp = str(tmp_path / "wstore"), str(tmp_path / "wcp")
+    q = stream_warc_ingest(
+        spark, str(src), store, cp, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    import os
+
+    landed = spark.read.parquet(f"{store}/records").drop("batch")
+    batch = load_warc(spark, str(src))
+    cols = ["record_id", "warc_type", "target_uri", "http_status"]
+    assert sorted(map(tuple, landed.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
+    assert len(os.listdir(f"{store}/records")) == 3  # one dir per trigger
+    # payload bytes survive the round trip
+    got = {r["target_uri"]: bytes(r["payload"]) for r in landed.collect()}
+    assert got["http://c.example/z"] == b"zz"
