@@ -1,0 +1,86 @@
+"""Graph centrality over relational data: exact-integer PageRank.
+
+Relational corpora hide graphs — customer↔supplier purchase networks,
+URL→URL link graphs in a crawl, user↔item interactions — and ranking
+their nodes (importance weighting for curation, fraud triage, crawl
+prioritization) is a first-class pipeline step. This is the iterative
+companion of dedup.duplicate_clusters (label propagation): a fixed
+number of sparse matrix-vector rounds expressed as join+groupBy.
+
+Determinism contract (the kmeans_cells playbook): ranks live in exact
+INTEGER units of ``1/scale`` and every update is
+``rank' = ((den-num)*scale) // den + (num * incoming) // den`` with
+nonnegative integer floor-division (Spark ``div`` / DuckDB ``//`` —
+never float ``/``, whose double rounding can land one above the exact
+floor on large operands) — bit-identical on any engine,
+partitioning, or cluster size, so a DuckDB oracle can replay the whole
+iteration unrolled and the driver hash-gates the exact ranks. Dangling
+mass (nodes with no out-edges) is DROPPED, the simple deterministic
+choice; build reverse edges when you want it conserved (the bipartite
+query in queries.py does exactly that).
+
+Scale shape per iteration: one shuffle — contributions group by dst;
+out-degrees are computed once and joined to the rank vector (ranks and
+degrees are node-sized, far smaller than the edge list, and the edge
+list itself is re-scanned, never re-shuffled, when it is the big side).
+Ranks are localCheckpoint'd per round to cut the re-execution lineage,
+mirroring duplicate_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 1_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PAGERANK_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over an edge list, exact-integer semantics: returns
+    (node, rank) with rank in integer ``1/scale`` units after ``iters``
+    rounds from a uniform ``scale`` start. Duplicate edges count once
+    (the edge list is distinct'd); every arithmetic step is nonnegative
+    integer floor-division, so results are engine- and
+    partitioning-exact."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (damping_den - damping_num) * scale // damping_den
+
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))  # EXACT integral div
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

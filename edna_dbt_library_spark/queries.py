@@ -4484,6 +4484,78 @@ def name_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 8
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS, num: int = 85, den: int = 100,
+                     scale: int = 1_000_000) -> str:
+    """Unrolled exact-integer PageRank over the bipartite
+    customer<->supplier purchase graph (both directions, so no dangling
+    mass): replays operators/graph.pagerank_int round for round in pure
+    integer floor-division arithmetic."""
+    base = (den - num) * scale // den
+    parts = [f"""
+WITH pairs AS (
+    SELECT DISTINCT 'c' || o_custkey::VARCHAR AS cust, 's' || l_suppkey::VARCHAR AS supp
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+), nodes AS (
+    SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+), outdeg AS (
+    SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src
+), r0 AS (
+    SELECT node, {scale}::BIGINT AS rank FROM nodes
+)"""]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        parts.append(f""", s{it} AS (
+    SELECT e.dst, sum(r.rank // d.deg)::BIGINT AS s
+    FROM e JOIN {prev} r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+), r{it} AS (
+    SELECT n.node,
+           ({base}::BIGINT + ({num} * coalesce(s{it}.s, 0)) // {den})::BIGINT AS rank
+    FROM nodes n LEFT JOIN s{it} ON s{it}.dst = n.node
+)""")
+        prev = f"r{it}"
+    parts.append(f"""
+SELECT node, rank FROM {prev}""")
+    return "".join(parts)
+
+
+@_register("purchase_graph_pagerank", _pagerank_oracle())
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over relational data
+    (operators/graph.pagerank_int): PageRank on the bipartite
+    customer<->supplier purchase network (edges both directions from
+    distinct order lines, so rank mass circulates and nothing dangles).
+    Exact-integer semantics make the ENTIRE rank vector hash-gate after
+    {PAGERANK_ITERS} unrolled rounds — the same engine-exactness
+    playbook as kmeans_cells. Importance weighting for curation/fraud
+    triage; at 100 TB each round is one shuffle (contributions by dst)
+    with node-sized rank/degree sides."""
+    from edna_dbt_library_spark.operators.graph import pagerank_int
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    return pagerank_int(edges, iters=PAGERANK_ITERS)
+
+
+
 _TEMP_MIX_ORACLE = f"""
 WITH c AS (
     SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang

@@ -355,3 +355,43 @@ def test_stream_latest_by_key_equals_scored_merge_semantics(spark, tmp_path):
     )
     assert len(streamed) == len(batch) > 0
     assert streamed == batch
+
+
+def test_pagerank_int_hand_vectors_and_determinism(spark):
+    """Exact-integer PageRank (operators/graph.pagerank_int): hand-
+    replayed integer arithmetic on tiny graphs, duplicate-edge collapse,
+    dangling-mass drop, and bit-identical ranks across partitionings."""
+    from edna_dbt_library_spark.operators.graph import pagerank_int
+
+    # 2-cycle: every round r' = 150000 + (85 * r) // 100 from r=1000000
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r = 1_000_000
+    for _ in range(5):
+        r = 150_000 + (85 * r) // 100
+    got = {x["node"]: x["rank"] for x in pagerank_int(e, iters=5).collect()}
+    assert got == {"a": r, "b": r}
+
+    # star a->b, a->c (+duplicate a->b edge, which must collapse):
+    # replay by hand — a dangles after round 1 (its outgoing mass leaves)
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    ra = rb = rc = 1_000_000
+    for _ in range(3):
+        contrib = ra // 2  # a's two distinct out-edges
+        ra, rb, rc = (
+            150_000,  # nothing points at a
+            150_000 + (85 * contrib) // 100,
+            150_000 + (85 * contrib) // 100,
+        )
+    got2 = {x["node"]: x["rank"] for x in pagerank_int(e2, iters=3).collect()}
+    assert got2 == {"a": ra, "b": rb, "c": rc}
+
+    # partitioning never changes a single rank
+    big = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)],
+        "src string, dst string",
+    )
+    one = sorted(map(tuple, pagerank_int(big, iters=4).collect()))
+    many = sorted(map(tuple, pagerank_int(big.repartition(17), iters=4).collect()))
+    assert one == many and len(one) > 0
