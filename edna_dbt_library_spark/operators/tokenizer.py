@@ -274,3 +274,176 @@ def bpe_encode(
             yield pd.DataFrame(data)
 
     return documents.select(id_col, text_col).mapInPandas(run, schema)
+
+
+# --- Unigram-LM (SentencePiece-style) tokenizer -----------------------------
+#
+# The second of the two standard subword algorithms (Kudo 2018), as
+# hard-EM: seed a substring candidate vocabulary, repeatedly (a) Viterbi-
+# segment every distinct word under the current piece counts and (b)
+# re-estimate counts from usage, pruning multi-char pieces to the vocab
+# budget. Single characters are never pruned (full coverage), and any
+# character unseen in training gets an implicit count of 1 at encode
+# time, so encoding is total.
+#
+# EXACT-integer scoring throughout: a segmentation p1..pk under counts
+# c_i and normalizer T scores prod(c_i) / T^k; two candidates compare by
+# the big-int cross-product prod_a * T^k_b vs prod_b * T^k_a — no
+# floating point anywhere, so training and encoding are bit-deterministic
+# on any platform, and an independently-written reference encoder must
+# agree exactly (the cross-engine gate in queries.py).
+
+UNK_CHAR_COUNT = 1
+
+
+def _seg_better(a, b, total: int) -> bool:
+    """True when segmentation a=(prod, k, seq) beats b under the exact
+    total order: higher prob (big-int cross-multiply), then fewer
+    pieces, then lexicographically smaller piece sequence."""
+    pa, ka, sa = a
+    pb, kb, sb = b
+    lhs, rhs = pa * total**kb, pb * total**ka
+    if lhs != rhs:
+        return lhs > rhs
+    if ka != kb:
+        return ka < kb
+    return sa < sb
+
+
+def viterbi_segment(word: str, counts: dict[str, int], total: int) -> list[str]:
+    """Forward Viterbi under exact-integer unigram scoring. Unknown
+    single characters fall back to count UNK_CHAR_COUNT, so every word
+    segments."""
+    maxlen = max((len(p) for p in counts), default=1)
+    n = len(word)
+    best: list[tuple[int, int, tuple] | None] = [None] * (n + 1)
+    best[0] = (1, 0, ())
+    for i in range(1, n + 1):
+        for j in range(max(0, i - maxlen), i):
+            prev = best[j]
+            if prev is None:
+                continue
+            piece = word[j:i]
+            c = counts.get(piece)
+            if c is None:
+                if i - j != 1:
+                    continue
+                c = UNK_CHAR_COUNT
+            cand = (prev[0] * c, prev[1] + 1, prev[2] + (piece,))
+            if best[i] is None or _seg_better(cand, best[i], total):
+                best[i] = cand
+    return list(best[n][2]) if n else []
+
+
+def train_unigram(
+    word_freqs: list[tuple[str, int]],
+    vocab_size: int = 2000,
+    max_piece_len: int = 6,
+    seed_multiplier: int = 4,
+    rounds: int = 3,
+) -> dict[str, int]:
+    """Hard-EM unigram training over a word-frequency table (use
+    word_frequencies() for the distributed count): returns
+    {piece: count} — the model IS its usage counts, normalizer =
+    sum(counts). Deterministic by construction: integer arithmetic,
+    sorted tie-breaks, fixed round count."""
+    from collections import Counter
+
+    cand: Counter = Counter()
+    for w, f in word_freqs:
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                cand[w[i : i + ln]] += f
+    chars = {p for p in cand if len(p) == 1}
+    budget = max(0, vocab_size - len(chars))
+    multis = sorted(
+        (p for p in cand if len(p) > 1), key=lambda p: (-cand[p], p)
+    )[: budget * seed_multiplier]
+    counts: dict[str, int] = {p: cand[p] for p in chars}
+    counts.update({p: cand[p] for p in multis})
+
+    for _ in range(rounds):
+        total = sum(counts.values())
+        usage: Counter = Counter()
+        for w, f in word_freqs:
+            for p in viterbi_segment(w, counts, total):
+                usage[p] += f
+        keep = sorted(
+            (p for p in usage if len(p) > 1), key=lambda p: (-usage[p], p)
+        )[:budget]
+        counts = {p: usage[p] for p in keep}
+        for ch in chars:
+            counts[ch] = max(usage.get(ch, 0), 1)  # coverage floor
+    return counts
+
+
+def unigram_encode(
+    documents: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """Distributed unigram encoding: (doc_id, n_tokens[, tokens]) —
+    the Viterbi twin of bpe_encode (same Arrow batching, per-batch word
+    memo, ASCII whitespace split, NULL -> 0 tokens)."""
+    total = sum(vocab.values())
+    id_type = documents.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens long" + (
+        ", tokens array<string>" if keep_tokens else ""
+    )
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = viterbi_segment(word, vocab, total)
+            return got
+
+        for pdf in batches:
+            ids, counts_o, toks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = (
+                    [w for w in ws.split(text.lower()) if w]
+                    if isinstance(text, str)
+                    else []
+                )
+                out: list[str] = []
+                for w in words:
+                    out.extend(enc(w))
+                ids.append(did)
+                counts_o.append(len(out))
+                if keep_tokens:
+                    toks.append(out)
+            data = {id_col: ids, "n_tokens": counts_o}
+            if keep_tokens:
+                data["tokens"] = toks
+            yield pd.DataFrame(data)
+
+    return documents.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def train_unigram_distributed(
+    documents: DataFrame,
+    vocab_size: int = 2000,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    max_piece_len: int = 6,
+    rounds: int = 3,
+) -> dict[str, int]:
+    """Train on a corpus: distributed word counting (vocabulary-bounded
+    driver state, exactly train_bpe's contract), then the hard-EM loop
+    on the driver."""
+    return train_unigram(
+        word_frequencies(documents, text_col, max_words),
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        rounds=rounds,
+    )

@@ -4484,6 +4484,105 @@ def name_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIGRAM_VOCAB_SIZE = 64
+
+
+def _unigram_fixture_vocab() -> dict[str, int]:
+    """Unigram vocab trained (pure Python, deterministic hard-EM) on the
+    literal BPE_SAMPLES corpus — the same literal-corpus convention as
+    _bpe_fixture_merges."""
+    import re
+    from collections import Counter
+
+    from edna_dbt_library_spark.operators.tokenizer import train_unigram
+
+    ws = re.compile(r"\s+", re.ASCII)
+    freqs: Counter = Counter()
+    for _sid, text in BPE_SAMPLES:
+        for w in ws.split((text or "").lower()):
+            if w:
+                freqs[w] += 1
+    return train_unigram(sorted(freqs.items()), vocab_size=UNIGRAM_VOCAB_SIZE, rounds=3)
+
+
+UNIGRAM_VOCAB = _unigram_fixture_vocab()
+
+
+def _unigram_count_suffix_dp(word: str, vocab: dict[str, int], total: int) -> int:
+    """INDEPENDENT reference token counter: backward (suffix) dynamic
+    program with its own exact-integer comparison — best[j] = the best
+    segmentation of word[j:], built right-to-left, versus the engine's
+    forward Viterbi (operators/tokenizer.viterbi_segment). Same total
+    order (big-int cross-multiplied probability, then fewer pieces,
+    then lexicographically smaller sequence), arrived at from the other
+    end of the word."""
+    n = len(word)
+    if n == 0:
+        return 0
+    maxlen = max(len(p) for p in vocab)
+    best: list[tuple[int, int, tuple] | None] = [None] * (n + 1)
+    best[n] = (1, 0, ())
+    for j in range(n - 1, -1, -1):
+        for i in range(j + 1, min(j + maxlen, n) + 1):
+            nxt = best[i]
+            if nxt is None:
+                continue
+            piece = word[j:i]
+            c = vocab.get(piece)
+            if c is None:
+                if i - j != 1:
+                    continue
+                c = 1  # UNK single char, mirror of tokenizer.UNK_CHAR_COUNT
+            cand = (c * nxt[0], 1 + nxt[1], (piece,) + nxt[2])
+            cur = best[j]
+            if cur is None:
+                best[j] = cand
+                continue
+            lhs, rhs = cand[0] * total ** cur[1], cur[0] * total ** cand[1]
+            if lhs > rhs or (
+                lhs == rhs
+                and (cand[1] < cur[1] or (cand[1] == cur[1] and cand[2] < cur[2]))
+            ):
+                best[j] = cand
+    return best[0][1]
+
+
+def _unigram_counts_oracle() -> str:
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    total = sum(UNIGRAM_VOCAB.values())
+    rows = []
+    for sid, text in BPE_SAMPLES:
+        n = sum(
+            _unigram_count_suffix_dp(w, UNIGRAM_VOCAB, total)
+            for w in ws.split((text or "").lower())
+            if w
+        )
+        rows.append(f"({sid}, {n})")
+    return (
+        "SELECT sample_id::BIGINT AS sample_id, n_tokens::BIGINT AS n_tokens "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(sample_id, n_tokens)"
+    )
+
+
+@_register("unigram_token_counts", _unigram_counts_oracle())
+def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization
+    (operators/tokenizer.train_unigram/unigram_encode, Kudo 2018 as
+    hard-EM): the second standard subword algorithm beside BPE. Scoring
+    is EXACT integer arithmetic (big-int cross-multiplied segmentation
+    probabilities), so the engine's forward Viterbi must agree token-
+    for-token with the oracle's independently-written backward suffix
+    DP over the same trained vocab — the BPE rank-order gating
+    convention, applied to the other tokenizer family."""
+    from edna_dbt_library_spark.operators.tokenizer import unigram_encode
+
+    docs = spark.createDataFrame(BPE_SAMPLES, "sample_id long, text string")
+    return unigram_encode(docs, UNIGRAM_VOCAB, id_col="sample_id")
+
+
+
 PAGERANK_ITERS = 8
 
 

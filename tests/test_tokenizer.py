@@ -130,3 +130,75 @@ def test_real_token_counts_feed_packing_budget(spark):
     )
     for r in joined.collect():
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"] + r["n_words"] + 1
+
+
+def test_unigram_exact_scoring_and_reference_agreement(spark):
+    """Forward Viterbi (engine) vs the queries.py backward suffix DP
+    (independent reference) must agree on token counts for every word
+    in a generated corpus — exact big-int scoring leaves no float room
+    to disagree; plus hand-checks of coverage and UNK fallback."""
+    from edna_dbt_library_spark.operators.tokenizer import (
+        train_unigram,
+        unigram_encode,
+        viterbi_segment,
+    )
+    from edna_dbt_library_spark.queries import _unigram_count_suffix_dp
+
+    words = [
+        ("lower", 30), ("lowest", 20), ("slowest", 11), ("newest", 18),
+        ("widest", 9), ("low", 25), ("new", 14), ("tokenization", 6),
+        ("token", 13), ("ization", 5), ("aaaa", 7), ("aa", 9), ("ab", 3),
+    ]
+    vocab = train_unigram(words, vocab_size=40, rounds=3)
+    total = sum(vocab.values())
+
+    probe = [w for w, _ in words] + [
+        "lowlow", "newestlowest", "zzzqqq", "a", "", "tokenlow", "slowestaaaa"
+    ]
+    for w in probe:
+        assert len(viterbi_segment(w, vocab, total)) == _unigram_count_suffix_dp(
+            w, vocab, total
+        ), w
+
+    # segmentation covers the word exactly; unknown chars fall back
+    assert "".join(viterbi_segment("zzz", vocab, total)) == "zzz"
+    seg = viterbi_segment("lowest", vocab, total)
+    assert "".join(seg) == "lowest"
+
+    # distributed encode == driver segmentation, NULL -> 0
+    docs = spark.createDataFrame(
+        [(1, "lowest newest"), (2, None), (3, "zzz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in unigram_encode(docs, vocab).collect()}
+    expect1 = len(viterbi_segment("lowest", vocab, total)) + len(
+        viterbi_segment("newest", vocab, total)
+    )
+    assert got == {1: expect1, 2: 0, 3: 3}
+
+
+def test_unigram_distributed_training_on_fixture(spark):
+    """End-to-end on the real corpus: distributed word counts -> hard-EM
+    -> distributed encode. Training is deterministic (re-train equals),
+    the vocab respects its budget, and multi-char pieces actually earn
+    usage (compression beats character splitting)."""
+    from edna_dbt_library_spark.operators.tokenizer import (
+        train_unigram_distributed,
+        unigram_encode,
+    )
+    from edna_dbt_library_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    v1 = train_unigram_distributed(docs, vocab_size=300, rounds=2)
+    v2 = train_unigram_distributed(docs, vocab_size=300, rounds=2)
+    assert v1 == v2
+    n_chars = sum(1 for p in v1 if len(p) == 1)
+    assert len(v1) <= 300 + n_chars  # budget: multi-char pieces capped
+    assert any(len(p) >= 4 for p in v1)  # real subwords learned
+
+    enc = unigram_encode(docs, v1)
+    stats = enc.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    naive_chars = docs.agg(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", ""))).alias("c")
+    ).collect()[0]["c"]
+    assert 0 < stats < naive_chars  # fewer tokens than characters
