@@ -4065,48 +4065,6 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, BPE_MERGES, id_col="sample_id")
 
 
-def _url_bpe_oracle() -> str:
-    u = REGISTRY["url_canonical_docs"].oracle
-    b = REGISTRY["bpe_token_counts"].oracle
-    return f"""
-SELECT 'url' AS src, doc_id::BIGINT AS id, url AS raw, canon_url, host, domain, 0::BIGINT AS n_tokens
-FROM ({u})
-UNION ALL
-SELECT 'bpe' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain, n_tokens
-FROM ({b})"""
-
-
-@_register("url_bpe_tokens", _url_bpe_oracle())
-def url_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The text-normalization family in one src-tagged scored row: URL
-    canonicalization over fixture-scaled constructed URLs AND
-    distributed BPE token counts against independent vectors — granular
-    queries stay registered (url_canonical_docs, bpe_token_counts).
-    Like every consolidation row, this is a GATE artifact (one driver
-    row certifying two operator families), not a production plan."""
-    u = REGISTRY["url_canonical_docs"].spark(spark, sf_dir)
-    b = REGISTRY["bpe_token_counts"].spark(spark, sf_dir)
-    return u.select(
-        F.lit("url").alias("src"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("url").alias("raw"),
-        "canon_url",
-        "host",
-        "domain",
-        F.lit(0).cast("long").alias("n_tokens"),
-    ).unionAll(
-        b.select(
-            F.lit("bpe").alias("src"),
-            F.col("sample_id").cast("long").alias("id"),
-            F.lit("").alias("raw"),
-            F.lit("").alias("canon_url"),
-            F.lit("").alias("host"),
-            F.lit("").alias("domain"),
-            F.col("n_tokens"),
-        )
-    )
-
-
 # --- perceptual image near-dup pairs --------------------------------------
 # Deterministic PNG fixtures built at import (stdlib struct+zlib); the
 # oracle's expected dHashes are computed DIRECTLY from the pixel
@@ -4582,6 +4540,56 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(docs, UNIGRAM_VOCAB, id_col="sample_id")
 
 
+
+def _url_bpe_oracle() -> str:
+    u = REGISTRY["url_canonical_docs"].oracle
+    b = REGISTRY["bpe_token_counts"].oracle
+    g = REGISTRY["unigram_token_counts"].oracle
+    return f"""
+SELECT 'url' AS src, doc_id::BIGINT AS id, url AS raw, canon_url, host, domain, 0::BIGINT AS n_tokens
+FROM ({u})
+UNION ALL
+SELECT 'bpe' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain, n_tokens
+FROM ({b})
+UNION ALL
+SELECT 'unigram' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain, n_tokens
+FROM ({g})"""
+
+
+@_register("url_bpe_tokens", _url_bpe_oracle())
+def url_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-normalization/tokenization family in one src-tagged
+    scored row: URL canonicalization over fixture-scaled constructed
+    URLs, distributed BPE token counts against independent rank-order
+    vectors, AND (r6) unigram-LM token counts against the independent
+    backward-suffix-DP vectors — granular queries stay registered
+    (url_canonical_docs, bpe_token_counts, unigram_token_counts). Like
+    every consolidation row, this is a GATE artifact (one driver row
+    certifying three operator families), not a production plan."""
+    u = REGISTRY["url_canonical_docs"].spark(spark, sf_dir)
+    b = REGISTRY["bpe_token_counts"].spark(spark, sf_dir)
+    g = REGISTRY["unigram_token_counts"].spark(spark, sf_dir)
+
+    def tok(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("src"),
+            F.col("sample_id").cast("long").alias("id"),
+            F.lit("").alias("raw"),
+            F.lit("").alias("canon_url"),
+            F.lit("").alias("host"),
+            F.lit("").alias("domain"),
+            F.col("n_tokens"),
+        )
+
+    return u.select(
+        F.lit("url").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("url").alias("raw"),
+        "canon_url",
+        "host",
+        "domain",
+        F.lit(0).cast("long").alias("n_tokens"),
+    ).unionAll(tok(b, "bpe")).unionAll(tok(g, "unigram"))
 
 PAGERANK_ITERS = 8
 

@@ -141,7 +141,16 @@ def test_url_bpe_tokens_equals_granular_composition(spark):
         F.lit("").alias("domain"),
         F.col("n_tokens"),
     )
-    assert _rows(scored) == _rows(u.unionAll(b).select(*scored.columns))
+    g = reg["unigram_token_counts"](spark, SF).select(
+        F.lit("unigram").alias("src"),
+        F.col("sample_id").cast("long").alias("id"),
+        F.lit("").alias("raw"),
+        F.lit("").alias("canon_url"),
+        F.lit("").alias("host"),
+        F.lit("").alias("domain"),
+        F.col("n_tokens"),
+    )
+    assert _rows(scored) == _rows(u.unionAll(b).unionAll(g).select(*scored.columns))
 
 
 def test_bpe_rank_order_reference_agrees_with_encode_word():

@@ -181,11 +181,12 @@ def test_banded_hamming_band_join_no_smj(spark):
 
 
 def test_url_bpe_row_scan_side_and_single_arrow(spark):
-    """The consolidated url/bpe gate row: URL algebra is pure codegen
-    over the scan (zero shuffles on that branch); the BPE branch is one
-    Arrow pass over a literal frame."""
+    """The consolidated url/tokenizer gate row: URL algebra is pure
+    codegen over the scan (zero shuffles on that branch); the BPE and
+    unigram branches are one Arrow pass each over a literal frame —
+    never row-at-a-time Python."""
     plan = Q.queries()["url_bpe_tokens"](spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 2  # bpe_encode + unigram_encode
     assert "BatchEvalPython" not in plan
 
 
