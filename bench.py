@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "zscore_outlier_events",
     "quantized_embeddings_summary",
     "name_linkage_collapsed",
+    "unigram_token_counts",
+    "temperature_mix_sample",
 ]
 
 

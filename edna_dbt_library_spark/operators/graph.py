@@ -50,16 +50,24 @@ def pagerank_int(
     (the edge list is distinct'd); every arithmetic step is nonnegative
     integer floor-division, so results are engine- and
     partitioning-exact."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # pin the (possibly expensive) edge derivation ONCE: every rank
+    # round re-scans e, and without the pin its whole upstream lineage
+    # (joins, distinct) would re-execute per round per action —
+    # measured 36.6s -> 11.3s for 8 rounds on the sf0.1 purchase graph
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     base = (damping_den - damping_num) * scale // damping_den
 
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))

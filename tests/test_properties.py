@@ -405,3 +405,31 @@ def test_jsonl_ingest_total_classification_property(spark, tmp_path_factory, lin
     # and the split is stable under a different downstream projection
     assert len(res.good.collect()) == n_good
     assert len(res.quarantine.collect()) == n_quar
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=9), st.integers(1, 50)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.text(alphabet="abcde", min_size=0, max_size=14),
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_forward_equals_backward_reference(words, probe):
+    """Property: for ANY trained vocab and ANY probe word (including
+    chars the vocab never saw — 'e' is outside the training alphabet),
+    the engine's forward exact-integer Viterbi and the oracle's
+    independently-written backward suffix DP agree on the token count."""
+    from edna_dbt_library_spark.operators.tokenizer import (
+        train_unigram,
+        viterbi_segment,
+    )
+    from edna_dbt_library_spark.queries import _unigram_count_suffix_dp
+
+    vocab = train_unigram(sorted(words), vocab_size=16, rounds=2)
+    total = sum(vocab.values())
+    fwd = viterbi_segment(probe, vocab, total)
+    assert "".join(fwd) == probe  # total coverage
+    assert len(fwd) == _unigram_count_suffix_dp(probe, vocab, total)
