@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 META_FILE = "_edna_meta.json"
 
 
+def _is_hidden(name: str) -> bool:
+    """Spark's file-index hiding rule: `_`/`.`-prefixed entries are
+    metadata/sidecars UNLESS they contain '=' — a partition directory
+    for an underscore-named column (`_pdate=2024-01-01`) is DATA. Every
+    warehouse walk must use this exact rule or `_pdate`-partitioned
+    tables silently lose their data dirs (caught by the r6 snapshot
+    walk: it pruned every partition of a _pdate table to zero files)."""
+    return name.startswith(("_", ".")) and "=" not in name
+
+
 @dataclass(frozen=True)
 class Relation:
     """database.schema.identifier triple (reference: log_helpers.sql:2-18
@@ -248,7 +258,7 @@ class Warehouse:
             for dirpath, dirs, files in os.walk(root):
                 # skip sidecars (_edna_profile, .stash dirs): Spark's
                 # file index ignores them, so must the file stats
-                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                dirs[:] = [d for d in dirs if not _is_hidden(d)]
                 for fn in files:
                     if fn.endswith(".parquet"):
                         n += 1
@@ -369,6 +379,136 @@ class Warehouse:
                 dropped.append(part)
         return dropped
 
+
+    # --- snapshots / time travel --------------------------------------------
+    # BigQuery gives its users implicit time travel; a parquet warehouse
+    # has none, so snapshots are explicit: a HARDLINK farm outside the
+    # table directory (whole-dir overwrites — replace/compact — wipe
+    # everything inside it, the same reason the compact profile stash
+    # lives outside; hardlinked inodes survive the source file deletion
+    # for free, so a snapshot costs directory entries, not data bytes).
+
+    def _snapshots_dir(self, rel: Relation) -> str:
+        return os.path.join(self.root, ".edna_snapshots", rel.schema, rel.identifier)
+
+    def snapshot(self, rel: Relation, note: str | None = None) -> int:
+        """Record the table's current state as a new version: every data
+        file hardlinked (partition layout preserved) plus the meta
+        sidecar, with a manifest. Returns the version number (1-based,
+        monotonic). O(#files) directory operations, zero data copied."""
+        base = self.path(rel)
+        if not self.exists(rel):
+            raise FileNotFoundError(f"cannot snapshot missing table {rel.table_id}")
+        snaps = self._snapshots_dir(rel)
+        os.makedirs(snaps, exist_ok=True)
+        versions = [
+            int(d[1:]) for d in os.listdir(snaps) if d.startswith("v") and d[1:].isdigit()
+        ]
+        v = max(versions, default=0) + 1
+        vdir = os.path.join(snaps, f"v{v}")
+        files: list[str] = []
+        for dirpath, dirs, fnames in os.walk(base):
+            dirs[:] = [d for d in dirs if not _is_hidden(d)]
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    relp = os.path.relpath(os.path.join(dirpath, fn), base)
+                    dst = os.path.join(vdir, "data", relp)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(os.path.join(dirpath, fn), dst)
+                    files.append(relp)
+        meta = self.read_meta(rel)
+        with open(os.path.join(vdir, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "version": v,
+                    "note": note,
+                    "n_files": len(files),
+                    "files": sorted(files),
+                    "partition_by": meta.partition_by,
+                    "schema_evolved": meta.schema_evolved,
+                    "schema_json": meta.schema_json,
+                },
+                f,
+            )
+        return v
+
+    def list_snapshots(self, rel: Relation) -> list[dict]:
+        """[{version, note, n_files}] ascending; [] when none exist."""
+        snaps = self._snapshots_dir(rel)
+        if not os.path.isdir(snaps):
+            return []
+        out = []
+        for d in sorted(os.listdir(snaps), key=lambda x: int(x[1:]) if x[1:].isdigit() else -1):
+            mf = os.path.join(snaps, d, "manifest.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    m = json.load(f)
+                out.append({"version": m["version"], "note": m.get("note"), "n_files": m["n_files"]})
+        return out
+
+    def _snapshot_manifest(self, rel: Relation, version: int) -> tuple[str, dict]:
+        vdir = os.path.join(self._snapshots_dir(rel), f"v{version}")
+        mf = os.path.join(vdir, "manifest.json")
+        if not os.path.exists(mf):
+            raise FileNotFoundError(f"no snapshot v{version} of {rel.table_id}")
+        with open(mf) as f:
+            return vdir, json.load(f)
+
+    def read_version(self, rel: Relation, version: int) -> DataFrame:
+        """Time travel: the table exactly as it was at ``snapshot()``
+        time — reads the hardlinked files, unaffected by every write,
+        merge, compact or replace since."""
+        vdir, m = self._snapshot_manifest(rel, version)
+        data = os.path.join(vdir, "data")
+        if not m["files"]:
+            import pyspark.sql.types as _T
+
+            schema = _T.StructType.fromJson(json.loads(m["schema_json"]))
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read
+        if m.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        if m.get("partition_by"):
+            # basePath keeps partition-column derivation rooted at data/
+            reader = reader.option("basePath", data)
+        return reader.parquet(data)
+
+    def restore(self, rel: Relation, version: int) -> None:
+        """Roll the table back to a snapshot: current data files are
+        replaced by hardlinks to the snapshot's (directory operations
+        only); the meta sidecar reverts to the manifest's layout; the
+        profile baseline and other snapshots are left untouched."""
+        vdir, m = self._snapshot_manifest(rel, version)
+        base = self.path(rel)
+        # clear current data (keep sidecars: _ and . prefixed)
+        for entry in os.listdir(base):
+            if _is_hidden(entry):
+                continue
+            p = os.path.join(base, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        for relp in m["files"]:
+            src = os.path.join(vdir, "data", relp)
+            dst = os.path.join(base, relp)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        meta = self.read_meta(rel)
+        meta.partition_by = m.get("partition_by")
+        meta.schema_evolved = bool(m.get("schema_evolved", False))
+        meta.schema_json = m.get("schema_json")
+        self.write_meta(rel, meta)
+
+    def expire_snapshots(self, rel: Relation, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (frees the
+        hardlinked bytes once no snapshot references them). Returns the
+        dropped version numbers."""
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        versions = [m["version"] for m in self.list_snapshots(rel)]
+        drop = versions[: max(0, len(versions) - keep_last)]
+        for v in drop:
+            shutil.rmtree(os.path.join(self._snapshots_dir(rel), f"v{v}"), ignore_errors=True)
+        return drop
+
     # --- introspection (the INFORMATION_SCHEMA analogues) ------------------
     def partitions(self, rel: Relation) -> list[str]:
         """Partition values present on disk (directory listing — no data
@@ -389,7 +529,7 @@ class Warehouse:
         register_dataproduct_metadata.sql:35-49)."""
         total = 0
         for dirpath, dirs, files in os.walk(self.path(rel)):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]  # sidecars
+            dirs[:] = [d for d in dirs if not _is_hidden(d)]  # sidecars
             for fn in files:
                 if fn.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(dirpath, fn))

@@ -486,3 +486,98 @@ def test_scd2_snapshot_replay_is_idempotent_and_untouched_keys_preserved(spark, 
     # empty batch is a no-op
     r = run_scd2_snapshot(wh, target, b2.where(F.lit(False)), cfg)
     assert r["action"] == "noop" and _scd2_state(wh, target) == before
+
+
+def test_snapshot_time_travel_survives_writes_and_restores(spark, tmp_path):
+    """Warehouse snapshots (hardlink farm OUTSIDE the table dir): a
+    version reads back bit-identically after appends, dynamic partition
+    overwrites, a whole-table replace, AND a compact — the operations
+    that delete the original files — and restore() rolls the live table
+    back with directory operations only."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+    base = spark.range(6).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("_pdate"),
+        (F.col("id") * 10).alias("v"),
+    )
+    wh.create_as(rel, base, TableMeta(partition_by="_pdate"))
+    v1 = wh.snapshot(rel, note="initial")
+    rows_v1 = sorted(map(tuple, wh.read(rel).collect()))
+
+    # append + dynamic partition overwrite mutate the live table
+    wh.append(rel, base.withColumn("id", F.col("id") + 100))
+    wh.overwrite_partitions(
+        rel,
+        spark.createDataFrame([(999, "2024-01-01", -1)], "id long, _pdate string, v long"),
+    )
+    v2 = wh.snapshot(rel, note="after-churn")
+    assert [s["version"] for s in wh.list_snapshots(rel)] == [v1, v2]
+
+    # whole-table replace deletes every original file
+    wh.create_as(rel, base.where(F.col("id") == 0), TableMeta(partition_by="_pdate"))
+    # ... and compact rewrites what's left
+    wh.compact(rel, target_file_bytes=1, min_files=0)
+
+    assert sorted(map(tuple, wh.read_version(rel, v1).collect())) == rows_v1
+    assert wh.read_version(rel, v1).schema == wh.read_version(rel, v2).schema
+    # v2 state: the overwrite replaced partition 2024-01-01 (dropping
+    # appended id=100 with it) and landed id=999; 101 survived in -02
+    assert {r["id"] for r in wh.read_version(rel, v2).collect()} >= {999, 101}
+    assert 100 not in {r["id"] for r in wh.read_version(rel, v2).collect()}
+
+    # restore: live table == snapshot v1 again, snapshots intact
+    wh.restore(rel, v1)
+    assert sorted(map(tuple, wh.read(rel).collect())) == rows_v1
+    assert len(wh.list_snapshots(rel)) == 2
+    # partition pruning still works post-restore (layout preserved)
+    assert wh.partitions(rel) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    # expiry keeps the newest, frees the rest
+    assert wh.expire_snapshots(rel, keep_last=1) == [v1]
+    assert [s["version"] for s in wh.list_snapshots(rel)] == [v2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        wh.read_version(rel, v1)
+
+
+def test_snapshot_empty_table_and_missing(spark, tmp_path):
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "empty")
+    empty = spark.createDataFrame([], "a long, b string")
+    wh.create_as(rel, empty, TableMeta())
+    v = wh.snapshot(rel)
+    got = wh.read_version(rel, v)
+    assert got.count() == 0 and got.schema == empty.schema
+
+    with _pytest.raises(FileNotFoundError, match="missing table"):
+        wh.snapshot(wh.relation("s", "nope"))
+
+
+def test_size_info_counts_underscore_partition_dirs(spark, tmp_path):
+    """Regression (latent until the r6 snapshot walk caught it): the
+    sidecar-pruning walks must use Spark's hiding rule — `_`-prefixed
+    UNLESS it contains '=' — or every `_pdate=...` partition directory
+    of an internally-partitioned table is skipped and size_bytes
+    reports 0 (feeding a zero into the catalog's __TABLES__ analogue)."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "sz")
+    df = spark.range(10).select(
+        "id", F.concat(F.lit("2024-01-0"), (F.col("id") % 2 + 1).cast("string")).alias("_pdate")
+    )
+    wh.create_as(rel, df, TableMeta(partition_by="_pdate"))
+    info = wh.size_info(rel)
+    assert info["row_count"] == 10 and info["size_bytes"] > 0
+    stats = wh.partition_file_stats(rel)
+    assert set(stats) == {"2024-01-01", "2024-01-02"}
+    assert all(b > 0 for _n, b in stats.values())
