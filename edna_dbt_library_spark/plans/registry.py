@@ -58,6 +58,12 @@ class Model:
     materialization: str = "table"  # table | view | incremental_log | incremental_partition_merge | scd2_snapshot
     mat_config: object | None = None  # IncrementalLogConfig | PartitionMergeConfig
     profile_gate: ProfileGateConfig | None = None
+    #: snapshot the existing target BEFORE each write (warehouse time
+    #: travel, hardlink-cheap): every run becomes rollback-able —
+    #: Warehouse.restore(target, version) undoes a bad batch that
+    #: slipped past the schema and profile gates
+    snapshot_before_write: bool = False
+    snapshot_keep_last: int = 3
 
     def build(self, spark: SparkSession) -> DataFrame:
         if self.builder is not None:
@@ -165,6 +171,15 @@ class Runner:
                     top_frac_tol=gate.top_frac_tol,
                 )
 
+        pre_version = None
+        if model.snapshot_before_write and existed_before:
+            # after every gate has passed, right before the first write:
+            # the version captures the exact state a restore returns to
+            pre_version = self.wh.snapshot(
+                target, note=f"pre-write {node.name}"
+            )
+            self.wh.expire_snapshots(target, keep_last=model.snapshot_keep_last)
+
         if model.materialization == "incremental_log":
             cfg = model.mat_config or IncrementalLogConfig()
             result = run_incremental_log(
@@ -223,6 +238,9 @@ class Runner:
             # the batch passed: it becomes the next run's baseline
             self.wh.write_profile(target, current_profile)
             result["profile_gate"] = "passed"
+
+        if pre_version is not None:
+            result["pre_write_snapshot"] = pre_version
 
         if register_metadata and model.materialization != "view":
             register_dataproduct_metadata(

@@ -466,3 +466,39 @@ def test_runner_scd2_snapshot_materialization(spark, wh):
                           builder=builder, materialization="scd2_snapshot"))
     with pytest.raises(ValueError, match="Scd2Config"):
         runner.run("bad", validate=False, register_metadata=False)
+
+
+def test_runner_snapshot_before_write_enables_rollback(spark, wh):
+    """snapshot_before_write: after all gates pass, the Runner snapshots
+    the CURRENT target so a bad batch that slips past schema/profile
+    gates is still rollback-able via Warehouse.restore. The first run
+    (no prior table) takes no snapshot; expiry honors snapshot_keep_last."""
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(name="rolled", fqn=["analytics", "s", "rolled"], path="s/r.sql")
+    state = {"n": 3}
+
+    def builder(s):
+        return s.range(state["n"]).select(F.col("id").alias("k"))
+
+    runner.register(Model(node=node, builder=builder,
+                          snapshot_before_write=True, snapshot_keep_last=2))
+    r1 = runner.run("rolled", validate=False, register_metadata=False)
+    assert "pre_write_snapshot" not in r1  # nothing existed to snapshot
+    target = r1["relation"]
+    assert wh.list_snapshots(target) == []
+
+    state["n"] = 5
+    r2 = runner.run("rolled", validate=False, register_metadata=False)
+    v = r2["pre_write_snapshot"]
+    assert wh.read(target).count() == 5
+    # rollback: restore returns the pre-second-run (3-row) state
+    wh.restore(target, v)
+    assert wh.read(target).count() == 3
+
+    # keep_last=2: a third and fourth run expire the oldest snapshot
+    state["n"] = 7
+    runner.run("rolled", validate=False, register_metadata=False)
+    state["n"] = 9
+    runner.run("rolled", validate=False, register_metadata=False)
+    versions = [s["version"] for s in wh.list_snapshots(target)]
+    assert len(versions) == 2 and v not in versions
