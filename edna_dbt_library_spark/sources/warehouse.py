@@ -509,6 +509,50 @@ class Warehouse:
             shutil.rmtree(os.path.join(self._snapshots_dir(rel), f"v{v}"), ignore_errors=True)
         return drop
 
+    def clone(self, src: Relation, dst: Relation) -> dict:
+        """Zero-copy table clone (Delta SHALLOW CLONE analogue): every
+        data file hardlinked into ``dst`` preserving partition layout;
+        sidecars (_edna_meta.json, _edna_profile/, any _/.-prefixed
+        entry) are COPIED because write_meta truncates in place — a
+        hardlinked meta would corrupt both tables on the first write.
+
+        The clone is fully independent afterwards: writes replace files
+        rather than mutating them, so overwriting/merging/compacting one
+        side never changes the other (same inode-survival property the
+        snapshot farm relies on). This is the dev/ci workflow the
+        reference serves with dataset rewriting (get_custom_schema.sql:
+        dev/ci prefixes): materialize a production table once, clone it
+        into the dev schema for free, iterate there. Snapshots are NOT
+        cloned — they belong to the source's history.
+        """
+        base = self.path(src)
+        if not self.exists(src):
+            raise FileNotFoundError(f"cannot clone missing table {src.table_id}")
+        if self.exists(dst):
+            raise FileExistsError(f"clone target {dst.table_id} already exists")
+        dbase = self.path(dst)
+        n_files = 0
+        try:
+            for dirpath, dirs, fnames in os.walk(base):
+                dirs[:] = [d for d in dirs if not _is_hidden(d)]
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        relp = os.path.relpath(os.path.join(dirpath, fn), base)
+                        d = os.path.join(dbase, relp)
+                        os.makedirs(os.path.dirname(d), exist_ok=True)
+                        os.link(os.path.join(dirpath, fn), d)
+                        n_files += 1
+            os.makedirs(dbase, exist_ok=True)  # empty-table clone
+            for entry in os.listdir(base):
+                if not _is_hidden(entry):
+                    continue
+                s, d = os.path.join(base, entry), os.path.join(dbase, entry)
+                shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy(s, d)
+        except Exception:
+            shutil.rmtree(dbase, ignore_errors=True)  # no half-clones
+            raise
+        return {"table": dst.table_id, "n_files": n_files}
+
     # --- introspection (the INFORMATION_SCHEMA analogues) ------------------
     def partitions(self, rel: Relation) -> list[str]:
         """Partition values present on disk (directory listing — no data

@@ -581,3 +581,58 @@ def test_size_info_counts_underscore_partition_dirs(spark, tmp_path):
     stats = wh.partition_file_stats(rel)
     assert set(stats) == {"2024-01-01", "2024-01-02"}
     assert all(b > 0 for _n, b in stats.values())
+
+
+def test_clone_is_zero_copy_and_fully_independent(spark, tmp_path):
+    """clone(): hardlinked data + copied sidecars land a dev-schema twin
+    of a prod table; mutating either side (overwrite partitions, replace,
+    compact, meta rewrite) never leaks into the other."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from pyspark.sql import functions as F
+    import os
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    src = wh.relation("prod", "t")
+    base = spark.range(6).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("_pdate"),
+        (F.col("id") * 10).alias("v"),
+    )
+    wh.create_as(src, base, TableMeta(partition_by="_pdate"))
+    rows = sorted(map(tuple, wh.read(src).collect()))
+
+    dst = wh.relation("dev", "t")
+    info = wh.clone(src, dst)
+    assert info["n_files"] > 0
+    assert sorted(map(tuple, wh.read(dst).collect())) == rows
+    # layout + meta copied: partition listing works on the clone
+    assert wh.partitions(dst) == wh.partitions(src)
+    # data files share inodes (zero bytes copied), meta does not
+    src_files = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(wh.path(src)) for f in fs
+        if f.endswith(".parquet")
+    )
+    dst_files = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(wh.path(dst)) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert [os.stat(f).st_ino for f in src_files] == [os.stat(f).st_ino for f in dst_files]
+    assert os.stat(wh._meta_path(src)).st_ino != os.stat(wh._meta_path(dst)).st_ino
+
+    # dev-side churn: overwrite a partition, then compact — prod unchanged
+    wh.overwrite_partitions(
+        dst, spark.createDataFrame([(999, "2024-01-01", -1)], "id long, _pdate string, v long")
+    )
+    wh.compact(dst, target_file_bytes=1, min_files=0)
+    assert sorted(map(tuple, wh.read(src).collect())) == rows
+    # prod-side replace — dev keeps its own state
+    wh.create_as(src, base.where(F.col("id") == 0), TableMeta(partition_by="_pdate"))
+    assert 999 in {r["id"] for r in wh.read(dst).collect()}
+
+    # guards: existing target / missing source refuse; failure leaves no half-clone
+    with _pytest.raises(FileExistsError):
+        wh.clone(src, dst)
+    with _pytest.raises(FileNotFoundError):
+        wh.clone(wh.relation("prod", "nope"), wh.relation("dev", "nope"))
+    assert not wh.exists(wh.relation("dev", "nope"))
