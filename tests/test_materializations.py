@@ -636,3 +636,43 @@ def test_clone_is_zero_copy_and_fully_independent(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         wh.clone(wh.relation("prod", "nope"), wh.relation("dev", "nope"))
     assert not wh.exists(wh.relation("dev", "nope"))
+
+
+def test_read_changes_incremental_file_diff(spark, tmp_path):
+    """read_changes(): Iceberg-style incremental consumption — only the
+    files ADDED after a snapshot are read, so downstream deltas are a
+    file-list diff, not a table rescan."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+
+    def batch(lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(day).alias("_pdate"), (F.col("id") * 10).alias("v")
+        )
+
+    wh.create_as(rel, batch(0, 3, "2024-01-01"), TableMeta(partition_by="_pdate"))
+    v1 = wh.snapshot(rel)
+    wh.append(rel, batch(3, 6, "2024-01-02"))
+    v2 = wh.snapshot(rel)
+    wh.append(rel, batch(6, 8, "2024-01-02"))
+
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    assert ids(wh.read_changes(rel, v1, v2)) == [3, 4, 5]          # snapshot->snapshot
+    assert ids(wh.read_changes(rel, v1)) == [3, 4, 5, 6, 7]        # snapshot->live
+    assert ids(wh.read_changes(rel, v2)) == [6, 7]
+    # no changes -> typed empty frame, partition column still derivable
+    none = wh.read_changes(rel, v2, v2)
+    assert none.count() == 0 and set(wh.read(rel).columns) == set(none.columns)
+    assert "_pdate" in wh.read_changes(rel, v1, v2).columns
+    with _pytest.raises(ValueError, match=">= since_version"):
+        wh.read_changes(rel, v2, v1)
+
+    # documented file-level caveat: a partition overwrite's files are new
+    wh.overwrite_partitions(
+        rel, spark.createDataFrame([(99, "2024-01-01", -1)], "id long, _pdate string, v long")
+    )
+    assert 99 in ids(wh.read_changes(rel, v2))
