@@ -1,5 +1,6 @@
 from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_incremental_append,
+    stream_table,
     stream_windowed_counts,
 )
 from edna_dbt_library_spark.streaming.ingest_stream import (
@@ -24,6 +25,7 @@ __all__ = [
     "stream_jsonl_ingest",
     "stream_warc_ingest",
     "stream_incremental_append",
+    "stream_table",
     "stream_windowed_counts",
     "read_cms_counters",
     "read_hll_estimates",

@@ -77,3 +77,37 @@ def stream_windowed_counts(
             "sum_value",
         )
     )
+
+
+def stream_table(wh, rel, max_files_per_trigger: int | None = None) -> DataFrame:
+    """A warehouse table as a Structured Streaming SOURCE: files landed
+    by append / merge / overwrite become micro-batches for downstream
+    continuous consumers — the push complement to the pull-style
+    ``Warehouse.read_changes`` snapshot diff.
+
+    The schema comes from the table's meta sidecar (written by every
+    create path), so the stream needs no inference pass; the internal
+    ``_pdate`` partition column is declared there and resolves from the
+    directory layout. Spark's checkpoint tracks seen FILES, so semantics
+    are file-level at-least-once exactly like ``read_changes``:
+    compaction or partition overwrite rewrites surviving rows into new
+    files, which are re-emitted — downstream sinks follow the repo's
+    idempotent batch=<id> idiom (sketch_stream.py) or key-dedup
+    (stateful.py) when replays matter.
+
+    Scale shape: each trigger lists only unseen files (bounded by
+    ``max_files_per_trigger``) — no table rescan, no shuffle.
+    """
+    import json as _json
+
+    meta = wh.read_meta(rel)
+    if not meta.schema_json:
+        raise ValueError(
+            f"{rel.table_id} has no schema sidecar; streaming a table "
+            "requires a meta schema (rewrite it via create_as/write_meta)"
+        )
+    schema = T.StructType.fromJson(_json.loads(meta.schema_json))
+    reader = wh.spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(wh.path(rel))

@@ -692,3 +692,57 @@ def test_image_feature_embeddings_feed_semantic_dedup(spark):
     v = {r["vec_id"]: r["keep"] for r in verdict.collect()}
     assert v[1] and not v[2]  # identical histograms collapse to min id
     assert v[3]
+
+
+def test_stream_table_warehouse_source_drains_and_resumes(spark, tmp_path):
+    """stream_table(): a warehouse table is a streaming source — an
+    availableNow drain lands exactly the table's rows (including the
+    _pdate layout from the sidecar schema), and after an append a
+    restarted stream processes ONLY the newly landed files."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from edna_dbt_library_spark.streaming import stream_table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel = wh.relation("s", "t")
+    base = spark.range(6).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("_pdate"),
+        (F.col("id") * 10).alias("v"),
+    )
+    wh.create_as(rel, base, TableMeta(partition_by="_pdate"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_table(wh, rel, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    # sidecar schema is authoritative (string _pdate, as written); the
+    # batch read infers date from the dirs — compare value-normalized
+    norm = lambda df: sorted(
+        map(tuple, df.select("id", F.col("_pdate").cast("string"), "v").collect())
+    )
+    assert norm(got) == norm(wh.read(rel))
+
+    wh.append(rel, spark.createDataFrame([(100, "2024-01-04", 1000)],
+                                         "id long, _pdate string, v long"))
+    drain()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [0, 1, 2, 3, 4, 5, 100]
+
+    # no sidecar schema -> clear refusal
+    import shutil as _sh, pytest as _pytest
+
+    raw = wh.relation("s", "raw")
+    spark.range(3).write.parquet(wh.path(raw))
+    with _pytest.raises(ValueError, match="schema sidecar"):
+        stream_table(wh, raw)
