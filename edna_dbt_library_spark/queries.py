@@ -5829,3 +5829,59 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+_WAREHOUSE_CHANGES_ORACLE = """
+SELECT CAST(o_orderdate AS DATE) AS day,
+       o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+FROM orders
+WHERE date_part('year', CAST(o_orderdate AS DATE)) = 1998
+GROUP BY 1, 2
+"""
+
+
+@_register("warehouse_changes_state", _WAREHOUSE_CHANGES_ORACLE)
+def warehouse_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the snapshot/CDC machinery (Warehouse.snapshot +
+    read_changes): maintain a day-partitioned orders rollup through the
+    MERGE path, snapshot after the historical load (< 1998), merge the
+    1998 window, and return the CHANGED-FILE delta. The incremental
+    read must equal the 1998 rollup computed directly — the oracle
+    declares that rollup from the raw parquet, so a delta that misses a
+    touched partition, re-emits an untouched one, or drifts in the
+    decimal aggregates hash-mismatches. Same scratch-warehouse /
+    localCheckpoint-before-rmtree encoding as incremental_store_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+        run_incremental_partition_merge,
+    )
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _r2d(F.sum(_dec("o_totalprice"))).alias("rev"),
+    )
+    root = tempfile.mkdtemp(prefix="edna_whchanges_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_daily")
+        cfg = PartitionMergeConfig(
+            partition_by=PartitionSpec("day"), unique_key=["day", "priority"]
+        )
+        run_incremental_partition_merge(wh, rel, daily.where(F.year("day") < 1998), cfg)
+        v1 = wh.snapshot(rel, note="through-1997")
+        run_incremental_partition_merge(wh, rel, daily.where(F.year("day") == 1998), cfg)
+        delta = wh.read_changes(rel, v1).select("day", "priority", "n", "rev")
+        return delta.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
