@@ -521,3 +521,59 @@ def run_scd2_snapshot(
     recomputed.unpersist()
     affected_old.unpersist()
     return {"action": "merge", "touched_partitions": parts, "relation": target}
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven derived-table refresh: read_changes + partition merge
+
+
+def run_cdc_refresh(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    transform,
+    config: PartitionMergeConfig,
+) -> dict:
+    """Maintain ``target = transform(source)`` incrementally off the
+    snapshot CDC feed: apply ``transform`` to ONLY the source files
+    added since the last refresh, and merge the result into ``target``.
+
+    The composition makes delivery semantics honest without any extra
+    machinery: ``Warehouse.read_changes`` is file-level at-least-once
+    (a compact() re-emits surviving rows), and the partition merge is
+    an idempotent keyed upsert — so re-emitted or replayed rows
+    converge to the same target state (exactly-once EFFECT), the same
+    contract the reference's incremental_partition_merge rerun gives
+    (incremental_partition_merge.sql:1-322). Crash between merge and
+    watermark update replays the delta into the same state.
+
+    ``transform`` must be per-row or per-key (filter/map/clean, or an
+    aggregation whose grouping keys are ``config.unique_key`` computed
+    within one delta batch the way incremental micro-windows are): a
+    cross-batch global aggregate needs the incremental_log/merge
+    materializations' windowing instead — same scoping every
+    file-level IVM system documents.
+
+    Bookkeeping: the watermark is a source snapshot whose note is
+    ``cdc:<target id>``; it is advanced AFTER a successful merge and
+    the superseded one is dropped selectively, so other consumers'
+    snapshots (time travel, other CDC targets) are never disturbed.
+    First run = full ``transform(read(source))``.
+    """
+    note = f"cdc:{target.table_id}"
+    prior = [s for s in wh.list_snapshots(source) if s.get("note") == note]
+    last_v = prior[-1]["version"] if prior else None
+
+    if last_v is None:
+        batch = transform(wh.read(source))
+    else:
+        batch = transform(wh.read_changes(source, last_v))
+
+    result = run_incremental_partition_merge(wh, target, batch, config)
+
+    new_v = wh.snapshot(source, note=note)
+    for s in prior:  # selective: only this target's superseded watermarks
+        wh.drop_snapshot(source, s["version"])
+    result["cdc_watermark"] = new_v
+    result["cdc_mode"] = "full" if last_v is None else "delta"
+    return result

@@ -568,6 +568,14 @@ class Warehouse:
             shutil.rmtree(os.path.join(self._snapshots_dir(rel), f"v{v}"), ignore_errors=True)
         return drop
 
+    def drop_snapshot(self, rel: Relation, version: int) -> None:
+        """Drop ONE snapshot version (selective — unlike expire_snapshots'
+        keep-newest-N, this never touches other consumers' versions;
+        the CDC refresh bookkeeping drops exactly its own superseded
+        watermark snapshot)."""
+        vdir, _ = self._snapshot_manifest(rel, version)  # raises if absent
+        shutil.rmtree(vdir, ignore_errors=True)
+
     def clone(self, src: Relation, dst: Relation) -> dict:
         """Zero-copy table clone (Delta SHALLOW CLONE analogue): every
         data file hardlinked into ``dst`` preserving partition layout;

@@ -676,3 +676,70 @@ def test_read_changes_incremental_file_diff(spark, tmp_path):
         rel, spark.createDataFrame([(99, "2024-01-01", -1)], "id long, _pdate string, v long")
     )
     assert 99 in ids(wh.read_changes(rel, v2))
+
+
+def test_cdc_refresh_converges_and_is_crash_idempotent(spark, tmp_path):
+    """run_cdc_refresh: per-key derived table maintained off the
+    changed-file feed equals a full recompute after each refresh; a
+    replayed delta (crash between merge and watermark) converges to the
+    same state; other consumers' snapshots survive the watermark churn."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+        run_cdc_refresh,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    src, tgt = wh.relation("s", "raw"), wh.relation("s", "clean")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string"))
+            ).alias("ts"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    # per-row transform: filter + derived column (CDC-safe shape)
+    def transform(df):
+        return df.where(F.col("v") % 20 == 0).withColumn("v2", F.col("v") * 2)
+
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="k")
+    wh.create_as(src, batch(0, 6), TableMeta())
+    keep = wh.snapshot(src, note="user-time-travel")  # an unrelated consumer
+
+    r1 = run_cdc_refresh(wh, src, tgt, transform, cfg)
+    assert r1["cdc_mode"] == "full"
+    full = lambda: sorted(map(tuple, transform(wh.read(src)).select("k", "v", "v2").collect()))
+    got = lambda: sorted(map(tuple, wh.read(tgt).select("k", "v", "v2").collect()))
+    assert got() == full()
+
+    # new source files; crash-sim FIRST: a run that merged the delta but
+    # died before advancing the watermark…
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_partition_merge,
+    )
+
+    wh.append(src, batch(6, 12))
+    run_incremental_partition_merge(
+        wh, tgt, transform(wh.read_changes(src, r1["cdc_watermark"])), cfg
+    )
+    crashed_state = got()
+    # …the rerun re-reads the SAME delta (watermark still r1's), re-merges
+    # it idempotently, and only then advances the watermark
+    r2 = run_cdc_refresh(wh, src, tgt, transform, cfg)
+    assert r2["cdc_mode"] == "delta"
+    assert got() == crashed_state == full()
+
+    # no source change -> empty delta, state untouched
+    before = got()
+    r3 = run_cdc_refresh(wh, src, tgt, transform, cfg)
+    assert r3["cdc_mode"] == "delta" and got() == before == full()
+
+    # unrelated snapshot untouched; exactly one cdc watermark remains
+    notes = [s["note"] for s in wh.list_snapshots(src)]
+    assert "user-time-travel" in notes
+    assert sum(1 for n in notes if n == f"cdc:{tgt.table_id}") == 1
+    assert wh.read_version(src, keep).count() == 6
