@@ -556,13 +556,31 @@ class Warehouse:
         meta.schema_json = m.get("schema_json")
         self.write_meta(rel, meta)
 
-    def expire_snapshots(self, rel: Relation, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, rel: Relation, keep_last: int = 1, protect_note_prefix: str = "cdc:"
+    ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (frees the
         hardlinked bytes once no snapshot references them). Returns the
-        dropped version numbers."""
+        dropped version numbers.
+
+        Snapshots whose note starts with ``protect_note_prefix`` are
+        exempt and don't count toward ``keep_last``: they are another
+        pipeline's CDC watermarks (run_cdc_refresh), and a blanket
+        expiry — e.g. the Runner's pre-write keep_last on a table that
+        is ALSO a CDC source — must not silently demote that consumer
+        to a full-table rescan. Watermarks have their own lifecycle
+        (advanced + dropped selectively by the refresh itself); pass
+        ``protect_note_prefix=None`` to expire unconditionally."""
         if keep_last < 0:
             raise ValueError("keep_last must be >= 0")
-        versions = [m["version"] for m in self.list_snapshots(rel)]
+        versions = [
+            m["version"]
+            for m in self.list_snapshots(rel)
+            if not (
+                protect_note_prefix
+                and (m.get("note") or "").startswith(protect_note_prefix)
+            )
+        ]
         drop = versions[: max(0, len(versions) - keep_last)]
         for v in drop:
             shutil.rmtree(os.path.join(self._snapshots_dir(rel), f"v{v}"), ignore_errors=True)

@@ -743,3 +743,24 @@ def test_cdc_refresh_converges_and_is_crash_idempotent(spark, tmp_path):
     assert "user-time-travel" in notes
     assert sum(1 for n in notes if n == f"cdc:{tgt.table_id}") == 1
     assert wh.read_version(src, keep).count() == 6
+
+
+def test_expire_snapshots_protects_cdc_watermarks(spark, tmp_path):
+    """A blanket expiry (e.g. the Runner's pre-write keep_last) must not
+    drop another pipeline's cdc: watermark — only plain snapshots count
+    toward keep_last; protect_note_prefix=None expires unconditionally."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+    wh.create_as(rel, spark.range(3).select(F.col("id").alias("k")), TableMeta())
+    v_old = wh.snapshot(rel, note="pre-write run-1")
+    v_cdc = wh.snapshot(rel, note="cdc:dev.clean")
+    v_new = wh.snapshot(rel, note="pre-write run-2")
+
+    assert wh.expire_snapshots(rel, keep_last=1) == [v_old]
+    left = {s["version"] for s in wh.list_snapshots(rel)}
+    assert left == {v_cdc, v_new}  # watermark survived, newest plain kept
+    # unconditional expiry drops the watermark too
+    assert wh.expire_snapshots(rel, keep_last=1, protect_note_prefix=None) == [v_cdc]
+    assert [s["version"] for s in wh.list_snapshots(rel)] == [v_new]
