@@ -354,6 +354,29 @@ pseudo-random images all beyond the verify threshold). Python-side
 per-scanline PNG decode dominates the hash pass; a production codec
 injected via the decode hook moves that ~linearly while the blocking
 join shape is unchanged.
+
+## CDC scale stress — read_changes costs O(delta), not O(table)
+
+`tools/cdc_scale_stress.py`, measured 2026-08-14 (round 6) on
+local[32]: a day-partitioned table (64 partitions) grown by repeated
+100k-row appends — each append lays down 2,048 files (32 tasks x 64
+partitions), the incremental-warehouse small-file churn pattern. A
+snapshot is taken, one more batch appended, and the changed-file delta
+read is measured at two table scales ~8x apart:
+
+| table files | full-read s | delta rows | delta files | delta-read s |
+|---|---|---|---|---|
+| 10,240 | 3.79 | 100,000 | 2,048 | 0.69 |
+| 83,968 | 23.24 | 100,000 | 2,048 | 0.70 |
+
+Table grew 8.2x in files; the full-table scan grew 6.1x; the delta
+read stayed at 1.0x, scanning exactly the 2,048 added files both
+times. The delta's cost is a manifest file-list diff (directory-entry
+work, no data) plus a delta-sized scan — at 100 TB a nightly
+run_cdc_refresh reads the night's files, never the table. The same
+run shows WHY compaction matters alongside CDC: 2,048 files per
+100k-row batch is footer-dominated, and compact() (which re-emits
+survivors into the next delta, documented) restores scan shape.
 """
 
 
