@@ -555,23 +555,32 @@ def run_cdc_refresh(
     file-level IVM system documents.
 
     Bookkeeping: the watermark is a source snapshot whose note is
-    ``cdc:<target id>``; it is advanced AFTER a successful merge and
-    the superseded one is dropped selectively, so other consumers'
+    ``cdc:<target id>``. The NEW watermark snapshot is taken FIRST and
+    the delta read is pinned to it (``to_version=new_v``), so files a
+    concurrent writer appends DURING the refresh land strictly after
+    the watermark and are picked up by the next run — snapshotting
+    after the merge would capture them in the watermark without ever
+    reading them, silently dropping data under any concurrent writer
+    (e.g. streaming ingest feeding the same table). Superseded
+    watermarks are dropped selectively only after a successful merge
+    (and the new one is dropped on failure), so other consumers'
     snapshots (time travel, other CDC targets) are never disturbed.
-    First run = full ``transform(read(source))``.
+    First run = full ``transform(read_version(source, new_v))``.
     """
     note = f"cdc:{target.table_id}"
     prior = [s for s in wh.list_snapshots(source) if s.get("note") == note]
     last_v = prior[-1]["version"] if prior else None
 
-    if last_v is None:
-        batch = transform(wh.read(source))
-    else:
-        batch = transform(wh.read_changes(source, last_v))
-
-    result = run_incremental_partition_merge(wh, target, batch, config)
-
     new_v = wh.snapshot(source, note=note)
+    try:
+        if last_v is None:
+            batch = transform(wh.read_version(source, new_v))
+        else:
+            batch = transform(wh.read_changes(source, last_v, to_version=new_v))
+        result = run_incremental_partition_merge(wh, target, batch, config)
+    except Exception:
+        wh.drop_snapshot(source, new_v)  # failed refresh leaves watermark as-was
+        raise
     for s in prior:  # selective: only this target's superseded watermarks
         wh.drop_snapshot(source, s["version"])
     result["cdc_watermark"] = new_v

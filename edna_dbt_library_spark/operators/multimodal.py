@@ -704,6 +704,13 @@ def _jpeg_decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
     w, h, comps = frame
     if any(c["id"] not in scan or c["tq"] not in qt for c in comps):
         return None
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — exactly one
+        # data unit per MCU regardless of the declared sampling factors.
+        # libjpeg normalizes grayscale to h=v=1; decoding it interleaved
+        # (h*v blocks/MCU) would desync the bitstream and yield silently
+        # wrong pixels that poison the perceptual hashes downstream.
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1347,12 +1354,13 @@ def image_feature_embeddings(
     batch_rows: int | None = None,
 ) -> DataFrame:
     """Arrow-batched REAL image features over (doc_id, content):
-    (doc_id, embedding array<float>, decoded) — decoded PNG pixels →
-    luma histogram, ready for the embedding operators (semantic_dedup,
-    brute_force_topk, cell_outliers) with id_col='doc_id',
-    vec_col='embedding'. Undecodable rows keep NULL embeddings with
-    decoded=false, same contract as perceptual_hash_images."""
-    fn = decode or decode_png_pixels
+    (doc_id, embedding array<float>, decoded) — decoded pixels (PNG or
+    baseline JPEG via decode_image_pixels) → luma histogram, ready for
+    the embedding operators (semantic_dedup, brute_force_topk,
+    cell_outliers) with id_col='doc_id', vec_col='embedding'.
+    Undecodable rows keep NULL embeddings with decoded=false, same
+    contract (and same default decoder) as perceptual_hash_images."""
+    fn = decode or decode_image_pixels
     _apply_batch_rows(media, batch_rows)
 
     def run(batches: Iterator) -> Iterator:

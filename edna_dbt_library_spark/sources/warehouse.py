@@ -605,8 +605,9 @@ class Warehouse:
         rather than mutating them, so overwriting/merging/compacting one
         side never changes the other (same inode-survival property the
         snapshot farm relies on). This is the dev/ci workflow the
-        reference serves with dataset rewriting (get_custom_schema.sql:
-        dev/ci prefixes): materialize a production table once, clone it
+        reference serves with dataset rewriting (macros/
+        generate_schema_name.sql:5-12 dev/ci prefixes): materialize a
+        production table once, clone it
         into the dev schema for free, iterate there. Snapshots are NOT
         cloned — they belong to the source's history.
         """

@@ -525,3 +525,27 @@ def test_parse_media_header_jpeg_mp4_mp3():
     # hostile: truncated boxes / garbage stay None or don't crash
     assert parse_media_header(mp4[:10]) is None
     assert parse_media_header(b"\xff\xe0aa") is None
+
+
+def test_grayscale_with_declared_subsampling_decodes_non_interleaved():
+    """T.81 A.2: a single-component scan is non-interleaved — exactly
+    one data unit per MCU, whatever sampling factors the SOF declares.
+    A grayscale JPEG patched to declare 2x2 sampling must decode to the
+    SAME pixels as its 1x1 twin (libjpeg normalizes grayscale to 1x1);
+    decoding it interleaved would desync the stream into wrong pixels."""
+    w, h = 16, 16
+    px = bytes((7 * x + 13 * y) % 256 for y in range(h) for x in range(w))
+    plain = encode_baseline_jpeg(px, w, h, 1)
+    ref = decode_jpeg_pixels(plain)
+    assert ref is not None and ref["channels"] == 1
+
+    sof = plain.index(b"\xff\xc0")
+    # SOF0 body: len(2) precision(1) h(2) w(2) ncomp(1) id(1) sampling(1)
+    samp_at = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert plain[samp_at] == 0x11
+    patched = plain[:samp_at] + bytes([0x22]) + plain[samp_at + 1 :]
+
+    d = decode_jpeg_pixels(patched)
+    assert d is not None
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+    assert d["pixels"] == ref["pixels"]

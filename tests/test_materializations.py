@@ -764,3 +764,66 @@ def test_expire_snapshots_protects_cdc_watermarks(spark, tmp_path):
     # unconditional expiry drops the watermark too
     assert wh.expire_snapshots(rel, keep_last=1, protect_note_prefix=None) == [v_cdc]
     assert [s["version"] for s in wh.list_snapshots(rel)] == [v_new]
+
+
+def test_cdc_refresh_concurrent_append_is_not_skipped(spark, tmp_path):
+    """Files appended to the source WHILE a refresh runs must be picked
+    up by the NEXT refresh: the watermark snapshot is taken before the
+    delta read and the read is pinned to it, so a concurrent writer's
+    files land strictly after the watermark. (Snapshotting after the
+    merge would capture them unread — permanent data loss.) A failed
+    refresh leaves the watermark exactly where it was."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+        run_cdc_refresh,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    src, tgt = wh.relation("s", "raw"), wh.relation("s", "clean")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="k")
+    wh.create_as(src, batch(0, 4), TableMeta())
+
+    appended_mid_refresh = {"done": False}
+
+    def racing_transform(df):
+        # localCheckpoint pins the delta's content BEFORE the concurrent
+        # append (a lazy plan re-listing live files would mask the race)
+        pinned = df.localCheckpoint(eager=True)
+        if not appended_mid_refresh["done"]:
+            wh.append(src, batch(4, 8))  # concurrent writer mid-refresh
+            appended_mid_refresh["done"] = True
+        return pinned
+
+    r1 = run_cdc_refresh(wh, src, tgt, racing_transform, cfg)
+    got = lambda: sorted(r["k"] for r in wh.read(tgt).collect())
+    assert got() == [0, 1, 2, 3]  # mid-refresh rows not in THIS run…
+
+    r2 = run_cdc_refresh(wh, src, tgt, lambda df: df, cfg)
+    assert r2["cdc_mode"] == "delta"
+    assert got() == list(range(8))  # …but never lost: next delta has them
+
+    # failed refresh: watermark (and target) unchanged, no orphan snapshot
+    wh.append(src, batch(8, 10))
+    marks = lambda: [
+        s["version"] for s in wh.list_snapshots(src) if s["note"] == f"cdc:{tgt.table_id}"
+    ]
+    before = marks()
+
+    def boom(df):
+        raise RuntimeError("transform failed")
+
+    with pytest.raises(RuntimeError, match="transform failed"):
+        run_cdc_refresh(wh, src, tgt, boom, cfg)
+    assert marks() == before and got() == list(range(8))
+    r3 = run_cdc_refresh(wh, src, tgt, lambda df: df, cfg)
+    assert got() == list(range(10))
