@@ -5704,6 +5704,181 @@ def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAREHOUSE_CHANGES_ORACLE = """
+SELECT CAST(o_orderdate AS DATE) AS day,
+       o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+FROM orders
+WHERE date_part('year', CAST(o_orderdate AS DATE)) = 1998
+GROUP BY 1, 2
+"""
+
+
+@_register("warehouse_changes_state", _WAREHOUSE_CHANGES_ORACLE)
+def warehouse_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the snapshot/CDC machinery (Warehouse.snapshot +
+    read_changes): maintain a day-partitioned orders rollup through the
+    MERGE path, snapshot after the historical load (< 1998), merge the
+    1998 window, and return the CHANGED-FILE delta. The incremental
+    read must equal the 1998 rollup computed directly — the oracle
+    declares that rollup from the raw parquet, so a delta that misses a
+    touched partition, re-emits an untouched one, or drifts in the
+    decimal aggregates hash-mismatches. Same scratch-warehouse /
+    localCheckpoint-before-rmtree encoding as incremental_store_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+        run_incremental_partition_merge,
+    )
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _r2d(F.sum(_dec("o_totalprice"))).alias("rev"),
+    )
+    root = tempfile.mkdtemp(prefix="edna_whchanges_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_daily")
+        cfg = PartitionMergeConfig(
+            partition_by=PartitionSpec("day"), unique_key=["day", "priority"]
+        )
+        run_incremental_partition_merge(wh, rel, daily.where(F.year("day") < 1998), cfg)
+        v1 = wh.snapshot(rel, note="through-1997")
+        run_incremental_partition_merge(wh, rel, daily.where(F.year("day") == 1998), cfg)
+        delta = wh.read_changes(rel, v1).select("day", "priority", "n", "rev")
+        return delta.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stateful_store_oracle() -> str:
+    i = REGISTRY["incremental_store_state"].oracle
+    w = REGISTRY["warehouse_changes_state"].oracle
+    return f"""
+SELECT src, id, key, cell, 0.0::DOUBLE AS value
+FROM ({i})
+UNION ALL
+SELECT 'warehouse_cdc' AS src, n AS id,
+       day::VARCHAR || '|' || priority AS key, 0::BIGINT AS cell, rev AS value
+FROM ({w})"""
+
+
+@_register("stateful_store_state", _stateful_store_oracle())
+def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-store family in one src-tagged scored row (r7):
+    converged persistent-store incremental dedup (text fingerprint +
+    frozen-centroid semantic stores through a scratch warehouse,
+    two-batch-plus-replay) AND the snapshot/CDC machinery
+    (Warehouse.snapshot + read_changes: the changed-file delta of a
+    day-partitioned MERGE-maintained rollup must equal the merged
+    window computed directly from raw parquet). Together they gate
+    every persistent-state surface: store contents converge AND the
+    incremental feed off a store is exact. Granulars
+    incremental_store_state / warehouse_changes_state stay registered.
+    Reference analogue: incremental_partition_merge.sql's
+    rerun-idempotency + incremental_log.sql:53-60's incremental-scan
+    contract."""
+    inc = REGISTRY["incremental_store_state"].spark(spark, sf_dir)
+    chg = REGISTRY["warehouse_changes_state"].spark(spark, sf_dir)
+    return inc.select(
+        "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
+    ).unionAll(
+        chg.select(
+            F.lit("warehouse_cdc").alias("src"),
+            F.col("n").cast("long").alias("id"),
+            F.concat_ws("|", F.col("day").cast("string"), F.col("priority")).alias("key"),
+            F.lit(0).cast("long").alias("cell"),
+            F.col("rev").cast("double").alias("value"),
+        )
+    )
+
+
+def _sketch_surface_oracle() -> str:
+    s = REGISTRY["sketch_estimates"].oracle
+    b = REGISTRY["bloom_semi_join_urgent"].oracle
+    return f"""
+SELECT src, key, value, n FROM ({s})
+UNION ALL
+SELECT 'bloom_semi' AS src, l_returnflag AS key, sum_qty AS value, n_items AS n
+FROM ({b})"""
+
+
+@_register("sketch_surface", _sketch_surface_oracle())
+def sketch_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bounded-state sketch family in one src-tagged scored
+    row (r7, 10th consolidation): HLL distinct + CMS frequency +
+    histogram quantile estimates (sketch_estimates) AND the Bloom-
+    pruned semi-join (bloom_semi_join_urgent) — probabilistic read
+    paths and the probabilistic join-pruning path under one gate.
+    Granulars sketch_estimates / bloom_semi_join_urgent (and their own
+    granulars) stay registered."""
+    s = REGISTRY["sketch_estimates"].spark(spark, sf_dir)
+    b = REGISTRY["bloom_semi_join_urgent"].spark(spark, sf_dir)
+    return s.select("src", "key", "value", "n").unionAll(
+        b.select(
+            F.lit("bloom_semi").alias("src"),
+            F.col("l_returnflag").alias("key"),
+            F.col("sum_qty").cast("double").alias("value"),
+            F.col("n_items").cast("long").alias("n"),
+        )
+    )
+
+
+def _graph_linkage_oracle() -> str:
+    p = REGISTRY["purchase_graph_pagerank"].oracle
+    l = REGISTRY["name_linkage_collapsed"].oracle
+    return f"""
+SELECT 'pagerank' AS src, node AS key, 0::BIGINT AS id_a, 0::BIGINT AS id_b,
+       rank AS value, 0::BIGINT AS n_a, 0::BIGINT AS n_b
+FROM ({p})
+UNION ALL
+SELECT 'linkage' AS src, '' AS key, doc_a AS id_a, doc_b AS id_b,
+       distance::BIGINT AS value, n_a, n_b
+FROM ({l})"""
+
+
+@_register("graph_linkage", _graph_linkage_oracle())
+def graph_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-over-relational-data in one src-tagged scored
+    row (r7): exact-integer PageRank over the bipartite customer<->
+    supplier purchase graph (full rank vector after unrolled rounds,
+    operators/graph.pagerank_int) AND distinct-collapsed edit-distance
+    record linkage (the 100 TB production form: collapse-first, then
+    blocked join — operators/dedup.edit_distance_pairs). Granulars
+    purchase_graph_pagerank / name_linkage_collapsed stay registered."""
+    pr = REGISTRY["purchase_graph_pagerank"].spark(spark, sf_dir)
+    lk = REGISTRY["name_linkage_collapsed"].spark(spark, sf_dir)
+    return pr.select(
+        F.lit("pagerank").alias("src"),
+        F.col("node").alias("key"),
+        F.lit(0).cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("rank").cast("long").alias("value"),
+        F.lit(0).cast("long").alias("n_a"),
+        F.lit(0).cast("long").alias("n_b"),
+    ).unionAll(
+        lk.select(
+            F.lit("linkage").alias("src"),
+            F.lit("").alias("key"),
+            F.col("doc_a").cast("long").alias("id_a"),
+            F.col("doc_b").cast("long").alias("id_b"),
+            F.col("distance").cast("long").alias("value"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry selection.
 #
@@ -5765,9 +5940,11 @@ CORE_ORDER = [
     "near_dup_pairs",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    # converged two-batch-plus-replay state of the persistent-store
-    # incremental dedup operators (r6 — closes verdict gap #2)
-    "incremental_store_state",
+    # stateful stores (r7: consolidates incremental_store_state — the
+    # converged persistent-store dedup states — with
+    # warehouse_changes_state, the snapshot/CDC changed-file delta;
+    # both granulars stay registered)
+    "stateful_store_state",
     # curation / text (curation_quality consolidates text_quality_langid
     # + repetition_filter + pii_redact_docs into the per-doc verdict row;
     # sampling_methods consolidates sample_stratified +
@@ -5789,10 +5966,13 @@ CORE_ORDER = [
     # all granular variants stay registered)
     "ann_topk",
     "retrieval_scores",
-    # sketches (sketch_estimates consolidates hll_distinct_orders +
-    # cms_user_freq + histogram_quantiles_price)
-    "sketch_estimates",
-    "bloom_semi_join_urgent",
+    # sketches (r7: sketch_surface consolidates sketch_estimates —
+    # itself hll_distinct_orders + cms_user_freq +
+    # histogram_quantiles_price — with bloom_semi_join_urgent, freeing
+    # one slot for graph_linkage = purchase_graph_pagerank +
+    # name_linkage_collapsed; all granulars stay registered)
+    "sketch_surface",
+    "graph_linkage",
     "media_near_dup_pairs",
     # scale/layout tools + streaming + multimodal
     "salted_join_priority",
@@ -5829,59 +6009,3 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
-
-
-_WAREHOUSE_CHANGES_ORACLE = """
-SELECT CAST(o_orderdate AS DATE) AS day,
-       o_orderpriority AS priority,
-       COUNT(*) AS n,
-       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
-FROM orders
-WHERE date_part('year', CAST(o_orderdate AS DATE)) = 1998
-GROUP BY 1, 2
-"""
-
-
-@_register("warehouse_changes_state", _WAREHOUSE_CHANGES_ORACLE)
-def warehouse_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle gate for the snapshot/CDC machinery (Warehouse.snapshot +
-    read_changes): maintain a day-partitioned orders rollup through the
-    MERGE path, snapshot after the historical load (< 1998), merge the
-    1998 window, and return the CHANGED-FILE delta. The incremental
-    read must equal the 1998 rollup computed directly — the oracle
-    declares that rollup from the raw parquet, so a delta that misses a
-    touched partition, re-emits an untouched one, or drifts in the
-    decimal aggregates hash-mismatches. Same scratch-warehouse /
-    localCheckpoint-before-rmtree encoding as incremental_store_state."""
-    import shutil
-    import tempfile
-
-    from edna_dbt_library_spark.operators.materializations import (
-        PartitionMergeConfig,
-        PartitionSpec,
-        run_incremental_partition_merge,
-    )
-    from edna_dbt_library_spark.sources.warehouse import Warehouse
-
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.to_date("o_orderdate").alias("day"),
-        F.col("o_orderpriority").alias("priority"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        _r2d(F.sum(_dec("o_totalprice"))).alias("rev"),
-    )
-    root = tempfile.mkdtemp(prefix="edna_whchanges_")
-    try:
-        wh = Warehouse(spark, root)
-        rel = wh.relation("scratch", "orders_daily")
-        cfg = PartitionMergeConfig(
-            partition_by=PartitionSpec("day"), unique_key=["day", "priority"]
-        )
-        run_incremental_partition_merge(wh, rel, daily.where(F.year("day") < 1998), cfg)
-        v1 = wh.snapshot(rel, note="through-1997")
-        run_incremental_partition_merge(wh, rel, daily.where(F.year("day") == 1998), cfg)
-        delta = wh.read_changes(rel, v1).select("day", "priority", "n", "rev")
-        return delta.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)

@@ -450,3 +450,59 @@ def test_incremental_store_state_replay_is_idempotent(spark, tmp_path):
     again = run_incremental_dedup(wh, store, b1)
     assert again.count() == 0
     assert _rows(wh.read(store)) == before
+
+
+def test_stateful_store_state_equals_granular_composition(spark):
+    """r7 scored row == incremental_store_state ∪ warehouse_changes_state."""
+    reg = qmod.all_queries()
+    scored = reg["stateful_store_state"](spark, SF)
+    inc = reg["incremental_store_state"](spark, SF).select(
+        "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
+    )
+    chg = reg["warehouse_changes_state"](spark, SF).select(
+        F.lit("warehouse_cdc").alias("src"),
+        F.col("n").cast("long").alias("id"),
+        F.concat_ws("|", F.col("day").cast("string"), F.col("priority")).alias("key"),
+        F.lit(0).cast("long").alias("cell"),
+        F.col("rev").cast("double").alias("value"),
+    )
+    assert _rows(scored) == _rows(inc.unionAll(chg).select(*scored.columns))
+
+
+def test_sketch_surface_equals_granular_composition(spark):
+    """r7 scored row == sketch_estimates ∪ bloom_semi_join_urgent."""
+    reg = qmod.all_queries()
+    scored = reg["sketch_surface"](spark, SF)
+    s = reg["sketch_estimates"](spark, SF).select("src", "key", "value", "n")
+    b = reg["bloom_semi_join_urgent"](spark, SF).select(
+        F.lit("bloom_semi").alias("src"),
+        F.col("l_returnflag").alias("key"),
+        F.col("sum_qty").cast("double").alias("value"),
+        F.col("n_items").cast("long").alias("n"),
+    )
+    assert _rows(scored) == _rows(s.unionAll(b).select(*scored.columns))
+
+
+def test_graph_linkage_equals_granular_composition(spark):
+    """r7 scored row == purchase_graph_pagerank ∪ name_linkage_collapsed."""
+    reg = qmod.all_queries()
+    scored = reg["graph_linkage"](spark, SF)
+    pr = reg["purchase_graph_pagerank"](spark, SF).select(
+        F.lit("pagerank").alias("src"),
+        F.col("node").alias("key"),
+        F.lit(0).cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("rank").cast("long").alias("value"),
+        F.lit(0).cast("long").alias("n_a"),
+        F.lit(0).cast("long").alias("n_b"),
+    )
+    lk = reg["name_linkage_collapsed"](spark, SF).select(
+        F.lit("linkage").alias("src"),
+        F.lit("").alias("key"),
+        F.col("doc_a").cast("long").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.col("distance").cast("long").alias("value"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+    assert _rows(scored) == _rows(pr.unionAll(lk).select(*scored.columns))
