@@ -430,6 +430,36 @@ class Warehouse:
                 },
                 f,
             )
+        # Iceberg-style incremental manifest: a sidecar delta.json holds
+        # only (parent, added, removed) vs the previous live snapshot, so
+        # read_changes' metadata cost is O(delta files), not a full
+        # manifest parse per read — at 100 TB the monolithic manifest is
+        # MB-scale (millions of files) while a nightly delta is a few
+        # hundred entries. The full manifest above stays authoritative
+        # (restore/read_version/fallback diff).
+        parent = max(versions, default=None)
+        if parent is None:
+            added, removed = sorted(files), []
+        else:
+            try:
+                _, pm = self._snapshot_manifest(rel, parent)
+                pset, fset = set(pm["files"]), set(files)
+                added, removed = sorted(fset - pset), sorted(pset - fset)
+            except FileNotFoundError:
+                parent, added, removed = None, sorted(files), []
+        with open(os.path.join(vdir, "delta.json"), "w") as f:
+            json.dump(
+                {
+                    "version": v,
+                    "parent": parent,
+                    "added": added,
+                    "removed": removed,
+                    "partition_by": meta.partition_by,
+                    "schema_evolved": meta.schema_evolved,
+                    "schema_json": meta.schema_json,
+                },
+                f,
+            )
         return v
 
     def list_snapshots(self, rel: Relation) -> list[dict]:
@@ -485,6 +515,33 @@ class Warehouse:
             )
         return sorted(out)
 
+    def _delta_chain(self, rel: Relation, since: int, to: int) -> list[str] | None:
+        """Added files in (since, to] from the incremental delta.json
+        chain — O(delta) metadata: only the small per-snapshot deltas
+        are parsed, never a full file listing. Returns None when the
+        chain is broken (an intermediate snapshot was dropped, or a
+        pre-delta.json snapshot is involved); the caller falls back to
+        the full manifest diff. Sound because every write path creates
+        uniquely-named part files: a path is added at most once and
+        removed at most once, so union(added) - union(removed) over the
+        range equals the full set difference."""
+        added: set[str] = set()
+        removed: set[str] = set()
+        cur = to
+        while cur != since:
+            dpath = os.path.join(self._snapshots_dir(rel), f"v{cur}", "delta.json")
+            if not os.path.exists(dpath):
+                return None
+            with open(dpath) as f:
+                d = json.load(f)
+            parent = d.get("parent")
+            if parent is None or parent < since:
+                return None
+            added.update(d["added"])
+            removed.update(d["removed"])
+            cur = parent
+        return sorted(added - removed)
+
     def read_changes(
         self, rel: Relation, since_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -500,23 +557,51 @@ class Warehouse:
         append scan): deletes/partition-overwrites are not emitted, and
         a compact() rewrites surviving rows into new files, so they
         reappear — diff across a compaction boundary re-reads them.
+
+        Metadata cost: with ``to_version`` pinned (the run_cdc_refresh
+        path), the added-file list comes from the per-snapshot
+        delta.json chain — O(delta files) parsed, never a full file
+        listing; the monolithic manifest diff is only the fallback when
+        the chain is broken (dropped intermediate snapshot /
+        pre-delta.json table) or the live table is the target.
         """
-        _, m_since = self._snapshot_manifest(rel, since_version)
+        if to_version is not None and to_version < since_version:
+            raise ValueError("to_version must be >= since_version")
+        snaps = self._snapshots_dir(rel)
+        if not os.path.exists(os.path.join(snaps, f"v{since_version}", "manifest.json")):
+            raise FileNotFoundError(f"no snapshot v{since_version} of {rel.table_id}")
+        added = None
         if to_version is not None:
-            vdir, m_to = self._snapshot_manifest(rel, to_version)
-            if m_to["version"] < m_since["version"]:
-                raise ValueError("to_version must be >= since_version")
-            to_files, root = m_to["files"], os.path.join(vdir, "data")
-            meta_partition_by = m_to.get("partition_by")
-            schema_evolved = m_to.get("schema_evolved")
-            schema_json = m_to.get("schema_json")
+            vdir = os.path.join(snaps, f"v{to_version}")
+            if not os.path.exists(os.path.join(vdir, "manifest.json")):
+                raise FileNotFoundError(f"no snapshot v{to_version} of {rel.table_id}")
+            root = os.path.join(vdir, "data")
+            dpath = os.path.join(vdir, "delta.json")
+            if os.path.exists(dpath):
+                with open(dpath) as f:
+                    d = json.load(f)
+                if "partition_by" in d:  # layout carried by the sidecar
+                    chain = self._delta_chain(rel, since_version, to_version)
+                    if chain is not None:
+                        added = chain
+                        meta_partition_by = d.get("partition_by")
+                        schema_evolved = d.get("schema_evolved")
+                        schema_json = d.get("schema_json")
+            if added is None:  # broken chain: full manifest diff
+                _, m_since = self._snapshot_manifest(rel, since_version)
+                _, m_to = self._snapshot_manifest(rel, to_version)
+                added = sorted(set(m_to["files"]) - set(m_since["files"]))
+                meta_partition_by = m_to.get("partition_by")
+                schema_evolved = m_to.get("schema_evolved")
+                schema_json = m_to.get("schema_json")
         else:
+            _, m_since = self._snapshot_manifest(rel, since_version)
             to_files, root = self._live_data_files(rel), self.path(rel)
             meta = self.read_meta(rel)
             meta_partition_by = meta.partition_by
             schema_evolved = meta.schema_evolved
             schema_json = meta.schema_json
-        added = sorted(set(to_files) - set(m_since["files"]))
+            added = sorted(set(to_files) - set(m_since["files"]))
         if not added:
             if not schema_json:  # pre-sidecar-schema table: derive from a read
                 src = self.read_version(rel, to_version) if to_version else self.read(rel)

@@ -827,3 +827,57 @@ def test_cdc_refresh_concurrent_append_is_not_skipped(spark, tmp_path):
     assert marks() == before and got() == list(range(8))
     r3 = run_cdc_refresh(wh, src, tgt, lambda df: df, cfg)
     assert got() == list(range(10))
+
+
+def test_read_changes_incremental_manifest_chain(spark, tmp_path):
+    """Pinned-version read_changes resolves its added-file list from the
+    per-snapshot delta.json chain (O(delta) metadata) — proven by
+    tampering the monolithic manifests' file lists and seeing the read
+    unaffected. A dropped intermediate snapshot breaks the chain and
+    falls back to the full manifest diff with identical results."""
+    import json as _json
+    import os as _os
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+
+    def batch(lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(day).alias("_pdate"), (F.col("id") * 10).alias("v")
+        )
+
+    wh.create_as(rel, batch(0, 3, "2024-01-01"), TableMeta(partition_by="_pdate"))
+    v1 = wh.snapshot(rel)
+    wh.append(rel, batch(3, 6, "2024-01-02"))
+    v2 = wh.snapshot(rel)
+    wh.append(rel, batch(6, 8, "2024-01-03"))
+    v3 = wh.snapshot(rel)
+
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    assert ids(wh.read_changes(rel, v1, v3)) == [3, 4, 5, 6, 7]
+    assert ids(wh.read_changes(rel, v2, v3)) == [6, 7]
+    assert ids(wh.read_changes(rel, v1, v1)) == []
+
+    # tamper every monolithic manifest's file list: the chain path must
+    # not even look at it (only existence is checked)
+    backups = {}
+    for v in (v1, v2, v3):
+        mf = _os.path.join(wh._snapshots_dir(rel), f"v{v}", "manifest.json")
+        backups[v] = open(mf).read()
+        m = _json.loads(backups[v])
+        m["files"] = ["bogus/never-read.parquet"]
+        with open(mf, "w") as f:
+            _json.dump(m, f)
+    assert ids(wh.read_changes(rel, v1, v3)) == [3, 4, 5, 6, 7]
+    for v, raw in backups.items():
+        mf = _os.path.join(wh._snapshots_dir(rel), f"v{v}", "manifest.json")
+        with open(mf, "w") as f:
+            f.write(raw)
+
+    # broken chain (intermediate snapshot dropped) -> full-diff fallback
+    wh.drop_snapshot(rel, v2)
+    assert ids(wh.read_changes(rel, v1, v3)) == [3, 4, 5, 6, 7]
+    # live-target read (no to_version) still works
+    assert ids(wh.read_changes(rel, v1)) == [3, 4, 5, 6, 7]

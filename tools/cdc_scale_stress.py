@@ -59,8 +59,11 @@ def main() -> None:
         return n, time.time() - t0, len(df.inputFiles())
 
     wh.create_as(rel, batch(0), TableMeta(partition_by="_pdate"))
-    print("| table files | full-read s | delta rows | delta files | delta-read s |")
-    print("|---|---|---|---|---|")
+    print(
+        "| table files | full-read s | delta rows | delta files | delta-read s "
+        "| manifest KiB | chain KiB | chain ms |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     seed = 1
     rows = []
     for target_appends in (4, 40):  # ~10x file growth between measurements
@@ -70,18 +73,35 @@ def main() -> None:
         v = wh.snapshot(rel, note=f"stress-{target_appends}")
         wh.append(rel, batch(seed))
         seed += 1
+        v2 = wh.snapshot(rel, note=f"stress-{target_appends}-head")
         tf = n_files()
         _, full_s, _ = timed(wh.read(rel))
-        dn, delta_s, dfl = timed(wh.read_changes(rel, v))
-        rows.append((tf, full_s, dn, dfl, delta_s))
-        print(f"| {tf} | {full_s:.2f} | {dn} | {dfl} | {delta_s:.2f} |")
+        dn, delta_s, dfl = timed(wh.read_changes(rel, v, v2))
+        # metadata cost: monolithic manifest bytes vs the delta.json
+        # chain actually parsed by the pinned read, and the chain walk's
+        # wall time (pure metadata, no data scan)
+        sdir = wh._snapshots_dir(rel)
+        man_b = os.path.getsize(os.path.join(sdir, f"v{v2}", "manifest.json"))
+        chain_b = os.path.getsize(os.path.join(sdir, f"v{v2}", "delta.json"))
+        t0 = time.time()
+        chain = wh._delta_chain(rel, v, v2)
+        chain_ms = (time.time() - t0) * 1000
+        assert chain is not None and len(chain) == dfl
+        rows.append((tf, full_s, dn, dfl, delta_s, man_b, chain_b, chain_ms))
+        print(
+            f"| {tf} | {full_s:.2f} | {dn} | {dfl} | {delta_s:.2f} "
+            f"| {man_b / 1024:.1f} | {chain_b / 1024:.1f} | {chain_ms:.1f} |"
+        )
     shutil.rmtree(tmp, ignore_errors=True)
     small, big = rows
     print(
         f"\ntable grew {big[0] / small[0]:.1f}x in files; "
         f"full read {big[1] / small[1]:.1f}x; "
         f"delta read {big[4] / small[4]:.1f}x "
-        f"({small[3]} -> {big[3]} files scanned)"
+        f"({small[3]} -> {big[3]} files scanned); "
+        f"monolithic manifest {small[5] / 1024:.1f} -> {big[5] / 1024:.1f} KiB "
+        f"({big[5] / small[5]:.1f}x) vs chain parse {small[6] / 1024:.1f} -> "
+        f"{big[6] / 1024:.1f} KiB ({big[6] / max(small[6], 1):.1f}x)"
     )
 
 

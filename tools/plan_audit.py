@@ -357,25 +357,30 @@ join shape is unchanged.
 
 ## CDC scale stress — read_changes costs O(delta), not O(table)
 
-`tools/cdc_scale_stress.py`, measured 2026-08-14 (round 6) on
+`tools/cdc_scale_stress.py`, measured 2026-08-14 (round 7) on
 local[32]: a day-partitioned table (64 partitions) grown by repeated
 100k-row appends — each append lays down 2,048 files (32 tasks x 64
 partitions), the incremental-warehouse small-file churn pattern. A
-snapshot is taken, one more batch appended, and the changed-file delta
-read is measured at two table scales ~8x apart:
+snapshot is taken, one more batch appended, a head snapshot pins the
+delta (the run_cdc_refresh read shape), and the changed-file read is
+measured at two table scales ~8x apart — data AND metadata:
 
-| table files | full-read s | delta rows | delta files | delta-read s |
-|---|---|---|---|---|
-| 10,240 | 3.79 | 100,000 | 2,048 | 0.69 |
-| 83,968 | 23.24 | 100,000 | 2,048 | 0.70 |
+| table files | full-read s | delta rows | delta files | delta-read s | manifest KiB | chain KiB | chain ms |
+|---|---|---|---|---|---|---|---|
+| 10,240 | 4.42 | 100,000 | 2,048 | 0.79 | 890.4 | 178.4 | 1.0 |
+| 83,968 | 29.28 | 100,000 | 2,048 | 0.87 | 7,298.4 | 178.4 | 1.3 |
 
-Table grew 8.2x in files; the full-table scan grew 6.1x; the delta
-read stayed at 1.0x, scanning exactly the 2,048 added files both
-times. The delta's cost is a manifest file-list diff (directory-entry
-work, no data) plus a delta-sized scan — at 100 TB a nightly
-run_cdc_refresh reads the night's files, never the table. The same
-run shows WHY compaction matters alongside CDC: 2,048 files per
-100k-row batch is footer-dominated, and compact() (which re-emits
+Table grew 8.2x in files; the full-table scan grew 6.6x; the delta
+read stayed ~flat (1.1x), scanning exactly the 2,048 added files both
+times. Metadata is O(delta) too (round 7): the pinned read resolves
+its file list from the per-snapshot delta.json chain — 178.4 KiB
+parsed at BOTH scales (1.0x, ~1 ms walk) while the monolithic
+manifest a full diff would parse grew 8.2x to 7.3 MB. At 100 TB
+(millions of files) a nightly run_cdc_refresh therefore reads the
+night's files with delta-sized metadata; the full manifest remains
+only the restore/time-travel surface and the broken-chain fallback.
+The same run shows WHY compaction matters alongside CDC: 2,048 files
+per 100k-row batch is footer-dominated, and compact() (which re-emits
 survivors into the next delta, documented) restores scan shape.
 """
 
