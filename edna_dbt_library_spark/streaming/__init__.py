@@ -1,4 +1,5 @@
 from edna_dbt_library_spark.streaming.incremental_stream import (
+    stream_cdc_refresh,
     stream_incremental_append,
     stream_table,
     stream_windowed_counts,
@@ -24,6 +25,7 @@ __all__ = [
     "stream_csv_ingest",
     "stream_jsonl_ingest",
     "stream_warc_ingest",
+    "stream_cdc_refresh",
     "stream_incremental_append",
     "stream_table",
     "stream_windowed_counts",

@@ -111,3 +111,54 @@ def stream_table(wh, rel, max_files_per_trigger: int | None = None) -> DataFrame
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(wh.path(rel))
+
+
+def stream_cdc_refresh(
+    wh,
+    source,
+    target,
+    transform,
+    config,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming twin of ``operators.materializations.run_cdc_refresh``:
+    maintain ``target = transform(source)`` continuously by composing
+    the warehouse streaming source (``stream_table``) with the
+    idempotent keyed partition merge inside ``foreachBatch``. The
+    checkpoint replaces the snapshot watermark: Spark tracks seen
+    source FILES, so delivery is file-level at-least-once exactly like
+    ``read_changes``, and the keyed merge makes replays converge to the
+    same target state (exactly-once EFFECT — the same contract as the
+    batch refresh and the reference's incremental_partition_merge rerun,
+    incremental_partition_merge.sql:1-322).
+
+    ``transform`` must be per-row (filter/map/clean): then the target
+    state is independent of how ``max_files_per_trigger`` chops files
+    into micro-batches and equals ``run_cdc_refresh``'s. A per-key
+    aggregate within one delta batch needs all of a key's rows in one
+    trigger — under arbitrary file chopping its per-batch groups can
+    split, so use the batch refresh (snapshot-pinned deltas) for that
+    scoping instead.
+
+    Returns the started StreamingQuery; with ``available_now`` the query
+    drains everything unseen and stops — one crash-safe, checkpointed
+    refresh. Scale shape: each trigger lists only unseen files (bounded
+    by ``max_files_per_trigger``), merges only touched partitions — no
+    table rescan."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_partition_merge,
+    )
+
+    src = stream_table(wh, source, max_files_per_trigger=max_files_per_trigger)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_incremental_partition_merge(wh, target, transform(batch_df), config)
+
+    writer = src.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

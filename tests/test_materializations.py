@@ -881,3 +881,72 @@ def test_read_changes_incremental_manifest_chain(spark, tmp_path):
     assert ids(wh.read_changes(rel, v1, v3)) == [3, 4, 5, 6, 7]
     # live-target read (no to_version) still works
     assert ids(wh.read_changes(rel, v1)) == [3, 4, 5, 6, 7]
+
+
+def test_stream_cdc_refresh_converges_to_batch_refresh_state(spark, tmp_path):
+    """stream_cdc_refresh (streaming twin of run_cdc_refresh): drained
+    under maxFilesPerTrigger=1 chopping, the streamed target state must
+    equal the batch run_cdc_refresh target over the same source; a
+    restarted drain after new appends processes only the new files and
+    the states stay equal."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+        run_cdc_refresh,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from edna_dbt_library_spark.streaming import stream_cdc_refresh
+
+    wh_s = Warehouse(spark, str(tmp_path / "wh_stream"))
+    wh_b = Warehouse(spark, str(tmp_path / "wh_batch"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string"))
+            ).alias("ts"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    # per-row transform: chopping-independent (see stream_cdc_refresh doc)
+    def transform(df):
+        return df.where(F.col("v") % 20 == 0).withColumn("v2", F.col("v") * 2)
+
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="k")
+    ckpt = str(tmp_path / "ckpt")
+
+    for wh in (wh_s, wh_b):
+        wh.create_as(wh.relation("s", "raw"), batch(0, 6), TableMeta())
+
+    def drain():
+        q = stream_cdc_refresh(
+            wh_s,
+            wh_s.relation("s", "raw"),
+            wh_s.relation("s", "clean"),
+            transform,
+            cfg,
+            checkpoint_path=ckpt,
+            max_files_per_trigger=1,  # force many tiny micro-batches
+        )
+        q.awaitTermination(180)
+
+    state = lambda wh: sorted(
+        map(tuple, wh.read(wh.relation("s", "clean")).select("k", "v", "v2").collect())
+    )
+
+    drain()
+    run_cdc_refresh(
+        wh_b, wh_b.relation("s", "raw"), wh_b.relation("s", "clean"), transform, cfg
+    )
+    assert state(wh_s) == state(wh_b) and len(state(wh_s)) > 0
+
+    # new source files: restarted drain picks up ONLY the new ones
+    for wh in (wh_s, wh_b):
+        wh.append(wh.relation("s", "raw"), batch(6, 12))
+    drain()
+    run_cdc_refresh(
+        wh_b, wh_b.relation("s", "raw"), wh_b.relation("s", "clean"), transform, cfg
+    )
+    assert state(wh_s) == state(wh_b)
+    assert {r[0] for r in state(wh_s)} == {0, 2, 4, 6, 8, 10}
