@@ -5760,6 +5760,105 @@ def warehouse_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_WARC_INGEST_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'plain' ELSE 'gzip' END AS layout,
+       'http://example.com/doc/' || doc_id::VARCHAR AS url,
+       200 AS status,
+       'text/plain; charset=utf-8' AS ctype,
+       md5(text) AS payload_md5,
+       octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
+@_register("warc_ingest_records", _WARC_INGEST_ORACLE)
+def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for WARC crawl-archive ingestion (sources/warc.py
+    parse_warc_records + load_warc): a deterministic archive pair is
+    built at query time from the documents table — one PLAIN warc
+    (doc_id % 10 == 0, plus interleaved request records the default
+    response filter must drop) and one per-record-member .warc.gz
+    (doc_id % 10 == 5) — then parsed through the distributed reader.
+    The oracle declares every surviving record from the raw table
+    (payload md5/bytes are engine-independent because the payload is
+    exactly the utf-8 text), so a parser that loses sync, mis-splits
+    HTTP headers, truncates a gzip member, leaks request records, or
+    misattributes an archive hash-mismatches. The archive BUILDER here
+    is an independent writer (header lines + Content-Length framing per
+    ISO 28500), not the parser's own code path. Same scratch-dir +
+    localCheckpoint-before-rmtree discipline as incremental_store_state."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warc import load_warc
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .collect()  # bounded: 1/5 of documents, text payloads only
+    )
+
+    def record(rtype: str, doc_id: int, payload: bytes) -> bytes:
+        head = b"\r\n".join(
+            [
+                b"WARC/1.0",
+                b"WARC-Type: " + rtype.encode(),
+                b"WARC-Record-ID: <urn:doc:%d>" % doc_id,
+                b"WARC-Target-URI: http://example.com/doc/%d" % doc_id,
+                b"WARC-Date: 2024-01-01T00:00:00Z",
+                b"Content-Type: application/http; msgtype=response",
+                b"Content-Length: %d" % len(payload),
+            ]
+        )
+        return head + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    def http(text: str) -> bytes:
+        body = text.encode("utf-8")
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+
+    root = tempfile.mkdtemp(prefix="edna_warc_")
+    try:
+        plain, gz = bytearray(), bytearray()
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            did, payload = r["doc_id"], http(r["text"])
+            if did % 10 == 0:
+                plain += record("response", did, payload)
+                # a request record the response filter must drop
+                plain += record("request", did, b"GET /doc/%d HTTP/1.1\r\n\r\n" % did)
+            else:
+                gz += gzip.compress(record("response", did, payload))  # one member/record
+        with open(os.path.join(root, "crawl-a.warc"), "wb") as f:
+            f.write(bytes(plain))
+        with open(os.path.join(root, "crawl-b.warc.gz"), "wb") as f:
+            f.write(bytes(gz))
+
+        recs = load_warc(spark, root)  # default: response records only
+        out = recs.select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.when(F.col("source_file").endswith(".warc.gz"), F.lit("gzip"))
+            .otherwise(F.lit("plain"))
+            .alias("layout"),
+            F.col("target_uri").alias("url"),
+            F.col("http_status").cast("int").alias("status"),
+            F.col("http_content_type").alias("ctype"),
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("long").alias("payload_bytes"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle
