@@ -43,13 +43,32 @@ def pagerank_int(
     scale: int = PAGERANK_SCALE,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_nodes: bool = True,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """PageRank over an edge list, exact-integer semantics: returns
     (node, rank) with rank in integer ``1/scale`` units after ``iters``
     rounds from a uniform ``scale`` start. Duplicate edges count once
     (the edge list is distinct'd); every arithmetic step is nonnegative
     integer floor-division, so results are engine- and
-    partitioning-exact."""
+    partitioning-exact.
+
+    ``broadcast_nodes`` (default True) pins explicit broadcast hints on
+    the node-sized sides (ranks, out-degrees, per-round incoming sums).
+    Without the hints AQE plans SortMergeJoin first and only converts
+    to broadcast at runtime — by which point the EDGE LIST has already
+    been shuffle-written every round (ENSURE_REQUIREMENTS exchange on
+    src; measured by tools/pagerank_scale_stress.py). With them the
+    per-round plan has exactly ONE shuffle: contributions grouped by
+    dst. The assumption is ranks fit in executor memory (node count up
+    to ~10^8 at ~20 B/row); for larger graphs pass False and accept the
+    edge shuffle — that regime wants bucketed edges anyway.
+
+    ``plan_probe``, when a list, receives each round's AQE-final
+    physical plan string (captured after the round's eager checkpoint
+    materializes it) — the scale-stress harness uses it to assert the
+    rank/degree joins stay broadcast (node-sized) and the edge list is
+    never re-shuffled, with zero effect on the computation."""
     # pin the (possibly expensive) edge derivation ONCE: every rank
     # round re-scans e, and without the pin its whole upstream lineage
     # (joins, distinct) would re-execute per round per action —
@@ -70,25 +89,23 @@ def pagerank_int(
     )
     base = (damping_den - damping_num) * scale // damping_den
 
+    hint = F.broadcast if broadcast_nodes else (lambda df: df)
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            e.join(hint(ranks.withColumnRenamed("node", "src")), "src")
+            .join(hint(outdeg), "src")
             .select("dst", F.expr("rank div deg").alias("c"))  # EXACT integral div
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(incoming, nodes.node == incoming.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        updated = nodes.join(hint(incoming), nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            ).cast("long").alias("rank"),
         )
+        ranks = updated.localCheckpoint(eager=True)
+        if plan_probe is not None:
+            plan_probe.append(updated._jdf.queryExecution().executedPlan().toString())
     return ranks

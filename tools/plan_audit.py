@@ -355,6 +355,32 @@ per-scanline PNG decode dominates the hash pass; a production codec
 injected via the decode hook moves that ~linearly while the blocking
 join shape is unchanged.
 
+## PageRank scale stress — one shuffle per round, node-sided joins
+
+`tools/pagerank_scale_stress.py`, measured 2026-08-14 (round 7) on
+local[32], sf0.1 purchase graph (1.17M edges / 16.0k nodes) vs x10
+disjoint-replica growth (11.7M edges / 160.0k nodes; every node keeps
+its degree — the onboard-10-markets shape), 8 exact-integer rounds:
+
+| scale | edges | wall s | s/iter | shuffle-write MB | SMJ | BHJ | shuffles/round |
+|---|---|---|---|---|---|---|---|
+| 1x | 1,173,742 | 10.67 | 1.33 | 47.2 | 0 | 24 | 1 |
+| 10x | 11,737,420 | 35.48 | 4.44 | 747.8 | 0 | 24 | 1 |
+
+x10 edges cost x3.3 wall. Every round's AQE-FINAL plan (captured via
+pagerank_int's plan_probe) holds the invariants the 100 TB design
+demands: the rank, out-degree and incoming-sum joins are all
+BroadcastHashJoin (node-sized build sides, 3 BHJ x 8 rounds, zero
+SortMergeJoin) and exactly ONE hashpartitioning exchange per round —
+the contributions-by-dst aggregation, the irreducible shuffle.
+Round 7 made this explicit: without broadcast hints AQE planned SMJ
+first and only converted at runtime, by which point the EDGE LIST had
+been shuffle-written every round; pagerank_int now pins the hints
+(broadcast_nodes=True, opt-out for >10^8-node graphs where ranks
+outgrow executor memory and bucketed edges are the right tool).
+Shuffle bytes track the edge count (the contributions stream), not
+the node count — rank state never re-shuffles.
+
 ## CDC scale stress — read_changes costs O(delta), not O(table)
 
 `tools/cdc_scale_stress.py`, measured 2026-08-14 (round 7) on
