@@ -506,3 +506,18 @@ def test_graph_linkage_equals_granular_composition(spark):
         F.col("n_b").cast("long").alias("n_b"),
     )
     assert _rows(scored) == _rows(pr.unionAll(lk).select(*scored.columns))
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's headline registry split must match queries.py by
+    import — the r6 verdict caught this doc drifting, so it's now
+    asserted."""
+    import re
+
+    text = open("COVERAGE.md").read()
+    scored = int(re.search(r"\*\*(\d+) driver-facing queries\*\*", text).group(1))
+    extras = int(re.search(r"\*\*(\d+) extra-registry", text).group(1))
+    total = int(re.search(r"(\d+) registered total", text).group(1))
+    assert scored == len(qmod.CORE_ORDER)
+    assert total == len(qmod.REGISTRY)
+    assert extras == total - scored
