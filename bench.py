@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "salted_join_priority",
     "morton_zorder_key",
     "contamination_3gram",
+    "corpus_dup_ngrams",
     "repetition_filter",
     "pii_redact_docs",
     "weighted_sample_quality",

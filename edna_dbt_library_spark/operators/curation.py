@@ -681,6 +681,71 @@ def _repetition_keep_expr(thresholds: Mapping[str, float] | None) -> Column:
     return keep
 
 
+def corpus_dup_ngram_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_frequent: bool = False,
+) -> DataFrame:
+    """CORPUS-level duplicated-n-gram fraction per document — the
+    inter-document complement of the doc-local Gopher repetition
+    signals (repetition_stats): a word n-gram is "duplicated" when it
+    occurs in at least ``min_docs`` distinct documents, and a document's
+    score is the fraction of its DISTINCT n-grams that are duplicated.
+    High scores mark templated/boilerplate documents that doc-local
+    repetition cannot see (each copy looks clean in isolation) and
+    exact/near dedup does not collapse (the surrounding text differs).
+
+    Output, one row per doc with >= 1 n-gram: (id, n_grams,
+    n_dup_grams, dup_permille, keep) with dup_permille the EXACT
+    integer (1000 * n_dup) div n_grams — engine-replayable, no float
+    division (pagerank_int's determinism idiom).
+
+    Scale shape: n-grams are arithmetic 64-bit hashes built from
+    per-word xxhash64 (the contamination_flags machinery — no n-gram
+    strings ever materialize; collisions ~2^-64 per pair, and the
+    string-joining DuckDB oracle would catch one landing in a fixture).
+    Cost is two shuffles of 8-byte keys — per-gram doc counts
+    (map-side-combinable) and the count join back — plus one scan-side
+    explode; per-doc distinct'ing happens array-side BEFORE the
+    explode, so shuffled rows are bounded by distinct grams per doc.
+    ``broadcast_frequent=True`` replaces the second shuffle with a
+    broadcast of only the >= min_docs gram hashes — the 100 TB path
+    when a high ``min_docs`` makes the frequent set small; the default
+    shuffle join is the safe shape when min_docs=2 leaves it corpus-
+    sized."""
+    from edna_dbt_library_spark.functions.text import tokens as _tokens
+
+    pre = docs.select(
+        F.col(id_col),
+        F.transform(_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
+    )
+    grams = pre.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_hashed_ngram_values(F.col("_hw"), n))).alias("gh"),
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    if broadcast_frequent:
+        freq = F.broadcast(counts.where(F.col("nd") >= min_docs).select("gh"))
+        flagged = grams.join(freq.withColumn("_dup", F.lit(1)), "gh", "left")
+        dup = F.coalesce(F.col("_dup"), F.lit(0))
+    else:
+        flagged = grams.join(counts, "gh")
+        dup = F.when(F.col("nd") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(dup).cast("long").alias("n_dup_grams"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_dup_grams",
+        F.expr("(1000 * n_dup_grams) div n_grams").alias("dup_permille"),
+    )
+
+
 def dedup_lines_across_docs(
     docs: DataFrame,
     min_line_chars: int = 10,

@@ -1067,6 +1067,51 @@ def contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, n=CONTAM_N)
 
 
+CORPUS_NGRAM_N = 5
+CORPUS_NGRAM_MIN_DOCS = 2
+
+
+def _corpus_dup_oracle() -> str:
+    n = CORPUS_NGRAM_N
+    toks = DUCK_TOKENS.format(c="text")
+    grams = (
+        f"list_distinct(list_filter(list_transform({toks}, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len({toks}) THEN array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') END), "
+        f"x -> x IS NOT NULL))"
+    )
+    return f"""
+WITH g AS (
+    SELECT doc_id, unnest({grams}) AS g FROM documents
+), c AS (
+    SELECT g, count(*) AS nd FROM g GROUP BY g
+)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN c.nd >= {CORPUS_NGRAM_MIN_DOCS} THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       ((1000 * sum(CASE WHEN c.nd >= {CORPUS_NGRAM_MIN_DOCS} THEN 1 ELSE 0 END)) // count(*))::BIGINT AS dup_permille
+FROM g JOIN c USING (g)
+GROUP BY g.doc_id
+"""
+
+
+@_register("corpus_dup_ngrams", _corpus_dup_oracle())
+def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-n-gram fraction
+    (operators/curation.corpus_dup_ngram_stats): per document, the exact
+    integer permille of its distinct word {CORPUS_NGRAM_N}-grams that
+    occur in >= {CORPUS_NGRAM_MIN_DOCS} documents — the inter-document
+    boilerplate signal doc-local repetition misses. Spark counts
+    arithmetic shingle hashes (no n-gram strings); the oracle joins raw
+    strings, so a hash collision in a fixture would hash-mismatch here."""
+    from edna_dbt_library_spark.operators import corpus_dup_ngram_stats
+
+    return corpus_dup_ngram_stats(
+        _t(spark, sf_dir, "documents"),
+        n=CORPUS_NGRAM_N,
+        min_docs=CORPUS_NGRAM_MIN_DOCS,
+    )
+
+
 LSH_BUCKET_CAP = 256
 
 

@@ -508,3 +508,35 @@ def test_temperature_mix_sample_semantics(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_corpus_dup_ngram_stats_hand_vectors_and_broadcast_path(spark):
+    """Corpus-level duplicated-n-gram fraction: hand-checkable corpus
+    where one 3-gram is shared across docs; shuffle and
+    broadcast_frequent paths agree; sub-n docs are absent."""
+    from edna_dbt_library_spark.operators import corpus_dup_ngram_stats
+
+    rows = [
+        (1, "the quick brown fox jumps"),   # grams: tqb qbf bfj fjp
+        (2, "a lazy dog saw the quick brown fox"),  # shares "the quick brown"+"quick brown fox"
+        (3, "completely different words entirely here"),
+        (4, "to"),  # fewer than n tokens -> no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_permille"])
+        for r in corpus_dup_ngram_stats(docs, n=3).collect()
+    }
+    # doc1: 3 distinct 3-grams, 2 shared with doc2 -> 666 permille
+    assert got[1] == (3, 2, 666)
+    # doc2: 6 grams, same 2 shared -> 333
+    assert got[2] == (6, 2, 333)
+    # doc3: 3 grams, none shared
+    assert got[3] == (3, 0, 0)
+    assert 4 not in got
+
+    bc = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_permille"])
+        for r in corpus_dup_ngram_stats(docs, n=3, broadcast_frequent=True).collect()
+    }
+    assert bc == got
