@@ -437,7 +437,17 @@ class Warehouse:
         # MB-scale (millions of files) while a nightly delta is a few
         # hundred entries. The full manifest above stays authoritative
         # (restore/read_version/fallback diff).
+        # restore() re-creates previously-removed PATHS, breaking the
+        # chain's path-added-at-most-once algebra (an add->remove->
+        # restore-re-add history would make the set difference silently
+        # DROP the re-added files). Its marker forces parent=None here,
+        # so chains never span a restore and pinned reads fall back to
+        # the exact full-manifest diff across that boundary.
+        marker = os.path.join(snaps, ".chain_break")
         parent = max(versions, default=None)
+        if os.path.exists(marker):
+            parent = None
+            os.remove(marker)
         if parent is None:
             added, removed = sorted(files), []
         else:
@@ -640,6 +650,11 @@ class Warehouse:
         meta.schema_evolved = bool(m.get("schema_evolved", False))
         meta.schema_json = m.get("schema_json")
         self.write_meta(rel, meta)
+        # restored paths are RE-ADDED: break the incremental-manifest
+        # chain at the next snapshot (see snapshot()) so pinned
+        # read_changes never applies add-once set algebra across this
+        with open(os.path.join(self._snapshots_dir(rel), ".chain_break"), "w"):
+            pass
 
     def expire_snapshots(
         self, rel: Relation, keep_last: int = 1, protect_note_prefix: str = "cdc:"

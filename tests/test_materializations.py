@@ -950,3 +950,43 @@ def test_stream_cdc_refresh_converges_to_batch_refresh_state(spark, tmp_path):
     )
     assert state(wh_s) == state(wh_b)
     assert {r[0] for r in state(wh_s)} == {0, 2, 4, 6, 8, 10}
+
+
+def test_read_changes_chain_breaks_across_restore(spark, tmp_path):
+    """restore() RE-ADDS previously-removed file paths, which violates
+    the delta chain's path-added-at-most-once algebra: a pinned read
+    spanning add -> compact-remove -> restore-re-add would silently
+    drop the re-added files if the chain were trusted. restore marks
+    the chain broken; the next snapshot's delta has no parent, so the
+    read falls back to the exact full-manifest diff."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 10).alias("v"))
+
+    wh.create_as(rel, batch(0, 3), TableMeta())
+    v1 = wh.snapshot(rel)
+    wh.append(rel, batch(3, 6))
+    v2 = wh.snapshot(rel)
+    # compact rewrites everything into new paths (removes v1+v2 paths)
+    wh.compact(rel, target_file_bytes=1 << 30, min_files=1)
+    wh.snapshot(rel)
+    # restore re-creates v2's ORIGINAL paths — the re-add
+    wh.restore(rel, v2)
+    v4 = wh.snapshot(rel)
+
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    # exact answer: files in v4 not in v1 = the appended batch's paths
+    assert ids(wh.read_changes(rel, v1, v4)) == [3, 4, 5]
+    # the fallback was REQUIRED: the naive chain algebra over the same
+    # range drops the re-added paths entirely
+    naive = wh._delta_chain(rel, v1, v4)
+    assert naive is None  # chain reports broken, never a wrong answer
+    # chains not spanning the restore still work
+    wh.append(rel, batch(6, 8))
+    v5 = wh.snapshot(rel)
+    assert wh._delta_chain(rel, v4, v5) is not None
+    assert ids(wh.read_changes(rel, v4, v5)) == [6, 7]
