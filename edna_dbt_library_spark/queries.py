@@ -5904,6 +5904,58 @@ def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_ZONEMAP_ORACLE = """
+SELECT o_orderpriority AS priority,
+       count(*)::BIGINT AS n,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-12-31'
+GROUP BY 1
+"""
+
+
+@_register("zonemap_pruned_rollup", _ZONEMAP_ORACLE)
+def zonemap_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping gate (Warehouse.refresh_zone_maps /
+    read_pruned — Iceberg/Delta-style per-file min/max on non-partition
+    columns, harvested from parquet footers): orders written into a
+    range-clustered scratch layout, stats refreshed, then a 1998 rollup
+    computed from the PRUNED read plus the exact predicate. The oracle
+    is the plain range rollup from raw parquet, so pruning that loses a
+    file hash-mismatches; the in-query assert that files were actually
+    skipped keeps the gate honest (a no-op pruner would still match).
+    Same scratch-dir + localCheckpoint discipline as
+    incremental_store_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "od", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    root = tempfile.mkdtemp(prefix="edna_zm_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_zm")
+        wh.create_as(rel, o.repartitionByRange(8, "od"), TableMeta())
+        wh.refresh_zone_maps(rel, ["od"])
+        kept, total = wh.prune_files(rel, "od", "1998-01-01", "1998-12-31")
+        assert 0 < len(kept) < total, (len(kept), total)  # really skipped
+        pruned = wh.read_pruned(rel, "od", "1998-01-01", "1998-12-31")
+        out = (
+            pruned.where(F.col("od").between("1998-01-01", "1998-12-31"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _r2d(F.sum(_dec("o_totalprice"))).alias("rev"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle

@@ -165,6 +165,129 @@ class Warehouse:
             return None
         return self.spark.read.parquet(p)
 
+    # --- zone maps (file-level min/max data skipping) ------------------------
+    # Partition pruning only helps on the partition column; zone maps are
+    # the Iceberg/Delta answer for every OTHER selective column: per-file
+    # min/max harvested from parquet FOOTERS (no data scan) into a
+    # `_`-prefixed sidecar, so a range read opens only intersecting files.
+    # At 100 TB the win is planning-side too — Spark's own row-group
+    # skipping still has to OPEN every footer; the sidecar prunes the
+    # file list before any footer is touched.
+
+    def _zonemap_path(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), "_edna_zonemap.json")
+
+    @staticmethod
+    def _zm_value(v):
+        """JSON-safe stat encoding. Dates/timestamps become ISO strings
+        (lexicographic order == chronological, so pruning bounds are
+        passed in the same form); bytes decode as utf-8."""
+        import datetime as _dt
+        import decimal as _decimal
+
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return v.isoformat()
+        if isinstance(v, _decimal.Decimal):
+            return float(v)
+        return v
+
+    def refresh_zone_maps(self, rel: Relation, columns: list[str]) -> dict:
+        """Incrementally harvest per-file min/max for ``columns``: only
+        files NOT already in the sidecar are opened (one footer read
+        each — zero data bytes), entries for deleted files are dropped,
+        and a changed column set rebuilds from scratch. Run it after
+        appends/merges the way compact() is run — a maintenance step
+        whose cost is O(new files)."""
+        import pyarrow.parquet as pq
+
+        base = self.path(rel)
+        live = self._live_data_files(rel)
+        try:
+            with open(self._zonemap_path(rel)) as f:
+                zm = json.load(f)
+            if zm.get("columns") != list(columns):
+                zm = {"columns": list(columns), "files": {}}
+        except (FileNotFoundError, json.JSONDecodeError):
+            zm = {"columns": list(columns), "files": {}}
+        files = zm["files"]
+        live_set = set(live)
+        dropped = [f for f in files if f not in live_set]
+        for f in dropped:
+            del files[f]
+        added = [f for f in live if f not in files]
+        for relp in added:
+            md = pq.ParquetFile(os.path.join(base, relp)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats: dict[str, list | None] = {}
+            for c in columns:
+                i = names.get(c)
+                lo = hi = None
+                ok = i is not None
+                for rg in range(md.num_row_groups if ok else 0):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = self._zm_value(st.min), self._zm_value(st.max)
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                # None = "no usable stats, never prune this file on c"
+                stats[c] = [lo, hi] if ok and lo is not None else None
+            files[relp] = stats
+        with open(self._zonemap_path(rel), "w") as f:
+            json.dump(zm, f)
+        return {"files_total": len(live), "added": len(added), "dropped": len(dropped)}
+
+    def prune_files(self, rel: Relation, col: str, lo=None, hi=None) -> tuple[list[str], int]:
+        """(kept live files, total live files) for a [lo, hi] range on
+        ``col`` (None = unbounded on that side). Fail-safe by
+        construction: a file missing from the sidecar (stats stale) or
+        lacking usable stats is always kept."""
+        lo, hi = self._zm_value(lo), self._zm_value(hi)  # date/ts bounds -> ISO
+        live = self._live_data_files(rel)
+        try:
+            with open(self._zonemap_path(rel)) as f:
+                zm = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return live, len(live)
+        files = zm.get("files", {})
+        kept = []
+        for relp in live:
+            st = files.get(relp, {}).get(col) if relp in files else None
+            if st is None:
+                kept.append(relp)
+                continue
+            fmin, fmax = st
+            if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                kept.append(relp)
+        return kept, len(live)
+
+    def read_pruned(self, rel: Relation, col: str, lo=None, hi=None) -> DataFrame:
+        """Zone-map file skipping read: the table restricted to files
+        whose [min, max] for ``col`` intersects [lo, hi]. The caller
+        still applies the exact row predicate — pruning is a superset
+        guarantee (same contract as the ns-scan pushdown superset
+        range), so composing ``read_pruned(...).where(exact)`` is
+        always correct and scans only intersecting files."""
+        kept, _total = self.prune_files(rel, col, lo, hi)
+        meta = self.read_meta(rel)
+        if not kept:
+            if meta.schema_json:
+                import pyspark.sql.types as _T
+
+                schema = _T.StructType.fromJson(json.loads(meta.schema_json))
+                return self.spark.createDataFrame([], schema)
+            return self.read(rel).limit(0)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        if meta.partition_by:
+            reader = reader.option("basePath", self.path(rel))
+        base = self.path(rel)
+        return reader.parquet(*(os.path.join(base, f) for f in kept))
+
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:
         for _dirpath, _dirs, files in os.walk(self.path(rel)):

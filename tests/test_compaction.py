@@ -86,3 +86,58 @@ def test_compact_unpartitioned_whole_table(spark, wh):
     assert after.cluster_by == ["k"]
     assert after.description == "d"
     assert after.grants == {"roles/viewer": ["g"]}
+
+
+def test_zone_maps_prune_files_and_stay_fail_safe(spark, tmp_path):
+    """File-level zone maps (Iceberg/Delta-style data skipping on
+    non-partition columns): range reads open only intersecting files,
+    pruned reads lose no rows vs the exact predicate, refresh is
+    incremental (only new files' footers are opened), and stale or
+    missing stats always fail SAFE (file kept)."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+    # 8 range-partitioned files: each covers a tight contiguous k-range
+    df = (
+        spark.range(8000)
+        .select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    wh.create_as(rel, df, TableMeta())
+    r1 = wh.refresh_zone_maps(rel, ["k"])
+    assert r1["added"] == r1["files_total"] and r1["dropped"] == 0
+
+    kept, total = wh.prune_files(rel, "k", 2000, 2999)
+    assert total >= 8 and len(kept) < total  # actually skipped files
+    got = wh.read_pruned(rel, "k", 2000, 2999).where(F.col("k").between(2000, 2999))
+    assert sorted(r["k"] for r in got.collect()) == list(range(2000, 3000))
+    # superset contract: pruned-only read includes at least the range
+    assert wh.read_pruned(rel, "k", 2000, 2999).count() >= 1000
+
+    # unbounded sides
+    klo, _ = wh.prune_files(rel, "k", lo=7500)
+    assert 0 < len(klo) < total
+
+    # incremental refresh: an append adds files; only those are harvested
+    wh.append(rel, spark.createDataFrame([(100_000, 1)], "k long, v long").coalesce(1))
+    r2 = wh.refresh_zone_maps(rel, ["k"])
+    assert r2["added"] == 1 and r2["dropped"] == 0
+    kept_new, total_new = wh.prune_files(rel, "k", 100_000, None)
+    assert total_new == total + 1 and len(kept_new) == 1
+
+    # stale stats fail safe: new file not yet refreshed is always kept
+    wh.append(rel, spark.createDataFrame([(200_000, 1)], "k long, v long").coalesce(1))
+    kept_stale, _ = wh.prune_files(rel, "k", 100_000, None)
+    assert any("part-" in f for f in kept_stale) and len(kept_stale) == 2
+
+    # column without harvested stats -> no pruning at all
+    kept_v, total_v = wh.prune_files(rel, "v", 0, 1)
+    assert len(kept_v) == total_v
+
+    # empty intersection (after refresh, no stale fail-safe files remain)
+    wh.refresh_zone_maps(rel, ["k"])
+    none = wh.read_pruned(rel, "k", 10_000_000, 20_000_000)
+    assert none.count() == 0 and set(none.columns) == {"k", "v"}
