@@ -64,6 +64,11 @@ class Model:
     #: slipped past the schema and profile gates
     snapshot_before_write: bool = False
     snapshot_keep_last: int = 3
+    #: columns to maintain file-level min/max zone maps for (data
+    #: skipping on non-partition columns): after every successful
+    #: non-view write the Runner refreshes the sidecar incrementally —
+    #: O(new files) footer reads, zero data bytes
+    zone_map_columns: list[str] | None = None
 
     def build(self, spark: SparkSession) -> DataFrame:
         if self.builder is not None:
@@ -238,6 +243,11 @@ class Runner:
             # the batch passed: it becomes the next run's baseline
             self.wh.write_profile(target, current_profile)
             result["profile_gate"] = "passed"
+
+        if model.zone_map_columns and model.materialization != "view":
+            result["zone_maps"] = self.wh.refresh_zone_maps(
+                target, model.zone_map_columns
+            )
 
         if pre_version is not None:
             result["pre_write_snapshot"] = pre_version

@@ -502,3 +502,48 @@ def test_runner_snapshot_before_write_enables_rollback(spark, wh):
     runner.run("rolled", validate=False, register_metadata=False)
     versions = [s["version"] for s in wh.list_snapshots(target)]
     assert len(versions) == 2 and v not in versions
+
+
+def test_runner_maintains_zone_maps_after_writes(spark, wh):
+    """zone_map_columns: every successful non-view write refreshes the
+    file-level min/max sidecar incrementally, so range reads prune
+    files without any separate maintenance step."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+    )
+
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(name="zoned", fqn=["analytics", "s", "zoned"], path="s/z.sql")
+    state = {"lo": 0, "hi": 4000}
+
+    def builder(s):
+        # day derived from the k-range -> each day-partition file covers
+        # a tight contiguous k range the zone map can prune on
+        return s.range(state["lo"], state["hi"]).select(
+            F.col("id").alias("k"),
+            F.to_timestamp(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           F.expr("int(id div 1000) % 365"))
+            ).alias("ts"),
+        )
+
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="k")
+    runner.register(Model(node=node, builder=builder,
+                          materialization="incremental_partition_merge",
+                          mat_config=cfg, zone_map_columns=["k"]))
+    r1 = runner.run("zoned", validate=False, register_metadata=False)
+    target = r1["relation"]
+    assert r1["zone_maps"]["added"] == r1["zone_maps"]["files_total"] > 0
+
+    kept, total = wh.prune_files(target, "k", 0, 999)
+    assert 0 < len(kept) < total
+
+    # incremental append only harvests the new files
+    state["lo"], state["hi"] = 100_000, 104_000
+    r2 = runner.run("zoned", validate=False, register_metadata=False)
+    assert 0 < r2["zone_maps"]["added"] < r2["zone_maps"]["files_total"]
+    kept2, total2 = wh.prune_files(target, "k", 100_000, None)
+    assert 0 < len(kept2) < total2
+    got = wh.read_pruned(target, "k", 100_000, None).where(F.col("k") >= 100_000)
+    assert got.count() == 4000
