@@ -746,6 +746,137 @@ def corpus_dup_ngram_stats(
     )
 
 
+def duplicate_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_frequent: bool = False,
+) -> DataFrame:
+    """EXACT-substring duplicate spans (the ExactSubstr dedup of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed for Spark: instead of a corpus-wide suffix
+    array (monolithic, memory-bound), a token k-gram is "duplicated"
+    when it occurs >= ``min_count`` times ANYWHERE in the corpus
+    (within-doc repeats count, unlike corpus_dup_ngram_stats's
+    distinct-docs test), and each document's duplicated windows are
+    merged into maximal spans. Any duplicated substring of
+    >= k tokens is fully covered by duplicated k-gram windows, so the
+    merged spans are a superset of the suffix-array answer at
+    granularity k — the standard distributed approximation.
+
+    Output, one row per maximal span: (id, span_start, span_end,
+    span_tokens) with 0-based inclusive token indices. Windows merge
+    when they overlap OR touch (gap 0): back-to-back duplicated
+    k-grams form one run of duplicated text.
+
+    Scale shape: gram identities are arithmetic 64-bit hashes over
+    per-word xxhash64 (no n-gram strings materialize); the corpus-wide
+    occurrence count is one map-side-combinable shuffle of 8-byte keys
+    and the flag join a second (``broadcast_frequent=True`` replaces it
+    with a broadcast of only the >= min_count hashes — the 100 TB path
+    when min_count is high). Span merging is gaps-and-islands over a
+    window PARTITIONED BY document (never global), so its cost is
+    bounded by the longest document, not the corpus."""
+    from pyspark.sql import Window
+
+    from edna_dbt_library_spark.functions.text import tokens as _tokens
+
+    pre = docs.select(
+        F.col(id_col),
+        F.transform(_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
+    )
+    grams = pre.select(
+        F.col(id_col),
+        F.posexplode(_hashed_ngram_values(F.col("_hw"), k)).alias("pos", "gh"),
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    if broadcast_frequent:
+        freq = F.broadcast(counts.where(F.col("cnt") >= min_count).select("gh"))
+        dup = grams.join(freq, "gh")
+    else:
+        dup = grams.join(counts, "gh").where(F.col("cnt") >= min_count)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_brk")
+    )
+    spans = dup.select(F.col(id_col), F.col("pos"), brk).withColumn(
+        "_sid", F.sum("_brk").over(w)
+    )
+    return (
+        spans.groupBy(id_col, "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def scrub_duplicate_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_frequent: bool = False,
+) -> DataFrame:
+    """Remove every duplicated span found by duplicate_substring_spans
+    from each document's token stream (the destructive half of Lee et
+    al.'s ExactSubstr: cut the duplicated bytes, keep the remainder).
+    Returns one row per input document: (id, scrubbed_text, n_tokens,
+    kept_tokens) — scrubbed_text is the space-join of surviving
+    lowercased tokens (tokenization is lossy by design; the contract is
+    token-stream, not byte, fidelity).
+
+    The span filter is row-local: spans collect per document (bounded
+    by doc length), broadcast back via a keyed join, and each token's
+    keep-test is a HOF `exists` over that doc's spans — zero shuffles
+    beyond the span computation itself."""
+    from edna_dbt_library_spark.functions.text import tokens as _tokens
+
+    spans = duplicate_substring_spans(
+        docs,
+        k=k,
+        min_count=min_count,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_frequent=broadcast_frequent,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("_t"),
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ).alias("_s"),
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda t, i: ~F.exists(
+            F.col("_s"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )
+
+
 def dedup_lines_across_docs(
     docs: DataFrame,
     min_line_chars: int = 10,

@@ -1112,6 +1112,60 @@ def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_K = 6
+DUP_SPAN_MIN_COUNT = 2
+
+
+def _dup_span_oracle() -> str:
+    k = DUP_SPAN_K
+    toks = DUCK_TOKENS.format(c="text")
+    grams = (
+        f"list_filter(list_transform({toks}, (x, i) -> "
+        f"CASE WHEN i + {k - 1} <= len({toks}) THEN "
+        f"struct_pack(pos := i - 1, g := array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')) END), "
+        f"x -> x IS NOT NULL)"
+    )
+    return f"""
+WITH pg AS (
+    SELECT doc_id, unnest({grams}, recursive := true) FROM documents
+), c AS (
+    SELECT g, count(*) AS cnt FROM pg GROUP BY g
+), dup AS (
+    SELECT pg.doc_id, pg.pos FROM pg JOIN c USING (g) WHERE c.cnt >= {DUP_SPAN_MIN_COUNT}
+), flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                THEN 0 ELSE 1 END AS brk
+    FROM dup
+), sp AS (
+    SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM flagged
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {k - 1})::BIGINT AS span_end,
+       (max(pos) + {k - 1} - min(pos) + 1)::BIGINT AS span_tokens
+FROM sp GROUP BY doc_id, sid
+"""
+
+
+@_register("dup_substring_spans", _dup_span_oracle())
+def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate spans (operators/curation.
+    duplicate_substring_spans, after Lee et al. 2021): maximal per-doc
+    token spans covered by word {DUP_SPAN_K}-grams occurring >=
+    {DUP_SPAN_MIN_COUNT} times corpus-wide (within-doc repeats count).
+    Spark merges gaps-and-islands over arithmetic shingle hashes; the
+    oracle replays the same islands over raw n-gram strings, so a hash
+    collision in a fixture would hash-mismatch here."""
+    from edna_dbt_library_spark.operators import duplicate_substring_spans
+
+    return duplicate_substring_spans(
+        _t(spark, sf_dir, "documents"),
+        k=DUP_SPAN_K,
+        min_count=DUP_SPAN_MIN_COUNT,
+    )
+
+
 LSH_BUCKET_CAP = 256
 
 

@@ -540,3 +540,70 @@ def test_corpus_dup_ngram_stats_hand_vectors_and_broadcast_path(spark):
         for r in corpus_dup_ngram_stats(docs, n=3, broadcast_frequent=True).collect()
     }
     assert bc == got
+
+
+def test_duplicate_substring_spans_hand_vectors(spark):
+    """ExactSubstr spans (Lee et al. 2021 style): within-doc repeats
+    count toward min_count, overlapping windows merge, back-to-back
+    (gap-0) windows merge, and a gap > k splits spans; shuffle and
+    broadcast_frequent paths agree."""
+    from edna_dbt_library_spark.operators import duplicate_substring_spans
+
+    rows = [
+        (1, "a b c d e f g h"),        # shares "a b c d" with doc 2
+        (2, "x a b c d y z w"),
+        (3, "p q r s p q r"),          # within-doc repeat of "p q r"
+        (4, "m n o u v w"),            # "m n o" and "u v w" adjacent -> one span
+        (5, "m n o"),
+        (6, "u v w"),
+        (7, "totally unique words only right here"),
+        (8, "to"),                      # fewer than k tokens -> no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in duplicate_substring_spans(docs, k=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got[1] == [(0, 3, 4)]            # abc@0 + bcd@1 overlap
+    assert got[2] == [(1, 4, 4)]
+    assert got[3] == [(0, 2, 3), (4, 6, 3)]  # pqr@0 / pqr@4: gap 4 > k -> split
+    assert got[4] == [(0, 5, 6)]            # mno@0 + uvw@3: gap == k -> merged
+    assert got[5] == [(0, 2, 3)]
+    assert got[6] == [(0, 2, 3)]
+    assert 7 not in got
+    assert 8 not in got
+
+    bc = {}
+    for r in duplicate_substring_spans(docs, k=3, broadcast_frequent=True).collect():
+        bc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert {k: sorted(v) for k, v in bc.items()} == got
+
+
+def test_scrub_duplicate_substrings_removes_spans(spark):
+    """The destructive half: every token inside a duplicated span is
+    cut, survivors keep their order, clean docs pass through unchanged
+    (modulo lowercased token join)."""
+    from edna_dbt_library_spark.operators import scrub_duplicate_substrings
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d y z w"),
+        (3, "p q r s p q r"),
+        (7, "Totally Unique words only right here"),
+        (8, "to"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_tokens"], r["kept_tokens"])
+        for r in scrub_duplicate_substrings(docs, k=3).collect()
+    }
+    assert len(got) == len(rows)  # one row per input doc, always
+    assert got[1] == ("e f g h", 8, 4)
+    assert got[2] == ("x y z w", 8, 4)
+    assert got[3] == ("s", 7, 1)
+    assert got[7] == ("totally unique words only right here", 6, 6)
+    assert got[8] == ("to", 1, 1)

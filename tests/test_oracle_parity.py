@@ -21,6 +21,7 @@ FAST_QUERIES = [
     "binary_codecs",
     "hex_roundtrip",  # extra-registry granular variant
     "dedup_exact_fingerprint",
+    "dup_substring_spans",
     "text_quality_langid",
     "ann_topk_bruteforce",
 ]
