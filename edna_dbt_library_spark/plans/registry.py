@@ -69,6 +69,11 @@ class Model:
     #: non-view write the Runner refreshes the sidecar incrementally —
     #: O(new files) footer reads, zero data bytes
     zone_map_columns: list[str] | None = None
+    #: columns to maintain file-level Bloom sidecars for (equality
+    #: skipping on high-cardinality columns where min/max prunes
+    #: nothing): refreshed incrementally after every successful
+    #: non-view write — one distributed scan of only the NEW files
+    bloom_columns: list[str] | None = None
 
     def build(self, spark: SparkSession) -> DataFrame:
         if self.builder is not None:
@@ -247,6 +252,11 @@ class Runner:
         if model.zone_map_columns and model.materialization != "view":
             result["zone_maps"] = self.wh.refresh_zone_maps(
                 target, model.zone_map_columns
+            )
+
+        if model.bloom_columns and model.materialization != "view":
+            result["blooms"] = self.wh.refresh_bloom_sidecar(
+                target, model.bloom_columns
             )
 
         if pre_version is not None:

@@ -6010,6 +6010,73 @@ def zonemap_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_BLOOM_ORACLE = """
+SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+FROM customer
+WHERE c_name IN (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 3)
+"""
+
+
+@_register("bloom_pruned_lookup", _BLOOM_ORACLE)
+def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping gate (Warehouse.refresh_bloom_sidecar /
+    read_bloom_pruned — per-file Bloom filters stored as sparse
+    (file, col, word, bits) rows, the equality complement of zone maps
+    for high-cardinality unsorted columns where min/max prunes
+    nothing): customers written hash-distributed into a scratch layout,
+    the phone column indexed, then each probed phone read through the
+    PRUNED file subset plus the exact predicate. The oracle reads the
+    same phones from raw parquet, so a false-negative prune (losing a
+    customer's file) hash-mismatches; in-query asserts require files to
+    be actually skipped and an absent probe to read empty. Same
+    scratch-dir + localCheckpoint discipline as zonemap_pruned_rollup."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    c = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="edna_bl_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "customer_bl")
+        wh.create_as(rel, c.repartition(8, "c_name"), TableMeta())
+        wh.refresh_bloom_sidecar(rel, ["c_name"], m_bits=1 << 14)
+        probes = [
+            r["c_name"] for r in c.orderBy("c_custkey").limit(3).collect()
+        ]
+        outs = []
+        skipped_any = False
+        for ph in probes:
+            kept, total = wh.bloom_prune_files(rel, "c_name", ph)
+            assert kept, ph  # the true file must survive
+            skipped_any = skipped_any or len(kept) < total
+            outs.append(
+                wh.read_bloom_pruned(rel, "c_name", ph).where(F.col("c_name") == ph)
+            )
+        assert skipped_any, "bloom pruning skipped nothing"
+        absent = "Customer#NOSUCH"
+        kept_abs, total = wh.bloom_prune_files(rel, "c_name", absent)
+        assert len(kept_abs) < total
+        assert (
+            wh.read_bloom_pruned(rel, "c_name", absent)
+            .where(F.col("c_name") == absent)
+            .count()
+            == 0
+        )
+        out = outs[0]
+        for o_ in outs[1:]:
+            out = out.unionByName(o_)
+        res = out.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle

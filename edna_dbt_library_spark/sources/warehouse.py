@@ -272,6 +272,12 @@ class Warehouse:
         range), so composing ``read_pruned(...).where(exact)`` is
         always correct and scans only intersecting files."""
         kept, _total = self.prune_files(rel, col, lo, hi)
+        return self._read_file_subset(rel, kept)
+
+    def _read_file_subset(self, rel: Relation, kept: list[str]) -> DataFrame:
+        """Read only ``kept`` (table-relative) data files, preserving the
+        table's merge-schema / partition-discovery read options; an empty
+        subset returns an empty frame with the table schema."""
         meta = self.read_meta(rel)
         if not kept:
             if meta.schema_json:
@@ -287,6 +293,220 @@ class Warehouse:
             reader = reader.option("basePath", self.path(rel))
         base = self.path(rel)
         return reader.parquet(*(os.path.join(base, f) for f in kept))
+
+    # --- bloom sidecars (file-level equality skipping) ------------------------
+    # Zone maps prune RANGE predicates; on a high-cardinality unsorted
+    # column (uuid, url, user id) every file spans ~the whole domain and
+    # min/max prunes nothing. The bloom sidecar is the Parquet/Iceberg
+    # answer for point lookups there: per file, per column, a Bloom
+    # filter over the column's values, stored SPARSELY as relational
+    # rows (file, col, word, bits) in a `_`-prefixed parquet dataset —
+    # built by one distributed scan (map-side-combinable bit_or, one
+    # shuffle of 16-byte keys), probed by a driver-side indexed read of
+    # <= k words per file. Nothing is ever assembled driver-side at
+    # build time, so a million-file table indexes without a driver
+    # bottleneck. Sizing: fpp ~ (1 - e^(-k*n/m))^k; the default k=7
+    # wants m_bits >= ~10x the max rows per file (1% fpp) — the honest
+    # per-file cost every engine pays for blooms (Parquet's own
+    # column-chunk blooms use the same budget), which is why columns
+    # are opt-in.
+
+    def _bloom_dir(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), "_edna_bloom")
+
+    def _bloom_meta_path(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), "_edna_bloom_meta.json")
+
+    def refresh_bloom_sidecar(
+        self,
+        rel: Relation,
+        columns: list[str],
+        m_bits: int = 1 << 20,
+        k: int = 7,
+    ) -> dict:
+        """Incrementally index ``columns`` for equality skipping: only
+        files NOT already indexed are scanned; entries for deleted files
+        are dropped (sidecar compacted); changed column set / sizing
+        rebuilds from scratch. Run after appends/merges like
+        refresh_zone_maps — cost is O(new files' rows), fully
+        distributed."""
+        base = self.path(rel)
+        live = self._live_data_files(rel)
+        try:
+            with open(self._bloom_meta_path(rel)) as f:
+                bm = json.load(f)
+            if (
+                bm.get("column_order") != list(columns)
+                or bm.get("m") != m_bits
+                or bm.get("k") != k
+            ):
+                bm = None
+        except (FileNotFoundError, json.JSONDecodeError):
+            bm = None
+        if bm is None:
+            bm = {
+                "m": m_bits,
+                "k": k,
+                "column_order": list(columns),
+                "columns": {},
+                "files": [],
+            }
+            if os.path.isdir(self._bloom_dir(rel)):
+                shutil.rmtree(self._bloom_dir(rel))
+        live_set = set(live)
+        indexed = set(bm["files"])
+        added = [f for f in live if f not in indexed]
+        dropped = sorted(indexed - live_set)
+        if added:
+            # the sidecar keys files by the relpath derived from
+            # input_file_name(); a char Hadoop URL-encodes in the URI
+            # (space, %, ...) would silently drift that key and turn
+            # fail-safe probes into false prunes — refuse upfront
+            import re as _re
+
+            odd = [f for f in added if not _re.fullmatch(r"[A-Za-z0-9._=\-/]+", f)]
+            if odd:
+                raise ValueError(
+                    f"unsupported characters in data-file paths for bloom indexing: {odd[:3]}"
+                )
+            df = self.spark.read.parquet(*(os.path.join(base, f) for f in added))
+            missing = [c for c in columns if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"bloom columns must be data columns present in the files: {missing}"
+                )
+            for c in columns:
+                dt = df.schema[c].dataType.simpleString()
+                prev = bm["columns"].setdefault(c, dt)
+                if prev != dt:
+                    raise ValueError(f"bloom column {c} changed type {prev} -> {dt}")
+            # table-relative path derived in-plan from input_file_name():
+            # basenames are NOT unique (dynamic-partition writes reuse the
+            # same part-file name across partition dirs), the full relpath is
+            base_abs = os.path.abspath(base)
+            bname = F.substring(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                len(base_abs) + 2,
+                1 << 30,
+            )
+            parts = []
+            for c in columns:
+                sel = df.where(F.col(c).isNotNull()).select(
+                    bname.alias("_b"), F.col(c).alias("_v")
+                )
+                pos = sel.select(
+                    "_b",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.xxhash64(F.col("_v"), F.lit(i)), F.lit(m_bits)
+                                )
+                                for i in range(k)
+                            ]
+                        )
+                    ).alias("_p"),
+                )
+                parts.append(
+                    pos.groupBy("_b", F.expr("_p div 64").alias("word"))
+                    .agg(
+                        F.bit_or(
+                            F.expr("shiftleft(1L, cast(pmod(_p, 64) as int))")
+                        ).alias("bits")
+                    )
+                    .select(F.lit(c).alias("col"), "_b", "word", "bits")
+                )
+            rows = parts[0]
+            for p in parts[1:]:
+                rows = rows.unionByName(p)
+            out = rows.select(F.col("_b").alias("file"), "col", "word", "bits")
+            # word-sorted row groups: a probe's `word IN (k words)` read
+            # prunes to the matching row groups via parquet stats instead
+            # of scanning the whole sidecar
+            out.sortWithinPartitions("col", "word").write.mode("append").parquet(
+                self._bloom_dir(rel)
+            )
+            bm["files"] = sorted(indexed | set(added))
+        if dropped:
+            bm["files"] = [f for f in bm["files"] if f in live_set]
+            livedf = self.spark.createDataFrame(
+                [(f,) for f in bm["files"]], "file string"
+            )
+            keep = self.spark.read.parquet(self._bloom_dir(rel)).join(
+                F.broadcast(livedf), "file", "left_semi"
+            )
+            tmp = self._bloom_dir(rel) + ".tmp"
+            keep.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self._bloom_dir(rel))
+            os.rename(tmp, self._bloom_dir(rel))
+        with open(self._bloom_meta_path(rel), "w") as f:
+            json.dump(bm, f)
+        return {"files_total": len(live), "added": len(added), "dropped": len(dropped)}
+
+    def bloom_prune_files(self, rel: Relation, col: str, value) -> tuple[list[str], int]:
+        """(kept live files, total live files) for an equality probe
+        ``col == value``. Fail-safe by construction: a file not yet
+        indexed (stale sidecar) or a column never indexed is always
+        kept; only a file whose filter PROVES absence is skipped."""
+        live = self._live_data_files(rel)
+        try:
+            with open(self._bloom_meta_path(rel)) as f:
+                bm = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return live, len(live)
+        dt = bm.get("columns", {}).get(col)
+        if dt is None or value is None:
+            return live, len(live)
+        m_bits, k = bm["m"], bm["k"]
+        probe = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(dt), F.lit(i)), F.lit(m_bits)
+                    ).alias(f"h{i}")
+                    for i in range(k)
+                ]
+            )
+            .first()
+        )
+        need: dict[int, int] = {}
+        for i in range(k):
+            p = probe[i]
+            need[p // 64] = need.get(p // 64, 0) | (1 << (p % 64))
+        indexed = set(bm["files"])
+        got: dict[str, dict[int, int]] = {}
+        glob_pat = os.path.join(self._bloom_dir(rel), "*.parquet")
+        if indexed:
+            import duckdb
+
+            words = ",".join(str(w) for w in sorted(need))
+            con = duckdb.connect()
+            try:
+                for fname, word, bits in con.execute(
+                    f"SELECT file, word, bit_or(bits) FROM read_parquet('{glob_pat}') "
+                    f"WHERE col = ? AND word IN ({words}) GROUP BY file, word",
+                    [col],
+                ).fetchall():
+                    got.setdefault(fname, {})[word] = bits
+            finally:
+                con.close()
+        kept = []
+        for f in live:
+            if f not in indexed:
+                kept.append(f)  # stale stats fail safe
+                continue
+            have = got.get(f, {})
+            if all((have.get(w, 0) & mask) == mask for w, mask in need.items()):
+                kept.append(f)
+        return kept, len(live)
+
+    def read_bloom_pruned(self, rel: Relation, col: str, value) -> DataFrame:
+        """Bloom file-skipping read for ``col == value``: only files whose
+        filter admits the value are opened. Superset contract as
+        read_pruned — compose with the exact ``.where(col == value)``."""
+        kept, _total = self.bloom_prune_files(rel, col, value)
+        return self._read_file_subset(rel, kept)
 
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:

@@ -141,3 +141,85 @@ def test_zone_maps_prune_files_and_stay_fail_safe(spark, tmp_path):
     wh.refresh_zone_maps(rel, ["k"])
     none = wh.read_pruned(rel, "k", 10_000_000, 20_000_000)
     assert none.count() == 0 and set(none.columns) == {"k", "v"}
+
+
+def test_bloom_sidecar_prunes_equality_and_stays_fail_safe(spark, tmp_path):
+    """File-level bloom skipping (the point-lookup complement of zone
+    maps): equality probes open only files whose filter admits the
+    value, pruned reads lose no rows vs the exact predicate, refresh is
+    incremental (only new files scanned), deleted files compact out of
+    the sidecar, and stale/unindexed state always fails SAFE (kept)."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+    # 8 hash-partitioned files over a high-cardinality key: zone maps
+    # would prune NOTHING here (every file spans ~the full id range)
+    df = (
+        spark.range(4000)
+        .select(
+            F.concat(F.lit("user-"), F.col("id")).alias("uid"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .repartition(8, "uid")
+    )
+    wh.create_as(rel, df, TableMeta())
+    r1 = wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 16)
+    assert r1["added"] == r1["files_total"] >= 8 and r1["dropped"] == 0
+
+    # a present value: its file is kept and the pruned read finds it
+    kept, total = wh.bloom_prune_files(rel, "uid", "user-1234")
+    assert 1 <= len(kept) < total
+    got = wh.read_bloom_pruned(rel, "uid", "user-1234").where(F.col("uid") == "user-1234")
+    assert got.count() == 1 and got.first()["v"] == 1234 % 97
+
+    # an absent value prunes (almost) everything; exact read stays empty
+    kept_abs, _ = wh.bloom_prune_files(rel, "uid", "user-999999")
+    assert len(kept_abs) < total
+    assert (
+        wh.read_bloom_pruned(rel, "uid", "user-999999")
+        .where(F.col("uid") == "user-999999")
+        .count()
+        == 0
+    )
+
+    # unindexed column / NULL probe -> no pruning at all
+    assert wh.bloom_prune_files(rel, "v", 3) == (wh._live_data_files(rel), total)
+    assert len(wh.bloom_prune_files(rel, "uid", None)[0]) == total
+
+    # incremental refresh: append -> only the new file is scanned
+    wh.append(
+        rel,
+        spark.createDataFrame([("user-fresh", 7)], "uid string, v long").coalesce(1),
+    )
+    # stale stats fail safe BEFORE refresh: the new file is always kept
+    kept_stale, total_stale = wh.bloom_prune_files(rel, "uid", "user-fresh")
+    assert total_stale == total + 1 and any(f not in kept for f in kept_stale)
+    r2 = wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 16)
+    assert r2["added"] == 1 and r2["dropped"] == 0
+    kept_new, _ = wh.bloom_prune_files(rel, "uid", "user-fresh")
+    assert 1 <= len(kept_new) <= 2  # its file (+ rare fp)
+    assert (
+        wh.read_bloom_pruned(rel, "uid", "user-fresh").where(F.col("uid") == "user-fresh").count()
+        == 1
+    )
+
+    # superset contract across every live uid at small m (fp allowed,
+    # false NEGATIVES never): each uid's true file is always kept
+    sample = [r["uid"] for r in wh.read(rel).limit(50).collect()]
+    for uid in sample[:5]:
+        assert (
+            wh.read_bloom_pruned(rel, "uid", uid).where(F.col("uid") == uid).count() >= 1
+        )
+
+    # compaction after deletes: dropped files leave the sidecar
+    import os
+
+    victim = wh._live_data_files(rel)[0]
+    os.remove(os.path.join(wh.path(rel), victim))
+    r3 = wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 16)
+    assert r3["dropped"] == 1
+    sidecar = spark.read.parquet(wh._bloom_dir(rel))
+    assert sidecar.where(F.col("file") == victim).count() == 0

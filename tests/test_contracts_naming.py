@@ -547,3 +547,44 @@ def test_runner_maintains_zone_maps_after_writes(spark, wh):
     assert 0 < len(kept2) < total2
     got = wh.read_pruned(target, "k", 100_000, None).where(F.col("k") >= 100_000)
     assert got.count() == 4000
+
+
+def test_runner_maintains_bloom_sidecars_after_writes(spark, wh):
+    """bloom_columns: every successful non-view write refreshes the
+    file-level Bloom sidecar incrementally, so equality probes on a
+    high-cardinality column skip files with no maintenance step."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+    )
+
+    runner = Runner(wh=wh, project_name="analytics", context="")
+    node = ModelNode(name="bloomed", fqn=["analytics", "s", "bloomed"], path="s/b.sql")
+    state = {"lo": 0, "hi": 4000}
+
+    def builder(s):
+        return s.range(state["lo"], state["hi"]).select(
+            F.concat(F.lit("u-"), F.col("id")).alias("uid"),
+            F.to_timestamp(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           F.expr("int(id div 1000) % 365"))
+            ).alias("ts"),
+        )
+
+    cfg = PartitionMergeConfig(partition_by=PartitionSpec("ts"), unique_key="uid")
+    runner.register(Model(node=node, builder=builder,
+                          materialization="incremental_partition_merge",
+                          mat_config=cfg, bloom_columns=["uid"]))
+    r1 = runner.run("bloomed", validate=False, register_metadata=False)
+    target = r1["relation"]
+    assert r1["blooms"]["added"] == r1["blooms"]["files_total"] > 0
+
+    kept, total = wh.bloom_prune_files(target, "uid", "u-1234")
+    assert 0 < len(kept) < total
+
+    # incremental append only indexes the new files
+    state["lo"], state["hi"] = 100_000, 104_000
+    r2 = runner.run("bloomed", validate=False, register_metadata=False)
+    assert 0 < r2["blooms"]["added"] <= r2["blooms"]["files_total"]
+    got = wh.read_bloom_pruned(target, "uid", "u-100001").where(F.col("uid") == "u-100001")
+    assert got.count() == 1

@@ -403,6 +403,37 @@ BEFORE any footer is opened. Stale/missing stats always fail safe
 (file kept), so the refresh can lag writes without correctness risk —
 the Runner's zone_map_columns keeps it current per write anyway.
 
+## Bloom-sidecar scale measurement — equality skipping where min/max can't
+
+Measured 2026-08-14 (round 7) on local[32]: 40.96M rows, 512
+hash-distributed files (1.5 GiB), uid a unique string key — the shape
+where zone maps prune NOTHING (every file spans the full domain).
+`refresh_bloom_sidecar(m_bits=2^20, k=7)`, the 10-bits/value sizing
+for ~80k rows/file:
+
+| metric | value |
+|---|---|
+| initial build (one distributed scan + bit_or shuffle) | 36.7 s (1.1M rows/s) |
+| sidecar size | 81 MiB (5.3% of table — the honest 10-bit/value bloom budget) |
+| incremental refresh after a 1-file append | 0.52 s |
+| probe latency (hash job + word-indexed duckdb read) | ~0.3 s flat |
+| files kept, present value (avg of 20) | 2.05 / 512 (250x) |
+| files kept, absent value (avg of 20) | 1.15 / 512 (~0.2% fpp, matching (1-e^(-kn/m))^k) |
+
+The build never assembles a bitset driver-side — filters live as
+sparse (file, col, word, bits) rows written word-sorted, so a probe's
+`word IN (<=7)` read touches only matching row groups; undersizing to
+m=2^19 was measured to degrade exactly as theory predicts (5.2% fpp,
+27/512 kept), so the sizing rule is load-bearing and documented. On a
+page-cached 1.5 GiB local table the pruned read's wall-clock ties the
+full scan (0.54 s vs 0.49 s — 32 threads hide the scan, and the probe
+costs a flat 0.3 s); the production win is files OPENED (512 -> ~2),
+which on an object store at 100 TB is the dominant cost. False
+negatives are structurally impossible: unindexed files and unindexed
+columns are always kept, and paths that would URL-encode in
+input_file_name() are refused at build time rather than silently
+drifting the sidecar keys.
+
 ## CDC scale stress — read_changes costs O(delta), not O(table)
 
 `tools/cdc_scale_stress.py`, measured 2026-08-14 (round 7) on
