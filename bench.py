@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "name_linkage_collapsed",
     "unigram_token_counts",
     "temperature_mix_sample",
+    "dup_substring_spans",
 ]
 
 

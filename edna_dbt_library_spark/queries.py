@@ -6195,6 +6195,131 @@ def graph_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _data_layout_oracle() -> str:
+    m = REGISTRY["morton_zorder_key"].oracle
+    z = REGISTRY["zonemap_pruned_rollup"].oracle
+    b = REGISTRY["bloom_pruned_lookup"].oracle
+    return f"""
+SELECT 'morton' AS src, o_orderkey AS id, '' AS key,
+       qx AS a, qy AS b, zkey AS c, 0.0::DOUBLE AS value
+FROM ({m})
+UNION ALL
+SELECT 'zonemap' AS src, 0::BIGINT AS id, priority AS key,
+       n AS a, 0::BIGINT AS b, 0::BIGINT AS c, rev AS value
+FROM ({z})
+UNION ALL
+SELECT 'bloom' AS src, custkey AS id, name AS key,
+       0::BIGINT AS a, 0::BIGINT AS b, 0::BIGINT AS c, acctbal AS value
+FROM ({b})"""
+
+
+@_register("data_layout_state", _data_layout_oracle())
+def data_layout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-layout / file-skipping family in one src-tagged scored
+    row (r7): multi-column Morton/Z-order clustering keys
+    (functions/binary.morton_zorder), zone-map range skipping
+    (Warehouse.refresh_zone_maps/read_pruned — pruned read + exact
+    predicate must equal the raw-table rollup, with files actually
+    skipped), and bloom-sidecar equality skipping
+    (Warehouse.refresh_bloom_sidecar/read_bloom_pruned — pruned key
+    lookups must equal raw-table lookups, absent probes read empty).
+    Together they gate the three layout services a 100 TB table leans
+    on: cluster, range-prune, point-prune. Granulars morton_zorder_key
+    / zonemap_pruned_rollup / bloom_pruned_lookup stay registered."""
+    m = REGISTRY["morton_zorder_key"].spark(spark, sf_dir)
+    z = REGISTRY["zonemap_pruned_rollup"].spark(spark, sf_dir)
+    b = REGISTRY["bloom_pruned_lookup"].spark(spark, sf_dir)
+    return (
+        m.select(
+            F.lit("morton").alias("src"),
+            F.col("o_orderkey").cast("long").alias("id"),
+            F.lit("").alias("key"),
+            F.col("qx").cast("long").alias("a"),
+            F.col("qy").cast("long").alias("b"),
+            F.col("zkey").cast("long").alias("c"),
+            F.lit(0.0).cast("double").alias("value"),
+        )
+        .unionAll(
+            z.select(
+                F.lit("zonemap").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("priority").alias("key"),
+                F.col("n").cast("long").alias("a"),
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0).cast("long").alias("c"),
+                F.col("rev").cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            b.select(
+                F.lit("bloom").alias("src"),
+                F.col("custkey").cast("long").alias("id"),
+                F.col("name").alias("key"),
+                F.lit(0).cast("long").alias("a"),
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0).cast("long").alias("c"),
+                F.col("acctbal").cast("double").alias("value"),
+            )
+        )
+    )
+
+
+def _cross_doc_ngrams_oracle() -> str:
+    c = REGISTRY["contamination_3gram"].oracle
+    g = REGISTRY["corpus_dup_ngrams"].oracle
+    d = REGISTRY["dup_substring_spans"].oracle
+    return f"""
+SELECT 'contam' AS src, doc_id, n_hits AS a, 0::BIGINT AS b, 0::BIGINT AS c
+FROM ({c})
+UNION ALL
+SELECT 'corpus' AS src, doc_id, n_grams AS a, n_dup_grams AS b, dup_permille AS c
+FROM ({g})
+UNION ALL
+SELECT 'dupspan' AS src, doc_id, span_start AS a, span_end AS b, span_tokens AS c
+FROM ({d})"""
+
+
+@_register("cross_doc_ngrams", _cross_doc_ngrams_oracle())
+def cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-document n-gram family in one src-tagged scored row
+    (r7): benchmark decontamination (shared 3-grams vs the heldout
+    slice, operators/curation.contamination_flags), corpus-level
+    duplicated-n-gram fractions (corpus_dup_ngram_stats), and
+    ExactSubstr duplicate spans (duplicate_substring_spans — Lee et
+    al. 2021 re-expressed as corpus-counted k-gram islands). Granulars
+    contamination_3gram / corpus_dup_ngrams / dup_substring_spans stay
+    registered."""
+    c = REGISTRY["contamination_3gram"].spark(spark, sf_dir)
+    g = REGISTRY["corpus_dup_ngrams"].spark(spark, sf_dir)
+    d = REGISTRY["dup_substring_spans"].spark(spark, sf_dir)
+    return (
+        c.select(
+            F.lit("contam").alias("src"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_hits").cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            F.lit(0).cast("long").alias("c"),
+        )
+        .unionAll(
+            g.select(
+                F.lit("corpus").alias("src"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_grams").cast("long").alias("a"),
+                F.col("n_dup_grams").cast("long").alias("b"),
+                F.col("dup_permille").cast("long").alias("c"),
+            )
+        )
+        .unionAll(
+            d.select(
+                F.lit("dupspan").alias("src"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("span_start").cast("long").alias("a"),
+                F.col("span_end").cast("long").alias("b"),
+                F.col("span_tokens").cast("long").alias("c"),
+            )
+        )
+    )
+
 
 # ---------------------------------------------------------------------------
 # Driver-facing registry selection.
@@ -6267,7 +6392,7 @@ CORE_ORDER = [
     # sampling_methods consolidates sample_stratified +
     # weighted_sample_quality; url_bpe_tokens consolidates
     # url_canonical_docs + bpe_token_counts — all granulars registered)
-    "contamination_3gram",
+    "cross_doc_ngrams",
     "sampling_methods",
     "chunk_documents",
     "curation_quality",
@@ -6293,7 +6418,7 @@ CORE_ORDER = [
     "media_near_dup_pairs",
     # scale/layout tools + streaming + multimodal
     "salted_join_priority",
-    "morton_zorder_key",
+    "data_layout_state",
     "stream_window_counts",
     "multimodal_decode",
 ]

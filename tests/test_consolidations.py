@@ -521,3 +521,67 @@ def test_coverage_doc_counts_match_registry():
     assert scored == len(qmod.CORE_ORDER)
     assert total == len(qmod.REGISTRY)
     assert extras == total - scored
+
+
+def test_data_layout_state_equals_granular_composition(spark):
+    """r7 scored row == morton_zorder_key ∪ zonemap_pruned_rollup ∪
+    bloom_pruned_lookup."""
+    reg = qmod.all_queries()
+    scored = reg["data_layout_state"](spark, SF)
+    m = reg["morton_zorder_key"](spark, SF).select(
+        F.lit("morton").alias("src"),
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.lit("").alias("key"),
+        F.col("qx").cast("long").alias("a"),
+        F.col("qy").cast("long").alias("b"),
+        F.col("zkey").cast("long").alias("c"),
+        F.lit(0.0).cast("double").alias("value"),
+    )
+    z = reg["zonemap_pruned_rollup"](spark, SF).select(
+        F.lit("zonemap").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("priority").alias("key"),
+        F.col("n").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+        F.col("rev").cast("double").alias("value"),
+    )
+    b = reg["bloom_pruned_lookup"](spark, SF).select(
+        F.lit("bloom").alias("src"),
+        F.col("custkey").cast("long").alias("id"),
+        F.col("name").alias("key"),
+        F.lit(0).cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+        F.col("acctbal").cast("double").alias("value"),
+    )
+    assert _rows(scored) == _rows(m.unionAll(z).unionAll(b).select(*scored.columns))
+
+
+def test_cross_doc_ngrams_equals_granular_composition(spark):
+    """r7 scored row == contamination_3gram ∪ corpus_dup_ngrams ∪
+    dup_substring_spans."""
+    reg = qmod.all_queries()
+    scored = reg["cross_doc_ngrams"](spark, SF)
+    c = reg["contamination_3gram"](spark, SF).select(
+        F.lit("contam").alias("src"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+    )
+    g = reg["corpus_dup_ngrams"](spark, SF).select(
+        F.lit("corpus").alias("src"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("a"),
+        F.col("n_dup_grams").cast("long").alias("b"),
+        F.col("dup_permille").cast("long").alias("c"),
+    )
+    d = reg["dup_substring_spans"](spark, SF).select(
+        F.lit("dupspan").alias("src"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.col("span_tokens").cast("long").alias("c"),
+    )
+    assert _rows(scored) == _rows(c.unionAll(g).unionAll(d).select(*scored.columns))
