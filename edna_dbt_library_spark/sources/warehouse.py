@@ -653,40 +653,7 @@ class Warehouse:
                 # unpartitioned: whole-table rewrite; materialize first —
                 # the source files are the overwrite target
                 df = self.read(rel).repartition(want).localCheckpoint(eager=True)
-                # the whole-directory overwrite deletes every sidecar in
-                # the table dir: stash the profile baseline, then rewrite
-                # the meta sidecar (mirrors create_as) so clustering
-                # order / schema / grants / drift baseline all survive
-                prof_src = self._profile_path(rel)
-                stash = None
-                if os.path.isdir(prof_src):
-                    # stash OUTSIDE the table dir — the overwrite wipes it
-                    stash = os.path.join(
-                        self.root, f"._profile_stash__{rel.schema}__{rel.identifier}"
-                    )
-                    shutil.rmtree(stash, ignore_errors=True)
-                    shutil.move(prof_src, stash)
-                try:
-                    self._writer(df, meta).mode("overwrite").save(self.path(rel))
-                finally:
-                    if stash is not None:
-                        # a failed overwrite can remove the table dir
-                        # entirely; recreate it so the restore itself
-                        # can't raise and mask the original write error
-                        # (the baseline would be stranded in the stash)
-                        try:
-                            os.makedirs(self.path(rel), exist_ok=True)
-                            shutil.move(stash, prof_src)
-                        except OSError as restore_err:
-                            if sys.exc_info()[0] is None:
-                                raise  # no write error in flight: surface it
-                            warnings.warn(
-                                "profile-baseline restore failed after a "
-                                f"compact write error; baseline kept at {stash}: "
-                                f"{restore_err}",
-                                stacklevel=2,
-                            )
-                self.write_meta(rel, meta)
+                self._overwrite_preserving_sidecars(rel, meta, df)
             else:
                 df = (
                     self.read(rel)
@@ -697,6 +664,222 @@ class Warehouse:
                 self.overwrite_partitions(rel, df)
             report[part] = (nfiles, self.partition_file_stats(rel).get(part, (0, 0))[0])
         return report
+
+    def _overwrite_preserving_sidecars(
+        self, rel: Relation, meta: TableMeta, df: DataFrame
+    ) -> None:
+        """Whole-table overwrite that survives the sidecar wipe: the
+        directory-level overwrite deletes everything inside the table
+        dir, so the profile baseline, zone-map sidecar, and bloom meta
+        are stashed OUTSIDE it and restored, and the meta sidecar is
+        rewritten (mirrors create_as) — clustering order / schema /
+        grants / drift baseline / skipping configs all survive. Bloom
+        DATA is deliberately dropped: every file changes, so the next
+        refresh_bloom_sidecar re-indexes from the preserved config.
+        The caller must pass an already-materialized ``df`` (the source
+        files are the overwrite target)."""
+        keep = [
+            p
+            for p in (
+                self._profile_path(rel),
+                self._zonemap_path(rel),
+                self._bloom_meta_path(rel),
+            )
+            if os.path.exists(p)
+        ]
+        stash = os.path.join(
+            self.root, f"._sidecar_stash__{rel.schema}__{rel.identifier}"
+        )
+        shutil.rmtree(stash, ignore_errors=True)
+        if keep:
+            os.makedirs(stash)
+            for src in keep:
+                shutil.move(src, os.path.join(stash, os.path.basename(src)))
+        try:
+            self._writer(df, meta).mode("overwrite").save(self.path(rel))
+        finally:
+            if keep:
+                # a failed overwrite can remove the table dir entirely;
+                # recreate it so the restore itself can't raise and mask
+                # the original write error (sidecars stranded in the stash)
+                try:
+                    os.makedirs(self.path(rel), exist_ok=True)
+                    for src in keep:
+                        shutil.move(os.path.join(stash, os.path.basename(src)), src)
+                    shutil.rmtree(stash, ignore_errors=True)
+                except OSError as restore_err:
+                    if sys.exc_info()[0] is None:
+                        raise  # no write error in flight: surface it
+                    warnings.warn(
+                        "sidecar restore failed after an overwrite write "
+                        f"error; sidecars kept at {stash}: {restore_err}",
+                        stacklevel=2,
+                    )
+        self.write_meta(rel, meta)
+
+    # --- layout optimization (OPTIMIZE ... ZORDER BY analogue) ---------------
+
+    def _zorder_bucket_expr(
+        self, df: DataFrame, columns: list[str], buckets: int, sample_rows: int
+    ) -> Column:
+        """The multi-dimensional clustering key for optimize_layout:
+        per column, map values to their approx-quantile bucket (one
+        sample-based pass per numeric column via approxQuantile; a
+        bounded seeded sample for strings), then Morton-interleave the
+        bucket ids (functions/binary.morton_key) so file ranges are
+        tight on EVERY clustered dimension — Delta's OPTIMIZE ZORDER
+        uses the same range-bucket interleave. Boundaries are computed
+        ONCE over the whole table so every partition shares the same
+        bucketing. Bucket lookup is an O(buckets) whole-stage-codegen'd
+        HOF per row — no UDF, no global sort."""
+        from edna_dbt_library_spark.functions.binary import morton_key
+
+        if not (1 <= len(columns) <= 3):
+            raise ValueError("optimize_layout clusters 1-3 columns")
+        bits = max(1, (buckets - 1).bit_length())
+        if bits * len(columns) > 63:
+            raise ValueError("buckets * columns exceed the 63-bit morton key")
+        bucket_cols: list[Column] = []
+        for c in columns:
+            dt = df.schema[c].dataType.simpleString()
+            if dt == "string":
+                n = df.select(c).where(F.col(c).isNotNull())
+                # top-k by hash == deterministic uniform sample (no full
+                # sort materializes; takeOrdered is a distributed heap)
+                sample = [
+                    r[0]
+                    for r in n.orderBy(F.xxhash64(F.col(c)))
+                    .limit(sample_rows)
+                    .collect()
+                ]
+                sample.sort()
+                step = max(1, len(sample) // buckets)
+                bnds = sorted(set(sample[step::step]))[: buckets - 1]
+                arr = F.array(*[F.lit(b) for b in bnds])
+                bucket_cols.append(
+                    F.size(F.filter(arr, lambda b: b <= F.col(c))).cast("long")
+                )
+            else:
+                if dt == "date":
+                    num = F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+                    numdf = df.select(num.cast("double").alias("_n"))
+                elif dt.startswith("timestamp"):
+                    num = F.unix_micros(F.col(c))
+                    numdf = df.select(num.cast("double").alias("_n"))
+                else:
+                    num = F.col(c).cast("double")
+                    numdf = df.select(num.alias("_n"))
+                qs = [i / buckets for i in range(1, buckets)]
+                bnds = sorted(set(numdf.stat.approxQuantile("_n", qs, 1.0 / (4 * buckets))))
+                arr = F.array(*[F.lit(float(b)) for b in bnds])
+                bucket_cols.append(
+                    F.size(F.filter(arr, lambda b: b <= num.cast("double"))).cast(
+                        "long"
+                    )
+                )
+        if len(bucket_cols) == 1:
+            return bucket_cols[0]
+        return morton_key(bucket_cols, bits_per_dim=bits)
+
+    def optimize_layout(
+        self,
+        rel: Relation,
+        cluster_by: list[str] | None = None,
+        target_file_bytes: int = 128 << 20,
+        buckets: int = 64,
+        sample_rows: int = 100_000,
+    ) -> dict:
+        """Rewrite the table Z-ORDERED on ``cluster_by`` (default: the
+        meta's cluster columns) — Delta's OPTIMIZE ZORDER BY for this
+        warehouse: each partition's rows are range-repartitioned on the
+        quantile-bucketed Morton key into ~``target_file_bytes`` files
+        and sorted within files, so AFTER a refresh_zone_maps every
+        clustered dimension prunes at FILE level (a hash-compacted
+        table prunes nothing: every file spans the full domain).
+        Partitioned tables rewrite per partition via dynamic partition
+        overwrite (root sidecars untouched); unpartitioned tables go
+        through the stash-protected whole-dir overwrite. Zone-map and
+        bloom sidecars that exist are refreshed afterwards from their
+        preserved configs, so skipping works immediately. Returns
+        {partition: (files_before, files_after)}."""
+        meta = self.read_meta(rel)
+        cols = list(cluster_by) if cluster_by else list(meta.cluster_by or [])
+        if not cols:
+            raise ValueError(
+                f"{rel.table_id}: optimize_layout needs cluster_by (arg or meta)"
+            )
+        zexpr = self._zorder_bucket_expr(self.read(rel), cols, buckets, sample_rows)
+        report: dict[str | None, tuple[int, int]] = {}
+        for part, (nfiles, nbytes) in sorted(
+            self.partition_file_stats(rel).items(), key=lambda kv: str(kv[0])
+        ):
+            want = max(1, -(-nbytes // target_file_bytes))  # ceil
+            src = self.read(rel)
+            if part is not None:
+                src = src.where(F.col(meta.partition_by).cast("string") == part)
+            df = (
+                src.withColumn("_zk", zexpr)
+                .repartitionByRange(want, "_zk")
+                .sortWithinPartitions("_zk")
+                .drop("_zk")
+                .localCheckpoint(eager=True)
+            )
+            if part is None:
+                self._overwrite_preserving_sidecars(rel, meta, df)
+            else:
+                self.overwrite_partitions(rel, df)
+            report[part] = (
+                nfiles,
+                self.partition_file_stats(rel).get(part, (0, 0))[0],
+            )
+        # bring skipping back online from the preserved configs
+        try:
+            with open(self._zonemap_path(rel)) as f:
+                zm_cols = json.load(f).get("columns")
+            if zm_cols:
+                self.refresh_zone_maps(rel, zm_cols)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        try:
+            with open(self._bloom_meta_path(rel)) as f:
+                bmj = json.load(f)
+            if bmj.get("column_order"):
+                self.refresh_bloom_sidecar(
+                    rel, bmj["column_order"], m_bits=bmj["m"], k=bmj["k"]
+                )
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        return report
+
+    def read_where(
+        self,
+        rel: Relation,
+        eq: dict[str, object] | None = None,
+        between: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """The composed pruned read: bloom-prune every ``eq`` column,
+        zone-map-prune every ``eq`` (degenerate [v, v] range) and
+        ``between`` column, intersect the kept file lists, read only
+        that subset, and apply the EXACT predicates on top — so the
+        result equals the full-scan filter by construction (every
+        pruner is fail-safe / superset), while the files opened are the
+        intersection of every skipping structure the table maintains."""
+        live = self._live_data_files(rel)
+        kept = set(live)
+        for c, v in (eq or {}).items():
+            kept &= set(self.bloom_prune_files(rel, c, v)[0])
+            kept &= set(self.prune_files(rel, c, v, v)[0])
+        for c, (lo, hi) in (between or {}).items():
+            kept &= set(self.prune_files(rel, c, lo, hi)[0])
+        df = self._read_file_subset(rel, [f for f in live if f in kept])
+        for c, v in (eq or {}).items():
+            df = df.where(F.col(c).eqNullSafe(F.lit(v)))
+        for c, (lo, hi) in (between or {}).items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+        return df
 
     def expire_partitions(self, rel: Relation, keep_from: str) -> list[str]:
         """Retention maintenance: drop every DAY partition strictly older

@@ -223,3 +223,115 @@ def test_bloom_sidecar_prunes_equality_and_stays_fail_safe(spark, tmp_path):
     assert r3["dropped"] == 1
     sidecar = spark.read.parquet(wh._bloom_dir(rel))
     assert sidecar.where(F.col("file") == victim).count() == 0
+
+
+def test_optimize_layout_zorders_files_for_multi_dim_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER analogue: a hash-scattered two-column table
+    prunes nothing before optimize_layout and prunes on BOTH dimensions
+    after; rows survive bit-identically; preserved sidecar configs are
+    refreshed so skipping works immediately."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "t")
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.col("id") % 200).alias("x"),
+            (F.pmod(F.xxhash64("id"), F.lit(200))).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(16)  # hash scatter: every file spans both domains
+    )
+    wh.create_as(rel, df, TableMeta())
+    wh.refresh_zone_maps(rel, ["x", "y"])
+    kx0, total0 = wh.prune_files(rel, "x", 0, 9)
+    ky0, _ = wh.prune_files(rel, "y", 0, 9)
+    assert len(kx0) == total0 and len(ky0) == total0  # nothing prunable
+
+    before = sorted(tuple(r) for r in wh.read(rel).collect())
+    report = wh.optimize_layout(
+        rel, cluster_by=["x", "y"], target_file_bytes=16 << 10, buckets=16
+    )
+    assert report  # something rewritten
+    after = sorted(tuple(r) for r in wh.read(rel).collect())
+    assert before == after  # content untouched
+
+    kx1, total1 = wh.prune_files(rel, "x", 0, 9)
+    ky1, _ = wh.prune_files(rel, "y", 0, 9)
+    assert total1 >= 4  # enough files for pruning to be meaningful
+    assert len(kx1) < total1 and len(ky1) < total1  # BOTH dims prune now
+    got = wh.read_pruned(rel, "x", 0, 9).where(F.col("x").between(0, 9))
+    assert got.count() == sum(1 for r in before if 0 <= r[0] <= 9)
+
+
+def test_optimize_layout_partitioned_and_read_where_composition(spark, tmp_path):
+    """Partitioned optimize: per-partition dynamic overwrite (root
+    sidecars survive); read_where intersects bloom + zone-map pruning
+    and equals the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "p")
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("day"),
+        (F.col("id") % 500).alias("k"),
+        F.concat(F.lit("u-"), F.col("id")).alias("uid"),
+    )
+    wh.create_as(
+        rel, df.repartition(8), TableMeta(partition_by="day", cluster_by=["k"])
+    )
+    wh.refresh_zone_maps(rel, ["k"])
+    wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 16)
+
+    report = wh.optimize_layout(rel, target_file_bytes=16 << 10, buckets=16)
+    assert set(report) == {"2024-01-01", "2024-01-02"}
+
+    # zone maps refreshed by optimize: range prune works per partition
+    kept, total = wh.prune_files(rel, "k", 0, 30)
+    assert 0 < len(kept) < total
+
+    # read_where == full-scan filter, on both pruners at once
+    got = wh.read_where(rel, eq={"uid": "u-777"}, between={"k": (0, 499)})
+    exact = wh.read(rel).where((F.col("uid") == "u-777") & F.col("k").between(0, 499))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+    assert got.count() == 1
+
+    # absent key: pruned to (almost) nothing, still exact-empty
+    assert wh.read_where(rel, eq={"uid": "nope"}).count() == 0
+
+
+def test_whole_table_compact_preserves_skipping_configs(spark, tmp_path):
+    """The unpartitioned compact now goes through the sidecar-preserving
+    overwrite: zone-map and bloom CONFIGS survive the whole-dir rewrite
+    and a refresh re-indexes the new files."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "c")
+    df = spark.range(8_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("u-"), F.col("id")).alias("uid")
+    )
+    wh.create_as(rel, df.repartitionByRange(8, "k"), TableMeta())
+    wh.refresh_zone_maps(rel, ["k"])
+    wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 16)
+
+    rep = wh.compact(rel, target_file_bytes=1 << 30, min_files=1)
+    assert rep  # rewrote to fewer files
+    import json as _json
+
+    zm = _json.load(open(wh._zonemap_path(rel)))
+    bm = _json.load(open(wh._bloom_meta_path(rel)))
+    assert zm["columns"] == ["k"] and bm["column_order"] == ["uid"]
+    # stale after rewrite -> fail safe (all kept), refresh re-indexes
+    wh.refresh_zone_maps(rel, zm["columns"])
+    wh.refresh_bloom_sidecar(rel, bm["column_order"], m_bits=bm["m"], k=bm["k"])
+    kept, total = wh.bloom_prune_files(rel, "uid", "u-1")
+    assert len(kept) >= 1
+    assert wh.read_bloom_pruned(rel, "uid", "u-1").where(F.col("uid") == "u-1").count() == 1

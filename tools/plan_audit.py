@@ -434,6 +434,33 @@ columns are always kept, and paths that would URL-encode in
 input_file_name() are refused at build time rather than silently
 drifting the sidecar keys.
 
+## Z-order optimize scale measurement — multi-dim skipping from a one-time rewrite
+
+Measured 2026-08-14 (round 7) on local[32]: 40.96M rows / 256
+hash-scattered files (both dimensions uniform over 0..100k — the
+worst case: every file spans the full domain on every column), then
+`optimize_layout(cluster_by=["x","y"], buckets=64)` (quantile-bucketed
+Morton interleave, range-repartitioned rewrite), zone maps refreshed
+by the call itself:
+
+| metric | before | after |
+|---|---|---|
+| files kept for x IN [0, 6250] (1/16 range) | 256 / 256 | 37 / 271 |
+| files kept for y IN [0, 6250] | 256 / 256 | 34 / 271 |
+| files kept for the 2-dim box (intersection, read_where) | 256 | **4 (64x)** |
+| box-query wall (count, exact predicate) | 2.55 s | **0.33 s (7.7x)** |
+
+optimize_layout cost 64.3 s once (scan + range shuffle + rewrite +
+zone-map re-harvest), i.e. ~25x the full box query — it pays for
+itself after a few dozen reads, the standard OPTIMIZE ZORDER
+trade. Both dimensions prune simultaneously because file ranges are
+Morton-bucket ranges, not lexicographic (a plain sort would prune x
+only); row counts match the full scan exactly (superset contract, the
+exact predicate is always re-applied). At 100 TB the same rewrite is
+per-partition (dynamic partition overwrite, root sidecars untouched)
+and the bucket boundaries come from one approxQuantile pass shared
+across partitions.
+
 ## CDC scale stress — read_changes costs O(delta), not O(table)
 
 `tools/cdc_scale_stress.py`, measured 2026-08-14 (round 7) on
