@@ -760,3 +760,153 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "label", "cosine_sim")
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_cells: int = 16,
+    iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector space split into ``m``
+    equal subspaces, each trained by the SAME exact-integer Lloyd
+    k-means as the IVF coarse quantizer (kmeans_cells — deterministic
+    and engine-exact, so the whole PQ index replays in the DuckDB
+    oracle). Returns (sub, cid, cv array<long>), m * n_cells rows,
+    localCheckpoint'd — train once, encode/search many times.
+
+    Scale shape: m independent kmeans_cells runs over sliced vectors;
+    each is train_iters+1 broadcast passes with an n_cells x d/m
+    shuffle key space (map-side combined), so training cost equals ONE
+    full-dim k-means — slicing shrinks each pass proportionally."""
+    dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    d0 = dims // m
+    out = None
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * d0 + 1, d0).alias(vec_col)
+        )
+        cb = kmeans_cells(sub, n_cells, iters, scale, id_col, vec_col).select(
+            F.lit(s).cast("long").alias("sub"), "cid", "cv"
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out.localCheckpoint(eager=True)
+
+
+def _pq_sub_dists(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    d0: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, sub, cid, dist): exact integer squared-L2 of every vector's
+    every subvector to every codebook centroid — ONE corpus pass
+    (subspaces posexploded in-row, codebooks broadcast). Both the codes
+    (argmin per (vid, sub)) and the query LUTs (filter to the query
+    ids) project from this frame, mirroring the oracle's per-subspace
+    ``af`` CTE."""
+    qv = quantize_vec(vec_col, scale)
+    subs = F.posexplode(
+        F.array(*[F.slice(qv, s * d0 + 1, d0) for s in range(m)])
+    )
+    q = embeddings.select(F.col(id_col).alias("vid"), subs.alias("sub", "qsub"))
+    return q.join(F.broadcast(codebooks), "sub").select(
+        "vid", "sub", "cid", _int_sqdist(F.col("qsub"), F.col("cv")).alias("dist")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: (vec_id, sub, code) — each subvector's nearest codebook
+    centroid (exact integer distance, ties to smallest cid). A 64-dim
+    float vector compresses to m codes (m bytes at n_cells <= 256):
+    the memory form that lets a 100 TB corpus' index live in RAM."""
+    mrow = codebooks.groupBy().agg(
+        (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
+    ).first()
+    m, d0 = int(mrow["m"]), int(mrow["d0"])
+    dists = _pq_sub_dists(embeddings, codebooks, m, d0, scale, id_col, vec_col)
+    return (
+        dists.groupBy("vid", "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select(
+            F.col("vid").alias(id_col), "sub", F.col("_m.cid").alias("code")
+        )
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_cells: int = 16,
+    train_iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by Asymmetric Distance Computation: rank
+    documents by the sum over subspaces of the exact integer distance
+    from the QUERY's subvector to the centroid of the document's code
+    — the classic ADC scan (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"), here in pure Column algebra with
+    every distance an exact integer, so ranks are deterministic and
+    the DuckDB oracle replays the identical index end-to-end.
+
+    Scale shape: the corpus is touched TWICE ever (train passes +
+    one encode pass); a search scans only codes (m longs/vector) joined
+    to a broadcast LUT of n_queries x m x n_cells integers, then one
+    groupBy(query, vid) sum — no float math, no full vectors in the
+    scan. Compose with IVF cells to also cut the candidate set: encode
+    per cell and ADC-scan only probed cells (ivf_topk's probe logic).
+    Self-matches are excluded, ties break on vec_id."""
+    cb = (
+        pq_codebooks(embeddings, m, n_cells, train_iters, scale, id_col, vec_col)
+        if codebooks is None
+        else codebooks
+    )
+    mrow = cb.groupBy().agg(
+        (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
+    ).first()
+    m, d0 = int(mrow["m"]), int(mrow["d0"])
+    dists = _pq_sub_dists(embeddings, cb, m, d0, scale, id_col, vec_col)
+    codes = (
+        dists.groupBy("vid", "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select("vid", "sub", F.col("_m.cid").alias("code"))
+    )
+    lut = (
+        _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)
+        .withColumnRenamed("vid", "query_id")
+        .withColumnRenamed("dist", "d")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cid"]),
+        )
+        .where(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("vec_id"), "adc_dist")
+    )

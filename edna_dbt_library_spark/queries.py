@@ -2043,53 +2043,63 @@ def grouped_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_chain(n_cells: int = 16, iters: int = 2, scale: int = 1024) -> str:
+def _kmeans_cte_chain(
+    n_cells: int = 16,
+    iters: int = 2,
+    scale: int = 1024,
+    *,
+    p: str = "",
+    vec: str = "embedding",
+    lead: str = "WITH",
+) -> str:
     """Shared k-means oracle CTE chain, replayed exactly: quantize to
     integers (round(x*2^10) — IEEE-exact in both engines), run ``iters``
     unrolled Lloyd iterations in pure integer arithmetic (exact squared-L2
     assignment, round-half-away integer means via a never-negative floor
-    division). Ends with ``af`` = every vector's exact integer distance to
-    every FINAL centroid — both the IVF search and the outlier query
-    build on it. Mirrors operators/similarity.kmeans_cells step for
-    step."""
+    division). Ends with ``{p}af`` = every vector's exact integer distance
+    to every FINAL centroid — the IVF search, the outlier query, and the
+    PQ oracle all build on it. Mirrors operators/similarity.kmeans_cells
+    step for step. ``p`` prefixes every CTE name and ``vec`` is the
+    embedding expression (a list slice for PQ subspaces); ``lead=","``
+    chains a prefixed copy after an earlier WITH list."""
     parts = [f"""
-WITH base AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS ee,
-           list_transform(embedding, x -> round(x::DOUBLE * {scale}.0)::BIGINT) AS qv
+{lead} {p}base AS (
+    SELECT vec_id, label, {vec}::DOUBLE[] AS ee,
+           list_transform({vec}, x -> round(x::DOUBLE * {scale}.0)::BIGINT) AS qv
     FROM embeddings
-), qd AS (
+), {p}qd AS (
     SELECT vec_id, i AS dim, qv[i] AS v
-    FROM base, unnest(generate_series(1, len(qv))) AS t(i)
-), seeds AS (
+    FROM {p}base, unnest(generate_series(1, len(qv))) AS t(i)
+), {p}seeds AS (
     SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-    FROM (SELECT DISTINCT vec_id FROM qd) ORDER BY vec_id LIMIT {n_cells}
-), c0 AS (
-    SELECT s.cid, q.dim, q.v FROM qd q JOIN seeds s ON s.vec_id = q.vec_id
+    FROM (SELECT DISTINCT vec_id FROM {p}qd) ORDER BY vec_id LIMIT {n_cells}
+), {p}c0 AS (
+    SELECT s.cid, q.dim, q.v FROM {p}qd q JOIN {p}seeds s ON s.vec_id = q.vec_id
 )"""]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, iters + 1):
-        parts.append(f""", a{it} AS (
+        parts.append(f""", {p}a{it} AS (
     SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
-    FROM qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
-), m{it} AS (
+    FROM {p}qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
+), {p}m{it} AS (
     SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM a{it}
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM {p}a{it}
     ) WHERE rn = 1
-), u{it} AS (
-    SELECT m{it}.cell AS cid, q.dim,
+), {p}u{it} AS (
+    SELECT {p}m{it}.cell AS cid, q.dim,
            CASE WHEN sum(q.v) >= 0
                 THEN floor((2 * sum(q.v) + count(*)) / (2.0 * count(*)))::BIGINT
                 ELSE -(floor((2 * (-sum(q.v)) + count(*)) / (2.0 * count(*)))::BIGINT)
            END AS v
-    FROM qd q JOIN m{it} ON m{it}.vec_id = q.vec_id GROUP BY 1, 2
-), c{it} AS (
-    SELECT p.cid, p.dim, coalesce(u{it}.v, p.v) AS v
-    FROM {prev} p LEFT JOIN u{it} ON u{it}.cid = p.cid AND u{it}.dim = p.dim
+    FROM {p}qd q JOIN {p}m{it} ON {p}m{it}.vec_id = q.vec_id GROUP BY 1, 2
+), {p}c{it} AS (
+    SELECT p.cid, p.dim, coalesce({p}u{it}.v, p.v) AS v
+    FROM {prev} p LEFT JOIN {p}u{it} ON {p}u{it}.cid = p.cid AND {p}u{it}.dim = p.dim
 )""")
-        prev = f"c{it}"
-    parts.append(f""", af AS (
+        prev = f"{p}c{it}"
+    parts.append(f""", {p}af AS (
     SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
-    FROM qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
+    FROM {p}qd q JOIN {prev} c ON c.dim = q.dim GROUP BY 1, 2
 )""")
     return "".join(parts)
 
@@ -2145,6 +2155,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4, train_iters=2
+    )
+
+
+def _pq_oracle(
+    m: int = 4, n_cells: int = 16, iters: int = 2, scale: int = 1024,
+    n_queries: int = 5, k: int = 10, dims: int = 64,
+) -> str:
+    """Product-quantization ADC search, replayed exactly: one prefixed
+    k-means chain per subspace over the SLICED embedding (DuckDB list
+    slices are 1-based inclusive), codes = per-(vector, subspace)
+    argmin against the final centroids, query LUTs = the same ``af``
+    distances filtered to the query ids, ADC = sum of LUT entries at
+    each document's codes. Mirrors operators/similarity.pq_adc_topk."""
+    d0 = dims // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * d0 + 1, (s + 1) * d0
+        parts.append(
+            _kmeans_cte_chain(
+                n_cells, iters, scale,
+                p=f"s{s}_", vec=f"embedding[{lo}:{hi}]",
+                lead="WITH" if s == 0 else ",",
+            )
+        )
+    codes_sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {s} AS sub, vec_id, cid AS code FROM ("
+        f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+        f"FROM s{s}_af) WHERE rn = 1"
+        for s in range(m)
+    )
+    lut_sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {s} AS sub, vec_id AS query_id, cid, dist AS d "
+        f"FROM s{s}_af WHERE vec_id < {n_queries}"
+        for s in range(m)
+    )
+    parts.append(f""", codes AS (
+    {codes_sel}
+), luts AS (
+    {lut_sel}
+), adc AS (
+    SELECT l.query_id, c.vec_id, sum(l.d)::BIGINT AS adc_dist
+    FROM codes c JOIN luts l ON l.sub = c.sub AND l.cid = c.code
+    WHERE c.vec_id <> l.query_id
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, vec_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+    FROM adc
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id, adc_dist FROM ranked WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+@_register("ann_pq_adc_topk", _pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_codebooks /
+    pq_encode / pq_adc_topk — Jegou et al. 2011): the 64-dim space
+    split into 4 subspaces, each trained by the shared exact-integer
+    Lloyd k-means, every vector compressed to 4 codes, queries ranked
+    by Asymmetric Distance Computation (sum of query-subvector-to-code-
+    centroid integer distances). The oracle replays codebooks, codes,
+    LUTs, and ranks end-to-end — the trained PQ index itself is
+    hash-gated, like the IVF row."""
+    from edna_dbt_library_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, m=4, n_cells=16, train_iters=2
     )
 
 
@@ -3883,25 +3961,44 @@ _ANN_TOPK_COLS = ["query_id", "rank", "vec_id", "label", "cosine_sim"]
 def _ann_topk_consolidated_oracle() -> str:
     bf = REGISTRY["ann_topk_bruteforce"].oracle
     ivf = REGISTRY["ann_ivf_topk"].oracle
+    pq = REGISTRY["ann_pq_adc_topk"].oracle
     cols = ", ".join(_ANN_TOPK_COLS)
     return f"""
 SELECT 'bruteforce' AS method, {cols} FROM ({bf})
 UNION ALL
-SELECT 'ivf' AS method, {cols} FROM ({ivf})"""
+SELECT 'ivf' AS method, {cols} FROM ({ivf})
+UNION ALL
+SELECT 'pq' AS method, query_id, rank, vec_id, '' AS label,
+       adc_dist::DOUBLE AS cosine_sim
+FROM ({pq})"""
 
 
 @_register("ann_topk", _ann_topk_consolidated_oracle())
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search in one method-tagged scored row: the exact
-    brute-force cosine baseline AND the k-means-trained IVF index
-    (granular ann_topk_bruteforce / ann_ivf_topk stay registered).
-    Same consolidation pattern as near_dup_pairs: both methods' full
-    rankings hash-gate under one driver row, freeing a scored slot for
-    the retrieval family."""
+    brute-force cosine baseline, the k-means-trained IVF index, and
+    (r7) the product-quantization ADC index (granulars
+    ann_topk_bruteforce / ann_ivf_topk / ann_pq_adc_topk stay
+    registered). The PQ arm packs its exact-integer ADC distance into
+    the shared double score column (values < 2^53, bit-exact); label is
+    ''. Same consolidation pattern as near_dup_pairs: every method's
+    full ranking hash-gates under one driver row."""
     bf = REGISTRY["ann_topk_bruteforce"].spark(spark, sf_dir)
     ivf = REGISTRY["ann_ivf_topk"].spark(spark, sf_dir)
-    return bf.select(F.lit("bruteforce").alias("method"), *_ANN_TOPK_COLS).unionAll(
-        ivf.select(F.lit("ivf").alias("method"), *_ANN_TOPK_COLS)
+    pq = REGISTRY["ann_pq_adc_topk"].spark(spark, sf_dir)
+    return (
+        bf.select(F.lit("bruteforce").alias("method"), *_ANN_TOPK_COLS)
+        .unionAll(ivf.select(F.lit("ivf").alias("method"), *_ANN_TOPK_COLS))
+        .unionAll(
+            pq.select(
+                F.lit("pq").alias("method"),
+                "query_id",
+                "rank",
+                "vec_id",
+                F.lit("").alias("label"),
+                F.col("adc_dist").cast("double").alias("cosine_sim"),
+            )
+        )
     )
 
 

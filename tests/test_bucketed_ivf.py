@@ -432,3 +432,89 @@ def test_similarity_ops_accept_labelless_frames(spark):
         assert rows, df.columns
         assert all(r["label"] is None for r in rows)
         assert dict(df.dtypes)["label"] == "string"
+
+
+def test_pq_adc_is_exact_when_quantization_error_is_zero(spark):
+    """PQ correctness gate: when every subvector IS a codebook centroid
+    (patterns enumerate the first n_cells ids in BOTH subspaces, so
+    lowest-id seeding starts at the patterns and Lloyd keeps them), the
+    ADC distance equals the exact integer squared-L2 — ranks, ties, and
+    values all match brute force."""
+    from edna_dbt_library_spark.operators.similarity import pq_adc_topk
+
+    pats = [
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+        [2.0, 0.0, 2.0, 0.0],
+        [0.0, 3.0, 0.0, 3.0],
+    ]
+    rows = []
+    for i in range(40):
+        a = pats[i % 4]
+        b = pats[i % 4] if i < 4 else pats[(i // 4) % 4]
+        rows.append((i, a + b, "x"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, m=2, n_cells=4, train_iters=3
+    )
+
+    def sq(u, v):
+        return sum((int(round(x * 1024)) - int(round(y * 1024))) ** 2 for x, y in zip(u, v))
+
+    by_id = {r[0]: r[1] for r in rows}
+    for qid in range(3):
+        exact = sorted(((sq(by_id[qid], by_id[v]), v) for v in by_id if v != qid))[:5]
+        mine = sorted(
+            (r["adc_dist"], r["vec_id"])
+            for r in got.where(F.col("query_id") == qid).collect()
+        )
+        assert exact == mine, (qid, exact, mine)
+
+
+def test_pq_codes_compact_and_search_deterministic(spark):
+    """PQ on the fixtures: codes are m small ints per vector (the RAM
+    form of the index), search is bit-deterministic under repartition,
+    and recall vs exact integer-L2 brute force clears a floor — iid
+    synthetic embeddings are PQ's worst case (distance concentration),
+    so the floor is deliberately modest; correctness is gated by the
+    exactness test above and the ann_pq_adc_topk oracle replay."""
+    from pyspark.sql import Window
+
+    from edna_dbt_library_spark.operators.similarity import (
+        _int_sqdist,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        quantize_vec,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    cb = pq_codebooks(emb, m=4, n_cells=16, iters=2)
+    assert cb.count() == 64  # 4 subspaces x 16 centroids
+    codes = pq_encode(emb, cb)
+    n_vec = emb.count()
+    assert codes.count() == 4 * n_vec
+    assert codes.agg(F.max("code")).first()[0] <= 15
+
+    a = {(r["query_id"], r["vec_id"]) for r in pq_adc_topk(emb, q, k=10, codebooks=cb).collect()}
+    b = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_adc_topk(emb.repartition(13), q, k=10, codebooks=cb).collect()
+    }
+    assert a == b and len(a) == 50
+
+    docs = emb.select(F.col("vec_id").alias("vid"), quantize_vec("embedding").alias("dq"))
+    qs = q.select(F.col("vec_id").alias("query_id"), quantize_vec("embedding").alias("qq"))
+    sc = (
+        docs.crossJoin(F.broadcast(qs))
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", _int_sqdist(F.col("dq"), F.col("qq")).alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vid")
+    exact = {
+        (r["query_id"], r["vid"])
+        for r in sc.withColumn("rk", F.row_number().over(w)).where("rk <= 10").collect()
+    }
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.2, f"PQ recall collapsed: {recall}"

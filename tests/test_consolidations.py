@@ -226,7 +226,15 @@ def test_ann_topk_equals_granular_composition(spark):
     cols = ["query_id", "rank", "vec_id", "label", "cosine_sim"]
     bf = reg["ann_topk_bruteforce"](spark, SF).select(F.lit("bruteforce").alias("method"), *cols)
     ivf = reg["ann_ivf_topk"](spark, SF).select(F.lit("ivf").alias("method"), *cols)
-    composed = _rows(bf.unionAll(ivf))
+    pq = reg["ann_pq_adc_topk"](spark, SF).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        "rank",
+        "vec_id",
+        F.lit("").alias("label"),
+        F.col("adc_dist").cast("double").alias("cosine_sim"),
+    )
+    composed = _rows(bf.unionAll(ivf).unionAll(pq))
     assert scored == composed and len(scored) > 0
 
 
