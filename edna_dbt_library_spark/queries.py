@@ -3968,7 +3968,7 @@ SELECT 'bruteforce' AS method, {cols} FROM ({bf})
 UNION ALL
 SELECT 'ivf' AS method, {cols} FROM ({ivf})
 UNION ALL
-SELECT 'pq' AS method, query_id, rank, vec_id, '' AS label,
+SELECT 'pq' AS method, query_id, rank, vec_id, NULL::INTEGER AS label,
        adc_dist::DOUBLE AS cosine_sim
 FROM ({pq})"""
 
@@ -3981,7 +3981,9 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_topk_bruteforce / ann_ivf_topk / ann_pq_adc_topk stay
     registered). The PQ arm packs its exact-integer ADC distance into
     the shared double score column (values < 2^53, bit-exact); label is
-    ''. Same consolidation pattern as near_dup_pairs: every method's
+    NULL::INTEGER (the fixture label is int32 — a string literal here
+    would ANSI-coerce to cast('' AS BIGINT) and crash, r7 verdict #1).
+    Same consolidation pattern as near_dup_pairs: every method's
     full ranking hash-gates under one driver row."""
     bf = REGISTRY["ann_topk_bruteforce"].spark(spark, sf_dir)
     ivf = REGISTRY["ann_ivf_topk"].spark(spark, sf_dir)
@@ -3995,7 +3997,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id",
                 "rank",
                 "vec_id",
-                F.lit("").alias("label"),
+                F.lit(None).cast("int").alias("label"),
                 F.col("adc_dist").cast("double").alias("cosine_sim"),
             )
         )

@@ -231,7 +231,7 @@ def test_ann_topk_equals_granular_composition(spark):
         "query_id",
         "rank",
         "vec_id",
-        F.lit("").alias("label"),
+        F.lit(None).cast("int").alias("label"),
         F.col("adc_dist").cast("double").alias("cosine_sim"),
     )
     composed = _rows(bf.unionAll(ivf).unionAll(pq))
