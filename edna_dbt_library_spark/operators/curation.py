@@ -699,9 +699,10 @@ def corpus_dup_ngram_stats(
     exact/near dedup does not collapse (the surrounding text differs).
 
     Output, one row per doc with >= 1 n-gram: (id, n_grams,
-    n_dup_grams, dup_permille, keep) with dup_permille the EXACT
+    n_dup_grams, dup_permille) with dup_permille the EXACT
     integer (1000 * n_dup) div n_grams — engine-replayable, no float
-    division (pagerank_int's determinism idiom).
+    division (pagerank_int's determinism idiom); threshold the
+    permille downstream to derive a keep verdict.
 
     Scale shape: n-grams are arithmetic 64-bit hashes built from
     per-word xxhash64 (the contamination_flags machinery — no n-gram

@@ -22,6 +22,7 @@ Scale notes
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -97,7 +98,8 @@ class Warehouse:
         # rows (a 0-row partitioned write produces no data files at all)
         if os.path.exists(self._meta_path(rel)):
             return True
-        for dirpath, _dirs, files in os.walk(p):
+        for _dirpath, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not _is_hidden(d)]  # sidecars
             if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
                 return True
         return False
@@ -181,12 +183,17 @@ class Warehouse:
     def _zm_value(v):
         """JSON-safe stat encoding. Dates/timestamps become ISO strings
         (lexicographic order == chronological, so pruning bounds are
-        passed in the same form); bytes decode as utf-8."""
+        passed in the same form); bytes must decode as STRICT utf-8 —
+        a lossy decode is not order-preserving against raw byte order,
+        so undecodable binary stats become None (= never prune)."""
         import datetime as _dt
         import decimal as _decimal
 
         if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
         if isinstance(v, (_dt.date, _dt.datetime)):
             return v.isoformat()
         if isinstance(v, _decimal.Decimal):
@@ -231,6 +238,9 @@ class Warehouse:
                         ok = False
                         break
                     mn, mx = self._zm_value(st.min), self._zm_value(st.max)
+                    if mn is None or mx is None:  # undecodable binary stat
+                        ok = False
+                        break
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
                 # None = "no usable stats, never prune this file on c"
@@ -477,6 +487,11 @@ class Warehouse:
         indexed = set(bm["files"])
         got: dict[str, dict[int, int]] = {}
         glob_pat = os.path.join(self._bloom_dir(rel), "*.parquet")
+        if indexed and not glob.glob(glob_pat):
+            # meta survived but the bloom data dir is gone (e.g. a
+            # whole-dir overwrite that restored only root-level
+            # sidecars): stale index, fail safe until the next refresh
+            return live, len(live)
         if indexed:
             import duckdb
 
@@ -510,7 +525,8 @@ class Warehouse:
 
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:
-        for _dirpath, _dirs, files in os.walk(self.path(rel)):
+        for _dirpath, dirs, files in os.walk(self.path(rel)):
+            dirs[:] = [d for d in dirs if not _is_hidden(d)]  # sidecars
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False

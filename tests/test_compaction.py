@@ -335,3 +335,56 @@ def test_whole_table_compact_preserves_skipping_configs(spark, tmp_path):
     kept, total = wh.bloom_prune_files(rel, "uid", "u-1")
     assert len(kept) >= 1
     assert wh.read_bloom_pruned(rel, "uid", "u-1").where(F.col("uid") == "u-1").count() == 1
+
+
+def test_bloom_probe_after_compact_is_fail_safe_without_refresh(spark, tmp_path):
+    """r8 advice (medium): the unpartitioned compact restores the bloom
+    META sidecar but drops the _edna_bloom data dir — probing BEFORE the
+    next refresh must fail safe (all live files kept, exact read), not
+    crash on an empty sidecar glob."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "cb")
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("u-"), F.col("id")).alias("uid")
+    )
+    wh.create_as(rel, df.repartitionByRange(8, "k"), TableMeta())
+    wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 16)
+    rep = wh.compact(rel, target_file_bytes=1 << 30, min_files=1)
+    assert rep
+    import os as _os
+
+    assert _os.path.exists(wh._bloom_meta_path(rel))  # meta survived
+    # NO refresh: stale index with a missing/empty bloom data dir
+    kept, total = wh.bloom_prune_files(rel, "uid", "u-1")
+    assert kept == wh._live_data_files(rel) and total == len(kept)
+    assert wh.read_bloom_pruned(rel, "uid", "u-1").where(F.col("uid") == "u-1").count() == 1
+
+
+def test_table_with_only_sidecar_parquet_reads_as_empty(spark, tmp_path):
+    """r8 advice (low): parquet files inside _-prefixed sidecar dirs must
+    not count as data files — an emptied table whose bloom sidecar still
+    holds parquet must take read()'s empty-schema path."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "e")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("u-"), F.col("id")).alias("uid")
+    )
+    wh.create_as(rel, df, TableMeta())
+    wh.refresh_bloom_sidecar(rel, ["uid"], m_bits=1 << 14)
+    # drop every DATA file, keep the sidecars (bloom dir holds parquet)
+    import os as _os
+
+    for f in wh._live_data_files(rel):
+        _os.remove(_os.path.join(wh.path(rel), f))
+    assert not wh._has_data_files(rel)
+    assert wh.exists(rel)  # meta sidecar still marks the table
+    out = wh.read(rel)
+    assert out.count() == 0 and set(out.columns) == {"k", "uid"}
