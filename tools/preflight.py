@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""End-of-round preflight: the MANDATORY last step before the snapshot
+commit (r7 verdict #2 — the round-7 ann_topk breakage shipped because a
+scored-registry change landed after the last parity sweep).
+
+Runs, in order, and refuses to pass unless ALL are green:
+
+1. ``tools/check_parity.py`` over the FULL registry at sf0.01
+   (CORE_ORDER 50 first — exactly what the driver scores — plus extras).
+2. ``pytest tests/ -q`` (full suite, including the consolidation locks
+   and doc-count assertions).
+
+Appends a machine-readable result line to PROGRESS.jsonl:
+``{"event": "preflight", "ok": ..., "parity_ok": ..., "pytest_ok": ...,
+"git_head": ..., "dirty": ..., "elapsed_s": ...}``.
+
+Contract: the snapshot commit must be the FIRST commit after a green
+preflight line, and no queries.py / CORE_ORDER diff may land in between.
+
+Usage:
+    python tools/preflight.py              # full gate (~15 min)
+    python tools/preflight.py --quick      # parity on CORE_ORDER only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd: list[str], log_path: str) -> tuple[bool, float]:
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        rc = subprocess.call(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
+    return rc == 0, time.time() - t0
+
+
+def _git(*args: str) -> str:
+    return subprocess.check_output(["git", *args], cwd=REPO, text=True).strip()
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    t0 = time.time()
+    os.makedirs("/tmp/preflight", exist_ok=True)
+
+    parity_cmd = [sys.executable, "tools/check_parity.py"]
+    if quick:
+        # CORE_ORDER names are what the driver scores; pass them as
+        # explicit filters so extras are skipped
+        sys.path.insert(0, REPO)
+        from edna_dbt_library_spark import queries as qmod
+
+        parity_cmd += list(qmod.CORE_ORDER)
+    print("preflight: [1/2] parity sweep (log: /tmp/preflight/parity.log)", flush=True)
+    parity_ok, parity_s = _run(parity_cmd, "/tmp/preflight/parity.log")
+    print(f"preflight: parity {'OK' if parity_ok else 'FAIL'} ({parity_s:.0f}s)", flush=True)
+
+    print("preflight: [2/2] pytest (log: /tmp/preflight/pytest.log)", flush=True)
+    pytest_ok, pytest_s = _run(
+        [sys.executable, "-m", "pytest", "tests/", "-q"], "/tmp/preflight/pytest.log"
+    )
+    print(f"preflight: pytest {'OK' if pytest_ok else 'FAIL'} ({pytest_s:.0f}s)", flush=True)
+
+    ok = parity_ok and pytest_ok
+    rec = {
+        "event": "preflight",
+        "ok": ok,
+        "quick": quick,
+        "parity_ok": parity_ok,
+        "pytest_ok": pytest_ok,
+        "parity_s": round(parity_s, 1),
+        "pytest_s": round(pytest_s, 1),
+        "git_head": _git("rev-parse", "--short", "HEAD"),
+        "dirty": bool(_git("status", "--porcelain")),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"preflight: {json.dumps(rec)}", flush=True)
+    if not ok:
+        for name, good in (("parity", parity_ok), ("pytest", pytest_ok)):
+            if not good:
+                print(f"preflight: see /tmp/preflight/{name}.log tail:", flush=True)
+                with open(f"/tmp/preflight/{name}.log") as lf:
+                    print("".join(lf.readlines()[-25:]), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
