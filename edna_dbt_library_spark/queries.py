@@ -4739,34 +4739,63 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# defined here (above _url_bpe_oracle) because the consolidated oracle
+# nests it at decoration time — file order matters (CLAUDE.md)
+_WARC_INGEST_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'plain' ELSE 'gzip' END AS layout,
+       'http://example.com/doc/' || doc_id::VARCHAR AS url,
+       200 AS status,
+       'text/plain; charset=utf-8' AS ctype,
+       md5(text) AS payload_md5,
+       octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
 def _url_bpe_oracle() -> str:
     u = REGISTRY["url_canonical_docs"].oracle
     b = REGISTRY["bpe_token_counts"].oracle
     g = REGISTRY["unigram_token_counts"].oracle
+    w = _WARC_INGEST_ORACLE
     return f"""
-SELECT 'url' AS src, doc_id::BIGINT AS id, url AS raw, canon_url, host, domain, 0::BIGINT AS n_tokens
+SELECT 'url' AS src, doc_id::BIGINT AS id, url AS raw, canon_url, host, domain,
+       '' AS meta, 0::BIGINT AS n_tokens
 FROM ({u})
 UNION ALL
-SELECT 'bpe' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain, n_tokens
+SELECT 'bpe' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain,
+       '' AS meta, n_tokens
 FROM ({b})
 UNION ALL
-SELECT 'unigram' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain, n_tokens
-FROM ({g})"""
+SELECT 'unigram' AS src, sample_id::BIGINT AS id, '' AS raw, '' AS canon_url, '' AS host, '' AS domain,
+       '' AS meta, n_tokens
+FROM ({g})
+UNION ALL
+SELECT 'warc' AS src, doc_id::BIGINT AS id, url AS raw, '' AS canon_url, '' AS host, '' AS domain,
+       layout || '|' || status::VARCHAR || '|' || ctype || '|' || payload_md5 AS meta,
+       payload_bytes AS n_tokens
+FROM ({w})"""
 
 
 @_register("url_bpe_tokens", _url_bpe_oracle())
 def url_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The text-normalization/tokenization family in one src-tagged
-    scored row: URL canonicalization over fixture-scaled constructed
-    URLs, distributed BPE token counts against independent rank-order
-    vectors, AND (r6) unigram-LM token counts against the independent
-    backward-suffix-DP vectors — granular queries stay registered
-    (url_canonical_docs, bpe_token_counts, unigram_token_counts). Like
+    """The raw-web-data family in one src-tagged scored row: URL
+    canonicalization over fixture-scaled constructed URLs, distributed
+    BPE token counts against independent rank-order vectors, (r6)
+    unigram-LM token counts against the independent backward-suffix-DP
+    vectors, AND (r8) WARC crawl-archive ingestion — every parsed
+    record's layout/status/ctype/payload-md5 packed into the shared
+    ``meta`` column and payload bytes into ``n_tokens``, so the
+    distributed WARC reader (sources/warc.py) is driver-scored
+    end-to-end. Granular queries stay registered (url_canonical_docs,
+    bpe_token_counts, unigram_token_counts, warc_ingest_records). Like
     every consolidation row, this is a GATE artifact (one driver row
-    certifying three operator families), not a production plan."""
+    certifying four operator families), not a production plan."""
     u = REGISTRY["url_canonical_docs"].spark(spark, sf_dir)
     b = REGISTRY["bpe_token_counts"].spark(spark, sf_dir)
     g = REGISTRY["unigram_token_counts"].spark(spark, sf_dir)
+    w = REGISTRY["warc_ingest_records"].spark(spark, sf_dir)
 
     def tok(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
@@ -4776,18 +4805,42 @@ def url_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("").alias("canon_url"),
             F.lit("").alias("host"),
             F.lit("").alias("domain"),
+            F.lit("").alias("meta"),
             F.col("n_tokens"),
         )
 
-    return u.select(
-        F.lit("url").alias("src"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("url").alias("raw"),
-        "canon_url",
-        "host",
-        "domain",
-        F.lit(0).cast("long").alias("n_tokens"),
-    ).unionAll(tok(b, "bpe")).unionAll(tok(g, "unigram"))
+    return (
+        u.select(
+            F.lit("url").alias("src"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("url").alias("raw"),
+            "canon_url",
+            "host",
+            "domain",
+            F.lit("").alias("meta"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+        .unionAll(tok(b, "bpe"))
+        .unionAll(tok(g, "unigram"))
+        .unionAll(
+            w.select(
+                F.lit("warc").alias("src"),
+                F.col("doc_id").cast("long").alias("id"),
+                F.col("url").alias("raw"),
+                F.lit("").alias("canon_url"),
+                F.lit("").alias("host"),
+                F.lit("").alias("domain"),
+                F.concat_ws(
+                    "|",
+                    "layout",
+                    F.col("status").cast("string"),
+                    "ctype",
+                    "payload_md5",
+                ).alias("meta"),
+                F.col("payload_bytes").alias("n_tokens"),
+            )
+        )
+    )
 
 PAGERANK_ITERS = 8
 
@@ -5956,19 +6009,6 @@ def warehouse_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return delta.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-
-
-_WARC_INGEST_ORACLE = """
-SELECT doc_id,
-       CASE WHEN doc_id % 10 = 0 THEN 'plain' ELSE 'gzip' END AS layout,
-       'http://example.com/doc/' || doc_id::VARCHAR AS url,
-       200 AS status,
-       'text/plain; charset=utf-8' AS ctype,
-       md5(text) AS payload_md5,
-       octet_length(encode(text))::BIGINT AS payload_bytes
-FROM documents
-WHERE doc_id % 5 = 0
-"""
 
 
 @_register("warc_ingest_records", _WARC_INGEST_ORACLE)

@@ -130,6 +130,7 @@ def test_url_bpe_tokens_equals_granular_composition(spark):
         "canon_url",
         "host",
         "domain",
+        F.lit("").alias("meta"),
         F.lit(0).cast("long").alias("n_tokens"),
     )
     b = reg["bpe_token_counts"](spark, SF).select(
@@ -139,6 +140,7 @@ def test_url_bpe_tokens_equals_granular_composition(spark):
         F.lit("").alias("canon_url"),
         F.lit("").alias("host"),
         F.lit("").alias("domain"),
+        F.lit("").alias("meta"),
         F.col("n_tokens"),
     )
     g = reg["unigram_token_counts"](spark, SF).select(
@@ -148,9 +150,25 @@ def test_url_bpe_tokens_equals_granular_composition(spark):
         F.lit("").alias("canon_url"),
         F.lit("").alias("host"),
         F.lit("").alias("domain"),
+        F.lit("").alias("meta"),
         F.col("n_tokens"),
     )
-    assert _rows(scored) == _rows(u.unionAll(b).unionAll(g).select(*scored.columns))
+    w = reg["warc_ingest_records"](spark, SF).select(
+        F.lit("warc").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("url").alias("raw"),
+        F.lit("").alias("canon_url"),
+        F.lit("").alias("host"),
+        F.lit("").alias("domain"),
+        F.concat_ws(
+            "|", "layout", F.col("status").cast("string"), "ctype", "payload_md5"
+        ).alias("meta"),
+        F.col("payload_bytes").alias("n_tokens"),
+    )
+    composed = u.unionAll(b).unionAll(g).unionAll(w).select(*scored.columns)
+    assert _rows(scored) == _rows(composed)
+    # the warc arm really contributes parsed records
+    assert any(r[0] == "warc" for r in _rows(scored))
 
 
 def test_bpe_rank_order_reference_agrees_with_encode_word():
