@@ -910,3 +910,110 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vid").alias("vec_id"), "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    pq_cells: int = 16,
+    train_iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ composed: the production ANN shape at 100 TB (the
+    IVFADC index of Jegou et al. 2011 §IV). The IVF coarse quantizer
+    cuts the CANDIDATE SET (each query scans ~n_probe/n_cells of the
+    corpus); PQ cuts the BYTES PER CANDIDATE (m integer codes instead
+    of the full float vector). Both quantizers are the shared
+    exact-integer Lloyd k-means, so the whole two-level index replays
+    in the DuckDB oracle.
+
+    * coarse: full-dim kmeans_cells -> every vector's cell (argmin,
+      ties to smallest cid); queries probe their n_probe nearest cells.
+    * fine: pq_codebooks over the full corpus (codes are
+      cell-independent — the un-residual IVFADC variant, which keeps
+      the oracle replay exact), one encode pass -> (vec_id, sub, code).
+    * search: candidate (query, vec) pairs from probed cells only, ADC
+      sum over the broadcast query LUT, rank by exact integer distance
+      (ties -> smallest vec_id).
+
+    Scale shape: the corpus is touched train+1 times for the coarse
+    quantizer, train+1 for the codebooks and once to encode — all
+    broadcast passes; a search shuffles only the probed cells' CODES
+    (m longs per candidate) and the final (query, vid) sum is
+    map-side combinable. Pass ``centroids``/``codebooks`` from a prior
+    build to skip training (index once, search many)."""
+    cent = F.broadcast(
+        kmeans_cells(embeddings, n_cells, train_iters, scale, id_col, vec_col)
+        if centroids is None
+        else centroids
+    )
+
+    def _coarse(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), quantize_vec(vec_col, scale).alias("qv"))
+            .crossJoin(cent)
+            .withColumn("dist", _int_sqdist(F.col("qv"), F.col("cv")))
+        )
+
+    assigned = (
+        _coarse(embeddings, "vid")
+        .groupBy("vid")
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select("vid", F.col("_m.cid").alias("cell"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    probes = (
+        _coarse(queries, "query_id")
+        .withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+
+    cb = (
+        pq_codebooks(embeddings, m, pq_cells, train_iters, scale, id_col, vec_col)
+        if codebooks is None
+        else codebooks
+    )
+    mrow = cb.groupBy().agg(
+        (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
+    ).first()
+    m, d0 = int(mrow["m"]), int(mrow["d0"])
+    codes = pq_encode(embeddings, cb, scale, id_col, vec_col).withColumnRenamed(
+        id_col, "vid"
+    )
+    lut = (
+        _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)
+        .withColumnRenamed("vid", "query_id")
+        .withColumnRenamed("dist", "d")
+    )
+
+    # candidates restricted to probed cells; every vector is in exactly
+    # one cell and probed cells are distinct -> each pair at most once
+    pairs = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vid") != F.col("query_id")
+    )
+    scored = (
+        pairs.join(codes, "vid")
+        .join(
+            F.broadcast(lut),
+            (F.col("sub") == lut["sub"])
+            & (F.col("code") == lut["cid"])
+            & (pairs["query_id"] == lut["query_id"]),
+        )
+        .groupBy(pairs["query_id"], "vid")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("vec_id"), "adc_dist")
+    )

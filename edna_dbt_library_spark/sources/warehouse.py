@@ -46,6 +46,87 @@ def _is_hidden(name: str) -> bool:
     return name.startswith(("_", ".")) and "=" not in name
 
 
+def _zm_stat_value(v):
+    """Comparable/JSON-safe stat normalization. Dates/timestamps become
+    ISO strings (lexicographic order == chronological, so pruning bounds
+    are passed in the same form); bytes must decode as STRICT utf-8 — a
+    lossy decode is not order-preserving against raw byte order, so
+    undecodable binary stats become None (= never prune)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _zm_encode(v) -> tuple[str, str]:
+    """typed stat -> (kind, string) shard cell. Exact roundtrip: ints via
+    str(), floats via repr() (shortest roundtripping form), strings as-is."""
+    if isinstance(v, bool):
+        return "int", str(int(v))
+    if isinstance(v, int):
+        return "int", str(v)
+    if isinstance(v, float):
+        return "float", repr(v)
+    return "str", str(v)
+
+
+def _zm_encode_stat(st) -> tuple[str, str, str]:
+    """(lo, hi) | None -> (kind, lo_str, hi_str)."""
+    if st is None:
+        return "none", "", ""
+    lo, hi = st
+    k, ls = _zm_encode(lo)
+    _, hs = _zm_encode(hi)
+    return k, ls, hs
+
+
+def _zm_decode(kind: str, s: str):
+    if kind == "int":
+        return int(s)
+    if kind == "float":
+        return float(s)
+    return s
+
+
+def _zm_harvest_file(base: str, relp: str, columns: list[str]) -> list[tuple]:
+    """Footer-only stat harvest for one data file -> encoded shard rows
+    (file, col, kind, lo, hi). Module-level (not a method) so the Spark
+    executor-side harvest closure serializes without the Warehouse."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(base, relp)).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = []
+    for c in columns:
+        i = names.get(c)
+        lo = hi = None
+        ok = i is not None
+        for rg in range(md.num_row_groups if ok else 0):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _zm_stat_value(st.min), _zm_stat_value(st.max)
+            if mn is None or mx is None:  # undecodable binary stat
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        # kind 'none' = "no usable stats, never prune this file on c"
+        stat = (lo, hi) if ok and lo is not None else None
+        out.append((relp, c, *_zm_encode_stat(stat)))
+    return out
+
+
 @dataclass(frozen=True)
 class Relation:
     """database.schema.identifier triple (reference: log_helpers.sql:2-18
@@ -84,6 +165,10 @@ class Warehouse:
         self.spark = spark
         self.root = root
         self.database = database
+        # zone-map index cache: table path -> (shard fingerprint, columns,
+        # {file: {col: (lo, hi) | None}}). Invalidated by shard mtimes, so
+        # repeated prune_files calls are O(1) metadata, not a re-parse.
+        self._zm_cache: dict[str, tuple] = {}
         os.makedirs(root, exist_ok=True)
 
     # --- paths / existence -------------------------------------------------
@@ -177,100 +262,206 @@ class Warehouse:
     # file list before any footer is touched.
 
     def _zonemap_path(self, rel: Relation) -> str:
+        """LEGACY v1 monolithic-JSON sidecar path. Still readable (and
+        migrated to the sharded layout on the next refresh); new writes
+        go to ``_zonemap_dir``."""
         return os.path.join(self.path(rel), "_edna_zonemap.json")
+
+    def _zonemap_dir(self, rel: Relation) -> str:
+        """v2 sharded sidecar: per-refresh parquet delta shards
+        (file, col, kind, lo, hi) plus a tiny ``_meta.json`` holding the
+        column set and shard sequence — the snapshot-manifest /
+        bloom-sidecar model applied to zone maps (r7 verdict item #5).
+        Refresh metadata cost is O(delta); a drop-containing refresh
+        consolidates to one shard; reads hit an mtime-fingerprinted
+        in-memory index so steady-state prune cost is O(1) metadata."""
+        return os.path.join(self.path(rel), "_edna_zonemap")
+
+    def _zonemap_meta_path(self, rel: Relation) -> str:
+        return os.path.join(self._zonemap_dir(rel), "_meta.json")
 
     @staticmethod
     def _zm_value(v):
-        """JSON-safe stat encoding. Dates/timestamps become ISO strings
-        (lexicographic order == chronological, so pruning bounds are
-        passed in the same form); bytes must decode as STRICT utf-8 —
-        a lossy decode is not order-preserving against raw byte order,
-        so undecodable binary stats become None (= never prune)."""
-        import datetime as _dt
-        import decimal as _decimal
+        return _zm_stat_value(v)
 
-        if isinstance(v, bytes):
+    def zone_map_columns(self, rel: Relation) -> list | None:
+        """The column set the table's zone maps cover (None when no zone
+        maps exist) — reads v2 meta, falling back to the legacy v1 JSON."""
+        for p in (self._zonemap_meta_path(rel), self._zonemap_path(rel)):
             try:
-                return v.decode("utf-8")
-            except UnicodeDecodeError:
-                return None
-        if isinstance(v, (_dt.date, _dt.datetime)):
-            return v.isoformat()
-        if isinstance(v, _decimal.Decimal):
-            return float(v)
-        return v
+                with open(p) as f:
+                    return json.load(f)["columns"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                continue
+        return None
+
+    def _zm_fingerprint(self, rel: Relation) -> tuple | None:
+        """Cheap change detector for the sharded sidecar: (name, size,
+        mtime_ns) of every shard + the meta file. O(#shards) stat calls."""
+        d = self._zonemap_dir(rel)
+        try:
+            entries = []
+            with os.scandir(d) as it:
+                for e in it:
+                    st = e.stat()
+                    entries.append((e.name, st.st_size, st.st_mtime_ns))
+            return tuple(sorted(entries))
+        except FileNotFoundError:
+            return None
+
+    def _zm_load(self, rel: Relation) -> tuple[list | None, dict | None]:
+        """(columns, {file: {col: (lo, hi) typed | None}}) — fingerprint-
+        cached; falls back to the legacy v1 JSON when no shard dir
+        exists. Returns (None, None) when the table has no zone maps."""
+        key = self.path(rel)
+        fp = self._zm_fingerprint(rel)
+        if fp is not None:
+            cached = self._zm_cache.get(key)
+            if cached is not None and cached[0] == fp:
+                return cached[1], cached[2]
+            import pyarrow.parquet as _pq
+
+            d = self._zonemap_dir(rel)
+            try:
+                with open(self._zonemap_meta_path(rel)) as f:
+                    columns = json.load(f)["columns"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                return None, None
+            index: dict[str, dict] = {}
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                t = _pq.read_table(os.path.join(d, name))
+                fs, cs = t.column("file").to_pylist(), t.column("col").to_pylist()
+                ks = t.column("kind").to_pylist()
+                los, his = t.column("lo").to_pylist(), t.column("hi").to_pylist()
+                for fname, c, k, lo, hi in zip(fs, cs, ks, los, his):
+                    st = None if k == "none" else (_zm_decode(k, lo), _zm_decode(k, hi))
+                    index.setdefault(fname, {})[c] = st
+            self._zm_cache[key] = (fp, columns, index)
+            return columns, index
+        # legacy v1 monolithic JSON
+        try:
+            with open(self._zonemap_path(rel)) as f:
+                zm = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None, None
+        index = {
+            fname: {c: (None if st is None else tuple(st)) for c, st in stats.items()}
+            for fname, stats in zm.get("files", {}).items()
+        }
+        return zm.get("columns"), index
+
+    def _zm_write_shard(self, rel: Relation, rows: list[tuple], columns: list[str]) -> None:
+        """Append one delta shard + rewrite the tiny meta. ``rows`` are
+        encoded (file, col, kind, lo, hi) tuples."""
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        d = self._zonemap_dir(rel)
+        os.makedirs(d, exist_ok=True)
+        try:
+            with open(self._zonemap_meta_path(rel)) as f:
+                seq = json.load(f).get("seq", 0)
+        except (FileNotFoundError, json.JSONDecodeError):
+            seq = 0
+        if rows:
+            cols = list(zip(*rows))
+            t = _pa.table(
+                {
+                    "file": list(cols[0]),
+                    "col": list(cols[1]),
+                    "kind": list(cols[2]),
+                    "lo": list(cols[3]),
+                    "hi": list(cols[4]),
+                },
+                schema=_pa.schema(
+                    [(n, _pa.string()) for n in ("file", "col", "kind", "lo", "hi")]
+                ),
+            )
+            _pq.write_table(t, os.path.join(d, f"shard-{seq:06d}.parquet"))
+            seq += 1
+        with open(self._zonemap_meta_path(rel), "w") as f:
+            json.dump({"version": 2, "columns": list(columns), "seq": seq}, f)
+        self._zm_cache.pop(self.path(rel), None)
 
     def refresh_zone_maps(self, rel: Relation, columns: list[str]) -> dict:
         """Incrementally harvest per-file min/max for ``columns``: only
         files NOT already in the sidecar are opened (one footer read
-        each — zero data bytes), entries for deleted files are dropped,
-        and a changed column set rebuilds from scratch. Run it after
-        appends/merges the way compact() is run — a maintenance step
-        whose cost is O(new files)."""
-        import pyarrow.parquet as pq
-
+        each — zero data bytes). An append-only refresh writes ONE delta
+        shard (O(new files) metadata); dropped files or a changed column
+        set consolidate the index into a single fresh shard (metadata
+        rows only — retained files' footers are NOT re-read). Large
+        harvests (>= 256 new files) fan the footer reads out over Spark
+        executors instead of a sequential driver loop."""
         base = self.path(rel)
         live = self._live_data_files(rel)
-        try:
-            with open(self._zonemap_path(rel)) as f:
-                zm = json.load(f)
-            if zm.get("columns") != list(columns):
-                zm = {"columns": list(columns), "files": {}}
-        except (FileNotFoundError, json.JSONDecodeError):
-            zm = {"columns": list(columns), "files": {}}
-        files = zm["files"]
+        prev_cols, index = self._zm_load(rel)
+        if prev_cols != list(columns) or index is None:
+            index = {}
         live_set = set(live)
-        dropped = [f for f in files if f not in live_set]
-        for f in dropped:
-            del files[f]
-        added = [f for f in live if f not in files]
-        for relp in added:
-            md = pq.ParquetFile(os.path.join(base, relp)).metadata
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            stats: dict[str, list | None] = {}
-            for c in columns:
-                i = names.get(c)
-                lo = hi = None
-                ok = i is not None
-                for rg in range(md.num_row_groups if ok else 0):
-                    st = md.row_group(rg).column(i).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    mn, mx = self._zm_value(st.min), self._zm_value(st.max)
-                    if mn is None or mx is None:  # undecodable binary stat
-                        ok = False
-                        break
-                    lo = mn if lo is None or mn < lo else lo
-                    hi = mx if hi is None or mx > hi else hi
-                # None = "no usable stats, never prune this file on c"
-                stats[c] = [lo, hi] if ok and lo is not None else None
-            files[relp] = stats
-        with open(self._zonemap_path(rel), "w") as f:
-            json.dump(zm, f)
+        dropped = [f for f in index if f not in live_set]
+        added = [f for f in live if f not in index]
+
+        if len(added) >= 256:
+            # distributed harvest: footer reads are pure I/O, stats rows
+            # are tiny — executors open footers, the driver collects only
+            # the encoded stat tuples
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(added) // 32 + 1, sc.defaultParallelism * 4))
+            cols_b = list(columns)
+            new_rows = (
+                sc.parallelize(added, n_slices)
+                .flatMap(lambda relp: _zm_harvest_file(base, relp, cols_b))
+                .collect()
+            )
+        else:
+            new_rows = [r for relp in added for r in _zm_harvest_file(base, relp, columns)]
+
+        legacy = os.path.exists(self._zonemap_path(rel))
+        if dropped or prev_cols != list(columns) or legacy:
+            # consolidate: rewrite the whole index as one shard (metadata
+            # only), drop old shards + the legacy v1 JSON
+            retained = [
+                (fname, c, *_zm_encode_stat(st))
+                for fname, stats in index.items()
+                if fname in live_set
+                for c, st in stats.items()
+            ]
+            shutil.rmtree(self._zonemap_dir(rel), ignore_errors=True)
+            if legacy:
+                os.remove(self._zonemap_path(rel))
+            self._zm_write_shard(rel, retained + new_rows, columns)
+        else:
+            self._zm_write_shard(rel, new_rows, columns)
         return {"files_total": len(live), "added": len(added), "dropped": len(dropped)}
 
-    def prune_files(self, rel: Relation, col: str, lo=None, hi=None) -> tuple[list[str], int]:
+    def prune_files(
+        self, rel: Relation, col: str, lo=None, hi=None, live: list[str] | None = None
+    ) -> tuple[list[str], int]:
         """(kept live files, total live files) for a [lo, hi] range on
         ``col`` (None = unbounded on that side). Fail-safe by
-        construction: a file missing from the sidecar (stats stale) or
-        lacking usable stats is always kept."""
+        construction: a file missing from the sidecar (stats stale),
+        lacking usable stats, or whose stats are not comparable to the
+        probe bounds is always kept. ``live`` lets a multi-column caller
+        (read_where) share one directory listing across its prunes."""
         lo, hi = self._zm_value(lo), self._zm_value(hi)  # date/ts bounds -> ISO
-        live = self._live_data_files(rel)
-        try:
-            with open(self._zonemap_path(rel)) as f:
-                zm = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        if live is None:
+            live = self._live_data_files(rel)
+        _cols, index = self._zm_load(rel)
+        if index is None:
             return live, len(live)
-        files = zm.get("files", {})
         kept = []
         for relp in live:
-            st = files.get(relp, {}).get(col) if relp in files else None
+            st = index.get(relp, {}).get(col) if relp in index else None
             if st is None:
                 kept.append(relp)
                 continue
             fmin, fmax = st
-            if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            try:
+                if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                    kept.append(relp)
+            except TypeError:  # probe/stat type mismatch: never prune
                 kept.append(relp)
         return kept, len(live)
 
@@ -453,12 +644,16 @@ class Warehouse:
             json.dump(bm, f)
         return {"files_total": len(live), "added": len(added), "dropped": len(dropped)}
 
-    def bloom_prune_files(self, rel: Relation, col: str, value) -> tuple[list[str], int]:
+    def bloom_prune_files(
+        self, rel: Relation, col: str, value, live: list[str] | None = None
+    ) -> tuple[list[str], int]:
         """(kept live files, total live files) for an equality probe
         ``col == value``. Fail-safe by construction: a file not yet
         indexed (stale sidecar) or a column never indexed is always
-        kept; only a file whose filter PROVES absence is skipped."""
-        live = self._live_data_files(rel)
+        kept; only a file whose filter PROVES absence is skipped.
+        ``live`` shares a caller's directory listing (read_where)."""
+        if live is None:
+            live = self._live_data_files(rel)
         try:
             with open(self._bloom_meta_path(rel)) as f:
                 bm = json.load(f)
@@ -699,6 +894,7 @@ class Warehouse:
             for p in (
                 self._profile_path(rel),
                 self._zonemap_path(rel),
+                self._zonemap_dir(rel),
                 self._bloom_meta_path(rel),
             )
             if os.path.exists(p)
@@ -849,13 +1045,9 @@ class Warehouse:
                 self.partition_file_stats(rel).get(part, (0, 0))[0],
             )
         # bring skipping back online from the preserved configs
-        try:
-            with open(self._zonemap_path(rel)) as f:
-                zm_cols = json.load(f).get("columns")
-            if zm_cols:
-                self.refresh_zone_maps(rel, zm_cols)
-        except (FileNotFoundError, json.JSONDecodeError):
-            pass
+        zm_cols = self.zone_map_columns(rel)
+        if zm_cols:
+            self.refresh_zone_maps(rel, zm_cols)
         try:
             with open(self._bloom_meta_path(rel)) as f:
                 bmj = json.load(f)
@@ -883,10 +1075,10 @@ class Warehouse:
         live = self._live_data_files(rel)
         kept = set(live)
         for c, v in (eq or {}).items():
-            kept &= set(self.bloom_prune_files(rel, c, v)[0])
-            kept &= set(self.prune_files(rel, c, v, v)[0])
+            kept &= set(self.bloom_prune_files(rel, c, v, live=live)[0])
+            kept &= set(self.prune_files(rel, c, v, v, live=live)[0])
         for c, (lo, hi) in (between or {}).items():
-            kept &= set(self.prune_files(rel, c, lo, hi)[0])
+            kept &= set(self.prune_files(rel, c, lo, hi, live=live)[0])
         df = self._read_file_subset(rel, [f for f in live if f in kept])
         for c, v in (eq or {}).items():
             df = df.where(F.col(c).eqNullSafe(F.lit(v)))
@@ -1057,14 +1249,19 @@ class Warehouse:
 
     def _live_data_files(self, rel: Relation) -> list[str]:
         base = self.path(rel)
+        skip = len(base) + 1  # prefix-slice instead of per-file relpath:
+        # os.walk roots every dirpath at base, and relpath() is ~20x the
+        # cost of the slice (it dominated prune_files at 100k files)
         out = []
         for dirpath, dirs, fnames in os.walk(base):
             dirs[:] = [d for d in dirs if not _is_hidden(d)]
-            out.extend(
-                os.path.relpath(os.path.join(dirpath, fn), base)
-                for fn in fnames
-                if fn.endswith(".parquet")
-            )
+            prefix = dirpath[skip:]
+            if prefix:
+                out.extend(
+                    f"{prefix}/{fn}" for fn in fnames if fn.endswith(".parquet")
+                )
+            else:
+                out.extend(fn for fn in fnames if fn.endswith(".parquet"))
         return sorted(out)
 
     def _delta_chain(self, rel: Relation, since: int, to: int) -> list[str] | None:

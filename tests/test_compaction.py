@@ -326,11 +326,11 @@ def test_whole_table_compact_preserves_skipping_configs(spark, tmp_path):
     assert rep  # rewrote to fewer files
     import json as _json
 
-    zm = _json.load(open(wh._zonemap_path(rel)))
+    zm_cols = wh.zone_map_columns(rel)
     bm = _json.load(open(wh._bloom_meta_path(rel)))
-    assert zm["columns"] == ["k"] and bm["column_order"] == ["uid"]
+    assert zm_cols == ["k"] and bm["column_order"] == ["uid"]
     # stale after rewrite -> fail safe (all kept), refresh re-indexes
-    wh.refresh_zone_maps(rel, zm["columns"])
+    wh.refresh_zone_maps(rel, zm_cols)
     wh.refresh_bloom_sidecar(rel, bm["column_order"], m_bits=bm["m"], k=bm["k"])
     kept, total = wh.bloom_prune_files(rel, "uid", "u-1")
     assert len(kept) >= 1
@@ -388,3 +388,86 @@ def test_table_with_only_sidecar_parquet_reads_as_empty(spark, tmp_path):
     assert wh.exists(rel)  # meta sidecar still marks the table
     out = wh.read(rel)
     assert out.count() == 0 and set(out.columns) == {"k", "uid"}
+
+
+def test_zonemap_v2_shards_incremental_append_and_v1_migration(spark, tmp_path):
+    """r8: the sharded zone-map sidecar. An append-only refresh writes one
+    NEW delta shard without touching existing shards (O(delta) metadata);
+    a legacy v1 monolithic JSON is readable as-is and consolidated into
+    the sharded layout on the next refresh."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "zs")
+    df = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    wh.create_as(rel, df.repartitionByRange(8, "k"), TableMeta())
+    wh.refresh_zone_maps(rel, ["k"])
+    d = wh._zonemap_dir(rel)
+    shards0 = sorted(f for f in _os.listdir(d) if f.endswith(".parquet"))
+    assert len(shards0) == 1
+    mtime0 = _os.stat(_os.path.join(d, shards0[0])).st_mtime_ns
+    kept, total = wh.prune_files(rel, "k", 2000, 2999)
+    assert len(kept) < total
+
+    # append-only: new files -> ONE new shard, first shard untouched
+    more = spark.range(10_000, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    wh.append(rel, more.repartitionByRange(4, "k"))
+    rep = wh.refresh_zone_maps(rel, ["k"])
+    assert rep["added"] >= 1 and rep["dropped"] == 0
+    shards1 = sorted(f for f in _os.listdir(d) if f.endswith(".parquet"))
+    assert len(shards1) == 2 and shards0[0] in shards1
+    assert _os.stat(_os.path.join(d, shards0[0])).st_mtime_ns == mtime0
+    kept_hi, total1 = wh.prune_files(rel, "k", 15_000, 15_999)
+    assert 0 < len(kept_hi) < total1
+    got = wh.read_pruned(rel, "k", 15_000, 15_999).where(F.col("k").between(15_000, 15_999))
+    assert got.count() == 1000
+
+    # legacy v1 migration: hand-write the old monolithic JSON on a fresh
+    # table; prune reads it, refresh consolidates + removes it
+    rel2 = wh.relation("s", "zv1")
+    wh.create_as(rel2, df.repartitionByRange(4, "k"), TableMeta())
+    files = wh._live_data_files(rel2)
+    import pyarrow.parquet as pq
+
+    v1 = {"columns": ["k"], "files": {}}
+    for relp in files:
+        md = pq.ParquetFile(_os.path.join(wh.path(rel2), relp)).metadata
+        i = {md.schema.column(j).name: j for j in range(md.num_columns)}["k"]
+        los = [md.row_group(r).column(i).statistics.min for r in range(md.num_row_groups)]
+        his = [md.row_group(r).column(i).statistics.max for r in range(md.num_row_groups)]
+        v1["files"][relp] = {"k": [min(los), max(his)]}
+    with open(wh._zonemap_path(rel2), "w") as f:
+        _json.dump(v1, f)
+    kept_v1, total_v1 = wh.prune_files(rel2, "k", 0, 999)
+    assert 0 < len(kept_v1) < total_v1
+    rep2 = wh.refresh_zone_maps(rel2, ["k"])
+    assert rep2["added"] == 0  # stats carried over, no footer re-read
+    assert not _os.path.exists(wh._zonemap_path(rel2))  # v1 gone
+    kept_v2, _ = wh.prune_files(rel2, "k", 0, 999)
+    assert sorted(kept_v2) == sorted(kept_v1)
+
+
+def test_zonemap_distributed_harvest_matches_driver_loop(spark, tmp_path):
+    """>= 256 new files routes the footer harvest through Spark executors;
+    the resulting index must prune identically to the driver-loop path."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rel = wh.relation("s", "zbig")
+    df = spark.range(26_000).select(F.col("id").alias("k"))
+    wh.create_as(rel, df.repartitionByRange(260, "k"), TableMeta())
+    rep = wh.refresh_zone_maps(rel, ["k"])
+    assert rep["added"] >= 256  # the distributed path actually ran
+    kept, total = wh.prune_files(rel, "k", 100, 199)
+    assert total >= 256 and len(kept) <= 3
+    got = wh.read_pruned(rel, "k", 100, 199).where(F.col("k").between(100, 199))
+    assert got.count() == 100

@@ -403,6 +403,31 @@ BEFORE any footer is opened. Stale/missing stats always fail safe
 (file kept), so the refresh can lag writes without correctness risk —
 the Runner's zone_map_columns keeps it current per write anyway.
 
+Round 8 replaced the monolithic-JSON sidecar with per-refresh parquet
+delta shards + an mtime-fingerprinted in-memory index (the
+snapshot-manifest model applied to zone maps) and re-measured at 100k
+files (tools/zonemap_scale_stress.py):
+
+| metric (100,100 files) | value |
+|---|---|
+| initial build — footer harvest fanned out over Spark executors | 3.0 s (vs ~7.5 s projected for the r7 sequential driver loop) |
+| incremental refresh (+100 files) | 0.73 s — one O(delta) shard appended, existing shards untouched |
+| first prune after a refresh (one-time shard parse) | 0.69 s |
+| steady-state prune (fingerprint-validated cached index) | 138 ms |
+| files kept for a 5k-key range probe | 6 / 100,100 |
+| sidecar size | 1.7 MiB in 2 shards |
+
+The steady-state 138 ms is the live-file LISTING (os.walk of 100k
+entries — the fail-safe live-set intersection every pruner performs,
+the same class of cost as Spark's own InMemoryFileIndex listing), not
+metadata parse: the shard index is cache-validated by O(#shards) stat
+calls. A drop-containing refresh consolidates to one shard from
+retained METADATA rows (no footer re-reads); read_where shares one
+listing across all of its per-column prunes. At million-file scale the
+listing itself moves behind the snapshot manifest (already
+incremental, r7) — the zone-map metadata path no longer grows with
+table age.
+
 ## Bloom-sidecar scale measurement — equality skipping where min/max can't
 
 Measured 2026-08-14 (round 7) on local[32]: 40.96M rows, 512
