@@ -1000,15 +1000,15 @@ def ivf_pq_topk(
     pairs = assigned.join(F.broadcast(probes), "cell").where(
         F.col("vid") != F.col("query_id")
     )
+    cand_codes = pairs.join(codes, "vid")
     scored = (
-        pairs.join(codes, "vid")
-        .join(
+        cand_codes.join(
             F.broadcast(lut),
-            (F.col("sub") == lut["sub"])
-            & (F.col("code") == lut["cid"])
-            & (pairs["query_id"] == lut["query_id"]),
+            (cand_codes["sub"] == lut["sub"])
+            & (cand_codes["code"] == lut["cid"])
+            & (cand_codes["query_id"] == lut["query_id"]),
         )
-        .groupBy(pairs["query_id"], "vid")
+        .groupBy(cand_codes["query_id"], "vid")
         .agg(F.sum("d").cast("long").alias("adc_dist"))
     )
     wr = Window.partitionBy("query_id").orderBy("adc_dist", "vid")

@@ -2226,6 +2226,88 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_oracle(
+    n_cells: int = 16, n_probe: int = 4, m: int = 4, pq_cells: int = 16,
+    iters: int = 2, scale: int = 1024, n_queries: int = 5, k: int = 10,
+    dims: int = 64,
+) -> str:
+    """IVF+PQ (IVFADC) replayed exactly: one full-dim coarse k-means
+    chain (cg_ prefix) restricts candidates to each query's n_probe
+    nearest cells; the per-subspace PQ chains, codes, and LUTs are the
+    _pq_oracle machinery; ADC sums only over the probed-cell pairs.
+    Mirrors operators/similarity.ivf_pq_topk."""
+    d0 = dims // m
+    parts = [_kmeans_cte_chain(n_cells, iters, scale, p="cg_", lead="WITH")]
+    for s in range(m):
+        lo, hi = s * d0 + 1, (s + 1) * d0
+        parts.append(
+            _kmeans_cte_chain(
+                pq_cells, iters, scale,
+                p=f"s{s}_", vec=f"embedding[{lo}:{hi}]", lead=",",
+            )
+        )
+    codes_sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {s} AS sub, vec_id, cid AS code FROM ("
+        f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+        f"FROM s{s}_af) WHERE rn = 1"
+        for s in range(m)
+    )
+    lut_sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {s} AS sub, vec_id AS query_id, cid, dist AS d "
+        f"FROM s{s}_af WHERE vec_id < {n_queries}"
+        for s in range(m)
+    )
+    parts.append(f""", cg_assigned AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM cg_af
+    ) WHERE rn = 1
+), cg_probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM cg_af WHERE vec_id < {n_queries}
+    ) WHERE rn <= {n_probe}
+), cg_pairs AS (
+    SELECT p.query_id, a.vec_id FROM cg_probes p JOIN cg_assigned a ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+), codes AS (
+    {codes_sel}
+), luts AS (
+    {lut_sel}
+), adc AS (
+    SELECT pr.query_id, c.vec_id, sum(l.d)::BIGINT AS adc_dist
+    FROM cg_pairs pr
+    JOIN codes c ON c.vec_id = pr.vec_id
+    JOIN luts l ON l.sub = c.sub AND l.cid = c.code AND l.query_id = pr.query_id
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, vec_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+    FROM adc
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id, adc_dist FROM ranked WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+@_register("ann_ivf_pq_topk", _ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (operators/similarity.ivf_pq_topk — the IVFADC
+    index of Jegou et al. 2011 §IV, un-residual variant): the full-dim
+    coarse quantizer cuts each query's candidate set to its 4 probed
+    cells, PQ codes cut bytes per candidate to 4 integer codes, and
+    ranking is the exact-integer ADC sum over the probed candidates
+    only — the production ANN shape at 100 TB. The oracle replays the
+    coarse assignment, probes, codebooks, codes, LUTs, and the
+    restricted ADC ranking end-to-end, so the entire two-level trained
+    index is hash-gated."""
+    from edna_dbt_library_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=10, n_cells=16, n_probe=4, m=4, pq_cells=16, train_iters=2,
+    )
+
+
 def _outliers_oracle(n_cells: int = 16, iters: int = 2, top_k: int = 3) -> str:
     """Per-cell embedding outliers over the shared k-means chain: final
     assignment distances (exact integers), top-k most distant per cell.

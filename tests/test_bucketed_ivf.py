@@ -518,3 +518,33 @@ def test_pq_codes_compact_and_search_deterministic(spark):
     }
     recall = len(exact & a) / len(exact)
     assert recall >= 0.2, f"PQ recall collapsed: {recall}"
+
+
+def test_ivf_pq_recall_and_subset_of_full_pq_scan(spark):
+    """IVF+PQ (r8): probed-cell ADC must (a) keep useful recall vs the
+    exact ranking, (b) agree with the FULL PQ scan's distance for every
+    returned pair (the coarse quantizer only restricts candidates, never
+    changes a distance), and (c) be deterministic under repartitioning."""
+    from edna_dbt_library_spark.operators.similarity import ivf_pq_topk, pq_adc_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_pq_topk(emb, queries, k=10, n_cells=16, n_probe=4, m=4, pq_cells=16)
+    rows = out.collect()
+    assert len(rows) == 50
+
+    exact = brute_force_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    # two lossy stages (4/16 probed cells x 4x16 PQ codes); measured ~0.5+
+    assert recall >= 0.3, f"IVF+PQ recall collapsed: {recall}"
+
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in pq_adc_topk(emb, queries, k=10_000).collect()
+    }
+    assert all(full[(r["query_id"], r["vec_id"])] == r["adc_dist"] for r in rows)
+
+    again = ivf_pq_topk(emb.repartition(13), queries, k=10, n_cells=16, n_probe=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
