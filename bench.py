@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "dedup_embedding_cosine",
     "top_suppliers_sql",
     "stream_window_counts",

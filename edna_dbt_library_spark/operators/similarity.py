@@ -995,12 +995,19 @@ def ivf_pq_topk(
         .withColumnRenamed("dist", "d")
     )
 
-    # candidates restricted to probed cells; every vector is in exactly
-    # one cell and probed cells are distinct -> each pair at most once
-    pairs = assigned.join(F.broadcast(probes), "cell").where(
+    # INDEX-BUILD side: codes carry their cell (one corpus-side join,
+    # paid once per index, not per search — real IVFADC stores the code
+    # lists inside the inverted cells exactly so the query path never
+    # joins corpus-sized frames on vector id)
+    codes_cell = codes.join(assigned, "vid")
+
+    # SEARCH side: broadcast-only — probed cells select candidates,
+    # the query LUT scores them; every vector is in exactly one cell
+    # and probed cells are distinct -> each (query, vec) pair at most
+    # once per subspace
+    cand_codes = codes_cell.join(F.broadcast(probes), "cell").where(
         F.col("vid") != F.col("query_id")
     )
-    cand_codes = pairs.join(codes, "vid")
     scored = (
         cand_codes.join(
             F.broadcast(lut),
@@ -1017,3 +1024,125 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vid").alias("vec_id"), "adc_dist")
     )
+
+
+def embedding_gram(
+    embeddings: DataFrame,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer centered Gram matrix of the embedding corpus:
+    G[i, j] = sum over vectors of (q_i - mu_i) * (q_j - mu_j), where q
+    is the quantized vector (quantize_vec — IEEE-exact) and mu the
+    exact rounded integer mean per dimension (the kmeans _int_mean
+    idiom). Returns the upper triangle (i, j, g), 0-based, i <= j —
+    d*(d+1)/2 rows. This is the sufficient statistic for PCA: every
+    covariance-based reduction derives from it, and because every
+    product is exact int64 the matrix is bit-identical on any
+    partitioning and replays in the DuckDB oracle.
+
+    Scale shape: one pass computes per-dim sums (posexplode + groupBy
+    over a key space of exactly d — map-side combined); a second pass
+    emits each row's d^2 centered products in-row (nested transform,
+    JVM codegen, no join) and aggregates by (i, j) — one shuffle whose
+    key space is d^2 regardless of corpus size. int64 bound: products
+    are <= (2*scale)^2 and n_vectors multiplies that — safe to ~2^30
+    vectors at scale=1024; larger corpora shard the sum by vector
+    range and add the partials."""
+    q = embeddings.select(quantize_vec(vec_col, scale).alias("qv"))
+    dims = q.select(F.size("qv").alias("d")).first()["d"]
+
+    sums = (
+        q.select(F.posexplode("qv").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mu = [0] * dims
+    for r in sums:
+        s, n = int(r["s"]), int(r["n"])
+        mag = (2 * abs(s) + n) // (2 * n)
+        mu[r["dim"]] = mag if s >= 0 else -mag
+    muarr = F.array(*[F.lit(m).cast("long") for m in mu])
+
+    cc = F.zip_with(F.col("qv"), muarr, lambda x, m: x - m)
+    prods = F.flatten(F.transform(cc, lambda x: F.transform(cc, lambda y: x * y)))
+    return (
+        q.select(F.posexplode(prods).alias("pos", "p"))
+        .select(
+            (F.col("pos") / dims).cast("int").alias("i"),
+            F.pmod("pos", F.lit(dims)).cast("int").alias("j"),
+            "p",
+        )
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g"))
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 8,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    gram: DataFrame | None = None,
+) -> DataFrame:
+    """PCA projection: top-k principal components from the exact-integer
+    Gram matrix (embedding_gram — the distributed sufficient statistic),
+    eigendecomposition driver-side (numpy over the tiny d x d matrix —
+    d^2 floats, never corpus-sized), projection back on the cluster as
+    pure Column algebra (one zip_with dot product per component against
+    the broadcast-literal eigenvector). Component signs are fixed
+    deterministically (largest-|coefficient| entry positive), so output
+    is stable across runs; eigenvector VALUES are float (LAPACK), which
+    is why the oracle gate sits on the Gram matrix, not the projection.
+
+    The standard pre-reduction in front of clustering / ANN / SemDeDup:
+    64 -> k dims cuts every downstream distance evaluation by d/k."""
+    import numpy as np
+
+    g = gram if gram is not None else embedding_gram(embeddings, scale, id_col, vec_col)
+    rows = g.collect()
+    dims = max(r["j"] for r in rows) + 1
+    G = np.zeros((dims, dims), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = float(r["g"])
+    vals, vecs = np.linalg.eigh(G)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    V = vecs[:, order]
+    for c in range(V.shape[1]):  # deterministic sign
+        m = np.argmax(np.abs(V[:, c]))
+        if V[m, c] < 0:
+            V[:, c] = -V[:, c]
+
+    # mu replayed exactly as embedding_gram computed it
+    q = embeddings.select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+    sums = (
+        q.select(F.posexplode("qv").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mu = [0] * dims
+    for r in sums:
+        s, n = int(r["s"]), int(r["n"])
+        mag = (2 * abs(s) + n) // (2 * n)
+        mu[r["dim"]] = mag if s >= 0 else -mag
+    muarr = F.array(*[F.lit(m).cast("long") for m in mu])
+    cc = F.zip_with(F.col("qv"), muarr, lambda x, m: (x - m).cast("double"))
+
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                cc,
+                F.array(*[F.lit(float(V[i, c])) for i in range(dims)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"pc{c}")
+        for c in range(V.shape[1])
+    ]
+    return q.select(id_col, *[(c / scale).alias(f"pc{i}") for i, c in enumerate(comps)])

@@ -2308,6 +2308,49 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAM_ORACLE = """
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> round(x::DOUBLE * 1024.0)::BIGINT) AS qv
+    FROM embeddings
+), qd AS (
+    SELECT vec_id, i AS dim, qv[i] AS v
+    FROM base, unnest(generate_series(1, len(qv))) AS t(i)
+), mu AS (
+    SELECT dim,
+           CASE WHEN sum(v) >= 0
+                THEN floor((2 * sum(v) + count(*)) / (2.0 * count(*)))::BIGINT
+                ELSE -(floor((2 * (-sum(v)) + count(*)) / (2.0 * count(*)))::BIGINT)
+           END AS m
+    FROM qd GROUP BY 1
+), c AS (
+    SELECT q.vec_id, q.dim, q.v - mu.m AS v FROM qd q JOIN mu ON mu.dim = q.dim
+)
+SELECT (a.dim - 1)::INTEGER AS i, (b.dim - 1)::INTEGER AS j,
+       sum(a.v * b.v)::BIGINT AS g
+FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
+@_register("embedding_gram_matrix", _GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer centered Gram matrix of the embedding corpus
+    (operators/similarity.embedding_gram) — the distributed sufficient
+    statistic for PCA (pca_project derives its eigenvectors from it
+    driver-side; the float eigendecomposition is pytest-gated, the
+    INTEGER statistic is oracle-gated here). Quantization and the
+    rounded integer mean replay the shared k-means arithmetic, so all
+    d*(d+1)/2 entries hash-match bit-for-bit; the Spark side emits each
+    row's d^2 centered products in-row (nested transform, no join) and
+    aggregates on a key space of exactly d^2 regardless of corpus
+    size, while the oracle declares the same matrix via a per-dim
+    self-join."""
+    from edna_dbt_library_spark.operators.similarity import embedding_gram
+
+    return embedding_gram(_t(spark, sf_dir, "embeddings"))
+
+
 def _outliers_oracle(n_cells: int = 16, iters: int = 2, top_k: int = 3) -> str:
     """Per-cell embedding outliers over the shared k-means chain: final
     assignment distances (exact integers), top-k most distant per cell.

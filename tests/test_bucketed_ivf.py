@@ -548,3 +548,42 @@ def test_ivf_pq_recall_and_subset_of_full_pq_scan(spark):
 
     again = ivf_pq_topk(emb.repartition(13), queries, k=10, n_cells=16, n_probe=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_pca_projection_from_exact_gram(spark):
+    """PCA (r8): the Gram statistic is exact-integer (oracle-gated in
+    the registry); here the driver-side eigendecomposition + cluster-side
+    projection must (a) order components by captured variance, (b)
+    capture exactly the eigenvalue mass the spectrum promises, and (c)
+    be bit-deterministic under repartitioning (row-local folds over
+    literal eigenvectors)."""
+    import numpy as np
+
+    from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        embedding_gram,
+        pca_project,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    k = 8
+    gram = embedding_gram(emb).localCheckpoint(eager=True)
+    proj = pca_project(emb, k=k, gram=gram)
+    rows = proj.collect()
+    n = emb.count()
+    assert len(rows) == n and len(rows[0]) == k + 1
+
+    # eigen mass accounting: sample variance of pc_c == lambda_c / (n*scale^2)
+    G = np.zeros((64, 64))
+    for r in gram.collect():
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = float(r["g"])
+    vals = np.sort(np.linalg.eigvalsh(G))[::-1]
+    X = np.array([[r[f"pc{c}"] for c in range(k)] for r in rows])
+    # projections are centered by construction -> E[pc] ~ 0
+    sq = (X * X).sum(axis=0) * (KMEANS_SCALE**2)
+    assert np.all(sq[:-1] >= sq[1:] - 1e-6)  # variance-ordered
+    rel = np.abs(sq - vals[:k]) / np.maximum(vals[:k], 1.0)
+    assert np.max(rel) < 1e-9, rel  # exactly the promised eigen mass
+
+    again = pca_project(emb.repartition(13), k=k, gram=gram).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -255,3 +255,22 @@ def test_explain_scale_flags_global_window_and_sort(spark):
     assert "global_sort" in {f.code for f in explain_scale(total)}
     topk = o.orderBy(F.col("o_totalprice").desc()).limit(10)
     assert "global_sort" not in {f.code for f in explain_scale(topk)}
+
+
+def test_ivf_pq_search_path_is_broadcast_only(spark):
+    """IVFADC (r8): the only corpus-sized join is the one-time
+    index-build join of codes to their cell (at most one SMJ); the
+    SEARCH path — probed-cell candidate selection and the query-LUT
+    scoring — must be broadcast joins, and nothing may degenerate to a
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.operators.similarity import ivf_pq_topk
+    from edna_dbt_library_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = ivf_pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") <= 1, plan  # index build only
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probes + LUT
