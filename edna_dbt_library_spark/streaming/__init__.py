@@ -1,6 +1,7 @@
 from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_cdc_refresh,
     stream_incremental_append,
+    stream_interval_join,
     stream_table,
     stream_windowed_counts,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "stream_warc_ingest",
     "stream_cdc_refresh",
     "stream_incremental_append",
+    "stream_interval_join",
     "stream_table",
     "stream_windowed_counts",
     "read_cms_counters",

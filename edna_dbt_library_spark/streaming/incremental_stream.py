@@ -162,3 +162,41 @@ def stream_cdc_refresh(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "2 hours",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: a right-side event joins
+    every same-key left-side event whose timestamp precedes it by less
+    than ``max_delay`` — right_ts in [left_ts, left_ts + max_delay), the
+    half-open window of the batch range_attribution operator, so the
+    drained stream equals the batch interval join row-for-row.
+
+    This is the streaming-native click->purchase attribution: neither
+    side is ever materialized whole. Watermarks on BOTH sides plus the
+    time-range join condition are what let Spark expire join state — a
+    left event's state is droppable once the right watermark passes
+    left_ts + max_delay, so state is bounded by (watermark_delay +
+    max_delay) of traffic per key regardless of stream age (the
+    unbounded-state trap of an unconstrained stream-stream join).
+    Inner-join matches emit as they arrive; the watermark only bounds
+    state and lateness, exactly Spark's documented semantics.
+
+    Both inputs must be streaming frames with distinct column names
+    apart from ``key_col`` (alias before calling); the duplicate right
+    key column is dropped from the output."""
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key_col])

@@ -746,3 +746,60 @@ def test_stream_table_warehouse_source_drains_and_resumes(spark, tmp_path):
     spark.range(3).write.parquet(wh.path(raw))
     with _pytest.raises(ValueError, match="schema sidecar"):
         stream_table(wh, raw)
+
+
+def test_stream_interval_join_equals_batch_attribution(spark, tmp_path):
+    """Stream-stream watermarked interval join (r8): clicks and
+    purchases drained as two file streams, purchases attributed to
+    same-user clicks in the preceding 2 hours — the drained result must
+    equal the direct batch inequality join row-for-row (the
+    range_attribution semantics, streaming-native)."""
+    from edna_dbt_library_spark.streaming import stream_interval_join
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.mode("overwrite").parquet(c_src)
+    purchases.write.mode("overwrite").parquet(p_src)
+
+    cs = spark.readStream.schema(spark.read.parquet(c_src).schema).parquet(c_src)
+    ps = spark.readStream.schema(spark.read.parquet(p_src).schema).parquet(p_src)
+    joined = stream_interval_join(
+        cs, ps, key_col="user_id", left_ts="c_ts", right_ts="p_ts",
+        max_delay="2 hours", watermark_delay="30 minutes",
+    ).select("click_id", "purchase_id")
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+
+    bc, bp = spark.read.parquet(c_src), spark.read.parquet(p_src)
+    batch = sorted(
+        map(
+            tuple,
+            bc.join(
+                bp,
+                (bc["user_id"] == bp["user_id"])
+                & (bp["p_ts"] >= bc["c_ts"])
+                & (bp["p_ts"] < bc["c_ts"] + F.expr("INTERVAL 2 HOURS")),
+            )
+            .select("click_id", "purchase_id")
+            .collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) > 0
