@@ -4087,6 +4087,7 @@ def _ann_topk_consolidated_oracle() -> str:
     bf = REGISTRY["ann_topk_bruteforce"].oracle
     ivf = REGISTRY["ann_ivf_topk"].oracle
     pq = REGISTRY["ann_pq_adc_topk"].oracle
+    ivfpq = REGISTRY["ann_ivf_pq_topk"].oracle
     cols = ", ".join(_ANN_TOPK_COLS)
     return f"""
 SELECT 'bruteforce' AS method, {cols} FROM ({bf})
@@ -4095,37 +4096,46 @@ SELECT 'ivf' AS method, {cols} FROM ({ivf})
 UNION ALL
 SELECT 'pq' AS method, query_id, rank, vec_id, NULL::INTEGER AS label,
        adc_dist::DOUBLE AS cosine_sim
-FROM ({pq})"""
+FROM ({pq})
+UNION ALL
+SELECT 'ivfpq' AS method, query_id, rank, vec_id, NULL::INTEGER AS label,
+       adc_dist::DOUBLE AS cosine_sim
+FROM ({ivfpq})"""
 
 
 @_register("ann_topk", _ann_topk_consolidated_oracle())
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search in one method-tagged scored row: the exact
-    brute-force cosine baseline, the k-means-trained IVF index, and
-    (r7) the product-quantization ADC index (granulars
-    ann_topk_bruteforce / ann_ivf_topk / ann_pq_adc_topk stay
-    registered). The PQ arm packs its exact-integer ADC distance into
-    the shared double score column (values < 2^53, bit-exact); label is
-    NULL::INTEGER (the fixture label is int32 — a string literal here
-    would ANSI-coerce to cast('' AS BIGINT) and crash, r7 verdict #1).
+    brute-force cosine baseline, the k-means-trained IVF index, (r7)
+    the product-quantization ADC index, and (r8) the composed IVF+PQ
+    (IVFADC) index (granulars ann_topk_bruteforce / ann_ivf_topk /
+    ann_pq_adc_topk / ann_ivf_pq_topk stay registered). The ADC arms
+    pack their exact-integer distance into the shared double score
+    column (values < 2^53, bit-exact); label is NULL::INTEGER (the
+    fixture label is int32 — a string literal here would ANSI-coerce to
+    cast('' AS BIGINT) and crash, r7 verdict #1).
     Same consolidation pattern as near_dup_pairs: every method's
     full ranking hash-gates under one driver row."""
     bf = REGISTRY["ann_topk_bruteforce"].spark(spark, sf_dir)
     ivf = REGISTRY["ann_ivf_topk"].spark(spark, sf_dir)
     pq = REGISTRY["ann_pq_adc_topk"].spark(spark, sf_dir)
+    ivfpq = REGISTRY["ann_ivf_pq_topk"].spark(spark, sf_dir)
+
+    def adc_arm(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("method"),
+            "query_id",
+            "rank",
+            "vec_id",
+            F.lit(None).cast("int").alias("label"),
+            F.col("adc_dist").cast("double").alias("cosine_sim"),
+        )
+
     return (
         bf.select(F.lit("bruteforce").alias("method"), *_ANN_TOPK_COLS)
         .unionAll(ivf.select(F.lit("ivf").alias("method"), *_ANN_TOPK_COLS))
-        .unionAll(
-            pq.select(
-                F.lit("pq").alias("method"),
-                "query_id",
-                "rank",
-                "vec_id",
-                F.lit(None).cast("int").alias("label"),
-                F.col("adc_dist").cast("double").alias("cosine_sim"),
-            )
-        )
+        .unionAll(adc_arm(pq, "pq"))
+        .unionAll(adc_arm(ivfpq, "ivfpq"))
     )
 
 
@@ -6033,20 +6043,37 @@ UNION ALL
 SELECT 'quantized' AS src, vec_id::BIGINT AS id,
        q_min::VARCHAR || ':' || q_max::VARCHAR || ':' || n_nonzero::VARCHAR AS key,
        scale AS value, 0.0::DOUBLE AS value2, q_sum AS n
-FROM qz"""
+FROM qz
+UNION ALL
+SELECT 'gram' AS src, i::BIGINT AS id, j::VARCHAR AS key,
+       0.0::DOUBLE AS value, 0.0::DOUBLE AS value2, g AS n
+FROM ({_GRAM_ORACLE})"""
 
 
 @_register("content_quality_stats", _CONTENT_QUALITY_STATS_ORACLE)
 def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-5 content-stats trio in one src-tagged scored row:
+    """The content/embedding-stats family in one src-tagged scored row:
     zero-UDF HTML boilerplate stripping (full cleaned text as key),
-    grouped z-score outliers (zscore + raw value), and int8 embedding
+    grouped z-score outliers (zscore + raw value), int8 embedding
     quantization (per-vector scale, exact code aggregates packed into
-    key/n). Granulars strip_html_docs / zscore_outlier_events /
-    quantized_embeddings_summary stay registered."""
+    key/n), and (r8) the exact-integer PCA Gram statistic — every
+    d*(d+1)/2 centered-covariance entry in the exact ``n`` column, so
+    the distributed sufficient statistic behind pca_project is
+    driver-scored. Granulars strip_html_docs / zscore_outlier_events /
+    quantized_embeddings_summary / embedding_gram_matrix stay
+    registered."""
     sh = REGISTRY["strip_html_docs"].spark(spark, sf_dir)
     zs = REGISTRY["zscore_outlier_events"].spark(spark, sf_dir)
     qz = REGISTRY["quantized_embeddings_summary"].spark(spark, sf_dir)
+    gm = REGISTRY["embedding_gram_matrix"].spark(spark, sf_dir)
+    gram_arm = gm.select(
+        F.lit("gram").alias("src"),
+        F.col("i").cast("long").alias("id"),
+        F.col("j").cast("string").alias("key"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.col("g").alias("n"),
+    )
     return sh.select(
         F.lit("strip_html").alias("src"),
         F.col("doc_id").cast("long").alias("id"),
@@ -6077,7 +6104,7 @@ def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).cast("double").alias("value2"),
             F.col("q_sum").cast("long").alias("n"),
         )
-    )
+    ).unionAll(gram_arm)
 
 
 _WAREHOUSE_CHANGES_ORACLE = """

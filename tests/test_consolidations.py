@@ -244,16 +244,21 @@ def test_ann_topk_equals_granular_composition(spark):
     cols = ["query_id", "rank", "vec_id", "label", "cosine_sim"]
     bf = reg["ann_topk_bruteforce"](spark, SF).select(F.lit("bruteforce").alias("method"), *cols)
     ivf = reg["ann_ivf_topk"](spark, SF).select(F.lit("ivf").alias("method"), *cols)
-    pq = reg["ann_pq_adc_topk"](spark, SF).select(
-        F.lit("pq").alias("method"),
-        "query_id",
-        "rank",
-        "vec_id",
-        F.lit(None).cast("int").alias("label"),
-        F.col("adc_dist").cast("double").alias("cosine_sim"),
-    )
-    composed = _rows(bf.unionAll(ivf).unionAll(pq))
+    def adc_arm(name, tag):
+        return reg[name](spark, SF).select(
+            F.lit(tag).alias("method"),
+            "query_id",
+            "rank",
+            "vec_id",
+            F.lit(None).cast("int").alias("label"),
+            F.col("adc_dist").cast("double").alias("cosine_sim"),
+        )
+
+    pq = adc_arm("ann_pq_adc_topk", "pq")
+    ivfpq = adc_arm("ann_ivf_pq_topk", "ivfpq")
+    composed = _rows(bf.unionAll(ivf).unionAll(pq).unionAll(ivfpq))
     assert scored == composed and len(scored) > 0
+    assert {r[0] for r in scored} == {"bruteforce", "ivf", "pq", "ivfpq"}
 
 
 def test_retrieval_scores_equals_granular_composition(spark):
@@ -455,7 +460,17 @@ def test_content_quality_stats_equals_granular_composition(spark):
         F.lit(0.0).cast("double").alias("value2"),
         F.col("q_sum").cast("long").alias("n"),
     )
-    assert _rows(scored) == _rows(sh.unionAll(zs).unionAll(qz).select(*scored.columns))
+    gm = reg["embedding_gram_matrix"](spark, SF).select(
+        F.lit("gram").alias("src"),
+        F.col("i").cast("long").alias("id"),
+        F.col("j").cast("string").alias("key"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.col("g").alias("n"),
+    )
+    composed = sh.unionAll(zs).unionAll(qz).unionAll(gm).select(*scored.columns)
+    assert _rows(scored) == _rows(composed)
+    assert sum(1 for r in _rows(scored) if r[0] == "gram") == 2080  # 64*65/2
 
 
 def test_incremental_store_state_replay_is_idempotent(spark, tmp_path):
