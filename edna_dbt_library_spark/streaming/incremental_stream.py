@@ -200,3 +200,55 @@ def stream_interval_join(
         & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key_col])
+
+
+def stream_semantic_dedup(
+    emb_stream: DataFrame,
+    wh,
+    store,
+    admitted_path: str,
+    checkpoint_path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.9,
+    available_now: bool = True,
+):
+    """Streaming twin of
+    ``operators.similarity.run_incremental_semantic_dedup``: every
+    micro-batch of embedding rows is SemDeDup'd against everything
+    previously admitted (frozen first-batch centroids, touched-cell
+    pruned store scan), admitted (vec_id, cell) rows land under
+    ``admitted_path/batch=<id>/`` (the repo's idempotent batch-id sink
+    idiom — a replayed micro-batch overwrites its own subdir), and the
+    persistent store converges to the same state as running the batch
+    operator over the same batches in the same order. Replay safety
+    comes from the operator's own contract (re-ingesting an admitted
+    batch admits nothing) on top of the overwriting sink.
+
+    Greedy keep-first semantics are ORDER-dependent (like the batch
+    incremental form): which vector of a near-dup pair survives depends
+    on which micro-batch arrived first, but the SET of surviving
+    semantic regions does not. Scale shape per trigger is the batch
+    operator's: assignments + touched-cell store comparisons only."""
+    import os as _os
+
+    from edna_dbt_library_spark.operators.similarity import (
+        run_incremental_semantic_dedup,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        admitted = run_incremental_semantic_dedup(
+            wh, store, batch_df, n_cells=n_cells, iters=iters, threshold=threshold
+        )
+        admitted.write.mode("overwrite").parquet(
+            _os.path.join(admitted_path, f"batch={batch_id}")
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

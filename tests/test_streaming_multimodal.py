@@ -803,3 +803,62 @@ def test_stream_interval_join_equals_batch_attribution(spark, tmp_path):
         )
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_semantic_dedup_converges_to_batch_state(spark, tmp_path):
+    """Streaming SemDeDup (r8): embeddings chopped into two micro-batches
+    (even ids file, odd ids file, one file per trigger) must converge the
+    persistent store to EXACTLY the state of the batch incremental
+    operator run over the same two batches in the same order, and a full
+    re-drain from a fresh checkpoint must admit nothing new."""
+    from edna_dbt_library_spark.operators.similarity import (
+        run_incremental_semantic_dedup,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+    from edna_dbt_library_spark.streaming import stream_semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    # two files, drained one per trigger in name order
+    even.coalesce(1).write.mode("overwrite").parquet(src + "/b=0")
+    odd.coalesce(1).write.mode("overwrite").parquet(src + "/b=1")
+
+    s_wh = Warehouse(spark, str(tmp_path / "s_wh"))
+    s_store = s_wh.relation("scratch", "sem")
+    stream_in = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    q = stream_semantic_dedup(
+        stream_in, s_wh, s_store,
+        admitted_path=str(tmp_path / "admitted"),
+        checkpoint_path=str(tmp_path / "cp"),
+        threshold=0.3,
+    )
+    q.awaitTermination(300)
+
+    b_wh = Warehouse(spark, str(tmp_path / "b_wh"))
+    b_store = b_wh.relation("scratch", "sem")
+    run_incremental_semantic_dedup(b_wh, b_store, even, threshold=0.3)
+    run_incremental_semantic_dedup(b_wh, b_store, odd, threshold=0.3)
+
+    s_rows = sorted((r["vec_id"], r["cell"]) for r in s_wh.read(s_store).collect())
+    b_rows = sorted((r["vec_id"], r["cell"]) for r in b_wh.read(b_store).collect())
+    assert s_rows == b_rows and 0 < len(s_rows) < emb.count()
+
+    # re-drain with a FRESH checkpoint: operator-level replay admits nothing
+    q2 = stream_semantic_dedup(
+        stream_in, s_wh, s_store,
+        admitted_path=str(tmp_path / "admitted2"),
+        checkpoint_path=str(tmp_path / "cp2"),
+        threshold=0.3,
+    )
+    q2.awaitTermination(300)
+    assert sorted((r["vec_id"], r["cell"]) for r in s_wh.read(s_store).collect()) == s_rows
+    import glob as _glob
+
+    re_admitted = spark.read.parquet(*_glob.glob(str(tmp_path / "admitted2") + "/batch=*"))
+    assert re_admitted.count() == 0
