@@ -1146,3 +1146,55 @@ def pca_project(
         for c in range(V.shape[1])
     ]
     return q.select(id_col, *[(c / scale).alias(f"pc{i}") for i, c in enumerate(comps)])
+
+
+def random_projection(
+    embeddings: DataFrame,
+    k: int = 16,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with an exact-integer,
+    engine-replayable ±1 matrix: R[i, j] = +1 when the first hex digit
+    of md5("i,j") is even, else -1 (md5 exists and agrees in Spark and
+    DuckDB, so the "random" matrix is a pure function both engines
+    derive independently — no seed shipping). Output is the projected
+    integer vector as rows (vec_id, j, p) with
+    p = sum_i qv[i] * R[i, j] — exact int64, so the projection is
+    bit-deterministic under any partitioning and hash-gates in the
+    oracle.
+
+    The training-free companion to pca_project: no corpus pass to fit,
+    distances preserved within the JL bound (pytest measures the
+    observed distortion), the right reduction when the corpus is too
+    hot to train on or the dimensionality must drop before ANY
+    statistic is computed. Scale shape: the sign matrix is d x k
+    literal Column expressions folded per row (JVM codegen, zero
+    shuffles, zero state); cost is one scan."""
+    signs = {}
+    import hashlib
+
+    dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    for i in range(dims):
+        for j in range(k):
+            h = hashlib.md5(f"{i},{j}".encode()).hexdigest()
+            signs[(i, j)] = 1 if int(h[0], 16) % 2 == 0 else -1
+    q = embeddings.select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                "qv",
+                F.array(*[F.lit(signs[(i, j)]).cast("long") for i in range(dims)]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"_p{j}")
+        for j in range(k)
+    ]
+    wide = q.select(id_col, *comps)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"_p{j}") for j in range(k)])).alias("j", "p"),
+    )

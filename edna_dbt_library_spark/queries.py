@@ -2351,6 +2351,42 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_gram(_t(spark, sf_dir, "embeddings"))
 
 
+_RPROJ_K = 16
+_RPROJ_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> round(x::DOUBLE * 1024.0)::BIGINT) AS qv
+    FROM embeddings
+), qd AS (
+    SELECT vec_id, i - 1 AS dim, qv[i] AS v
+    FROM base, unnest(generate_series(1, len(qv))) AS t(i)
+), sgn AS (
+    SELECT d.dim, j.j,
+           CASE WHEN ('0x' || substr(md5(d.dim::VARCHAR || ',' || j.j::VARCHAR), 1, 1))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM (SELECT DISTINCT dim FROM qd) d, unnest(generate_series(0, {_RPROJ_K - 1})) AS j(j)
+)
+SELECT q.vec_id, s.j::INTEGER AS j, sum(q.v * s.s)::BIGINT AS p
+FROM qd q JOIN sgn s ON s.dim = q.dim
+GROUP BY 1, 2
+"""
+
+
+@_register("embedding_random_projection", _RPROJ_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection
+    (operators/similarity.random_projection): 64 -> 16 dims through a
+    ±1 matrix both engines derive independently from md5 parity — the
+    training-free reduction beside PCA. Every projected component is an
+    exact int64 fold (no float anywhere), so all n x 16 outputs
+    hash-gate bit-for-bit; the Spark side is d x k literal sign arrays
+    folded per row in codegen (zero shuffles), the oracle a dim-level
+    join against the same derived sign table."""
+    from edna_dbt_library_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), k=_RPROJ_K)
+
+
 def _outliers_oracle(n_cells: int = 16, iters: int = 2, top_k: int = 3) -> str:
     """Per-cell embedding outliers over the shared k-means chain: final
     assignment distances (exact integers), top-k most distant per cell.
@@ -6047,7 +6083,11 @@ FROM qz
 UNION ALL
 SELECT 'gram' AS src, i::BIGINT AS id, j::VARCHAR AS key,
        0.0::DOUBLE AS value, 0.0::DOUBLE AS value2, g AS n
-FROM ({_GRAM_ORACLE})"""
+FROM ({_GRAM_ORACLE})
+UNION ALL
+SELECT 'rproj' AS src, vec_id::BIGINT AS id, j::VARCHAR AS key,
+       0.0::DOUBLE AS value, 0.0::DOUBLE AS value2, p AS n
+FROM ({_RPROJ_ORACLE})"""
 
 
 @_register("content_quality_stats", _CONTENT_QUALITY_STATS_ORACLE)
@@ -6056,16 +6096,19 @@ def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-UDF HTML boilerplate stripping (full cleaned text as key),
     grouped z-score outliers (zscore + raw value), int8 embedding
     quantization (per-vector scale, exact code aggregates packed into
-    key/n), and (r8) the exact-integer PCA Gram statistic — every
-    d*(d+1)/2 centered-covariance entry in the exact ``n`` column, so
-    the distributed sufficient statistic behind pca_project is
-    driver-scored. Granulars strip_html_docs / zscore_outlier_events /
-    quantized_embeddings_summary / embedding_gram_matrix stay
-    registered."""
+    key/n), and (r8) the two exact-integer reduction statistics — the
+    PCA Gram matrix (every d*(d+1)/2 centered-covariance entry) and the
+    Johnson-Lindenstrauss projection (every n x 16 projected component)
+    in the exact ``n`` column, so both distributed reduction paths
+    behind pca_project/random_projection are driver-scored. Granulars
+    strip_html_docs / zscore_outlier_events /
+    quantized_embeddings_summary / embedding_gram_matrix /
+    embedding_random_projection stay registered."""
     sh = REGISTRY["strip_html_docs"].spark(spark, sf_dir)
     zs = REGISTRY["zscore_outlier_events"].spark(spark, sf_dir)
     qz = REGISTRY["quantized_embeddings_summary"].spark(spark, sf_dir)
     gm = REGISTRY["embedding_gram_matrix"].spark(spark, sf_dir)
+    rp = REGISTRY["embedding_random_projection"].spark(spark, sf_dir)
     gram_arm = gm.select(
         F.lit("gram").alias("src"),
         F.col("i").cast("long").alias("id"),
@@ -6073,6 +6116,14 @@ def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).cast("double").alias("value"),
         F.lit(0.0).cast("double").alias("value2"),
         F.col("g").alias("n"),
+    )
+    rproj_arm = rp.select(
+        F.lit("rproj").alias("src"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("j").cast("string").alias("key"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.col("p").alias("n"),
     )
     return sh.select(
         F.lit("strip_html").alias("src"),
@@ -6104,7 +6155,7 @@ def content_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).cast("double").alias("value2"),
             F.col("q_sum").cast("long").alias("n"),
         )
-    ).unionAll(gram_arm)
+    ).unionAll(gram_arm).unionAll(rproj_arm)
 
 
 _WAREHOUSE_CHANGES_ORACLE = """

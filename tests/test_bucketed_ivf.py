@@ -587,3 +587,41 @@ def test_pca_projection_from_exact_gram(spark):
 
     again = pca_project(emb.repartition(13), k=k, gram=gram).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_random_projection_preserves_distances_and_is_deterministic(spark):
+    """JL projection (r8): for sampled vector pairs the projected
+    squared distance scaled by 1/k must concentrate around the original
+    quantized squared distance (the JL guarantee the reduction is for),
+    and the exact-integer fold must be bit-stable under repartitioning."""
+    import statistics
+
+    from edna_dbt_library_spark.operators.similarity import (
+        quantize_vec,
+        random_projection,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    k = 16
+    proj = random_projection(emb, k=k)
+    rows = proj.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], [0] * k)[r["j"]] = r["p"]
+    qrows = {
+        r["vec_id"]: r["qv"]
+        for r in emb.select("vec_id", quantize_vec("embedding").alias("qv")).collect()
+    }
+    ids = sorted(by_vec)[:40]
+    ratios = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        d_orig = sum((x - y) ** 2 for x, y in zip(qrows[a], qrows[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(by_vec[a], by_vec[b])) / k
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    med = statistics.median(ratios)
+    assert 0.5 < med < 2.0, med  # concentration around 1
+    assert sum(1 for r in ratios if 0.2 < r < 5.0) >= 0.9 * len(ratios)
+
+    again = random_projection(emb.repartition(13), k=k).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

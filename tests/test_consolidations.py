@@ -468,9 +468,21 @@ def test_content_quality_stats_equals_granular_composition(spark):
         F.lit(0.0).cast("double").alias("value2"),
         F.col("g").alias("n"),
     )
-    composed = sh.unionAll(zs).unionAll(qz).unionAll(gm).select(*scored.columns)
-    assert _rows(scored) == _rows(composed)
-    assert sum(1 for r in _rows(scored) if r[0] == "gram") == 2080  # 64*65/2
+    rp = reg["embedding_random_projection"](spark, SF).select(
+        F.lit("rproj").alias("src"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("j").cast("string").alias("key"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+        F.col("p").alias("n"),
+    )
+    composed = (
+        sh.unionAll(zs).unionAll(qz).unionAll(gm).unionAll(rp).select(*scored.columns)
+    )
+    srows = _rows(scored)
+    assert srows == _rows(composed)
+    assert sum(1 for r in srows if r[0] == "gram") == 2080  # 64*65/2
+    assert sum(1 for r in srows if r[0] == "rproj") > 0
 
 
 def test_incremental_store_state_replay_is_idempotent(spark, tmp_path):
