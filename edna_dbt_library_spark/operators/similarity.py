@@ -806,20 +806,54 @@ def _pq_sub_dists(
     scale: int,
     id_col: str,
     vec_col: str,
+    carry: tuple = (),
 ) -> DataFrame:
     """(vid, sub, cid, dist): exact integer squared-L2 of every vector's
     every subvector to every codebook centroid — ONE corpus pass
     (subspaces posexploded in-row, codebooks broadcast). Both the codes
     (argmin per (vid, sub)) and the query LUTs (filter to the query
     ids) project from this frame, mirroring the oracle's per-subspace
-    ``af`` CTE."""
-    qv = quantize_vec(vec_col, scale)
+    ``af`` CTE. ``carry`` names extra columns of ``embeddings`` to keep
+    alongside vid (e.g. a precomputed IVF cell)."""
+    # project the quantized vector ONCE, then slice the alias: an alias
+    # referenced m times is exempt from CollapseProject inlining, so the
+    # 64-element round/cast runs once per row, not once per subspace
     subs = F.posexplode(
-        F.array(*[F.slice(qv, s * d0 + 1, d0) for s in range(m)])
+        F.array(*[F.slice(F.col("__pq_qv"), s * d0 + 1, d0) for s in range(m)])
     )
-    q = embeddings.select(F.col(id_col).alias("vid"), subs.alias("sub", "qsub"))
+    q = embeddings.withColumn("__pq_qv", quantize_vec(vec_col, scale)).select(
+        F.col(id_col).alias("vid"), *[F.col(c) for c in carry], subs.alias("sub", "qsub")
+    )
     return q.join(F.broadcast(codebooks), "sub").select(
-        "vid", "sub", "cid", _int_sqdist(F.col("qsub"), F.col("cv")).alias("dist")
+        "vid", *carry, "sub", "cid", _int_sqdist(F.col("qsub"), F.col("cv")).alias("dist")
+    )
+
+
+def _inrow_cell_dists(qv: "F.Column", cent_rows) -> "F.Column":
+    """In-row coarse-quantizer candidates: ``array<struct<dist, cid>>``
+    of the exact-integer squared L2 from this row's QUANTIZED vector to
+    every collected centroid. With the centroid set driver-collected
+    (bounded: n_cells rows — the established bounded-collect pattern),
+    the argmin (`F.array_min`, struct-lexicographic = min (dist, cid),
+    ties to smallest cid) and the top-n probe (`F.array_sort` + slice)
+    are both row-local Column algebra: no crossJoin, no per-vector
+    shuffle, no window — bit-identical to the _assign_cells
+    crossJoin+groupBy form because every distance is the same exact
+    int64. ``qv`` must be a PROJECTED column (an alias used n_cells
+    times is exempt from CollapseProject inlining), not an inline
+    quantize_vec expression — inlined, the 64-element round/cast runs
+    once per centroid instead of once per row (measured 2x wall on the
+    30k-vector stress corpus)."""
+    return F.array(
+        *[
+            F.struct(
+                _int_sqdist(
+                    qv, F.array(*[F.lit(int(v)).cast("long") for v in r["cv"]])
+                ).alias("dist"),
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+            )
+            for r in cent_rows
+        ]
     )
 
 
@@ -948,33 +982,27 @@ def ivf_pq_topk(
     quantizer, train+1 for the codebooks and once to encode — all
     broadcast passes; a search shuffles only the probed cells' CODES
     (m longs per candidate) and the final (query, vid) sum is
-    map-side combinable. Pass ``centroids``/``codebooks`` from a prior
-    build to skip training (index once, search many)."""
-    cent = F.broadcast(
+    map-side combinable. The coarse assignment is IN-ROW (argmin over
+    the driver-collected, n_cells-bounded centroid set), so the codes
+    are born carrying their cell — real IVFADC stores code lists
+    inside the inverted cells, and this keeps that shape without ever
+    joining two corpus-sized frames on vector id (no SMJ anywhere on
+    the path). Pass ``centroids``/``codebooks`` from a prior build to
+    skip training (index once, search many)."""
+    cent = (
         kmeans_cells(embeddings, n_cells, train_iters, scale, id_col, vec_col)
         if centroids is None
         else centroids
-    )
-
-    def _coarse(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), quantize_vec(vec_col, scale).alias("qv"))
-            .crossJoin(cent)
-            .withColumn("dist", _int_sqdist(F.col("qv"), F.col("cv")))
-        )
-
-    assigned = (
-        _coarse(embeddings, "vid")
-        .groupBy("vid")
-        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
-        .select("vid", F.col("_m.cid").alias("cell"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    ).localCheckpoint(eager=True)
+    cent_rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    cands = _inrow_cell_dists(F.col("_qv"), cent_rows)
     probes = (
-        _coarse(queries, "query_id")
-        .withColumn("__pr", F.row_number().over(w))
-        .where(F.col("__pr") <= n_probe)
-        .select("query_id", F.col("cid").alias("cell"))
+        queries.withColumn("_qv", quantize_vec(vec_col, scale))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.array_sort(cands), 1, n_probe)).alias("_p"),
+        )
+        .select("query_id", F.col("_p.cid").alias("cell"))
     )
 
     cb = (
@@ -986,20 +1014,58 @@ def ivf_pq_topk(
         (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
     ).first()
     m, d0 = int(mrow["m"]), int(mrow["d0"])
-    codes = pq_encode(embeddings, cb, scale, id_col, vec_col).withColumnRenamed(
-        id_col, "vid"
-    )
     lut = (
         _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)
         .withColumnRenamed("vid", "query_id")
         .withColumnRenamed("dist", "d")
     )
 
-    # INDEX-BUILD side: codes carry their cell (one corpus-side join,
-    # paid once per index, not per search — real IVFADC stores the code
-    # lists inside the inverted cells exactly so the query path never
-    # joins corpus-sized frames on vector id)
-    codes_cell = codes.join(assigned, "vid")
+    # INDEX-BUILD side, join-free: the coarse candidates (sub = -1,
+    # every centroid) union with the subspace candidates (sub >= 0,
+    # every codebook centroid) into ONE frame, and a single
+    # groupBy(vid) takes every argmin at once — conditional
+    # min(when(sub == s, struct(dist, cid))) per slot, map-side
+    # combined, so the shuffle carries one (1 + m)-struct row per
+    # vector and the codes land already carrying their inverted cell.
+    # Same candidate arithmetic as separate assign + encode passes, but
+    # no corpus-sized join and no per-row n_cells struct array (the
+    # interpreted-HOF argmin form measured 3x this shape's wall).
+    qcoarse = (
+        embeddings.withColumn("_qv", quantize_vec(vec_col, scale))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.lit(-1).cast("long").alias("sub"),
+            "cid",
+            _int_sqdist(F.col("_qv"), F.col("cv")).alias("dist"),
+        )
+    )
+    per_vid = (
+        qcoarse.unionByName(_pq_sub_dists(embeddings, cb, m, d0, scale, id_col, vec_col))
+        .groupBy("vid")
+        .agg(
+            F.min(F.when(F.col("sub") == -1, F.struct("dist", "cid"))).alias("_cell"),
+            *[
+                F.min(F.when(F.col("sub") == s, F.struct("dist", "cid"))).alias(f"_c{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    codes_cell = per_vid.select(
+        "vid",
+        F.col("_cell.cid").alias("cell"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.col(f"_c{s}.cid").alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sc"),
+    ).select("vid", "cell", F.col("_sc.sub").alias("sub"), F.col("_sc.code").alias("code"))
 
     # SEARCH side: broadcast-only — probed cells select candidates,
     # the query LUT scores them; every vector is in exactly one cell

@@ -229,6 +229,40 @@ def main() -> None:
             "killed": agg["killed"],
         }
 
+    # PQ / IVFADC (r8): train-once codebooks, encode pass, then both ADC
+    # search shapes on the same skewed corpus; recall vs the exact
+    # brute-force set above, and the compression the codes deliver
+    from edna_dbt_library_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    t0 = time.time()
+    cb = pq_codebooks(emb, m=4, n_cells=16, iters=2)
+    out["pq_train"] = {"sec": round(time.time() - t0, 2), "codebook_rows": cb.count()}
+    t0 = time.time()
+    n_codes = pq_encode(emb, cb).count()
+    out["pq_encode"] = {
+        "sec": round(time.time() - t0, 2),
+        "codes": n_codes,
+        # 64 float32 dims -> 4 codes (1 byte each at n_cells<=256)
+        "bytes_per_vector": {"raw": DIMS * 4, "pq": 4},
+    }
+    t0 = time.time()
+    pq_rows = pq_adc_topk(emb, queries, k=TOP_K, codebooks=cb).collect()
+    out["pq_adc_topk"] = {"sec": round(time.time() - t0, 2), "rows": len(pq_rows)}
+    pqs = {(r["query_id"], r["vec_id"]) for r in pq_rows}
+    out["pq_recall_at_k"] = round(len(bf & pqs) / max(len(bf), 1), 4)
+    t0 = time.time()
+    ivfpq_rows = ivf_pq_topk(
+        emb, queries, k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, codebooks=cb
+    ).collect()
+    out["ivf_pq_topk"] = {"sec": round(time.time() - t0, 2), "rows": len(ivfpq_rows)}
+    ips = {(r["query_id"], r["vec_id"]) for r in ivfpq_rows}
+    out["ivf_pq_recall_at_k"] = round(len(bf & ips) / max(len(bf), 1), 4)
+
     print(json.dumps(out))
 
 

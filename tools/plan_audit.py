@@ -163,6 +163,44 @@ are cross-sub-bucket pairs whose members die in their own bucket
 anyway, plus one extra surviving representative per sub-bucket. Same
 trade as the LSH stop-bucket cap, measured on the same shape of data.
 
+PQ / IVFADC on the same 30k-vector skewed corpus (re-measured
+2026-08-15, round 8, after the join-free index-build rewrite; m=4
+subspaces × 16 codes, codebooks trained once with the shared
+exact-integer Lloyd):
+
+| measurement | value |
+|---|---|
+| codebook training (4 subspace k-means, 2 passes) | 25.1s |
+| encode pass (30,000 vectors → 120,000 codes) | 1.5s |
+| bytes per vector (64 float32 dims → 4 codes) | 256 → 4 (64×) |
+| `pq_adc_topk` search, 5 queries | 5.7s |
+| recall@10, ADC vs exact brute force | 0.92 |
+| `ivf_pq_topk` (IVFADC: coarse probe + ADC on candidates) | 16.9s |
+| recall@10, IVFADC (n_probe=4) vs brute force | 0.92 |
+
+The hot cluster does not hurt PQ recall the way it hurts IVF probe
+cost: ADC error comes from quantization, not cell skew, so the 0.92
+recall holds on the corpus whose hot cell held 33% of all vectors.
+The two knobs compose independently at 100 TB — n_probe/n_cells cuts
+the fraction of the corpus scanned, m×codes cuts the bytes per
+scanned candidate 64×, and both indexes train once per corpus
+(`codebooks=`/`centroids=` are accepted precomputed, same as IVF).
+
+IVFADC index-build shape (r8 rewrite): the coarse candidates
+(sub = -1, every centroid) union with the subspace candidates into
+one frame and a single groupBy(vid) takes every argmin at once
+(conditional min(when(sub == s, struct(dist, cid))) per slot,
+map-side combined) — the codes are born carrying their inverted
+cell. Plan: zero SortMergeJoins anywhere on the ann_topk path (was 1
+corpus-sized codes⋈cells join), Exchange count 5 → 2 on
+ann_ivf_pq_topk, and the one remaining index shuffle carries a
+single (1+m)-struct row per vector. Two rejected alternatives,
+measured: the original codes⋈assigned join (SMJ over two
+corpus-sized frames — real IVFADC stores code lists inside cells,
+so the query path should never pay that join), and an in-row
+argmin over an n_cells struct array (interpreted higher-order
+functions evaluated per row measured 3× this shape's wall).
+
 ## Retrieval scale stress — stop-term posting lists and the probe guard
 
 `tools/retrieval_scale_stress.py`, measured 2026-08-14 (round 4) on
