@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "cms_user_freq",
     "histogram_quantiles_price",
     "bloom_semi_join_urgent",
+    "heavy_hitter_ngrams",
     "dedup_fingerprint",
     "dedup_minhash_lsh_capped",
     "dedup_minhash_bigram",

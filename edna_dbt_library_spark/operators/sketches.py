@@ -342,3 +342,122 @@ def bloom_semi_join(
     return candidates.join(
         keys, candidates[probe_key] == keys["__bloom_bk"], "left_semi"
     )
+
+
+# --- Misra-Gries frequent items --------------------------------------------
+#
+# The reference exposes no frequent-items surface (its top-k idioms are
+# plain GROUP BY ... ORDER BY count in BigQuery, e.g. the catalog size
+# rollups around macros/catalog); at 100 TB an exact global GROUP BY over
+# a heavy-tailed key (n-grams, URLs, user ids) shuffles every distinct
+# key. The classic fix is the two-pass exact heavy hitter: a per-partition
+# Misra-Gries summary (Misra & Gries 1982; mergeability per Agarwal et
+# al. 2012, "Mergeable Summaries") nominates a PROVABLY sufficient
+# candidate set, then one broadcast semi-join counts candidates exactly.
+# The output is therefore EXACT — identical to GROUP BY ... HAVING
+# count >= min_count — which is what makes it oracle-checkable in plain
+# SQL, while the shuffle never carries more than ~capacity keys.
+
+
+def _mg_summaries(capacity: int):
+    """mapInPandas body: one Misra-Gries summary per input partition.
+
+    Vectorized per Arrow batch: value_counts folds the batch, pandas
+    ``Series.add`` merges it into the running summary, and when the
+    summary exceeds ``capacity`` the classic decrement subtracts the
+    (capacity+1)-th largest count from everything and drops the
+    non-positives. Decrement accounting: each such step removes >=
+    (capacity+1) * s of total mass, so any single key's undercount is
+    <= N_p / (capacity + 1) for a partition of N_p rows. Emits
+    (k, lb) for every retained key (lb = the MG lower bound on its
+    partition count) plus one sentinel row (k = NULL, lb = N_p)
+    carrying the partition's non-null row count."""
+
+    def run(it):
+        import pandas as pd
+
+        ser = None
+        total = 0
+        for pdf in it:
+            s = pdf["k"].dropna()
+            total += len(s)
+            vc = s.value_counts()
+            ser = vc if ser is None else ser.add(vc, fill_value=0)
+            if len(ser) > capacity:
+                sub = ser.nlargest(capacity + 1).iloc[-1]
+                ser = ser - sub
+                ser = ser[ser > 0]
+        frames = [pd.DataFrame({"k": pd.array([None], dtype="string"), "lb": [total]})]
+        if ser is not None and len(ser):
+            frames.append(
+                pd.DataFrame({"k": ser.index.astype(str), "lb": ser.to_numpy("int64")})
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+    return run
+
+
+def frequent_items(
+    df: DataFrame,
+    key: Column | str,
+    den: int = 5000,
+    capacity: int = 10000,
+) -> DataFrame:
+    """EXACT corpus-wide frequent items: every key occurring at least
+    ``min_count = max(1, N div den)`` times (N = non-null key count),
+    with its exact count — the result of
+    ``GROUP BY k HAVING count(*) >= min_count``, computed without ever
+    shuffling the distinct-key space.
+
+    Two passes over ``df``:
+
+    1. **Sketch**: one Misra-Gries summary of size ``capacity`` per
+       partition (:func:`_mg_summaries`, Arrow-batched). Summed across
+       partitions, a key absent from every summary has true count
+       <= floor(N / capacity), and a retained key's summed lower bound
+       ``lb`` undercounts by at most floor(N / capacity) total. The
+       candidate rule keeps ``lb >= max(1, min_count - N div capacity)``,
+       which therefore (a) keeps every true frequent item (superset
+       guarantee — requires ``2 * den <= capacity``, enforced), and
+       (b) bounds the candidate count by ~capacity (each kept candidate
+       owns >= N/capacity of the total mass N).
+    2. **Exact count**: candidates broadcast, one map-side semi-join +
+       count, filter ``>= min_count``. False candidates die here, so
+       the output is exact and partitioning-independent.
+
+    Scale shape: the sketch pass shuffles <= capacity + 1 rows per
+    partition (localCheckpoint'd — the frame is tiny and is read twice:
+    once for N, once for candidates); the exact pass's shuffle carries
+    only candidate keys (<= ~capacity distinct). An exact GROUP BY
+    would shuffle all distinct keys — the win is the heavy-tail corpus
+    where distinct keys ~ N.
+
+    Keys are compared as strings (the mapInPandas schema is fixed);
+    NULL keys are ignored on both passes, mirroring a SQL
+    ``WHERE k IS NOT NULL``. Output: (k string, cnt long).
+    """
+    if 2 * den > capacity:
+        raise ValueError(
+            f"superset guarantee needs 2*den <= capacity, got den={den} capacity={capacity}"
+        )
+    keyed = df.select(_as_col(key).cast("string").alias("k"))
+    sketch = keyed.mapInPandas(_mg_summaries(capacity), "k string, lb long").localCheckpoint(
+        eager=True
+    )
+    n_total = sketch.where(F.col("k").isNull()).agg(F.sum("lb")).first()[0] or 0
+    min_count = max(1, n_total // den)
+    lb_keep = max(1, min_count - n_total // capacity)
+    cand = (
+        sketch.where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.sum("lb").alias("lb"))
+        .where(F.col("lb") >= lb_keep)
+        .select("k")
+    )
+    return (
+        keyed.where(F.col("k").isNotNull())
+        .join(F.broadcast(cand), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

@@ -2577,6 +2577,53 @@ def cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_lookup(counters, keys, "user_id")
 
 
+HH_NGRAM_N = 3
+HH_DEN = 5000
+HH_CAPACITY = 10000
+
+
+def _heavy_hitter_oracle() -> str:
+    n = HH_NGRAM_N
+    toks = DUCK_TOKENS.format(c="text")
+    grams = (
+        f"list_filter(list_transform({toks}, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len({toks}) THEN array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') END), "
+        f"x -> x IS NOT NULL)"
+    )
+    return f"""
+WITH g AS (
+    SELECT unnest({grams}) AS gram FROM documents
+), t AS (
+    SELECT count(*) AS n FROM g
+)
+SELECT gram, count(*)::BIGINT AS n_occurrences
+FROM g, t
+GROUP BY gram, t.n
+HAVING count(*) >= greatest(1, t.n // {HH_DEN})
+"""
+
+
+@_register("heavy_hitter_ngrams", _heavy_hitter_oracle())
+def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters over word {HH_NGRAM_N}-gram shingles
+    (operators/sketches.frequent_items): every shingle with count >=
+    max(1, N div {HH_DEN}), via per-partition Misra-Gries summaries
+    (capacity {HH_CAPACITY} < the fixtures' ~16.5k distinct trigrams,
+    so the sketch decrement genuinely engages) + one broadcast
+    exact-count pass. The result equals plain GROUP BY ... HAVING —
+    which is the oracle — but the shuffle never carries the distinct-
+    gram key space, only <= ~capacity candidates: the boilerplate-
+    n-gram / hot-URL / hot-user shape at 100 TB."""
+    from edna_dbt_library_spark.functions.text import shingles
+    from edna_dbt_library_spark.operators.sketches import frequent_items
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(F.explode(shingles(F.col("text"), HH_NGRAM_N)).alias("g"))
+    return frequent_items(grams, "g", den=HH_DEN, capacity=HH_CAPACITY).select(
+        F.col("k").alias("gram"), F.col("cnt").alias("n_occurrences")
+    )
+
+
 Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
 
 _Q7_ORACLE = f"""
@@ -6464,30 +6511,49 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sketch_surface_oracle() -> str:
     s = REGISTRY["sketch_estimates"].oracle
     b = REGISTRY["bloom_semi_join_urgent"].oracle
+    f = REGISTRY["heavy_hitter_ngrams"].oracle
     return f"""
 SELECT src, key, value, n FROM ({s})
 UNION ALL
 SELECT 'bloom_semi' AS src, l_returnflag AS key, sum_qty AS value, n_items AS n
-FROM ({b})"""
+FROM ({b})
+UNION ALL
+SELECT 'freq_items' AS src, gram AS key, n_occurrences::DOUBLE AS value,
+       n_occurrences AS n
+FROM ({f})"""
 
 
 @_register("sketch_surface", _sketch_surface_oracle())
 def sketch_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full bounded-state sketch family in one src-tagged scored
-    row (r7, 10th consolidation): HLL distinct + CMS frequency +
-    histogram quantile estimates (sketch_estimates) AND the Bloom-
-    pruned semi-join (bloom_semi_join_urgent) — probabilistic read
-    paths and the probabilistic join-pruning path under one gate.
-    Granulars sketch_estimates / bloom_semi_join_urgent (and their own
-    granulars) stay registered."""
+    row (r7, 10th consolidation; r8 adds the frequent-items arm): HLL
+    distinct + CMS frequency + histogram quantile estimates
+    (sketch_estimates) AND the Bloom-pruned semi-join
+    (bloom_semi_join_urgent) AND Misra-Gries exact heavy hitters over
+    trigram shingles (heavy_hitter_ngrams) — probabilistic read paths,
+    probabilistic join pruning, and sketch-pruned exact heavy hitters
+    under one gate. Granulars sketch_estimates / bloom_semi_join_urgent
+    / heavy_hitter_ngrams (and their own granulars) stay registered."""
     s = REGISTRY["sketch_estimates"].spark(spark, sf_dir)
     b = REGISTRY["bloom_semi_join_urgent"].spark(spark, sf_dir)
-    return s.select("src", "key", "value", "n").unionAll(
-        b.select(
-            F.lit("bloom_semi").alias("src"),
-            F.col("l_returnflag").alias("key"),
-            F.col("sum_qty").cast("double").alias("value"),
-            F.col("n_items").cast("long").alias("n"),
+    f = REGISTRY["heavy_hitter_ngrams"].spark(spark, sf_dir)
+    return (
+        s.select("src", "key", "value", "n")
+        .unionAll(
+            b.select(
+                F.lit("bloom_semi").alias("src"),
+                F.col("l_returnflag").alias("key"),
+                F.col("sum_qty").cast("double").alias("value"),
+                F.col("n_items").cast("long").alias("n"),
+            )
+        )
+        .unionAll(
+            f.select(
+                F.lit("freq_items").alias("src"),
+                F.col("gram").alias("key"),
+                F.col("n_occurrences").cast("double").alias("value"),
+                F.col("n_occurrences").alias("n"),
+            )
         )
     )
 

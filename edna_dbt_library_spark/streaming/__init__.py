@@ -14,10 +14,12 @@ from edna_dbt_library_spark.streaming.ingest_stream import (
 )
 from edna_dbt_library_spark.streaming.sketch_stream import (
     read_cms_counters,
+    read_frequent_items_exact,
     read_hll_estimates,
     read_profile_history,
     stream_cms_counts,
     stream_column_profiles,
+    stream_frequent_items,
     stream_hll_distinct,
     stream_profile_gate,
 )
@@ -34,10 +36,12 @@ __all__ = [
     "stream_table",
     "stream_windowed_counts",
     "read_cms_counters",
+    "read_frequent_items_exact",
     "read_hll_estimates",
     "read_profile_history",
     "stream_cms_counts",
     "stream_column_profiles",
+    "stream_frequent_items",
     "stream_hll_distinct",
     "stream_profile_gate",
 ]

@@ -236,3 +236,86 @@ def stream_profile_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_frequent_items(
+    stream_df: DataFrame,
+    key: str,
+    store_path: str,
+    checkpoint_path: str,
+    capacity: int = 10000,
+    available_now: bool = True,
+):
+    """Maintain Misra-Gries frequent-item summaries over a stream.
+
+    Each micro-batch computes its own per-partition MG summaries
+    (operators/sketches._mg_summaries) merged by key WITHIN the batch
+    (plain lb-sum — valid MG merging with no extra reduction, so the
+    batch's stored error stays <= N_batch/(capacity+1)), plus the NULL-key
+    sentinel row carrying the batch's non-null count. Like the CMS grid
+    (sum-merge), MG lower bounds merge by SUM, so replays would
+    double-count: each batch's summary lands in its own ``batch=<id>``
+    subdir with overwrite — the idempotent-sink idiom. Serving sums
+    (k, lb) across subdirs; per-batch summaries are <= ~capacity rows, so
+    the read is bounded by batches x capacity, and a compaction job may
+    fold old subdirs by the same key-sum.
+    """
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.operators.sketches import _mg_summaries
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(F.col(key).cast("string").alias("k"))
+        summary = (
+            keyed.mapInPandas(_mg_summaries(capacity), "k string, lb long")
+            .groupBy("k")
+            .agg(F.sum("lb").alias("lb"))
+        )
+        summary.coalesce(1).write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_frequent_items_exact(
+    spark: SparkSession,
+    store_path: str,
+    corpus_df: DataFrame,
+    key: str,
+    den: int = 5000,
+    capacity: int = 10000,
+) -> DataFrame:
+    """EXACT frequent items from a streamed MG store: candidates under
+    the same provable keep-rule as the batch operator
+    (``lb >= max(1, min_count - N div capacity)``; summaries merged
+    across batches keep total undercount <= N/(capacity+1) because each
+    stored batch summary is itself an unreduced partition-merge), then
+    one broadcast exact-count pass over ``corpus_df``. When
+    ``corpus_df`` is the union of everything streamed, the result
+    equals the batch operator's output row-for-row (asserted in
+    tests/test_sketches.py)."""
+    from pyspark.sql import functions as F
+
+    if 2 * den > capacity:
+        raise ValueError(
+            f"superset guarantee needs 2*den <= capacity, got den={den} capacity={capacity}"
+        )
+    merged = (
+        spark.read.parquet(store_path).groupBy("k").agg(F.sum("lb").alias("lb"))
+    )
+    n_total = (merged.where(F.col("k").isNull()).agg(F.sum("lb")).first() or [0])[0] or 0
+    min_count = max(1, n_total // den)
+    lb_keep = max(1, min_count - n_total // capacity)
+    cand = merged.where(F.col("k").isNotNull() & (F.col("lb") >= lb_keep)).select("k")
+    keyed = corpus_df.select(F.col(key).cast("string").alias("k"))
+    return (
+        keyed.where(F.col("k").isNotNull())
+        .join(F.broadcast(cand), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

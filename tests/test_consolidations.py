@@ -523,7 +523,8 @@ def test_stateful_store_state_equals_granular_composition(spark):
 
 
 def test_sketch_surface_equals_granular_composition(spark):
-    """r7 scored row == sketch_estimates ∪ bloom_semi_join_urgent."""
+    """r7 scored row == sketch_estimates ∪ bloom_semi_join_urgent
+    (∪ heavy_hitter_ngrams since r8)."""
     reg = qmod.all_queries()
     scored = reg["sketch_surface"](spark, SF)
     s = reg["sketch_estimates"](spark, SF).select("src", "key", "value", "n")
@@ -533,7 +534,13 @@ def test_sketch_surface_equals_granular_composition(spark):
         F.col("sum_qty").cast("double").alias("value"),
         F.col("n_items").cast("long").alias("n"),
     )
-    assert _rows(scored) == _rows(s.unionAll(b).select(*scored.columns))
+    f = reg["heavy_hitter_ngrams"](spark, SF).select(
+        F.lit("freq_items").alias("src"),
+        F.col("gram").alias("key"),
+        F.col("n_occurrences").cast("double").alias("value"),
+        F.col("n_occurrences").cast("long").alias("n"),
+    )
+    assert _rows(scored) == _rows(s.unionAll(b).unionAll(f).select(*scored.columns))
 
 
 def test_graph_linkage_equals_granular_composition(spark):

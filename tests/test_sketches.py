@@ -242,3 +242,112 @@ def test_stream_cms_matches_batch_exactly(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, cms_lookup(merged, keys, "user_id").collect()))
     b = sorted(map(tuple, cms_lookup(whole, keys, "user_id").collect()))
     assert a == b
+
+
+# --- Misra-Gries frequent items --------------------------------------------
+
+
+def _exact_frequent(df, key, den):
+    keyed = df.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())
+    n = keyed.count()
+    min_count = max(1, n // den)
+    return {
+        (r["k"], r["cnt"])
+        for r in keyed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .collect()
+    }
+
+
+def _zipfish(spark, n_rows=20_000, n_heavy=12):
+    """Adversarial shape: a few heavy keys interleaved with a long tail of
+    singletons (tail >> capacity so the sketch MUST decrement)."""
+    heavy = spark.range(n_rows // 2).select(
+        F.concat(F.lit("h"), (F.col("id") % n_heavy).cast("string")).alias("k")
+    )
+    tail = spark.range(n_rows // 2).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("k")
+    )
+    return heavy.unionAll(tail)
+
+
+def test_frequent_items_equals_exact_group_by(spark):
+    from edna_dbt_library_spark.operators.sketches import frequent_items
+
+    df = _zipfish(spark)
+    # capacity 512 << 10_012 distinct keys: decrements fire in every partition
+    got = {
+        (r["k"], r["cnt"])
+        for r in frequent_items(df, "k", den=256, capacity=512).collect()
+    }
+    assert got == _exact_frequent(df, "k", 256)
+    assert len(got) == 12  # exactly the heavy keys
+
+
+def test_frequent_items_partitioning_independent(spark):
+    from edna_dbt_library_spark.operators.sketches import frequent_items
+
+    df = _zipfish(spark, n_rows=8_000)
+    one = {
+        (r["k"], r["cnt"])
+        for r in frequent_items(df.coalesce(1), "k", den=128, capacity=256).collect()
+    }
+    many = {
+        (r["k"], r["cnt"])
+        for r in frequent_items(df.repartition(13), "k", den=128, capacity=256).collect()
+    }
+    assert one == many == _exact_frequent(df, "k", 128)
+
+
+def test_frequent_items_null_keys_ignored_and_bounds(spark):
+    from edna_dbt_library_spark.operators.sketches import frequent_items
+
+    import pytest as _pytest
+
+    df = _zipfish(spark, n_rows=4_000).unionAll(
+        spark.range(500).select(F.lit(None).cast("string").alias("k"))
+    )
+    got = {
+        (r["k"], r["cnt"])
+        for r in frequent_items(df, "k", den=64, capacity=128).collect()
+    }
+    assert got == _exact_frequent(df, "k", 64)
+    assert all(k is not None for k, _ in got)
+    with _pytest.raises(ValueError):
+        frequent_items(df, "k", den=100, capacity=150)  # 2*den > capacity
+
+
+def test_stream_frequent_items_matches_batch_exactly(spark, tmp_path):
+    """Streamed MG summaries (batch-id subdir store) + the exact-count
+    read == one-shot batch frequent_items, row for row — the summaries'
+    sum-mergeability composed across micro-batches AND partitions, with
+    the capacity small enough that decrements fire in both drains."""
+    from edna_dbt_library_spark.operators.sketches import frequent_items
+    from edna_dbt_library_spark.streaming import (
+        read_frequent_items_exact,
+        stream_frequent_items,
+    )
+
+    df = _zipfish(spark).withColumn("rid", F.monotonically_increasing_id())
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+
+    df.where(F.col("rid") % 2 == 0).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    stream_frequent_items(stream, "k", store, ckpt, capacity=512).awaitTermination(120)
+
+    df.where(F.col("rid") % 2 == 1).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    stream_frequent_items(stream, "k", store, ckpt, capacity=512).awaitTermination(120)
+
+    streamed = {
+        (r["k"], r["cnt"])
+        for r in read_frequent_items_exact(
+            spark, store, df, "k", den=256, capacity=512
+        ).collect()
+    }
+    batch = {
+        (r["k"], r["cnt"])
+        for r in frequent_items(df, "k", den=256, capacity=512).collect()
+    }
+    assert streamed == batch == _exact_frequent(df, "k", 256)
