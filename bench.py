@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dedup_fingerprint",
     "dedup_minhash_lsh_capped",
     "dedup_minhash_bigram",
+    "jaccard_join_pairs",
     "simhash60",
     "text_stats",
     "lang_id_pred",

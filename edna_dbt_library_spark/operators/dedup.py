@@ -679,6 +679,126 @@ def near_duplicate_pairs(
     return jaccard_pairs(docs, cands, text_col, id_col).where(F.col("jaccard") >= threshold)
 
 
+def jaccard_join_exact(
+    docs: DataFrame,
+    threshold: tuple = (3, 5),
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_prefix_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering: every pair
+    of documents whose shingle-set Jaccard is >= t_num/t_den — the
+    AllPairs / SSJoin algorithm (Bayardo et al. 2007 "Scaling Up All
+    Pairs Similarity Search"; Chaudhuri et al. 2006 prefix filter).
+    Unlike the MinHash-LSH pipeline (probabilistic recall) this misses
+    NOTHING: if J(A, B) >= t then both prefixes contain the pair's
+    globally-smallest common token (any consistent total order — proof:
+    the |A∩B| common tokens all sort at or after it, so it sits at
+    position <= |A| - ceil(t|A|) + 1 in A, symmetrically in B), so the
+    prefix-to-prefix join generates every qualifying pair and the exact
+    verify keeps precision at 1.
+
+    All candidate-side work happens on xxhash64(shingle) — 8-byte
+    shuffle keys, no shingle strings move (contamination_flags'
+    convention: collisions ~2^-64 can only ADD candidates here, since
+    the verify intersects the raw string sets; a collision in a fixture
+    would surface in the string-joining oracle). The global order is
+    (document frequency ASC, hash ASC): rarest-first, the ordering that
+    minimizes prefix-bucket sizes. The threshold is exact rational
+    algebra — J >= t_num/t_den iff (t_den + t_num)·|∩| >= t_num·(|A| +
+    |B|) — and jacc_permille is integer ``(1000·|∩|) div |∪|``: no
+    float division anywhere (pagerank_int's determinism idiom).
+
+    Scale shape: one df-count shuffle (8-byte keys, map-side combined),
+    one df-attach join, one doc-keyed collect into the per-doc sorted
+    prefix (doc-bounded rows — prefix length |d| - ceil(t|d|) + 1, so
+    ~(1-t) of each set is ever emitted), a prefix-bucket self-join
+    whose buckets are by construction each document's RAREST tokens,
+    and a broadcast of the surviving candidate pairs for the exact
+    verify. ``max_prefix_bucket`` caps pathological buckets (a doc made
+    entirely of frequent shingles) like the LSH stop-bucket cap — the
+    capped variant trades the exactness guarantee for a bound, so the
+    default is None (exact).
+
+    Output: (doc_a, doc_b, n_int, n_a, n_b, jacc_permille), doc_a <
+    doc_b, one row per qualifying pair.
+    """
+    t_num, t_den = threshold
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
+    from edna_dbt_library_spark.functions.text import shingles
+
+    ws = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    sets_df = docs.select(F.col(id_col).alias("id"), ws.alias("ws")).where(
+        F.size("ws") > 0
+    )
+    exploded = sets_df.select(
+        "id", F.explode(F.transform("ws", lambda w: F.xxhash64(w))).alias("h")
+    )
+    df_counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc prefix: first n - ceil(t*n) + 1 tokens in (df, h) order
+    n = F.size("ordered")
+    p = n - ((F.lit(t_num) * n + t_den - 1) / t_den).cast("int") + 1
+    prefix = (
+        exploded.join(df_counts, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+        .select("id", F.explode(F.slice("ordered", F.lit(1), p)).alias("_t"))
+        .select("id", F.col("_t.h").alias("h"))
+    )
+    if max_prefix_bucket is not None:
+        from pyspark.sql import Window
+
+        bucket_w = Window.partitionBy("h").orderBy("id")
+        prefix = (
+            prefix.withColumn("_r", F.row_number().over(bucket_w))
+            .where(F.col("_r") <= max_prefix_bucket)
+            .drop("_r")
+        )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "h")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    a = sets_df.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = sets_df.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    n_int = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+    n_a, n_b = F.size("ws_a").cast("long"), F.size("ws_b").cast("long")
+    scored = (
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_int.alias("n_int"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+        .where(
+            (t_den + t_num) * F.col("n_int") >= t_num * (F.col("n_a") + F.col("n_b"))
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_int",
+        "n_a",
+        "n_b",
+        ((1000 * F.col("n_int")).cast("long")).alias("_num"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_int")).alias("_den"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_int",
+        "n_a",
+        "n_b",
+        F.expr("_num div _den").alias("jacc_permille"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 60,

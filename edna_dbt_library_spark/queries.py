@@ -1267,6 +1267,56 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=MINHASH_N, bands=MINHASH_BANDS)
 
 
+JJE_T_NUM, JJE_T_DEN = 3, 5
+JJE_SHINGLE_N = 3
+
+
+def _jaccard_join_oracle() -> str:
+    n = JJE_SHINGLE_N
+    toks = DUCK_TOKENS.format(c="text")
+    grams = (
+        f"list_distinct(list_filter(list_transform({toks}, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len({toks}) THEN array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') END), "
+        f"x -> x IS NOT NULL))"
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({grams}) AS w FROM documents
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+    FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b, ni AS n_int,
+       sa.n AS n_a, sb.n AS n_b,
+       ((1000 * ni) // (sa.n + sb.n - ni))::BIGINT AS jacc_permille
+FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE ({JJE_T_DEN} + {JJE_T_NUM}) * ni >= {JJE_T_NUM} * (sa.n + sb.n)
+"""
+
+
+@_register("jaccard_join_pairs", _jaccard_join_oracle())
+def jaccard_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filtered set-similarity self-join
+    (operators/dedup.jaccard_join_exact — AllPairs/SSJoin): every
+    document pair with trigram-shingle-set Jaccard >=
+    {JJE_T_NUM}/{JJE_T_DEN}, guaranteed complete (vs MinHash-LSH's
+    probabilistic recall). Candidates come from the rarest-first prefix
+    join in xxhash64 space; the oracle computes the naive exact
+    all-pairs intersection over raw shingle strings, so a missed pair
+    OR a hash collision would mismatch here. All output quantities are
+    exact integers (jacc_permille = (1000·|∩|) div |∪|)."""
+    from edna_dbt_library_spark.operators.dedup import jaccard_join_exact
+
+    return jaccard_join_exact(
+        _t(spark, sf_dir, "documents"),
+        threshold=(JJE_T_NUM, JJE_T_DEN),
+        shingle_n=JJE_SHINGLE_N,
+    )
+
+
 def _simhash_oracle() -> str:
     toks = DUCK_TOKENS.format(c="text")
     sums = ",\n           ".join(
@@ -5518,7 +5568,8 @@ _NEAR_DUP_PAIRS_ORACLE = f"""
 WITH jac AS ({_near_dup_oracle()}),
      sim AS ({_simhash_pairs_oracle()}),
      win AS ({_OVERLAP_PAIRS_ORACLE}),
-     ed AS ({_LINKAGE_ORACLE})
+     ed AS ({_LINKAGE_ORACLE}),
+     ap AS ({_jaccard_join_oracle()})
 SELECT 'minhash_jaccard' AS method, doc_a, doc_b, jaccard AS score FROM jac
 UNION ALL
 SELECT 'simhash_hamming' AS method, doc_a, doc_b, hamming::DOUBLE AS score FROM sim
@@ -5526,6 +5577,8 @@ UNION ALL
 SELECT 'winnow_passage' AS method, doc_a, doc_b, n_shared::DOUBLE AS score FROM win
 UNION ALL
 SELECT 'edit_distance' AS method, doc_a, doc_b, distance::DOUBLE AS score FROM ed
+UNION ALL
+SELECT 'allpairs_exact' AS method, doc_a, doc_b, jacc_permille::DOUBLE AS score FROM ap
 """
 
 
@@ -5539,13 +5592,17 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity, bit-level similarity, and contiguous-passage overlap
     respectively — plus (r6) blocked edit-distance record
     linkage over part names (score = exact Levenshtein distance), the
-    typo-level fourth detector. Granular variants (near_dup_jaccard,
-    simhash_near_pairs, winnow_overlap_pairs, name_linkage_pairs) stay
+    typo-level fourth detector, plus (r8) the prefix-filtered EXACT
+    AllPairs Jaccard self-join (score = integer jacc_permille) — the
+    guaranteed-complete counterpart to the probabilistic LSH arm.
+    Granular variants (near_dup_jaccard, simhash_near_pairs,
+    winnow_overlap_pairs, name_linkage_pairs, jaccard_join_pairs) stay
     registered."""
     j = REGISTRY["near_dup_jaccard"].spark(spark, sf_dir)
     s = REGISTRY["simhash_near_pairs"].spark(spark, sf_dir)
     wp = REGISTRY["winnow_overlap_pairs"].spark(spark, sf_dir)
     ed = REGISTRY["name_linkage_pairs"].spark(spark, sf_dir)
+    ap = REGISTRY["jaccard_join_pairs"].spark(spark, sf_dir)
     return (
         j.select(
             F.lit("minhash_jaccard").alias("method"),
@@ -5575,6 +5632,14 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_a",
                 "doc_b",
                 F.col("distance").cast("double").alias("score"),
+            )
+        )
+        .unionAll(
+            ap.select(
+                F.lit("allpairs_exact").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("jacc_permille").cast("double").alias("score"),
             )
         )
     )

@@ -57,6 +57,7 @@ def test_near_dup_pairs_equals_granular_composition(spark):
         ("simhash_hamming", "simhash_near_pairs", "hamming"),
         ("winnow_passage", "winnow_overlap_pairs", "n_shared"),
         ("edit_distance", "name_linkage_pairs", "distance"),
+        ("allpairs_exact", "jaccard_join_pairs", "jacc_permille"),
     ]:
         parts.append(
             reg[name](spark, SF).select(
@@ -66,10 +67,13 @@ def test_near_dup_pairs_equals_granular_composition(spark):
                 F.col(score_col).cast("double").alias("score"),
             )
         )
-    composed = parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3])
+    composed = parts[0]
+    for p in parts[1:]:
+        composed = composed.unionAll(p)
     assert _rows(scored) == _rows(composed.select(*scored.columns))
     assert {r[0] for r in _rows(scored.select("method").distinct())} >= {
-        "minhash_jaccard", "simhash_hamming", "winnow_passage", "edit_distance"
+        "minhash_jaccard", "simhash_hamming", "winnow_passage", "edit_distance",
+        "allpairs_exact",
     }
 
 

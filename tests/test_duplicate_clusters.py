@@ -150,3 +150,91 @@ def test_winnowing_overlap_pairs_finds_shared_passage(spark):
     assert got[(1, 2)] >= 3
     # raising min_shared above the overlap kills the pair
     assert winnowing_overlap_pairs(df, min_shared=10_000).count() == 0
+
+
+# --- prefix-filtered exact Jaccard self-join (AllPairs) ---------------------
+
+
+def _jje_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (4, "totally different words with nothing in common here"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bf_pairs(spark, df, t_num, t_den, n=3):
+    from edna_dbt_library_spark.functions.text import shingles
+
+    ws = F.array_distinct(shingles(F.col("text"), n))
+    s = df.select(F.col("doc_id").alias("id"), ws.alias("ws")).where(F.size("ws") > 0)
+    a = s.select(F.col("id").alias("doc_a"), F.col("ws").alias("wa"))
+    b = s.select(F.col("id").alias("doc_b"), F.col("ws").alias("wb"))
+    return {
+        (r["doc_a"], r["doc_b"], r["ni"], r["na"], r["nb"])
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("long").alias("ni"),
+            F.size("wa").cast("long").alias("na"),
+            F.size("wb").cast("long").alias("nb"),
+        )
+        .where((t_den + t_num) * F.col("ni") >= t_num * (F.col("na") + F.col("nb")))
+        .collect()
+    }
+
+
+def test_jaccard_join_exact_hand_vectors(spark):
+    from edna_dbt_library_spark.operators.dedup import jaccard_join_exact
+
+    df = _jje_docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_int"], r["n_a"], r["n_b"])
+        for r in jaccard_join_exact(df, threshold=(3, 5), shingle_n=3).collect()
+    }
+    assert got == _bf_pairs(spark, df, 3, 5)
+    # the exact dup pair (1,3): full intersection, permille 1000
+    perm = {
+        (r["doc_a"], r["doc_b"]): r["jacc_permille"]
+        for r in jaccard_join_exact(df, threshold=(3, 5), shingle_n=3).collect()
+    }
+    assert perm[(1, 3)] == 1000
+
+
+def test_jaccard_join_exact_matches_brute_force_on_fixture(spark, sf_dir):
+    from edna_dbt_library_spark.operators.dedup import jaccard_join_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_int"], r["n_a"], r["n_b"])
+        for r in jaccard_join_exact(docs, threshold=(3, 5), shingle_n=3).collect()
+    }
+    assert got == _bf_pairs(spark, docs, 3, 5)
+    assert len(got) > 0  # the fixture's near-dup clusters must surface
+
+
+def test_jaccard_join_exact_threshold_validation_and_cap(spark):
+    import pytest as _pytest
+
+    from edna_dbt_library_spark.operators.dedup import jaccard_join_exact
+
+    df = _jje_docs(spark)
+    with _pytest.raises(ValueError):
+        jaccard_join_exact(df, threshold=(6, 5))
+    # a huge cap changes nothing (every bucket is under it)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_join_exact(
+            df, threshold=(3, 5), shingle_n=3, max_prefix_bucket=10_000
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_join_exact(df, threshold=(3, 5), shingle_n=3).collect()
+    }
+    assert capped == exact
