@@ -699,11 +699,16 @@ def jaccard_join_exact(
     prefix-to-prefix join generates every qualifying pair and the exact
     verify keeps precision at 1.
 
-    All candidate-side work happens on xxhash64(shingle) — 8-byte
-    shuffle keys, no shingle strings move (contamination_flags'
-    convention: collisions ~2^-64 can only ADD candidates here, since
-    the verify intersects the raw string sets; a collision in a fixture
-    would surface in the string-joining oracle). The global order is
+    The ENTIRE join runs in arithmetic hash space — per-word xxhash64
+    combined by position-rotated XOR (curation._hashed_ngram_values):
+    no shingle string is ever materialized (string shingle builds are
+    the measured CPU dominator of every n-gram operator in this repo —
+    8.9s of this operator's 17s sf0.1 wall before this form), and all
+    shuffle keys are 8 bytes. Sets, sizes, and the intersection are
+    therefore hash sets (contamination_flags' convention: two distinct
+    shingles collide at ~2^-64 per doc — far below any fixture or
+    production corpus — and the raw-string-joining DuckDB oracle would
+    mismatch on one landing in a fixture). The global order is
     (document frequency ASC, hash ASC): rarest-first, the ordering that
     minimizes prefix-bucket sizes. The threshold is exact rational
     algebra — J >= t_num/t_den iff (t_den + t_num)·|∩| >= t_num·(|A| +
@@ -727,15 +732,14 @@ def jaccard_join_exact(
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
-    from edna_dbt_library_spark.functions.text import shingles
+    from edna_dbt_library_spark.operators.curation import _hashed_ngram_values
 
-    ws = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    hw = F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x))
+    ws = F.array_distinct(_hashed_ngram_values(hw, shingle_n))
     sets_df = docs.select(F.col(id_col).alias("id"), ws.alias("ws")).where(
         F.size("ws") > 0
     )
-    exploded = sets_df.select(
-        "id", F.explode(F.transform("ws", lambda w: F.xxhash64(w))).alias("h")
-    )
+    exploded = sets_df.select("id", F.explode("ws").alias("h"))
     df_counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # per-doc prefix: first n - ceil(t*n) + 1 tokens in (df, h) order
     n = F.size("ordered")

@@ -201,6 +201,44 @@ so the query path should never pay that join), and an in-row
 argmin over an n_cells struct array (interpreted higher-order
 functions evaluated per row measured 3× this shape's wall).
 
+## AllPairs exact-Jaccard and Misra-Gries stress — prune factors
+
+Measured 2026-08-15 (round 8) on the sf0.1 documents table (5,000
+docs, trigram shingle sets, threshold 3/5):
+
+| measurement | value |
+|---|---|
+| all-pairs universe | 12,497,500 pairs |
+| prefix-join candidates (rarest-first order) | 299,377 (41.7× cut) |
+| qualifying pairs (exact verify) | 256 |
+| prefix rows emitted / total set rows | 107,191 / 260,388 (41% ≈ 1−t) |
+| wall, string-shingle form → hash-space form | 22.1s → 13.2s |
+
+The string→hash rewrite moved the whole join into arithmetic
+xxhash64 space (curation's position-rotated-XOR n-grams): the
+string shingle build alone was 8.9s of the 22.1s, and the verify's
+array_intersect now compares longs. The raw-string DuckDB oracle
+stays byte-faithful, so a hash collision in a fixture would
+hash-mismatch the row (contamination_flags' convention).
+
+Misra-Gries frequent items, same corpus (260,704 trigram
+occurrences, 27,213 distinct, 32 round-robin partitions — the
+worst case for map-side combine: per-partition rows are nearly all
+distinct, so an exact GROUP BY shuffles all 260,704 rows):
+
+| capacity | sketch rows shuffled | vs exact group-by |
+|---|---|---|
+| 2,048 (< per-partition distinct) | 32 | 8,147× fewer |
+| 10,000 (> per-partition distinct ≈ 8,147) | 260,736 | none — sketch never decrements |
+
+The shuffle is Σ_p min(distinct_p, ~capacity): the win appears
+exactly when per-partition distinct exceeds capacity — the 100 TB
+heavy-tail shape (billions of distinct n-grams per task, capacity
+10⁴), not the 27k-distinct fixture. The scored row keeps
+capacity 10,000 because its den=5,000 guarantee needs
+2·den <= capacity; the EXACT output is identical at any capacity
+satisfying that bound (partitioning-independence is pytest-locked).
+
 ## Retrieval scale stress — stop-term posting lists and the probe guard
 
 `tools/retrieval_scale_stress.py`, measured 2026-08-14 (round 4) on
