@@ -736,8 +736,14 @@ def jaccard_join_exact(
 
     hw = F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x))
     ws = F.array_distinct(_hashed_ngram_values(hw, shingle_n))
-    sets_df = docs.select(F.col(id_col).alias("id"), ws.alias("ws")).where(
-        F.size("ws") > 0
+    # checkpoint: the set table feeds the prefix path AND both verify
+    # sides, the prefix table feeds both self-join sides — without the
+    # cut each consumer re-runs the tokenize->hash pipeline (the LSH
+    # bucket-table precedent, lsh_candidate_pairs)
+    sets_df = (
+        docs.select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .localCheckpoint(eager=True)
     )
     exploded = sets_df.select("id", F.explode("ws").alias("h"))
     df_counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -750,6 +756,7 @@ def jaccard_join_exact(
         .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
         .select("id", F.explode(F.slice("ordered", F.lit(1), p)).alias("_t"))
         .select("id", F.col("_t.h").alias("h"))
+        .localCheckpoint(eager=True)
     )
     if max_prefix_bucket is not None:
         from pyspark.sql import Window
