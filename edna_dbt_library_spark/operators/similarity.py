@@ -973,7 +973,12 @@ def ivf_pq_topk(
       ties to smallest cid); queries probe their n_probe nearest cells.
     * fine: pq_codebooks over the full corpus (codes are
       cell-independent — the un-residual IVFADC variant, which keeps
-      the oracle replay exact), one encode pass -> (vec_id, sub, code).
+      the oracle replay exact; residual encoding was prototyped r8 and
+      measured IDENTICAL 0.92 recall@10 on the 30k skewed stress
+      corpus — at m=4 x 16 codes the subspace coarseness dominates the
+      quantization error, not the cell offset, so the extra
+      train-time pass buys nothing here), one encode pass ->
+      (vec_id, sub, code).
     * search: candidate (query, vec) pairs from probed cells only, ADC
       sum over the broadcast query LUT, rank by exact integer distance
       (ties -> smallest vec_id).
