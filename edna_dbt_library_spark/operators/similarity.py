@@ -773,29 +773,77 @@ def pq_codebooks(
 ) -> DataFrame:
     """Product-quantization codebooks: the vector space split into ``m``
     equal subspaces, each trained by the SAME exact-integer Lloyd
-    k-means as the IVF coarse quantizer (kmeans_cells — deterministic
-    and engine-exact, so the whole PQ index replays in the DuckDB
-    oracle). Returns (sub, cid, cv array<long>), m * n_cells rows,
-    localCheckpoint'd — train once, encode/search many times.
+    k-means as the IVF coarse quantizer (deterministic and engine-exact,
+    so the whole PQ index replays in the DuckDB oracle). Returns
+    (sub, cid, cv array<long>), m * n_cells rows, localCheckpoint'd —
+    train once, encode/search many times.
 
-    Scale shape: m independent kmeans_cells runs over sliced vectors;
-    each is train_iters+1 broadcast passes with an n_cells x d/m
-    shuffle key space (map-side combined), so training cost equals ONE
-    full-dim k-means — slicing shrinks each pass proportionally."""
+    All ``m`` subspaces train FUSED: one exploded (vid, sub, qsub)
+    frame carries every subspace, so each Lloyd iteration is ONE
+    corpus pass with a (sub, cell, dim)-keyed shuffle (key space
+    m x n_cells x d/m = exactly the full-dim k-means key space,
+    map-side combined) — versus m sequential kmeans_cells runs
+    costing m x (iters+1) corpus scans. At 100 TB corpus passes are
+    the training cost, so fusing divides it by m. The arithmetic is
+    bit-identical to per-slice kmeans_cells runs (disjoint sub-keyed
+    lanes, same seeds — the n_cells lowest-id vectors seed every
+    subspace — same argmin tie-breaks, same integer means; equality is
+    pytest-locked), which keeps the per-subspace oracle CTE chains
+    valid."""
     dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
     d0 = dims // m
-    out = None
-    for s in range(m):
-        sub = embeddings.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * d0 + 1, d0).alias(vec_col)
+    subs = F.posexplode(
+        F.array(*[F.slice(F.col("__pq_qv"), s * d0 + 1, d0) for s in range(m)])
+    )
+    q = embeddings.withColumn("__pq_qv", quantize_vec(vec_col, scale)).select(
+        F.col(id_col).alias("vid"), subs.alias("sub", "qv")
+    )
+    w = Window.orderBy("vid")
+    seeds = (
+        embeddings.select(F.col(id_col).alias("vid"))
+        .orderBy("vid")
+        .limit(n_cells)
+        .select("vid", (F.row_number().over(w) - 1).cast("long").alias("cid"))
+    )
+    cent = (
+        q.join(F.broadcast(seeds), "vid")
+        .select(F.col("sub").cast("long").alias("sub"), "cid", F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = q.join(F.broadcast(cent), "sub").select(
+            "vid", "sub", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
         )
-        cb = kmeans_cells(sub, n_cells, iters, scale, id_col, vec_col).select(
-            F.lit(s).cast("long").alias("sub"), "cid", "cv"
+        assigned = (
+            scored.groupBy("vid", "sub")
+            .agg(F.min(F.struct("dist", "cid")).alias("_m"), F.first("qv").alias("qv"))
+            .select("vid", "sub", "qv", F.col("_m.cid").alias("cell"))
         )
-        out = cb if out is None else out.unionByName(cb)
-    return out.localCheckpoint(eager=True)
+        sums = (
+            assigned.select("sub", "cell", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("sub", "cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        upd = (
+            sums.select("sub", "cell", "dim", _int_mean(F.col("s"), F.col("n")).alias("m"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(
+                upd, (cent["sub"] == upd["sub"]) & (cent["cid"] == upd["cell"]), "left"
+            )
+            .select(cent["sub"], "cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
 
 
 def _pq_sub_dists(

@@ -625,3 +625,36 @@ def test_random_projection_preserves_distances_and_is_deterministic(spark):
 
     again = random_projection(emb.repartition(13), k=k).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_codebooks_fused_equals_per_slice_kmeans(spark):
+    """The fused multi-subspace training (one corpus pass per Lloyd
+    iteration) must be BIT-IDENTICAL to m independent kmeans_cells runs
+    over the sliced vectors — disjoint sub-keyed lanes, same lowest-id
+    seeds, same tie-breaks, same integer means. This is the lock that
+    keeps the per-subspace oracle CTE chains valid."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        kmeans_cells,
+        pq_codebooks,
+    )
+    from edna_dbt_library_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m, n_cells, iters = 4, 16, 2
+    fused = {
+        (r["sub"], r["cid"]): tuple(r["cv"])
+        for r in pq_codebooks(emb, m=m, n_cells=n_cells, iters=iters).collect()
+    }
+    dims = emb.select(F.size("embedding").alias("d")).first()["d"]
+    d0 = dims // m
+    per_slice = {}
+    for s in range(m):
+        sl = emb.select(
+            "vec_id", F.slice(F.col("embedding"), s * d0 + 1, d0).alias("embedding")
+        )
+        for r in kmeans_cells(sl, n_cells, iters, KMEANS_SCALE).collect():
+            per_slice[(s, r["cid"])] = tuple(r["cv"])
+    assert fused == per_slice
