@@ -754,8 +754,12 @@ def jaccard_join_exact(
         exploded.join(df_counts, "h")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
-        .select("id", F.explode(F.slice("ordered", F.lit(1), p)).alias("_t"))
-        .select("id", F.col("_t.h").alias("h"))
+        .select(
+            "id",
+            F.size("ordered").alias("n"),
+            F.posexplode(F.slice("ordered", F.lit(1), p)).alias("pos", "_t"),
+        )
+        .select("id", "n", "pos", F.col("_t.h").alias("h"))
         .localCheckpoint(eager=True)
     )
     if max_prefix_bucket is not None:
@@ -767,10 +771,23 @@ def jaccard_join_exact(
             .where(F.col("_r") <= max_prefix_bucket)
             .drop("_r")
         )
+    # PPJoin-style pair-instance filters (Xiao et al. 2008), both provably
+    # safe: LENGTH — J >= t forces t_num*max(|A|,|B|) <= t_den*min;
+    # POSITIONAL — the pair's globally-smallest common token at positions
+    # (i, j) bounds the overlap by 1 + min(|A|-1-i, |B|-1-j), which must
+    # reach alpha = ceil(t_num*(|A|+|B|) / (t_num+t_den)); a qualifying
+    # pair's smallest common token is in both prefixes and passes, so
+    # keeping pairs where ANY shared instance passes loses nothing.
+    na, nb = F.col("x.n"), F.col("y.n")
+    ub = 1 + F.least(na - 1 - F.col("x.pos"), nb - 1 - F.col("y.pos"))
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "h")
-        .where(F.col("x.id") < F.col("y.id"))
+        .where(
+            (F.col("x.id") < F.col("y.id"))
+            & (t_num * F.greatest(na, nb) <= t_den * F.least(na, nb))
+            & ((t_num + t_den) * ub >= t_num * (na + nb))
+        )
         .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
         .distinct()
     )

@@ -210,16 +210,20 @@ docs, trigram shingle sets, threshold 3/5):
 |---|---|
 | all-pairs universe | 12,497,500 pairs |
 | prefix-join candidates (rarest-first order) | 299,377 (41.7× cut) |
+| + PPJoin length & positional filters | 68,818 (182× total cut) |
 | qualifying pairs (exact verify) | 256 |
 | prefix rows emitted / total set rows | 107,191 / 260,388 (41% ≈ 1−t) |
-| wall, string-shingle form → hash-space form → checkpointed | 22.1s → 13.2s → 10.2s |
+| wall: string form → hash space → checkpointed → PPJoin filters | 22.1s → 13.2s → 10.2s → 4.0s |
 
 The string→hash rewrite moved the whole join into arithmetic
 xxhash64 space (curation's position-rotated-XOR n-grams): the
 string shingle build alone was 8.9s of the 22.1s, and the verify's
 array_intersect now compares longs. Checkpointing the set and prefix
 tables (each feeds 2-3 consumers — the LSH bucket-table precedent)
-cut the remaining recomputes to 10.2s. The raw-string DuckDB oracle
+cut the remaining recomputes to 10.2s, and the PPJoin length +
+positional filters (provably safe: a qualifying pair's smallest
+common token is in both prefixes and always passes them) cut the
+verify's broadcast set 4.3× more, landing at 4.0s. The raw-string DuckDB oracle
 stays byte-faithful, so a hash collision in a fixture would
 hash-mismatch the row (contamination_flags' convention).
 
