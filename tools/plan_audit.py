@@ -170,13 +170,23 @@ exact-integer Lloyd):
 
 | measurement | value |
 |---|---|
-| codebook training (4 subspace k-means, 2 passes) | 25.1s |
-| encode pass (30,000 vectors → 120,000 codes) | 1.5s |
+| codebook training, m sequential runs → FUSED one-pass-per-iteration (r8) | 25.1s → 8.8s |
+| encode pass (30,000 vectors → 120,000 codes) | 1.7s |
 | bytes per vector (64 float32 dims → 4 codes) | 256 → 4 (64×) |
-| `pq_adc_topk` search, 5 queries | 5.7s |
-| recall@10, ADC vs exact brute force | 0.92 |
-| `ivf_pq_topk` (IVFADC: coarse probe + ADC on candidates) | 16.9s |
+| `pq_adc_topk` search, 5 queries | 4.4–5.7s (one 15.7s harness outlier) |
+| recall@10, ADC vs exact brute force | 0.92 (bit-stable every run) |
+| `ivf_pq_topk` (IVFADC: coarse probe + ADC on candidates) | 16.0s |
 | recall@10, IVFADC (n_probe=4) vs brute force | 0.92 |
+
+Fused training (r8): all m subspace codebooks now train in ONE
+exploded frame — each Lloyd iteration is a single corpus pass with a
+(sub, cell, dim) shuffle key space instead of m sequential
+kmeans_cells runs (m × the scans). Like-for-like harness positions
+measured 25.1s → 8.8s; at IO-bound corpus scale the saving is
+structural (scan count), not just wall. Search walls on this host
+vary up to 3× run-to-run with JVM warm-up while every rank and
+recall is bit-identical — the exact-integer contract is what holds,
+wall medians are indicative.
 
 The hot cluster does not hurt PQ recall the way it hurts IVF probe
 cost: ADC error comes from quantization, not cell skew, so the 0.92
