@@ -4248,11 +4248,34 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture label is int32 — a string literal here would ANSI-coerce to
     cast('' AS BIGINT) and crash, r7 verdict #1).
     Same consolidation pattern as near_dup_pairs: every method's
-    full ranking hash-gates under one driver row."""
-    bf = REGISTRY["ann_topk_bruteforce"].spark(spark, sf_dir)
-    ivf = REGISTRY["ann_ivf_topk"].spark(spark, sf_dir)
-    pq = REGISTRY["ann_pq_adc_topk"].spark(spark, sf_dir)
-    ivfpq = REGISTRY["ann_ivf_pq_topk"].spark(spark, sf_dir)
+    full ranking hash-gates under one driver row.
+
+    The three trained arms SHARE one coarse-quantizer train and one
+    codebook train (the index-once/search-many production shape) — the
+    granulars each train independently with identical parameters, and
+    because the exact-integer Lloyd is deterministic the results are
+    bit-identical either way: test_ann_topk_equals_granular_composition
+    locks shared-trained == independently-trained, which is the
+    determinism contract stated as a test."""
+    from edna_dbt_library_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        ivf_topk,
+        kmeans_cells,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    cent = kmeans_cells(emb, 16, 2)
+    cb = pq_codebooks(emb, m=4, n_cells=16, iters=2)
+    bf = brute_force_topk(emb, qs, k=10)
+    ivf = ivf_topk(emb, qs, k=10, n_cells=16, n_probe=4, centroids=cent)
+    pq = pq_adc_topk(emb, qs, k=10, codebooks=cb)
+    ivfpq = ivf_pq_topk(
+        emb, qs, k=10, n_cells=16, n_probe=4, centroids=cent, codebooks=cb
+    )
 
     def adc_arm(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
