@@ -998,3 +998,158 @@ def run_incremental_passage_dedup(
 
         wh.create_as(store, fps_kept.select("fp", id_col), TableMeta())
     return admitted.select(id_col, text_col)
+
+
+def run_incremental_jaccard_join(
+    wh,
+    store,
+    batch: DataFrame,
+    threshold: tuple = (3, 5),
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental EXACT set-similarity join: every Jaccard >= t pair the
+    incoming batch forms — with everything previously admitted AND
+    within itself — without ever re-joining old-vs-old (the daily-crawl
+    shape of :func:`jaccard_join_exact`, mirroring
+    run_incremental_dedup's store contract: replaying a batch admits
+    nothing and emits nothing).
+
+    The prefix filter needs one GLOBAL total order shared by every
+    batch, so the order is FROZEN from the first batch's document
+    frequencies (the frozen-first-batch-centroids precedent of
+    run_incremental_semantic_dedup): tokens unseen in batch 1 sort
+    last under (df = 2^62, h). Any fixed order keeps the filters
+    provably lossless — first-batch rarest-first just keeps buckets
+    small when batch 1 is representative.
+
+    Store layout (three warehouse relations):
+      * ``<store>``          (id, n, ws array<long>)  admitted hash sets
+      * ``<store>_prefix``   (id, n, pos, h)          their prefix index
+      * ``<store>_order``    (h, df)                  the frozen order
+
+    Per run the corpus-sized tables are touched exactly where a search
+    must: the prefix INDEX joins the new docs' prefixes (8-byte keys,
+    PPJoin length + positional filters), and the sets table is read
+    only for candidate ids (broadcast semi-join) in the exact verify.
+    Old-vs-old pairs are never recomputed.
+
+    Output: (doc_a, doc_b, n_int, n_a, n_b, jacc_permille), doc_a <
+    doc_b, every qualifying pair with >= 1 newly-admitted member.
+    Accumulated over any batch split, the union of outputs equals
+    ``jaccard_join_exact`` over the whole corpus (pytest-locked) —
+    exactness is order-independent even though the candidates differ.
+    """
+    t_num, t_den = threshold
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
+    from edna_dbt_library_spark.operators.curation import _hashed_ngram_values
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    UNSEEN_DF = 1 << 62
+    prefix_rel = wh.relation(store.schema, store.identifier + "_prefix")
+    order_rel = wh.relation(store.schema, store.identifier + "_order")
+
+    hw = F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x))
+    ws = F.array_distinct(_hashed_ngram_values(hw, shingle_n))
+    bsets = (
+        batch.select(F.col(id_col).cast("long").alias("id"), ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .localCheckpoint(eager=True)
+    )
+    first = not wh.exists(store)
+    if first:
+        new = bsets
+    else:
+        new = bsets.join(wh.read(store).select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    exploded = new.select("id", F.explode("ws").alias("h"))
+    if first:
+        order_df = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(
+            eager=True
+        )
+    else:
+        order_df = wh.read(order_rel)
+
+    nn = F.size("ordered")
+    p = nn - ((F.lit(t_num) * nn + t_den - 1) / t_den).cast("int") + 1
+    newpref = (
+        exploded.join(order_df, "h", "left")
+        .withColumn("df", F.coalesce("df", F.lit(UNSEEN_DF)))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+        .select(
+            "id",
+            F.size("ordered").alias("n"),
+            F.posexplode(F.slice("ordered", F.lit(1), p)).alias("pos", "_t"),
+        )
+        .select("id", "n", "pos", F.col("_t.h").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+
+    na, nb = F.col("x.n"), F.col("y.n")
+    ub = 1 + F.least(na - 1 - F.col("x.pos"), nb - 1 - F.col("y.pos"))
+    filters = (t_num * F.greatest(na, nb) <= t_den * F.least(na, nb)) & (
+        (t_num + t_den) * ub >= t_num * (na + nb)
+    )
+    cand = (
+        newpref.alias("x")
+        .join(newpref.alias("y"), "h")
+        .where((F.col("x.id") < F.col("y.id")) & filters)
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+    )
+    all_sets = new
+    if not first:
+        cross = (
+            newpref.alias("x")
+            .join(wh.read(prefix_rel).alias("y"), "h")
+            .where((F.col("x.id") != F.col("y.id")) & filters)
+            .select(
+                F.least(F.col("x.id"), F.col("y.id")).alias("doc_a"),
+                F.greatest(F.col("x.id"), F.col("y.id")).alias("doc_b"),
+            )
+        )
+        cand = cand.unionByName(cross)
+        all_sets = new.unionByName(wh.read(store).select("id", "ws"))
+    cand = cand.distinct()
+
+    a = all_sets.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = all_sets.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    n_int = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+    pairs = (
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_int.alias("n_int"),
+            F.size("ws_a").cast("long").alias("n_a"),
+            F.size("ws_b").cast("long").alias("n_b"),
+        )
+        .where(
+            (t_den + t_num) * F.col("n_int") >= t_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_int",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(1000 * n_int) div (n_a + n_b - n_int)"
+            ).alias("jacc_permille"),
+        )
+        .localCheckpoint(eager=True)  # materialize before mutating the store
+    )
+
+    new_rows = new.select("id", F.size("ws").cast("long").alias("n"), "ws")
+    if first:
+        wh.create_as(store, new_rows, TableMeta())
+        wh.create_as(prefix_rel, newpref, TableMeta())
+        wh.create_as(order_rel, order_df, TableMeta())
+    else:
+        wh.append(store, new_rows)
+        wh.append(prefix_rel, newpref)
+    return pairs

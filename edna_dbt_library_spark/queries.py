@@ -1297,6 +1297,48 @@ WHERE ({JJE_T_DEN} + {JJE_T_NUM}) * ni >= {JJE_T_NUM} * (sa.n + sb.n)
 """
 
 
+@_register("incremental_jaccard_pairs", _jaccard_join_oracle())
+def incremental_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful gate for the incremental EXACT similarity join
+    (operators/dedup.run_incremental_jaccard_join): runs the even-id
+    batch, the odd-id batch, then REPLAYS batch 1 (must emit nothing)
+    through a scratch warehouse, and returns the accumulated pairs.
+    The oracle is the plain whole-corpus all-pairs SQL — identical to
+    jaccard_join_pairs — because exactness is batch-split-independent:
+    the union of per-batch outputs must equal the one-shot join even
+    though the frozen first-batch token order yields different
+    candidates. Matching it here gates the store schedule, the frozen
+    order, and the no-old-vs-old-re-emission contract at once."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.dedup import run_incremental_jaccard_join
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="edna_incjj_")
+    try:
+        wh = Warehouse(spark, root)
+        store = wh.relation("scratch", "inc_jj")
+        parts = []
+        for b in (0, 1, 0):  # batch1, batch2, batch1 REPLAY (emits nothing)
+            parts.append(
+                run_incremental_jaccard_join(
+                    wh,
+                    store,
+                    d.where(F.col("doc_id") % 2 == b),
+                    threshold=(JJE_T_NUM, JJE_T_DEN),
+                    shingle_n=JJE_SHINGLE_N,
+                )
+            )
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        # the operator localCheckpoints its outputs, but re-checkpoint the
+        # union so nothing depends on the scratch files after rmtree
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @_register("jaccard_join_pairs", _jaccard_join_oracle())
 def jaccard_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT prefix-filtered set-similarity self-join

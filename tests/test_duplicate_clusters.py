@@ -238,3 +238,33 @@ def test_jaccard_join_exact_threshold_validation_and_cap(spark):
         for r in jaccard_join_exact(df, threshold=(3, 5), shingle_n=3).collect()
     }
     assert capped == exact
+
+
+def test_incremental_jaccard_join_accumulates_to_full_corpus(spark, sf_dir, tmp_path):
+    """Two batches through the persistent store == jaccard_join_exact over
+    the whole corpus (exactness is order-independent even though the
+    frozen first-batch order yields different candidates), and replaying
+    an ingested batch emits nothing and leaves the store byte-stable."""
+    from edna_dbt_library_spark.operators.dedup import (
+        jaccard_join_exact,
+        run_incremental_jaccard_join,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = wh.relation("an", "jjstore")
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    key = lambda r: (r["doc_a"], r["doc_b"], r["n_int"], r["n_a"], r["n_b"])  # noqa: E731
+    p1 = {key(r) for r in run_incremental_jaccard_join(wh, store, b1).collect()}
+    p2 = {key(r) for r in run_incremental_jaccard_join(wh, store, b2).collect()}
+    full = {key(r) for r in jaccard_join_exact(docs, threshold=(3, 5), shingle_n=3).collect()}
+    assert p1 | p2 == full
+    assert not (p1 & p2)  # old-vs-old pairs are never re-emitted
+
+    before = sorted(map(tuple, wh.read(store).collect()))
+    replay = run_incremental_jaccard_join(wh, store, b1)
+    assert replay.count() == 0
+    assert sorted(map(tuple, wh.read(store).collect())) == before
