@@ -1008,6 +1008,7 @@ def run_incremental_jaccard_join(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs_sink=None,
 ) -> DataFrame:
     """Incremental EXACT set-similarity join: every Jaccard >= t pair the
     incoming batch forms — with everything previously admitted AND
@@ -1040,6 +1041,17 @@ def run_incremental_jaccard_join(
     Accumulated over any batch split, the union of outputs equals
     ``jaccard_join_exact`` over the whole corpus (pytest-locked) —
     exactness is order-independent even though the candidates differ.
+
+    ``pairs_sink(pairs)`` (optional) is invoked with the materialized
+    pair frame BEFORE the store mutates, and ONLY when the batch
+    contains new ids — the ordering that makes an at-least-once
+    redelivery safe end to end: a crash before the sink recomputes
+    everything (store untouched); a crash between sink and store-append
+    recomputes and rewrites the IDENTICAL pairs; after the append a
+    redelivery short-circuits on zero new ids, leaving the sink's
+    committed output untouched (an overwrite-with-empty there would
+    destroy first-delivery pairs — the hole this parameter closes for
+    streaming.stream_jaccard_join).
     """
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
@@ -1064,6 +1076,10 @@ def run_incremental_jaccard_join(
     else:
         new = bsets.join(wh.read(store).select("id"), "id", "left_anti").localCheckpoint(
             eager=True
+        )
+    if not new.take(1):
+        return new.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long, n_int long, n_a long, n_b long, jacc_permille long"
         )
     exploded = new.select("id", F.explode("ws").alias("h"))
     if first:
@@ -1143,6 +1159,8 @@ def run_incremental_jaccard_join(
         )
         .localCheckpoint(eager=True)  # materialize before mutating the store
     )
+    if pairs_sink is not None:
+        pairs_sink(pairs)  # sink BEFORE the store mutates (see docstring)
 
     new_rows = new.select("id", F.size("ws").cast("long").alias("n"), "ws")
     if first:

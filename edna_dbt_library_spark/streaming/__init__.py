@@ -2,6 +2,7 @@ from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_cdc_refresh,
     stream_incremental_append,
     stream_interval_join,
+    stream_jaccard_join,
     stream_semantic_dedup,
     stream_table,
     stream_windowed_counts,
@@ -32,6 +33,7 @@ __all__ = [
     "stream_cdc_refresh",
     "stream_incremental_append",
     "stream_interval_join",
+    "stream_jaccard_join",
     "stream_semantic_dedup",
     "stream_table",
     "stream_windowed_counts",

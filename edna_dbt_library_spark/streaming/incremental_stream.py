@@ -252,3 +252,54 @@ def stream_semantic_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_jaccard_join(
+    doc_stream: DataFrame,
+    wh,
+    store,
+    pairs_path: str,
+    checkpoint_path: str,
+    threshold: tuple = (3, 5),
+    shingle_n: int = 3,
+    available_now: bool = True,
+):
+    """Streaming twin of ``operators.dedup.run_incremental_jaccard_join``:
+    every micro-batch of documents is exact-Jaccard-joined against
+    everything previously admitted AND itself (stored prefix index,
+    frozen first-batch token order); the qualifying pairs land under
+    ``pairs_path/batch=<id>/`` via the operator's ``pairs_sink`` hook,
+    which runs BEFORE the store mutates and only when the batch has new
+    ids — so an at-least-once redelivery either recomputes and rewrites
+    the identical subdir (store untouched yet) or short-circuits and
+    leaves the committed subdir alone (a naive post-hoc overwrite would
+    replace first-delivery pairs with the replay's empty set).
+
+    Accumulated across all drained micro-batches, the pair set equals
+    the ONE-SHOT whole-corpus ``jaccard_join_exact`` (the batch
+    operator's batch-split-independence contract, asserted for this
+    wrapper in tests/test_duplicate_clusters.py)."""
+    import os as _os
+
+    from edna_dbt_library_spark.operators.dedup import run_incremental_jaccard_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        run_incremental_jaccard_join(
+            wh,
+            store,
+            batch_df,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            pairs_sink=lambda pairs: pairs.write.mode("overwrite").parquet(
+                _os.path.join(pairs_path, f"batch={batch_id}")
+            ),
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

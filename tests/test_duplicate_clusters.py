@@ -268,3 +268,36 @@ def test_incremental_jaccard_join_accumulates_to_full_corpus(spark, sf_dir, tmp_
     replay = run_incremental_jaccard_join(wh, store, b1)
     assert replay.count() == 0
     assert sorted(map(tuple, wh.read(store).collect())) == before
+
+
+def test_stream_jaccard_join_matches_one_shot(spark, sf_dir, tmp_path):
+    """Two micro-batches drained through stream_jaccard_join == the
+    one-shot whole-corpus jaccard_join_exact, with pair subdirs written
+    through the pre-store-mutation pairs_sink; a fresh-checkpoint
+    re-drain of the same source adds nothing (operator-level replay)."""
+    from edna_dbt_library_spark.operators.dedup import jaccard_join_exact
+    from edna_dbt_library_spark.sources import Warehouse
+    from edna_dbt_library_spark.streaming import stream_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src, pairs, ckpt, ckpt2 = (str(tmp_path / d) for d in ("src", "pairs", "ck1", "ck2"))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = wh.relation("an", "sjj")
+
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    stream_jaccard_join(stream, wh, store, pairs, ckpt).awaitTermination(180)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    stream_jaccard_join(stream, wh, store, pairs, ckpt).awaitTermination(180)
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["n_int"])  # noqa: E731
+    streamed = {key(r) for r in spark.read.parquet(pairs).collect()}
+    full = {key(r) for r in jaccard_join_exact(docs, threshold=(3, 5), shingle_n=3).collect()}
+    assert streamed == full
+
+    # operator-level replay: a fresh checkpoint re-reads everything; no
+    # new ids -> the sink hook never fires -> pair set unchanged
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    stream_jaccard_join(stream, wh, store, pairs, ckpt2).awaitTermination(180)
+    assert {key(r) for r in spark.read.parquet(pairs).collect()} == full
