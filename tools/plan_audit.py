@@ -255,6 +255,24 @@ capacity 10,000 because its den=5,000 guarantee needs
 2·den <= capacity; the EXACT output is identical at any capacity
 satisfying that bound (partitioning-independence is pytest-locked).
 
+AllPairs exact join on the dedup stress corpus (27,000 docs incl. the
+2,000-doc boilerplate family of 3 near-identical cores — the clique
+shape that makes "emit every pair >= t" inherently quadratic in
+cluster size):
+
+| run | qualifying pairs | wall (s) | non-clique recall |
+|---|---|---|---|
+| exact (default) | 2,055,400 (97% = the 3 boilerplate cliques) | 20.4 | 1.0 |
+| `max_prefix_bucket=64` | 63,813 | 14.3 | **1.0** (all 56,400 signal pairs kept) |
+
+The cap removes only within-clique pairs — members a downstream
+duplicate_clusters collapses into one component from the surviving
+pairs anyway — while every pair with a non-boilerplate member
+survives. Same trade as the LSH stop-bucket cap, now measured for the
+exact join: at 100 TB the cap bounds the one quadratic term (clique
+output), and the exactness guarantee holds for everything outside
+flooded prefix buckets.
+
 ## Retrieval scale stress — stop-term posting lists and the probe guard
 
 `tools/retrieval_scale_stress.py`, measured 2026-08-14 (round 4) on
