@@ -247,6 +247,15 @@ distinct, so an exact GROUP BY shuffles all 260,704 rows):
 | 2,048 (< per-partition distinct) | 32 | 8,147× fewer |
 | 10,000 (> per-partition distinct ≈ 8,147) | 260,736 | none — sketch never decrements |
 
+On the 27k-doc boilerplate corpus (1,377,520 trigram occurrences,
+32,945 distinct, 32 partitions): the sketch shuffles 144,818 rows
+(decrements engage — per-partition distinct exceeds capacity), finds
+exactly the 28 true heavy hitters (== GROUP BY/HAVING, match
+asserted), and 93% of them are the boilerplate-core trigrams — the
+curation signal the operator exists to surface. At this corpus size
+the exact GROUP BY is still cheaper (1.1s vs 2.5s); the sketch's
+bounded-shuffle contract is the 100 TB insurance, not a local win.
+
 The shuffle is Σ_p min(distinct_p, ~capacity): the win appears
 exactly when per-partition distinct exceeds capacity — the 100 TB
 heavy-tail shape (billions of distinct n-grams per task, capacity
