@@ -1048,8 +1048,39 @@ def ivf_pq_topk(
         else centroids
     ).localCheckpoint(eager=True)
     cent_rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    probes = _ivfpq_probes(queries, cent_rows, n_probe, scale, id_col, vec_col)
+
+    cb = (
+        pq_codebooks(embeddings, m, pq_cells, train_iters, scale, id_col, vec_col)
+        if codebooks is None
+        else codebooks
+    )
+    m, d0 = _pq_shape(cb)
+    lut = (
+        _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)
+        .withColumnRenamed("vid", "query_id")
+        .withColumnRenamed("dist", "d")
+    )
+    codes_cell = _ivfpq_codes_cell(embeddings, cent, cb, m, d0, scale, id_col, vec_col)
+    return _adc_probed_search(codes_cell, probes, lut, k)
+
+
+def _pq_shape(codebooks: DataFrame) -> tuple:
+    """(m, d0) from a codebook frame — one tiny aggregate."""
+    mrow = codebooks.groupBy().agg(
+        (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
+    ).first()
+    return int(mrow["m"]), int(mrow["d0"])
+
+
+def _ivfpq_probes(
+    queries: DataFrame, cent_rows, n_probe: int, scale: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, cell): each query's n_probe nearest coarse cells, in-row
+    (array_sort over the driver-collected centroid distances — no window,
+    no shuffle)."""
     cands = _inrow_cell_dists(F.col("_qv"), cent_rows)
-    probes = (
+    return (
         queries.withColumn("_qv", quantize_vec(vec_col, scale))
         .select(
             F.col(id_col).alias("query_id"),
@@ -1058,31 +1089,28 @@ def ivf_pq_topk(
         .select("query_id", F.col("_p.cid").alias("cell"))
     )
 
-    cb = (
-        pq_codebooks(embeddings, m, pq_cells, train_iters, scale, id_col, vec_col)
-        if codebooks is None
-        else codebooks
-    )
-    mrow = cb.groupBy().agg(
-        (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
-    ).first()
-    m, d0 = int(mrow["m"]), int(mrow["d0"])
-    lut = (
-        _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)
-        .withColumnRenamed("vid", "query_id")
-        .withColumnRenamed("dist", "d")
-    )
 
-    # INDEX-BUILD side, join-free: the coarse candidates (sub = -1,
-    # every centroid) union with the subspace candidates (sub >= 0,
-    # every codebook centroid) into ONE frame, and a single
-    # groupBy(vid) takes every argmin at once — conditional
-    # min(when(sub == s, struct(dist, cid))) per slot, map-side
-    # combined, so the shuffle carries one (1 + m)-struct row per
-    # vector and the codes land already carrying their inverted cell.
-    # Same candidate arithmetic as separate assign + encode passes, but
-    # no corpus-sized join and no per-row n_cells struct array (the
-    # interpreted-HOF argmin form measured 3x this shape's wall).
+def _ivfpq_codes_cell(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    cb: DataFrame,
+    m: int,
+    d0: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVFADC index rows (vid, cell, sub, code), join-free: the
+    coarse candidates (sub = -1, every centroid) union with the
+    subspace candidates (sub >= 0, every codebook centroid) into ONE
+    frame, and a single groupBy(vid) takes every argmin at once —
+    conditional min(when(sub == s, struct(dist, cid))) per slot,
+    map-side combined, so the shuffle carries one (1 + m)-struct row
+    per vector and the codes land already carrying their inverted
+    cell. Same candidate arithmetic as separate assign + encode
+    passes, but no corpus-sized join and no per-row n_cells struct
+    array (the interpreted-HOF argmin form measured 3x this shape's
+    wall)."""
     qcoarse = (
         embeddings.withColumn("_qv", quantize_vec(vec_col, scale))
         .crossJoin(F.broadcast(cent))
@@ -1104,7 +1132,7 @@ def ivf_pq_topk(
             ],
         )
     )
-    codes_cell = per_vid.select(
+    return per_vid.select(
         "vid",
         F.col("_cell.cid").alias("cell"),
         F.explode(
@@ -1120,10 +1148,14 @@ def ivf_pq_topk(
         ).alias("_sc"),
     ).select("vid", "cell", F.col("_sc.sub").alias("sub"), F.col("_sc.code").alias("code"))
 
-    # SEARCH side: broadcast-only — probed cells select candidates,
-    # the query LUT scores them; every vector is in exactly one cell
-    # and probed cells are distinct -> each (query, vec) pair at most
-    # once per subspace
+
+def _adc_probed_search(
+    codes_cell: DataFrame, probes: DataFrame, lut: DataFrame, k: int
+) -> DataFrame:
+    """Broadcast-only ADC over probed cells: probed cells select
+    candidates, the query LUT scores them; every vector is in exactly
+    one cell and probed cells are distinct -> each (query, vec) pair at
+    most once per subspace. Ranks break ties on vec_id."""
     cand_codes = codes_cell.join(F.broadcast(probes), "cell").where(
         F.col("vid") != F.col("query_id")
     )
@@ -1143,6 +1175,67 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vid").alias("vec_id"), "adc_dist")
     )
+
+
+def build_ivfpq_index(
+    wh,
+    index,
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    pq_cells: int = 16,
+    iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVFADC index to the warehouse: ``<index>_centroids``
+    (cid, cv), ``<index>_codebooks`` (sub, cid, cv) and ``<index>`` —
+    the join-free (vid, cell, sub, code) rows CLUSTERED by cell, so a
+    probe reads contiguous row groups and row-group min/max stats skip
+    unprobed cells. The build touches the corpus iters+1 times per
+    quantizer plus once for the fused encode (the whole training cost);
+    a search then never touches a float vector — the ivf_topk_indexed
+    contract extended to the compressed-code index."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    cent = kmeans_cells(embeddings, n_cells, iters, scale, id_col, vec_col)
+    wh.create_as(wh.relation(index.schema, index.identifier + "_centroids"), cent, TableMeta())
+    cb = pq_codebooks(embeddings, m, pq_cells, iters, scale, id_col, vec_col)
+    wh.create_as(wh.relation(index.schema, index.identifier + "_codebooks"), cb, TableMeta())
+    m_, d0 = _pq_shape(cb)
+    rows = _ivfpq_codes_cell(embeddings, cent, cb, m_, d0, scale, id_col, vec_col)
+    wh.create_as(index, rows, TableMeta(cluster_by=["cell"]))
+
+
+def ivf_pq_topk_indexed(
+    wh,
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVFADC index: no training, no encode, no
+    corpus scan — the query set probes the stored centroids (in-row),
+    builds its ADC LUT against the stored codebooks (broadcast), and
+    scans only the probed cells' CODE rows (cell-clustered row groups
+    skip on min/max stats). Must return exactly what the inline
+    ``ivf_pq_topk`` returns for the same centroids + codebooks
+    (tested — persistence cannot change a single ranked row)."""
+    cent = wh.read(wh.relation(index.schema, index.identifier + "_centroids"))
+    cent_rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    cb = wh.read(wh.relation(index.schema, index.identifier + "_codebooks"))
+    m, d0 = _pq_shape(cb)
+    probes = _ivfpq_probes(queries, cent_rows, n_probe, scale, id_col, vec_col)
+    lut = (
+        _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)
+        .withColumnRenamed("vid", "query_id")
+        .withColumnRenamed("dist", "d")
+    )
+    return _adc_probed_search(wh.read(index), probes, lut, k)
 
 
 def embedding_gram(

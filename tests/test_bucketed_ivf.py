@@ -658,3 +658,34 @@ def test_pq_codebooks_fused_equals_per_slice_kmeans(spark):
         for r in kmeans_cells(sl, n_cells, iters, KMEANS_SCALE).collect():
             per_slice[(s, r["cid"])] = tuple(r["cv"])
     assert fused == per_slice
+
+
+def test_persisted_ivfpq_index_matches_inline_search(spark, tmp_path):
+    """build_ivfpq_index + ivf_pq_topk_indexed must return exactly what
+    the inline ivf_pq_topk returns for the same stored centroids AND
+    codebooks — persistence cannot change a single ranked row, and the
+    search never touches a float corpus vector."""
+    from edna_dbt_library_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    index = wh.relation("ann", "emb_ivfpq")
+    build_ivfpq_index(wh, index, emb, n_cells=16, m=4, pq_cells=16, iters=2)
+
+    cent = wh.read(wh.relation("ann", "emb_ivfpq_centroids"))
+    cb = wh.read(wh.relation("ann", "emb_ivfpq_codebooks"))
+    inline = ivf_pq_topk(
+        emb, queries, k=10, n_probe=4, centroids=cent, codebooks=cb
+    )
+    indexed = ivf_pq_topk_indexed(wh, index, queries, k=10, n_probe=4)
+    assert sorted(map(tuple, indexed.collect())) == sorted(map(tuple, inline.collect()))
+    assert wh.read_meta(index).cluster_by == ["cell"]
+    # the index holds one cell + m codes per vector
+    n_vec = emb.count()
+    assert wh.read(index).count() == n_vec * 4
