@@ -433,3 +433,70 @@ def test_unigram_forward_equals_backward_reference(words, probe):
     fwd = viterbi_segment(probe, vocab, total)
     assert "".join(fwd) == probe  # total coverage
     assert len(fwd) == _unigram_count_suffix_dp(probe, vocab, total)
+
+
+# --- frequent items & AllPairs exactness under random inputs ---------------
+#
+# Both operators claim EXACT equality with plain SQL aggregations via
+# provable-superset candidate pruning whose proofs lean on integer floor
+# boundaries (min_count = N div den vs the sketch's N div capacity
+# undercount; alpha = ceil-division positional bounds). Property-fuzz the
+# boundaries with adversarial distributions, capacities near the 2*den
+# limit, and random partitionings.
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=50, max_size=400),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=1, max_value=7),
+)
+def test_frequent_items_exact_under_random_distributions(spark, draws, den, parts):
+    from edna_dbt_library_spark.operators.sketches import frequent_items
+
+    capacity = 2 * den  # the tightest capacity the guarantee admits
+    df = spark.createDataFrame([(f"k{d}",) for d in draws], "k string").repartition(parts)
+    got = {(r["k"], r["cnt"]) for r in frequent_items(df, "k", den=den, capacity=capacity).collect()}
+    n = len(draws)
+    mc = max(1, n // den)
+    from collections import Counter
+
+    expect = {(k, c) for k, c in Counter(f"k{d}" for d in draws).items() if c >= mc}
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=11), min_size=3, max_size=14),
+        min_size=3,
+        max_size=14,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (2, 3), (4, 5)]),
+)
+def test_jaccard_join_exact_under_random_corpora(spark, token_lists, threshold):
+    from edna_dbt_library_spark.operators.dedup import jaccard_join_exact
+
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    t_num, t_den = threshold
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_int"], r["n_a"], r["n_b"])
+        for r in jaccard_join_exact(df, threshold=threshold, shingle_n=2).collect()
+    }
+    # python reference over bigram shingle sets
+    def sh(toks):
+        ws = [f"w{t}" for t in toks]
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(token_lists) if len(t) >= 2}
+    expect = set()
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ni = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if (t_den + t_num) * ni >= t_num * (na + nb):
+                expect.add((a, b, ni, na, nb))
+    assert got == expect
