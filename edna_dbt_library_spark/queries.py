@@ -6596,6 +6596,77 @@ def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_DELETE_VECTORS_ORACLE = """
+SELECT o_orderpriority AS priority,
+       count(*)::BIGINT AS n,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+  AND o_orderpriority <> '3-MEDIUM'
+GROUP BY 1
+"""
+
+
+@_register("delete_vectors_read", _DELETE_VECTORS_ORACLE)
+def delete_vectors_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE gate (Warehouse.delete_where / apply_deletes
+    — Iceberg-v2 positional delete vectors: DELETE records (file, row
+    position) pairs harvested from the `_metadata` scan columns into a
+    sidecar; reads anti-join them; maintenance folds them in). Orders
+    land in a scratch table partitioned by priority; two deletes stack
+    merge-on-read (a predicate delete, then a full-partition delete),
+    and the rollup is computed from the masked read. The oracle applies
+    the same predicates as WHERE NOT on raw parquet, so a delete that
+    misses or over-matches rows hash-mismatches. In-query asserts keep
+    the gate honest: the data files must be UNTOUCHED while the masks
+    are merge-on-read, and after apply_deletes the sidecar must be gone,
+    the fully-deleted partition dropped, and a RAW parquet read (no
+    sidecar in play) must agree with the masked read. Same scratch-dir +
+    localCheckpoint discipline as zonemap_pruned_rollup."""
+    import os
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="edna_delv_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_dv")
+        wh.create_as(
+            rel,
+            o.withColumn("prio", F.col("o_orderpriority")).repartition(4),
+            TableMeta(partition_by="prio"),
+        )
+        files_before = wh._live_data_files(rel)
+        d1 = wh.delete_where(
+            rel, (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)
+        )
+        d2 = wh.delete_where(rel, "o_orderpriority = '3-MEDIUM'")
+        assert d1["n_deleted"] > 0 and d2["n_deleted"] > 0
+        # merge-on-read: masks only, no data file rewritten yet
+        assert wh._live_data_files(rel) == files_before
+        masked = (
+            wh.read(rel)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _r2d(F.sum(_dec("o_totalprice"))).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rep = wh.apply_deletes(rel)
+        assert "3-MEDIUM" in rep["partitions"]
+        assert not os.path.isdir(wh._deletes_dir(rel))
+        # folded in: raw parquet (bypassing every sidecar) agrees
+        raw_n = spark.read.parquet(wh.path(rel)).count()
+        assert raw_n == sum(r["n"] for r in masked.collect()), raw_n
+        return masked
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle

@@ -493,7 +493,9 @@ class Warehouse:
         if meta.partition_by:
             reader = reader.option("basePath", self.path(rel))
         base = self.path(rel)
-        return reader.parquet(*(os.path.join(base, f) for f in kept))
+        df = reader.parquet(*(os.path.join(base, f) for f in kept))
+        # entries for files outside `kept` simply never match the anti join
+        return self._merge_deletes(df, self._delete_files(rel), base)
 
     # --- bloom sidecars (file-level equality skipping) ------------------------
     # Zone maps prune RANGE predicates; on a high-cardinality unsorted
@@ -718,6 +720,209 @@ class Warehouse:
         kept, _total = self.bloom_prune_files(rel, col, value)
         return self._read_file_subset(rel, kept)
 
+    # --- merge-on-read delete vectors ----------------------------------------
+    # Row-level DELETE without rewriting data files: the Iceberg-v2
+    # positional-delete design. `delete_where` records each deleted
+    # row's (data file, row position) — harvested distributedly from
+    # Spark's `_metadata.file_path` / `_metadata.row_index` scan
+    # columns — into a `_`-prefixed parquet sidecar dataset; every read
+    # path then LEFT ANTI joins the scan against the delete set. At
+    # 100 TB a delete touching 0.1% of rows costs one predicate scan +
+    # a tiny sidecar write instead of rewriting every touched file;
+    # `apply_deletes` (or any whole-scope rewrite: compact /
+    # optimize_layout) folds the vectors back into the data and clears
+    # them. File-level CDC (`read_changes`) does not emit these deletes
+    # — the same contract as Iceberg's incremental append scan — and
+    # streaming reads of the raw directory see pre-delete rows; batch
+    # consumers must go through `read()` / `read_where`.
+
+    @staticmethod
+    def _decoded_file_path() -> F.Column:
+        """`_metadata.file_path` percent-decoded back to the raw
+        filesystem path. Hadoop renders the scan path as a URI — a
+        partition dir literally named `prio=4-NOT SPECIFIED` surfaces
+        as `...%20...` — while every driver-side walk sees raw names,
+        so sidecar file keys MUST be stored decoded or the
+        apply/vacuum intersections silently miss files (caught by the
+        resurrected 103 rows of orders' `4-NOT SPECIFIED` partition).
+        `+` is pre-escaped because url_decode applies the
+        form-encoding `+`->space rule, which would corrupt a literal
+        plus in a path."""
+        return F.url_decode(
+            F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
+        )
+
+    @classmethod
+    def _rel_file_path(cls, base: str) -> F.Column:
+        """Table-relative raw file path of each scanned row."""
+        prefix = "file:" + base.rstrip("/") + "/"
+        return F.substr(cls._decoded_file_path(), F.lit(len(prefix) + 1))
+
+    def _deletes_dir(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), "_edna_deletes")
+
+    def _delete_files(self, rel: Relation) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._deletes_dir(rel), "*.parquet")))
+
+    def _merge_deletes(self, df: DataFrame, dfiles: list[str], base: str) -> DataFrame:
+        """Anti-join a direct parquet scan against positional delete
+        files rooted at ``base``. Must be applied to the raw scan frame
+        (the `_metadata` pseudo-column is only resolvable there); the
+        output restores the scan's exact column set. The delete side is
+        broadcast while its on-disk size is within the session's
+        autoBroadcast budget — the common case (deletes ≪ data) makes
+        the merge a map-side hash anti join with zero extra shuffle of
+        the data side; larger delete sets fall back to a plain join and
+        let AQE pick the strategy."""
+        if not dfiles:
+            return df
+        dels = self.spark.read.parquet(*dfiles).select(
+            F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
+        )
+        if sum(os.path.getsize(p) for p in dfiles) <= (64 << 20):
+            dels = F.broadcast(dels)
+        cols = df.columns
+        return (
+            df.withColumn("__del_file", self._rel_file_path(base))
+            .withColumn("__del_pos", F.col("_metadata.row_index"))
+            .join(dels, ["__del_file", "__del_pos"], "left_anti")
+            .select(*cols)
+        )
+
+    def delete_where(self, rel: Relation, condition) -> dict:
+        """DELETE FROM ``rel`` WHERE ``condition`` (a Column or SQL
+        string), merge-on-read: matching rows' (file, position) pairs
+        are appended to the delete sidecar; no data file is rewritten.
+        Rows already deleted are skipped (re-running the same predicate
+        is a no-op), so the sidecar never accumulates duplicate
+        entries. Returns {"n_deleted": rows newly deleted}.
+
+        The matched set is materialized (localCheckpoint) before the
+        sidecar write so the count and the write see the same rows, and
+        the write lays down ~one part file per 10M positions — a
+        delete's sidecar footprint is proportional to the rows deleted,
+        never to the table."""
+        meta = self.read_meta(rel)
+        if not self._has_data_files(rel):
+            return {"n_deleted": 0}
+        base = self.path(rel)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(base)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # predicate first, on the untouched scan columns — the helper
+        # projections must not shadow a data column named file/pos
+        matched = df.where(cond).select(
+            self._rel_file_path(base).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        existing = self._delete_files(rel)
+        if existing:
+            prior = self.spark.read.parquet(*existing).select("file", "pos")
+            matched = matched.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+        matched = matched.localCheckpoint(eager=True)
+        n = matched.count()
+        if n:
+            nparts = max(1, -(-n // 10_000_000))
+            matched.repartition(nparts).write.mode("append").parquet(
+                self._deletes_dir(rel)
+            )
+        return {"n_deleted": n}
+
+    def apply_deletes(self, rel: Relation) -> dict:
+        """Fold the delete vectors into the data (Iceberg's
+        rewrite_position_delete_files + rewrite_data_files in one):
+        only partitions containing a deleted file are rewritten —
+        via dynamic partition overwrite — and a partition whose every
+        row is deleted is dropped outright (dynamic overwrite cannot
+        replace a partition with nothing). Unpartitioned tables take
+        the stash-protected whole-dir rewrite. The sidecar is cleared
+        afterwards; entries pointing at already-rewritten (dead) files
+        are simply discarded — they stopped matching at read time the
+        moment their file vanished."""
+        dfiles = self._delete_files(rel)
+        if not dfiles:
+            return {"applied_files": 0, "partitions": []}
+        meta = self.read_meta(rel)
+        dels = self.spark.read.parquet(*dfiles)
+        affected = {r["file"] for r in dels.select("file").distinct().collect()}
+        touched = affected & set(self._live_data_files(rel))
+        if not touched:
+            shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
+            return {"applied_files": 0, "partitions": []}
+        if not meta.partition_by:
+            df = self.read(rel).localCheckpoint(eager=True)
+            self._overwrite_preserving_sidecars(rel, meta, df)
+            # the whole-dir overwrite already wiped the sidecar
+            return {"applied_files": len(touched), "partitions": [None]}
+        # dir name -> partition VALUE: Spark escapes %-and-friends (not
+        # space/+) when writing partition dirs, and unquote is the exact
+        # inverse (escapePathName turns every literal % into %25, so any
+        # % in a dir name is an escape); fully-deleted partitions are
+        # dropped by DIR name — rebuilding the path from the value would
+        # miss escaped dirs
+        from urllib.parse import unquote
+
+        pdirs = sorted({f.split("/", 1)[0] for f in touched})
+        parts = [unquote(d.split("=", 1)[1]) for d in pdirs]
+        df = (
+            self.read(rel)
+            .where(F.col(meta.partition_by).cast("string").isin(parts))
+            .localCheckpoint(eager=True)
+        )
+        present = {
+            r[0]
+            for r in df.select(F.col(meta.partition_by).cast("string")).distinct().collect()
+        }
+        if present:
+            self.overwrite_partitions(rel, df)
+        for d, p in zip(pdirs, parts):
+            if p not in present:
+                shutil.rmtree(os.path.join(self.path(rel), d), ignore_errors=True)
+        shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
+        return {"applied_files": len(touched), "partitions": parts}
+
+    def vacuum(self, rel: Relation) -> dict:
+        """Maintenance sweep for the table's dead metadata: removes
+        failed-write staging dirs (`_temporary` / `.spark-staging*` —
+        Spark cleans them on success but leaves them on executor
+        failure), and compacts the delete sidecar down to entries whose
+        data file is still live (compact / optimize_layout /
+        expire_partitions leave harmless-but-dead positional entries
+        behind). Bounded by the directory listing + the sidecar size —
+        no data scan. Returns {"staging_removed", "delete_entries_pruned"}."""
+        base = self.path(rel)
+        staging = 0
+        for dirpath, dirs, _files in os.walk(base):
+            for d in list(dirs):
+                if d == "_temporary" or d.startswith(".spark-staging"):
+                    shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                    dirs.remove(d)
+                    staging += 1
+            dirs[:] = [d for d in dirs if not _is_hidden(d)]
+        pruned = 0
+        dfiles = self._delete_files(rel)
+        if dfiles:
+            dels = self.spark.read.parquet(*dfiles)
+            live = self._live_data_files(rel)
+            livedf = self.spark.createDataFrame([(f,) for f in live], "file string")
+            kept = dels.join(F.broadcast(livedf), "file", "left_semi").localCheckpoint(
+                eager=True
+            )
+            n_before, n_after = dels.count(), kept.count()
+            pruned = n_before - n_after
+            if n_after == 0:
+                shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
+            elif pruned:
+                tmp = self._deletes_dir(rel) + ".compacting"
+                kept.repartition(max(1, -(-n_after // 10_000_000))).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                shutil.rmtree(self._deletes_dir(rel))
+                os.rename(tmp, self._deletes_dir(rel))
+        return {"staging_removed": staging, "delete_entries_pruned": pruned}
+
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:
         for _dirpath, dirs, files in os.walk(self.path(rel)):
@@ -742,6 +947,9 @@ class Warehouse:
             # because footer merging has a cost at large file counts
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(self.path(rel))
+        # merge-on-read: mask positionally-deleted rows (no-op glob
+        # when the table has no delete sidecar)
+        df = self._merge_deletes(df, self._delete_files(rel), self.path(rel))
         if meta.schema_evolved and meta.schema_json:
             import pyspark.sql.types as _T
 
@@ -1150,6 +1358,15 @@ class Warehouse:
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.link(os.path.join(dirpath, fn), dst)
                     files.append(relp)
+        # delete vectors are table STATE: a version pinned without them
+        # would resurrect deleted rows on read_version/restore (Iceberg
+        # manifests track delete files for the same reason)
+        delete_files: list[str] = []
+        for p in self._delete_files(rel):
+            dst = os.path.join(vdir, "deletes", os.path.basename(p))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(p, dst)
+            delete_files.append(os.path.basename(p))
         meta = self.read_meta(rel)
         with open(os.path.join(vdir, "manifest.json"), "w") as f:
             json.dump(
@@ -1158,6 +1375,7 @@ class Warehouse:
                     "note": note,
                     "n_files": len(files),
                     "files": sorted(files),
+                    "delete_files": sorted(delete_files),
                     "partition_by": meta.partition_by,
                     "schema_evolved": meta.schema_evolved,
                     "schema_json": meta.schema_json,
@@ -1245,7 +1463,13 @@ class Warehouse:
         if m.get("partition_by"):
             # basePath keeps partition-column derivation rooted at data/
             reader = reader.option("basePath", data)
-        return reader.parquet(data)
+        df = reader.parquet(data)
+        # positions reference table-relative paths, which the hardlink
+        # farm preserves under data/ — the same anti join applies
+        sdel = sorted(
+            glob.glob(os.path.join(vdir, "deletes", "*.parquet"))
+        )
+        return self._merge_deletes(df, sdel, data)
 
     def _live_data_files(self, rel: Relation) -> list[str]:
         base = self.path(rel)
@@ -1384,6 +1608,17 @@ class Warehouse:
             dst = os.path.join(base, relp)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.link(src, dst)
+        # the delete sidecar is version state: replace the live one with
+        # the snapshot's (a post-snapshot delete must be undone; a
+        # pre-snapshot delete must survive the rollback)
+        shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
+        sdel = os.path.join(vdir, "deletes")
+        if os.path.isdir(sdel):
+            os.makedirs(self._deletes_dir(rel), exist_ok=True)
+            for fn in os.listdir(sdel):
+                os.link(
+                    os.path.join(sdel, fn), os.path.join(self._deletes_dir(rel), fn)
+                )
         meta = self.read_meta(rel)
         meta.partition_by = m.get("partition_by")
         meta.schema_evolved = bool(m.get("schema_evolved", False))

@@ -1,0 +1,208 @@
+"""Merge-on-read delete vectors (sources/warehouse.delete_where /
+apply_deletes / vacuum): Iceberg-v2 positional deletes for a parquet
+warehouse — DELETE records (file, row position) pairs in a sidecar, every
+read path anti-joins them, maintenance folds them into the data.
+
+Covers the interactions that can silently resurrect deleted rows:
+compact()'s whole-dir and partition rewrites, snapshot/read_version/
+restore version state, clone, and the pruned-read subset paths."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.sources import Relation, TableMeta, Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _table(spark, wh, partitioned=True, name="t"):
+    rel = wh.relation("s", name)
+    meta = TableMeta(partition_by="p") if partitioned else TableMeta()
+    df = spark.createDataFrame(
+        [(k, f"v{k}", "a" if k < 10 else "b") for k in range(20)],
+        "k long, v string, p string",
+    ).coalesce(2)
+    wh.create_as(rel, df, meta)
+    return rel
+
+
+def _keys(wh, rel):
+    return sorted(r["k"] for r in wh.read(rel).collect())
+
+
+def test_delete_where_masks_rows_without_rewriting_files(spark, wh):
+    rel = _table(spark, wh)
+    files_before = wh._live_data_files(rel)
+    out = wh.delete_where(rel, F.col("k") % 2 == 0)
+    assert out["n_deleted"] == 10
+    assert _keys(wh, rel) == list(range(1, 20, 2))
+    # merge-on-read: the data files are untouched
+    assert wh._live_data_files(rel) == files_before
+    assert os.path.isdir(wh._deletes_dir(rel))
+
+
+def test_delete_where_is_idempotent_and_accumulates(spark, wh):
+    rel = _table(spark, wh, partitioned=False)
+    assert wh.delete_where(rel, "k < 5")["n_deleted"] == 5
+    # same predicate again: already-deleted rows are not re-recorded
+    assert wh.delete_where(rel, "k < 5")["n_deleted"] == 0
+    assert wh.delete_where(rel, "k < 8")["n_deleted"] == 3
+    assert _keys(wh, rel) == list(range(8, 20))
+    # no match -> no-op, no crash
+    assert wh.delete_where(rel, F.col("v") == "nope")["n_deleted"] == 0
+
+
+def test_delete_predicate_may_reference_any_column(spark, wh):
+    rel = _table(spark, wh)
+    wh.delete_where(rel, (F.col("p") == "a") & (F.col("v") == "v3"))
+    assert _keys(wh, rel) == [k for k in range(20) if k != 3]
+
+
+def test_apply_deletes_rewrites_only_touched_partitions(spark, wh):
+    rel = _table(spark, wh)
+    wh.delete_where(rel, "p = 'a' and k >= 5")
+    b_files = [f for f in wh._live_data_files(rel) if f.startswith("p=b")]
+    rep = wh.apply_deletes(rel)
+    assert rep["partitions"] == ["a"]
+    # partition b untouched, sidecar gone, content now physical
+    assert [f for f in wh._live_data_files(rel) if f.startswith("p=b")] == b_files
+    assert not os.path.isdir(wh._deletes_dir(rel))
+    assert _keys(wh, rel) == list(range(5)) + list(range(10, 20))
+    # raw read (no sidecar) agrees: the deletes were folded in
+    raw = spark.read.parquet(wh.path(rel))
+    assert sorted(r["k"] for r in raw.collect()) == _keys(wh, rel)
+
+
+def test_apply_deletes_drops_fully_deleted_partition(spark, wh):
+    rel = _table(spark, wh)
+    wh.delete_where(rel, "p = 'a'")
+    rep = wh.apply_deletes(rel)
+    assert rep["partitions"] == ["a"]
+    # dynamic overwrite cannot write an empty partition: it must be dropped
+    assert not any(f.startswith("p=a") for f in wh._live_data_files(rel))
+    assert _keys(wh, rel) == list(range(10, 20))
+
+
+def test_apply_deletes_unpartitioned_whole_rewrite(spark, wh):
+    rel = _table(spark, wh, partitioned=False)
+    wh.delete_where(rel, "k >= 15")
+    rep = wh.apply_deletes(rel)
+    assert rep["partitions"] == [None]
+    assert not os.path.isdir(wh._deletes_dir(rel))
+    assert _keys(wh, rel) == list(range(15))
+    assert wh.apply_deletes(rel) == {"applied_files": 0, "partitions": []}
+
+
+def test_compact_folds_deletes_and_cannot_resurrect(spark, wh):
+    # unpartitioned: compact's whole-dir overwrite wipes the sidecar —
+    # the rewrite must therefore APPLY the deletes, not drop them
+    rel = _table(spark, wh, partitioned=False)
+    for i in range(4):  # fragment so compact triggers
+        wh.append(
+            rel,
+            spark.createDataFrame([(100 + i, "x", "c")], "k long, v string, p string").coalesce(1),
+        )
+    wh.delete_where(rel, "k >= 100")
+    assert wh.compact(rel, min_files=1) != {}
+    assert not os.path.isdir(wh._deletes_dir(rel))
+    assert _keys(wh, rel) == list(range(20))
+
+
+def test_partition_rewrite_keeps_stale_entries_harmless(spark, wh):
+    # partitioned compact leaves the sidecar; entries point at replaced
+    # files and must not match anything afterwards
+    rel = _table(spark, wh)
+    for i in range(4):
+        wh.append(
+            rel,
+            spark.createDataFrame([(200 + i, "x", "a")], "k long, v string, p string").coalesce(1),
+        )
+    wh.delete_where(rel, "k >= 200")
+    wh.compact(rel, min_files=1)
+    assert _keys(wh, rel) == list(range(20))
+    # vacuum prunes the now-dead positional entries
+    rep = wh.vacuum(rel)
+    assert rep["delete_entries_pruned"] == 4
+    assert not os.path.isdir(wh._deletes_dir(rel))
+    assert _keys(wh, rel) == list(range(20))
+
+
+def test_vacuum_keeps_live_delete_entries(spark, wh):
+    rel = _table(spark, wh)
+    wh.delete_where(rel, "k in (0, 19)")
+    rep = wh.vacuum(rel)
+    assert rep["delete_entries_pruned"] == 0
+    assert _keys(wh, rel) == list(range(1, 19))
+    # staged garbage is swept
+    os.makedirs(os.path.join(wh.path(rel), "_temporary", "0"))
+    assert wh.vacuum(rel)["staging_removed"] == 1
+    assert not os.path.isdir(os.path.join(wh.path(rel), "_temporary"))
+
+
+def test_snapshot_version_state_and_restore(spark, wh):
+    rel = _table(spark, wh)
+    v1 = wh.snapshot(rel, "pre-delete")
+    wh.delete_where(rel, "k < 10")
+    v2 = wh.snapshot(rel, "post-delete")
+    # time travel sees each version's own delete state
+    assert sorted(r["k"] for r in wh.read_version(rel, v1).collect()) == list(range(20))
+    assert sorted(r["k"] for r in wh.read_version(rel, v2).collect()) == list(range(10, 20))
+    # rollback before the delete resurrects; forward restores the mask
+    wh.restore(rel, v1)
+    assert _keys(wh, rel) == list(range(20))
+    wh.restore(rel, v2)
+    assert _keys(wh, rel) == list(range(10, 20))
+
+
+def test_pruned_reads_exclude_deleted_rows(spark, wh):
+    rel = _table(spark, wh, partitioned=False)
+    wh.refresh_zone_maps(rel, ["k"])
+    wh.delete_where(rel, "k = 7")
+    got = sorted(
+        r["k"] for r in wh.read_pruned(rel, "k", 5, 9).where("k between 5 and 9").collect()
+    )
+    assert got == [5, 6, 8, 9]
+    got2 = sorted(r["k"] for r in wh.read_where(rel, between={"k": (5, 9)}).collect())
+    assert got2 == [5, 6, 8, 9]
+
+
+def test_uri_encoded_partition_values_roundtrip(spark, wh):
+    # `_metadata.file_path` is a URI (space -> %20, etc.) while every
+    # driver walk sees raw names; values with space / plus / percent
+    # must still delete AND apply (the orders fixture's 4-NOT SPECIFIED
+    # partition resurrected 103 rows before the decode fix)
+    rel = wh.relation("s", "enc")
+    df = spark.createDataFrame(
+        [(k, p) for k in range(4) for p in ("4-NOT SPECIFIED", "a+b", "c%20d")],
+        "k long, p string",
+    ).coalesce(1)
+    wh.create_as(rel, df, TableMeta(partition_by="p"))
+    assert wh.delete_where(rel, "k = 0")["n_deleted"] == 3
+    assert sorted(r["k"] for r in wh.read(rel).collect()) == sorted([1, 2, 3] * 3)
+    # vacuum must see every entry as live (no false pruning)
+    assert wh.vacuum(rel)["delete_entries_pruned"] == 0
+    rep = wh.apply_deletes(rel)
+    assert sorted(rep["partitions"]) == ["4-NOT SPECIFIED", "a+b", "c%20d"]
+    raw = spark.read.parquet(wh.path(rel))
+    assert sorted(r["k"] for r in raw.collect()) == sorted([1, 2, 3] * 3)
+    # fully-deleted encoded partition is droppable too
+    wh.delete_where(rel, F.col("p") == "4-NOT SPECIFIED")
+    wh.apply_deletes(rel)
+    assert sorted(set(r["p"] for r in wh.read(rel).collect())) == ["a+b", "c%20d"]
+
+
+def test_clone_carries_delete_state_independently(spark, wh):
+    src = _table(spark, wh, name="src")
+    wh.delete_where(src, "k = 0")
+    dst = wh.relation("s", "dst")
+    wh.clone(src, dst)
+    assert sorted(r["k"] for r in wh.read(dst).collect()) == list(range(1, 20))
+    # further deletes on the clone don't touch the source
+    wh.delete_where(dst, "k = 1")
+    assert _keys(wh, src) == list(range(1, 20))
+    assert sorted(r["k"] for r in wh.read(dst).collect()) == list(range(2, 20))
