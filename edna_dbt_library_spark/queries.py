@@ -6670,13 +6670,18 @@ def delete_vectors_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle
+    d = REGISTRY["delete_vectors_read"].oracle
     return f"""
 SELECT src, id, key, cell, 0.0::DOUBLE AS value
 FROM ({i})
 UNION ALL
 SELECT 'warehouse_cdc' AS src, n AS id,
        day::VARCHAR || '|' || priority AS key, 0::BIGINT AS cell, rev AS value
-FROM ({w})"""
+FROM ({w})
+UNION ALL
+SELECT 'delete_vectors' AS src, n AS id,
+       priority AS key, 0::BIGINT AS cell, rev AS value
+FROM ({d})"""
 
 
 @_register("stateful_store_state", _stateful_store_oracle())
@@ -6687,24 +6692,41 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-batch-plus-replay) AND the snapshot/CDC machinery
     (Warehouse.snapshot + read_changes: the changed-file delta of a
     day-partitioned MERGE-maintained rollup must equal the merged
-    window computed directly from raw parquet). Together they gate
-    every persistent-state surface: store contents converge AND the
-    incremental feed off a store is exact. Granulars
-    incremental_store_state / warehouse_changes_state stay registered.
+    window computed directly from raw parquet) AND, since r8,
+    merge-on-read delete vectors (Warehouse.delete_where /
+    apply_deletes: stacked positional deletes must mask exactly, and
+    folding them in must agree with a raw parquet read). Together they
+    gate every persistent-state surface: store contents converge, the
+    incremental feed off a store is exact, and row-level deletes
+    neither leak nor resurrect. Granulars incremental_store_state /
+    warehouse_changes_state / delete_vectors_read stay registered.
     Reference analogue: incremental_partition_merge.sql's
     rerun-idempotency + incremental_log.sql:53-60's incremental-scan
     contract."""
     inc = REGISTRY["incremental_store_state"].spark(spark, sf_dir)
     chg = REGISTRY["warehouse_changes_state"].spark(spark, sf_dir)
-    return inc.select(
-        "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
-    ).unionAll(
-        chg.select(
-            F.lit("warehouse_cdc").alias("src"),
-            F.col("n").cast("long").alias("id"),
-            F.concat_ws("|", F.col("day").cast("string"), F.col("priority")).alias("key"),
-            F.lit(0).cast("long").alias("cell"),
-            F.col("rev").cast("double").alias("value"),
+    dlv = REGISTRY["delete_vectors_read"].spark(spark, sf_dir)
+    return (
+        inc.select(
+            "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
+        )
+        .unionAll(
+            chg.select(
+                F.lit("warehouse_cdc").alias("src"),
+                F.col("n").cast("long").alias("id"),
+                F.concat_ws("|", F.col("day").cast("string"), F.col("priority")).alias("key"),
+                F.lit(0).cast("long").alias("cell"),
+                F.col("rev").cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            dlv.select(
+                F.lit("delete_vectors").alias("src"),
+                F.col("n").cast("long").alias("id"),
+                F.col("priority").alias("key"),
+                F.lit(0).cast("long").alias("cell"),
+                F.col("rev").cast("double").alias("value"),
+            )
         )
     )
 

@@ -510,7 +510,8 @@ def test_incremental_store_state_replay_is_idempotent(spark, tmp_path):
 
 
 def test_stateful_store_state_equals_granular_composition(spark):
-    """r7 scored row == incremental_store_state ∪ warehouse_changes_state."""
+    """r7 scored row == incremental_store_state ∪ warehouse_changes_state
+    (∪ delete_vectors_read since r8)."""
     reg = qmod.all_queries()
     scored = reg["stateful_store_state"](spark, SF)
     inc = reg["incremental_store_state"](spark, SF).select(
@@ -523,7 +524,16 @@ def test_stateful_store_state_equals_granular_composition(spark):
         F.lit(0).cast("long").alias("cell"),
         F.col("rev").cast("double").alias("value"),
     )
-    assert _rows(scored) == _rows(inc.unionAll(chg).select(*scored.columns))
+    dlv = reg["delete_vectors_read"](spark, SF).select(
+        F.lit("delete_vectors").alias("src"),
+        F.col("n").cast("long").alias("id"),
+        F.col("priority").alias("key"),
+        F.lit(0).cast("long").alias("cell"),
+        F.col("rev").cast("double").alias("value"),
+    )
+    assert _rows(scored) == _rows(
+        inc.unionAll(chg).unionAll(dlv).select(*scored.columns)
+    )
 
 
 def test_sketch_surface_equals_granular_composition(spark):
