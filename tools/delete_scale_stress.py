@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Merge-on-read delete-vector scale stress (Warehouse.delete_where /
+apply_deletes): measures, on a multi-million-row day-partitioned table,
+
+1. the cost of a sparse DELETE as a predicate scan + sidecar write
+   (merge-on-read) vs the copy-on-write alternative (full rewrite),
+2. the read-side overhead of the positional anti join,
+3. that apply_deletes is partition-scoped: folding a one-partition
+   delete rewrites that partition's files only.
+
+Writes progress to stdout (redirect to a file; progress bars swallow
+adjacent prints) and a final RESULT block for PLAN_AUDIT.md.
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.session import get_spark
+from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+ROWS = int(os.environ.get("DELSTRESS_ROWS", 8_000_000))
+DAYS = 64
+TASKS = 64
+
+
+def _mk(spark, wh, name):
+    rel = wh.relation("stress", name)
+    df = (
+        spark.range(ROWS)
+        .withColumn("d", F.date_format(F.date_add(F.lit("2024-01-01"), (F.col("id") % DAYS).cast("int")), "yyyy-MM-dd"))
+        .withColumn("v", (F.col("id") * 2654435761) % 1000000007)
+        .withColumn("s", F.concat(F.lit("user_"), (F.col("id") % 100000).cast("string")))
+        .repartition(TASKS)
+    )
+    wh.create_as(rel, df, TableMeta(partition_by="d"))
+    return rel
+
+
+def _dirsize(p):
+    total = 0
+    for dp, _dn, fn in os.walk(p):
+        for f in fn:
+            total += os.path.getsize(os.path.join(dp, f))
+    return total
+
+
+def main():
+    spark = get_spark(app_name="delete-stress")
+    root = tempfile.mkdtemp(prefix="edna_delstress_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = _mk(spark, wh, "t")
+        nfiles = len(wh._live_data_files(rel))
+        print(f"\nBUILT rows={ROWS} files={nfiles}", flush=True)
+
+        t0 = time.time()
+        n0 = wh.read(rel).count()
+        t_read0 = time.time() - t0
+
+        # --- sparse global delete: 0.1% of rows, touches every partition
+        t0 = time.time()
+        d = wh.delete_where(rel, "id % 1000 = 0")
+        t_del = time.time() - t0
+        side_kib = _dirsize(wh._deletes_dir(rel)) / 1024.0
+        t0 = time.time()
+        n1 = wh.read(rel).count()
+        t_read1 = time.time() - t0
+        assert n1 == n0 - d["n_deleted"], (n0, n1, d)
+        print(f"\nSPARSE deleted={d['n_deleted']} t_delete={t_del:.2f}s sidecar_kib={side_kib:.1f} read0={t_read0:.2f}s read_masked={t_read1:.2f}s", flush=True)
+
+        # copy-on-write alternative at the same scale: full rewrite
+        t0 = time.time()
+        cow = wh.relation("stress", "t_cow")
+        wh.create_as(cow, wh.read(rel), TableMeta(partition_by="d"))
+        t_cow = time.time() - t0
+        print(f"\nCOW full-rewrite={t_cow:.2f}s", flush=True)
+        wh.drop(cow)
+
+        # --- partition-scoped apply: fresh table, delete inside ONE day
+        rel2 = _mk(spark, wh, "t2")
+        before = {f for f in wh._live_data_files(rel2)}
+        one_day = "2024-01-08"
+        t0 = time.time()
+        # NB: not `id % 2` — id parity is perfectly correlated with the
+        # day (id % DAYS), so use the multiplicative-hash column
+        d2 = wh.delete_where(rel2, f"d = '{one_day}' and v % 2 = 0")
+        t_del2 = time.time() - t0
+        t0 = time.time()
+        rep = wh.apply_deletes(rel2)
+        t_apply = time.time() - t0
+        after = {f for f in wh._live_data_files(rel2)}
+        changed = {f.split("/", 1)[0] for f in (before ^ after)}
+        n2 = wh.read(rel2).count()
+        assert rep["partitions"] == [one_day], rep
+        assert changed == {f"d={one_day}"}, changed
+        assert n2 == ROWS - d2["n_deleted"]
+        print(f"\nSCOPED deleted={d2['n_deleted']} t_delete={t_del2:.2f}s t_apply={t_apply:.2f}s partitions_rewritten=1/{DAYS} files_changed={len(before ^ after)}", flush=True)
+
+        print("\nRESULT", flush=True)
+        print(f"| rows | files | full read s | delete 0.1% s | sidecar KiB | masked read s | CoW rewrite s |", flush=True)
+        print(f"| {ROWS:,} | {nfiles:,} | {t_read0:.2f} | {t_del:.2f} | {side_kib:.1f} | {t_read1:.2f} | {t_cow:.2f} |", flush=True)
+        print(f"| one-day delete | t_delete {t_del2:.2f}s | apply_deletes {t_apply:.2f}s | rewrote 1/{DAYS} partitions |", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
