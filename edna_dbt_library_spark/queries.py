@@ -6667,6 +6667,72 @@ def delete_vectors_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_UPDATE_VECTORS_ORACLE = """
+SELECT CASE WHEN o_totalprice < 10000 THEN 'X' ELSE o_orderstatus END AS status,
+       count(*)::BIGINT AS n,
+       count(DISTINCT o_orderpriority)::BIGINT AS np,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+FROM orders
+GROUP BY 1
+"""
+
+
+@_register("update_vectors_read", _UPDATE_VECTORS_ORACLE)
+def update_vectors_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE gate (Warehouse.update_where — matching
+    rows re-appended with the SET applied while the originals join the
+    delete sidecar; no data file rewritten): orders land partitioned BY
+    STATUS and the update rewrites the partition column itself
+    (status -> 'X' for cheap orders), so the appended rows must land in
+    a new partition while their originals stay masked in the old ones.
+    The oracle computes the same rollup with CASE WHEN on raw parquet.
+    In-query asserts: every pre-update data file survives (merge-on-
+    read), the new partition exists, and after apply_deletes a raw
+    parquet read (no sidecar in play) agrees with the masked read.
+    Same scratch-dir + localCheckpoint discipline as
+    delete_vectors_read."""
+    import os
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="edna_updv_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_uv")
+        wh.create_as(
+            rel,
+            o.withColumn("st", F.col("o_orderstatus")).repartition(4),
+            TableMeta(partition_by="st"),
+        )
+        files_before = set(wh._live_data_files(rel))
+        up = wh.update_where(
+            rel, F.col("o_totalprice") < 10000, {"st": F.lit("X")}
+        )
+        assert up["n_updated"] > 0
+        assert files_before <= set(wh._live_data_files(rel))  # merge-on-read
+        assert any(f.startswith("st=X/") for f in wh._live_data_files(rel))
+        masked = (
+            wh.read(rel)
+            .groupBy(F.col("st").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("o_orderpriority").alias("np"),
+                _r2d(F.sum(_dec("o_totalprice"))).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        wh.apply_deletes(rel)
+        assert not os.path.isdir(wh._deletes_dir(rel))
+        raw_n = spark.read.parquet(wh.path(rel)).count()
+        assert raw_n == sum(r["n"] for r in masked.collect()), raw_n
+        return masked
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle

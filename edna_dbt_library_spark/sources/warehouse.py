@@ -883,6 +883,70 @@ class Warehouse:
         shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
         return {"applied_files": len(touched), "partitions": parts}
 
+    def update_where(self, rel: Relation, condition, set: dict) -> dict:
+        """UPDATE ... SET ... WHERE, merge-on-read: matching rows are
+        re-written once with the ``set`` expressions applied ({column:
+        Column-or-SQL-string}; columns must exist) and APPENDED, while
+        the originals' (file, position) pairs join the delete sidecar —
+        no existing data file is rewritten, the same economics
+        delete_where measures (O(scan + changed rows), not O(table)).
+        Updating the partition column is allowed: the appended rows
+        land in their new partitions.
+
+        Commit-point semantics (this warehouse has no transactions):
+        the new rows are appended FIRST and the delete sidecar written
+        LAST, so the sidecar write is the commit — a reader between the
+        two steps sees transient duplicates (old + new), never missing
+        rows, and a crash before the sidecar write is repaired by
+        re-running the same call IF the set expressions are absolute
+        (v = 5); self-referential sets (v = v + 1) would double-apply
+        to the surviving new rows, the same caveat every non-MVCC
+        UPDATE retry has. Returns {"n_updated": rows}."""
+        meta = self.read_meta(rel)
+        if not self._has_data_files(rel):
+            return {"n_updated": 0}
+        base = self.path(rel)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(base)
+        bad = [c for c in set if c not in df.columns]
+        if bad:
+            raise ValueError(f"update_where: unknown columns {bad}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # pre-append scan decides BOTH sides: the positions to mask and
+        # the rows to rewrite (appending first would let the delete scan
+        # see — and mask — the new rows whenever cond still matches)
+        matched = df.where(cond)
+        existing = self._delete_files(rel)
+        dels = (
+            matched.select(
+                self._rel_file_path(base).alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        if existing:
+            prior = self.spark.read.parquet(*existing).select("file", "pos")
+            dels = dels.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+        dels = dels.localCheckpoint(eager=True)
+        n = dels.count()
+        if not n:
+            return {"n_updated": 0}
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+        updated = (
+            self._merge_deletes(matched, existing, base)
+            .withColumns(exprs)
+            .select(*df.columns)
+            .localCheckpoint(eager=True)
+        )
+        self.append(rel, updated)
+        dels.repartition(max(1, -(-n // 10_000_000))).write.mode("append").parquet(
+            self._deletes_dir(rel)
+        )
+        return {"n_updated": int(updated.count())}
+
     def vacuum(self, rel: Relation) -> dict:
         """Maintenance sweep for the table's dead metadata: removes
         failed-write staging dirs (`_temporary` / `.spark-staging*` —

@@ -196,6 +196,54 @@ def test_uri_encoded_partition_values_roundtrip(spark, wh):
     assert sorted(set(r["p"] for r in wh.read(rel).collect())) == ["a+b", "c%20d"]
 
 
+def test_update_where_rewrites_only_matching_rows(spark, wh):
+    rel = _table(spark, wh, partitioned=False)
+    files_before = wh._live_data_files(rel)
+    out = wh.update_where(rel, "k < 3", {"v": F.lit("patched")})
+    assert out["n_updated"] == 3
+    rows = {r["k"]: r["v"] for r in wh.read(rel).collect()}
+    assert len(rows) == 20
+    assert all(rows[k] == "patched" for k in range(3))
+    assert all(rows[k] == f"v{k}" for k in range(3, 20))
+    # merge-on-read: originals masked + new rows appended, nothing rewritten
+    assert set(files_before) <= set(wh._live_data_files(rel))
+    # no match / unknown column
+    assert wh.update_where(rel, "k = 999", {"v": F.lit("x")})["n_updated"] == 0
+    with pytest.raises(ValueError, match="unknown columns"):
+        wh.update_where(rel, "k = 0", {"nope": F.lit(1)})
+
+
+def test_update_where_sql_set_and_self_reference(spark, wh):
+    rel = _table(spark, wh, partitioned=False)
+    wh.update_where(rel, "k >= 18", {"k": "k + 100"})
+    assert _keys(wh, rel) == list(range(18)) + [118, 119]
+    # the updated rows are live data: a second update sees them
+    wh.update_where(rel, "k > 100", {"k": "k - 100"})
+    assert _keys(wh, rel) == list(range(20))
+
+
+def test_update_where_can_move_partitions(spark, wh):
+    rel = _table(spark, wh)
+    wh.update_where(rel, (F.col("p") == "a") & (F.col("k") < 2), {"p": F.lit("c")})
+    got = {r["k"]: r["p"] for r in wh.read(rel).collect()}
+    assert got[0] == "c" and got[1] == "c" and got[2] == "a"
+    assert any(f.startswith("p=c/") for f in wh._live_data_files(rel))
+    # folding in drops the masked originals from a/; c/ survives as-is
+    wh.apply_deletes(rel)
+    raw = {r["k"]: r["p"] for r in spark.read.parquet(wh.path(rel)).collect()}
+    assert raw == got
+
+
+def test_update_after_delete_skips_masked_rows(spark, wh):
+    rel = _table(spark, wh, partitioned=False)
+    wh.delete_where(rel, "k < 5")
+    out = wh.update_where(rel, "k < 10", {"v": F.lit("u")})
+    assert out["n_updated"] == 5  # rows 5..9 only; 0..4 stay deleted
+    rows = {r["k"]: r["v"] for r in wh.read(rel).collect()}
+    assert sorted(rows) == list(range(5, 20))
+    assert all(rows[k] == "u" for k in range(5, 10))
+
+
 def test_clone_carries_delete_state_independently(spark, wh):
     src = _table(spark, wh, name="src")
     wh.delete_where(src, "k = 0")
