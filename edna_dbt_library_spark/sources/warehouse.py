@@ -1654,6 +1654,114 @@ class Warehouse:
             reader = reader.option("basePath", root)
         return reader.parquet(*(os.path.join(root, f) for f in added))
 
+    def _version_delete_files(self, rel: Relation, version: int | None) -> list[str]:
+        """Positional-delete parquet files as of a snapshot (hardlinked
+        under v<N>/deletes/) or of the live table (None)."""
+        if version is None:
+            return self._delete_files(rel)
+        vdir, _ = self._snapshot_manifest(rel, version)  # raises if absent
+        return sorted(glob.glob(os.path.join(vdir, "deletes", "*.parquet")))
+
+    def read_deleted_rows(
+        self, rel: Relation, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level delete feed: the FULL CONTENT of rows whose
+        positional-delete entries were recorded after ``since_version``
+        — up to ``to_version``'s snapshot, or the live table. The
+        complement of ``read_changes``: together they are a complete
+        changelog (an ``update_where`` shows as delete + insert, the
+        Iceberg-v2 changelog-scan semantics).
+
+        Shape: the delete-entry delta is a small anti join of two
+        sidecar reads; only the AFFECTED data files are then scanned
+        (delete-delta-sized, never the table) and inner-joined on
+        (file, position) against the broadcast delta to materialize the
+        deleted rows. Caveat (same file-level boundary as
+        read_changes): deletes FOLDED IN during the window — via
+        apply_deletes / compact / optimize_layout, which rewrite the
+        files and drop the entries — are not emitted; diff across a
+        maintenance boundary before it runs, or treat the rewrite as
+        the re-baseline it is."""
+        if to_version is not None and to_version < since_version:
+            raise ValueError("to_version must be >= since_version")
+        d_since = self._version_delete_files(rel, since_version)
+        d_to = self._version_delete_files(rel, to_version)
+        if to_version is not None:
+            vdir, m_to = self._snapshot_manifest(rel, to_version)
+            root = os.path.join(vdir, "data")
+            to_files = set(m_to["files"])
+            partition_by = m_to.get("partition_by")
+            schema_evolved = m_to.get("schema_evolved")
+        else:
+            root = self.path(rel)
+            to_files = set(self._live_data_files(rel))
+            meta = self.read_meta(rel)
+            partition_by = meta.partition_by
+            schema_evolved = meta.schema_evolved
+
+        def _empty() -> DataFrame:
+            src = (
+                self.read_version(rel, to_version)
+                if to_version is not None
+                else self.read(rel)
+            )
+            return src.limit(0)
+
+        if not d_to:
+            return _empty()
+        delta = self.spark.read.parquet(*d_to).select("file", "pos")
+        if d_since:
+            prior = self.spark.read.parquet(*d_since).select("file", "pos")
+            delta = delta.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+        delta = delta.localCheckpoint(eager=True)
+        affected = sorted(
+            {r["file"] for r in delta.select("file").distinct().collect()} & to_files
+        )
+        if not affected:
+            return _empty()
+        reader = self.spark.read
+        if schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        if partition_by:
+            reader = reader.option("basePath", root)
+        scan = reader.parquet(*(os.path.join(root, f) for f in affected))
+        cols = scan.columns
+        return (
+            scan.withColumn("__del_file", self._rel_file_path(root))
+            .withColumn("__del_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(
+                    delta.select(
+                        F.col("file").alias("__del_file"),
+                        F.col("pos").alias("__del_pos"),
+                    )
+                ),
+                ["__del_file", "__del_pos"],
+            )
+            .select(*cols)
+        )
+
+    def read_changelog(
+        self, rel: Relation, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level changelog between two versions (Iceberg
+        changelog-scan analogue): appended rows tagged
+        ``_change_type='insert'`` (read_changes) unioned with deleted
+        rows tagged ``'delete'`` (read_deleted_rows). Within a window,
+        applying inserts THEN deletes to the since-state reconstructs
+        the to-state exactly — sound because data files are never
+        rewritten in place, so a (file, position) can only transition
+        live -> deleted, never back; a row both appended and deleted
+        inside the window appears once with each tag and nets out. The
+        file-level maintenance caveats of both feeds apply."""
+        ins = self.read_changes(rel, since_version, to_version).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = self.read_deleted_rows(rel, since_version, to_version).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dels, allowMissingColumns=True)
+
     def restore(self, rel: Relation, version: int) -> None:
         """Roll the table back to a snapshot: current data files are
         replaced by hardlinks to the snapshot's (directory operations
