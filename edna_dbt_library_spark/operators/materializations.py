@@ -586,3 +586,86 @@ def run_cdc_refresh(
     result["cdc_watermark"] = new_v
     result["cdc_mode"] = "full" if last_v is None else "delta"
     return result
+
+
+def run_replica_sync(
+    wh: Warehouse,
+    source: Relation,
+    replica: Relation,
+    keys: list[str],
+) -> dict:
+    """Maintain a row-level MIRROR of ``source`` off the changelog feed
+    (the CDC-apply every replication pipeline ends in — Debezium-style
+    apply, Iceberg changelog consumption): each sync reads ONLY the
+    window's changes (``Warehouse.read_changelog``: appended rows +
+    positionally-deleted rows) and applies them to the replica as
+    merge-on-read DML — ``delete_matching`` masks every touched key,
+    ``append`` lands the inserts — so a sync's cost is O(changed rows
+    + replica key probe), never a replica rewrite. At 100 TB the
+    nightly sync ships the night's DML, not the table.
+
+    ``keys`` must be a row identity in the source (the merge
+    unique_key contract): the apply is delete-keys-then-insert, which
+    collapses duplicate-key rows to the window's final state — an
+    UPDATE (delete+insert of the same key) lands as a replace, a pure
+    insert of an existing key as an upsert.
+
+    Delivery semantics mirror run_cdc_refresh: the watermark is a
+    ``replica:<id>``-noted source snapshot taken FIRST with the
+    changelog pinned to it (concurrent writers land after it); replay
+    of a merged-but-not-advanced window converges because
+    delete_matching re-masks the previously appended copies (they
+    match their own keys) before the single re-append — exactly-once
+    EFFECT from at-least-once delivery. First run (or a re-baseline
+    after the replica was dropped) is a full copy preserving the
+    source's partition/cluster layout. Maintenance folds on the SOURCE
+    (apply_deletes/compact) re-emit surviving rows at the file level;
+    the keyed apply absorbs them as idempotent replaces — the same
+    boundary run_cdc_refresh documents.
+
+    Returns {"mode": "full"|"delta", "n_inserted", "n_deleted_keys",
+    "replica_watermark"}."""
+    note = f"replica:{replica.table_id}"
+    prior = [s for s in wh.list_snapshots(source) if s.get("note") == note]
+    last_v = prior[-1]["version"] if prior else None
+    if last_v is not None and not wh.exists(replica):
+        last_v = None  # replica dropped: re-baseline
+
+    new_v = wh.snapshot(source, note=note)
+    try:
+        if last_v is None:
+            src = wh.read_version(source, new_v)
+            smeta = wh.read_meta(source)
+            wh.create_as(
+                replica,
+                src,
+                TableMeta(
+                    partition_by=smeta.partition_by, cluster_by=smeta.cluster_by
+                ),
+            )
+            n_ins, n_delk = wh.read(replica).count(), 0
+        else:
+            log = wh.read_changelog(source, last_v, to_version=new_v)
+            log = log.localCheckpoint(eager=True)
+            ins = log.where(F.col("_change_type") == "insert").drop("_change_type")
+            dels = log.where(F.col("_change_type") == "delete").drop("_change_type")
+            touched = (
+                ins.select(*keys).unionByName(dels.select(*keys)).dropDuplicates(keys)
+            ).localCheckpoint(eager=True)
+            n_delk = int(touched.count())
+            if n_delk:
+                wh.delete_matching(replica, touched, keys)
+            n_ins = int(ins.count())
+            if n_ins:
+                wh.append(replica, ins)
+    except Exception:
+        wh.drop_snapshot(source, new_v)
+        raise
+    for s in prior:
+        wh.drop_snapshot(source, s["version"])
+    return {
+        "mode": "full" if last_v is None else "delta",
+        "n_inserted": n_ins,
+        "n_deleted_keys": n_delk,
+        "replica_watermark": new_v,
+    }

@@ -883,6 +883,47 @@ class Warehouse:
         shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
         return {"applied_files": len(touched), "partitions": parts}
 
+    def delete_matching(self, rel: Relation, keys_df: DataFrame, keys: list[str]) -> dict:
+        """DELETE WHERE EXISTS (the set-driven sibling of delete_where):
+        rows whose ``keys`` columns match any row of ``keys_df`` join the
+        delete sidecar. The probe side is a LEFT SEMI join (broadcast
+        while the key frame is small, AQE otherwise) — a predicate
+        cannot express an arbitrary key set without collecting it into
+        a literal, which is exactly the driver bottleneck this avoids.
+        Idempotent like delete_where (already-masked positions are not
+        re-recorded). Returns {"n_deleted": rows newly deleted}."""
+        meta = self.read_meta(rel)
+        if not self._has_data_files(rel):
+            return {"n_deleted": 0}
+        base = self.path(rel)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(base)
+        probe = keys_df.select(*keys).dropDuplicates(keys)
+        # `_metadata` resolves only on the raw scan node: project the
+        # positions alongside the keys BEFORE joining (helper names
+        # avoid shadowing a key literally called file/pos)
+        scan = df.select(
+            *[F.col(c) for c in keys],
+            self._rel_file_path(base).alias("__dm_file"),
+            F.col("_metadata.row_index").alias("__dm_pos"),
+        )
+        matched = scan.join(F.broadcast(probe), keys, "left_semi").select(
+            F.col("__dm_file").alias("file"), F.col("__dm_pos").alias("pos")
+        )
+        existing = self._delete_files(rel)
+        if existing:
+            prior = self.spark.read.parquet(*existing).select("file", "pos")
+            matched = matched.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+        matched = matched.localCheckpoint(eager=True)
+        n = matched.count()
+        if n:
+            matched.repartition(max(1, -(-n // 10_000_000))).write.mode(
+                "append"
+            ).parquet(self._deletes_dir(rel))
+        return {"n_deleted": n}
+
     def update_where(self, rel: Relation, condition, set: dict) -> dict:
         """UPDATE ... SET ... WHERE, merge-on-read: matching rows are
         re-written once with the ``set`` expressions applied ({column:
