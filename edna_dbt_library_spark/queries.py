@@ -6733,10 +6733,66 @@ def update_vectors_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_CHANGELOG_ORACLE = """
+SELECT 'delete' AS change_type, o_orderkey AS okey, o_orderstatus AS st
+FROM orders WHERE o_totalprice < 10000
+UNION ALL
+SELECT 'delete' AS change_type, o_orderkey AS okey, o_orderstatus AS st
+FROM orders WHERE o_orderpriority = '1-URGENT' AND NOT o_totalprice < 10000
+UNION ALL
+SELECT 'insert' AS change_type, o_orderkey AS okey, 'X' AS st
+FROM orders WHERE o_orderpriority = '1-URGENT' AND NOT o_totalprice < 10000
+"""
+
+
+@_register("changelog_feed", _CHANGELOG_ORACLE)
+def changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog gate (Warehouse.read_changelog =
+    read_changes' appended rows + read_deleted_rows' positional-delete
+    materialization, the Iceberg changelog-scan analogue): orders land
+    partitioned by status, a DELETE and a partition-moving UPDATE run
+    between two snapshots, and the window's changelog must equal the
+    oracle's direct derivation — deletes are the predicate rows plus
+    the update's originals (update = delete + insert), inserts are the
+    update's rewrites. Row-level output (change_type, key, status), so
+    a feed that drops, duplicates or mistags one row hash-mismatches.
+    Same scratch-dir + localCheckpoint discipline as
+    delete_vectors_read."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="edna_clog_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_cl")
+        wh.create_as(
+            rel,
+            o.withColumn("st", F.col("o_orderstatus")).repartition(4),
+            TableMeta(partition_by="st"),
+        )
+        v1 = wh.snapshot(rel, "baseline")
+        wh.delete_where(rel, F.col("o_totalprice") < 10000)
+        wh.update_where(rel, "o_orderpriority = '1-URGENT'", {"st": F.lit("X")})
+        v2 = wh.snapshot(rel, "after-dml")
+        log = wh.read_changelog(rel, v1, v2)
+        out = log.select(
+            F.col("_change_type").alias("change_type"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("st"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle
     d = REGISTRY["delete_vectors_read"].oracle
+    c = REGISTRY["changelog_feed"].oracle
     return f"""
 SELECT src, id, key, cell, 0.0::DOUBLE AS value
 FROM ({i})
@@ -6747,7 +6803,11 @@ FROM ({w})
 UNION ALL
 SELECT 'delete_vectors' AS src, n AS id,
        priority AS key, 0::BIGINT AS cell, rev AS value
-FROM ({d})"""
+FROM ({d})
+UNION ALL
+SELECT 'changelog' AS src, okey AS id,
+       change_type || '|' || st AS key, 0::BIGINT AS cell, 0.0::DOUBLE AS value
+FROM ({c})"""
 
 
 @_register("stateful_store_state", _stateful_store_oracle())
@@ -6761,17 +6821,22 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     window computed directly from raw parquet) AND, since r8,
     merge-on-read delete vectors (Warehouse.delete_where /
     apply_deletes: stacked positional deletes must mask exactly, and
-    folding them in must agree with a raw parquet read). Together they
-    gate every persistent-state surface: store contents converge, the
-    incremental feed off a store is exact, and row-level deletes
-    neither leak nor resurrect. Granulars incremental_store_state /
-    warehouse_changes_state / delete_vectors_read stay registered.
+    folding them in must agree with a raw parquet read) AND the
+    row-level changelog (Warehouse.read_changelog: a DELETE + a
+    partition-moving UPDATE between snapshots must emit exactly the
+    derivable insert/delete rows). Together they gate every
+    persistent-state surface: store contents converge, the incremental
+    feed off a store is exact, and row-level DML neither leaks nor
+    resurrects. Granulars incremental_store_state /
+    warehouse_changes_state / delete_vectors_read / changelog_feed
+    stay registered.
     Reference analogue: incremental_partition_merge.sql's
     rerun-idempotency + incremental_log.sql:53-60's incremental-scan
     contract."""
     inc = REGISTRY["incremental_store_state"].spark(spark, sf_dir)
     chg = REGISTRY["warehouse_changes_state"].spark(spark, sf_dir)
     dlv = REGISTRY["delete_vectors_read"].spark(spark, sf_dir)
+    clg = REGISTRY["changelog_feed"].spark(spark, sf_dir)
     return (
         inc.select(
             "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
@@ -6792,6 +6857,15 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("priority").alias("key"),
                 F.lit(0).cast("long").alias("cell"),
                 F.col("rev").cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            clg.select(
+                F.lit("changelog").alias("src"),
+                F.col("okey").cast("long").alias("id"),
+                F.concat_ws("|", F.col("change_type"), F.col("st")).alias("key"),
+                F.lit(0).cast("long").alias("cell"),
+                F.lit(0.0).cast("double").alias("value"),
             )
         )
     )

@@ -531,8 +531,15 @@ def test_stateful_store_state_equals_granular_composition(spark):
         F.lit(0).cast("long").alias("cell"),
         F.col("rev").cast("double").alias("value"),
     )
+    clg = reg["changelog_feed"](spark, SF).select(
+        F.lit("changelog").alias("src"),
+        F.col("okey").cast("long").alias("id"),
+        F.concat_ws("|", F.col("change_type"), F.col("st")).alias("key"),
+        F.lit(0).cast("long").alias("cell"),
+        F.lit(0.0).cast("double").alias("value"),
+    )
     assert _rows(scored) == _rows(
-        inc.unionAll(chg).unionAll(dlv).select(*scored.columns)
+        inc.unionAll(chg).unionAll(dlv).unionAll(clg).select(*scored.columns)
     )
 
 
