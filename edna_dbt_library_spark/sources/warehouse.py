@@ -161,6 +161,12 @@ class TableMeta:
 class Warehouse:
     """Minimal catalog over a directory tree of parquet tables."""
 
+    # delete sidecars at or below this on-disk size broadcast into the
+    # read-side anti join (mask rides the scan stage); larger ones take a
+    # plain join and let AQE pick the strategy. Class-level so stress
+    # tooling can force the fallback path without building 100 GB.
+    BROADCAST_DELETE_BYTES = 64 << 20
+
     def __init__(self, spark: SparkSession, root: str, database: str = "warehouse"):
         self.spark = spark
         self.root = root
@@ -779,7 +785,7 @@ class Warehouse:
         dels = self.spark.read.parquet(*dfiles).select(
             F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
         )
-        if sum(os.path.getsize(p) for p in dfiles) <= (64 << 20):
+        if sum(os.path.getsize(p) for p in dfiles) <= self.BROADCAST_DELETE_BYTES:
             dels = F.broadcast(dels)
         cols = df.columns
         return (
@@ -923,6 +929,25 @@ class Warehouse:
                 "append"
             ).parquet(self._deletes_dir(rel))
         return {"n_deleted": n}
+
+    def purge_keys(self, rel: Relation, keys_df: DataFrame, keys: list[str]) -> dict:
+        """Right-to-be-forgotten purge: delete every row matching the
+        key set AND physically remove the bytes now — `delete_matching`
+        masks the rows, `apply_deletes` rewrites exactly the touched
+        partitions (so the original values stop existing on disk, not
+        just in query results), and the sidecar entries (which
+        themselves name file+position, not values) are dropped with it.
+        Snapshots are the caller's concern: hardlinked versions retain
+        the purged rows until `expire_snapshots`/`drop_snapshot` —
+        the same completeness boundary Delta/Iceberg VACUUM documents
+        for their time travel. Returns the masked + applied counts."""
+        d = self.delete_matching(rel, keys_df, keys)
+        a = self.apply_deletes(rel)
+        return {
+            "n_deleted": d["n_deleted"],
+            "applied_files": a["applied_files"],
+            "partitions": a["partitions"],
+        }
 
     def update_where(self, rel: Relation, condition, set: dict) -> dict:
         """UPDATE ... SET ... WHERE, merge-on-read: matching rows are

@@ -244,6 +244,26 @@ def test_update_after_delete_skips_masked_rows(spark, wh):
     assert all(rows[k] == "u" for k in range(5, 10))
 
 
+def test_purge_keys_removes_bytes_physically(spark, wh):
+    rel = _table(spark, wh)
+    keys = spark.createDataFrame([(2,), (17,)], "k long")
+    rep = wh.purge_keys(rel, keys, ["k"])
+    assert rep["n_deleted"] == 2
+    assert sorted(rep["partitions"]) == ["a", "b"]
+    assert _keys(wh, rel) == [k for k in range(20) if k not in (2, 17)]
+    # physically gone: raw parquet (no sidecar consulted) agrees, and
+    # the sidecar itself is gone too
+    raw = sorted(r["k"] for r in spark.read.parquet(wh.path(rel)).collect())
+    assert raw == _keys(wh, rel)
+    assert not os.path.isdir(wh._deletes_dir(rel))
+    # purging already-masked rows still scrubs their bytes
+    wh.delete_where(rel, "k = 5")
+    rep2 = wh.purge_keys(rel, spark.createDataFrame([(5,)], "k long"), ["k"])
+    assert rep2["n_deleted"] == 0  # was already masked
+    raw2 = sorted(r["k"] for r in spark.read.parquet(wh.path(rel)).collect())
+    assert 5 not in raw2
+
+
 def test_clone_carries_delete_state_independently(spark, wh):
     src = _table(spark, wh, name="src")
     wh.delete_where(src, "k = 0")

@@ -500,3 +500,63 @@ def test_jaccard_join_exact_under_random_corpora(spark, token_lists, threshold):
             if (t_den + t_num) * ni >= t_num * (na + nb):
                 expect.add((a, b, ni, na, nb))
     assert got == expect
+
+
+# --- merge-on-read DML: warehouse vs a Python dict reference model -----------
+# A random sequence of delete_where / update_where / append / apply_deletes
+# must leave read() equal to the model at every step: the positional
+# sidecar, the anti-join mask, partition-scoped folding and the
+# append-then-mask update commit all compose under arbitrary interleaving.
+
+_DML_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.integers(0, 6)),   # k % 7 == r
+        st.tuples(st.just("update"), st.integers(0, 6)),   # set v for k % 7 == r
+        st.tuples(st.just("append"), st.integers(0, 4)),   # 3 new rows, batch tag
+        st.tuples(st.just("apply"), st.integers(0, 0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_DML_OPS)
+def test_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
+    from edna_dbt_library_spark.sources import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("dmlfuzz")))
+    rel = wh.relation("s", "t")
+    rows = [(k, f"v{k}", "a" if k % 2 else "b") for k in range(30)]
+    wh.create_as(
+        rel,
+        spark.createDataFrame(rows, "k long, v string, p string").coalesce(2),
+        TableMeta(partition_by="p"),
+    )
+    model = {k: (v, p) for k, v, p in rows}  # k is unique by construction
+    next_k = 1000
+    for op, arg in ops:
+        if op == "delete":
+            wh.delete_where(rel, f"k % 7 = {arg}")
+            model = {k: vp for k, vp in model.items() if k % 7 != arg}
+        elif op == "update":
+            wh.update_where(rel, f"k % 7 = {arg}", {"v": F.lit(f"u{arg}")})
+            model = {
+                k: ((f"u{arg}", p) if k % 7 == arg else (v, p))
+                for k, (v, p) in model.items()
+            }
+        elif op == "append":
+            batch = [(next_k + i, f"n{arg}", "a") for i in range(3)]
+            wh.append(
+                rel,
+                spark.createDataFrame(batch, "k long, v string, p string").coalesce(1),
+            )
+            model.update({k: (v, p) for k, v, p in batch})
+            next_k += 3
+        else:
+            wh.apply_deletes(rel)  # must never change visible content
+        got = {
+            r["k"]: (r["v"], r["p"])
+            for r in wh.read(rel).select("k", "v", "p").collect()
+        }
+        assert got == model, (op, arg)

@@ -83,6 +83,26 @@ def main():
         print(f"\nCOW full-rewrite={t_cow:.2f}s", flush=True)
         wh.drop(cow)
 
+        # --- heavy delete: 10% of rows, then the same masked read with
+        # the broadcast threshold forced to 0 (the plain-join fallback a
+        # 100 GB sidecar would take) — both paths must stay scan-shaped
+        t0 = time.time()
+        d10 = wh.delete_where(rel, "v % 10 < 1")
+        t_del10 = time.time() - t0
+        side10_kib = _dirsize(wh._deletes_dir(rel)) / 1024.0
+        t0 = time.time()
+        n10 = wh.read(rel).count()
+        t_read10 = time.time() - t0
+        try:
+            Warehouse.BROADCAST_DELETE_BYTES = 0  # force plain-join mask
+            t0 = time.time()
+            n10b = wh.read(rel).count()
+            t_read10_join = time.time() - t0
+        finally:
+            Warehouse.BROADCAST_DELETE_BYTES = 64 << 20
+        assert n10 == n10b == n1 - d10["n_deleted"]
+        print(f"\nHEAVY deleted={d10['n_deleted']} t_delete={t_del10:.2f}s sidecar_kib={side10_kib:.1f} read_bcast={t_read10:.2f}s read_join={t_read10_join:.2f}s", flush=True)
+
         # --- partition-scoped apply: fresh table, delete inside ONE day
         rel2 = _mk(spark, wh, "t2")
         before = {f for f in wh._live_data_files(rel2)}
@@ -106,6 +126,7 @@ def main():
         print("\nRESULT", flush=True)
         print(f"| rows | files | full read s | delete 0.1% s | sidecar KiB | masked read s | CoW rewrite s |", flush=True)
         print(f"| {ROWS:,} | {nfiles:,} | {t_read0:.2f} | {t_del:.2f} | {side_kib:.1f} | {t_read1:.2f} | {t_cow:.2f} |", flush=True)
+        print(f"| 10% delete | t_delete {t_del10:.2f}s | sidecar {side10_kib:.0f} KiB | masked read bcast {t_read10:.2f}s / plain-join {t_read10_join:.2f}s |", flush=True)
         print(f"| one-day delete | t_delete {t_del2:.2f}s | apply_deletes {t_apply:.2f}s | rewrote 1/{DAYS} partitions |", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

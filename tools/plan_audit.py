@@ -640,21 +640,25 @@ local[32]: an 8M-row, 64-day-partitioned, 4,096-file table.
 
 | rows | files | full read s | delete 0.1% s | sidecar KiB | masked read s | CoW rewrite s |
 |---|---|---|---|---|---|---|
-| 8,000,000 | 4,096 | 2.71 | 3.24 | 25.5 | 2.50 | 10.39 |
+| 8,000,000 | 4,096 | 3.40 | 3.36 | 25.5 | 2.91 | 22.06 |
 
 A 0.1%-selective `delete_where` (8,000 rows across every partition)
-costs one predicate scan + a 25.5 KiB positional sidecar — 3.2x
-cheaper than the 10.39 s copy-on-write rewrite of the same table, and
-the gap is structural: merge-on-read is O(scan + deleted rows) while
-CoW is O(table), so at 100 TB the ratio is the table-to-delta size
-ratio. The masked read's broadcast anti join costs nothing measurable
-(2.50 s vs 2.71 s unmasked — within host noise), because the delete
-side broadcasts (25 KiB) and the anti join rides the scan stage.
-Folding back in is partition-scoped: a one-day delete (62,497 rows)
-applied in 1.94 s rewriting exactly 1/64 partitions (96 files
-changed), leaving 63 partitions' files untouched — the
-rewrite-only-what-changed contract the partition merge already has,
-now for row-level deletes.
+costs one predicate scan + a 25.5 KiB positional sidecar — 3.2–6.6x
+cheaper than the copy-on-write rewrite of the same table across two
+same-day runs (10.4 s / 22.1 s; host-noise bounds), and the gap is
+structural: merge-on-read is O(scan + deleted rows) while CoW is
+O(table), so at 100 TB the ratio is the table-to-delta size ratio.
+The masked read's anti join costs nothing measurable (2.91 s masked
+vs 3.40 s unmasked — within host noise) because the delete side
+broadcasts and the mask rides the scan stage. The heavy case holds
+too: deleting 10% (799,199 rows, 1.28 MiB sidecar) reads at 3.74 s
+broadcast / 3.29 s with the threshold forced to the plain-join
+fallback a 100 GB sidecar would take — both paths stay scan-shaped,
+no per-position driver work anywhere. Folding back in is
+partition-scoped: a one-day delete (62,497 rows) applied in 1.7 s
+rewriting exactly 1/64 partitions (96 files changed), leaving 63
+partitions' files untouched — the rewrite-only-what-changed contract
+the partition merge already has, now for row-level deletes.
 """
 
 
