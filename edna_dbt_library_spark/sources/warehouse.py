@@ -861,6 +861,7 @@ class Warehouse:
             df = self.read(rel).localCheckpoint(eager=True)
             self._overwrite_preserving_sidecars(rel, meta, df)
             # the whole-dir overwrite already wiped the sidecar
+            self._refresh_skipping_sidecars(rel)
             return {"applied_files": len(touched), "partitions": [None]}
         # dir name -> partition VALUE: Spark escapes %-and-friends (not
         # space/+) when writing partition dirs, and unquote is the exact
@@ -887,6 +888,7 @@ class Warehouse:
             if p not in present:
                 shutil.rmtree(os.path.join(self.path(rel), d), ignore_errors=True)
         shutil.rmtree(self._deletes_dir(rel), ignore_errors=True)
+        self._refresh_skipping_sidecars(rel)
         return {"applied_files": len(touched), "partitions": parts}
 
     def delete_matching(self, rel: Relation, keys_df: DataFrame, keys: list[str]) -> dict:
@@ -1011,6 +1013,9 @@ class Warehouse:
         dels.repartition(max(1, -(-n // 10_000_000))).write.mode("append").parquet(
             self._deletes_dir(rel)
         )
+        # the append laid down new files: keep file skipping online
+        # (incremental — only the new files' footers are opened)
+        self._refresh_skipping_sidecars(rel)
         return {"n_updated": int(updated.count())}
 
     def vacuum(self, rel: Relation) -> dict:
@@ -1383,6 +1388,15 @@ class Warehouse:
                 self.partition_file_stats(rel).get(part, (0, 0))[0],
             )
         # bring skipping back online from the preserved configs
+        self._refresh_skipping_sidecars(rel)
+        return report
+
+    def _refresh_skipping_sidecars(self, rel: Relation) -> None:
+        """Re-sync whatever skipping structures the table maintains from
+        their preserved configs (zone maps incrementally — only unseen
+        files' footers are opened; blooms from the stored sizing).
+        Shared by optimize_layout and the row-level DML ops so ad-hoc
+        writes keep file skipping online without a manual refresh."""
         zm_cols = self.zone_map_columns(rel)
         if zm_cols:
             self.refresh_zone_maps(rel, zm_cols)
@@ -1395,7 +1409,6 @@ class Warehouse:
                 )
         except (FileNotFoundError, json.JSONDecodeError):
             pass
-        return report
 
     def read_where(
         self,

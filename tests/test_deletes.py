@@ -244,6 +244,28 @@ def test_update_after_delete_skips_masked_rows(spark, wh):
     assert all(rows[k] == "u" for k in range(5, 10))
 
 
+def test_dml_keeps_zone_maps_online(spark, wh):
+    # update_where appends files; the skipping sidecars must re-sync
+    # without a manual refresh (stale maps fail safe to kept-all, so the
+    # stronger claim is that pruning still PRUNES after DML)
+    rel = _table(spark, wh, partitioned=False)
+    wh.refresh_zone_maps(rel, ["k"])
+    wh.update_where(rel, "k = 19", {"k": F.lit(99).cast("long")})
+    got = sorted(
+        r["k"]
+        for r in wh.read_pruned(rel, "k", 90, 100).where("k between 90 and 100").collect()
+    )
+    assert got == [99]
+    kept, total = wh.prune_files(rel, "k", 90, 100)
+    assert 0 < len(kept) < total  # the new file's stats are indexed
+    wh.delete_where(rel, "k = 0")
+    wh.apply_deletes(rel)
+    got2 = sorted(
+        r["k"] for r in wh.read_pruned(rel, "k", 0, 5).where("k between 0 and 5").collect()
+    )
+    assert got2 == [1, 2, 3, 4, 5]
+
+
 def test_purge_keys_removes_bytes_physically(spark, wh):
     rel = _table(spark, wh)
     keys = spark.createDataFrame([(2,), (17,)], "k long")
