@@ -1511,11 +1511,14 @@ class Warehouse:
             os.link(p, dst)
             delete_files.append(os.path.basename(p))
         meta = self.read_meta(rel)
+        import time as _time
+
         with open(os.path.join(vdir, "manifest.json"), "w") as f:
             json.dump(
                 {
                     "version": v,
                     "note": note,
+                    "created_at": _time.time(),  # unix UTC; read_as_of resolution
                     "n_files": len(files),
                     "files": sorted(files),
                     "delete_files": sorted(delete_files),
@@ -1578,8 +1581,35 @@ class Warehouse:
             if os.path.exists(mf):
                 with open(mf) as f:
                     m = json.load(f)
-                out.append({"version": m["version"], "note": m.get("note"), "n_files": m["n_files"]})
+                out.append(
+                    {
+                        "version": m["version"],
+                        "note": m.get("note"),
+                        "n_files": m["n_files"],
+                        # pre-created_at snapshots: the manifest write time
+                        # IS the snapshot time (written last, atomically
+                        # with the version)
+                        "created_at": m.get("created_at", os.path.getmtime(mf)),
+                    }
+                )
         return out
+
+    def version_as_of(self, rel: Relation, ts: float) -> int:
+        """The newest snapshot version whose creation time is <= ``ts``
+        (a unix timestamp, UTC) — Delta/Iceberg's TIMESTAMP AS OF
+        resolution. Raises if every snapshot is newer than ``ts``."""
+        cands = [s for s in self.list_snapshots(rel) if s["created_at"] <= ts]
+        if not cands:
+            raise FileNotFoundError(
+                f"no snapshot of {rel.table_id} at or before {ts}"
+            )
+        return max(cands, key=lambda s: (s["created_at"], s["version"]))["version"]
+
+    def read_as_of(self, rel: Relation, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF time travel: the table as of the newest
+        snapshot taken at or before ``ts`` (delete-vector state
+        included, via read_version)."""
+        return self.read_version(rel, self.version_as_of(rel, ts))
 
     def _snapshot_manifest(self, rel: Relation, version: int) -> tuple[str, dict]:
         vdir = os.path.join(self._snapshots_dir(rel), f"v{version}")

@@ -95,3 +95,20 @@ def test_version_order_guard(spark, wh):
     v2 = wh.snapshot(rel)
     with pytest.raises(ValueError):
         wh.read_deleted_rows(rel, v2, v1)
+
+
+def test_read_as_of_timestamp_resolution(spark, wh):
+    rel = _table(spark, wh)
+    v1 = wh.snapshot(rel, "first")
+    wh.delete_where(rel, "k < 10")
+    v2 = wh.snapshot(rel, "second")
+    snaps = {s["version"]: s["created_at"] for s in wh.list_snapshots(rel)}
+    assert snaps[v1] <= snaps[v2]
+    # at/after each snapshot's own time -> that snapshot's state
+    assert wh.version_as_of(rel, snaps[v1]) == v1
+    assert wh.read_as_of(rel, snaps[v1]).count() == 20
+    assert wh.version_as_of(rel, snaps[v2] + 1) == v2
+    assert wh.read_as_of(rel, snaps[v2] + 1).count() == 10
+    # before every snapshot -> error
+    with pytest.raises(FileNotFoundError):
+        wh.version_as_of(rel, snaps[v1] - 10)
