@@ -1912,7 +1912,11 @@ class Warehouse:
             pass
 
     def expire_snapshots(
-        self, rel: Relation, keep_last: int = 1, protect_note_prefix: str = "cdc:"
+        self,
+        rel: Relation,
+        keep_last: int = 1,
+        protect_note_prefix: str = "cdc:",
+        min_age_s: float | None = None,
     ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (frees the
         hardlinked bytes once no snapshot references them). Returns the
@@ -1925,9 +1929,17 @@ class Warehouse:
         is ALSO a CDC source — must not silently demote that consumer
         to a full-table rescan. Watermarks have their own lifecycle
         (advanced + dropped selectively by the refresh itself); pass
-        ``protect_note_prefix=None`` to expire unconditionally."""
+        ``protect_note_prefix=None`` to expire unconditionally.
+
+        ``min_age_s`` is an additional retention floor (Delta's RETAIN):
+        snapshots younger than it are kept even beyond ``keep_last`` —
+        the guard that makes scheduled expiry safe next to consumers
+        still reading a just-taken version."""
         if keep_last < 0:
             raise ValueError("keep_last must be >= 0")
+        import time as _time
+
+        cutoff = None if min_age_s is None else _time.time() - min_age_s
         versions = [
             m["version"]
             for m in self.list_snapshots(rel)
@@ -1935,6 +1947,7 @@ class Warehouse:
                 protect_note_prefix
                 and (m.get("note") or "").startswith(protect_note_prefix)
             )
+            and (cutoff is None or m["created_at"] <= cutoff)
         ]
         drop = versions[: max(0, len(versions) - keep_last)]
         for v in drop:

@@ -112,3 +112,16 @@ def test_read_as_of_timestamp_resolution(spark, wh):
     # before every snapshot -> error
     with pytest.raises(FileNotFoundError):
         wh.version_as_of(rel, snaps[v1] - 10)
+
+
+def test_expire_snapshots_age_floor(spark, wh):
+    rel = _table(spark, wh)
+    v1 = wh.snapshot(rel, "a")
+    v2 = wh.snapshot(rel, "b")
+    v3 = wh.snapshot(rel, "c")
+    # everything is younger than an hour: nothing expires despite keep_last=0
+    assert wh.expire_snapshots(rel, keep_last=0, min_age_s=3600) == []
+    assert [s["version"] for s in wh.list_snapshots(rel)] == [v1, v2, v3]
+    # no floor: keep_last applies as before
+    assert wh.expire_snapshots(rel, keep_last=1) == [v1, v2]
+    assert [s["version"] for s in wh.list_snapshots(rel)] == [v3]
