@@ -657,7 +657,10 @@ def run_replica_sync(
                 wh.delete_matching(replica, touched, keys)
             n_ins = int(ins.count())
             if n_ins:
-                wh.append(replica, ins)
+                # size the landing files to the window, not to the
+                # changelog scan's task layout (same small-files rule as
+                # update_where's rewrite append)
+                wh.append(replica, ins.coalesce(max(1, -(-n_ins // 2_000_000))))
     except Exception:
         wh.drop_snapshot(source, new_v)
         raise

@@ -1003,10 +1003,16 @@ class Warehouse:
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
         }
+        # size the rewrite to its row count BEFORE the partitioned append:
+        # the scan's task layout would otherwise fan a small update into
+        # tasks x partitions tiny files (measured ~4k files for an
+        # 8k-row update — the next incremental read paid 6.4s of footer
+        # time for 8k rows)
         updated = (
             self._merge_deletes(matched, existing, base)
             .withColumns(exprs)
             .select(*df.columns)
+            .coalesce(max(1, -(-n // 2_000_000)))
             .localCheckpoint(eager=True)
         )
         self.append(rel, updated)

@@ -659,6 +659,33 @@ partition-scoped: a one-day delete (62,497 rows) applied in 1.7 s
 rewriting exactly 1/64 partitions (96 files changed), leaving 63
 partitions' files untouched — the rewrite-only-what-changed contract
 the partition merge already has, now for row-level deletes.
+
+## Replica sync off the changelog: delta vs rebuild
+
+`tools/replica_scale_stress.py`, measured 2026-08-15 (round 8) on
+local[32]: an 8M-row, 64-day, 4,096-file source mirrored by
+`run_replica_sync` (keys=id).
+
+| source rows | full sync s | window | delta sync s | rows written |
+|---|---|---|---|---|
+| 8,000,000 | 11.99 (writes 8M rows) | uniform-sparse: 116,002 keys / 108,001 ins | 19.12 | 108k |
+| | | one-day local: 74,875 keys / 12,378 ins | 5.21 | 12k |
+
+The LOCALIZED window (all DML inside one day — late data, range
+corrections, the common incremental shape) syncs in 5.2 s vs the
+12 s rebuild while writing 12k rows instead of 8M. The
+UNIFORM-SPARSE window is the honest worst case: a 0.1% delete
+scattered over every file makes the changelog's deleted-row
+materialization a full affected-file scan, so at toy scale its wall
+(19.1 s) exceeds the rebuild — but it still writes 74x fewer rows
+(108k vs 8M), and at 100 TB the write amplification, not the scan,
+is the bill: a rebuild rewrites the table, the sync ships the
+window. Profiling this case also caught a real small-files bug: an
+8k-row `update_where` re-append was fanning into ~4k
+tasks-x-partitions files and charging the NEXT incremental read
+6.4 s of footer time — the rewrite (and the replica's landing
+append) now coalesce to their row count, cutting the sparse delta
+sync 25.7 -> 19.1 s.
 """
 
 
