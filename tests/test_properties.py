@@ -560,3 +560,68 @@ def test_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
             for r in wh.read(rel).select("k", "v", "p").collect()
         }
         assert got == model, (op, arg)
+
+
+# --- changelog reconstruction: since-state + inserts - deletes == to-state ---
+# under ARBITRARY interleavings of DML and snapshots, for every adjacent
+# snapshot pair (the soundness claim read_changelog's docstring makes).
+
+_CL_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.integers(0, 5)),
+        st.tuples(st.just("update"), st.integers(0, 5)),
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("snap"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_CL_OPS)
+def test_changelog_reconstructs_any_window(spark, tmp_path_factory, ops):
+    from collections import Counter
+
+    from edna_dbt_library_spark.sources import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("clfuzz")))
+    rel = wh.relation("s", "t")
+    rows = [(k, f"v{k}", "a" if k % 2 else "b") for k in range(24)]
+    wh.create_as(
+        rel,
+        spark.createDataFrame(rows, "k long, v string, p string").coalesce(2),
+        TableMeta(partition_by="p"),
+    )
+    versions = [wh.snapshot(rel)]
+    next_k = 500
+    for op, arg in ops:
+        if op == "delete":
+            wh.delete_where(rel, f"k % 6 = {arg}")
+        elif op == "update":
+            wh.update_where(rel, f"k % 6 = {arg}", {"v": F.lit(f"u{arg}")})
+        elif op == "append":
+            wh.append(
+                rel,
+                spark.createDataFrame(
+                    [(next_k + i, "n", "a") for i in range(2)],
+                    "k long, v string, p string",
+                ).coalesce(1),
+            )
+            next_k += 2
+        else:
+            versions.append(wh.snapshot(rel))
+    versions.append(wh.snapshot(rel))
+
+    def _rows(df):
+        return Counter(
+            (r["k"], r["v"], r["p"]) for r in df.select("k", "v", "p").collect()
+        )
+
+    for since, to in zip(versions, versions[1:]):
+        log = wh.read_changelog(rel, since, to)
+        ins = _rows(log.where("_change_type = 'insert'"))
+        dels = _rows(log.where("_change_type = 'delete'"))
+        state = _rows(wh.read_version(rel, since)) + ins
+        state.subtract(dels)
+        assert +state == _rows(wh.read_version(rel, to)), (since, to)
