@@ -296,3 +296,28 @@ def test_clone_carries_delete_state_independently(spark, wh):
     wh.delete_where(dst, "k = 1")
     assert _keys(wh, src) == list(range(1, 20))
     assert sorted(r["k"] for r in wh.read(dst).collect()) == list(range(2, 20))
+
+
+def test_stream_table_caveat_streams_see_raw_rows(spark, wh, tmp_path):
+    """Pin the documented boundary: stream_table is file-level append
+    consumption — it does NOT consult the delete sidecar, so a drain
+    after a merge-on-read delete still emits the masked rows (the same
+    caveat family as read_changes; batch consumers go through read())."""
+    from edna_dbt_library_spark.streaming import stream_table
+
+    rel = _table(spark, wh, partitioned=False)
+    wh.delete_where(rel, "k < 5")
+    assert wh.read(rel).count() == 15  # batch read masks
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_table(wh, rel)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the stream sees pre-delete rows — exactly what the docstring says
+    assert spark.read.parquet(out).count() == 20
