@@ -645,12 +645,23 @@ def run_replica_sync(
             )
             n_ins, n_delk = wh.read(replica).count(), 0
         else:
-            log = wh.read_changelog(source, last_v, to_version=new_v)
-            log = log.localCheckpoint(eager=True)
-            ins = log.where(F.col("_change_type") == "insert").drop("_change_type")
-            dels = log.where(F.col("_change_type") == "delete").drop("_change_type")
+            # the two changelog sides are consumed asymmetrically, so
+            # read them separately instead of via read_changelog: the
+            # apply needs the deleted rows' KEYS only — selecting them
+            # BEFORE materializing lets Catalyst prune the affected-file
+            # scan to the key columns (the deleted-row side was the delta
+            # sync's dominant cost on wide tables; replica_scale_stress
+            # measures the cut) — while inserts are landed whole.
+            ins = wh.read_changes(source, last_v, to_version=new_v).localCheckpoint(
+                eager=True
+            )
+            del_keys = (
+                wh.read_deleted_rows(source, last_v, to_version=new_v)
+                .select(*keys)
+                .localCheckpoint(eager=True)
+            )
             touched = (
-                ins.select(*keys).unionByName(dels.select(*keys)).dropDuplicates(keys)
+                ins.select(*keys).unionByName(del_keys).dropDuplicates(keys)
             ).localCheckpoint(eager=True)
             n_delk = int(touched.count())
             if n_delk:

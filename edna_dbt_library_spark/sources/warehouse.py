@@ -1102,6 +1102,35 @@ class Warehouse:
             )
         return df
 
+    def sql(self, query: str, tables: dict[str, Relation] | None = None) -> DataFrame:
+        """Run SQL over warehouse tables with full storage semantics:
+        every alias in ``tables`` resolves through ``read()`` — schema
+        sidecar, schema-on-read evolution, merge-on-read delete masks —
+        so SQL consumers see exactly what DataFrame consumers see (a raw
+        ``spark.read.parquet`` would resurrect deleted rows). Aliases
+        are registered as temp views for the query and dropped after
+        analysis; ``tables=None`` registers every table in the
+        warehouse as ``<schema>__<identifier>``. The table state (file
+        list, delete masks) is bound when this is CALLED — like any
+        DataFrame read — so re-run sql() after DML to see new state."""
+        if tables is None:
+            tables = {}
+            for schema in sorted(os.listdir(self.root)):
+                sdir = os.path.join(self.root, schema)
+                if _is_hidden(schema) or not os.path.isdir(sdir):
+                    continue
+                for ident in sorted(os.listdir(sdir)):
+                    rel = self.relation(schema, ident)
+                    if self.exists(rel):
+                        tables[f"{schema}__{ident}"] = rel
+        for alias, rel in tables.items():
+            self.read(rel).createOrReplaceTempView(alias)
+        try:
+            return self.spark.sql(query)
+        finally:
+            for alias in tables:
+                self.spark.catalog.dropTempView(alias)
+
     # --- writes ------------------------------------------------------------
     def _writer(self, df: DataFrame, meta: TableMeta):
         if meta.cluster_by:

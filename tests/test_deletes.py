@@ -321,3 +321,26 @@ def test_stream_table_caveat_streams_see_raw_rows(spark, wh, tmp_path):
     q.awaitTermination(120)
     # the stream sees pre-delete rows — exactly what the docstring says
     assert spark.read.parquet(out).count() == 20
+
+
+def test_warehouse_sql_sees_storage_semantics(spark, wh):
+    """wh.sql(): SQL consumers resolve through read() — delete masks and
+    the sidecar schema included — and an explicit alias map joins
+    tables; the view registrations do not leak into the session."""
+    a = _table(spark, wh, partitioned=False, name="a")
+    b = wh.relation("s", "b")
+    wh.create_as(
+        b,
+        spark.createDataFrame([(k, k * 100) for k in range(5)], "k long, w long"),
+        TableMeta(),
+    )
+    wh.delete_where(a, "k >= 3")
+    out = wh.sql(
+        "SELECT t.k, t.v, u.w FROM t JOIN u USING (k) ORDER BY t.k",
+        tables={"t": a, "u": b},
+    ).collect()
+    assert [(r["k"], r["w"]) for r in out] == [(0, 0), (1, 100), (2, 200)]
+    assert not any(v.name in ("t", "u") for v in spark.catalog.listTables())
+    # auto-registration under schema__identifier, masks applied
+    n = wh.sql("SELECT count(*) AS n FROM s__a").first()["n"]
+    assert n == 3

@@ -668,24 +668,27 @@ local[32]: an 8M-row, 64-day, 4,096-file source mirrored by
 
 | source rows | full sync s | window | delta sync s | rows written |
 |---|---|---|---|---|
-| 8,000,000 | 11.99 (writes 8M rows) | uniform-sparse: 116,002 keys / 108,001 ins | 19.12 | 108k |
-| | | one-day local: 74,875 keys / 12,378 ins | 5.21 | 12k |
+| 8,000,000 | 11.89 (writes 8M rows) | uniform-sparse: 116,002 keys / 108,001 ins | 16.03 | 108k |
+| | | one-day local: 74,875 keys / 12,378 ins | 3.97 | 12k |
 
 The LOCALIZED window (all DML inside one day — late data, range
-corrections, the common incremental shape) syncs in 5.2 s vs the
-12 s rebuild while writing 12k rows instead of 8M. The
+corrections, the common incremental shape) syncs in 4.0 s vs the
+11.9 s rebuild while writing 12k rows instead of 8M. The
 UNIFORM-SPARSE window is the honest worst case: a 0.1% delete
-scattered over every file makes the changelog's deleted-row
-materialization a full affected-file scan, so at toy scale its wall
-(19.1 s) exceeds the rebuild — but it still writes 74x fewer rows
-(108k vs 8M), and at 100 TB the write amplification, not the scan,
-is the bill: a rebuild rewrites the table, the sync ships the
-window. Profiling this case also caught a real small-files bug: an
-8k-row `update_where` re-append was fanning into ~4k
-tasks-x-partitions files and charging the NEXT incremental read
-6.4 s of footer time — the rewrite (and the replica's landing
-append) now coalesce to their row count, cutting the sparse delta
-sync 25.7 -> 19.1 s.
+scattered over every file makes the changelog's deleted-row side
+scan every affected file, so at toy scale its wall (16.0 s) exceeds
+the rebuild — but it still writes 74x fewer rows (108k vs 8M), and
+at 100 TB the write amplification, not the scan, is the bill: a
+rebuild rewrites the table, the sync ships the window. Profiling
+this case drove two real fixes: (1) an 8k-row `update_where`
+re-append was fanning into ~4k tasks-x-partitions files and charging
+the NEXT incremental read 6.4 s of footer time — the rewrite (and
+the replica's landing append) now coalesce to their row count
+(25.7 -> 19.1 s); (2) the sync consumed the changelog through a
+full-row materialization although the delete side only needs KEYS —
+reading the two sides separately and selecting keys before the
+checkpoint lets Catalyst prune the affected-file scan to the key
+columns (19.1 -> 16.0 s sparse, 5.2 -> 4.0 s local).
 """
 
 
