@@ -183,10 +183,17 @@ exploded frame — each Lloyd iteration is a single corpus pass with a
 (sub, cell, dim) shuffle key space instead of m sequential
 kmeans_cells runs (m × the scans). Like-for-like harness positions
 measured 25.1s → 8.8s; at IO-bound corpus scale the saving is
-structural (scan count), not just wall. Search walls on this host
-vary up to 3× run-to-run with JVM warm-up while every rank and
-recall is bit-identical — the exact-integer contract is what holds,
-wall medians are indicative.
+structural (scan count), not just wall. The round's second half
+extended the same move to the COARSE quantizer: `train_ivfpq` rides
+the full-dim k-means as a `sub = -1` lane of the fused subspace
+frame, so one corpus pass per Lloyd iteration now trains coarse AND
+all m codebooks (bit-identical to the separate trainers,
+pytest-locked incl. n_cells != pq_cells; end-to-end `ivf_pq_topk`
+8.25 → 7.53 s at page-cached sf0.1, structurally half the training
+scans where a pass is real I/O). Search walls on this host vary up
+to 3× run-to-run with JVM warm-up while every rank and recall is
+bit-identical — the exact-integer contract is what holds, wall
+medians are indicative.
 
 The hot cluster does not hurt PQ recall the way it hurts IVF probe
 cost: ADC error comes from quantization, not cell skew, so the 0.92
