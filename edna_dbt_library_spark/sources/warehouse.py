@@ -770,6 +770,44 @@ class Warehouse:
     def _delete_files(self, rel: Relation) -> list[str]:
         return sorted(glob.glob(os.path.join(self._deletes_dir(rel), "*.parquet")))
 
+    @staticmethod
+    def _files_bytes(paths: list[str]) -> int:
+        return sum(os.path.getsize(p) for p in paths)
+
+    def _gate_broadcast(self, df: DataFrame, size_bytes: int | None) -> DataFrame:
+        """Broadcast-hint ``df`` only while ``size_bytes`` is known and
+        within ``BROADCAST_DELETE_BYTES``. A pinned ``F.broadcast``
+        cannot be demoted by AQE — an oversized pin dies on the 8 GB
+        broadcast limit / driver OOM instead of degrading to a shuffle
+        join — so EVERY DML metadata join (probe key sets, accumulated
+        delete sidecars, changelog deltas) routes through this gate;
+        an un-hinted join still broadcasts when AQE's runtime stats say
+        it is small."""
+        if size_bytes is not None and size_bytes <= self.BROADCAST_DELETE_BYTES:
+            return F.broadcast(df)
+        return df
+
+    def _plan_size_bytes(self, df: DataFrame) -> int | None:
+        """Catalyst's optimized-plan size estimate for ``df`` (bytes),
+        or None when unavailable (e.g. no JVM plan handle). Gates
+        broadcast hints on frames with no on-disk footprint (probe key
+        frames): only a provably-small side gets pinned; unknown or
+        large estimates leave the join un-hinted for AQE."""
+        try:
+            return int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
+
+    def _prior_deletes(self, dfiles: list[str]) -> DataFrame:
+        """(file, pos) frame of the accumulated delete sidecar,
+        broadcast only while its on-disk bytes fit the budget — a table
+        with a large un-applied delete history degrades to a shuffle
+        anti join instead of OOMing the driver."""
+        dels = self.spark.read.parquet(*dfiles).select("file", "pos")
+        return self._gate_broadcast(dels, self._files_bytes(dfiles))
+
     def _merge_deletes(self, df: DataFrame, dfiles: list[str], base: str) -> DataFrame:
         """Anti-join a direct parquet scan against positional delete
         files rooted at ``base``. Must be applied to the raw scan frame
@@ -785,8 +823,7 @@ class Warehouse:
         dels = self.spark.read.parquet(*dfiles).select(
             F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
         )
-        if sum(os.path.getsize(p) for p in dfiles) <= self.BROADCAST_DELETE_BYTES:
-            dels = F.broadcast(dels)
+        dels = self._gate_broadcast(dels, self._files_bytes(dfiles))
         cols = df.columns
         return (
             df.withColumn("__del_file", self._rel_file_path(base))
@@ -825,8 +862,9 @@ class Warehouse:
         )
         existing = self._delete_files(rel)
         if existing:
-            prior = self.spark.read.parquet(*existing).select("file", "pos")
-            matched = matched.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+            matched = matched.join(
+                self._prior_deletes(existing), ["file", "pos"], "left_anti"
+            )
         matched = matched.localCheckpoint(eager=True)
         n = matched.count()
         if n:
@@ -873,14 +911,19 @@ class Warehouse:
 
         pdirs = sorted({f.split("/", 1)[0] for f in touched})
         parts = [unquote(d.split("=", 1)[1]) for d in pdirs]
-        df = (
-            self.read(rel)
-            .where(F.col(meta.partition_by).cast("string").isin(parts))
-            .localCheckpoint(eager=True)
-        )
+        # NULL partition values live in __HIVE_DEFAULT_PARTITION__; a
+        # cast-isin filter is NULL (never true) for them, which would
+        # select zero survivors and rmtree the whole null partition —
+        # destroying its non-deleted rows. Match nulls explicitly.
+        NULLDIR = "__HIVE_DEFAULT_PARTITION__"
+        pc = F.col(meta.partition_by).cast("string")
+        cond = pc.isin([p for p in parts if p != NULLDIR])
+        if NULLDIR in parts:
+            cond = cond | pc.isNull()
+        df = self.read(rel).where(cond).localCheckpoint(eager=True)
         present = {
-            r[0]
-            for r in df.select(F.col(meta.partition_by).cast("string")).distinct().collect()
+            (NULLDIR if r[0] is None else r[0])
+            for r in df.select(pc).distinct().collect()
         }
         if present:
             self.overwrite_partitions(rel, df)
@@ -917,13 +960,16 @@ class Warehouse:
             self._rel_file_path(base).alias("__dm_file"),
             F.col("_metadata.row_index").alias("__dm_pos"),
         )
-        matched = scan.join(F.broadcast(probe), keys, "left_semi").select(
-            F.col("__dm_file").alias("file"), F.col("__dm_pos").alias("pos")
-        )
+        matched = scan.join(
+            self._gate_broadcast(probe, self._plan_size_bytes(probe)),
+            keys,
+            "left_semi",
+        ).select(F.col("__dm_file").alias("file"), F.col("__dm_pos").alias("pos"))
         existing = self._delete_files(rel)
         if existing:
-            prior = self.spark.read.parquet(*existing).select("file", "pos")
-            matched = matched.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+            matched = matched.join(
+                self._prior_deletes(existing), ["file", "pos"], "left_anti"
+            )
         matched = matched.localCheckpoint(eager=True)
         n = matched.count()
         if n:
@@ -994,8 +1040,9 @@ class Warehouse:
             )
         )
         if existing:
-            prior = self.spark.read.parquet(*existing).select("file", "pos")
-            dels = dels.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+            dels = dels.join(
+                self._prior_deletes(existing), ["file", "pos"], "left_anti"
+            )
         dels = dels.localCheckpoint(eager=True)
         n = dels.count()
         if not n:
@@ -1819,8 +1866,9 @@ class Warehouse:
         Shape: the delete-entry delta is a small anti join of two
         sidecar reads; only the AFFECTED data files are then scanned
         (delete-delta-sized, never the table) and inner-joined on
-        (file, position) against the broadcast delta to materialize the
-        deleted rows. Caveat (same file-level boundary as
+        (file, position) against the delta (broadcast only while its
+        size estimate fits the budget — a long-backlog window falls
+        back to a shuffle join) to materialize the deleted rows. Caveat (same file-level boundary as
         read_changes): deletes FOLDED IN during the window — via
         apply_deletes / compact / optimize_layout, which rewrite the
         files and drop the entries — are not emitted; diff across a
@@ -1855,8 +1903,9 @@ class Warehouse:
             return _empty()
         delta = self.spark.read.parquet(*d_to).select("file", "pos")
         if d_since:
-            prior = self.spark.read.parquet(*d_since).select("file", "pos")
-            delta = delta.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+            delta = delta.join(
+                self._prior_deletes(d_since), ["file", "pos"], "left_anti"
+            )
         delta = delta.localCheckpoint(eager=True)
         affected = sorted(
             {r["file"] for r in delta.select("file").distinct().collect()} & to_files
@@ -1874,11 +1923,12 @@ class Warehouse:
             scan.withColumn("__del_file", self._rel_file_path(root))
             .withColumn("__del_pos", F.col("_metadata.row_index"))
             .join(
-                F.broadcast(
+                self._gate_broadcast(
                     delta.select(
                         F.col("file").alias("__del_file"),
                         F.col("pos").alias("__del_pos"),
-                    )
+                    ),
+                    self._plan_size_bytes(delta),
                 ),
                 ["__del_file", "__del_pos"],
             )
