@@ -1164,9 +1164,16 @@ def run_incremental_jaccard_join(
 
     new_rows = new.select("id", F.size("ws").cast("long").alias("n"), "ws")
     if first:
-        wh.create_as(store, new_rows, TableMeta())
-        wh.create_as(prefix_rel, newpref, TableMeta())
+        # store LAST: exists(store) is the first-batch commit point, so
+        # the auxiliary relations must exist before it does — a crash
+        # after the store create with _order/_prefix missing would brick
+        # every later batch (the not-first path reads them), while a
+        # crash before it just re-runs the first batch and CREATE OR
+        # REPLACEs the auxiliaries. Same sink-before-commit ordering as
+        # pairs_sink above.
         wh.create_as(order_rel, order_df, TableMeta())
+        wh.create_as(prefix_rel, newpref, TableMeta())
+        wh.create_as(store, new_rows, TableMeta())
     else:
         wh.append(store, new_rows)
         wh.append(prefix_rel, newpref)

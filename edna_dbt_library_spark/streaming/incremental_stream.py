@@ -218,12 +218,16 @@ def stream_semantic_dedup(
     micro-batch of embedding rows is SemDeDup'd against everything
     previously admitted (frozen first-batch centroids, touched-cell
     pruned store scan), admitted (vec_id, cell) rows land under
-    ``admitted_path/batch=<id>/`` (the repo's idempotent batch-id sink
-    idiom — a replayed micro-batch overwrites its own subdir), and the
-    persistent store converges to the same state as running the batch
-    operator over the same batches in the same order. Replay safety
-    comes from the operator's own contract (re-ingesting an admitted
-    batch admits nothing) on top of the overwriting sink.
+    ``admitted_path/batch=<id>/`` via the operator's ``admitted_sink``
+    hook, which runs BEFORE the store mutates and only when the batch
+    admits rows — so an at-least-once redelivery of a committed batch
+    (which admits nothing, anti-join vs the store) skips the sink and
+    leaves the first delivery's subdir alone, while a crash between
+    sink and store append recomputes and rewrites the identical subdir
+    on retry. (A post-hoc overwrite here would destroy the first
+    delivery's admitted output on replay.) The persistent store
+    converges to the same state as running the batch operator over the
+    same batches in the same order.
 
     Greedy keep-first semantics are ORDER-dependent (like the batch
     incremental form): which vector of a near-dup pair survives depends
@@ -239,11 +243,16 @@ def stream_semantic_dedup(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        admitted = run_incremental_semantic_dedup(
-            wh, store, batch_df, n_cells=n_cells, iters=iters, threshold=threshold
-        )
-        admitted.write.mode("overwrite").parquet(
-            _os.path.join(admitted_path, f"batch={batch_id}")
+        run_incremental_semantic_dedup(
+            wh,
+            store,
+            batch_df,
+            n_cells=n_cells,
+            iters=iters,
+            threshold=threshold,
+            admitted_sink=lambda admitted: admitted.write.mode("overwrite").parquet(
+                _os.path.join(admitted_path, f"batch={batch_id}")
+            ),
         )
 
     writer = emb_stream.writeStream.foreachBatch(handle).option(

@@ -250,15 +250,19 @@ def stream_frequent_items(
 
     Each micro-batch computes its own per-partition MG summaries
     (operators/sketches._mg_summaries) merged by key WITHIN the batch
-    (plain lb-sum — valid MG merging with no extra reduction, so the
-    batch's stored error stays <= N_batch/(capacity+1)), plus the NULL-key
-    sentinel row carrying the batch's non-null count. Like the CMS grid
-    (sum-merge), MG lower bounds merge by SUM, so replays would
-    double-count: each batch's summary lands in its own ``batch=<id>``
-    subdir with overwrite — the idempotent-sink idiom. Serving sums
-    (k, lb) across subdirs; per-batch summaries are <= ~capacity rows, so
-    the read is bounded by batches x capacity, and a compaction job may
-    fold old subdirs by the same key-sum.
+    (lb-sum), then ONE MG decrement pass on the merged summary —
+    subtract the (capacity+1)-th largest lb and keep positives (the
+    merge-then-reduce algorithm of Agarwal et al., "Mergeable
+    Summaries": still <= capacity rows with undercount <=
+    N_batch/(capacity+1); without the pass a batch summary is bounded
+    only by partitions x capacity keys) — plus the NULL-key sentinel
+    row carrying the batch's non-null count, which is exempt from the
+    reduction. Like the CMS grid (sum-merge), MG lower bounds merge by
+    SUM, so replays would double-count: each batch's summary lands in
+    its own ``batch=<id>`` subdir with overwrite — the idempotent-sink
+    idiom. Serving sums (k, lb) across subdirs; per-batch summaries are
+    <= capacity rows, so the read is bounded by batches x capacity, and
+    a compaction job may fold old subdirs by the same key-sum.
     """
     from pyspark.sql import functions as F
 
@@ -270,7 +274,21 @@ def stream_frequent_items(
             keyed.mapInPandas(_mg_summaries(capacity), "k string, lb long")
             .groupBy("k")
             .agg(F.sum("lb").alias("lb"))
+            .localCheckpoint(eager=True)
         )
+        nonnull = summary.where(F.col("k").isNotNull())
+        if nonnull.count() > capacity:
+            thr = (
+                nonnull.orderBy(F.col("lb").desc())
+                .limit(capacity + 1)
+                .agg(F.min("lb"))
+                .first()[0]
+            )
+            summary = (
+                nonnull.where(F.col("lb") > thr)
+                .withColumn("lb", F.col("lb") - F.lit(thr))
+                .unionByName(summary.where(F.col("k").isNull()))
+            )
         summary.coalesce(1).write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
@@ -291,9 +309,10 @@ def read_frequent_items_exact(
 ) -> DataFrame:
     """EXACT frequent items from a streamed MG store: candidates under
     the same provable keep-rule as the batch operator
-    (``lb >= max(1, min_count - N div capacity)``; summaries merged
-    across batches keep total undercount <= N/(capacity+1) because each
-    stored batch summary is itself an unreduced partition-merge), then
+    (``lb >= max(1, min_count - N div capacity)``; each stored batch
+    summary has undercount <= N_batch/(capacity+1) — the merge-then-
+    reduce MG bound — and the integer undercounts sum across batches to
+    <= floor(N/(capacity+1)) <= N div capacity), then
     one broadcast exact-count pass over ``corpus_df``. When
     ``corpus_df`` is the union of everything streamed, the result
     equals the batch operator's output row-for-row (asserted in

@@ -301,3 +301,48 @@ def test_stream_jaccard_join_matches_one_shot(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(src)
     stream_jaccard_join(stream, wh, store, pairs, ckpt2).awaitTermination(180)
     assert {key(r) for r in spark.read.parquet(pairs).collect()} == full
+
+
+def test_incremental_jaccard_first_batch_crash_is_repairable(spark, sf_dir, tmp_path):
+    """ADVICE r8: the first-batch commit point is the STORE create, which
+    must come LAST — a crash mid-first-batch must leave exists(store)
+    False so the retry re-runs the first path (CREATE OR REPLACE the
+    auxiliaries), never the not-first path against a missing _order."""
+    from edna_dbt_library_spark.operators.dedup import (
+        jaccard_join_exact,
+        run_incremental_jaccard_join,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = wh.relation("an", "jjcrash")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    # crash injection: die exactly at the store create (the last step)
+    orig = Warehouse.create_as
+
+    def boom(self, rel, df, meta=None):
+        if rel.identifier == "jjcrash":
+            raise RuntimeError("injected crash at commit point")
+        return orig(self, rel, df, meta)
+
+    Warehouse.create_as = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            run_incremental_jaccard_join(wh, store, b1)
+    finally:
+        Warehouse.create_as = orig
+    # auxiliaries exist, store does not -> next call retries the FIRST path
+    assert not wh.exists(store)
+    assert wh.exists(wh.relation("an", "jjcrash_order"))
+    assert wh.exists(wh.relation("an", "jjcrash_prefix"))
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["n_int"], r["n_a"], r["n_b"])  # noqa: E731
+    p1 = {key(r) for r in run_incremental_jaccard_join(wh, store, b1).collect()}
+    p2 = {key(r) for r in run_incremental_jaccard_join(wh, store, b2).collect()}
+    full = {key(r) for r in jaccard_join_exact(docs, threshold=(3, 5), shingle_n=3).collect()}
+    assert p1 | p2 == full

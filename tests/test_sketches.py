@@ -351,3 +351,15 @@ def test_stream_frequent_items_matches_batch_exactly(spark, tmp_path):
         for r in frequent_items(df, "k", den=256, capacity=512).collect()
     }
     assert streamed == batch == _exact_frequent(df, "k", 256)
+
+    # ADVICE r8: the per-batch MG decrement pass bounds each stored
+    # summary at <= capacity non-null rows (a plain key-sum merge is
+    # bounded only by partitions x capacity), sentinel exempt
+    import glob as _glob
+
+    subdirs = sorted(_glob.glob(store + "/batch=*"))
+    assert subdirs
+    for sub in subdirs:
+        s = spark.read.parquet(sub)
+        assert s.where(F.col("k").isNotNull()).count() <= 512
+        assert s.where(F.col("k").isNull()).count() == 1

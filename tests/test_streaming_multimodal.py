@@ -849,16 +849,25 @@ def test_stream_semantic_dedup_converges_to_batch_state(spark, tmp_path):
     b_rows = sorted((r["vec_id"], r["cell"]) for r in b_wh.read(b_store).collect())
     assert s_rows == b_rows and 0 < len(s_rows) < emb.count()
 
-    # re-drain with a FRESH checkpoint: operator-level replay admits nothing
+    # re-drain with a FRESH checkpoint into the SAME admitted_path (an
+    # at-least-once replay of already-committed batches): the operator
+    # admits nothing, so the admitted_sink is skipped and the first
+    # drain's committed subdirs survive untouched — ADVICE r8: the old
+    # post-hoc overwrite replaced them with the replay's empty set.
+    adm_path = str(tmp_path / "admitted") + "/batch=*"
+    first = sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(adm_path).collect()
+    )
+    assert first == s_rows  # sink content == everything admitted
     q2 = stream_semantic_dedup(
         stream_in, s_wh, s_store,
-        admitted_path=str(tmp_path / "admitted2"),
+        admitted_path=str(tmp_path / "admitted"),
         checkpoint_path=str(tmp_path / "cp2"),
         threshold=0.3,
     )
     q2.awaitTermination(300)
     assert sorted((r["vec_id"], r["cell"]) for r in s_wh.read(s_store).collect()) == s_rows
-    import glob as _glob
-
-    re_admitted = spark.read.parquet(*_glob.glob(str(tmp_path / "admitted2") + "/batch=*"))
-    assert re_admitted.count() == 0
+    again = sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(adm_path).collect()
+    )
+    assert again == first

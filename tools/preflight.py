@@ -59,6 +59,13 @@ def main() -> int:
         parity_cmd += list(qmod.CORE_ORDER)
     print("preflight: [1/2] parity sweep (log: /tmp/preflight/parity.log)", flush=True)
     parity_ok, parity_s = _run(parity_cmd, "/tmp/preflight/parity.log")
+    # regression net (judge r8 #2): a "trivially true equals predicate"
+    # warning in the parity log means a self-join-shaped condition
+    # degraded to a cross join — one refactor from silently-wrong rows
+    with open("/tmp/preflight/parity.log") as lf:
+        if "trivially true" in lf.read():
+            print("preflight: FAIL — trivially-true join predicate in parity log", flush=True)
+            parity_ok = False
     print(f"preflight: parity {'OK' if parity_ok else 'FAIL'} ({parity_s:.0f}s)", flush=True)
 
     print("preflight: [2/2] pytest (log: /tmp/preflight/pytest.log)", flush=True)
