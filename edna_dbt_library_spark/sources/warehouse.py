@@ -167,6 +167,12 @@ class Warehouse:
     # tooling can force the fallback path without building 100 GB.
     BROADCAST_DELETE_BYTES = 64 << 20
 
+    # delete_matching only attempts the bloom set-probe above this live
+    # file count: the probe's fixed job latency (~seconds) beats a scan
+    # only when there are enough files to skip. Class-level so tests
+    # with tiny fixtures can force the probe path.
+    BLOOM_PROBE_MIN_FILES = 64
+
     def __init__(self, spark: SparkSession, root: str, database: str = "warehouse"):
         self.spark = spark
         self.root = root
@@ -726,6 +732,99 @@ class Warehouse:
         kept, _total = self.bloom_prune_files(rel, col, value)
         return self._read_file_subset(rel, kept)
 
+    def bloom_candidate_files(
+        self, rel: Relation, col: str, values_df: DataFrame
+    ) -> list[str] | None:
+        """Distributed SET-probe of the bloom sidecar: the live data
+        files that may contain ANY value of ``values_df``'s first column
+        (fail-safe superset — an unindexed file is always a candidate).
+        The value set is never collected: per-value (word, mask) needs
+        are computed in-plan, joined against the sidecar's (file, word,
+        bits) rows, and only the DISTINCT candidate file list — bounded
+        by the table's file count, never by |values| — reaches the
+        driver. Returns None when the index cannot help (no sidecar,
+        column not indexed, bloom dir missing or empty) so callers fall
+        back to the full scan. This is what makes delete_matching /
+        replica sync cost O(delta + candidate files) instead of a full
+        key-column scan of the table.
+
+        Probe plan: the sidecar scan is semi-joined down to the probe's
+        needed words BEFORE any wide operation — the needed-word set is
+        bounded by min(|values| * k, m/64) so it broadcasts, and the
+        defensive (file, word) re-aggregation (a crashed refresh can
+        append duplicate shards) then touches only surviving rows. The
+        unfiltered form measured 19s per probe at a 56M-row sidecar
+        (8M rows / 3.3k files, replica_scale_stress) because it
+        re-shuffled the whole sidecar per call; the filtered form is
+        bounded by the probe's word footprint instead."""
+        try:
+            with open(self._bloom_meta_path(rel)) as f:
+                bm = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        dt = bm.get("columns", {}).get(col)
+        if dt is None or not bm["files"]:
+            return None
+        glob_pat = os.path.join(self._bloom_dir(rel), "*.parquet")
+        if not glob.glob(glob_pat):
+            # meta survived but the bloom data dir is gone: stale
+            # index, fail safe until the next refresh
+            return None
+        live = self._live_data_files(rel)
+        indexed = set(bm["files"])
+        m_bits, k = bm["m"], bm["k"]
+        vals = (
+            values_df.select(F.col(values_df.columns[0]).cast(dt).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .dropDuplicates()
+        )
+        pos = vals.select(
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("_v"), F.lit(i)), F.lit(m_bits))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_p"),
+        )
+        # needs has 3 consumers (word filter, hits join, per-value word
+        # count): checkpoint once so the caller's values_df lineage is
+        # not re-evaluated per consumer; size is |values| * k rows max
+        needs = (
+            pos.groupBy("_v", F.expr("_p div 64").alias("word"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(pmod(_p, 64) as int))")
+                ).alias("mask")
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_words = needs.groupBy("_v").agg(F.count(F.lit(1)).alias("_nw"))
+        words = needs.select("word").dropDuplicates()
+        side = self.spark.read.parquet(glob_pat).where(F.col("col") == col)
+        # scan-side word cut: distinct needed words are bounded by
+        # min(|values| * k, m/64); broadcast-semi-join them into the
+        # sidecar scan while that stays comfortably under the broadcast
+        # budget, so the defensive re-aggregation below shuffles only
+        # rows a probe word can match
+        if words.count() * 8 <= self.BROADCAST_DELETE_BYTES:
+            side = side.join(F.broadcast(words), "word", "left_semi")
+        side = side.groupBy("file", "word").agg(F.bit_or("bits").alias("bits"))
+        hits = (
+            needs.join(side, "word")
+            .where(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+            .groupBy("_v", "file")
+            .agg(F.count(F.lit(1)).alias("_hit"))
+            .join(n_words, "_v")
+            .where(F.col("_hit") == F.col("_nw"))
+            .select("file")
+            .distinct()
+        )
+        cand = {r["file"] for r in hits.collect()}
+        return [f for f in live if f not in indexed or f in cand]
+
     # --- merge-on-read delete vectors ----------------------------------------
     # Row-level DELETE without rewriting data files: the Iceberg-v2
     # positional-delete design. `delete_where` records each deleted
@@ -942,7 +1041,15 @@ class Warehouse:
         cannot express an arbitrary key set without collecting it into
         a literal, which is exactly the driver bottleneck this avoids.
         Idempotent like delete_where (already-masked positions are not
-        re-recorded). Returns {"n_deleted": rows newly deleted}."""
+        re-recorded). Returns {"n_deleted": rows newly deleted}.
+
+        When any key column carries a bloom sidecar, the scan is first
+        FILE-PRUNED with a distributed set-probe
+        (:meth:`bloom_candidate_files`): only files that may contain a
+        probe key are opened, so a sparse purge / replica sync costs
+        O(delta + candidate files) rather than one full key-column scan
+        of the table — the fail-safe superset contract means an
+        unindexed or stale file is always scanned."""
         meta = self.read_meta(rel)
         if not self._has_data_files(rel):
             return {"n_deleted": 0}
@@ -950,8 +1057,24 @@ class Warehouse:
         reader = self.spark.read
         if meta.schema_evolved:
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(base)
         probe = keys_df.select(*keys).dropDuplicates(keys)
+        # the set-probe costs a few fixed Spark jobs (needs checkpoint,
+        # word count, hits collect): only worth paying when the table
+        # has enough files for pruning to beat one combined scan
+        cand = None
+        if len(self._live_data_files(rel)) >= self.BLOOM_PROBE_MIN_FILES:
+            for c in keys:
+                cand = self.bloom_candidate_files(rel, c, probe.select(c))
+                if cand is not None:
+                    break
+        if cand is not None:
+            if not cand:
+                return {"n_deleted": 0}
+            if meta.partition_by:
+                reader = reader.option("basePath", base)
+            df = reader.parquet(*(os.path.join(base, f) for f in cand))
+        else:
+            df = reader.parquet(base)
         # `_metadata` resolves only on the raw scan node: project the
         # positions alongside the keys BEFORE joining (helper names
         # avoid shadowing a key literally called file/pos)

@@ -412,3 +412,53 @@ def test_apply_deletes_preserves_null_partition_survivors(spark, wh):
     assert not os.path.isdir(
         os.path.join(wh.path(rel), "p=__HIVE_DEFAULT_PARTITION__")
     )
+
+
+def test_delete_matching_bloom_file_prune_correct_and_fail_safe(spark, wh):
+    """delete_matching with a bloom-indexed key column must (a) delete
+    exactly the probed rows while opening only candidate files, (b) stay
+    correct when the sidecar is STALE (new files appended, no refresh —
+    unindexed files are always candidates), (c) fall back to the full
+    scan when no key column is indexed."""
+    rel = wh.relation("s", "tb")
+    df = spark.createDataFrame(
+        [(k, f"u{k % 50}", "a" if k < 40 else "b") for k in range(80)],
+        "k long, u string, p string",
+    ).repartition(8)
+    wh.create_as(rel, df, TableMeta(partition_by="p"))
+    wh.refresh_bloom_sidecar(rel, ["k"], m_bits=1 << 12, k=5)
+    wh.BLOOM_PROBE_MIN_FILES = 1  # tiny fixture: force the probe path
+
+    # distributed set-probe: superset of the files truly containing keys
+    probe = spark.createDataFrame([(3,), (77,)], "k long")
+    cand = wh.bloom_candidate_files(rel, "k", probe.select("k"))
+    assert cand is not None
+    truth = {
+        f
+        for f in wh._live_data_files(rel)
+        for r in [spark.read.parquet(os.path.join(wh.path(rel), f)).where(
+            F.col("k").isin(3, 77)).count()]
+        if r > 0
+    }
+    assert truth <= set(cand)
+    assert len(cand) < len(wh._live_data_files(rel))  # actually prunes
+
+    assert wh.delete_matching(rel, probe, ["k"])["n_deleted"] == 2
+    assert 3 not in _keys(wh, rel) and 77 not in _keys(wh, rel)
+
+    # stale sidecar: append unindexed rows, probe keys that live there
+    wh.append(
+        rel,
+        spark.createDataFrame([(1000, "x", "a"), (1001, "y", "b")],
+                              "k long, u string, p string").coalesce(1),
+    )
+    assert wh.delete_matching(
+        rel, spark.createDataFrame([(1000,), (5,)], "k long"), ["k"]
+    )["n_deleted"] == 2
+    assert 1000 not in _keys(wh, rel) and 5 not in _keys(wh, rel)
+
+    # un-indexed key column: candidate probe declines, full scan path
+    assert wh.bloom_candidate_files(rel, "u", probe.select("k")) is None
+    assert wh.delete_matching(
+        rel, spark.createDataFrame([("u7",)], "u string"), ["u"]
+    )["n_deleted"] == 2  # k=7 and k=57 both carry u7 (u = k % 50)

@@ -90,6 +90,53 @@ def main():
             flush=True,
         )
 
+        # sparse-key window vs a bloom-indexed replica: the probed keys
+        # live in a handful of replica files (the freshly appended
+        # id-range), so delete_matching's distributed set-probe
+        # (Warehouse.bloom_candidate_files) opens only those candidate
+        # files instead of scanning every replica file's key column —
+        # the O(delta + candidate files) claim under test
+        # m is PER-FILE bits; a SET probe needs per-(key,file) fpp well
+        # under 1/(|probe| * n_files) or false candidates erase the
+        # prune (measured: 1<<16 at ~2.4k rows/file -> fpp 3e-5 -> 535
+        # false-candidate files for a 2k-key probe; 1<<18 -> ~4e-9 ->
+        # exact). Oversizing instead (1<<23) blew the sidecar to 56M
+        # rows and the index build to 60s.
+        t0 = time.time()
+        wh.refresh_bloom_sidecar(rep, ["id"], m_bits=1 << 18, k=7)
+        t_idx = time.time() - t0
+        n_files = len(wh._live_data_files(rep))
+        lo = ROWS + 50_000
+        wh.delete_where(src, f"id >= {lo} and id < {lo + 2000}")
+        probe = spark.range(lo, lo + 2000).select("id")
+        cand = wh.bloom_candidate_files(rep, "id", probe)
+        assert cand is not None and len(cand) < n_files, (len(cand or []), n_files)
+        t0 = time.time()
+        r5 = run_replica_sync(wh, src, rep, keys=["id"])
+        t_bloom = time.time() - t0
+        assert wh.read(src).count() == wh.read(rep).count()
+        print(
+            f"\nSPARSE+BLOOM idx={t_idx:.2f}s cand={len(cand)}/{n_files} files "
+            f"delk={r5['n_deleted_keys']} wall={t_bloom:.2f}s",
+            flush=True,
+        )
+
+        # control: identical window shape with the sidecar disabled ->
+        # full key-column scan of every replica file
+        meta_stash = wh._bloom_meta_path(rep) + ".off"
+        os.rename(wh._bloom_meta_path(rep), meta_stash)
+        lo2 = ROWS + 60_000
+        wh.delete_where(src, f"id >= {lo2} and id < {lo2 + 2000}")
+        t0 = time.time()
+        r6 = run_replica_sync(wh, src, rep, keys=["id"])
+        t_noidx = time.time() - t0
+        os.rename(meta_stash, wh._bloom_meta_path(rep))
+        assert wh.read(src).count() == wh.read(rep).count()
+        print(
+            f"\nSPARSE-NOIDX delk={r6['n_deleted_keys']} wall={t_noidx:.2f}s",
+            flush=True,
+        )
+
         print("\nRESULT", flush=True)
         print("| source rows | full sync s | window | delta sync s | rows written |", flush=True)
         print(
@@ -98,6 +145,14 @@ def main():
         )
         print(
             f"| | | one-day local: {r3['n_deleted_keys']:,} keys / {r3['n_inserted']:,} ins | {t_local:.2f} | {r3['n_inserted'] / 1e3:.0f}k |",
+            flush=True,
+        )
+        print(
+            f"| | | sparse-key, bloom-pruned ({len(cand)}/{n_files} files opened): {r5['n_deleted_keys']:,} keys | {t_bloom:.2f} (index build {t_idx:.2f}) | 0 |",
+            flush=True,
+        )
+        print(
+            f"| | | sparse-key, no index (full key-column scan): {r6['n_deleted_keys']:,} keys | {t_noidx:.2f} | 0 |",
             flush=True,
         )
     finally:
