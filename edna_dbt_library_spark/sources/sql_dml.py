@@ -1,0 +1,388 @@
+"""SQL DML statements over warehouse tables.
+
+The reference's user surface is SQL-first (the merge/delete templates in
+/root/reference/macros/materialization/incremental_partition_merge.sql:248-265
+compile to BigQuery DML); this module gives ``Warehouse.sql`` the same
+statement surface by PARSING a constrained, documented DML grammar and
+dispatching to the existing merge-on-read operators — the SQL form and
+the DataFrame form of every statement run the identical plan:
+
+- ``DELETE FROM <table> [WHERE <row-local predicate>]``
+  -> :meth:`Warehouse.delete_where`
+- ``UPDATE <table> SET col = expr [, ...] [WHERE <predicate>]``
+  -> :meth:`Warehouse.update_where`
+- ``INSERT INTO <table> [(cols)] SELECT ...|VALUES (...), ...``
+  -> :meth:`Warehouse.append` (column-aligned; a derived DAY partition
+  column is computed from the table's ``partition_source`` exactly like
+  the merge staging step)
+- ``MERGE INTO <t> USING <src|(subquery)> ON t.k = s.k [AND ...]``
+  ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+  -> keyed upsert: :meth:`Warehouse.delete_matching` on the ON keys
+  then a single aligned append — the same merge-on-read apply
+  ``run_replica_sync`` uses, so a SQL MERGE costs O(delta + key
+  probe), never a table rewrite. Only the ``UPDATE SET * / INSERT *``
+  whole-row form is accepted (the Delta/Iceberg upsert idiom); richer
+  WHEN clauses raise with a pointer to the DataFrame API.
+
+Each statement returns a ONE-ROW DataFrame
+``(operation string, table string, n_rows long)`` where ``n_rows`` is
+the statement's affected-row count (deleted / updated / inserted /
+upserted), so SQL callers get their engine-style DML summary.
+
+Honest limits (raise, never silently mis-execute): predicates must be
+row-local (no subqueries — a key-set delete is ``delete_matching`` /
+``MERGE``), one statement per call, target tables must resolve through
+the caller's alias map.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .warehouse import Relation, Warehouse
+
+DML_HEAD_RE = re.compile(r"^\s*(delete|update|insert|merge)\b", re.I)
+
+_SUBQUERY_RE = re.compile(r"\(\s*select\b", re.I)
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split ``s`` on single-char ``sep`` at paren depth 0, outside
+    '...'/"..."/`...` quoting (doubled closing quotes read as
+    close-then-reopen, which still splits correctly)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth, q = 0, None
+    for ch in s:
+        if q is not None:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"`":
+            q = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
+def _top_kw_split(s: str, kw: str) -> tuple[str, str | None]:
+    """Split ``s`` at the FIRST top-level occurrence of word ``kw``
+    (case-insensitive, not inside parens/quotes): (before, after) or
+    (s, None)."""
+    depth, q, i, n = 0, None, 0, len(s)
+    kl = len(kw)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + kl].lower() == kw.lower()
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + kl == n or not (s[i + kl].isalnum() or s[i + kl] == "_"))
+        ):
+            return s[:i], s[i + kl :]
+        i += 1
+    return s, None
+
+
+def _resolve(tables: dict[str, "Relation"], name: str) -> "Relation":
+    if name not in tables:
+        raise ValueError(
+            f"SQL DML: unknown table alias {name!r}; registered: "
+            f"{sorted(tables)}"
+        )
+    return tables[name]
+
+
+def _reject_subquery(clause: str, stmt: str) -> None:
+    if _SUBQUERY_RE.search(clause):
+        raise ValueError(
+            f"SQL {stmt}: subqueries in predicates are not supported — "
+            "predicates must be row-local; express a key-set "
+            "delete/upsert as MERGE or Warehouse.delete_matching"
+        )
+
+
+def _align_for_append(wh: "Warehouse", rel: "Relation", df: DataFrame) -> DataFrame:
+    """Column-align ``df`` to the target's stored layout, deriving the
+    internal DAY partition column from ``partition_source`` when absent
+    (the same staging rule run_incremental_partition_merge applies)."""
+    meta = wh.read_meta(rel)
+    tgt_schema = wh.read(rel).schema
+    tgt = tgt_schema.names
+    if (
+        meta.partition_by
+        and meta.partition_by not in df.columns
+        and meta.partition_source
+        and meta.partition_source in df.columns
+    ):
+        df = df.withColumn(
+            meta.partition_by, F.to_date(F.col(meta.partition_source))
+        )
+    missing = [c for c in tgt if c not in df.columns]
+    extra = [c for c in df.columns if c not in tgt]
+    if missing or extra:
+        raise ValueError(
+            f"SQL DML: source columns do not align with {rel.table_id}: "
+            f"missing={missing} extra={extra}"
+        )
+    # cast to the target's DECLARED types (ANSI INSERT semantics; an
+    # invalid cast throws): a narrower source literal (int into bigint)
+    # would otherwise land files with a divergent physical type that
+    # breaks every later vectorized read
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt_schema.fields]
+    )
+
+
+def _stats(wh: "Warehouse", op: str, rel: "Relation", n: int) -> DataFrame:
+    return wh.spark.createDataFrame(
+        [(op, rel.table_id, int(n))],
+        "operation string, table string, n_rows long",
+    )
+
+
+def _run_source_sql(
+    wh: "Warehouse", tables: dict[str, "Relation"], source_sql: str
+) -> DataFrame:
+    """Evaluate a SELECT/VALUES source with the alias map registered as
+    temp views (same storage-semantics binding as Warehouse.sql reads)."""
+    for alias, rel in tables.items():
+        wh.read(rel).createOrReplaceTempView(alias)
+    try:
+        return wh.spark.sql(source_sql)
+    finally:
+        for alias in tables:
+            wh.spark.catalog.dropTempView(alias)
+
+
+def _parse_assignments(set_clause: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in _split_top(set_clause, ","):
+        m = re.match(r"^\s*`?(\w+)`?\s*=\s*(\S.*?)\s*$", part, re.S)
+        if not m:
+            raise ValueError(f"SQL UPDATE: cannot parse assignment {part!r}")
+        col, expr = m.group(1), m.group(2)
+        if col in out:
+            raise ValueError(f"SQL UPDATE: column {col!r} assigned twice")
+        out[col] = expr
+    return out
+
+
+def _delete(wh, tables, query: str) -> DataFrame:
+    m = re.match(r"^\s*delete\s+from\s+`?([\w.]+)`?\s*(.*?)\s*;?\s*$", query, re.I | re.S)
+    if not m:
+        raise ValueError(f"SQL DELETE: cannot parse {query!r}")
+    rel = _resolve(tables, m.group(1))
+    rest = m.group(2).strip()
+    if rest:
+        wm = re.match(r"^where\b(.*)$", rest, re.I | re.S)
+        if not wm:
+            raise ValueError(f"SQL DELETE: unexpected clause {rest!r}")
+        cond = wm.group(1).strip()
+        _reject_subquery(cond, "DELETE")
+    else:
+        cond = "true"
+    r = wh.delete_where(rel, cond)
+    return _stats(wh, "delete", rel, r["n_deleted"])
+
+
+def _update(wh, tables, query: str) -> DataFrame:
+    m = re.match(r"^\s*update\s+`?([\w.]+)`?\s+set\b(.*)$", query, re.I | re.S)
+    if not m:
+        raise ValueError(f"SQL UPDATE: cannot parse {query!r}")
+    rel = _resolve(tables, m.group(1))
+    set_clause, where = _top_kw_split(m.group(2), "where")
+    if where is None:
+        where = "true"
+    where = where.strip().rstrip(";").strip() or "true"
+    _reject_subquery(where, "UPDATE")
+    assigns = _parse_assignments(set_clause.strip().rstrip(";"))
+    _reject_subquery(" ".join(assigns.values()), "UPDATE")
+    r = wh.update_where(rel, where, assigns)
+    return _stats(wh, "update", rel, r["n_updated"])
+
+
+def _insert(wh, tables, query: str) -> DataFrame:
+    m = re.match(
+        r"^\s*insert\s+into\s+`?([\w.]+)`?\s*(\([^)]*\))?\s*"
+        r"((?:select|values|with|table)\b.*?)\s*;?\s*$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"SQL INSERT: cannot parse {query!r}")
+    rel = _resolve(tables, m.group(1))
+    col_list = (
+        [c.strip().strip("`") for c in m.group(2)[1:-1].split(",")]
+        if m.group(2)
+        else None
+    )
+    src = _run_source_sql(wh, tables, m.group(3))
+    if col_list is not None:
+        if len(col_list) != len(src.columns):
+            raise ValueError(
+                f"SQL INSERT: {len(col_list)} target columns vs "
+                f"{len(src.columns)} source columns"
+            )
+        src = src.toDF(*col_list)
+    elif m.group(3).lstrip()[:6].lower() == "values":
+        # bare VALUES yields col1..colN: map positionally onto the
+        # table's USER columns (a partition_source-derived partition
+        # column is computed, not supplied)
+        meta = wh.read_meta(rel)
+        tgt = [
+            c
+            for c in wh.read(rel).columns
+            if not (c == meta.partition_by and meta.partition_source)
+        ]
+        if len(tgt) != len(src.columns):
+            raise ValueError(
+                f"SQL INSERT: VALUES arity {len(src.columns)} vs "
+                f"{len(tgt)} columns of {rel.table_id}"
+            )
+        src = src.toDF(*tgt)
+    src = _align_for_append(wh, rel, src).localCheckpoint(eager=True)
+    n = src.count()
+    if n:
+        wh.append(rel, src)
+    return _stats(wh, "insert", rel, n)
+
+
+_MERGE_TAIL_RE = re.compile(
+    r"^\s*when\s+matched\s+then\s+update\s+set\s+\*\s+"
+    r"when\s+not\s+matched\s+then\s+insert\s+\*\s*;?\s*$",
+    re.I,
+)
+
+
+def _merge(wh, tables, query: str) -> DataFrame:
+    m = re.match(
+        r"^\s*merge\s+into\s+`?([\w.]+)`?(?:\s+(?:as\s+)?(\w+))?\s+using\s+(.*)$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"SQL MERGE: cannot parse {query!r}")
+    rel = _resolve(tables, m.group(1))
+    t_names = {m.group(1), m.group(2)} - {None}
+    rest = m.group(3).lstrip()
+    if rest.startswith("("):
+        # balanced-paren scan for the USING subquery
+        depth, q, i = 0, None, 0
+        for i, ch in enumerate(rest):
+            if q is not None:
+                if ch == q:
+                    q = None
+                continue
+            if ch in "'\"`":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise ValueError("SQL MERGE: unbalanced parens in USING subquery")
+        src_sql, rest = rest[1:i], rest[i + 1 :]
+        src = _run_source_sql(wh, tables, src_sql)
+        s_names = set()
+    else:
+        sm = re.match(r"^`?([\w.]+)`?(.*)$", rest, re.S)
+        src_name = sm.group(1)
+        rest = sm.group(2)
+        src = wh.read(_resolve(tables, src_name))
+        s_names = {src_name}
+    am = re.match(r"^\s*(?:as\s+)?(\w+)\b(.*)$", rest, re.I | re.S)
+    if am and am.group(1).lower() != "on":
+        s_names.add(am.group(1))
+        rest = am.group(2)
+    om = re.match(r"^\s*on\b(.*)$", rest, re.I | re.S)
+    if not om:
+        raise ValueError(f"SQL MERGE: expected ON clause at {rest[:40]!r}")
+    on_clause, tail = _top_kw_split(om.group(1), "when")
+    if tail is None or not _MERGE_TAIL_RE.match("when" + tail):
+        raise ValueError(
+            "SQL MERGE: only 'WHEN MATCHED THEN UPDATE SET * WHEN NOT "
+            "MATCHED THEN INSERT *' is supported — use "
+            "run_incremental_partition_merge / delete_matching for "
+            "richer clauses"
+        )
+    keys: list[str] = []
+    for conj in re.split(r"\band\b", on_clause, flags=re.I):
+        cm = re.match(
+            r"^\s*`?(\w+)`?\.`?(\w+)`?\s*=\s*`?(\w+)`?\.`?(\w+)`?\s*$", conj
+        )
+        if not cm:
+            raise ValueError(
+                f"SQL MERGE: ON must be a conjunction of t.k = s.k "
+                f"equalities, got {conj.strip()!r}"
+            )
+        q1, c1, q2, c2 = cm.groups()
+        if c1 != c2:
+            raise ValueError(
+                f"SQL MERGE: ON key names must match on both sides "
+                f"({c1!r} vs {c2!r})"
+            )
+        sides = {q1, q2}
+        if not (sides & t_names) or (s_names and not (sides & s_names)):
+            raise ValueError(
+                f"SQL MERGE: ON qualifiers {sides} must reference the "
+                f"target ({t_names}) and source ({s_names or '{subquery}'})"
+            )
+        keys.append(c1)
+    src = _align_for_append(wh, rel, src).localCheckpoint(eager=True)
+    # real engines error on a source that matches one target row twice;
+    # delete-then-append would silently keep both copies, so enforce
+    if src.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise ValueError(
+            f"SQL MERGE: source is not unique on ON keys {keys} — "
+            "pre-aggregate (e.g. QUALIFY ROW_NUMBER() = 1) first"
+        )
+    n_src = src.count()
+    if n_src:
+        wh.delete_matching(rel, src.select(*keys), keys)
+        wh.append(rel, src)
+    return _stats(wh, "merge", rel, n_src)
+
+
+def dispatch(
+    wh: "Warehouse", tables: dict[str, "Relation"], query: str
+) -> DataFrame:
+    """Execute one DML statement (caller has already matched
+    DML_HEAD_RE) and return its one-row stats frame."""
+    head = DML_HEAD_RE.match(query).group(1).lower()
+    return {
+        "delete": _delete,
+        "update": _update,
+        "insert": _insert,
+        "merge": _merge,
+    }[head](wh, tables, query)

@@ -1170,8 +1170,16 @@ class Warehouse:
         n = dels.count()
         if not n:
             return {"n_updated": 0}
+        # assignments cast to the column's DECLARED type (ANSI UPDATE
+        # semantics; overflow throws under ANSI mode) — without this a
+        # narrower literal (amt = 0 -> int into a bigint column) lands
+        # files whose physical type diverges and every later read dies
+        # with SchemaColumnConvertNotSupportedException
         exprs = {
-            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+            c: (F.expr(e) if isinstance(e, str) else e).cast(
+                df.schema[c].dataType
+            )
+            for c, e in set.items()
         }
         # size the rewrite to its row count BEFORE the partitioned append:
         # the scan's task layout would otherwise fan a small update into
@@ -1282,7 +1290,14 @@ class Warehouse:
         analysis; ``tables=None`` registers every table in the
         warehouse as ``<schema>__<identifier>``. The table state (file
         list, delete masks) is bound when this is CALLED — like any
-        DataFrame read — so re-run sql() after DML to see new state."""
+        DataFrame read — so re-run sql() after DML to see new state.
+
+        DML statements (DELETE / UPDATE / INSERT INTO / MERGE INTO)
+        dispatch to the merge-on-read operators and return a one-row
+        stats frame — see :mod:`.sql_dml` for the exact grammar; the
+        reference's user surface is SQL-first
+        (macros/materialization/incremental_partition_merge.sql:248-265),
+        so every DML operator here has the matching statement form."""
         if tables is None:
             tables = {}
             for schema in sorted(os.listdir(self.root)):
@@ -1293,6 +1308,10 @@ class Warehouse:
                     rel = self.relation(schema, ident)
                     if self.exists(rel):
                         tables[f"{schema}__{ident}"] = rel
+        from . import sql_dml
+
+        if sql_dml.DML_HEAD_RE.match(query):
+            return sql_dml.dispatch(self, tables, query)
         for alias, rel in tables.items():
             self.read(rel).createOrReplaceTempView(alias)
         try:

@@ -1,0 +1,244 @@
+"""SQL DML statements over the warehouse (sources/sql_dml.py): the
+reference's user surface is SQL-first (incremental_partition_merge.sql
+compiles MERGE/DELETE statements), so every merge-on-read DML operator
+has a statement form in Warehouse.sql. Each statement must run the
+IDENTICAL operator the DataFrame API runs — the equivalence tests here
+build twin tables and assert final-state equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.sources import TableMeta, Warehouse
+from edna_dbt_library_spark.sources.sql_dml import _split_top, _top_kw_split
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _table(spark, wh, name="t", partitioned=False):
+    rel = wh.relation("s", name)
+    meta = TableMeta(partition_by="p") if partitioned else TableMeta()
+    df = spark.createDataFrame(
+        [(k, f"v{k}", 10 * k, "a" if k < 10 else "b") for k in range(20)],
+        "k long, v string, amt long, p string",
+    ).coalesce(2)
+    wh.create_as(rel, df, meta)
+    return rel
+
+
+def _rows(wh, rel):
+    return sorted(
+        tuple(r) for r in wh.read(rel).select("k", "v", "amt", "p").collect()
+    )
+
+
+# --- parsing helpers ------------------------------------------------------
+
+
+def test_split_top_respects_parens_and_quotes():
+    assert _split_top("a = f(x, y), b = 'p,q', c = 1", ",") == [
+        "a = f(x, y)",
+        " b = 'p,q'",
+        " c = 1",
+    ]
+
+
+def test_top_kw_split_skips_nested_and_quoted():
+    before, after = _top_kw_split("x = 'where' and f(1) where k > 2", "where")
+    assert after == " k > 2" and before.rstrip().endswith("f(1)")
+    assert _top_kw_split("no clause here_where", "where") == (
+        "no clause here_where",
+        None,
+    )
+
+
+# --- DELETE ---------------------------------------------------------------
+
+
+def test_sql_delete_equals_delete_where(spark, wh):
+    """The verdict's done-criterion: SQL DELETE == delete_where on the
+    same scratch table."""
+    a, b = _table(spark, wh, "a"), _table(spark, wh, "b")
+    stats = wh.sql(
+        "DELETE FROM s__a WHERE amt >= 50 AND p = 'a'", {"s__a": a}
+    ).first()
+    r = wh.delete_where(b, "amt >= 50 AND p = 'a'")
+    assert stats["operation"] == "delete"
+    assert stats["n_rows"] == r["n_deleted"] == 5
+    assert _rows(wh, a) == _rows(wh, b)
+
+
+def test_sql_delete_without_where_deletes_all(spark, wh):
+    rel = _table(spark, wh)
+    assert wh.sql("DELETE FROM s__t", {"s__t": rel}).first()["n_rows"] == 20
+    assert wh.read(rel).count() == 0
+
+
+def test_sql_delete_rejects_subquery_predicate(spark, wh):
+    rel = _table(spark, wh)
+    with pytest.raises(ValueError, match="row-local"):
+        wh.sql(
+            "DELETE FROM s__t WHERE k IN (SELECT k FROM s__t)", {"s__t": rel}
+        )
+
+
+# --- UPDATE ---------------------------------------------------------------
+
+
+def test_sql_update_equals_update_where(spark, wh):
+    a, b = _table(spark, wh, "a"), _table(spark, wh, "b")
+    stats = wh.sql(
+        "UPDATE s__a SET amt = amt + 5, v = concat(v, ',x') WHERE k < 3",
+        {"s__a": a},
+    ).first()
+    r = wh.update_where(
+        b, "k < 3", {"amt": "amt + 5", "v": "concat(v, ',x')"}
+    )
+    assert stats["n_rows"] == r["n_updated"] == 3
+    assert _rows(wh, a) == _rows(wh, b)
+    assert (1, "v1,x", 15, "a") in _rows(wh, a)
+
+
+def test_sql_update_without_where_touches_all(spark, wh):
+    rel = _table(spark, wh)
+    assert (
+        wh.sql("UPDATE s__t SET amt = 0", {"s__t": rel}).first()["n_rows"]
+        == 20
+    )
+    assert wh.read(rel).agg(F.sum("amt")).first()[0] == 0
+
+
+def test_sql_update_bad_assignment_raises(spark, wh):
+    rel = _table(spark, wh)
+    with pytest.raises(ValueError, match="assignment"):
+        wh.sql("UPDATE s__t SET WHERE k = 1", {"s__t": rel})
+    with pytest.raises(ValueError, match="twice"):
+        wh.sql("UPDATE s__t SET amt = 1, amt = 2", {"s__t": rel})
+
+
+# --- INSERT ---------------------------------------------------------------
+
+
+def test_sql_insert_select_aligns_reordered_columns(spark, wh):
+    rel = _table(spark, wh)
+    stats = wh.sql(
+        "INSERT INTO s__t SELECT p, 1000 AS amt, 'vnew' AS v, 99 AS k "
+        "FROM s__t WHERE k = 0",
+        {"s__t": rel},
+    ).first()
+    assert stats["n_rows"] == 1
+    assert (99, "vnew", 1000, "a") in _rows(wh, rel)
+
+
+def test_sql_insert_values_positional_and_column_list(spark, wh):
+    rel = _table(spark, wh)
+    wh.sql("INSERT INTO s__t VALUES (100, 'a', 7, 'b')", {"s__t": rel})
+    assert (100, "a", 7, "b") in _rows(wh, rel)
+    wh.sql(
+        "INSERT INTO s__t (amt, k, v, p) VALUES (8, 101, 'z', 'b')",
+        {"s__t": rel},
+    )
+    assert (101, "z", 8, "b") in _rows(wh, rel)
+    with pytest.raises(ValueError, match="arity"):
+        wh.sql("INSERT INTO s__t VALUES (1, 2)", {"s__t": rel})
+
+
+def test_sql_insert_derives_partition_from_source(spark, wh):
+    rel = wh.relation("s", "pd")
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00")], "k long, ts string"
+    ).withColumns(
+        {
+            "ts": F.to_timestamp("ts"),
+            "_pdate": F.to_date(F.to_timestamp("ts")),
+        }
+    )
+    wh.create_as(
+        rel, df, TableMeta(partition_by="_pdate", partition_source="ts")
+    )
+    wh.sql(
+        "INSERT INTO s__pd SELECT 2 AS k, timestamp'2024-02-06 01:00:00' AS ts",
+        {"s__pd": rel},
+    )
+    got = {
+        (r["k"], str(r["_pdate"])) for r in wh.read(rel).collect()
+    }
+    assert got == {(1, "2024-01-05"), (2, "2024-02-06")}
+
+
+# --- MERGE ----------------------------------------------------------------
+
+
+def test_sql_merge_upserts_like_delete_matching_plus_append(spark, wh):
+    rel = _table(spark, wh, partitioned=True)
+    stats = wh.sql(
+        "MERGE INTO s__t t USING (SELECT 1 AS k, 'upd' AS v, -1 AS amt, "
+        "'a' AS p UNION ALL SELECT 99, 'new', -2, 'b') s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"s__t": rel},
+    ).first()
+    assert stats["operation"] == "merge" and stats["n_rows"] == 2
+    rows = _rows(wh, rel)
+    assert (1, "upd", -1, "a") in rows and (99, "new", -2, "b") in rows
+    assert (1, "v1", 10, "a") not in rows
+    assert len(rows) == 21
+
+
+def test_sql_merge_table_source_and_composite_keys(spark, wh):
+    rel = _table(spark, wh)
+    src = wh.relation("s", "delta")
+    wh.create_as(
+        src,
+        wh.read(rel).where("k in (2, 3)").withColumn("amt", F.lit(0)),
+        TableMeta(),
+    )
+    stats = wh.sql(
+        "MERGE INTO s__t AS t USING s__delta AS d ON t.k = d.k AND t.p = d.p "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"s__t": rel, "s__delta": src},
+    ).first()
+    assert stats["n_rows"] == 2
+    rows = _rows(wh, rel)
+    assert (2, "v2", 0, "a") in rows and (3, "v3", 0, "a") in rows
+    assert len(rows) == 20
+
+
+def test_sql_merge_rejects_nonunique_source_and_rich_clauses(spark, wh):
+    rel = _table(spark, wh)
+    with pytest.raises(ValueError, match="not unique"):
+        wh.sql(
+            "MERGE INTO s__t t USING (SELECT 1 AS k, 'a' AS v, 0 AS amt, "
+            "'a' AS p UNION ALL SELECT 1, 'b', 0, 'a') s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            {"s__t": rel},
+        )
+    with pytest.raises(ValueError, match="UPDATE SET \\*"):
+        wh.sql(
+            "MERGE INTO s__t t USING s__t s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+            {"s__t": rel},
+        )
+    with pytest.raises(ValueError, match="qualifiers"):
+        wh.sql(
+            "MERGE INTO s__t t USING (SELECT 1 AS k) s ON x.k = y.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            {"s__t": rel},
+        )
+
+
+def test_sql_dml_unknown_alias_raises(spark, wh):
+    _table(spark, wh)
+    with pytest.raises(ValueError, match="unknown table alias"):
+        wh.sql("DELETE FROM nope WHERE k = 1", {})
+
+
+def test_sql_select_still_works_after_dml_dispatch(spark, wh):
+    rel = _table(spark, wh)
+    wh.sql("DELETE FROM s__t WHERE k >= 10", {"s__t": rel})
+    assert (
+        wh.sql("SELECT count(*) AS n FROM s__t", {"s__t": rel}).first()["n"]
+        == 10
+    )
