@@ -22,11 +22,13 @@ Scale notes
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
 import shutil
 import sys
+import uuid
 import warnings
 from dataclasses import dataclass, field
 
@@ -34,6 +36,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 META_FILE = "_edna_meta.json"
+
+
+class InjectedCrash(BaseException):
+    """Crash-injection for the DML atomicity tests: BaseException so the
+    in-process abort cleanup does NOT run — exactly like a kill -9."""
+
+
+def _is_pending_file(basename: str, pending: list[str]) -> bool:
+    """True when ``basename`` belongs to an uncommitted transaction."""
+    return basename.startswith("txn-") and any(
+        basename.startswith(f"txn-{t}-") for t in pending
+    )
 
 
 def _is_hidden(name: str) -> bool:
@@ -867,7 +881,159 @@ class Warehouse:
         return os.path.join(self.path(rel), "_edna_deletes")
 
     def _delete_files(self, rel: Relation) -> list[str]:
-        return sorted(glob.glob(os.path.join(self._deletes_dir(rel), "*.parquet")))
+        files = sorted(glob.glob(os.path.join(self._deletes_dir(rel), "*.parquet")))
+        pending = self._pending_txids(rel)
+        if pending:
+            files = [
+                p
+                for p in files
+                if not _is_pending_file(os.path.basename(p), pending)
+            ]
+        return files
+
+    # --- atomic multi-step DML commit ---------------------------------------
+    # A statement that must land BOTH new data files and a delete-sidecar
+    # shard (update_where) — or wants its shard to appear as one unit
+    # (delete_where/delete_matching write several part files) — runs
+    # inside a pending-marker transaction: every artifact is written
+    # under a `txn-<txid>-` name that ALL read paths ignore while
+    # `_edna_pending/<txid>.json` exists, and the commit is the single
+    # atomic removal of that marker. A crash at any earlier point leaves
+    # the table byte-for-byte readable at its pre-statement state (no
+    # transient duplicates, no half-visible deletes), making every DML
+    # retry safe — including self-referential UPDATE sets (v = v + 1),
+    # the caveat the pre-txn design documented. vacuum() sweeps the
+    # invisible artifacts of crashed transactions. Single-writer
+    # semantics as everywhere in this warehouse. The one reader outside
+    # the contract is streaming's file-stream source (it lists raw
+    # files), which already documents its raw-row boundary.
+
+    def _pending_dir(self, rel: Relation) -> str:
+        return os.path.join(self.path(rel), "_edna_pending")
+
+    def _pending_txids(self, rel: Relation) -> list[str]:
+        try:
+            return sorted(
+                fn[:-5]
+                for fn in os.listdir(self._pending_dir(rel))
+                if fn.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+
+    def _maybe_crash(self, point: str) -> None:
+        """Crash-injection hook for the atomicity tests: raises a
+        BaseException-derived error (so the txn abort cleanup does NOT
+        run, exactly like a process kill) when `_txn_crash_point`
+        matches."""
+        if getattr(self, "_txn_crash_point", None) == point:
+            raise InjectedCrash(point)
+
+    @contextlib.contextmanager
+    def _txn(self, rel: Relation, op: str):
+        """Pending-marker transaction: yields the txid; the marker
+        unlink on exit IS the commit point. An in-process failure
+        aborts cleanly (artifacts swept, marker removed — nothing ever
+        became visible); a process crash leaves the marker, and every
+        read path keeps serving the pre-statement state until vacuum()
+        sweeps the orphans."""
+        txid = uuid.uuid4().hex[:12]
+        pdir = self._pending_dir(rel)
+        os.makedirs(pdir, exist_ok=True)
+        marker = os.path.join(pdir, f"{txid}.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"op": op}, f)
+        os.replace(tmp, marker)
+        try:
+            yield txid
+        except Exception:
+            self._sweep_txn(rel, txid)
+            os.unlink(marker)
+            raise
+        self._maybe_crash("before_commit")
+        os.unlink(marker)  # COMMIT
+
+    def _sweep_txn(self, rel: Relation, txid: str) -> int:
+        """Remove every (invisible) artifact of one transaction:
+        staging dir, txn-named delete shards, txn-named data files."""
+        n = 0
+        staging = os.path.join(self.path(rel), "_staging", txid)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+            n += 1
+        prefix = f"txn-{txid}-"
+        for dirpath, dirs, fnames in os.walk(self.path(rel)):
+            dirs[:] = [
+                d for d in dirs if not _is_hidden(d) or d == "_edna_deletes"
+            ]
+            for fn in fnames:
+                if fn.startswith(prefix):
+                    os.unlink(os.path.join(dirpath, fn))
+                    n += 1
+        return n
+
+    def _raw_scan(self, rel: Relation, meta: TableMeta) -> DataFrame:
+        """Raw parquet scan of the table's COMMITTED data files (the
+        `_metadata` pseudo-column stays resolvable — no joins applied).
+        DML scans must come through here: a plain directory read would
+        see a crashed transaction's invisible txn-named files, and an
+        update/delete over those rows would resurrect them."""
+        base = self.path(rel)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        if self._pending_txids(rel):
+            live = self._live_data_files(rel)
+            if meta.partition_by:
+                reader = reader.option("basePath", base)
+            return reader.parquet(*(os.path.join(base, f) for f in live))
+        return reader.parquet(base)
+
+    def _stage_delete_shard(
+        self, rel: Relation, dels: DataFrame, n: int, txid: str
+    ) -> None:
+        """Write a delete-sidecar shard under the transaction's
+        invisible name (visible as one unit at commit)."""
+        dtmp = self._deletes_dir(rel) + f".txn-{txid}"
+        dels.repartition(max(1, -(-n // 10_000_000))).write.mode(
+            "overwrite"
+        ).parquet(dtmp)
+        os.makedirs(self._deletes_dir(rel), exist_ok=True)
+        for i, p in enumerate(sorted(glob.glob(os.path.join(dtmp, "*.parquet")))):
+            os.rename(
+                p,
+                os.path.join(
+                    self._deletes_dir(rel), f"txn-{txid}-{i}.parquet"
+                ),
+            )
+        shutil.rmtree(dtmp, ignore_errors=True)
+
+    def _stage_data_files(
+        self, rel: Relation, df: DataFrame, meta: TableMeta, txid: str
+    ) -> None:
+        """Write ``df`` with the table's layout into the hidden staging
+        dir, then move each file into its partition dir under the
+        transaction's invisible name."""
+        base = self.path(rel)
+        staging = os.path.join(base, "_staging", txid)
+        self._writer(df, meta).mode("overwrite").save(staging)
+        self._maybe_crash("after_stage_write")
+        skip = len(staging) + 1
+        for dirpath, _dirs, fnames in os.walk(staging):
+            relpart = dirpath[skip:]
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                dest_dir = os.path.join(base, relpart) if relpart else base
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(
+                    os.path.join(dirpath, fn),
+                    os.path.join(dest_dir, f"txn-{txid}-{fn}"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.rmdir(os.path.join(base, "_staging"))
 
     @staticmethod
     def _files_bytes(paths: list[str]) -> int:
@@ -948,10 +1114,7 @@ class Warehouse:
         if not self._has_data_files(rel):
             return {"n_deleted": 0}
         base = self.path(rel)
-        reader = self.spark.read
-        if meta.schema_evolved:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(base)
+        df = self._raw_scan(rel, meta)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         # predicate first, on the untouched scan columns — the helper
         # projections must not shadow a data column named file/pos
@@ -967,10 +1130,10 @@ class Warehouse:
         matched = matched.localCheckpoint(eager=True)
         n = matched.count()
         if n:
-            nparts = max(1, -(-n // 10_000_000))
-            matched.repartition(nparts).write.mode("append").parquet(
-                self._deletes_dir(rel)
-            )
+            # txn so a multi-part shard becomes visible as ONE unit —
+            # a reader never observes a partial cut of the statement
+            with self._txn(rel, "delete_where") as txid:
+                self._stage_delete_shard(rel, matched, n, txid)
         return {"n_deleted": n}
 
     def apply_deletes(self, rel: Relation) -> dict:
@@ -1058,6 +1221,8 @@ class Warehouse:
         if meta.schema_evolved:
             reader = reader.option("mergeSchema", "true")
         probe = keys_df.select(*keys).dropDuplicates(keys)
+        # (the cand branch below reads live files only; the fallback
+        # goes through _raw_scan — both exclude uncommitted txn files)
         # the set-probe costs a few fixed Spark jobs (needs checkpoint,
         # word count, hits collect): only worth paying when the table
         # has enough files for pruning to beat one combined scan
@@ -1074,7 +1239,7 @@ class Warehouse:
                 reader = reader.option("basePath", base)
             df = reader.parquet(*(os.path.join(base, f) for f in cand))
         else:
-            df = reader.parquet(base)
+            df = self._raw_scan(rel, meta)
         # `_metadata` resolves only on the raw scan node: project the
         # positions alongside the keys BEFORE joining (helper names
         # avoid shadowing a key literally called file/pos)
@@ -1096,9 +1261,8 @@ class Warehouse:
         matched = matched.localCheckpoint(eager=True)
         n = matched.count()
         if n:
-            matched.repartition(max(1, -(-n // 10_000_000))).write.mode(
-                "append"
-            ).parquet(self._deletes_dir(rel))
+            with self._txn(rel, "delete_matching") as txid:
+                self._stage_delete_shard(rel, matched, n, txid)
         return {"n_deleted": n}
 
     def purge_keys(self, rel: Relation, keys_df: DataFrame, keys: list[str]) -> dict:
@@ -1130,23 +1294,21 @@ class Warehouse:
         Updating the partition column is allowed: the appended rows
         land in their new partitions.
 
-        Commit-point semantics (this warehouse has no transactions):
-        the new rows are appended FIRST and the delete sidecar written
-        LAST, so the sidecar write is the commit — a reader between the
-        two steps sees transient duplicates (old + new), never missing
-        rows, and a crash before the sidecar write is repaired by
-        re-running the same call IF the set expressions are absolute
-        (v = 5); self-referential sets (v = v + 1) would double-apply
-        to the surviving new rows, the same caveat every non-MVCC
-        UPDATE retry has. Returns {"n_updated": rows}."""
+        ATOMIC commit: both sides of the statement — the rewritten
+        rows and the delete-sidecar shard masking their originals —
+        are written under a pending-marker transaction (see
+        :meth:`_txn`) and become visible together when the marker is
+        unlinked. A reader at ANY intermediate point (or after a
+        crash) sees exactly the pre-statement table: no transient
+        duplicates, no half-applied sets — so retrying a crashed
+        update is always safe, including self-referential sets
+        (v = v + 1), closing the caveat the pre-txn design documented.
+        Returns {"n_updated": rows}."""
         meta = self.read_meta(rel)
         if not self._has_data_files(rel):
             return {"n_updated": 0}
         base = self.path(rel)
-        reader = self.spark.read
-        if meta.schema_evolved:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(base)
+        df = self._raw_scan(rel, meta)
         bad = [c for c in set if c not in df.columns]
         if bad:
             raise ValueError(f"update_where: unknown columns {bad}")
@@ -1193,12 +1355,12 @@ class Warehouse:
             .coalesce(max(1, -(-n // 2_000_000)))
             .localCheckpoint(eager=True)
         )
-        self.append(rel, updated)
-        dels.repartition(max(1, -(-n // 10_000_000))).write.mode("append").parquet(
-            self._deletes_dir(rel)
-        )
-        # the append laid down new files: keep file skipping online
-        # (incremental — only the new files' footers are opened)
+        with self._txn(rel, "update_where") as txid:
+            self._stage_data_files(rel, updated, meta, txid)
+            self._maybe_crash("after_data_move")
+            self._stage_delete_shard(rel, dels, n, txid)
+        # committed — keep file skipping online (incremental: only the
+        # new files' footers are opened)
         self._refresh_skipping_sidecars(rel)
         return {"n_updated": int(updated.count())}
 
@@ -1209,9 +1371,20 @@ class Warehouse:
         failure), and compacts the delete sidecar down to entries whose
         data file is still live (compact / optimize_layout /
         expire_partitions leave harmless-but-dead positional entries
-        behind). Bounded by the directory listing + the sidecar size —
-        no data scan. Returns {"staging_removed", "delete_entries_pruned"}."""
+        behind), and sweeps the invisible artifacts of CRASHED DML
+        transactions (pending markers whose statements never
+        committed — see :meth:`_txn`; single-writer contract: don't
+        vacuum under a live writer). Bounded by the directory listing +
+        the sidecar size — no data scan. Returns {"staging_removed",
+        "delete_entries_pruned", "txns_swept"}."""
         base = self.path(rel)
+        txns = 0
+        for txid in self._pending_txids(rel):
+            self._sweep_txn(rel, txid)
+            os.unlink(os.path.join(self._pending_dir(rel), f"{txid}.json"))
+            txns += 1
+        with contextlib.suppress(OSError):
+            os.rmdir(self._pending_dir(rel))
         staging = 0
         for dirpath, dirs, _files in os.walk(base):
             for d in list(dirs):
@@ -1240,7 +1413,11 @@ class Warehouse:
                 ).parquet(tmp)
                 shutil.rmtree(self._deletes_dir(rel))
                 os.rename(tmp, self._deletes_dir(rel))
-        return {"staging_removed": staging, "delete_entries_pruned": pruned}
+        return {
+            "staging_removed": staging,
+            "delete_entries_pruned": pruned,
+            "txns_swept": txns,
+        }
 
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:
@@ -1265,7 +1442,22 @@ class Warehouse:
             # on_schema_change evolution path); scoped to evolved tables
             # because footer merging has a cost at large file counts
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(self.path(rel))
+        if self._pending_txids(rel):
+            # a crashed (or in-flight) transaction left invisible
+            # txn-named files in the data dirs: read by explicit live
+            # file list so the statement stays invisible until its
+            # commit. The no-pending fast path below is the normal case.
+            live = self._live_data_files(rel)
+            if not live:
+                return self.spark.createDataFrame(
+                    [], self.spark.read.parquet(self.path(rel)).schema
+                ).limit(0)
+            if meta.partition_by:
+                reader = reader.option("basePath", self.path(rel))
+            base = self.path(rel)
+            df = reader.parquet(*(os.path.join(base, f) for f in live))
+        else:
+            df = reader.parquet(self.path(rel))
         # merge-on-read: mask positionally-deleted rows (no-op glob
         # when the table has no delete sidecar)
         df = self._merge_deletes(df, self._delete_files(rel), self.path(rel))
@@ -1715,16 +1907,17 @@ class Warehouse:
         ]
         v = max(versions, default=0) + 1
         vdir = os.path.join(snaps, f"v{v}")
+        # an EMPTY table (created from a 0-row batch) still snapshots —
+        # the loops below may create nothing, the manifest must land
+        os.makedirs(vdir, exist_ok=True)
+        # _live_data_files (not a raw walk): an uncommitted/crashed
+        # transaction's txn-named files must never be pinned in a version
         files: list[str] = []
-        for dirpath, dirs, fnames in os.walk(base):
-            dirs[:] = [d for d in dirs if not _is_hidden(d)]
-            for fn in fnames:
-                if fn.endswith(".parquet"):
-                    relp = os.path.relpath(os.path.join(dirpath, fn), base)
-                    dst = os.path.join(vdir, "data", relp)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.link(os.path.join(dirpath, fn), dst)
-                    files.append(relp)
+        for relp in self._live_data_files(rel):
+            dst = os.path.join(vdir, "data", relp)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(os.path.join(base, relp), dst)
+            files.append(relp)
         # delete vectors are table STATE: a version pinned without them
         # would resurrect deleted rows on read_version/restore (Iceberg
         # manifests track delete files for the same reason)
@@ -1870,19 +2063,24 @@ class Warehouse:
 
     def _live_data_files(self, rel: Relation) -> list[str]:
         base = self.path(rel)
+        pending = self._pending_txids(rel)
         skip = len(base) + 1  # prefix-slice instead of per-file relpath:
         # os.walk roots every dirpath at base, and relpath() is ~20x the
         # cost of the slice (it dominated prune_files at 100k files)
         out = []
         for dirpath, dirs, fnames in os.walk(base):
             dirs[:] = [d for d in dirs if not _is_hidden(d)]
+            keep = [
+                fn
+                for fn in fnames
+                if fn.endswith(".parquet")
+                and not (pending and _is_pending_file(fn, pending))
+            ]
             prefix = dirpath[skip:]
             if prefix:
-                out.extend(
-                    f"{prefix}/{fn}" for fn in fnames if fn.endswith(".parquet")
-                )
+                out.extend(f"{prefix}/{fn}" for fn in keep)
             else:
-                out.extend(fn for fn in fnames if fn.endswith(".parquet"))
+                out.extend(keep)
         return sorted(out)
 
     def _delta_chain(self, rel: Relation, since: int, to: int) -> list[str] | None:
@@ -2071,6 +2269,48 @@ class Warehouse:
                         F.col("pos").alias("__del_pos"),
                     ),
                     self._plan_size_bytes(delta),
+                ),
+                ["__del_file", "__del_pos"],
+            )
+            .select(*cols)
+        )
+
+    def materialize_delete_entries(
+        self, rel: Relation, entries: DataFrame
+    ) -> DataFrame:
+        """FULL rows for a frame of positional delete entries
+        (file, pos), scanned from the CURRENT data files — the
+        building block the streaming changelog source uses to turn a
+        delete-sidecar micro-batch into row-level delete records. Only
+        the affected files are opened (entry-delta-sized, never the
+        table); entries whose file no longer exists are skipped (the
+        same maintenance boundary read_deleted_rows documents)."""
+        meta = self.read_meta(rel)
+        base = self.path(rel)
+        entries = entries.select("file", "pos").localCheckpoint(eager=True)
+        affected = sorted(
+            {r["file"] for r in entries.select("file").distinct().collect()}
+            & set(self._live_data_files(rel))
+        )
+        if not affected:
+            return self.read(rel).limit(0)
+        reader = self.spark.read
+        if meta.schema_evolved:
+            reader = reader.option("mergeSchema", "true")
+        if meta.partition_by:
+            reader = reader.option("basePath", base)
+        scan = reader.parquet(*(os.path.join(base, f) for f in affected))
+        cols = scan.columns
+        return (
+            scan.withColumn("__del_file", self._rel_file_path(base))
+            .withColumn("__del_pos", F.col("_metadata.row_index"))
+            .join(
+                self._gate_broadcast(
+                    entries.select(
+                        F.col("file").alias("__del_file"),
+                        F.col("pos").alias("__del_pos"),
+                    ),
+                    self._plan_size_bytes(entries),
                 ),
                 ["__del_file", "__del_pos"],
             )
