@@ -6788,11 +6788,92 @@ def changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_REPLICA_SYNC_ORACLE = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'X' ELSE o_orderstatus END AS st,
+       o_totalprice AS price
+FROM orders WHERE NOT o_totalprice < 10000
+UNION ALL
+SELECT o_orderkey + 1000000000 AS okey, 'N' AS st, o_totalprice AS price
+FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+@_register("replica_sync_state", _REPLICA_SYNC_ORACLE)
+def replica_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-driven replica maintenance gate
+    (operators/materializations.run_replica_sync — the CDC-apply every
+    replication pipeline ends in): a source table takes a full baseline
+    sync, then a multi-DML window (predicate DELETE, partition-moving
+    UPDATE, fresh APPEND), then ONE delta sync — and the REPLICA's
+    row-level final state must equal the oracle's direct derivation
+    from raw parquet (live rows with the update's CASE applied, plus
+    the appended batch). Any leak (a delete the sync missed),
+    resurrection (an update original it failed to mask) or drop (an
+    insert it lost) hash-mismatches on its row. In-query asserts pin
+    the MODES (first sync full, second delta) and that the delta
+    shipped far fewer rows than the replica holds — a silent rebuild
+    fails the gate. Same scratch-warehouse + localCheckpoint-before-
+    rmtree discipline as incremental_store_state.
+    Reference analogue: incremental_partition_merge.sql:248-265's
+    merge-apply contract, consumed from the changelog side."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_replica_sync,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="edna_repsync_")
+    try:
+        wh = Warehouse(spark, root)
+        src_rel = wh.relation("scratch", "orders_src")
+        rep_rel = wh.relation("scratch", "orders_rep")
+        wh.create_as(
+            src_rel,
+            o.withColumn("st", F.col("o_orderstatus")).repartition(4),
+            TableMeta(partition_by="st"),
+        )
+        r1 = run_replica_sync(wh, src_rel, rep_rel, keys=["o_orderkey"])
+        assert r1["mode"] == "full", r1
+        wh.delete_where(src_rel, F.col("o_totalprice") < 10000)
+        wh.update_where(
+            src_rel, "o_orderpriority = '1-URGENT'", {"st": F.lit("X")}
+        )
+        extra = (
+            o.where("o_orderpriority = '2-HIGH'")
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+            .withColumn("st", F.lit("N"))
+        )
+        wh.append(src_rel, extra)
+        r2 = run_replica_sync(wh, src_rel, rep_rel, keys=["o_orderkey"])
+        assert r2["mode"] == "delta", r2
+        assert r2["n_inserted"] > 0 and r2["n_deleted_keys"] > 0, r2
+        res = (
+            wh.read(rep_rel)
+            .select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("st"),
+                F.col("o_totalprice").alias("price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_rep = res.count()
+        assert n_rep == wh.read(src_rel).count()  # replica == source
+        assert r2["n_inserted"] < n_rep  # delta apply, not a rebuild
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle
     d = REGISTRY["delete_vectors_read"].oracle
     c = REGISTRY["changelog_feed"].oracle
+    r = REGISTRY["replica_sync_state"].oracle
     return f"""
 SELECT src, id, key, cell, 0.0::DOUBLE AS value
 FROM ({i})
@@ -6807,7 +6888,11 @@ FROM ({d})
 UNION ALL
 SELECT 'changelog' AS src, okey AS id,
        change_type || '|' || st AS key, 0::BIGINT AS cell, 0.0::DOUBLE AS value
-FROM ({c})"""
+FROM ({c})
+UNION ALL
+SELECT 'replica_sync' AS src, okey AS id,
+       st AS key, 0::BIGINT AS cell, price AS value
+FROM ({r})"""
 
 
 @_register("stateful_store_state", _stateful_store_oracle())
@@ -6824,12 +6909,17 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     folding them in must agree with a raw parquet read) AND the
     row-level changelog (Warehouse.read_changelog: a DELETE + a
     partition-moving UPDATE between snapshots must emit exactly the
-    derivable insert/delete rows). Together they gate every
-    persistent-state surface: store contents converge, the incremental
-    feed off a store is exact, and row-level DML neither leaks nor
-    resurrects. Granulars incremental_store_state /
-    warehouse_changes_state / delete_vectors_read / changelog_feed
-    stay registered.
+    derivable insert/delete rows) AND, since r9, changelog-driven
+    replica maintenance (run_replica_sync: after a full baseline + a
+    multi-DML window + one delta sync, the replica's row-level state
+    must equal the oracle's direct derivation — see
+    replica_sync_state). Together they gate every persistent-state
+    surface: store contents converge, the incremental feed off a store
+    is exact, row-level DML neither leaks nor resurrects, and the
+    CDC-apply that consumes it reproduces the source. Granulars
+    incremental_store_state / warehouse_changes_state /
+    delete_vectors_read / changelog_feed / replica_sync_state stay
+    registered.
     Reference analogue: incremental_partition_merge.sql's
     rerun-idempotency + incremental_log.sql:53-60's incremental-scan
     contract."""
@@ -6837,6 +6927,7 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = REGISTRY["warehouse_changes_state"].spark(spark, sf_dir)
     dlv = REGISTRY["delete_vectors_read"].spark(spark, sf_dir)
     clg = REGISTRY["changelog_feed"].spark(spark, sf_dir)
+    rps = REGISTRY["replica_sync_state"].spark(spark, sf_dir)
     return (
         inc.select(
             "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
@@ -6866,6 +6957,15 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("|", F.col("change_type"), F.col("st")).alias("key"),
                 F.lit(0).cast("long").alias("cell"),
                 F.lit(0.0).cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            rps.select(
+                F.lit("replica_sync").alias("src"),
+                F.col("okey").cast("long").alias("id"),
+                F.col("st").alias("key"),
+                F.lit(0).cast("long").alias("cell"),
+                F.col("price").cast("double").alias("value"),
             )
         )
     )

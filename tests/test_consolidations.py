@@ -511,7 +511,7 @@ def test_incremental_store_state_replay_is_idempotent(spark, tmp_path):
 
 def test_stateful_store_state_equals_granular_composition(spark):
     """r7 scored row == incremental_store_state ∪ warehouse_changes_state
-    (∪ delete_vectors_read since r8)."""
+    (∪ delete_vectors_read since r8, ∪ replica_sync_state since r9)."""
     reg = qmod.all_queries()
     scored = reg["stateful_store_state"](spark, SF)
     inc = reg["incremental_store_state"](spark, SF).select(
@@ -538,8 +538,19 @@ def test_stateful_store_state_equals_granular_composition(spark):
         F.lit(0).cast("long").alias("cell"),
         F.lit(0.0).cast("double").alias("value"),
     )
+    rps = reg["replica_sync_state"](spark, SF).select(
+        F.lit("replica_sync").alias("src"),
+        F.col("okey").cast("long").alias("id"),
+        F.col("st").alias("key"),
+        F.lit(0).cast("long").alias("cell"),
+        F.col("price").cast("double").alias("value"),
+    )
     assert _rows(scored) == _rows(
-        inc.unionAll(chg).unionAll(dlv).unionAll(clg).select(*scored.columns)
+        inc.unionAll(chg)
+        .unionAll(dlv)
+        .unionAll(clg)
+        .unionAll(rps)
+        .select(*scored.columns)
     )
 
 
