@@ -5,6 +5,7 @@ keep runtime sane."""
 import struct
 import uuid as pyuuid
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -514,10 +515,18 @@ _DML_OPS = st.lists(
         st.tuples(st.just("update"), st.integers(0, 6)),   # set v for k % 7 == r
         st.tuples(st.just("append"), st.integers(0, 4)),   # 3 new rows, batch tag
         st.tuples(st.just("apply"), st.integers(0, 0)),
+        # crash injection (warehouse._txn): the statement dies at the
+        # given point and must be INVISIBLE — the model is unchanged,
+        # and every later op must compose over the orphaned artifacts
+        st.tuples(st.just("crash_update"), st.integers(0, 2)),
+        st.tuples(st.just("crash_delete"), st.integers(0, 0)),
+        st.tuples(st.just("vacuum"), st.integers(0, 0)),
     ),
     min_size=1,
     max_size=5,
 )
+
+_CRASH_POINTS = ["after_stage_write", "after_data_move", "before_commit"]
 
 
 @settings(max_examples=5, deadline=None)
@@ -553,6 +562,35 @@ def test_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
             )
             model.update({k: (v, p) for k, v, p in batch})
             next_k += 3
+        elif op == "crash_update":
+            from edna_dbt_library_spark.sources.warehouse import InjectedCrash
+
+            wh._txn_crash_point = _CRASH_POINTS[arg]
+            try:
+                # a 0-match update returns before the txn starts, so the
+                # injected point is only reached when rows match
+                if any(k % 5 == 1 for k in model):
+                    with pytest.raises(InjectedCrash):
+                        wh.update_where(rel, "k % 5 = 1", {"v": F.lit("ghost")})
+                else:
+                    wh.update_where(rel, "k % 5 = 1", {"v": F.lit("ghost")})
+            finally:
+                wh._txn_crash_point = None
+            # model UNCHANGED: the crashed statement never happened
+        elif op == "crash_delete":
+            from edna_dbt_library_spark.sources.warehouse import InjectedCrash
+
+            wh._txn_crash_point = "before_commit"
+            try:
+                if any(k % 5 == 2 for k in model):
+                    with pytest.raises(InjectedCrash):
+                        wh.delete_where(rel, "k % 5 = 2")
+                else:
+                    wh.delete_where(rel, "k % 5 = 2")
+            finally:
+                wh._txn_crash_point = None
+        elif op == "vacuum":
+            wh.vacuum(rel)  # sweeps crashed txns; never changes content
         else:
             wh.apply_deletes(rel)  # must never change visible content
         got = {
