@@ -696,6 +696,37 @@ full-row materialization although the delete side only needs KEYS —
 reading the two sides separately and selecting keys before the
 checkpoint lets Catalyst prune the affected-file scan to the key
 columns (19.1 -> 16.0 s sparse, 5.2 -> 4.0 s local).
+
+Round 9 re-run (same tool, same host class, after the atomic-txn DML
+commit landed): full 15.3 s, uniform-sparse 19.7 s, one-day local
+5.2 s — the pending-marker transaction machinery costs nothing
+measurable on the data path.
+
+## Sparse-key probe: bloom set-probe file pruning (round 9)
+
+Same stress, new section: a 2,000-key purge window against a
+bloom-indexed replica (`Warehouse.bloom_candidate_files` — the
+distributed SET probe `delete_matching`/`run_replica_sync` now use).
+
+| window | files opened | delta sync s |
+|---|---|---|
+| sparse-key, bloom-pruned | 2 / 3,347 | 8.9 (index build 12.9) |
+| sparse-key, no index | 3,347 / 3,347 (full key-column scan) | 5.0 |
+
+The prune is a 1,674x SCAN cut; at toy scale (2.4k-row files on
+local disk) the probe's ~4 s of fixed job latency exceeds the saved
+scan, which is why `BLOOM_PROBE_MIN_FILES` gates the probe and the
+claim is scan-proportionality, not local wall: at 100 TB the same
+probe opens 2 files instead of 3,347 x ~100 MB. Sizing matters for
+SET probes — per-(key,file) fpp must be well under
+1/(|probe| x n_files): 1<<16 bits/file (fpp 3e-5) produced 535
+false-candidate files for this probe; 1<<18 (fpp ~4e-9) is exact;
+oversizing to 1<<23 blew the sidecar to 56M rows and the index
+build to 60 s. The probe plan itself is scale-flat: the sidecar
+scan is semi-joined down to the probe's needed words (bounded by
+min(|values| x k, m/64)) before any shuffle — the unfiltered form
+re-shuffled the whole 56M-row sidecar per probe (19 s); the
+filtered form is bounded by the probe's word footprint.
 """
 
 
