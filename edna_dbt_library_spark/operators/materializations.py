@@ -527,6 +527,25 @@ def run_scd2_snapshot(
 # CDC-driven derived-table refresh: read_changes + partition merge
 
 
+def _watermark_begin(wh: Warehouse, source: Relation, note: str):
+    """Begin a crash-safe watermark window: sweep stale '!pending'
+    snapshots (hard-crashed attempts whose window was never applied —
+    an `except` can't catch a process kill, and treating them as
+    watermarks would make the next run diff FROM them and silently
+    skip the crashed window), pick the last PROMOTED watermark, and
+    pin a new '!pending' snapshot. The caller promotes it with
+    `set_snapshot_note` only after the apply succeeds — that rename is
+    the watermark's commit point."""
+    snaps = wh.list_snapshots(source)
+    for s in snaps:
+        if s.get("note") == note + "!pending":
+            wh.drop_snapshot(source, s["version"])
+    prior = [s for s in snaps if s.get("note") == note]
+    last_v = prior[-1]["version"] if prior else None
+    new_v = wh.snapshot(source, note=note + "!pending")
+    return last_v, prior, new_v
+
+
 def run_cdc_refresh(
     wh: Warehouse,
     source: Relation,
@@ -568,10 +587,7 @@ def run_cdc_refresh(
     First run = full ``transform(read_version(source, new_v))``.
     """
     note = f"cdc:{target.table_id}"
-    prior = [s for s in wh.list_snapshots(source) if s.get("note") == note]
-    last_v = prior[-1]["version"] if prior else None
-
-    new_v = wh.snapshot(source, note=note)
+    last_v, prior, new_v = _watermark_begin(wh, source, note)
     try:
         if last_v is None:
             batch = transform(wh.read_version(source, new_v))
@@ -581,6 +597,7 @@ def run_cdc_refresh(
     except Exception:
         wh.drop_snapshot(source, new_v)  # failed refresh leaves watermark as-was
         raise
+    wh.set_snapshot_note(source, new_v, note)  # PROMOTE: watermark commit
     for s in prior:  # selective: only this target's superseded watermarks
         wh.drop_snapshot(source, s["version"])
     result["cdc_watermark"] = new_v
@@ -626,12 +643,9 @@ def run_replica_sync(
     Returns {"mode": "full"|"delta", "n_inserted", "n_deleted_keys",
     "replica_watermark"}."""
     note = f"replica:{replica.table_id}"
-    prior = [s for s in wh.list_snapshots(source) if s.get("note") == note]
-    last_v = prior[-1]["version"] if prior else None
+    last_v, prior, new_v = _watermark_begin(wh, source, note)
     if last_v is not None and not wh.exists(replica):
         last_v = None  # replica dropped: re-baseline
-
-    new_v = wh.snapshot(source, note=note)
     try:
         if last_v is None:
             src = wh.read_version(source, new_v)
@@ -664,17 +678,21 @@ def run_replica_sync(
                 ins.select(*keys).unionByName(del_keys).dropDuplicates(keys)
             ).localCheckpoint(eager=True)
             n_delk = int(touched.count())
-            if n_delk:
-                wh.delete_matching(replica, touched, keys)
             n_ins = int(ins.count())
-            if n_ins:
-                # size the landing files to the window, not to the
-                # changelog scan's task layout (same small-files rule as
-                # update_where's rewrite append)
-                wh.append(replica, ins.coalesce(max(1, -(-n_ins // 2_000_000))))
+            if n_delk or n_ins:
+                # ONE atomic apply (Warehouse.upsert_matching): the
+                # touched-key masks and the window's inserts commit
+                # together — a replica reader never observes the
+                # deletes without the replacements, and a crashed
+                # apply leaves the previous replica state exactly
+                # (the sync replays convergently off its watermark)
+                wh.upsert_matching(
+                    replica, ins, keys, delete_keys_df=touched
+                )
     except Exception:
         wh.drop_snapshot(source, new_v)
         raise
+    wh.set_snapshot_note(source, new_v, note)  # PROMOTE: watermark commit
     for s in prior:
         wh.drop_snapshot(source, s["version"])
     return {

@@ -369,8 +369,10 @@ def _merge(wh, tables, query: str) -> DataFrame:
         )
     n_src = src.count()
     if n_src:
-        wh.delete_matching(rel, src.select(*keys), keys)
-        wh.append(rel, src)
+        # ONE atomic statement: the key masks and the inserted rows
+        # commit together (a crash can never show deletes without
+        # their replacements)
+        wh.upsert_matching(rel, src, keys)
     return _stats(wh, "merge", rel, n_src)
 
 

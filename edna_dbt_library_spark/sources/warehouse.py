@@ -1213,9 +1213,22 @@ class Warehouse:
         O(delta + candidate files) rather than one full key-column scan
         of the table — the fail-safe superset contract means an
         unindexed or stale file is always scanned."""
-        meta = self.read_meta(rel)
         if not self._has_data_files(rel):
             return {"n_deleted": 0}
+        matched, n = self._matching_delete_entries(rel, keys_df, keys)
+        if n:
+            with self._txn(rel, "delete_matching") as txid:
+                self._stage_delete_shard(rel, matched, n, txid)
+        return {"n_deleted": n}
+
+    def _matching_delete_entries(
+        self, rel: Relation, keys_df: DataFrame, keys: list[str]
+    ) -> tuple[DataFrame | None, int]:
+        """Checkpointed (file, pos) entries of the NOT-yet-masked rows
+        whose key columns match ``keys_df`` — the probe core shared by
+        delete_matching and upsert_matching (bloom candidate-file
+        pruning included)."""
+        meta = self.read_meta(rel)
         base = self.path(rel)
         reader = self.spark.read
         if meta.schema_evolved:
@@ -1234,7 +1247,7 @@ class Warehouse:
                     break
         if cand is not None:
             if not cand:
-                return {"n_deleted": 0}
+                return None, 0
             if meta.partition_by:
                 reader = reader.option("basePath", base)
             df = reader.parquet(*(os.path.join(base, f) for f in cand))
@@ -1259,11 +1272,45 @@ class Warehouse:
                 self._prior_deletes(existing), ["file", "pos"], "left_anti"
             )
         matched = matched.localCheckpoint(eager=True)
-        n = matched.count()
-        if n:
-            with self._txn(rel, "delete_matching") as txid:
-                self._stage_delete_shard(rel, matched, n, txid)
-        return {"n_deleted": n}
+        return matched, matched.count()
+
+    def upsert_matching(
+        self,
+        rel: Relation,
+        src: DataFrame,
+        keys: list[str],
+        delete_keys_df: DataFrame | None = None,
+    ) -> dict:
+        """Keyed UPSERT as ONE atomic statement: rows matching ``src``'s
+        keys (or ``delete_keys_df``'s, when the delete set is wider than
+        the insert set — the replica-sync shape, where pure deletes ride
+        along) are masked AND ``src`` is appended, both staged under a
+        single pending-marker transaction — a reader never observes the
+        deletes without the replacements (the two-statement form
+        delete_matching-then-append had exactly that crash window).
+        ``src`` must be column-aligned to the table. Returns
+        {"n_upserted": src rows, "n_deleted": newly masked rows}."""
+        meta = self.read_meta(rel)
+        probe = delete_keys_df if delete_keys_df is not None else src
+        if self._has_data_files(rel):
+            matched, n_del = self._matching_delete_entries(rel, probe, keys)
+        else:
+            matched, n_del = None, 0
+        src = src.localCheckpoint(eager=True)
+        n_ins = src.count()
+        if not n_ins and not n_del:
+            return {"n_upserted": 0, "n_deleted": 0}
+        # size the landing files to the batch, not the source task
+        # layout (same small-files rule as update_where's rewrite)
+        src = src.coalesce(max(1, -(-n_ins // 2_000_000)))
+        with self._txn(rel, "upsert_matching") as txid:
+            if n_ins:
+                self._stage_data_files(rel, src, meta, txid)
+            self._maybe_crash("after_data_move")
+            if n_del:
+                self._stage_delete_shard(rel, matched, n_del, txid)
+        self._refresh_skipping_sidecars(rel)
+        return {"n_upserted": int(n_ins), "n_deleted": int(n_del)}
 
     def purge_keys(self, rel: Relation, keys_df: DataFrame, keys: list[str]) -> dict:
         """Right-to-be-forgotten purge: delete every row matching the
@@ -1986,6 +2033,21 @@ class Warehouse:
                 f,
             )
         return v
+
+    def set_snapshot_note(self, rel: Relation, version: int, note: str | None) -> None:
+        """Atomically rewrite a snapshot's note (tmp + os.replace). The
+        CDC/replica watermark protocol uses this as its COMMIT: the
+        snapshot is taken with a '<note>!pending' note before the apply
+        and promoted to the real note only after the apply succeeds, so
+        a hard crash can never leave an unapplied snapshot as the
+        newest watermark (which would make the next run diff from it
+        and silently skip the crashed window)."""
+        vdir, m = self._snapshot_manifest(rel, version)
+        m["note"] = note
+        tmp = os.path.join(vdir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(vdir, "manifest.json"))
 
     def list_snapshots(self, rel: Relation) -> list[dict]:
         """[{version, note, n_files}] ascending; [] when none exist."""

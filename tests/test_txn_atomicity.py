@@ -182,3 +182,97 @@ def test_unpartitioned_update_txn_roundtrip(spark, wh):
 def test_vacuum_no_pending_reports_zero(spark, wh):
     rel = _table(spark, wh)
     assert wh.vacuum(rel)["txns_swept"] == 0
+
+
+@pytest.mark.parametrize("point", ["after_data_move", "before_commit"])
+def test_upsert_matching_crash_is_all_or_nothing(spark, wh, point):
+    """MERGE's apply (key masks + inserted rows) is ONE transaction: a
+    crash can never show the deletes without their replacements — the
+    exact window the two-statement delete_matching+append form had."""
+    rel = _table(spark, wh)
+    before = _rows(wh, rel)
+    src = spark.createDataFrame(
+        [(1, -1, "a"), (99, -2, "b")], "k long, amt long, p string"
+    )
+    wh._txn_crash_point = point
+    with pytest.raises(InjectedCrash):
+        wh.upsert_matching(rel, src, ["k"])
+    assert _rows(wh, rel) == before  # k=1 not deleted, k=99 not inserted
+    wh._txn_crash_point = None
+    r = wh.upsert_matching(rel, src, ["k"])
+    assert r == {"n_upserted": 2, "n_deleted": 1}
+    rows = _rows(wh, rel)
+    assert (1, -1, "a") in rows and (99, -2, "b") in rows
+    assert (1, 10, "a") not in rows and len(rows) == 21
+
+
+def test_cdc_refresh_hard_crash_does_not_poison_watermark(spark, wh):
+    """A process kill between the watermark snapshot and the merge used
+    to leave the unapplied snapshot as the NEWEST watermark — the next
+    refresh would diff from it and silently skip the window. The
+    promote-after-apply protocol ('!pending' note, renamed on success)
+    sweeps crashed attempts instead."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+        run_cdc_refresh,
+    )
+
+    src = wh.relation("s", "ev")
+    tgt = wh.relation("s", "ev_clean")
+    df = spark.createDataFrame(
+        [(k, f"2024-01-{1 + k % 3:02d} 00:00:00") for k in range(12)],
+        "k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wh.create_as(src, df, TableMeta())
+    cfg = PartitionMergeConfig(
+        unique_key="k", partition_by=PartitionSpec(field="ts")
+    )
+    run_cdc_refresh(wh, src, tgt, lambda d: d, cfg)
+
+    wh.append(
+        src,
+        spark.createDataFrame(
+            [(100, "2024-01-05 00:00:00")], "k long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts")),
+    )
+
+    def crash(_):
+        raise InjectedCrash("mid-refresh")
+
+    with pytest.raises(InjectedCrash):
+        run_cdc_refresh(wh, src, tgt, crash, cfg)
+    assert 100 not in {r["k"] for r in wh.read(tgt).collect()}
+    # retry with a working transform must still see the window
+    r = run_cdc_refresh(wh, src, tgt, lambda d: d, cfg)
+    assert r["cdc_mode"] == "delta"
+    assert 100 in {r["k"] for r in wh.read(tgt).collect()}
+
+
+def test_replica_sync_crashed_apply_replays_convergently(spark, wh):
+    """A replica delta apply that crashes mid-transaction leaves the
+    replica at its previous state; the NEXT sync (same watermark — it
+    never advanced) re-applies the window and converges."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_replica_sync,
+    )
+
+    src = wh.relation("s", "src")
+    rep = wh.relation("s", "rep")
+    df = spark.createDataFrame(
+        [(k, 10 * k, "a" if k < 10 else "b") for k in range(20)],
+        "k long, amt long, p string",
+    ).coalesce(2)
+    wh.create_as(src, df, TableMeta(partition_by="p"))
+    assert run_replica_sync(wh, src, rep, keys=["k"])["mode"] == "full"
+    before = _rows(wh, rep)
+    wh.delete_where(src, "k < 3")
+    wh.update_where(src, "k = 5", {"amt": F.lit(0)})
+    wh._txn_crash_point = "before_commit"
+    with pytest.raises(InjectedCrash):
+        run_replica_sync(wh, src, rep, keys=["k"])
+    assert _rows(wh, rep) == before  # apply invisible
+    wh._txn_crash_point = None
+    r = run_replica_sync(wh, src, rep, keys=["k"])
+    assert r["mode"] == "delta"
+    assert _rows(wh, rep) == _rows(wh, src)
