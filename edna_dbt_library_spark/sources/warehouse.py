@@ -491,6 +491,33 @@ class Warehouse:
                 kept.append(relp)
         return kept, len(live)
 
+    def zonemap_candidate_files(
+        self, rel: Relation, col: str, values_df: DataFrame
+    ) -> list[str] | None:
+        """Bounding-box SET-probe of the zone-map sidecar: the live
+        files whose [min, max] for ``col`` intersects the probe set's
+        own [min, max] — one aggregation job on the probe, never a
+        collect of the values. Fail-safe superset like prune_files.
+        Strongest when the probe is range-clustered over a
+        clustered/Z-ordered layout (expiry by id range, time-window
+        backfills); a scattered probe prunes nothing. Returns None when
+        the index cannot help (no sidecar, column not indexed, or zero
+        files pruned) so callers fall back to bloom/full scan; returns
+        [] for an all-null probe (an equality key of NULL matches no
+        row)."""
+        cols, index = self._zm_load(rel)
+        if index is None or col not in (cols or []):
+            return None
+        row = values_df.select(
+            F.min(values_df.columns[0]).alias("lo"),
+            F.max(values_df.columns[0]).alias("hi"),
+        ).first()
+        if row["lo"] is None:
+            return []
+        live = self._live_data_files(rel)
+        kept, total = self.prune_files(rel, col, row["lo"], row["hi"], live=live)
+        return kept if len(kept) < total else None
+
     def read_pruned(self, rel: Relation, col: str, lo=None, hi=None) -> DataFrame:
         """Zone-map file skipping read: the table restricted to files
         whose [min, max] for ``col`` intersects [lo, hi]. The caller
@@ -1245,6 +1272,14 @@ class Warehouse:
                 cand = self.bloom_candidate_files(rel, c, probe.select(c))
                 if cand is not None:
                     break
+            if cand is None:
+                # no bloom on any key column: the zone-map bounding-box
+                # probe covers the range-clustered case (expiry by id
+                # range over a clustered layout) for one cheap agg job
+                for c in keys:
+                    cand = self.zonemap_candidate_files(rel, c, probe.select(c))
+                    if cand is not None:
+                        break
         if cand is not None:
             if not cand:
                 return None, 0

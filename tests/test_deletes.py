@@ -462,3 +462,39 @@ def test_delete_matching_bloom_file_prune_correct_and_fail_safe(spark, wh):
     assert wh.delete_matching(
         rel, spark.createDataFrame([("u7",)], "u string"), ["u"]
     )["n_deleted"] == 2  # k=7 and k=57 both carry u7 (u = k % 50)
+
+
+def test_delete_matching_zonemap_bounding_box_prune(spark, wh):
+    """With no bloom but zone maps on a RANGE-CLUSTERED key, the
+    bounding-box set-probe prunes files outside the probe's [min, max];
+    a scattered probe declines (None -> full scan); an all-null probe
+    short-circuits to zero files."""
+    rel = wh.relation("s", "zb")
+    # cluster by writing each k-range into its own file
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    ).repartitionByRange(8, "k")
+    wh.create_as(rel, df, TableMeta())
+    wh.refresh_zone_maps(rel, ["k"])
+    wh.BLOOM_PROBE_MIN_FILES = 1
+
+    probe = spark.createDataFrame([(5,), (9,)], "k long")
+    cand = wh.zonemap_candidate_files(rel, "k", probe.select("k"))
+    assert cand is not None and 0 < len(cand) < len(wh._live_data_files(rel))
+    assert wh.delete_matching(rel, probe, ["k"])["n_deleted"] == 2
+    assert {5, 9}.isdisjoint(
+        {r["k"] for r in wh.read(rel).select("k").collect()}
+    )
+
+    # scattered probe spans every file's range: the index can't help
+    wide = spark.createDataFrame([(0,), (99,)], "k long")
+    assert wh.zonemap_candidate_files(rel, "k", wide.select("k")) is None
+    assert wh.delete_matching(rel, wide, ["k"])["n_deleted"] == 2
+
+    # all-null probe: no key can match
+    nulls = spark.createDataFrame([(None,)], "k long")
+    assert wh.zonemap_candidate_files(rel, "k", nulls.select("k")) == []
+    assert wh.delete_matching(rel, nulls, ["k"])["n_deleted"] == 0
+
+    # unindexed column declines
+    assert wh.zonemap_candidate_files(rel, "v", probe.select("k")) is None
