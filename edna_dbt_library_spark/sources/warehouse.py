@@ -798,6 +798,19 @@ class Warehouse:
         (8M rows / 3.3k files, replica_scale_stress) because it
         re-shuffled the whole sidecar per call; the filtered form is
         bounded by the probe's word footprint instead."""
+        pre = self._bloom_probe_frame(rel, col, values_df)
+        if pre is None:
+            return None
+        hits, live, indexed = pre
+        cand = {r["file"] for r in hits.collect()}
+        return [f for f in live if f not in indexed or f in cand]
+
+    def _bloom_probe_frame(
+        self, rel: Relation, col: str, values_df: DataFrame
+    ) -> tuple[DataFrame, list[str], set[str]] | None:
+        """(hits frame, live files, indexed files) for the set probe —
+        split out so tests can assert the probe PLAN (word semi-join
+        broadcast before any shuffle) without collecting."""
         try:
             with open(self._bloom_meta_path(rel)) as f:
                 bm = json.load(f)
@@ -863,8 +876,7 @@ class Warehouse:
             .select("file")
             .distinct()
         )
-        cand = {r["file"] for r in hits.collect()}
-        return [f for f in live if f not in indexed or f in cand]
+        return hits, live, indexed
 
     # --- merge-on-read delete vectors ----------------------------------------
     # Row-level DELETE without rewriting data files: the Iceberg-v2
