@@ -15,6 +15,9 @@ the DataFrame form of every statement run the identical plan:
   -> :meth:`Warehouse.append` (column-aligned; a derived DAY partition
   column is computed from the table's ``partition_source`` exactly like
   the merge staging step)
+- ``INSERT OVERWRITE [TABLE] <table> ...`` -> dynamic partition
+  overwrite (partitioned: replaces exactly the batch's partitions) or
+  a sidecar-preserving whole-table replace (unpartitioned)
 - ``MERGE INTO <t> USING <src|(subquery)> ON t.k = s.k [AND ...]``
   ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
   -> keyed upsert: :meth:`Warehouse.delete_matching` on the ON keys
@@ -232,20 +235,21 @@ def _update(wh, tables, query: str) -> DataFrame:
 
 def _insert(wh, tables, query: str) -> DataFrame:
     m = re.match(
-        r"^\s*insert\s+into\s+`?([\w.]+)`?\s*(\([^)]*\))?\s*"
+        r"^\s*insert\s+(into|overwrite)\s+(?:table\s+)?`?([\w.]+)`?\s*(\([^)]*\))?\s*"
         r"((?:select|values|with|table)\b.*?)\s*;?\s*$",
         query,
         re.I | re.S,
     )
     if not m:
         raise ValueError(f"SQL INSERT: cannot parse {query!r}")
-    rel = _resolve(tables, m.group(1))
+    overwrite = m.group(1).lower() == "overwrite"
+    rel = _resolve(tables, m.group(2))
     col_list = (
-        [c.strip().strip("`") for c in m.group(2)[1:-1].split(",")]
-        if m.group(2)
+        [c.strip().strip("`") for c in m.group(3)[1:-1].split(",")]
+        if m.group(3)
         else None
     )
-    src = _run_source_sql(wh, tables, m.group(3))
+    src = _run_source_sql(wh, tables, m.group(4))
     if col_list is not None:
         if len(col_list) != len(src.columns):
             raise ValueError(
@@ -253,7 +257,7 @@ def _insert(wh, tables, query: str) -> DataFrame:
                 f"{len(src.columns)} source columns"
             )
         src = src.toDF(*col_list)
-    elif m.group(3).lstrip()[:6].lower() == "values":
+    elif m.group(4).lstrip()[:6].lower() == "values":
         # bare VALUES yields col1..colN: map positionally onto the
         # table's USER columns (a partition_source-derived partition
         # column is computed, not supplied)
@@ -271,6 +275,18 @@ def _insert(wh, tables, query: str) -> DataFrame:
         src = src.toDF(*tgt)
     src = _align_for_append(wh, rel, src).localCheckpoint(eager=True)
     n = src.count()
+    if overwrite:
+        # INSERT OVERWRITE: partitioned tables replace exactly the
+        # partitions present in the batch (dynamic partition
+        # overwrite); unpartitioned tables replace all rows (sidecars
+        # preserved via the same stash apply_deletes uses)
+        meta = wh.read_meta(rel)
+        if meta.partition_by:
+            if n:
+                wh.overwrite_partitions(rel, src)
+        else:
+            wh._overwrite_preserving_sidecars(rel, meta, src)
+        return _stats(wh, "insert_overwrite", rel, n)
     if n:
         wh.append(rel, src)
     return _stats(wh, "insert", rel, n)

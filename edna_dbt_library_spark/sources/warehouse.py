@@ -1001,6 +1001,11 @@ class Warehouse:
         if os.path.isdir(staging):
             shutil.rmtree(staging, ignore_errors=True)
             n += 1
+        # a crash DURING shard staging leaves the shard's tmp write dir
+        shard_tmp = self._deletes_dir(rel) + f".txn-{txid}"
+        if os.path.isdir(shard_tmp):
+            shutil.rmtree(shard_tmp, ignore_errors=True)
+            n += 1
         prefix = f"txn-{txid}-"
         for dirpath, dirs, fnames in os.walk(self.path(rel)):
             dirs[:] = [

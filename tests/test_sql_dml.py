@@ -145,6 +145,29 @@ def test_sql_insert_values_positional_and_column_list(spark, wh):
         wh.sql("INSERT INTO s__t VALUES (1, 2)", {"s__t": rel})
 
 
+def test_sql_insert_overwrite_partitioned_replaces_touched_only(spark, wh):
+    rel = _table(spark, wh, partitioned=True)
+    stats = wh.sql(
+        "INSERT OVERWRITE s__t SELECT 500 AS k, 'ow' AS v, 1 AS amt, "
+        "'a' AS p",
+        {"s__t": rel},
+    ).first()
+    assert stats["operation"] == "insert_overwrite" and stats["n_rows"] == 1
+    rows = _rows(wh, rel)
+    # partition a replaced by the single row; partition b untouched
+    assert [r for r in rows if r[3] == "a"] == [(500, "ow", 1, "a")]
+    assert len([r for r in rows if r[3] == "b"]) == 10
+
+
+def test_sql_insert_overwrite_unpartitioned_replaces_all(spark, wh):
+    rel = _table(spark, wh)
+    wh.sql(
+        "INSERT OVERWRITE TABLE s__t VALUES (9, 'only', 0, 'z')",
+        {"s__t": rel},
+    )
+    assert _rows(wh, rel) == [(9, "only", 0, "z")]
+
+
 def test_sql_insert_derives_partition_from_source(spark, wh):
     rel = wh.relation("s", "pd")
     df = spark.createDataFrame(
