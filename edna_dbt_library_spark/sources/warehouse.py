@@ -910,11 +910,24 @@ class Warehouse:
             F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
         )
 
+    @staticmethod
+    def _rel_path_from_uri(base: str, uri_col: F.Column) -> F.Column:
+        """Table-relative raw path from a `_metadata.file_path` VALUE
+        already projected into a plain column (streaming micro-batches
+        materialize it before foreachBatch, where the scan-node-only
+        rule no longer applies). Same decode contract as
+        `_decoded_file_path`."""
+        prefix = "file:" + base.rstrip("/") + "/"
+        return F.substr(
+            F.url_decode(F.replace(uri_col, F.lit("+"), F.lit("%2B"))),
+            F.lit(len(prefix) + 1),
+        )
+
     @classmethod
     def _rel_file_path(cls, base: str) -> F.Column:
         """Table-relative raw file path of each scanned row."""
-        prefix = "file:" + base.rstrip("/") + "/"
-        return F.substr(cls._decoded_file_path(), F.lit(len(prefix) + 1))
+        # pass the RAW uri: the helper decodes exactly once
+        return cls._rel_path_from_uri(base, F.col("_metadata.file_path"))
 
     def _deletes_dir(self, rel: Relation) -> str:
         return os.path.join(self.path(rel), "_edna_deletes")
@@ -1240,7 +1253,13 @@ class Warehouse:
         self._refresh_skipping_sidecars(rel)
         return {"applied_files": len(touched), "partitions": parts}
 
-    def delete_matching(self, rel: Relation, keys_df: DataFrame, keys: list[str]) -> dict:
+    def delete_matching(
+        self,
+        rel: Relation,
+        keys_df: DataFrame,
+        keys: list[str],
+        derived: dict[str, F.Column] | None = None,
+    ) -> dict:
         """DELETE WHERE EXISTS (the set-driven sibling of delete_where):
         rows whose ``keys`` columns match any row of ``keys_df`` join the
         delete sidecar. The probe side is a LEFT SEMI join (broadcast
@@ -1256,17 +1275,30 @@ class Warehouse:
         probe key are opened, so a sparse purge / replica sync costs
         O(delta + candidate files) rather than one full key-column scan
         of the table — the fail-safe superset contract means an
-        unindexed or stale file is always scanned."""
+        unindexed or stale file is always scanned.
+
+        ``derived`` maps extra match-column names to Column expressions
+        evaluated on BOTH sides before matching (e.g. a row-content
+        hash: ``{"__rh": xxhash64(*cols)}`` with ``keys=[k, "__rh"]``
+        deletes by key AND content — the streaming replica apply uses
+        this so a positional delete can never kill the key's newer
+        replacement). Derived names must not collide with table
+        columns; candidate-file pruning only consults physical key
+        columns."""
         if not self._has_data_files(rel):
             return {"n_deleted": 0}
-        matched, n = self._matching_delete_entries(rel, keys_df, keys)
+        matched, n = self._matching_delete_entries(rel, keys_df, keys, derived)
         if n:
             with self._txn(rel, "delete_matching") as txid:
                 self._stage_delete_shard(rel, matched, n, txid)
         return {"n_deleted": n}
 
     def _matching_delete_entries(
-        self, rel: Relation, keys_df: DataFrame, keys: list[str]
+        self,
+        rel: Relation,
+        keys_df: DataFrame,
+        keys: list[str],
+        derived: dict[str, F.Column] | None = None,
     ) -> tuple[DataFrame | None, int]:
         """Checkpointed (file, pos) entries of the NOT-yet-masked rows
         whose key columns match ``keys_df`` — the probe core shared by
@@ -1277,15 +1309,19 @@ class Warehouse:
         reader = self.spark.read
         if meta.schema_evolved:
             reader = reader.option("mergeSchema", "true")
-        probe = keys_df.select(*keys).dropDuplicates(keys)
+        probe = keys_df
+        if derived:
+            probe = probe.withColumns(derived)
+        probe = probe.select(*keys).dropDuplicates(keys)
         # (the cand branch below reads live files only; the fallback
         # goes through _raw_scan — both exclude uncommitted txn files)
         # the set-probe costs a few fixed Spark jobs (needs checkpoint,
         # word count, hits collect): only worth paying when the table
         # has enough files for pruning to beat one combined scan
+        phys = [c for c in keys if not derived or c not in derived]
         cand = None
         if len(self._live_data_files(rel)) >= self.BLOOM_PROBE_MIN_FILES:
-            for c in keys:
+            for c in phys:
                 cand = self.bloom_candidate_files(rel, c, probe.select(c))
                 if cand is not None:
                     break
@@ -1293,7 +1329,7 @@ class Warehouse:
                 # no bloom on any key column: the zone-map bounding-box
                 # probe covers the range-clustered case (expiry by id
                 # range over a clustered layout) for one cheap agg job
-                for c in keys:
+                for c in phys:
                     cand = self.zonemap_candidate_files(rel, c, probe.select(c))
                     if cand is not None:
                         break
@@ -1308,6 +1344,8 @@ class Warehouse:
         # `_metadata` resolves only on the raw scan node: project the
         # positions alongside the keys BEFORE joining (helper names
         # avoid shadowing a key literally called file/pos)
+        if derived:
+            df = df.withColumns(derived)
         scan = df.select(
             *[F.col(c) for c in keys],
             self._rel_file_path(base).alias("__dm_file"),

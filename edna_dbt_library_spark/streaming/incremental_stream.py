@@ -243,6 +243,136 @@ def stream_changelog(
     return ins_writer.start(), del_writer.start()
 
 
+def stream_replica_sync(
+    wh,
+    source,
+    replica,
+    keys: list[str],
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    settle_s: float = 30.0,
+):
+    """Streaming twin of ``operators.materializations.run_replica_sync``:
+    maintain a keyed row-level MIRROR of ``source`` continuously. One
+    file-source query over the source's data dir drives the apply; each
+    micro-batch runs ONE atomic ``upsert_matching`` (insert rows +
+    touched-key masks commit together), and the source's delete-sidecar
+    shards are folded in per trigger off a small ledger.
+
+    Why this composition is order-safe where two independent feeds are
+    not: the apply is KEYED, so it subsumes positional ordering —
+    (a) an insert batch first masks its own keys, so an update's
+    rewrite replaces the old copy no matter when the original's delete
+    entry arrives; (b) delete entries mask by key AND row-content hash
+    (``delete_matching``'s ``derived`` matching), so a late positional
+    delete can only kill the exact old row, never the key's newer
+    replacement; (c) insert rows already deleted in the source are
+    dropped before landing (anti join on the current delete sidecar by
+    (file, pos)) — their delete entries may already be consumed and
+    would never re-arrive. Under the replica-sync key-identity
+    contract (keys unique in the source) every interleaving converges
+    to the source's state, and at-least-once replays are absorbed the
+    same way the batch sync absorbs them.
+
+    Ledger semantics: processed delete-shard names live in a json file
+    under the checkpoint dir, written AFTER the apply — a crash between
+    replays the shard, which re-masks idempotently. Returns the started
+    StreamingQuery; with ``available_now`` a full drain leaves the
+    replica equal to ``wh.read(source)`` (pytest gate).
+
+    Scale shape: each trigger ships only unseen files; the delete fold
+    scans only the new shards' affected files
+    (``materialize_delete_entries``); the replica probe is
+    candidate-file pruned when the replica carries bloom/zone-map
+    sidecars. Maintenance folds on the source (apply_deletes/compact)
+    re-emit surviving rows at the file level and the keyed apply
+    absorbs them — the same boundary the batch sync documents."""
+    import json as _json
+    import os as _os
+
+    from edna_dbt_library_spark.sources.sql_dml import _align_for_append
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    smeta = wh.read_meta(source)
+    if not wh.exists(replica):
+        wh.create_as(
+            replica,
+            wh.read(source).limit(0),
+            TableMeta(
+                partition_by=smeta.partition_by, cluster_by=smeta.cluster_by
+            ),
+        )
+    rep_cols = wh.read(replica).columns
+    ledger_path = _os.path.join(checkpoint_path, "_delete_shard_ledger.json")
+
+    def _ledger_read() -> set:
+        try:
+            with open(ledger_path) as f:
+                return set(_json.load(f)["shards"])
+        except (FileNotFoundError, _json.JSONDecodeError):
+            return set()
+
+    def _ledger_write(done: set) -> None:
+        _os.makedirs(checkpoint_path, exist_ok=True)
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"shards": sorted(done)}, f)
+        _os.replace(tmp, ledger_path)
+
+    src_base = wh.path(source)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = _settle_pending(wh, source, batch, settle_s)
+        # 1) fold NEW source delete shards: mask by key + content hash
+        #    so only the exact dead row dies, never its replacement
+        done = _ledger_read()
+        shards = wh._delete_files(source)
+        new = sorted(p for p in shards if _os.path.basename(p) not in done)
+        if new:
+            entries = wh.spark.read.parquet(*new).select("file", "pos")
+            dead = wh.materialize_delete_entries(source, entries)
+            probe = _align_for_append(wh, replica, dead)
+            wh.delete_matching(
+                replica,
+                probe,
+                keys=keys + ["__erh"],
+                derived={"__erh": F.xxhash64(*[F.col(c) for c in rep_cols])},
+            )
+        # 2) land the insert batch, minus rows ALREADY deleted in the
+        #    source (their entries were folded above or in a prior
+        #    trigger and will never re-arrive)
+        ins = batch
+        cur_shards = wh._delete_files(source)
+        if cur_shards:
+            dels = wh.spark.read.parquet(*cur_shards).select(
+                F.col("file").alias("__sf"), F.col("pos").alias("__sp")
+            )
+            ins = ins.withColumn(
+                "__sf", wh._rel_path_from_uri(src_base, F.col("__src_path"))
+            ).join(dels, ["__sf", "__sp"], "left_anti")
+        ins = _align_for_append(
+            wh, replica, ins.drop("__src_path", "__sf", "__sp")
+        ).localCheckpoint(eager=True)
+        if ins.count():
+            wh.upsert_matching(replica, ins, keys)
+        _ledger_write(done | {_os.path.basename(p) for p in new})
+
+    stream = stream_table(
+        wh, source, max_files_per_trigger=max_files_per_trigger
+    ).select(
+        "*",
+        F.col("_metadata.file_path").alias("__src_path"),
+        F.col("_metadata.row_index").alias("__sp"),
+    )
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", _os.path.join(checkpoint_path, "stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_cdc_refresh(
     wh,
     source,
