@@ -97,6 +97,12 @@ def stream_table(wh, rel, max_files_per_trigger: int | None = None) -> DataFrame
 
     Scale shape: each trigger lists only unseen files (bounded by
     ``max_files_per_trigger``) — no table rescan, no shuffle.
+
+    Boundary: the file stream lists a DML transaction's txn-named
+    artifacts before (or despite) their commit; downstream appliers
+    must reconcile each batch with ``_settle_pending`` (as
+    stream_changelog / stream_cdc_refresh / stream_replica_sync do) or
+    accept possible phantom rows from crashed statements.
     """
     import json as _json
 
@@ -414,6 +420,10 @@ def stream_cdc_refresh(
     src = stream_table(wh, source, max_files_per_trigger=max_files_per_trigger)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a crashed DML transaction's txn-named files are invisible to
+        # every batch reader but the file stream lists them: reconcile
+        # before the merge or the target keeps phantom rows forever
+        batch_df = _settle_pending(wh, source, batch_df)
         run_incremental_partition_merge(wh, target, transform(batch_df), config)
 
     writer = src.writeStream.foreachBatch(merge_batch).option(

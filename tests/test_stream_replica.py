@@ -93,6 +93,42 @@ def test_stream_replica_full_replay_converges(spark, wh, tmp_path):
     assert (3, "u", "a") in got
 
 
+def test_stream_cdc_refresh_drops_crashed_txn_phantoms(spark, wh, tmp_path):
+    """stream_cdc_refresh consumes the raw file stream: a crashed
+    update's txn-named files must be reconciled away per batch or the
+    CDC target keeps phantom rows forever."""
+    from edna_dbt_library_spark.operators.materializations import (
+        PartitionMergeConfig,
+        PartitionSpec,
+    )
+    from edna_dbt_library_spark.sources.warehouse import InjectedCrash
+    from edna_dbt_library_spark.streaming.incremental_stream import (
+        stream_cdc_refresh,
+    )
+
+    src = wh.relation("s", "ev")
+    tgt = wh.relation("s", "ev_t")
+    df = spark.createDataFrame(
+        [(k, f"2024-01-0{1 + k % 3} 00:00:00", f"v{k}") for k in range(6)],
+        "k long, ts string, v string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wh.create_as(src, df, TableMeta())
+    wh._txn_crash_point = "before_commit"
+    with pytest.raises(InjectedCrash):
+        wh.update_where(src, "k = 1", {"v": F.lit("ghost")})
+    wh._txn_crash_point = None
+
+    cfg = PartitionMergeConfig(
+        unique_key="k", partition_by=PartitionSpec(field="ts")
+    )
+    q = stream_cdc_refresh(
+        wh, src, tgt, lambda d: d, cfg, str(tmp_path / "cdc_cp")
+    )
+    q.awaitTermination()
+    vals = {r["v"] for r in wh.read(tgt).collect()}
+    assert "ghost" not in vals and "v1" in vals and len(vals) == 6
+
+
 def test_stream_replica_content_hash_delete_spares_replacement(spark, wh, tmp_path):
     """The delete fold masks by key AND content: process the UPDATE's
     insert file in one drain, then its original's delete shard in a
