@@ -600,6 +600,59 @@ def test_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
         assert got == model, (op, arg)
 
 
+# --- SQL DML == DataFrame DML: same statement, same operator, same state ---
+# Random DELETE/UPDATE sequences executed once through Warehouse.sql
+# (sources/sql_dml.py parsing) and once through the DataFrame API on a
+# twin table must leave identical final states — the parser can never
+# drift from the operators it dispatches to.
+
+_SQLDML_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.integers(0, 6), st.integers(0, 4)),
+        st.tuples(st.just("update"), st.integers(0, 6), st.integers(0, 4)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_SQLDML_OPS)
+def test_sql_dml_matches_dataframe_dml(spark, tmp_path_factory, ops):
+    from edna_dbt_library_spark.sources import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("sqldmlfuzz")))
+    rows = [(k, k * 10, "a" if k % 2 else "b") for k in range(30)]
+    rels = {}
+    for name in ("sq", "df"):
+        rels[name] = wh.relation("s", name)
+        wh.create_as(
+            rels[name],
+            spark.createDataFrame(rows, "k long, amt long, p string").coalesce(2),
+            TableMeta(partition_by="p"),
+        )
+    for op, r, b in ops:
+        if op == "delete":
+            cond = f"k % 7 = {r} AND amt >= {b * 20}"
+            s = wh.sql(f"DELETE FROM s__sq WHERE {cond}", {"s__sq": rels["sq"]})
+            d = wh.delete_where(rels["df"], cond)
+            assert s.first()["n_rows"] == d["n_deleted"]
+        else:
+            cond = f"k % 7 = {r}"
+            s = wh.sql(
+                f"UPDATE s__sq SET amt = amt + {b}, p = concat(p, '{b}') "
+                f"WHERE {cond}",
+                {"s__sq": rels["sq"]},
+            )
+            d = wh.update_where(
+                rels["df"], cond, {"amt": f"amt + {b}", "p": f"concat(p, '{b}')"}
+            )
+            assert s.first()["n_rows"] == d["n_updated"]
+        got_s = sorted(map(tuple, wh.read(rels["sq"]).select("k", "amt", "p").collect()))
+        got_d = sorted(map(tuple, wh.read(rels["df"]).select("k", "amt", "p").collect()))
+        assert got_s == got_d, (op, r, b)
+
+
 # --- changelog reconstruction: since-state + inserts - deletes == to-state ---
 # under ARBITRARY interleavings of DML and snapshots, for every adjacent
 # snapshot pair (the soundness claim read_changelog's docstring makes).
