@@ -119,7 +119,7 @@ def stream_table(wh, rel, max_files_per_trigger: int | None = None) -> DataFrame
     return reader.parquet(wh.path(rel))
 
 
-def _settle_pending(wh, rel, batch: DataFrame, settle_s: float = 30.0) -> DataFrame:
+def _settle_pending(wh, rel, batch: DataFrame, settle_s: float = 5.0) -> DataFrame:
     """Reconcile a file-source micro-batch with the warehouse's
     pending-marker transactions (warehouse._txn): the file stream lists
     txn-named artifacts the moment they land, which is BEFORE the
@@ -162,7 +162,7 @@ def stream_changelog(
     checkpoint_root: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
-    settle_s: float = 30.0,
+    settle_s: float = 5.0,
 ):
     """A warehouse table's row-level CHANGELOG as a push-style
     Structured Streaming feed — the streaming complement of
@@ -257,7 +257,7 @@ def stream_replica_sync(
     checkpoint_path: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    settle_s: float = 30.0,
+    settle_s: float = 5.0,
 ):
     """Streaming twin of ``operators.materializations.run_replica_sync``:
     maintain a keyed row-level MIRROR of ``source`` continuously. One
