@@ -521,6 +521,8 @@ _DML_OPS = st.lists(
         st.tuples(st.just("crash_update"), st.integers(0, 2)),
         st.tuples(st.just("crash_delete"), st.integers(0, 0)),
         st.tuples(st.just("vacuum"), st.integers(0, 0)),
+        # atomic keyed upsert: replaces k%9==r rows' v, inserts one new
+        st.tuples(st.just("upsert"), st.integers(0, 8)),
     ),
     min_size=1,
     max_size=5,
@@ -591,6 +593,21 @@ def test_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
                 wh._txn_crash_point = None
         elif op == "vacuum":
             wh.vacuum(rel)  # sweeps crashed txns; never changes content
+        elif op == "upsert":
+            batch = [
+                (k, f"up{arg}", p)
+                for k, (v, p) in sorted(model.items())
+                if k % 9 == arg
+            ][:2] + [(next_k, f"up{arg}", "b")]
+            wh.upsert_matching(
+                rel,
+                spark.createDataFrame(
+                    batch, "k long, v string, p string"
+                ).coalesce(1),
+                ["k"],
+            )
+            model.update({k: (v, p) for k, v, p in batch})
+            next_k += 1
         else:
             wh.apply_deletes(rel)  # must never change visible content
         got = {
