@@ -6868,12 +6868,103 @@ def replica_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_SQL_DML_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+              ELSE o_orderstatus END AS st,
+         o_totalprice AS price
+  FROM orders WHERE NOT o_totalprice < 10000
+)
+SELECT okey, st, price FROM base
+WHERE okey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT o_orderkey AS okey, 'M' AS st, o_totalprice AS price
+FROM orders WHERE o_orderpriority = '2-HIGH'
+UNION ALL
+SELECT -1 AS okey, 'V' AS st, 0.0 AS price
+"""
+
+
+@_register("sql_dml_state", _SQL_DML_ORACLE)
+def sql_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML statement surface gate (sources/sql_dml.py via
+    Warehouse.sql — the reference's user model is SQL-first,
+    incremental_partition_merge.sql:248-265): a scratch orders table
+    takes DELETE, a partition-moving UPDATE, a whole-row MERGE upsert
+    (atomic keyed upsert_matching underneath) and an INSERT VALUES —
+    ALL issued as SQL statements — and the table's row-level final
+    state must equal the oracle's direct derivation. Any parsing slip
+    (clause splitting, alignment, type casts) or operator drift
+    hash-mismatches on its row. Statement stats frames are asserted
+    in-query. Same scratch-warehouse + localCheckpoint discipline as
+    replica_sync_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="edna_sqldml_")
+    try:
+        wh = Warehouse(spark, root)
+        rel = wh.relation("scratch", "orders_sq")
+        src = wh.relation("scratch", "merge_src")
+        wh.create_as(
+            rel,
+            o.withColumn("st", F.col("o_orderstatus")).repartition(4),
+            TableMeta(partition_by="st"),
+        )
+        wh.create_as(
+            src, o.where("o_orderpriority = '2-HIGH'").withColumn("st", F.lit("M")), TableMeta()
+        )
+        tabs = {"scratch__orders_sq": rel, "scratch__merge_src": src}
+        s1 = wh.sql(
+            "DELETE FROM scratch__orders_sq WHERE o_totalprice < 10000", tabs
+        ).first()
+        assert s1["operation"] == "delete" and s1["n_rows"] > 0
+        s2 = wh.sql(
+            "UPDATE scratch__orders_sq SET st = 'X' "
+            "WHERE o_orderpriority = '1-URGENT'",
+            tabs,
+        ).first()
+        assert s2["operation"] == "update" and s2["n_rows"] > 0
+        s3 = wh.sql(
+            "MERGE INTO scratch__orders_sq t USING scratch__merge_src s "
+            "ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            tabs,
+        ).first()
+        assert s3["operation"] == "merge" and s3["n_rows"] > 0
+        defaults = {"o_orderkey": "-1", "o_totalprice": "0.0", "st": "'V'"}
+        cols = ", ".join(
+            f"{defaults.get(c, 'NULL')} AS {c}" for c in wh.read(rel).columns
+        )
+        s4 = wh.sql(
+            f"INSERT INTO scratch__orders_sq SELECT {cols}", tabs
+        ).first()
+        assert s4["n_rows"] == 1
+        res = (
+            wh.read(rel)
+            .select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("st"),
+                F.col("o_totalprice").alias("price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _stateful_store_oracle() -> str:
     i = REGISTRY["incremental_store_state"].oracle
     w = REGISTRY["warehouse_changes_state"].oracle
     d = REGISTRY["delete_vectors_read"].oracle
     c = REGISTRY["changelog_feed"].oracle
     r = REGISTRY["replica_sync_state"].oracle
+    q = REGISTRY["sql_dml_state"].oracle
     return f"""
 SELECT src, id, key, cell, 0.0::DOUBLE AS value
 FROM ({i})
@@ -6892,7 +6983,11 @@ FROM ({c})
 UNION ALL
 SELECT 'replica_sync' AS src, okey AS id,
        st AS key, 0::BIGINT AS cell, price AS value
-FROM ({r})"""
+FROM ({r})
+UNION ALL
+SELECT 'sql_dml' AS src, okey AS id,
+       st AS key, 0::BIGINT AS cell, price AS value
+FROM ({q})"""
 
 
 @_register("stateful_store_state", _stateful_store_oracle())
@@ -6913,13 +7008,16 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica maintenance (run_replica_sync: after a full baseline + a
     multi-DML window + one delta sync, the replica's row-level state
     must equal the oracle's direct derivation — see
-    replica_sync_state). Together they gate every persistent-state
-    surface: store contents converge, the incremental feed off a store
-    is exact, row-level DML neither leaks nor resurrects, and the
-    CDC-apply that consumes it reproduces the source. Granulars
-    incremental_store_state / warehouse_changes_state /
-    delete_vectors_read / changelog_feed / replica_sync_state stay
-    registered.
+    replica_sync_state) AND the SQL DML statement surface (DELETE /
+    UPDATE / MERGE / INSERT issued through Warehouse.sql must land the
+    oracle-derived final state — see sql_dml_state). Together they
+    gate every persistent-state surface: store contents converge, the
+    incremental feed off a store is exact, row-level DML neither leaks
+    nor resurrects, the CDC-apply that consumes it reproduces the
+    source, and the SQL statements run the identical operators.
+    Granulars incremental_store_state / warehouse_changes_state /
+    delete_vectors_read / changelog_feed / replica_sync_state /
+    sql_dml_state stay registered.
     Reference analogue: incremental_partition_merge.sql's
     rerun-idempotency + incremental_log.sql:53-60's incremental-scan
     contract."""
@@ -6928,6 +7026,7 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlv = REGISTRY["delete_vectors_read"].spark(spark, sf_dir)
     clg = REGISTRY["changelog_feed"].spark(spark, sf_dir)
     rps = REGISTRY["replica_sync_state"].spark(spark, sf_dir)
+    sqd = REGISTRY["sql_dml_state"].spark(spark, sf_dir)
     return (
         inc.select(
             "src", "id", "key", "cell", F.lit(0.0).cast("double").alias("value")
@@ -6962,6 +7061,15 @@ def stateful_store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             rps.select(
                 F.lit("replica_sync").alias("src"),
+                F.col("okey").cast("long").alias("id"),
+                F.col("st").alias("key"),
+                F.lit(0).cast("long").alias("cell"),
+                F.col("price").cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            sqd.select(
+                F.lit("sql_dml").alias("src"),
                 F.col("okey").cast("long").alias("id"),
                 F.col("st").alias("key"),
                 F.lit(0).cast("long").alias("cell"),

@@ -545,11 +545,19 @@ def test_stateful_store_state_equals_granular_composition(spark):
         F.lit(0).cast("long").alias("cell"),
         F.col("price").cast("double").alias("value"),
     )
+    sqd = reg["sql_dml_state"](spark, SF).select(
+        F.lit("sql_dml").alias("src"),
+        F.col("okey").cast("long").alias("id"),
+        F.col("st").alias("key"),
+        F.lit(0).cast("long").alias("cell"),
+        F.col("price").cast("double").alias("value"),
+    )
     assert _rows(scored) == _rows(
         inc.unionAll(chg)
         .unionAll(dlv)
         .unionAll(clg)
         .unionAll(rps)
+        .unionAll(sqd)
         .select(*scored.columns)
     )
 
