@@ -523,6 +523,9 @@ _DML_OPS = st.lists(
         st.tuples(st.just("vacuum"), st.integers(0, 0)),
         # atomic keyed upsert: replaces k%9==r rows' v, inserts one new
         st.tuples(st.just("upsert"), st.integers(0, 8)),
+        # small-files maintenance must never change visible content,
+        # including over crashed-txn orphans and live delete masks
+        st.tuples(st.just("compact"), st.integers(0, 0)),
     ),
     min_size=1,
     max_size=5,
@@ -593,6 +596,8 @@ def test_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
                 wh._txn_crash_point = None
         elif op == "vacuum":
             wh.vacuum(rel)  # sweeps crashed txns; never changes content
+        elif op == "compact":
+            wh.compact(rel, min_files=1)
         elif op == "upsert":
             batch = [
                 (k, f"up{arg}", p)
