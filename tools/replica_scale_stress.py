@@ -137,6 +137,31 @@ def main():
             flush=True,
         )
 
+        # streaming twin: full drain baseline, then a DML window drained
+        # as a delta — replica must equal the source both times
+        from edna_dbt_library_spark.streaming.incremental_stream import (
+            stream_replica_sync,
+        )
+
+        srep = wh.relation("stress", "smirror")
+        scp = os.path.join(root, "stream_cp")
+        t0 = time.time()
+        stream_replica_sync(wh, src, srep, ["id"], scp).awaitTermination()
+        t_sfull = time.time() - t0
+        n_s = wh.read(srep).count()
+        assert n_s == wh.read(src).count(), (n_s,)
+        wh.delete_where(src, f"id >= {ROWS + 70_000} and id < {ROWS + 72_000}")
+        wh.update_where(src, "v % 100000 = 17", {"v": F.col("v") + 1})
+        t0 = time.time()
+        stream_replica_sync(wh, src, srep, ["id"], scp).awaitTermination()
+        t_sdelta = time.time() - t0
+        n_s2, n_src3 = wh.read(srep).count(), wh.read(src).count()
+        assert n_s2 == n_src3, (n_s2, n_src3)
+        print(
+            f"\nSTREAM full={t_sfull:.2f}s delta={t_sdelta:.2f}s rows={n_s2}",
+            flush=True,
+        )
+
         print("\nRESULT", flush=True)
         print("| source rows | full sync s | window | delta sync s | rows written |", flush=True)
         print(
@@ -153,6 +178,10 @@ def main():
         )
         print(
             f"| | | sparse-key, no index (full key-column scan): {r6['n_deleted_keys']:,} keys | {t_noidx:.2f} | 0 |",
+            flush=True,
+        )
+        print(
+            f"| | | streaming twin: full drain {t_sfull:.2f} | delta drain {t_sdelta:.2f} | |",
             flush=True,
         )
     finally:
