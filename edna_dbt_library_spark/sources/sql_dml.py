@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from .warehouse import Relation, Warehouse
 
-DML_HEAD_RE = re.compile(r"^\s*(delete|update|insert|merge)\b", re.I)
+DML_HEAD_RE = re.compile(r"^\s*(delete|update|insert|merge|create|drop)\b", re.I)
 
 _SUBQUERY_RE = re.compile(r"\(\s*select\b", re.I)
 
@@ -392,10 +392,67 @@ def _merge(wh, tables, query: str) -> DataFrame:
     return _stats(wh, "merge", rel, n_src)
 
 
+def _rel_for_name(wh, tables, name: str):
+    """Resolve a CREATE/DROP target: a registered alias, else the
+    ``<schema>__<identifier>`` naming every default registration uses."""
+    if name in tables:
+        return tables[name]
+    if "__" in name:
+        schema, ident = name.split("__", 1)
+        return wh.relation(schema, ident)
+    raise ValueError(
+        f"SQL DDL: cannot resolve {name!r} — use a registered alias or "
+        "<schema>__<table>"
+    )
+
+
+def _create(wh, tables, query: str) -> DataFrame:
+    m = re.match(
+        r"^\s*create\s+(or\s+replace\s+)?table\s+`?([\w.]+)`?\s*"
+        r"(?:partitioned\s+by\s*\(\s*`?(\w+)`?\s*\)\s*)?as\b(.*?)\s*;?\s*$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"SQL CREATE: cannot parse {query!r}")
+    from .warehouse import TableMeta
+
+    rel = _rel_for_name(wh, tables, m.group(2))
+    if wh.exists(rel) and not m.group(1):
+        raise ValueError(
+            f"SQL CREATE: {rel.table_id} exists (use CREATE OR REPLACE)"
+        )
+    src = _run_source_sql(wh, tables, m.group(4).strip()).localCheckpoint(
+        eager=True
+    )
+    pby = m.group(3)
+    if pby and pby not in src.columns:
+        raise ValueError(f"SQL CREATE: PARTITIONED BY column {pby!r} not in SELECT")
+    wh.create_as(rel, src, TableMeta(partition_by=pby))
+    return _stats(wh, "create_table_as", rel, src.count())
+
+
+def _drop(wh, tables, query: str) -> DataFrame:
+    m = re.match(
+        r"^\s*drop\s+table\s+(if\s+exists\s+)?`?([\w.]+)`?\s*;?\s*$",
+        query,
+        re.I,
+    )
+    if not m:
+        raise ValueError(f"SQL DROP: cannot parse {query!r}")
+    rel = _rel_for_name(wh, tables, m.group(2))
+    if not wh.exists(rel):
+        if m.group(1):
+            return _stats(wh, "drop_table", rel, 0)
+        raise ValueError(f"SQL DROP: {rel.table_id} does not exist")
+    wh.drop(rel)
+    return _stats(wh, "drop_table", rel, 1)
+
+
 def dispatch(
     wh: "Warehouse", tables: dict[str, "Relation"], query: str
 ) -> DataFrame:
-    """Execute one DML statement (caller has already matched
+    """Execute one DML/DDL statement (caller has already matched
     DML_HEAD_RE) and return its one-row stats frame."""
     head = DML_HEAD_RE.match(query).group(1).lower()
     return {
@@ -403,4 +460,6 @@ def dispatch(
         "update": _update,
         "insert": _insert,
         "merge": _merge,
+        "create": _create,
+        "drop": _drop,
     }[head](wh, tables, query)

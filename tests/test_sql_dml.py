@@ -252,6 +252,35 @@ def test_sql_merge_rejects_nonunique_source_and_rich_clauses(spark, wh):
         )
 
 
+# --- CREATE TABLE AS / DROP TABLE -----------------------------------------
+
+
+def test_sql_create_table_as_and_drop(spark, wh):
+    rel = _table(spark, wh)
+    stats = wh.sql(
+        "CREATE TABLE s__agg PARTITIONED BY (p) AS "
+        "SELECT p, sum(amt) AS total FROM s__t GROUP BY p",
+        {"s__t": rel},
+    ).first()
+    assert stats["operation"] == "create_table_as" and stats["n_rows"] == 2
+    agg = wh.relation("s", "agg")
+    got = {(r["p"], r["total"]) for r in wh.read(agg).collect()}
+    assert got == {("a", sum(10 * k for k in range(10))),
+                   ("b", sum(10 * k for k in range(10, 20)))}
+    assert wh.read_meta(agg).partition_by == "p"
+    with pytest.raises(ValueError, match="exists"):
+        wh.sql("CREATE TABLE s__agg AS SELECT 1 AS x", {"s__t": rel})
+    wh.sql(
+        "CREATE OR REPLACE TABLE s__agg AS SELECT 1 AS x", {"s__t": rel}
+    )
+    assert wh.read(agg).columns == ["x"]
+    assert wh.sql("DROP TABLE s__agg", {}).first()["operation"] == "drop_table"
+    assert not wh.exists(agg)
+    assert wh.sql("DROP TABLE IF EXISTS s__agg", {}).first()["n_rows"] == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.sql("DROP TABLE s__agg", {})
+
+
 def test_sql_dml_unknown_alias_raises(spark, wh):
     _table(spark, wh)
     with pytest.raises(ValueError, match="unknown table alias"):
