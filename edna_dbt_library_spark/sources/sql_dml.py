@@ -27,6 +27,11 @@ the DataFrame form of every statement run the identical plan:
   whole-row form is accepted (the Delta/Iceberg upsert idiom); richer
   WHEN clauses raise with a pointer to the DataFrame API.
 
+- ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
+  AS <select>`` -> :meth:`Warehouse.create_as`;
+  ``DROP TABLE [IF EXISTS] <t>`` -> :meth:`Warehouse.drop` — the DDL
+  pair the reference's CTAS materializations compile to.
+
 Each statement returns a ONE-ROW DataFrame
 ``(operation string, table string, n_rows long)`` where ``n_rows`` is
 the statement's affected-row count (deleted / updated / inserted /
