@@ -121,6 +121,33 @@ def main():
         assert np_ == n10 - dp["n_deleted"], (np_, n10, dp)
         print(f"\nPROBE keys={-(-ROWS // 7)} deleted={dp['n_deleted']} t_probe_unpinned={t_probe:.2f}s read_after={t_readp:.2f}s (budget=0: no pinned broadcast anywhere)", flush=True)
 
+        # --- atomic keyed upsert (SQL MERGE / replica apply core): a
+        # 100k-row batch replacing 50k existing keys + 50k inserts runs
+        # as ONE pending-marker transaction — the measure is that the
+        # atomicity machinery (staging + rename + marker flip) costs
+        # nothing beyond the delete+append work it replaces
+        up = (
+            spark.range(ROWS - 50_000, ROWS + 50_000)
+            .select(
+                F.col("id"),
+                F.date_format(
+                    F.date_add(F.lit("2024-01-01"), (F.col("id") % 64).cast("int")),
+                    "yyyy-MM-dd",
+                ).alias("d"),
+                F.lit(-1).cast("long").alias("v"),
+                F.lit("user_up").alias("s"),
+            )
+            .coalesce(4)
+        )
+        cols = wh.read(rel).columns
+        t0 = time.time()
+        ru = wh.upsert_matching(rel, up.select(*cols), ["id"])
+        t_upsert = time.time() - t0
+        print(
+            f"\nUPSERT batch=100k masked={ru['n_deleted']} wall={t_upsert:.2f}s (one atomic txn)",
+            flush=True,
+        )
+
         # --- partition-scoped apply: fresh table, delete inside ONE day
         rel2 = _mk(spark, wh, "t2")
         before = {f for f in wh._live_data_files(rel2)}

@@ -698,9 +698,19 @@ checkpoint lets Catalyst prune the affected-file scan to the key
 columns (19.1 -> 16.0 s sparse, 5.2 -> 4.0 s local).
 
 Round 9 re-run (same tool, same host class, after the atomic-txn DML
-commit landed): full 15.3 s, uniform-sparse 19.7 s, one-day local
-5.2 s — the pending-marker transaction machinery costs nothing
-measurable on the data path.
+commit landed): full 12.2-15.3 s, uniform-sparse 17.9-19.7 s, one-day
+local 4.8-5.5 s across three runs — the pending-marker transaction
+machinery costs nothing measurable on the data path. The ATOMIC keyed
+upsert (SQL MERGE / replica apply core; 100k-row batch masking 38.5k
+keys + inserting the rest into the 8M-row/4k-file table) lands in
+5.8 s as ONE transaction (delete_scale_stress UPSERT row) — the
+staging + rename + marker-flip commit adds only directory operations
+over the delete+append work it replaces. The STREAMING replica twin
+(stream_replica_sync, same 8M source) drains the full baseline in
+26.8 s and a 2k-delete + 80-update + content-hash-fold delta window
+in 17.4 s — same order as the batch sync; the premium is the file
+stream's own listing/checkpoint machinery plus the per-batch
+content-hash delete fold, bought for continuous operation.
 
 ## Sparse-key probe: bloom set-probe file pruning (round 9)
 
