@@ -666,9 +666,14 @@ def run_replica_sync(
             # scan to the key columns (the deleted-row side was the delta
             # sync's dominant cost on wide tables; replica_scale_stress
             # measures the cut) — while inserts are landed whole.
-            ins = wh.read_changes(source, last_v, to_version=new_v).localCheckpoint(
-                eager=True
-            )
+            # masked: a row appended AND deleted within this window must
+            # not land in the replica — the raw feed would emit it and
+            # no later changelog entry would ever retract it (the
+            # resurrection the r9 review caught; twice-updated keys
+            # similarly left a stale duplicate)
+            ins = wh.read_changes(
+                source, last_v, to_version=new_v, masked=True
+            ).localCheckpoint(eager=True)
             del_keys = (
                 wh.read_deleted_rows(source, last_v, to_version=new_v)
                 .select(*keys)

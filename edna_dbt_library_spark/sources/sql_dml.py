@@ -373,11 +373,21 @@ def _merge(wh, tables, query: str) -> DataFrame:
                 f"SQL MERGE: ON key names must match on both sides "
                 f"({c1!r} vs {c2!r})"
             )
-        sides = {q1, q2}
-        if not (sides & t_names) or (s_names and not (sides & s_names)):
+        # EXACTLY one qualifier on the target, the other on the source:
+        # a t.k = t.k typo (trivially true in real SQL) or an unknown
+        # qualifier must never silently run as a keyed upsert
+        is_t1, is_t2 = q1 in t_names, q2 in t_names
+        if is_t1 == is_t2:
             raise ValueError(
-                f"SQL MERGE: ON qualifiers {sides} must reference the "
-                f"target ({t_names}) and source ({s_names or '{subquery}'})"
+                f"SQL MERGE: ON conjunct {conj.strip()!r} must compare a "
+                f"target-qualified ({t_names}) column to a "
+                f"source-qualified column, exactly one of each"
+            )
+        src_q = q2 if is_t1 else q1
+        if s_names and src_q not in s_names:
+            raise ValueError(
+                f"SQL MERGE: qualifier {src_q!r} does not name the "
+                f"source ({s_names})"
             )
         keys.append(c1)
     src = _align_for_append(wh, rel, src).localCheckpoint(eager=True)

@@ -492,7 +492,11 @@ class Warehouse:
         return kept, len(live)
 
     def zonemap_candidate_files(
-        self, rel: Relation, col: str, values_df: DataFrame
+        self,
+        rel: Relation,
+        col: str,
+        values_df: DataFrame,
+        live: list[str] | None = None,
     ) -> list[str] | None:
         """Bounding-box SET-probe of the zone-map sidecar: the live
         files whose [min, max] for ``col`` intersects the probe set's
@@ -514,7 +518,8 @@ class Warehouse:
         ).first()
         if row["lo"] is None:
             return []
-        live = self._live_data_files(rel)
+        if live is None:
+            live = self._live_data_files(rel)
         kept, total = self.prune_files(rel, col, row["lo"], row["hi"], live=live)
         return kept if len(kept) < total else None
 
@@ -774,7 +779,11 @@ class Warehouse:
         return self._read_file_subset(rel, kept)
 
     def bloom_candidate_files(
-        self, rel: Relation, col: str, values_df: DataFrame
+        self,
+        rel: Relation,
+        col: str,
+        values_df: DataFrame,
+        live: list[str] | None = None,
     ) -> list[str] | None:
         """Distributed SET-probe of the bloom sidecar: the live data
         files that may contain ANY value of ``values_df``'s first column
@@ -798,7 +807,7 @@ class Warehouse:
         (8M rows / 3.3k files, replica_scale_stress) because it
         re-shuffled the whole sidecar per call; the filtered form is
         bounded by the probe's word footprint instead."""
-        pre = self._bloom_probe_frame(rel, col, values_df)
+        pre = self._bloom_probe_frame(rel, col, values_df, live=live)
         if pre is None:
             return None
         hits, live, indexed = pre
@@ -806,7 +815,11 @@ class Warehouse:
         return [f for f in live if f not in indexed or f in cand]
 
     def _bloom_probe_frame(
-        self, rel: Relation, col: str, values_df: DataFrame
+        self,
+        rel: Relation,
+        col: str,
+        values_df: DataFrame,
+        live: list[str] | None = None,
     ) -> tuple[DataFrame, list[str], set[str]] | None:
         """(hits frame, live files, indexed files) for the set probe —
         split out so tests can assert the probe PLAN (word semi-join
@@ -824,7 +837,8 @@ class Warehouse:
             # meta survived but the bloom data dir is gone: stale
             # index, fail safe until the next refresh
             return None
-        live = self._live_data_files(rel)
+        if live is None:
+            live = self._live_data_files(rel)
         indexed = set(bm["files"])
         m_bits, k = bm["m"], bm["k"]
         vals = (
@@ -1042,6 +1056,10 @@ class Warehouse:
             reader = reader.option("mergeSchema", "true")
         if self._pending_txids(rel):
             live = self._live_data_files(rel)
+            if not live:
+                # only a crashed txn's orphans exist: committed state is
+                # empty — callers' 0-match paths handle the empty frame
+                return self.read(rel).limit(0)
             if meta.partition_by:
                 reader = reader.option("basePath", base)
             return reader.parquet(*(os.path.join(base, f) for f in live))
@@ -1320,9 +1338,12 @@ class Warehouse:
         # has enough files for pruning to beat one combined scan
         phys = [c for c in keys if not derived or c not in derived]
         cand = None
-        if len(self._live_data_files(rel)) >= self.BLOOM_PROBE_MIN_FILES:
+        # ONE directory walk shared by the gate and both probe tiers
+        # (the listing dominated prune_files at 100k files)
+        live = self._live_data_files(rel)
+        if len(live) >= self.BLOOM_PROBE_MIN_FILES:
             for c in phys:
-                cand = self.bloom_candidate_files(rel, c, probe.select(c))
+                cand = self.bloom_candidate_files(rel, c, probe.select(c), live=live)
                 if cand is not None:
                     break
             if cand is None:
@@ -1330,7 +1351,9 @@ class Warehouse:
                 # probe covers the range-clustered case (expiry by id
                 # range over a clustered layout) for one cheap agg job
                 for c in phys:
-                    cand = self.zonemap_candidate_files(rel, c, probe.select(c))
+                    cand = self.zonemap_candidate_files(
+                        rel, c, probe.select(c), live=live
+                    )
                     if cand is not None:
                         break
         if cand is not None:
@@ -1558,9 +1581,14 @@ class Warehouse:
 
     # --- reads -------------------------------------------------------------
     def _has_data_files(self, rel: Relation) -> bool:
+        pending = self._pending_txids(rel)
         for _dirpath, dirs, files in os.walk(self.path(rel)):
             dirs[:] = [d for d in dirs if not _is_hidden(d)]  # sidecars
-            if any(f.endswith(".parquet") for f in files):
+            if any(
+                f.endswith(".parquet")
+                and not (pending and _is_pending_file(f, pending))
+                for f in files
+            ):
                 return True
         return False
 
@@ -2263,7 +2291,11 @@ class Warehouse:
         return sorted(added - removed)
 
     def read_changes(
-        self, rel: Relation, since_version: int, to_version: int | None = None
+        self,
+        rel: Relation,
+        since_version: int,
+        to_version: int | None = None,
+        masked: bool = False,
     ) -> DataFrame:
         """Incremental consumption (Iceberg-style changed-file read):
         the rows in data files ADDED after ``since_version`` — up to
@@ -2284,6 +2316,14 @@ class Warehouse:
         listing; the monolithic manifest diff is only the fallback when
         the chain is broken (dropped intermediate snapshot /
         pre-delta.json table) or the live table is the target.
+
+        ``masked=True`` additionally anti-joins ``to_version``'s delete
+        entries, so a row appended AND positionally deleted within the
+        window is NOT emitted — the form a row-level consumer (replica
+        sync) needs: the raw default would hand it a row the source
+        deleted, with no later delete feed to retract it (entries for
+        pre-window files never match added-file rows, so the mask is
+        exactly the within-window deletes).
         """
         if to_version is not None and to_version < since_version:
             raise ValueError("to_version must be >= since_version")
@@ -2335,7 +2375,12 @@ class Warehouse:
             reader = reader.option("mergeSchema", "true")
         if meta_partition_by:
             reader = reader.option("basePath", root)
-        return reader.parquet(*(os.path.join(root, f) for f in added))
+        df = reader.parquet(*(os.path.join(root, f) for f in added))
+        if masked:
+            df = self._merge_deletes(
+                df, self._version_delete_files(rel, to_version), root
+            )
+        return df
 
     def _version_delete_files(self, rel: Relation, version: int | None) -> list[str]:
         """Positional-delete parquet files as of a snapshot (hardlinked

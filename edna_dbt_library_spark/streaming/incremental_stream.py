@@ -119,17 +119,29 @@ def stream_table(wh, rel, max_files_per_trigger: int | None = None) -> DataFrame
     return reader.parquet(wh.path(rel))
 
 
-def _settle_pending(wh, rel, batch: DataFrame, settle_s: float = 5.0) -> DataFrame:
+def _settle_pending(
+    wh,
+    rel,
+    batch: DataFrame,
+    settle_s: float = 5.0,
+    crashed_after_s: float = 300.0,
+) -> DataFrame:
     """Reconcile a file-source micro-batch with the warehouse's
     pending-marker transactions (warehouse._txn): the file stream lists
     txn-named artifacts the moment they land, which is BEFORE the
     marker-unlink commit. For each txn id present in the batch's source
-    files, wait briefly for the in-flight commit to settle (the commit
-    window is the microseconds between the last rename and the unlink,
-    so the wait virtually never triggers under the single-writer
-    contract), then DROP rows of transactions still pending — those
-    crashed, their artifacts are permanently invisible to every batch
-    reader, and the stream must agree."""
+    files, wait up to ``settle_s`` for the commit to settle, then:
+
+    - marker OLDER than ``crashed_after_s`` -> the txn crashed; DROP
+      its rows (its artifacts are permanently invisible to every batch
+      reader, and the stream must agree);
+    - marker YOUNGER -> the statement is plausibly STILL COMMITTING (a
+      large upsert's data files land a full Spark shard-write before
+      the unlink — measured 5.8s for a 100k-row upsert at 8M rows), so
+      RAISE to fail the micro-batch: offsets do not commit and the
+      trigger retries, because dropping here would lose the rows
+      forever (the checkpoint marks their files consumed while the txn
+      then commits)."""
     import os as _os
     import time as _time
 
@@ -149,6 +161,24 @@ def _settle_pending(wh, rel, batch: DataFrame, settle_s: float = 5.0) -> DataFra
     still = txids & set(wh._pending_txids(rel))
     if not still:
         return batch
+    now = _time.time()
+    in_flight = set()
+    for t in sorted(still):
+        try:
+            age = now - _os.path.getmtime(
+                _os.path.join(wh._pending_dir(rel), f"{t}.json")
+            )
+        except FileNotFoundError:
+            continue  # committed between the check and here
+        if age < crashed_after_s:
+            in_flight.add(t)
+    if in_flight:
+        raise RuntimeError(
+            f"micro-batch lists files of still-committing transaction(s) "
+            f"{sorted(in_flight)} on {rel.table_id}; failing the batch so "
+            "the trigger retries after the commit (dropping would lose "
+            "committed rows: the checkpoint marks their files consumed)"
+        )
     cond = F.lit(True)
     for t in still:
         cond = cond & ~F.input_file_name().contains(f"txn-{t}-")
@@ -163,6 +193,7 @@ def stream_changelog(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     settle_s: float = 5.0,
+    crashed_after_s: float = 300.0,
 ):
     """A warehouse table's row-level CHANGELOG as a push-style
     Structured Streaming feed — the streaming complement of
@@ -198,7 +229,7 @@ def stream_changelog(
     schema = T.StructType.fromJson(_json.loads(meta.schema_json))
 
     def _ins(batch: DataFrame, epoch_id: int) -> None:
-        out = _settle_pending(wh, rel, batch, settle_s)
+        out = _settle_pending(wh, rel, batch, settle_s, crashed_after_s)
         handler(
             out.withColumn("_change_type", F.lit("insert")), epoch_id, "insert"
         )
@@ -217,7 +248,7 @@ def stream_changelog(
     )
 
     def _del(batch: DataFrame, epoch_id: int) -> None:
-        out = _settle_pending(wh, rel, batch, settle_s)
+        out = _settle_pending(wh, rel, batch, settle_s, crashed_after_s)
         rows = wh.materialize_delete_entries(rel, out)
         handler(
             rows.withColumn("_change_type", F.lit("delete")), epoch_id, "delete"
@@ -258,6 +289,7 @@ def stream_replica_sync(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     settle_s: float = 5.0,
+    crashed_after_s: float = 300.0,
 ):
     """Streaming twin of ``operators.materializations.run_replica_sync``:
     maintain a keyed row-level MIRROR of ``source`` continuously. One
@@ -329,7 +361,7 @@ def stream_replica_sync(
     src_base = wh.path(source)
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch = _settle_pending(wh, source, batch, settle_s)
+        batch = _settle_pending(wh, source, batch, settle_s, crashed_after_s)
         # 1) fold NEW source delete shards: mask by key + content hash
         #    so only the exact dead row dies, never its replacement
         done = _ledger_read()
@@ -388,6 +420,8 @@ def stream_cdc_refresh(
     checkpoint_path: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    settle_s: float = 5.0,
+    crashed_after_s: float = 300.0,
 ):
     """Streaming twin of ``operators.materializations.run_cdc_refresh``:
     maintain ``target = transform(source)`` continuously by composing
@@ -423,7 +457,7 @@ def stream_cdc_refresh(
         # a crashed DML transaction's txn-named files are invisible to
         # every batch reader but the file stream lists them: reconcile
         # before the merge or the target keeps phantom rows forever
-        batch_df = _settle_pending(wh, source, batch_df)
+        batch_df = _settle_pending(wh, source, batch_df, settle_s, crashed_after_s)
         run_incremental_partition_merge(wh, target, transform(batch_df), config)
 
     writer = src.writeStream.foreachBatch(merge_batch).option(

@@ -100,3 +100,35 @@ def test_watermark_is_selective(spark, wh):
     assert notes.count(None) + sum(1 for n in notes if n and n.startswith("replica:")) >= 1
     # exactly one replica watermark survives
     assert sum(1 for n in notes if n and n.startswith("replica:")) == 1
+
+
+def test_within_window_append_then_delete_never_lands(spark, wh):
+    """A row appended AND deleted inside ONE sync window must not reach
+    the replica: the raw changelog would emit it as an added-file row
+    with no later retraction (read_changes masked=True closes it)."""
+    src = _mk_source(spark, wh)
+    rep = wh.relation("s", "mirror_wd")
+    run_replica_sync(wh, src, rep, keys=["k"])
+    wh.append(
+        rel=src,
+        df=spark.createDataFrame([(100, "x", "a")], "k long, v string, p string"),
+    )
+    wh.delete_where(src, "k = 100")
+    r = run_replica_sync(wh, src, rep, keys=["k"])
+    assert r["mode"] == "delta"
+    assert _content(wh, rep) == _content(wh, src)
+    assert (100, "x", "a") not in _content(wh, rep)
+
+
+def test_twice_updated_key_lands_final_value_only(spark, wh):
+    """Two updates of one key in one window put BOTH rewrites in the
+    raw added-file feed; the masked feed keeps only the final copy."""
+    src = _mk_source(spark, wh)
+    rep = wh.relation("s", "mirror_2u")
+    run_replica_sync(wh, src, rep, keys=["k"])
+    wh.update_where(src, "k = 3", {"v": F.lit("mid")})
+    wh.update_where(src, "k = 3", {"v": F.lit("final")})
+    run_replica_sync(wh, src, rep, keys=["k"])
+    c = _content(wh, rep)
+    assert c == _content(wh, src)
+    assert c[(3, "final", "a")] == 1 and (3, "mid", "a") not in c

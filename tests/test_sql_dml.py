@@ -244,9 +244,17 @@ def test_sql_merge_rejects_nonunique_source_and_rich_clauses(spark, wh):
             "WHEN MATCHED THEN DELETE",
             {"s__t": rel},
         )
-    with pytest.raises(ValueError, match="qualifiers"):
+    with pytest.raises(ValueError, match="target-qualified"):
         wh.sql(
             "MERGE INTO s__t t USING (SELECT 1 AS k) s ON x.k = y.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            {"s__t": rel},
+        )
+    # a t.k = t.k typo with an UNALIASED subquery source must refuse
+    # (trivially true in real SQL; previously ran as a plain k-upsert)
+    with pytest.raises(ValueError, match="target-qualified"):
+        wh.sql(
+            "MERGE INTO s__t t USING (SELECT 1 AS k) ON t.k = t.k "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
             {"s__t": rel},
         )

@@ -95,12 +95,39 @@ def test_stream_changelog_drops_crashed_txn_artifacts(spark, wh, tmp_path):
         )
 
     qi, qd = stream_changelog(
-        wh, rel, handler, str(tmp_path / "cp"), settle_s=1.0
+        wh,
+        rel,
+        handler,
+        str(tmp_path / "cp"),
+        settle_s=1.0,
+        crashed_after_s=0.0,  # fresh marker: declare it crashed at once
     )
     qi.awaitTermination()
     qd.awaitTermination()
     assert ("insert", 1, "ghost") not in got
     assert all(t == "insert" for t, *_ in got) and len(got) == 6
+
+
+def test_settle_pending_raises_for_plausibly_inflight_txn(spark, wh):
+    """A YOUNG pending marker may be a statement still committing: the
+    batch must FAIL (so the trigger retries) rather than drop the rows
+    — the file-source checkpoint would mark them consumed forever."""
+    rel = wh.relation("s", "t")
+    wh.create_as(rel, _mk(spark, [(1, "a", "p1")]), TableMeta())
+    wh._txn_crash_point = "before_commit"
+    with pytest.raises(InjectedCrash):
+        wh.update_where(rel, "k = 1", {"v": F.lit("b")})
+    wh._txn_crash_point = None
+    import glob as _glob
+
+    raw = spark.read.parquet(
+        *_glob.glob(os.path.join(wh.path(rel), "*.parquet"))
+    )
+    with pytest.raises(RuntimeError, match="still-committing"):
+        _settle_pending(wh, rel, raw, settle_s=0.1)  # default crashed_after_s
+    # once the marker is old enough to be declared crashed: rows dropped
+    out = _settle_pending(wh, rel, raw, settle_s=0.1, crashed_after_s=0.0)
+    assert out.count() == 1  # only the committed original row
 
 
 def test_settle_pending_passes_committed_txn_rows(spark, wh):

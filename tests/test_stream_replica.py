@@ -122,7 +122,14 @@ def test_stream_cdc_refresh_drops_crashed_txn_phantoms(spark, wh, tmp_path):
         unique_key="k", partition_by=PartitionSpec(field="ts")
     )
     q = stream_cdc_refresh(
-        wh, src, tgt, lambda d: d, cfg, str(tmp_path / "cdc_cp")
+        wh,
+        src,
+        tgt,
+        lambda d: d,
+        cfg,
+        str(tmp_path / "cdc_cp"),
+        settle_s=0.2,
+        crashed_after_s=0.0,  # fresh marker: declare it crashed at once
     )
     q.awaitTermination()
     vals = {r["v"] for r in wh.read(tgt).collect()}
