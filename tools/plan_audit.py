@@ -712,6 +712,15 @@ in 17.4 s — same order as the batch sync; the premium is the file
 stream's own listing/checkpoint machinery plus the per-batch
 content-hash delete fold, bought for continuous operation.
 
+## Same-host bench control (round 9 end)
+
+The r8 tip (0e3e4ef) cloned to /tmp and benched on the same idle host
+immediately before the r9 tip's own run: common 92 queries
+**105.4 s -> 93.1 s = 0.88x, zero regressions at the 1.15x
+threshold** — the round's txn machinery, pending-aware read paths and
+probe tiers cost nothing on the scored set, and the common set got
+measurably faster.
+
 ## Sparse-key probe: bloom set-probe file pruning (round 9)
 
 Same stress, new section: a 2,000-key purge window against a
