@@ -53,7 +53,20 @@ from pyspark.sql import DataFrame, functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from .warehouse import Relation, Warehouse
 
-DML_HEAD_RE = re.compile(r"^\s*(delete|update|insert|merge|create|drop)\b", re.I)
+# Routes ONLY the statement forms this module implements: DELETE /
+# UPDATE / INSERT / MERGE (genuinely DML-shaped — vanilla Spark SQL has
+# no executable form for them over these tables, so an unparseable one
+# must raise here), plus exactly CREATE [OR REPLACE] TABLE and DROP
+# TABLE. Every other CREATE/DROP head (CREATE [TEMP] VIEW, CREATE
+# FUNCTION, DROP VIEW, ...) falls through to the spark.sql pass-through
+# in Warehouse.sql — routing them here regressed previously-working
+# callers with a 'cannot parse' raise (ADVICE r9 #4).
+DML_HEAD_RE = re.compile(
+    r"^\s*(?:(delete|update|insert|merge)\b"
+    r"|(create)\s+(?:or\s+replace\s+)?table\b"
+    r"|(drop)\s+table\b)",
+    re.I,
+)
 
 _SUBQUERY_RE = re.compile(r"\(\s*select\b", re.I)
 
@@ -469,7 +482,9 @@ def dispatch(
 ) -> DataFrame:
     """Execute one DML/DDL statement (caller has already matched
     DML_HEAD_RE) and return its one-row stats frame."""
-    head = DML_HEAD_RE.match(query).group(1).lower()
+    head = next(
+        g for g in DML_HEAD_RE.match(query).groups() if g is not None
+    ).lower()
     return {
         "delete": _delete,
         "update": _update,

@@ -491,6 +491,24 @@ class Warehouse:
                 kept.append(relp)
         return kept, len(live)
 
+    @staticmethod
+    def _probe_values(values_df: DataFrame, col: str) -> DataFrame:
+        """Resolve a candidate-file probe frame's value column by NAME:
+        a multi-column probe frame whose first column is not ``col``
+        must never be trusted positionally — wrong bounds/hashes would
+        wrongly prune files and cause missed deletes (ADVICE r9 #3).
+        A single-column frame keeps working under any name (the probe
+        values need not share the table column's name)."""
+        if col in values_df.columns:
+            return values_df.select(col)
+        if len(values_df.columns) == 1:
+            return values_df
+        raise ValueError(
+            f"probe frame has columns {values_df.columns} but none is "
+            f"{col!r}; pass values_df.select({col!r}) or a one-column "
+            "frame of probe values"
+        )
+
     def zonemap_candidate_files(
         self,
         rel: Relation,
@@ -512,6 +530,7 @@ class Warehouse:
         cols, index = self._zm_load(rel)
         if index is None or col not in (cols or []):
             return None
+        values_df = self._probe_values(values_df, col)
         row = values_df.select(
             F.min(values_df.columns[0]).alias("lo"),
             F.max(values_df.columns[0]).alias("hi"),
@@ -841,6 +860,7 @@ class Warehouse:
             live = self._live_data_files(rel)
         indexed = set(bm["files"])
         m_bits, k = bm["m"], bm["k"]
+        values_df = self._probe_values(values_df, col)
         vals = (
             values_df.select(F.col(values_df.columns[0]).cast(dt).alias("_v"))
             .where(F.col("_v").isNotNull())
@@ -1020,6 +1040,17 @@ class Warehouse:
         self._maybe_crash("before_commit")
         os.unlink(marker)  # COMMIT
 
+    def _touch_txn(self, rel: Relation, txid: str) -> None:
+        """Refresh the pending marker's mtime after a staging step so
+        its age measures INACTIVITY, not total statement duration: a
+        legitimately slow multi-shard statement keeps its marker young
+        while it makes progress, and stream consumers' crashed-txn
+        classification (`_settle_pending`, which drops rows of markers
+        older than ``crashed_after_s``) never mistakes a large in-flight
+        commit for a crash (ADVICE r9 #1)."""
+        with contextlib.suppress(OSError):
+            os.utime(os.path.join(self._pending_dir(rel), f"{txid}.json"))
+
     def _sweep_txn(self, rel: Relation, txid: str) -> int:
         """Remove every (invisible) artifact of one transaction:
         staging dir, txn-named delete shards, txn-named data files."""
@@ -1083,6 +1114,7 @@ class Warehouse:
                 ),
             )
         shutil.rmtree(dtmp, ignore_errors=True)
+        self._touch_txn(rel, txid)
 
     def _stage_data_files(
         self, rel: Relation, df: DataFrame, meta: TableMeta, txid: str
@@ -1109,6 +1141,7 @@ class Warehouse:
         shutil.rmtree(staging, ignore_errors=True)
         with contextlib.suppress(OSError):
             os.rmdir(os.path.join(base, "_staging"))
+        self._touch_txn(rel, txid)
 
     @staticmethod
     def _files_bytes(paths: list[str]) -> int:

@@ -113,7 +113,15 @@ def stream_table(wh, rel, max_files_per_trigger: int | None = None) -> DataFrame
             "requires a meta schema (rewrite it via create_as/write_meta)"
         )
     schema = T.StructType.fromJson(_json.loads(meta.schema_json))
-    reader = wh.spark.readStream.schema(schema)
+    # vacuum()/_sweep_txn may unlink a crashed txn's files AFTER the
+    # source listed them into a (not yet committed) micro-batch; without
+    # this the replayed batch hits FileNotFoundException forever against
+    # its checkpointed file list and the stream wedges (ADVICE r9 #2).
+    # Consistent with the documented file-level at-least-once boundary:
+    # a swept file's rows were never committed, skipping loses nothing.
+    reader = wh.spark.readStream.schema(schema).option(
+        "ignoreMissingFiles", "true"
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(wh.path(rel))
@@ -141,7 +149,13 @@ def _settle_pending(
       RAISE to fail the micro-batch: offsets do not commit and the
       trigger retries, because dropping here would lose the rows
       forever (the checkpoint marks their files consumed while the txn
-      then commits)."""
+      then commits).
+
+    Marker age measures staging INACTIVITY, not total statement
+    duration: the warehouse ``os.utime``-refreshes the marker after
+    every staging step (``_touch_txn``), so a multi-minute statement
+    that is still landing shards keeps a young marker and is never
+    misclassified as crashed while it makes progress (ADVICE r9 #1)."""
     import os as _os
     import time as _time
 
@@ -234,7 +248,13 @@ def stream_changelog(
             out.withColumn("_change_type", F.lit("insert")), epoch_id, "insert"
         )
 
-    ins_reader = wh.spark.readStream.schema(schema)
+    # both feeds scan dirs that vacuum()/_sweep_txn prune of crashed-txn
+    # artifacts — possibly after the source listed them into a pending
+    # micro-batch; skip the vanished files instead of wedging the stream
+    # on replay (ADVICE r9 #2; same boundary note as stream_table).
+    ins_reader = wh.spark.readStream.schema(schema).option(
+        "ignoreMissingFiles", "true"
+    )
     if max_files_per_trigger is not None:
         ins_reader = ins_reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
@@ -262,7 +282,7 @@ def stream_changelog(
                 T.StructField("pos", T.LongType()),
             ]
         )
-    )
+    ).option("ignoreMissingFiles", "true")
     if max_files_per_trigger is not None:
         del_reader = del_reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)

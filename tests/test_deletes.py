@@ -498,3 +498,49 @@ def test_delete_matching_zonemap_bounding_box_prune(spark, wh):
 
     # unindexed column declines
     assert wh.zonemap_candidate_files(rel, "v", probe.select("k")) is None
+
+
+def test_candidate_files_resolve_probe_column_by_name(spark, wh):
+    """The public candidate-file probes must never trust the probe
+    frame's FIRST column positionally (ADVICE r9 #3): a multi-column
+    probe whose first column is not the probed one would hash/bound the
+    wrong values, wrongly prune files, and silently miss deletes. A
+    column named like the probed table column is picked by NAME; a
+    single-column frame keeps working under any name; an ambiguous
+    multi-column frame raises instead of guessing."""
+    rel = wh.relation("s", "pcol")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("pad").alias("u")
+    ).repartitionByRange(8, "k")
+    wh.create_as(rel, df, TableMeta())
+    wh.refresh_zone_maps(rel, ["k"])
+    wh.refresh_bloom_sidecar(rel, ["k"], m_bits=1 << 12, k=5)
+    wh.BLOOM_PROBE_MIN_FILES = 1
+
+    # decoy first column far outside the real probe's range/values
+    multi = spark.createDataFrame(
+        [(100_000, 5), (100_001, 9)], "decoy long, k long"
+    )
+    clean = multi.select("k")
+    assert wh.zonemap_candidate_files(rel, "k", multi) == \
+        wh.zonemap_candidate_files(rel, "k", clean)
+    assert wh.bloom_candidate_files(rel, "k", multi) == \
+        wh.bloom_candidate_files(rel, "k", clean)
+    # the decoy values must NOT be what got probed: zonemap candidates
+    # for the clean probe exist and prune (decoy range would keep none)
+    cand = wh.zonemap_candidate_files(rel, "k", multi)
+    assert cand is not None and 0 < len(cand) < len(wh._live_data_files(rel))
+
+    # single-column frame under a foreign name still probes
+    other = spark.createDataFrame([(5,), (9,)], "probe_value long")
+    assert wh.zonemap_candidate_files(rel, "k", other) == \
+        wh.zonemap_candidate_files(rel, "k", clean)
+    assert wh.bloom_candidate_files(rel, "k", other) == \
+        wh.bloom_candidate_files(rel, "k", clean)
+
+    # multi-column frame with no matching name: refuse, never guess
+    bad = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="probe frame"):
+        wh.zonemap_candidate_files(rel, "k", bad)
+    with pytest.raises(ValueError, match="probe frame"):
+        wh.bloom_candidate_files(rel, "k", bad)

@@ -302,3 +302,37 @@ def test_sql_select_still_works_after_dml_dispatch(spark, wh):
         wh.sql("SELECT count(*) AS n FROM s__t", {"s__t": rel}).first()["n"]
         == 10
     )
+
+
+def test_non_table_create_drop_pass_through(spark, wh):
+    """DML_HEAD_RE routes ONLY the implemented statement forms
+    (ADVICE r9 #4): CREATE [TEMP] VIEW and DROP VIEW are ordinary Spark
+    SQL that worked through Warehouse.sql before the DML grammar landed
+    and must keep passing through — not die in the constrained parser."""
+    from edna_dbt_library_spark.sources.sql_dml import DML_HEAD_RE
+
+    # routing table: implemented forms match, everything else falls through
+    assert DML_HEAD_RE.match("CREATE TABLE s__x AS SELECT 1 AS a")
+    assert DML_HEAD_RE.match("create or replace table s__x as select 1 a")
+    assert DML_HEAD_RE.match("DROP TABLE IF EXISTS s__x")
+    assert DML_HEAD_RE.match("  delete from s__t where k = 1")
+    for q in (
+        "CREATE TEMP VIEW tv AS SELECT 1 AS a",
+        "CREATE OR REPLACE TEMPORARY VIEW tv AS SELECT 1 AS a",
+        "CREATE VIEW v AS SELECT 1 AS a",
+        "DROP VIEW IF EXISTS tv",
+        "CREATE FUNCTION f AS 'x'",
+    ):
+        assert not DML_HEAD_RE.match(q), q
+
+    # end-to-end: a temp view created through Warehouse.sql is usable
+    # (self-contained body: warehouse aliases are dropped after the call,
+    # and Spark re-resolves a temp view's text on every reference)
+    rel = _table(spark, wh)
+    wh.sql("CREATE OR REPLACE TEMP VIEW _sqldml_tv AS SELECT 1 AS a, 2 AS b", {})
+    assert spark.sql("SELECT a + b AS s FROM _sqldml_tv").first()["s"] == 3
+    wh.sql("DROP VIEW _sqldml_tv", {})
+    assert not spark.catalog.tableExists("_sqldml_tv")
+    # and the routed forms still dispatch to the DML grammar
+    out = wh.sql("DELETE FROM s__t WHERE k = 0", {"s__t": rel}).first()
+    assert out["operation"] == "delete" and out["n_rows"] == 1

@@ -141,3 +141,86 @@ def test_settle_pending_passes_committed_txn_rows(spark, wh):
     )
     out = _settle_pending(wh, rel, raw, settle_s=0.2)
     assert out.count() == raw.count()
+
+
+def test_staging_steps_refresh_pending_marker_mtime(spark, wh):
+    """Marker age must measure staging INACTIVITY, not total statement
+    duration (ADVICE r9 #1): a long multi-shard statement that keeps
+    landing artifacts must keep a YOUNG marker, so _settle_pending
+    raises (retry) instead of classifying it crashed and silently
+    dropping committed rows past the file-source checkpoint."""
+    import glob as _glob
+    import time as _time
+
+    rel = wh.relation("s", "t")
+    wh.create_as(rel, _mk(spark, [(1, "a", "p1"), (2, "b", "p1")]), TableMeta())
+    meta = wh.read_meta(rel)
+    with pytest.raises(RuntimeError, match="staging refreshed"):
+        with wh._txn(rel, "test") as txid:
+            marker = os.path.join(wh._pending_dir(rel), f"{txid}.json")
+            old = _time.time() - 10_000
+            os.utime(marker, (old, old))
+            wh._stage_data_files(rel, wh.read(rel).limit(1), meta, txid)
+            assert _time.time() - os.path.getmtime(marker) < 600
+            # the still-staging txn now reads as in-flight, never crashed
+            raw = spark.read.parquet(
+                *_glob.glob(os.path.join(wh.path(rel), "*.parquet"))
+            )
+            with pytest.raises(RuntimeError, match="still-committing"):
+                _settle_pending(wh, rel, raw, settle_s=0.1)
+            os.utime(marker, (old, old))
+            wh._stage_delete_shard(
+                rel,
+                spark.createDataFrame([("f", 0)], "file string, pos long"),
+                1,
+                txid,
+            )
+            assert _time.time() - os.path.getmtime(marker) < 600
+            raise RuntimeError("staging refreshed")  # abort: sweep artifacts
+    assert not wh._pending_txids(rel)
+
+
+def test_vacuum_after_failed_batch_does_not_wedge_stream(spark, wh, tmp_path):
+    """vacuum() may unlink a crashed txn's files AFTER the file source
+    listed them into a checkpointed-but-uncommitted micro-batch; on
+    restart the batch replays against its checkpointed file list. With
+    ignoreMissingFiles (ADVICE r9 #2) the replay skips the swept files
+    (their rows were never committed) instead of dying on
+    FileNotFoundException forever."""
+    rel = wh.relation("s", "t")
+    wh.create_as(
+        rel,
+        _mk(spark, [(k, f"v{k}", "a") for k in range(4)]),
+        TableMeta(partition_by="p"),
+    )
+    wh._txn_crash_point = "before_commit"
+    with pytest.raises(InjectedCrash):
+        wh.update_where(rel, "k = 1", {"v": F.lit("ghost")})
+    wh._txn_crash_point = None
+
+    def failing(df, epoch_id, kind):
+        raise RuntimeError("sink down")
+
+    qi, qd = stream_changelog(
+        wh, rel, failing, str(tmp_path / "cp"),
+        settle_s=0.5, crashed_after_s=0.0,
+    )
+    for q in (qi, qd):
+        with pytest.raises(Exception):
+            q.awaitTermination()
+
+    # maintenance sweeps the crashed txn's artifacts from both dirs
+    assert wh.vacuum(rel)["txns_swept"] >= 1
+
+    got = []
+
+    def handler(df, epoch_id, kind):
+        got.extend((r["_change_type"], r["k"], r["v"]) for r in df.collect())
+
+    qi, qd = stream_changelog(
+        wh, rel, handler, str(tmp_path / "cp"),
+        settle_s=0.5, crashed_after_s=0.0,
+    )
+    qi.awaitTermination()
+    qd.awaitTermination()
+    assert sorted(got) == [("insert", k, f"v{k}") for k in range(4)]
