@@ -100,11 +100,19 @@ def bm25_topk(
     (N, avgdl) ride in as a broadcast single-row crossJoin, keeping the
     plan fully lazy."""
     tfdl = doc_term_freqs(documents, id_col, text_col)
-    # corpus stats from the PRE-explode projection: a column-pruned
-    # re-scan with map-side partial aggregation to one row — cheaper at
-    # scale than re-shuffling the tf table by doc (docs with zero tokens
-    # have no postings and are excluded on both paths)
-    stats = (
+    stats = corpus_stats(documents, text_col)
+    df_t = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = query_terms(queries, text_col)
+    return _bm25_rank(tfdl, df_t, stats, qterms, k, k1, b, max_df_frac)
+
+
+def corpus_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row (n_docs, avgdl) corpus statistics from the PRE-explode
+    projection: a column-pruned scan with map-side partial aggregation
+    to one row — cheaper at scale than re-shuffling the tf table by doc
+    (docs with zero tokens have no postings and are excluded on both
+    paths)."""
+    return (
         documents.select(F.size(tokens(text_col)).alias("dl"))
         .where(F.col("dl") > 0)
         .agg(
@@ -112,13 +120,33 @@ def bm25_topk(
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         )
     )
-    df_t = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
 
-    qterms = (
+
+def query_terms(queries: DataFrame, text_col: str = "text") -> DataFrame:
+    """DISTINCT (query_id, term) probe terms of a small query frame
+    (query-side tf is ignored — standard for short probe queries)."""
+    return (
         queries.select(F.col("query_id"), tokens(text_col).alias("_toks"))
         .select("query_id", F.explode("_toks").alias("term"))
         .distinct()
     )
+
+
+def _bm25_rank(
+    tfdl: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_frac: float | None,
+) -> DataFrame:
+    """The BM25 scoring core shared by the per-call path (bm25_topk)
+    and the persisted-index path (bm25_topk_indexed) — one function so
+    the two paths are bit-identical by construction. ``tfdl`` may be
+    pre-filtered to the probe terms' postings (the indexed path): every
+    non-query term is dropped by the probe join anyway."""
     # idf per (query, term): tiny — broadcast the query side into df
     probe = df_t.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
@@ -154,6 +182,93 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def build_bm25_index(
+    wh,
+    index,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+) -> None:
+    """Persist an INVERTED TEXT INDEX to the warehouse — the text
+    retrieval analogue of ``similarity.build_ivfpq_index`` (index once,
+    search many): ``<index>`` holds the postings (term, doc_id, tf, dl)
+    RANGE-CLUSTERED by term (each file covers a narrow term range), and
+    ``<index>_stats`` the one-row (n_docs, avgdl) corpus statistics.
+    After the write, zone maps AND a bloom sidecar are refreshed on
+    ``term``, so a search's candidate files come from the warehouse's
+    own file-skipping indexes — a query touches O(postings of its
+    terms) files, never the corpus and never the full index.
+
+    Build cost: the classic two-shuffle inverted index (tf+dl in one
+    groupBy) plus the range repartition for the term-clustered layout —
+    all map-side combinable, no collect. Staleness is the caller's
+    contract, exactly like the ANN indexes: re-run after the corpus
+    changes (the probe read is fail-safe — files appended to the index
+    AFTER the sidecar refresh are always candidates).
+
+    ``n_files`` bounds the postings file count (default: the session's
+    shuffle partitioning). At 100 TB the index is a fraction of corpus
+    bytes (ints + terms, no document text) and each probe term opens
+    ~1 file plus bloom false positives."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    tfdl = doc_term_freqs(documents, id_col, text_col)
+    if n_files is not None:
+        tfdl = tfdl.repartitionByRange(n_files, "term")
+    else:
+        tfdl = tfdl.repartitionByRange("term")
+    wh.create_as(index, tfdl, TableMeta(cluster_by=["term"]))
+    wh.refresh_zone_maps(index, ["term"])
+    wh.refresh_bloom_sidecar(index, ["term"])
+    wh.create_as(
+        wh.relation(index.schema, index.identifier + "_stats"),
+        corpus_stats(documents, text_col),
+        TableMeta(),
+    )
+
+
+def bm25_topk_indexed(
+    wh,
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-k over a PERSISTED inverted index
+    (:func:`build_bm25_index`) — identical results to ``bm25_topk`` on
+    the same corpus (locked by test + the scored ``retrieval_scores``
+    arm), but the corpus is never touched: postings are read through
+    ``Warehouse.read_candidates``'s bloom/zone-map set-probe, so the
+    scan opens only the files that may contain a probe term. Document
+    frequency is EXACT from the probed postings (the candidate read is
+    a superset per term, and the term join filters it), so no separate
+    df table is maintained; (n_docs, avgdl) come from the one-row stats
+    table the build wrote.
+
+    Scale shape: query terms are a handful → candidate files ≈ one
+    term-range file per term + bloom false positives; the only
+    post-read shuffle is the per-(query, doc) score aggregation over
+    matching postings — exactly the avoided-work contract of a search
+    engine's posting-list traversal, expressed as Spark file skipping."""
+    qterms = query_terms(queries, text_col)
+    terms = qterms.select("term").distinct()
+    postings = wh.read_candidates(index, "term", terms).join(
+        F.broadcast(terms), "term"
+    )
+    # 3 consumers below (df count, probe join, contrib join): pin the
+    # pruned postings once so the candidate probe is not re-run
+    postings = postings.localCheckpoint(eager=False)
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    stats = wh.read(wh.relation(index.schema, index.identifier + "_stats"))
+    return _bm25_rank(postings, df_t, stats, qterms, k, k1, b, max_df_frac)
 
 
 def tfidf_top_terms(

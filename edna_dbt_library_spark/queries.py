@@ -4352,24 +4352,70 @@ FROM ({tfidf})
 UNION ALL
 SELECT 'lm' AS src, doc_id::VARCHAR AS query_key, 0::INTEGER AS rank, '' AS item,
        cross_entropy AS score, n_bigrams AS n
-FROM ({lm})"""
+FROM ({lm})
+UNION ALL
+SELECT 'bm25_idx' AS src, query_id AS query_key, rank, doc_id::VARCHAR AS item,
+       score, 0::BIGINT AS n
+FROM ({bm25})"""
 
 
 @_register("retrieval_scores", _retrieval_scores_oracle())
 def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrieval/LM family in one src-tagged scored row: BM25
-    ranked probes (with the OOV term), per-doc tf-idf keywords, and
-    bigram-LM cross-entropy — granular queries stay registered
-    (bm25_topk_docs, tfidf_top_terms_docs, lm_cross_entropy_docs).
-    Aligned schema: (src, query_key, rank, item, score, n).
+    ranked probes (with the OOV term), per-doc tf-idf keywords,
+    bigram-LM cross-entropy, and (r10) the PERSISTED inverted-index
+    BM25 search — granular queries stay registered (bm25_topk_docs,
+    tfidf_top_terms_docs, lm_cross_entropy_docs). Aligned schema:
+    (src, query_key, rank, item, score, n).
+
+    The ``bm25_idx`` arm actually builds a term-clustered postings
+    index in a scratch warehouse (operators/retrieval.build_bm25_index:
+    zone maps + bloom sidecar on term) and searches it through the
+    bloom set-probe candidate read — its oracle is the SAME BM25 SQL as
+    the per-call arm, so the driver hash certifies indexed == per-call
+    end-to-end (the index-once/search-many contract, text twin of
+    ann_topk's ivfpq arm). localCheckpoint-before-rmtree like every
+    scratch-warehouse row.
 
     Like every consolidation row, this is a GATE artifact (one driver
-    row certifying three operators), not a production plan — its
-    physical plan unions three independent pipelines; production calls
-    bm25_topk / tfidf_top_terms / lm_cross_entropy directly."""
+    row certifying four operators), not a production plan — its
+    physical plan unions independent pipelines; production calls
+    bm25_topk / bm25_topk_indexed / tfidf_top_terms / lm_cross_entropy
+    directly."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
     bm25 = REGISTRY["bm25_topk_docs"].spark(spark, sf_dir)
     tfidf = REGISTRY["tfidf_top_terms_docs"].spark(spark, sf_dir)
     lm = REGISTRY["lm_cross_entropy_docs"].spark(spark, sf_dir)
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = spark.createDataFrame(BM25_PROBES, "query_id string, text string")
+    root = tempfile.mkdtemp(prefix="edna_bm25ix_")
+    try:
+        wh = Warehouse(spark, root)
+        idx = wh.relation("scratch", "bm25ix")
+        build_bm25_index(wh, idx, docs, n_files=8)
+        bm25i = (
+            bm25_topk_indexed(wh, idx, probes, k=10, k1=BM25_K1, b=BM25_B)
+            .select(
+                F.lit("bm25_idx").alias("src"),
+                F.col("query_id").alias("query_key"),
+                "rank",
+                F.col("doc_id").cast("string").alias("item"),
+                "score",
+                F.lit(0).cast("long").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return (
         bm25.select(
             F.lit("bm25").alias("src"),
@@ -4399,6 +4445,7 @@ def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_bigrams").alias("n"),
             )
         )
+        .unionAll(bm25i)
     )
 
 

@@ -574,6 +574,35 @@ class Warehouse:
         # entries for files outside `kept` simply never match the anti join
         return self._merge_deletes(df, self._delete_files(rel), base)
 
+    def read_candidates(
+        self, rel: Relation, col: str, values_df: DataFrame
+    ) -> DataFrame:
+        """Index-assisted SET-probe read: the table restricted to data
+        files that may contain ANY probe value of ``col`` — the bloom
+        sidecar's distributed set-probe first (equality strength on
+        high-cardinality columns), the zone-map bounding box second
+        (range-clustered layouts), the plain ``read()`` when neither
+        helps. Same fail-safe superset contract as read_pruned: the
+        caller still applies the exact predicate (typically a semi/inner
+        join against ``values_df``), so composing is always correct and
+        scans only candidate files. The set-probe costs a few fixed
+        Spark jobs, so it only runs once the table has enough files for
+        pruning to beat one combined scan (``BLOOM_PROBE_MIN_FILES``) —
+        the same gate ``delete_matching`` uses. This is the read the
+        persisted text index (operators/retrieval.bm25_topk_indexed)
+        and any future posting-list consumer probe through."""
+        cand = None
+        live = self._live_data_files(rel)
+        if len(live) >= self.BLOOM_PROBE_MIN_FILES:
+            cand = self.bloom_candidate_files(rel, col, values_df, live=live)
+            if cand is None:
+                cand = self.zonemap_candidate_files(
+                    rel, col, values_df, live=live
+                )
+        if cand is None:
+            return self.read(rel)
+        return self._read_file_subset(rel, cand)
+
     # --- bloom sidecars (file-level equality skipping) ------------------------
     # Zone maps prune RANGE predicates; on a high-cardinality unsorted
     # column (uuid, url, user id) every file spans ~the whole domain and

@@ -290,11 +290,20 @@ def test_retrieval_scores_equals_granular_composition(spark):
                 F.col("cross_entropy").alias("score"), F.col("n_bigrams").alias("n"),
             )
         )
+        # the bm25_idx arm (persisted-index search) must equal the
+        # per-call bm25 ranking row-for-row, tag aside
+        .unionAll(
+            bm25.select(
+                F.lit("bm25_idx").alias("src"), F.col("query_id").alias("query_key"),
+                "rank", F.col("doc_id").cast("string").alias("item"), "score",
+                F.lit(0).cast("long").alias("n"),
+            )
+        )
     )
     assert scored == composed
     # every family contributes rows to the scored window
     srcs = {r[0] for r in scored}
-    assert srcs == {"bm25", "tfidf", "lm"}
+    assert srcs == {"bm25", "tfidf", "lm", "bm25_idx"}
 
 
 def test_sketch_estimates_equals_granular_composition(spark):

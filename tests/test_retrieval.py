@@ -210,3 +210,111 @@ def test_bm25_max_df_frac_drops_stop_terms(spark):
     # stop-term contribution
     assert set(full) == {1, 2, 3, 4, 5} and set(capped) == {2}
     assert capped[2] <= full[2]
+
+
+# --- persisted inverted index (build_bm25_index / bm25_topk_indexed) -------
+
+
+def _indexed_fixture(spark, tmp_path, n_docs=400, n_files=8):
+    """A corpus whose terms are range-separable (so the term-clustered
+    index layout actually skips files) plus a couple of shared terms."""
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    rows = [
+        (
+            d,
+            f"t{d % 97:03d} t{(d * 7) % 97:03d} shared"
+            + (" rareterm" if d == 13 else ""),
+        )
+        for d in range(n_docs)
+    ]
+    docs = _docs(spark, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = wh.relation("ix", "bm25")
+    return wh, idx, docs, n_files
+
+
+def test_bm25_indexed_equals_per_call(spark, tmp_path):
+    """The persisted-index search must be BIT-IDENTICAL to the per-call
+    build on the same corpus — both paths share _bm25_rank, df is exact
+    from the probed postings, and (n_docs, avgdl) roundtrip the stats
+    table."""
+    from edna_dbt_library_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    wh, idx, docs, n_files = _indexed_fixture(spark, tmp_path)
+    build_bm25_index(wh, idx, docs, n_files=n_files)
+    qs = _queries(
+        spark,
+        [("q1", "t013 rareterm"), ("q2", "shared t042"), ("q3", "zzz_oov")],
+    )
+    a = sorted(map(tuple, bm25_topk(docs, qs, k=7).collect()))
+    bdf = bm25_topk_indexed(wh, idx, qs, k=7)
+    assert sorted(map(tuple, bdf.collect())) == a
+    # max_df_frac drops the stop term on both paths identically
+    a2 = sorted(map(tuple, bm25_topk(docs, qs, k=7, max_df_frac=0.5).collect()))
+    b2 = bm25_topk_indexed(wh, idx, qs, k=7, max_df_frac=0.5)
+    assert sorted(map(tuple, b2.collect())) == a2
+
+
+def test_bm25_indexed_probe_skips_files(spark, tmp_path):
+    """A rare-term probe must open a strict subset of the postings
+    files (the whole point of the persisted index): candidate files
+    via the bloom set-probe < live files, and the search plan's input
+    files match that subset."""
+    from edna_dbt_library_spark.operators.retrieval import build_bm25_index
+
+    wh, idx, docs, n_files = _indexed_fixture(spark, tmp_path)
+    build_bm25_index(wh, idx, docs, n_files=n_files)
+    wh.BLOOM_PROBE_MIN_FILES = 1  # tiny fixture: force the probe path
+    live = wh._live_data_files(idx)
+    assert len(live) >= 4  # layout actually sharded
+    probe = spark.createDataFrame([("rareterm",)], "term string")
+    cand = wh.bloom_candidate_files(idx, "term", probe)
+    assert cand is not None and 0 < len(cand) < len(live)
+    sub = wh.read_candidates(idx, "term", probe)
+    assert 0 < len(sub.inputFiles()) < len(live)
+    # fail-safe superset: the rare term's postings are all there
+    assert sub.where(F.col("term") == "rareterm").count() == 1
+
+
+def test_bm25_indexed_stale_files_fail_safe(spark, tmp_path):
+    """Postings appended AFTER the sidecar refresh are unindexed and
+    must always be candidates — the search stays correct on a stale
+    index (append-only staleness), matching the warehouse's fail-safe
+    superset contract."""
+    from edna_dbt_library_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+        doc_term_freqs,
+    )
+
+    wh, idx, docs, n_files = _indexed_fixture(spark, tmp_path)
+    build_bm25_index(wh, idx, docs, n_files=n_files)
+    wh.BLOOM_PROBE_MIN_FILES = 1
+    extra = _docs(spark, [(9001, "brandnewterm shared")])
+    wh.append(idx, doc_term_freqs(extra).coalesce(1))
+    # NOTE: stats table intentionally NOT updated -> compare against a
+    # per-call run that uses the STALE stats to isolate the file-skip
+    # behavior (a real rebuild re-runs build_bm25_index)
+    qs = _queries(spark, [("q", "brandnewterm")])
+    got = bm25_topk_indexed(wh, idx, qs, k=3).collect()
+    assert [r["doc_id"] for r in got] == [9001]
+
+
+def test_read_candidates_full_read_when_no_index(spark, tmp_path):
+    """read_candidates degrades to read() when neither sidecar exists
+    or the table is under the probe gate — never an error, never a
+    wrong subset."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    rel = wh.relation("s", "plain")
+    wh.create_as(
+        rel, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        TableMeta(),
+    )
+    probe = spark.createDataFrame([(1,)], "k long")
+    assert wh.read_candidates(rel, "k", probe).count() == 2
