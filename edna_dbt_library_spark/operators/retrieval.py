@@ -122,6 +122,38 @@ def corpus_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_stats_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row EXACT corpus statistics (n_docs long, sum_dl long) —
+    the associative form the index stats table stores so an
+    incremental append can SUM rows instead of re-scanning the corpus
+    (long addition is exact and order-free). ``_derive_stats`` turns it
+    into the (n_docs double, avgdl double) frame the scoring core
+    consumes with the same cast-then-divide ``corpus_stats`` uses, so
+    indexed == per-call stays bit-identical across any append
+    history."""
+    return (
+        documents.select(F.size(tokens(text_col)).alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+    )
+
+
+def _derive_stats(exact: DataFrame) -> DataFrame:
+    """(n_docs double, avgdl double) from the exact long stats row —
+    the division is the SAME double/double expression corpus_stats
+    evaluates, on the same exact integers, so the result is
+    bit-identical to the per-call path."""
+    return exact.select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+
+
 def query_terms(queries: DataFrame, text_col: str = "text") -> DataFrame:
     """DISTINCT (query_id, term) probe terms of a small query frame
     (query-side tf is ignored — standard for short probe queries)."""
@@ -196,7 +228,9 @@ def build_bm25_index(
     retrieval analogue of ``similarity.build_ivfpq_index`` (index once,
     search many): ``<index>`` holds the postings (term, doc_id, tf, dl)
     RANGE-CLUSTERED by term (each file covers a narrow term range), and
-    ``<index>_stats`` the one-row (n_docs, avgdl) corpus statistics.
+    ``<index>_stats`` the one-row EXACT (n_docs, sum_dl) corpus
+    statistics (long-associative so :func:`append_to_bm25_index` can
+    update them without a corpus re-scan).
     After the write, zone maps AND a bloom sidecar are refreshed on
     ``term``, so a search's candidate files come from the warehouse's
     own file-skipping indexes — a query touches O(postings of its
@@ -204,10 +238,12 @@ def build_bm25_index(
 
     Build cost: the classic two-shuffle inverted index (tf+dl in one
     groupBy) plus the range repartition for the term-clustered layout —
-    all map-side combinable, no collect. Staleness is the caller's
-    contract, exactly like the ANN indexes: re-run after the corpus
-    changes (the probe read is fail-safe — files appended to the index
-    AFTER the sidecar refresh are always candidates).
+    all map-side combinable, no collect. NEW documents extend the index
+    through :func:`append_to_bm25_index` (postings append + exact stats
+    update + incremental sidecar refresh); deletions/edits require a
+    rebuild, exactly like the ANN indexes (the probe read is fail-safe
+    — files appended to the index AFTER a sidecar refresh are always
+    candidates).
 
     ``n_files`` bounds the postings file count (default: the session's
     shuffle partitioning). At 100 TB the index is a fraction of corpus
@@ -225,9 +261,53 @@ def build_bm25_index(
     wh.refresh_bloom_sidecar(index, ["term"])
     wh.create_as(
         wh.relation(index.schema, index.identifier + "_stats"),
-        corpus_stats(documents, text_col),
+        corpus_stats_exact(documents, text_col),
         TableMeta(),
     )
+
+
+def append_to_bm25_index(
+    wh,
+    index,
+    new_documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    refresh_skipping: bool = True,
+) -> None:
+    """Extend a persisted inverted index with NEW documents — the
+    between-rebuilds maintenance shape of a production search index:
+    the new docs' postings are tokenized and APPENDED (only the batch
+    is scanned, never the corpus), the exact stats row is summed
+    (long addition — bit-identical to a from-scratch
+    ``corpus_stats_exact`` over the union, locked by test), and the
+    term zone maps + bloom sidecar are refreshed INCREMENTALLY (both
+    refreshers scan only unindexed files). With
+    ``refresh_skipping=False`` the appended files are simply always
+    candidates (the fail-safe superset) until the next refresh —
+    correct either way.
+
+    Caller contract: ``new_documents`` holds documents NOT already in
+    the index (a re-appended doc would double its postings); dedup
+    upstream or rebuild. Deletions/edits require ``build_bm25_index``."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    wh.append(index, doc_term_freqs(new_documents, id_col, text_col))
+    stats_rel = wh.relation(index.schema, index.identifier + "_stats")
+    old = wh.read(stats_rel).first()
+    delta = corpus_stats_exact(new_documents, text_col).first()
+    merged = wh.spark.createDataFrame(
+        [
+            (
+                int(old["n_docs"]) + int(delta["n_docs"]),
+                int(old["sum_dl"] or 0) + int(delta["sum_dl"] or 0),
+            )
+        ],
+        "n_docs long, sum_dl long",
+    )
+    wh.create_as(stats_rel, merged, TableMeta())
+    if refresh_skipping:
+        wh.refresh_zone_maps(index, ["term"])
+        wh.refresh_bloom_sidecar(index, ["term"])
 
 
 def bm25_topk_indexed(
@@ -267,7 +347,9 @@ def bm25_topk_indexed(
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
-    stats = wh.read(wh.relation(index.schema, index.identifier + "_stats"))
+    stats = _derive_stats(
+        wh.read(wh.relation(index.schema, index.identifier + "_stats"))
+    )
     return _bm25_rank(postings, df_t, stats, qterms, k, k1, b, max_df_frac)
 
 

@@ -1364,6 +1364,34 @@ def build_ivfpq_index(
     wh.create_as(index, rows, TableMeta(cluster_by=["cell"]))
 
 
+def append_to_ivfpq_index(
+    wh,
+    index,
+    embeddings: DataFrame,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a persisted IVFADC index with NEW vectors using its
+    FROZEN quantizers — the between-retrains maintenance shape of a
+    production IVF (FAISS's add-after-train): the stored centroids +
+    codebooks encode ONLY the batch (one `_ivfpq_codes_cell` pass, no
+    training, no corpus scan) and the code rows are appended
+    cell-clustered. Because the exact-integer assignment is
+    deterministic, append-then-search equals rebuild-encode over the
+    union with the same quantizers bit-for-bit (locked by test).
+
+    Caller contract: ``embeddings`` holds vectors NOT already indexed
+    (a re-appended id would duplicate its codes); recall degrades as
+    the corpus drifts from the frozen quantizers — retrain via
+    ``build_ivfpq_index`` on the index's own schedule."""
+    cent = wh.read(wh.relation(index.schema, index.identifier + "_centroids"))
+    cb = wh.read(wh.relation(index.schema, index.identifier + "_codebooks"))
+    m_, d0 = _pq_shape(cb)
+    rows = _ivfpq_codes_cell(embeddings, cent, cb, m_, d0, scale, id_col, vec_col)
+    wh.append(index, rows)
+
+
 def ivf_pq_topk_indexed(
     wh,
     index,

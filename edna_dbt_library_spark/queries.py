@@ -4370,12 +4370,15 @@ def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ``bm25_idx`` arm actually builds a term-clustered postings
     index in a scratch warehouse (operators/retrieval.build_bm25_index:
-    zone maps + bloom sidecar on term) and searches it through the
-    bloom set-probe candidate read — its oracle is the SAME BM25 SQL as
-    the per-call arm, so the driver hash certifies indexed == per-call
-    end-to-end (the index-once/search-many contract, text twin of
-    ann_topk's ivfpq arm). localCheckpoint-before-rmtree like every
-    scratch-warehouse row.
+    zone maps + bloom sidecar on term) — on the EVEN doc_ids only, then
+    grows it with the odd half via append_to_bm25_index (batch-only
+    tokenize, associative exact-stats sum, incremental sidecar refresh)
+    — and searches it through the bloom set-probe candidate read. Its
+    oracle is the SAME BM25 SQL as the per-call arm over the FULL
+    corpus, so the driver hash certifies indexed-after-incremental-
+    maintenance == per-call end-to-end (the index-once/search-many
+    contract, text twin of ann_topk's ivfpq arm).
+    localCheckpoint-before-rmtree like every scratch-warehouse row.
 
     Like every consolidation row, this is a GATE artifact (one driver
     row certifying four operators), not a production plan — its
@@ -4386,6 +4389,7 @@ def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from edna_dbt_library_spark.operators.retrieval import (
+        append_to_bm25_index,
         bm25_topk_indexed,
         build_bm25_index,
     )
@@ -4401,7 +4405,8 @@ def retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         wh = Warehouse(spark, root)
         idx = wh.relation("scratch", "bm25ix")
-        build_bm25_index(wh, idx, docs, n_files=8)
+        build_bm25_index(wh, idx, docs.where(F.col("doc_id") % 2 == 0), n_files=8)
+        append_to_bm25_index(wh, idx, docs.where(F.col("doc_id") % 2 == 1))
         bm25i = (
             bm25_topk_indexed(wh, idx, probes, k=10, k1=BM25_K1, b=BM25_B)
             .select(

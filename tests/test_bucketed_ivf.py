@@ -717,3 +717,45 @@ def test_fused_ivfpq_training_equals_separate_trainers(spark):
         assert sorted(map(tuple, cb_f.collect())) == sorted(
             map(tuple, cb_s.collect())
         ), (n_cells, m, pq_cells, "books")
+
+
+def test_append_to_ivfpq_index_equals_rebuild_encode(spark, tmp_path):
+    """FAISS add-after-train shape: appending new vectors encoded with
+    the index's FROZEN quantizers must leave the index row-set
+    IDENTICAL to a from-scratch encode of the union with the same
+    quantizers (deterministic exact-integer assignment), and the
+    indexed search over the grown index must equal the inline search
+    with those quantizers over the union."""
+    from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _ivfpq_codes_cell,
+        _pq_shape,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+    )
+    from edna_dbt_library_spark.sources import Warehouse
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    extra = emb.where(F.col("vec_id") % 3 == 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    index = wh.relation("ann", "grow_ivfpq")
+    build_ivfpq_index(wh, index, base, n_cells=16, m=4, pq_cells=16, iters=2)
+    append_to_ivfpq_index(wh, index, extra)
+
+    cent = wh.read(wh.relation("ann", "grow_ivfpq_centroids"))
+    cb = wh.read(wh.relation("ann", "grow_ivfpq_codebooks"))
+    m, d0 = _pq_shape(cb)
+    want = _ivfpq_codes_cell(emb, cent, cb, m, d0, KMEANS_SCALE, "vec_id", "embedding")
+    assert sorted(map(tuple, wh.read(index).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    queries = emb.where(F.col("vec_id") < 5)
+    inline = ivf_pq_topk(emb, queries, k=10, n_probe=4, centroids=cent, codebooks=cb)
+    indexed = ivf_pq_topk_indexed(wh, index, queries, k=10, n_probe=4)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, inline.collect())
+    )

@@ -318,3 +318,42 @@ def test_read_candidates_full_read_when_no_index(spark, tmp_path):
     )
     probe = spark.createDataFrame([(1,)], "k long")
     assert wh.read_candidates(rel, "k", probe).count() == 2
+
+
+def test_append_to_bm25_index_equals_union_rebuild(spark, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append
+    the other half — the indexed search must be BIT-IDENTICAL to the
+    per-call build over the UNION (postings complete; exact long stats
+    sum associatively; bloom/zone-map refreshes are incremental)."""
+    from edna_dbt_library_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_indexed,
+        build_bm25_index,
+        corpus_stats_exact,
+    )
+
+    wh, idx, docs, n_files = _indexed_fixture(spark, tmp_path)
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    extra = docs.where(F.col("doc_id") % 2 == 1)
+    build_bm25_index(wh, idx, base, n_files=n_files)
+    append_to_bm25_index(wh, idx, extra)
+
+    # stats row == from-scratch exact stats over the union
+    got = wh.read(wh.relation("ix", "bm25_stats")).first()
+    want = corpus_stats_exact(docs).first()
+    assert (got["n_docs"], got["sum_dl"]) == (want["n_docs"], want["sum_dl"])
+
+    qs = _queries(
+        spark, [("q1", "t013 rareterm"), ("q2", "shared t042"), ("q3", "zzz")]
+    )
+    a = sorted(map(tuple, bm25_topk(docs, qs, k=7).collect()))
+    b = sorted(map(tuple, bm25_topk_indexed(wh, idx, qs, k=7).collect()))
+    assert a == b
+
+    # second append keeps the invariant (associativity across history)
+    more = _docs(spark, [(9001, "rareterm shared t013")])
+    append_to_bm25_index(wh, idx, more, refresh_skipping=False)
+    union = docs.unionAll(more)
+    a2 = sorted(map(tuple, bm25_topk(union, qs, k=7).collect()))
+    b2 = sorted(map(tuple, bm25_topk_indexed(wh, idx, qs, k=7).collect()))
+    assert a2 == b2

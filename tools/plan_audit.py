@@ -321,6 +321,19 @@ Same 50k corpus: bigram-LM cross-entropy scores all docs in 10.9s
 tokens in 3.5s (~0.9–1.2M tokens/s on local[32], per-batch word memo
 doing the heavy lifting on the repeated boilerplate).
 
+**Persisted inverted index (round 10)** — same 50k corpus, same tool:
+`build_bm25_index` writes the 1.66M postings term-range-clustered into
+64 requested shards (41 non-empty) with zone maps + a bloom sidecar on
+`term` in 8.4s; the 3-term discriminative search through
+`bm25_topk_indexed` then opens **3 of 41 postings files** (bloom
+set-probe candidates) and returns the BIT-IDENTICAL top-10 in 3.6s vs
+5.6s for the per-call build — and the per-call path re-tokenizes the
+whole corpus every query, so the gap is the corpus scan itself, which
+at 100 TB is the difference between a search engine and a batch job.
+The skip ratio grows with file count (candidates are bounded by
+terms × bloom fpp, files by corpus size); staleness is fail-safe:
+files appended after the sidecar refresh are always candidates.
+
 ## SPARK_GRAFT_FAST_HASH production path (measured round 3)
 
 The md5-based 60-bit hash is pinned wherever the DuckDB oracle must

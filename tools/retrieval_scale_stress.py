@@ -107,6 +107,48 @@ def main() -> None:
         {r["doc_id"] for r in g.collect()} & {r["doc_id"] for r in u.collect()}
     )
 
+    # persisted inverted index: build once, then the search must open
+    # only the candidate files of its probe terms (bloom set-probe),
+    # never the corpus and never the whole postings table
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from edna_dbt_library_spark.sources.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="edna_ixstress_")
+    try:
+        wh = Warehouse(spark, root)
+        idx = wh.relation("scratch", "bm25ix")
+        _, build_sec = timed(lambda: build_bm25_index(wh, idx, docs, n_files=64))
+        wh.BLOOM_PROBE_MIN_FILES = 1
+        live = len(wh._live_data_files(idx))
+        q = spark.createDataFrame(
+            [("disc", "spark window agg")], "query_id string, text string"
+        )
+        terms = spark.createDataFrame(
+            [(w,) for w in "spark window agg".split()], "term string"
+        )
+        cand = wh.bloom_candidate_files(idx, "term", terms)
+        rows_i, search_sec = timed(
+            lambda: bm25_topk_indexed(wh, idx, q, k=10).collect()
+        )
+        rows_p, percall_sec = timed(lambda: bm25_topk(docs, q, k=10).collect())
+        out["bm25_indexed"] = {
+            "build_sec": build_sec,
+            "index_files": live,
+            "candidate_files": len(cand) if cand is not None else live,
+            "search_sec": search_sec,
+            "percall_sec": percall_sec,
+            "identical_topk": sorted(map(tuple, rows_i))
+            == sorted(map(tuple, rows_p)),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     _, lm_sec = timed(lambda: lm_cross_entropy(docs).count())
     out["lm_cross_entropy"] = {"sec": lm_sec}
 
