@@ -310,6 +310,32 @@ def append_to_bm25_index(
         wh.refresh_bloom_sidecar(index, ["term"])
 
 
+def refresh_bm25_stats(wh, index) -> None:
+    """Recompute the one-row exact stats CACHE from the postings
+    themselves: ``dl`` rides on every posting row, so per-doc
+    ``first(dl)`` then count+sum — one scan of the ints-only index
+    table (a fraction of corpus bytes), never the corpus. Exact by
+    construction: equals ``corpus_stats_exact`` over the live documents
+    (docs with zero tokens have no postings and are excluded on both
+    paths), so indexed == per-call stays bit-identical. Run after a
+    streaming maintenance window (``stream_bm25_index`` upserts
+    postings but leaves the stats cache to this finalizer) or any
+    out-of-band surgery on the index table."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    doclen = wh.read(index).groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    exact = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).localCheckpoint(eager=True)  # one row; pin so the stats overwrite
+    # can never race a lazy re-read of a concurrently-upserted index
+    wh.create_as(
+        wh.relation(index.schema, index.identifier + "_stats"),
+        exact,
+        TableMeta(),
+    )
+
+
 def bm25_topk_indexed(
     wh,
     index,

@@ -636,3 +636,69 @@ def stream_jaccard_join(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bm25_index(
+    wh,
+    source,
+    index,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    settle_s: float = 5.0,
+    crashed_after_s: float = 300.0,
+):
+    """Continuous inverted-index maintenance — the streaming twin of
+    ``operators.retrieval.append_to_bm25_index``: documents landing in
+    the ``source`` warehouse table become postings in the persisted
+    BM25 ``index`` micro-batch by micro-batch. Each batch tokenizes
+    ONLY its own rows and lands them with ONE atomic keyed
+    ``upsert_matching`` on ``doc_id`` — so the file-level
+    at-least-once replays CONVERGE (the replay re-masks and re-inserts
+    the same postings) instead of double-counting, and a RE-STREAMED
+    document (an edit re-ingested under its id) REPLACES its old
+    postings, which the batch append cannot do. ``upsert_matching``
+    refreshes the term skipping sidecars itself.
+
+    The one-row stats CACHE is deliberately NOT touched per batch (a
+    second table cannot join the postings' transaction): call
+    ``refresh_bm25_stats`` at window close — one scan of the ints-only
+    index, exact. Searches between batches see complete postings with
+    a slightly stale (n_docs, avgdl); searches after the finalizer are
+    bit-identical to the per-call build (pytest gate).
+
+    Scale shape: each trigger ships only unseen source files; the
+    upsert's key probe is candidate-file pruned by the index's own
+    bloom sidecar; the only corpus-sized work anywhere is the one
+    tokenize of each batch."""
+    from edna_dbt_library_spark.operators.retrieval import doc_term_freqs
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    if not wh.exists(index):
+        empty = doc_term_freqs(
+            wh.read(source).limit(0).select(id_col, text_col), id_col, text_col
+        )
+        wh.create_as(index, empty, TableMeta(cluster_by=["term"]))
+        wh.create_as(
+            wh.relation(index.schema, index.identifier + "_stats"),
+            wh.spark.createDataFrame([(0, 0)], "n_docs long, sum_dl long"),
+            TableMeta(),
+        )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        out = _settle_pending(wh, source, batch, settle_s, crashed_after_s)
+        postings = doc_term_freqs(
+            out.select(id_col, text_col), id_col, text_col
+        )
+        wh.upsert_matching(index, postings, ["doc_id"])
+
+    writer = (
+        stream_table(wh, source, max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

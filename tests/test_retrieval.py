@@ -357,3 +357,61 @@ def test_append_to_bm25_index_equals_union_rebuild(spark, tmp_path):
     a2 = sorted(map(tuple, bm25_topk(union, qs, k=7).collect()))
     b2 = sorted(map(tuple, bm25_topk_indexed(wh, idx, qs, k=7).collect()))
     assert a2 == b2
+
+
+def test_stream_bm25_index_drain_equals_batch_build(spark, tmp_path):
+    """Streaming maintenance gate: a full availableNow drain of
+    stream_bm25_index plus the refresh_bm25_stats finalizer must leave
+    the index search BIT-IDENTICAL to the per-call build over the
+    source's documents; a re-streamed edit REPLACES its postings (the
+    atomic keyed upsert) instead of double-counting."""
+    from edna_dbt_library_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        refresh_bm25_stats,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+    from edna_dbt_library_spark.streaming.incremental_stream import (
+        stream_bm25_index,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("docs", "corpus")
+    rows = [
+        (d, f"t{d % 23:02d} t{(d * 5) % 23:02d} shared") for d in range(120)
+    ]
+    wh.create_as(src, _docs(spark, rows).coalesce(2), TableMeta())
+    idx = wh.relation("ix", "bm25s")
+    cp = str(tmp_path / "cp")
+
+    q = stream_bm25_index(wh, src, idx, cp)
+    q.awaitTermination()
+    refresh_bm25_stats(wh, idx)
+
+    probes = _queries(spark, [("q1", "t07 shared"), ("q2", "t19")])
+    want = sorted(map(tuple, bm25_topk(_docs(spark, rows), probes, k=5).collect()))
+    got = sorted(map(tuple, bm25_topk_indexed(wh, idx, probes, k=5).collect()))
+    assert got == want
+
+    # append new docs + an EDIT of doc 7 (same id, new text): the next
+    # drain must replace doc 7's postings and pick up the new docs
+    edit = [(7, "editedterm shared"), (9001, "t07 t19 shared")]
+    wh.append(src, _docs(spark, edit).coalesce(1))
+    q = stream_bm25_index(wh, src, idx, cp)
+    q.awaitTermination()
+    refresh_bm25_stats(wh, idx)
+
+    current = {d: t for d, t in rows}
+    current.update({d: t for d, t in edit})
+    corpus = _docs(spark, sorted(current.items()))
+    probes2 = _queries(
+        spark, [("q1", "t07 shared"), ("q2", "editedterm"), ("q3", "t19")]
+    )
+    want2 = sorted(map(tuple, bm25_topk(corpus, probes2, k=5).collect()))
+    got2 = sorted(map(tuple, bm25_topk_indexed(wh, idx, probes2, k=5).collect()))
+    assert got2 == want2
+    # the edit really replaced: doc 7's old terms are gone from the index
+    old7 = wh.read(idx).where(
+        (F.col("doc_id") == 7) & (F.col("term") != "editedterm")
+        & (F.col("term") != "shared")
+    )
+    assert old7.count() == 0
