@@ -702,3 +702,57 @@ def stream_bm25_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivfpq_index(
+    wh,
+    source,
+    index,
+    checkpoint_path: str,
+    scale: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    settle_s: float = 5.0,
+    crashed_after_s: float = 300.0,
+):
+    """Continuous ANN index maintenance — the streaming twin of
+    ``operators.similarity.append_to_ivfpq_index``: vectors landing in
+    the ``source`` warehouse table are encoded with the index's FROZEN
+    centroids + codebooks (one `_ivfpq_codes_cell` pass per
+    micro-batch, no training, no corpus scan) and their code rows land
+    with ONE atomic keyed ``upsert_matching`` on ``vid`` — replays
+    converge and a re-streamed vector REPLACES its codes (the
+    add-after-train shape run as a stream). Requires the index to
+    exist (``build_ivfpq_index``); recall drifts as the corpus leaves
+    the frozen quantizers behind — retraining cadence stays the
+    caller's contract, exactly like the batch append.
+
+    Scale shape: each trigger ships only unseen source files; the
+    shuffle carries one (1 + m)-struct row per batch vector; the
+    upsert's key probe prunes through the index's skipping sidecars."""
+    from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _ivfpq_codes_cell,
+        _pq_shape,
+    )
+
+    cent = wh.read(wh.relation(index.schema, index.identifier + "_centroids"))
+    cb = wh.read(wh.relation(index.schema, index.identifier + "_codebooks"))
+    m, d0 = _pq_shape(cb)
+    sc = KMEANS_SCALE if scale is None else scale
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        out = _settle_pending(wh, source, batch, settle_s, crashed_after_s)
+        rows = _ivfpq_codes_cell(out, cent, cb, m, d0, sc, id_col, vec_col)
+        wh.upsert_matching(index, rows, ["vid"])
+
+    writer = (
+        stream_table(wh, source, max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -759,3 +759,65 @@ def test_append_to_ivfpq_index_equals_rebuild_encode(spark, tmp_path):
     assert sorted(map(tuple, indexed.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_stream_ivfpq_index_drain_equals_batch_encode(spark, tmp_path):
+    """Streaming ANN maintenance gate: a full drain of
+    stream_ivfpq_index must leave the index row-set IDENTICAL to a
+    from-scratch encode of the source with the same frozen quantizers,
+    and a re-streamed vector must REPLACE its codes (atomic keyed
+    upsert), never duplicate them."""
+    from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _ivfpq_codes_cell,
+        _pq_shape,
+        build_ivfpq_index,
+    )
+    from edna_dbt_library_spark.sources import TableMeta, Warehouse
+    from edna_dbt_library_spark.streaming.incremental_stream import (
+        stream_ivfpq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 4 == 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    index = wh.relation("ann", "stream_ivfpq")
+    build_ivfpq_index(wh, index, base, n_cells=16, m=4, pq_cells=16, iters=2)
+
+    src = wh.relation("vec", "incoming")
+    batch1 = emb.where(F.col("vec_id") % 4 == 1)
+    wh.create_as(src, batch1, TableMeta())
+    cp = str(tmp_path / "cp")
+    stream_ivfpq_index(wh, src, index, cp).awaitTermination()
+
+    cent = wh.read(wh.relation("ann", "stream_ivfpq_centroids"))
+    cb = wh.read(wh.relation("ann", "stream_ivfpq_codebooks"))
+    m, d0 = _pq_shape(cb)
+
+    def encode(df):
+        return _ivfpq_codes_cell(
+            df, cent, cb, m, d0, KMEANS_SCALE, "vec_id", "embedding"
+        )
+
+    want = encode(base.unionAll(batch1))
+    assert sorted(map(tuple, wh.read(index).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # second drain: new vectors + a re-streamed one (codes replaced)
+    redo_id = batch1.select(F.min("vec_id")).first()[0]
+    batch2 = emb.where(F.col("vec_id") % 4 == 2).unionAll(
+        emb.where(F.col("vec_id") == redo_id)
+    )
+    wh.append(src, batch2)
+    stream_ivfpq_index(wh, src, index, cp).awaitTermination()
+    want2 = encode(
+        base.unionAll(emb.where(F.col("vec_id") % 4 == 1)).unionAll(
+            emb.where(F.col("vec_id") % 4 == 2)
+        )
+    )
+    got2 = wh.read(index)
+    assert got2.where(F.col("vid") == redo_id).count() == 4  # m rows, once
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
