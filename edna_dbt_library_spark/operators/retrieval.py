@@ -288,7 +288,12 @@ def append_to_bm25_index(
 
     Caller contract: ``new_documents`` holds documents NOT already in
     the index (a re-appended doc would double its postings); dedup
-    upstream or rebuild. Deletions/edits require ``build_bm25_index``."""
+    upstream or rebuild. Deletions/edits go through the streaming delta
+    segment (``stream_bm25_index``) or ``build_bm25_index``. Crash
+    boundary: the postings append and the stats overwrite are separate
+    statements — a crash between them leaves a stale stats cache, and
+    ``refresh_bm25_stats`` reconciles it EXACTLY from the postings
+    (re-running this append instead would double the postings)."""
     from edna_dbt_library_spark.sources.warehouse import TableMeta
 
     wh.append(index, doc_term_freqs(new_documents, id_col, text_col))
@@ -310,20 +315,62 @@ def append_to_bm25_index(
         wh.refresh_bloom_sidecar(index, ["term"])
 
 
+def _bm25_delta_rel(wh, index):
+    return wh.relation(index.schema, index.identifier + "_delta")
+
+
+def _bm25_live_postings(wh, index, terms: DataFrame | None = None) -> DataFrame:
+    """The index's LIVE postings — the LSM view across both segments:
+    the term-clustered MAIN segment minus every document the DELTA
+    segment supersedes (a streamed edit/tombstone masks the doc's main
+    postings), plus the delta's own rows. ``terms`` restricts both
+    segments to the probe terms' candidate files
+    (``Warehouse.read_candidates``); None reads everything (stats
+    refresh / compaction). The delta-doc anti join is NOT pinned
+    broadcast — the delta is small by design (one maintenance window),
+    and AQE demotes gracefully if it is not. Tombstone rows
+    (term NULL, dl 0) survive here so every consumer sees the doc as
+    superseded; term-keyed joins drop them naturally and the stats
+    refresh filters them."""
+
+    def seg(rel):
+        if terms is None:
+            return wh.read(rel)
+        return wh.read_candidates(rel, "term", terms)
+
+    main = seg(index)
+    delta_rel = _bm25_delta_rel(wh, index)
+    if wh.exists(delta_rel) and wh._has_data_files(delta_rel):
+        ddocs = wh.read(delta_rel).select("doc_id").dropDuplicates()
+        main = main.join(ddocs, "doc_id", "left_anti")
+        # delta candidates must include the doc-mask rows regardless of
+        # probe terms only when terms is None; for a term probe the
+        # tombstones are irrelevant (they join no term)
+        main = main.unionByName(seg(delta_rel))
+    return main
+
+
 def refresh_bm25_stats(wh, index) -> None:
-    """Recompute the one-row exact stats CACHE from the postings
-    themselves: ``dl`` rides on every posting row, so per-doc
-    ``first(dl)`` then count+sum — one scan of the ints-only index
-    table (a fraction of corpus bytes), never the corpus. Exact by
-    construction: equals ``corpus_stats_exact`` over the live documents
-    (docs with zero tokens have no postings and are excluded on both
-    paths), so indexed == per-call stays bit-identical. Run after a
-    streaming maintenance window (``stream_bm25_index`` upserts
-    postings but leaves the stats cache to this finalizer) or any
-    out-of-band surgery on the index table."""
+    """Recompute the one-row exact stats CACHE from the LIVE postings
+    (both segments, delta superseding main): ``dl`` rides on every
+    posting row, so per-doc ``first(dl)`` then count+sum — one scan of
+    the ints-only index tables (a fraction of corpus bytes), never the
+    corpus. Exact by construction: equals ``corpus_stats_exact`` over
+    the live documents (zero-token docs appear only as tombstones —
+    term NULL — and are excluded here exactly as the per-call path
+    excludes them), so indexed == per-call stays bit-identical. Run
+    after a streaming maintenance window (``stream_bm25_index`` upserts
+    postings but leaves the stats cache to this finalizer), after a
+    crashed ``append_to_bm25_index`` (the recompute reconciles the
+    stats row the crash never updated), or any out-of-band surgery."""
     from edna_dbt_library_spark.sources.warehouse import TableMeta
 
-    doclen = wh.read(index).groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    doclen = (
+        _bm25_live_postings(wh, index)
+        .where(F.col("term").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+    )
     exact = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -334,6 +381,39 @@ def refresh_bm25_stats(wh, index) -> None:
         exact,
         TableMeta(),
     )
+
+
+def compact_bm25_index(wh, index, n_files: int | None = None) -> None:
+    """Fold the streaming DELTA segment into the term-clustered MAIN
+    segment — the LSM segment merge: live postings (delta superseding
+    main, tombstones resolved and dropped) are re-range-clustered by
+    term and replace the main table; the delta is dropped; skipping
+    sidecars and the exact stats row are rebuilt. One index-sized job
+    over the ints-only postings — the corpus is never touched. After
+    compaction every search is pure main-segment file skipping again.
+
+    Not concurrent-safe with an active maintenance stream (the same
+    boundary every warehouse maintenance fold documents): quiesce the
+    stream for the fold. The union is pinned (localCheckpoint) before
+    the self-overwrite — the compact barrier idiom."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    union = (
+        _bm25_live_postings(wh, index)
+        .where(F.col("term").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    if n_files is not None:
+        union = union.repartitionByRange(n_files, "term")
+    else:
+        union = union.repartitionByRange("term")
+    wh.create_as(index, union, TableMeta(cluster_by=["term"]))
+    delta_rel = _bm25_delta_rel(wh, index)
+    if wh.exists(delta_rel):
+        wh.drop(delta_rel)
+    wh.refresh_zone_maps(index, ["term"])
+    wh.refresh_bloom_sidecar(index, ["term"])
+    refresh_bm25_stats(wh, index)
 
 
 def bm25_topk_indexed(
@@ -361,10 +441,17 @@ def bm25_topk_indexed(
     term-range file per term + bloom false positives; the only
     post-read shuffle is the per-(query, doc) score aggregation over
     matching postings — exactly the avoided-work contract of a search
-    engine's posting-list traversal, expressed as Spark file skipping."""
+    engine's posting-list traversal, expressed as Spark file skipping.
+
+    Segments: when a streaming DELTA segment exists
+    (``stream_bm25_index``), the search reads the LSM view — main
+    candidates minus delta-superseded docs, plus delta candidates
+    (``_bm25_live_postings``) — so searches between compactions stay
+    row-accurate; ``compact_bm25_index`` folds the view back into pure
+    main-segment file skipping."""
     qterms = query_terms(queries, text_col)
     terms = qterms.select("term").distinct()
-    postings = wh.read_candidates(index, "term", terms).join(
+    postings = _bm25_live_postings(wh, index, terms).join(
         F.broadcast(terms), "term"
     )
     # 3 consumers below (df count, probe join, contrib join): pin the

@@ -1392,6 +1392,45 @@ def append_to_ivfpq_index(
     wh.append(index, rows)
 
 
+def _ivfpq_delta_rel(wh, index):
+    return wh.relation(index.schema, index.identifier + "_delta")
+
+
+def _ivfpq_live_codes(wh, index) -> DataFrame:
+    """The index's LIVE code rows — the LSM view across both segments:
+    the cell-clustered MAIN segment minus every vector the streaming
+    DELTA segment supersedes (a re-streamed vector's new codes mask its
+    old ones), plus the delta's own rows. The delta-vid anti join is
+    NOT pinned broadcast — the delta is one maintenance window and AQE
+    demotes gracefully if it grew."""
+    main = wh.read(index)
+    delta_rel = _ivfpq_delta_rel(wh, index)
+    if wh.exists(delta_rel) and wh._has_data_files(delta_rel):
+        dvids = wh.read(delta_rel).select("vid").dropDuplicates()
+        main = main.join(dvids, "vid", "left_anti").unionByName(
+            wh.read(delta_rel)
+        )
+    return main
+
+
+def compact_ivfpq_index(wh, index) -> None:
+    """Fold the streaming DELTA segment into the cell-clustered MAIN
+    segment — the LSM segment merge for the ANN index: live codes
+    (delta superseding main) replace the main table cell-clustered, the
+    delta is dropped, skipping sidecars refresh. One job over the
+    ints-only code rows — vectors are never re-encoded, the corpus is
+    never touched. Not concurrent-safe with an active maintenance
+    stream; the union pins (localCheckpoint) before the self-overwrite
+    — the compact barrier idiom."""
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+    union = _ivfpq_live_codes(wh, index).localCheckpoint(eager=True)
+    wh.create_as(index, union, TableMeta(cluster_by=["cell"]))
+    delta_rel = _ivfpq_delta_rel(wh, index)
+    if wh.exists(delta_rel):
+        wh.drop(delta_rel)
+
+
 def ivf_pq_topk_indexed(
     wh,
     index,
@@ -1419,7 +1458,9 @@ def ivf_pq_topk_indexed(
         .withColumnRenamed("vid", "query_id")
         .withColumnRenamed("dist", "d")
     )
-    return _adc_probed_search(wh.read(index), probes, lut, k)
+    # LSM view: a streaming delta segment's codes supersede the main
+    # segment's for re-streamed vectors (plain main read when no delta)
+    return _adc_probed_search(_ivfpq_live_codes(wh, index), probes, lut, k)
 
 
 def embedding_gram(

@@ -650,49 +650,76 @@ def stream_bm25_index(
     settle_s: float = 5.0,
     crashed_after_s: float = 300.0,
 ):
-    """Continuous inverted-index maintenance — the streaming twin of
-    ``operators.retrieval.append_to_bm25_index``: documents landing in
-    the ``source`` warehouse table become postings in the persisted
-    BM25 ``index`` micro-batch by micro-batch. Each batch tokenizes
-    ONLY its own rows and lands them with ONE atomic keyed
-    ``upsert_matching`` on ``doc_id`` — so the file-level
-    at-least-once replays CONVERGE (the replay re-masks and re-inserts
-    the same postings) instead of double-counting, and a RE-STREAMED
-    document (an edit re-ingested under its id) REPLACES its old
-    postings, which the batch append cannot do. ``upsert_matching``
-    refreshes the term skipping sidecars itself.
+    """Continuous inverted-index maintenance — the streaming side of
+    the index's LSM design: documents landing in the ``source``
+    warehouse table become postings in the index's DELTA segment
+    (``<index>_delta``) micro-batch by micro-batch. Each batch
+    tokenizes ONLY its own rows and lands them with ONE atomic keyed
+    ``upsert_matching`` on ``doc_id`` — replays CONVERGE (the replay
+    re-masks and re-inserts the same postings) and a RE-STREAMED
+    document (an edit re-ingested under its id) REPLACES its delta
+    postings. A document re-ingested with ZERO tokens lands a
+    TOMBSTONE row (term NULL, dl 0) so its main-segment postings stay
+    masked. Searches read the LSM view (main minus delta-superseded
+    docs, plus delta — ``_bm25_live_postings``);
+    ``compact_bm25_index`` folds the delta back into the main segment.
+
+    Why a delta segment instead of upserting the main index directly:
+    the main segment is TERM-clustered, so a doc_id key probe cannot
+    be file-pruned there — every trigger would pay a full key-column
+    scan of the index (the delete_matching-full-scan hazard, verdict
+    r8). The delta is bounded by one maintenance window, so the
+    per-trigger probe cost is O(delta), and the fold back into main is
+    one index-sized job at a cadence the operator chooses.
 
     The one-row stats CACHE is deliberately NOT touched per batch (a
     second table cannot join the postings' transaction): call
     ``refresh_bm25_stats`` at window close — one scan of the ints-only
-    index, exact. Searches between batches see complete postings with
-    a slightly stale (n_docs, avgdl); searches after the finalizer are
-    bit-identical to the per-call build (pytest gate).
+    segments, exact. Searches between batches see complete postings
+    with a slightly stale (n_docs, avgdl); searches after the
+    finalizer are bit-identical to the per-call build (pytest gate).
 
     Scale shape: each trigger ships only unseen source files; the
-    upsert's key probe is candidate-file pruned by the index's own
-    bloom sidecar; the only corpus-sized work anywhere is the one
-    tokenize of each batch."""
-    from edna_dbt_library_spark.operators.retrieval import doc_term_freqs
+    upsert probes only the delta; the only corpus-sized work anywhere
+    is the one tokenize of each batch."""
+    from edna_dbt_library_spark.operators.retrieval import (
+        _bm25_delta_rel,
+        doc_term_freqs,
+    )
+    from edna_dbt_library_spark.functions.text import tokens
     from edna_dbt_library_spark.sources.warehouse import TableMeta
 
-    if not wh.exists(index):
-        empty = doc_term_freqs(
+    def _empty_postings():
+        return doc_term_freqs(
             wh.read(source).limit(0).select(id_col, text_col), id_col, text_col
         )
-        wh.create_as(index, empty, TableMeta(cluster_by=["term"]))
+
+    if not wh.exists(index):
+        wh.create_as(index, _empty_postings(), TableMeta(cluster_by=["term"]))
         wh.create_as(
             wh.relation(index.schema, index.identifier + "_stats"),
             wh.spark.createDataFrame([(0, 0)], "n_docs long, sum_dl long"),
             TableMeta(),
         )
+    delta = _bm25_delta_rel(wh, index)
+    if not wh.exists(delta):
+        wh.create_as(delta, _empty_postings(), TableMeta())
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         out = _settle_pending(wh, source, batch, settle_s, crashed_after_s)
-        postings = doc_term_freqs(
-            out.select(id_col, text_col), id_col, text_col
+        docs = out.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
         )
-        wh.upsert_matching(index, postings, ["doc_id"])
+        postings = doc_term_freqs(docs, "doc_id", "_text")
+        tomb = docs.where(
+            F.coalesce(F.size(tokens("_text")), F.lit(0)) == 0
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0).cast("int").alias("dl"),
+        )
+        wh.upsert_matching(delta, postings.unionByName(tomb), ["doc_id"])
 
     writer = (
         stream_table(wh, source, max_files_per_trigger)
@@ -717,36 +744,52 @@ def stream_ivfpq_index(
     settle_s: float = 5.0,
     crashed_after_s: float = 300.0,
 ):
-    """Continuous ANN index maintenance — the streaming twin of
-    ``operators.similarity.append_to_ivfpq_index``: vectors landing in
-    the ``source`` warehouse table are encoded with the index's FROZEN
-    centroids + codebooks (one `_ivfpq_codes_cell` pass per
-    micro-batch, no training, no corpus scan) and their code rows land
-    with ONE atomic keyed ``upsert_matching`` on ``vid`` — replays
-    converge and a re-streamed vector REPLACES its codes (the
-    add-after-train shape run as a stream). Requires the index to
-    exist (``build_ivfpq_index``); recall drifts as the corpus leaves
-    the frozen quantizers behind — retraining cadence stays the
-    caller's contract, exactly like the batch append.
+    """Continuous ANN index maintenance — the streaming side of the
+    index's LSM design: vectors landing in the ``source`` warehouse
+    table are encoded with the index's FROZEN centroids + codebooks
+    (one `_ivfpq_codes_cell` pass per micro-batch, no training, no
+    corpus scan) and their code rows land in the DELTA segment
+    (``<index>_delta``) with ONE atomic keyed ``upsert_matching`` on
+    ``vid`` — replays converge and a re-streamed vector REPLACES its
+    codes (the add-after-train shape run as a stream). Searches read
+    the LSM view (main minus delta-superseded vids, plus delta —
+    ``_ivfpq_live_codes``); ``compact_ivfpq_index`` folds the delta
+    back into the cell-clustered main segment.
+
+    Why a delta segment instead of upserting the main index directly:
+    the main segment is CELL-clustered, so a vid key probe cannot be
+    file-pruned there — every trigger would pay a full key-column scan
+    of the index (the delete_matching-full-scan hazard, verdict r8).
+    The delta is bounded by one maintenance window, so the per-trigger
+    probe cost is O(delta).
+
+    Requires the index to exist (``build_ivfpq_index``); recall drifts
+    as the corpus leaves the frozen quantizers behind — retraining
+    cadence stays the caller's contract, exactly like the batch append.
 
     Scale shape: each trigger ships only unseen source files; the
     shuffle carries one (1 + m)-struct row per batch vector; the
-    upsert's key probe prunes through the index's skipping sidecars."""
+    upsert probes only the delta."""
     from edna_dbt_library_spark.operators.similarity import (
         KMEANS_SCALE,
         _ivfpq_codes_cell,
+        _ivfpq_delta_rel,
         _pq_shape,
     )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta
 
     cent = wh.read(wh.relation(index.schema, index.identifier + "_centroids"))
     cb = wh.read(wh.relation(index.schema, index.identifier + "_codebooks"))
     m, d0 = _pq_shape(cb)
     sc = KMEANS_SCALE if scale is None else scale
+    delta = _ivfpq_delta_rel(wh, index)
+    if not wh.exists(delta):
+        wh.create_as(delta, wh.read(index).limit(0), TableMeta())
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         out = _settle_pending(wh, source, batch, settle_s, crashed_after_s)
         rows = _ivfpq_codes_cell(out, cent, cb, m, d0, sc, id_col, vec_col)
-        wh.upsert_matching(index, rows, ["vid"])
+        wh.upsert_matching(delta, rows, ["vid"])
 
     writer = (
         stream_table(wh, source, max_files_per_trigger)

@@ -762,16 +762,22 @@ def test_append_to_ivfpq_index_equals_rebuild_encode(spark, tmp_path):
 
 
 def test_stream_ivfpq_index_drain_equals_batch_encode(spark, tmp_path):
-    """Streaming ANN maintenance gate: a full drain of
-    stream_ivfpq_index must leave the index row-set IDENTICAL to a
-    from-scratch encode of the source with the same frozen quantizers,
-    and a re-streamed vector must REPLACE its codes (atomic keyed
-    upsert), never duplicate them."""
+    """Streaming ANN maintenance gate (LSM design): a full drain of
+    stream_ivfpq_index must leave the LIVE code view IDENTICAL to a
+    from-scratch encode of the source with the same frozen quantizers;
+    a re-streamed vector REPLACES its codes via the delta segment
+    (never a main-segment key scan); compact_ivfpq_index folds the
+    delta back into a pure cell-clustered main segment with identical
+    search results."""
     from edna_dbt_library_spark.operators.similarity import (
         KMEANS_SCALE,
         _ivfpq_codes_cell,
+        _ivfpq_delta_rel,
+        _ivfpq_live_codes,
         _pq_shape,
         build_ivfpq_index,
+        compact_ivfpq_index,
+        ivf_pq_topk_indexed,
     )
     from edna_dbt_library_spark.sources import TableMeta, Warehouse
     from edna_dbt_library_spark.streaming.incremental_stream import (
@@ -783,6 +789,7 @@ def test_stream_ivfpq_index_drain_equals_batch_encode(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     index = wh.relation("ann", "stream_ivfpq")
     build_ivfpq_index(wh, index, base, n_cells=16, m=4, pq_cells=16, iters=2)
+    n_main = wh.read(index).count()
 
     src = wh.relation("vec", "incoming")
     batch1 = emb.where(F.col("vec_id") % 4 == 1)
@@ -800,9 +807,12 @@ def test_stream_ivfpq_index_drain_equals_batch_encode(spark, tmp_path):
         )
 
     want = encode(base.unionAll(batch1))
-    assert sorted(map(tuple, wh.read(index).collect())) == sorted(
+    assert sorted(map(tuple, _ivfpq_live_codes(wh, index).collect())) == sorted(
         map(tuple, want.collect())
     )
+    # the stream landed in the delta: main untouched by vid probes
+    assert wh.read(index).count() == n_main
+    assert wh.read(_ivfpq_delta_rel(wh, index)).count() > 0
 
     # second drain: new vectors + a re-streamed one (codes replaced)
     redo_id = batch1.select(F.min("vec_id")).first()[0]
@@ -811,13 +821,21 @@ def test_stream_ivfpq_index_drain_equals_batch_encode(spark, tmp_path):
     )
     wh.append(src, batch2)
     stream_ivfpq_index(wh, src, index, cp).awaitTermination()
-    want2 = encode(
-        base.unionAll(emb.where(F.col("vec_id") % 4 == 1)).unionAll(
-            emb.where(F.col("vec_id") % 4 == 2)
-        )
+    union = base.unionAll(emb.where(F.col("vec_id") % 4 == 1)).unionAll(
+        emb.where(F.col("vec_id") % 4 == 2)
     )
-    got2 = wh.read(index)
+    want2 = encode(union)
+    got2 = _ivfpq_live_codes(wh, index)
     assert got2.where(F.col("vid") == redo_id).count() == 4  # m rows, once
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, want2.collect())
     )
+
+    # segment merge: search identical before and after the fold
+    queries = emb.where(F.col("vec_id") < 5)
+    pre = sorted(map(tuple, ivf_pq_topk_indexed(wh, index, queries, k=10).collect()))
+    compact_ivfpq_index(wh, index)
+    assert not wh.exists(_ivfpq_delta_rel(wh, index))
+    assert wh.read(index).count() == union.count() * 4
+    post = sorted(map(tuple, ivf_pq_topk_indexed(wh, index, queries, k=10).collect()))
+    assert pre == post

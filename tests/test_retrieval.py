@@ -360,13 +360,19 @@ def test_append_to_bm25_index_equals_union_rebuild(spark, tmp_path):
 
 
 def test_stream_bm25_index_drain_equals_batch_build(spark, tmp_path):
-    """Streaming maintenance gate: a full availableNow drain of
-    stream_bm25_index plus the refresh_bm25_stats finalizer must leave
-    the index search BIT-IDENTICAL to the per-call build over the
-    source's documents; a re-streamed edit REPLACES its postings (the
-    atomic keyed upsert) instead of double-counting."""
+    """Streaming maintenance gate (LSM design): a full availableNow
+    drain of stream_bm25_index plus the refresh_bm25_stats finalizer
+    must leave the index search BIT-IDENTICAL to the per-call build
+    over the source's current documents; a re-streamed edit REPLACES
+    its postings via the delta segment (never a main-segment key
+    scan); a zero-token re-ingest TOMBSTONES the doc; and
+    compact_bm25_index folds everything back into a pure, clean main
+    segment with identical search results."""
     from edna_dbt_library_spark.operators.retrieval import (
+        _bm25_delta_rel,
+        _bm25_live_postings,
         bm25_topk_indexed,
+        compact_bm25_index,
         refresh_bm25_stats,
     )
     from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
@@ -392,9 +398,8 @@ def test_stream_bm25_index_drain_equals_batch_build(spark, tmp_path):
     got = sorted(map(tuple, bm25_topk_indexed(wh, idx, probes, k=5).collect()))
     assert got == want
 
-    # append new docs + an EDIT of doc 7 (same id, new text): the next
-    # drain must replace doc 7's postings and pick up the new docs
-    edit = [(7, "editedterm shared"), (9001, "t07 t19 shared")]
+    # new docs + an EDIT of doc 7 + doc 11 re-ingested EMPTY (delete)
+    edit = [(7, "editedterm shared"), (9001, "t07 t19 shared"), (11, "")]
     wh.append(src, _docs(spark, edit).coalesce(1))
     q = stream_bm25_index(wh, src, idx, cp)
     q.awaitTermination()
@@ -402,6 +407,7 @@ def test_stream_bm25_index_drain_equals_batch_build(spark, tmp_path):
 
     current = {d: t for d, t in rows}
     current.update({d: t for d, t in edit})
+    del current[11]  # zero-token doc: per-call excludes it entirely
     corpus = _docs(spark, sorted(current.items()))
     probes2 = _queries(
         spark, [("q1", "t07 shared"), ("q2", "editedterm"), ("q3", "t19")]
@@ -409,9 +415,21 @@ def test_stream_bm25_index_drain_equals_batch_build(spark, tmp_path):
     want2 = sorted(map(tuple, bm25_topk(corpus, probes2, k=5).collect()))
     got2 = sorted(map(tuple, bm25_topk_indexed(wh, idx, probes2, k=5).collect()))
     assert got2 == want2
-    # the edit really replaced: doc 7's old terms are gone from the index
-    old7 = wh.read(idx).where(
+    # the edit really replaced and the tombstone really masks: no old
+    # doc-7 terms and no doc-11 rows in the LIVE view
+    live = _bm25_live_postings(wh, idx).where(F.col("term").isNotNull())
+    assert live.where(
         (F.col("doc_id") == 7) & (F.col("term") != "editedterm")
         & (F.col("term") != "shared")
-    )
-    assert old7.count() == 0
+    ).count() == 0
+    assert live.where(F.col("doc_id") == 11).count() == 0
+    # delta really carries the stream (main untouched by doc_id probes)
+    assert wh.read(_bm25_delta_rel(wh, idx)).count() > 0
+
+    # segment merge: identical results from a pure main segment
+    compact_bm25_index(wh, idx, n_files=4)
+    assert not wh.exists(_bm25_delta_rel(wh, idx))
+    assert wh.read(idx).where(F.col("term").isNull()).count() == 0
+    assert wh.read(idx).where(F.col("doc_id") == 11).count() == 0
+    got3 = sorted(map(tuple, bm25_topk_indexed(wh, idx, probes2, k=5).collect()))
+    assert got3 == want2
