@@ -240,9 +240,10 @@ def build_bm25_index(
     groupBy) plus the range repartition for the term-clustered layout —
     all map-side combinable, no collect. NEW documents extend the index
     through :func:`append_to_bm25_index` (postings append + exact stats
-    update + incremental sidecar refresh); deletions/edits require a
-    rebuild, exactly like the ANN indexes (the probe read is fail-safe
-    — files appended to the index AFTER a sidecar refresh are always
+    update + incremental sidecar refresh); edits/deletes flow through
+    the streaming delta segment (``stream_bm25_index`` +
+    ``compact_bm25_index``) or a rebuild (the probe read is fail-safe —
+    files appended to the index AFTER a sidecar refresh are always
     candidates).
 
     ``n_files`` bounds the postings file count (default: the session's
@@ -287,7 +288,9 @@ def append_to_bm25_index(
     correct either way.
 
     Caller contract: ``new_documents`` holds documents NOT already in
-    the index (a re-appended doc would double its postings); dedup
+    the index (a re-appended doc would double its postings) NOR in its
+    streaming delta segment (the delta's doc mask supersedes MAIN, so
+    it would suppress the appended postings until compaction); dedup
     upstream or rebuild. Deletions/edits go through the streaming delta
     segment (``stream_bm25_index``) or ``build_bm25_index``. Crash
     boundary: the postings append and the stats overwrite are separate
@@ -395,7 +398,11 @@ def compact_bm25_index(wh, index, n_files: int | None = None) -> None:
     Not concurrent-safe with an active maintenance stream (the same
     boundary every warehouse maintenance fold documents): quiesce the
     stream for the fold. The union is pinned (localCheckpoint) before
-    the self-overwrite — the compact barrier idiom."""
+    the self-overwrite — the compact barrier idiom. Crash-retry safe:
+    a crash after the main overwrite but before the delta drop leaves
+    delta ⊆ main, and the LSM view of that state equals the folded
+    state (the mask removes exactly the rows the delta re-adds), so
+    re-running the fold converges."""
     from edna_dbt_library_spark.sources.warehouse import TableMeta
 
     union = (

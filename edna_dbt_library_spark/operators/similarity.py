@@ -1421,7 +1421,10 @@ def compact_ivfpq_index(wh, index) -> None:
     ints-only code rows — vectors are never re-encoded, the corpus is
     never touched. Not concurrent-safe with an active maintenance
     stream; the union pins (localCheckpoint) before the self-overwrite
-    — the compact barrier idiom."""
+    — the compact barrier idiom. Crash-retry safe: a crash between the
+    main overwrite and the delta drop leaves delta ⊆ main, whose LSM
+    view equals the folded state (the mask removes exactly the rows
+    the delta re-adds), so re-running the fold converges."""
     from edna_dbt_library_spark.sources.warehouse import TableMeta
 
     union = _ivfpq_live_codes(wh, index).localCheckpoint(eager=True)

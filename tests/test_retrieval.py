@@ -426,7 +426,22 @@ def test_stream_bm25_index_drain_equals_batch_build(spark, tmp_path):
     # delta really carries the stream (main untouched by doc_id probes)
     assert wh.read(_bm25_delta_rel(wh, idx)).count() > 0
 
-    # segment merge: identical results from a pure main segment
+    # crashed segment merge: main folded but the delta drop never ran
+    # (delta ⊆ main) — the LSM view must equal the folded state, and a
+    # retry must converge (compact_bm25_index docstring contract)
+    from edna_dbt_library_spark.sources.warehouse import TableMeta as _TM
+
+    union = (
+        _bm25_live_postings(wh, idx)
+        .where(F.col("term").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    wh.create_as(idx, union.repartitionByRange(4, "term"), _TM(cluster_by=["term"]))
+    assert wh.exists(_bm25_delta_rel(wh, idx))  # the "crash" left it
+    got_crash = sorted(map(tuple, bm25_topk_indexed(wh, idx, probes2, k=5).collect()))
+    assert got_crash == want2
+
+    # segment merge (retry): identical results from a pure main segment
     compact_bm25_index(wh, idx, n_files=4)
     assert not wh.exists(_bm25_delta_rel(wh, idx))
     assert wh.read(idx).where(F.col("term").isNull()).count() == 0
