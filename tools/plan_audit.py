@@ -334,6 +334,19 @@ The skip ratio grows with file count (candidates are bounded by
 terms × bloom fpp, files by corpus size); staleness is fail-safe:
 files appended after the sidecar refresh are always candidates.
 
+**LSM streaming window (round 10)** — same tool, same corpus: a
+2,000-doc maintenance batch upserted into the term-clustered MAIN
+segment costs **2.0s** (the keyed probe cannot be file-pruned on a
+term layout, so it scans the index key column — linear in index size
+by construction) vs **0.53s** into the bounded DELTA segment
+(O(batch), the shipped design). The LSM-view search (main minus
+delta-superseded docs, plus delta) returns the IDENTICAL top-10 as a
+per-call build over the union corpus; `compact_bm25_index` folds the
+delta in 3.3s (ints-only, corpus never touched) and the post-fold
+search is again pure main-segment file skipping. At 100 TB the 3.8×
+measured gap is the difference between a per-trigger index scan and a
+bounded-window apply.
+
 ## SPARK_GRAFT_FAST_HASH production path (measured round 3)
 
 The md5-based 60-bit hash is pinned wherever the DuckDB oracle must

@@ -146,6 +146,55 @@ def main() -> None:
             "identical_topk": sorted(map(tuple, rows_i))
             == sorted(map(tuple, rows_p)),
         }
+
+        # LSM streaming window: the per-trigger upsert probe against the
+        # term-clustered MAIN scans the whole key column (the rejected
+        # design); against the bounded DELTA it costs O(delta) — measure
+        # both, then the LSM search and the segment fold
+        from edna_dbt_library_spark.operators.retrieval import (
+            _bm25_delta_rel,
+            compact_bm25_index,
+            refresh_bm25_stats,
+        )
+        from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+        batch = spark.range(2000).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("streamed document body spark window agg row "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        postings = doc_term_freqs(batch).localCheckpoint(eager=True)
+        _, main_upsert_sec = timed(
+            lambda: wh.upsert_matching(idx, postings, ["doc_id"])
+        )
+        delta = _bm25_delta_rel(wh, idx)
+        wh.create_as(delta, postings.limit(0), TableMeta())
+        _, delta_upsert_sec = timed(
+            lambda: wh.upsert_matching(delta, postings, ["doc_id"])
+        )
+        refresh_bm25_stats(wh, idx)
+        union_docs = docs.unionByName(batch)
+        rows_l, lsm_sec = timed(
+            lambda: bm25_topk_indexed(wh, idx, q, k=10).collect()
+        )
+        rows_u = bm25_topk(union_docs, q, k=10).collect()
+        _, compact_sec = timed(lambda: compact_bm25_index(wh, idx, n_files=64))
+        rows_c, postc_sec = timed(
+            lambda: bm25_topk_indexed(wh, idx, q, k=10).collect()
+        )
+        out["bm25_lsm"] = {
+            "batch_docs": 2000,
+            "main_upsert_sec": main_upsert_sec,
+            "delta_upsert_sec": delta_upsert_sec,
+            "lsm_search_sec": lsm_sec,
+            "compact_sec": compact_sec,
+            "search_after_compact_sec": postc_sec,
+            "identical_topk": sorted(map(tuple, rows_l))
+            == sorted(map(tuple, rows_u))
+            == sorted(map(tuple, rows_c)),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
