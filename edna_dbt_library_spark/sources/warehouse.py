@@ -1134,6 +1134,10 @@ class Warehouse:
         dels.repartition(max(1, -(-n // 10_000_000))).write.mode(
             "overwrite"
         ).parquet(dtmp)
+        # the txn becomes VISIBLE to file streams at the first rename
+        # below; refresh the marker now so a slow pre-stage scan/write
+        # can never make a just-appearing txn look crashed-old
+        self._touch_txn(rel, txid)
         os.makedirs(self._deletes_dir(rel), exist_ok=True)
         for i, p in enumerate(sorted(glob.glob(os.path.join(dtmp, "*.parquet")))):
             os.rename(
@@ -1155,6 +1159,9 @@ class Warehouse:
         staging = os.path.join(base, "_staging", txid)
         self._writer(df, meta).mode("overwrite").save(staging)
         self._maybe_crash("after_stage_write")
+        # first rename below makes the txn visible: refresh the marker
+        # so age can never already exceed crashed_after_s at appearance
+        self._touch_txn(rel, txid)
         skip = len(staging) + 1
         for dirpath, _dirs, fnames in os.walk(staging):
             relpart = dirpath[skip:]

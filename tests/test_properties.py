@@ -738,3 +738,108 @@ def test_changelog_reconstructs_any_window(spark, tmp_path_factory, ops):
         state = _rows(wh.read_version(rel, since)) + ins
         state.subtract(dels)
         assert +state == _rows(wh.read_version(rel, to)), (since, to)
+
+
+_LSM_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.lists(st.sampled_from(_LSM_WORDS), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=12),
+            st.lists(st.sampled_from(_LSM_WORDS), min_size=0, max_size=6),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_bm25_lsm_view_equals_current_corpus_property(
+    spark, tmp_path_factory, base, batches
+):
+    """LSM masking law: after any sequence of delta maintenance batches
+    (new docs, edits, zero-token deletes — each applied with the same
+    atomic keyed upsert the stream uses, tombstones included), the live
+    postings view must equal a from-scratch tokenization of the CURRENT
+    corpus, and the refreshed stats row must equal corpus_stats_exact
+    over it. This is the whole correctness of the delta design in one
+    property — search equality follows because both paths consume only
+    postings + stats."""
+    from pyspark.sql import functions as F
+
+    from edna_dbt_library_spark.functions.text import tokens
+    from edna_dbt_library_spark.operators.retrieval import (
+        _bm25_delta_rel,
+        _bm25_live_postings,
+        corpus_stats_exact,
+        doc_term_freqs,
+        refresh_bm25_stats,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    def docs_df(d):
+        return spark.createDataFrame(
+            [(k, " ".join(v)) for k, v in sorted(d.items())],
+            "doc_id long, text string",
+        )
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("lsmwh")))
+    idx = wh.relation("ix", "p")
+    wh.create_as(idx, doc_term_freqs(docs_df(base)), TableMeta(cluster_by=["term"]))
+    wh.create_as(
+        wh.relation("ix", "p_stats"),
+        corpus_stats_exact(docs_df(base)),
+        TableMeta(),
+    )
+    delta = _bm25_delta_rel(wh, idx)
+    wh.create_as(delta, doc_term_freqs(docs_df(base)).limit(0), TableMeta())
+
+    current = dict(base)
+    for b in batches:
+        bdf = docs_df(b)
+        postings = doc_term_freqs(bdf)
+        tomb = bdf.where(
+            F.coalesce(F.size(tokens("text")), F.lit(0)) == 0
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0).cast("int").alias("dl"),
+        )
+        wh.upsert_matching(delta, postings.unionByName(tomb), ["doc_id"])
+        current.update(b)
+
+    live_corpus = {k: v for k, v in current.items() if v}
+    want = sorted(map(tuple, doc_term_freqs(docs_df(live_corpus)).collect())) if live_corpus else []
+    got = sorted(
+        map(
+            tuple,
+            _bm25_live_postings(wh, idx)
+            .where(F.col("term").isNotNull())
+            .collect(),
+        )
+    )
+    assert got == want
+
+    refresh_bm25_stats(wh, idx)
+    srow = wh.read(wh.relation("ix", "p_stats")).first()
+    wrow = (
+        corpus_stats_exact(docs_df(live_corpus)).first()
+        if live_corpus
+        else None
+    )
+    if wrow is None:
+        assert srow["n_docs"] == 0
+    else:
+        assert (srow["n_docs"], srow["sum_dl"]) == (
+            wrow["n_docs"],
+            wrow["sum_dl"] or 0,
+        )

@@ -347,6 +347,16 @@ search is again pure main-segment file skipping. At 100 TB the 3.8×
 measured gap is the difference between a per-trigger index scan and a
 bounded-window apply.
 
+## Same-host bench control — round 10 vs round 9
+
+r9 tip (`0d68426`) cloned clean to /tmp and benched back-to-back with
+the r10 tree on the same idle host (2026-08-15): common 92 queries
+**116.8s → 113.9s = 0.98×, zero regressions at a 1.15× threshold**
+(the `_bm25_rank` shared-core refactor is plan-neutral: bm25_topk_docs
+1.75s → 1.92s, within noise). The r9-committed 107.2s vs today's
+113.9s is host drift — the r9 tip itself measures 116.8s on today's
+machine.
+
 ## SPARK_GRAFT_FAST_HASH production path (measured round 3)
 
 The md5-based 60-bit hash is pinned wherever the DuckDB oracle must
