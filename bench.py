@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "grouped_theilsen_slope",
     "asof_latest_order",
     "range_attribution",
+    "timeseries_fill",
     "dedup_clusters",
     "sample_stratified",
     "domain_mix_sample",

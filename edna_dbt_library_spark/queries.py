@@ -540,6 +540,160 @@ def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("click_id", "purchase_id", mins.alias("mins_after"))
 
 
+def _temporal_join_surface_oracle() -> str:
+    asof = REGISTRY["asof_latest_order"].oracle
+    rng = REGISTRY["range_attribution"].oracle
+    return f"""
+SELECT 'asof' AS src, event_id AS id_a, user_id AS id_b,
+       matched_orderkey AS k, matched_total::DOUBLE AS val
+FROM ({asof})
+UNION ALL
+SELECT 'range' AS src, click_id AS id_a, purchase_id AS id_b,
+       mins_after AS k, NULL::DOUBLE AS val
+FROM ({rng})"""
+
+
+@_register("temporal_join_surface", _temporal_join_surface_oracle())
+def temporal_join_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-join surface in one src-tagged scored row (r10
+    consolidation — frees a CORE_ORDER slot for `timeseries_fill`):
+    the as-of join (each event's latest order at or before its
+    timestamp) and the bucketed range/interval join (purchases
+    attributed to same-user clicks in the preceding 2 hours). The
+    granulars `asof_latest_order` / `range_attribution` stay
+    registered and parity-checked; test_consolidations locks this row
+    to their re-tagged union."""
+    a = REGISTRY["asof_latest_order"].spark(spark, sf_dir)
+    rj = REGISTRY["range_attribution"].spark(spark, sf_dir)
+    return a.select(
+        F.lit("asof").alias("src"),
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("id_b"),
+        F.col("matched_orderkey").alias("k"),
+        F.col("matched_total").cast("double").alias("val"),
+    ).unionAll(
+        rj.select(
+            F.lit("range").alias("src"),
+            F.col("click_id").alias("id_a"),
+            F.col("purchase_id").alias("id_b"),
+            F.col("mins_after").alias("k"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+
+
+_TSFILL_ORACLE = """
+WITH r AS (
+    SELECT user_id,
+           epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v,
+           count(*)::BIGINT AS n
+    FROM events
+    WHERE (user_id * 2654435761) % 8 = 1
+    GROUP BY 1, 2
+), g AS (
+    SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+    FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM r GROUP BY user_id)
+), f AS (
+    SELECT g.user_id, g.bucket, r.v, r.n,
+        last_value(r.v IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_v,
+        last_value(r.v IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        last_value(CASE WHEN r.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+            OVER (PARTITION BY g.user_id ORDER BY g.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        first_value(r.v IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.bucket
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN r.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+            OVER (PARTITION BY g.user_id ORDER BY g.bucket
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+    FROM g LEFT JOIN r ON r.user_id = g.user_id AND r.bucket = g.bucket
+)
+SELECT 'resample' AS method, user_id, bucket, v, n FROM r
+UNION ALL
+SELECT 'locf' AS method, user_id, bucket, locf_v AS v,
+       CASE WHEN f.v IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS n
+FROM f
+UNION ALL
+SELECT 'interp' AS method, user_id, bucket,
+       CASE WHEN f.v IS NOT NULL THEN f.v
+            ELSE (2 * (pv * (nh - bucket) + nv * (bucket - ph)) + (nh - ph))
+                 // (2 * (nh - ph)) END AS v,
+       CASE WHEN f.v IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS n
+FROM f
+UNION ALL
+SELECT 'rollup_day' AS method, user_id, bucket // 24 AS bucket,
+       sum(v)::BIGINT AS v, sum(n)::BIGINT AS n
+FROM r GROUP BY user_id, bucket // 24
+"""
+
+
+@_register("timeseries_fill", _TSFILL_ORACLE)
+def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable / continuous-aggregate surface in one method-tagged
+    scored row (operators/timeseries.py, r10): hourly exact-integer
+    resampling of the event stream, dense per-user gap-fill with LOCF,
+    exact-integer HALF-UP linear interpolation of the gap buckets
+    ((2S+N) div (2N) — no float in the path, so the filled values
+    replay digit-for-digit in DuckDB), and the hour→day rollup ladder
+    computed from the hourly PARTIALS (continuous-aggregate
+    associativity: the day grain never touches the raw events).
+
+    Extension beyond the reference surface: the reference's event
+    models aggregate by DAY partition only
+    (macros/materialization/incremental_log.sql); this is the
+    TimescaleDB time_bucket + time_bucket_gapfill semantics as plain
+    DataFrame algebra. The user subset is picked by a MULTIPLICATIVE
+    hash of user_id (fixture residue classes correlate, see project
+    notes) and bounds the dense grid to ~1/8 of users × the 720-hour
+    fixture range. All measures are integer cents — no double leaves
+    either engine."""
+    from edna_dbt_library_spark.operators.timeseries import (
+        HOUR_US,
+        gap_fill,
+        interpolate_linear,
+        locf,
+        resample_sum,
+        rollup_buckets,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(8)) == 1
+    )
+    cents = F.round(F.col("value") * F.lit(100)).cast("long").alias("cents")
+    r = resample_sum(
+        e.select("user_id", "ts", cents), ["user_id"], "ts", "cents", HOUR_US
+    )
+    dense = gap_fill(r, ["user_id"])
+    obs_n = F.when(F.col("observed"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    cols = ["user_id", "bucket", "v", "n"]
+    return (
+        r.select(F.lit("resample").alias("method"), *cols)
+        .unionAll(
+            locf(dense, ["user_id"], "v").select(
+                F.lit("locf").alias("method"), "user_id", "bucket", "v",
+                obs_n.alias("n"),
+            )
+        )
+        .unionAll(
+            interpolate_linear(dense, ["user_id"], "v").select(
+                F.lit("interp").alias("method"), "user_id", "bucket", "v",
+                obs_n.alias("n"),
+            )
+        )
+        .unionAll(
+            rollup_buckets(r, ["user_id"], 24).select(
+                F.lit("rollup_day").alias("method"), *cols
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2D scalar surface
 
@@ -4275,6 +4429,10 @@ FROM ({pq})
 UNION ALL
 SELECT 'ivfpq' AS method, query_id, rank, vec_id, NULL::INTEGER AS label,
        adc_dist::DOUBLE AS cosine_sim
+FROM ({ivfpq})
+UNION ALL
+SELECT 'ivfpq_idx' AS method, query_id, rank, vec_id, NULL::INTEGER AS label,
+       adc_dist::DOUBLE AS cosine_sim
 FROM ({ivfpq})"""
 
 
@@ -4284,7 +4442,15 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force cosine baseline, the k-means-trained IVF index, (r7)
     the product-quantization ADC index, and (r8) the composed IVF+PQ
     (IVFADC) index (granulars ann_topk_bruteforce / ann_ivf_topk /
-    ann_pq_adc_topk / ann_ivf_pq_topk stay registered). The ADC arms
+    ann_pq_adc_topk / ann_ivf_pq_topk stay registered), and (r10) the
+    PERSISTED IVFADC index searched through its full LSM lifecycle:
+    build (main segment from a base split), add-after-train append,
+    streaming-style delta upsert INCLUDING a re-ingested overlap whose
+    delta codes must MASK its main-segment codes — the `ivfpq_idx` arm
+    hash-gates `_ivfpq_live_codes` + `ivf_pq_topk_indexed` against the
+    same oracle as the inline arm (persistence + the LSM view cannot
+    change a single ranked row; a broken mask duplicates the overlap
+    vids' candidates and flips the tie ranks). The ADC arms
     pack their exact-integer distance into the shared double score
     column (values < 2^53, bit-exact); label is NULL::INTEGER (the
     fixture label is int32 — a string literal here would ANSI-coerce to
@@ -4292,21 +4458,35 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same consolidation pattern as near_dup_pairs: every method's
     full ranking hash-gates under one driver row.
 
-    The three trained arms SHARE one coarse-quantizer train and one
+    The trained arms SHARE one coarse-quantizer train and one
     codebook train (the index-once/search-many production shape) — the
     granulars each train independently with identical parameters, and
     because the exact-integer Lloyd is deterministic the results are
     bit-identical either way: test_ann_topk_equals_granular_composition
     locks shared-trained == independently-trained, which is the
-    determinism contract stated as a test."""
+    determinism contract stated as a test. The index splits use a
+    multiplicative hash of vec_id (fixture ids correlate with every
+    mod-k residue class, see project notes) and cover the corpus
+    exactly: main ∪ append ∪ delta = embeddings, so the indexed
+    search must equal the inline whole-corpus search."""
+    import shutil
+    import tempfile
+
     from edna_dbt_library_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _ivfpq_codes_cell,
+        _ivfpq_delta_rel,
+        _pq_shape,
+        append_to_ivfpq_index,
         brute_force_topk,
         ivf_pq_topk,
+        ivf_pq_topk_indexed,
         ivf_topk,
         kmeans_cells,
         pq_adc_topk,
         pq_codebooks,
     )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5)
@@ -4329,11 +4509,41 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_dist").cast("double").alias("cosine_sim"),
         )
 
+    # persisted-index arm: same quantizers, full LSM lifecycle
+    split = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(8))
+    root = tempfile.mkdtemp(prefix="edna_ivfpqix_")
+    try:
+        wh = Warehouse(spark, root)
+        idx = wh.relation("scratch", "ivfpqix")
+        wh.create_as(
+            wh.relation("scratch", "ivfpqix_centroids"), cent, TableMeta()
+        )
+        wh.create_as(
+            wh.relation("scratch", "ivfpqix_codebooks"), cb, TableMeta()
+        )
+        m_, d0 = _pq_shape(cb)
+        enc = lambda df: _ivfpq_codes_cell(  # noqa: E731
+            df, cent, cb, m_, d0, KMEANS_SCALE, "vec_id", "embedding"
+        )
+        wh.create_as(idx, enc(emb.where(split >= 2)), TableMeta(cluster_by=["cell"]))
+        append_to_ivfpq_index(wh, idx, emb.where(split == 0))
+        delta = _ivfpq_delta_rel(wh, idx)
+        wh.create_as(delta, wh.read(idx).limit(0), TableMeta())
+        # split==2 rows are ALREADY in the main segment: the upsert is a
+        # re-stream whose delta codes must mask (not duplicate) them
+        wh.upsert_matching(delta, enc(emb.where(split <= 2).where(split >= 1)), ["vid"])
+        ivfpq_i = adc_arm(
+            ivf_pq_topk_indexed(wh, idx, qs, k=10, n_probe=4), "ivfpq_idx"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     return (
         bf.select(F.lit("bruteforce").alias("method"), *_ANN_TOPK_COLS)
         .unionAll(ivf.select(F.lit("ivf").alias("method"), *_ANN_TOPK_COLS))
         .unionAll(adc_arm(pq, "pq"))
         .unionAll(adc_arm(ivfpq, "ivfpq"))
+        .unionAll(ivfpq_i)
     )
 
 
@@ -7375,8 +7585,8 @@ CORE_ORDER = [
     "run_window_bounds",
     "string_shaping",
     # custom joins / sessions / SQL-text path
-    "asof_latest_order",
-    "range_attribution",
+    "temporal_join_surface",
+    "timeseries_fill",
     "session_windows_native",
     "top_suppliers_sql",
     # TPC-H-shaped relational surface (q3 lives in the extra registry:

@@ -260,9 +260,39 @@ def test_ann_topk_equals_granular_composition(spark):
 
     pq = adc_arm("ann_pq_adc_topk", "pq")
     ivfpq = adc_arm("ann_ivf_pq_topk", "ivfpq")
-    composed = _rows(bf.unionAll(ivf).unionAll(pq).unionAll(ivfpq))
+    # the persisted-index LSM arm must be the inline IVFADC search
+    # re-tagged, bit for bit: build + append + delta-masked live view
+    # cannot change a single ranked row
+    ivfpq_idx = adc_arm("ann_ivf_pq_topk", "ivfpq_idx")
+    composed = _rows(
+        bf.unionAll(ivf).unionAll(pq).unionAll(ivfpq).unionAll(ivfpq_idx)
+    )
     assert scored == composed and len(scored) > 0
-    assert {r[0] for r in scored} == {"bruteforce", "ivf", "pq", "ivfpq"}
+    assert {r[0] for r in scored} == {
+        "bruteforce", "ivf", "pq", "ivfpq", "ivfpq_idx",
+    }
+
+
+def test_temporal_join_surface_equals_granular_composition(spark):
+    reg = qmod.all_queries()
+    scored = _rows(reg["temporal_join_surface"](spark, SF))
+    a = reg["asof_latest_order"](spark, SF).select(
+        F.lit("asof").alias("src"),
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("id_b"),
+        F.col("matched_orderkey").alias("k"),
+        F.col("matched_total").cast("double").alias("val"),
+    )
+    rj = reg["range_attribution"](spark, SF).select(
+        F.lit("range").alias("src"),
+        F.col("click_id").alias("id_a"),
+        F.col("purchase_id").alias("id_b"),
+        F.col("mins_after").alias("k"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    composed = _rows(a.unionAll(rj))
+    assert scored == composed and len(scored) > 0
+    assert {r[0] for r in scored} == {"asof", "range"}
 
 
 def test_retrieval_scores_equals_granular_composition(spark):
