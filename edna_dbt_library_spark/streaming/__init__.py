@@ -13,6 +13,11 @@ from edna_dbt_library_spark.streaming.ingest_stream import (
     stream_jsonl_ingest,
     stream_warc_ingest,
 )
+from edna_dbt_library_spark.streaming.timeseries_stream import (
+    compact_continuous_aggregate,
+    read_continuous_aggregate,
+    stream_continuous_aggregate,
+)
 from edna_dbt_library_spark.streaming.sketch_stream import (
     read_cms_counters,
     read_frequent_items_exact,
@@ -37,6 +42,9 @@ __all__ = [
     "stream_semantic_dedup",
     "stream_table",
     "stream_windowed_counts",
+    "stream_continuous_aggregate",
+    "read_continuous_aggregate",
+    "compact_continuous_aggregate",
     "read_cms_counters",
     "read_frequent_items_exact",
     "read_hll_estimates",
