@@ -1,0 +1,232 @@
+"""Auto-maintenance policy: decide WHEN to run the engine's fold/compact
+jobs from directory metadata alone, then run exactly those.
+
+The engine accumulates four kinds of deferred work by design — each is
+the cheap-write half of a write-optimized/read-optimized trade:
+
+* **index LSM deltas** (`<index>_delta` for BM25 / IVF-PQ): bounded by
+  a maintenance window; every search pays a delta-sized mask join until
+  `compact_*_index` folds it (operators/retrieval.py, similarity.py).
+* **delete vectors** (`_edna_deletes` sidecar): every read pays the
+  anti-join mask until `apply_deletes` rewrites the touched partitions
+  (sources/warehouse.py:1283).
+* **small files**: micro-batch appends fragment partitions; scan
+  planning degrades with footer count until `Warehouse.compact`
+  rewrites the offenders (sources/warehouse.py:1827).
+* **continuous-aggregate segments** (`batch=<id>` partial dirs):
+  serving folds per-segment sums until `compact_continuous_aggregate`
+  merges them (streaming/timeseries_stream.py).
+
+This module is the missing policy layer: `maintenance_plan` inspects
+ONLY file listings/sizes (os.stat over sidecar + data dirs — no Spark
+job, no data bytes; at 100 TB the plan is proportional to file count,
+and a scheduler can run it every few minutes) and emits the actions
+whose debt crossed its threshold; `run_maintenance` executes them.
+Thresholds are ratios against the read-optimized segment's own size,
+so the policy self-scales: a 10 GB index folds at a ~2 GB delta, a
+10 TB index at ~2 TB — each fold is one index-sized job amortized
+over the window's searches (the RocksDB/LSM size-ratio rule).
+
+Concurrency contract: same as the compact jobs it dispatches — not
+safe against an ACTIVE maintenance stream on the same target (the
+folds pin-then-overwrite); scheduling between drains is the caller's
+job, exactly as documented on compact_bm25_index / compact_ivfpq_index.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+__all__ = ["MaintenancePolicy", "maintenance_plan", "run_maintenance"]
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """Thresholds, all metadata-derived.
+
+    ``delta_ratio``: fold an index delta when delta bytes exceed this
+    fraction of the main segment (or ``delta_min_bytes``, whichever is
+    larger — a tiny index should not fold on every trickle).
+    ``delete_ratio``: apply delete vectors when sidecar bytes exceed
+    this fraction of data bytes (delete shards are key+pos rows, so
+    bytes track masked-row count) or ``delete_min_bytes``.
+    ``target_file_bytes`` / ``min_files``: forwarded to
+    ``Warehouse.compact`` — a partition is fragmented when its file
+    count exceeds both min_files and ceil(bytes/target).
+    ``max_agg_segments``: fold a continuous-aggregate store when its
+    live segment count exceeds this (each segment adds one scan to
+    every serve)."""
+
+    delta_ratio: float = 0.2
+    delta_min_bytes: int = 4 << 20
+    delete_ratio: float = 0.05
+    delete_min_bytes: int = 1 << 20
+    target_file_bytes: int = 128 << 20
+    min_files: int = 8
+    max_agg_segments: int = 8
+
+
+def _table_bytes(wh, rel) -> tuple[int, int]:
+    """(files, bytes) from the partition listing — no data scan."""
+    stats = wh.partition_file_stats(rel)
+    return (
+        sum(n for n, _ in stats.values()),
+        sum(b for _, b in stats.values()),
+    )
+
+
+def _delete_sidecar_bytes(wh, rel) -> int:
+    return sum(os.path.getsize(p) for p in wh._delete_files(rel))
+
+
+def _fragmented_partitions(wh, rel, policy: MaintenancePolicy) -> dict:
+    """The partitions Warehouse.compact would rewrite, from the same
+    listing rule it applies (kept in lockstep by test)."""
+    out = {}
+    for part, (nfiles, nbytes) in wh.partition_file_stats(rel).items():
+        want = max(1, -(-nbytes // policy.target_file_bytes))
+        if nfiles > max(want, policy.min_files):
+            out[part] = (nfiles, nbytes)
+    return out
+
+
+def _index_delta_action(wh, index, kind: str, policy: MaintenancePolicy):
+    delta_rel = wh.relation(index.schema, index.identifier + "_delta")
+    if not wh.exists(delta_rel) or not wh._has_data_files(delta_rel):
+        return None
+    _, main_b = _table_bytes(wh, index)
+    _, delta_b = _table_bytes(wh, delta_rel)
+    floor = max(policy.delta_min_bytes, int(main_b * policy.delta_ratio))
+    if delta_b <= floor:
+        return None
+    return {
+        "action": f"compact_{kind}_index",
+        "target": f"{index.schema}.{index.identifier}",
+        "reason": f"delta {delta_b}B > max({policy.delta_min_bytes}B, "
+        f"{policy.delta_ratio:g} * main {main_b}B)",
+        "delta_bytes": delta_b,
+        "main_bytes": main_b,
+    }
+
+
+def maintenance_plan(
+    wh,
+    tables=(),
+    bm25_indexes=(),
+    ivfpq_indexes=(),
+    agg_stores=(),
+    policy: MaintenancePolicy | None = None,
+) -> list[dict[str, Any]]:
+    """Inspect the targets' metadata and return the due actions —
+    dicts with ``action`` / ``target`` / ``reason`` plus the metrics
+    that tripped the threshold (so operators can see WHY). Pure
+    planning: nothing is executed, no Spark job runs."""
+    policy = policy or MaintenancePolicy()
+    plan: list[dict[str, Any]] = []
+
+    for rel in tables:
+        _, data_b = _table_bytes(wh, rel)
+        del_b = _delete_sidecar_bytes(wh, rel)
+        if del_b > max(policy.delete_min_bytes, int(data_b * policy.delete_ratio)):
+            plan.append(
+                {
+                    "action": "apply_deletes",
+                    "target": f"{rel.schema}.{rel.identifier}",
+                    "reason": f"delete sidecar {del_b}B > max("
+                    f"{policy.delete_min_bytes}B, {policy.delete_ratio:g} "
+                    f"* data {data_b}B)",
+                    "sidecar_bytes": del_b,
+                    "data_bytes": data_b,
+                }
+            )
+        frag = _fragmented_partitions(wh, rel, policy)
+        if frag:
+            plan.append(
+                {
+                    "action": "compact",
+                    "target": f"{rel.schema}.{rel.identifier}",
+                    "reason": f"{len(frag)} fragmented partition(s), e.g. "
+                    + ", ".join(f"{p}:{n} files" for p, (n, _) in list(frag.items())[:3]),
+                    "partitions": {str(p): n for p, (n, _) in frag.items()},
+                }
+            )
+
+    for idx in bm25_indexes:
+        act = _index_delta_action(wh, idx, "bm25", policy)
+        if act:
+            plan.append(act)
+    for idx in ivfpq_indexes:
+        act = _index_delta_action(wh, idx, "ivfpq", policy)
+        if act:
+            plan.append(act)
+
+    from edna_dbt_library_spark.streaming.timeseries_stream import _segments
+
+    for store_path, keys in agg_stores:
+        live, _ = _segments(store_path)
+        if len(live) > policy.max_agg_segments:
+            plan.append(
+                {
+                    "action": "compact_continuous_aggregate",
+                    "target": store_path,
+                    "reason": f"{len(live)} live segments > "
+                    f"{policy.max_agg_segments}",
+                    "segments": len(live),
+                    "keys": list(keys),
+                }
+            )
+    return plan
+
+
+def run_maintenance(
+    wh,
+    tables=(),
+    bm25_indexes=(),
+    ivfpq_indexes=(),
+    agg_stores=(),
+    policy: MaintenancePolicy | None = None,
+) -> list[dict[str, Any]]:
+    """Plan, then execute each due action; returns the plan with an
+    ``executed`` flag per entry. Idempotent at the policy level: after
+    a run, re-planning the same targets is empty (each fold clears the
+    debt its threshold measures) — asserted in tests."""
+    policy = policy or MaintenancePolicy()
+    plan = maintenance_plan(
+        wh, tables, bm25_indexes, ivfpq_indexes, agg_stores, policy
+    )
+    rels = {f"{r.schema}.{r.identifier}": r for r in list(tables)}
+    idxs = {
+        f"{r.schema}.{r.identifier}": r
+        for r in list(bm25_indexes) + list(ivfpq_indexes)
+    }
+    aggs = {p: k for p, k in agg_stores}
+    for act in plan:
+        kind = act["action"]
+        if kind == "apply_deletes":
+            wh.apply_deletes(rels[act["target"]])
+        elif kind == "compact":
+            wh.compact(
+                rels[act["target"]],
+                target_file_bytes=policy.target_file_bytes,
+                min_files=policy.min_files,
+            )
+        elif kind == "compact_bm25_index":
+            from edna_dbt_library_spark.operators.retrieval import compact_bm25_index
+
+            compact_bm25_index(wh, idxs[act["target"]])
+        elif kind == "compact_ivfpq_index":
+            from edna_dbt_library_spark.operators.similarity import compact_ivfpq_index
+
+            compact_ivfpq_index(wh, idxs[act["target"]])
+        elif kind == "compact_continuous_aggregate":
+            from edna_dbt_library_spark.streaming.timeseries_stream import (
+                compact_continuous_aggregate,
+            )
+
+            compact_continuous_aggregate(
+                wh.spark, act["target"], aggs[act["target"]]
+            )
+        act["executed"] = True
+    return plan

@@ -1,0 +1,156 @@
+"""Auto-maintenance policy (operators/maintenance.py): planning is
+metadata-only, thresholds trip on the right debt, execution clears the
+debt (re-plan empty), reads are untouched, and the fragmentation rule
+stays in lockstep with Warehouse.compact."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators.maintenance import (
+    MaintenancePolicy,
+    maintenance_plan,
+    run_maintenance,
+)
+from edna_dbt_library_spark.sources import TableMeta, Warehouse, load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _fragmented_table(spark, wh, n_appends=4):
+    rel = wh.relation("m", "orders_like")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("long").alias("grp")
+    )
+    wh.create_as(rel, base.where("id < 100").repartition(4), TableMeta())
+    for i in range(1, n_appends):
+        wh.append(rel, base.where(f"id >= {i * 100} and id < {(i + 1) * 100}").repartition(4))
+    return rel, base
+
+
+def test_plan_trips_on_deletes_and_fragmentation_and_clears(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel, base = _fragmented_table(spark, wh)
+    wh.delete_where(rel, "k % 7 = 0")
+    expect = _rows(wh.read(rel))
+
+    policy = MaintenancePolicy(
+        delete_min_bytes=1, delete_ratio=0.0, target_file_bytes=1 << 30, min_files=2
+    )
+    plan = maintenance_plan(wh, tables=[rel], policy=policy)
+    actions = {p["action"] for p in plan}
+    assert actions == {"apply_deletes", "compact"}
+    # planning touched nothing: sidecar still present, files unchanged
+    assert len(wh._delete_files(rel)) > 0
+
+    report = run_maintenance(wh, tables=[rel], policy=policy)
+    assert all(p.get("executed") for p in report)
+    assert _rows(wh.read(rel)) == expect
+    # debt cleared: sidecar folded, partitions at target
+    assert wh._delete_files(rel) == []
+    assert maintenance_plan(wh, tables=[rel], policy=policy) == []
+
+
+def test_fragmentation_rule_matches_compact_exactly(spark, tmp_path):
+    """The partitions the plan names must be exactly the ones
+    Warehouse.compact rewrites under the same thresholds."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel, _ = _fragmented_table(spark, wh)
+    policy = MaintenancePolicy(target_file_bytes=1 << 30, min_files=2)
+    plan = maintenance_plan(wh, tables=[rel], policy=policy)
+    planned = next(p for p in plan if p["action"] == "compact")["partitions"]
+    report = wh.compact(rel, target_file_bytes=1 << 30, min_files=2)
+    assert set(planned) == {str(p) for p in report}
+
+
+def test_ivfpq_delta_fold_policy(spark, tmp_path):
+    from edna_dbt_library_spark.operators.similarity import (
+        _ivfpq_delta_rel,
+        build_ivfpq_index,
+        ivf_pq_topk_indexed,
+    )
+    from edna_dbt_library_spark.streaming.incremental_stream import stream_ivfpq_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    index = wh.relation("ann", "mivfpq")
+    build_ivfpq_index(wh, index, emb.where(F.col("vec_id") % 4 != 3))
+    src = wh.relation("vec", "in")
+    wh.create_as(src, emb.where(F.col("vec_id") % 4 == 3), TableMeta())
+    stream_ivfpq_index(wh, src, index, str(tmp_path / "cp")).awaitTermination()
+    assert wh._has_data_files(_ivfpq_delta_rel(wh, index))
+
+    qs = emb.where(F.col("vec_id") < 3)
+    before = _rows(ivf_pq_topk_indexed(wh, index, qs, k=5))
+
+    # below threshold: a big ratio floor leaves the delta alone
+    lazy = MaintenancePolicy(delta_min_bytes=1 << 40)
+    assert maintenance_plan(wh, ivfpq_indexes=[index], policy=lazy) == []
+
+    eager = MaintenancePolicy(delta_min_bytes=1, delta_ratio=0.0)
+    plan = run_maintenance(wh, ivfpq_indexes=[index], policy=eager)
+    assert [p["action"] for p in plan] == ["compact_ivfpq_index"]
+    assert not wh.exists(_ivfpq_delta_rel(wh, index))
+    assert _rows(ivf_pq_topk_indexed(wh, index, qs, k=5)) == before
+    assert maintenance_plan(wh, ivfpq_indexes=[index], policy=eager) == []
+
+
+def test_bm25_delta_fold_policy(spark, tmp_path):
+    from edna_dbt_library_spark.operators.retrieval import (
+        _bm25_delta_rel,
+        bm25_topk_indexed,
+        build_bm25_index,
+        refresh_bm25_stats,
+    )
+    from edna_dbt_library_spark.streaming.incremental_stream import stream_bm25_index
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 40
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    index = wh.relation("txt", "mbm25")
+    build_bm25_index(wh, index, docs.where("doc_id % 2 = 0"), n_files=2)
+    src = wh.relation("txt", "in")
+    wh.create_as(src, docs.where("doc_id % 2 = 1"), TableMeta())
+    stream_bm25_index(wh, src, index, str(tmp_path / "cp")).awaitTermination()
+    refresh_bm25_stats(wh, index)  # the documented post-window finalizer
+    assert wh._has_data_files(_bm25_delta_rel(wh, index))
+
+    probes = spark.createDataFrame([("q0", "data model table")], "query_id string, text string")
+    before = _rows(bm25_topk_indexed(wh, index, probes, k=5))
+
+    eager = MaintenancePolicy(delta_min_bytes=1, delta_ratio=0.0)
+    plan = run_maintenance(wh, bm25_indexes=[index], policy=eager)
+    assert [p["action"] for p in plan] == ["compact_bm25_index"]
+    assert not wh.exists(_bm25_delta_rel(wh, index))
+    assert _rows(bm25_topk_indexed(wh, index, probes, k=5)) == before
+    assert maintenance_plan(wh, bm25_indexes=[index], policy=eager) == []
+
+
+def test_agg_store_segment_policy(spark, sf_dir, tmp_path):
+    from edna_dbt_library_spark.streaming.timeseries_stream import (
+        read_continuous_aggregate,
+        stream_continuous_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    for k in range(3):
+        ev.where(F.col("event_id") % 3 == k).write.parquet(src, mode="append")
+        stream_continuous_aggregate(
+            spark.readStream.schema(ev.schema).parquet(src),
+            ["user_id"], "ts", "cents", store, ckpt,
+        ).awaitTermination(120)
+    before = _rows(read_continuous_aggregate(spark, store, ["user_id"]))
+
+    policy = MaintenancePolicy(max_agg_segments=2)
+    plan = run_maintenance(wh, agg_stores=[(store, ["user_id"])], policy=policy)
+    assert [p["action"] for p in plan] == ["compact_continuous_aggregate"]
+    assert _rows(read_continuous_aggregate(spark, store, ["user_id"])) == before
+    assert maintenance_plan(wh, agg_stores=[(store, ["user_id"])], policy=policy) == []
