@@ -48,6 +48,8 @@ __all__ = [
     "locf",
     "interpolate_linear",
     "rollup_buckets",
+    "sliding_agg",
+    "finite_difference",
 ]
 
 
@@ -185,6 +187,75 @@ def interpolate_linear(
         )
         .drop("_ab", "_pv", "_ph", "_nv", "_nh", "_s", "_n")
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    window_buckets: int,
+    bucket_col: str = "bucket",
+    value_col: str = "v",
+    count_col: str = "n",
+) -> DataFrame:
+    """Trailing sliding-window aggregate over a SPARSE resampled series:
+    for each observed bucket h, the sum/count/exact mean of the last
+    ``window_buckets`` buckets (h − W + 1 .. h], counting absent buckets
+    as zero observations.
+
+    The frame is a RANGE frame over the integer bucket index — Spark's
+    WindowExec walks the value range directly, so gaps cost nothing and
+    the series is never densified (the gap_fill grid would multiply the
+    row count by the duty cycle's inverse just to aggregate zeros; a
+    24h window over a 1%-occupied sensor series stays 1%-sized here).
+    One window pass per key — shares the sort shape of locf/interp.
+
+    ``mean_milli`` is the window mean in EXACT milli-units: HALF-UP of
+    1000·S/N with the sign-split (2|S|·1000 + N) div (2N) idiom (S may
+    be negative for signed measures), so it replays in DuckDB digit for
+    digit — never a double division."""
+    w = (
+        _series_window(keys, bucket_col)
+        .rangeBetween(-(int(window_buckets) - 1), 0)
+    )
+    out = df.withColumn("_ws", F.sum(value_col).over(w).cast("long")).withColumn(
+        "_wn", F.sum(count_col).over(w).cast("long")
+    )
+    mag = F.expr("(2 * abs(_ws) * 1000 + _wn) div (2 * _wn)")
+    return (
+        out.withColumn(
+            "mean_milli",
+            F.when(F.col("_ws") >= 0, mag).otherwise(-mag).cast("long"),
+        )
+        .withColumnRenamed("_ws", "window_v")
+        .withColumnRenamed("_wn", "window_n")
+    )
+
+
+def finite_difference(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str = "bucket",
+    value_col: str = "v",
+) -> DataFrame:
+    """First difference and exact rate-of-change between CONSECUTIVE
+    OBSERVED buckets of a sparse series: ``delta_v`` = v − lag(v),
+    ``delta_b`` = bucket − lag(bucket) (the gap length rides along —
+    downstream can discount stale anchors), and ``rate_milli`` =
+    HALF-UP(1000·delta_v / delta_b) in exact signed-integer arithmetic
+    (the same sign-split div idiom as sliding_agg). First row per key
+    carries NULLs. One lag window pass — no densify, no self-join."""
+    w = _series_window(keys, bucket_col)
+    out = (
+        df.withColumn("_pv", F.lag(value_col).over(w))
+        .withColumn("_pb", F.lag(bucket_col).over(w))
+        .withColumn("delta_v", F.col(value_col) - F.col("_pv"))
+        .withColumn("delta_b", F.col(bucket_col) - F.col("_pb"))
+    )
+    mag = F.expr("(2 * abs(delta_v) * 1000 + delta_b) div (2 * delta_b)")
+    return out.withColumn(
+        "rate_milli",
+        F.when(F.col("delta_v") >= 0, mag).otherwise(-mag).cast("long"),
+    ).drop("_pv", "_pb")
 
 
 def rollup_buckets(

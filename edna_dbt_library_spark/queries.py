@@ -694,6 +694,69 @@ def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TS_SLIDING_ORACLE = """
+WITH r AS (
+    SELECT user_id,
+           epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v,
+           count(*)::BIGINT AS n
+    FROM events
+    WHERE (user_id * 2654435761) % 8 = 3
+    GROUP BY 1, 2
+), w AS (
+    SELECT user_id, bucket, v, n,
+        sum(v) OVER (PARTITION BY user_id ORDER BY bucket
+            RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)::BIGINT AS ws,
+        sum(n) OVER (PARTITION BY user_id ORDER BY bucket
+            RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)::BIGINT AS wn,
+        v - lag(v) OVER (PARTITION BY user_id ORDER BY bucket) AS delta_v,
+        bucket - lag(bucket) OVER (PARTITION BY user_id ORDER BY bucket)
+            AS delta_b
+    FROM r
+)
+SELECT user_id, bucket, ws AS window_v, wn AS window_n,
+    CASE WHEN ws >= 0 THEN (2 * abs(ws) * 1000 + wn) // (2 * wn)
+         ELSE -((2 * abs(ws) * 1000 + wn) // (2 * wn)) END AS mean_milli,
+    delta_v, delta_b,
+    CASE WHEN delta_v >= 0
+         THEN (2 * abs(delta_v) * 1000 + delta_b) // (2 * delta_b)
+         ELSE -((2 * abs(delta_v) * 1000 + delta_b) // (2 * delta_b))
+         END AS rate_milli
+FROM w
+"""
+
+
+@_register("timeseries_sliding", _TS_SLIDING_ORACLE)
+def timeseries_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregates over the SPARSE hourly series
+    (operators/timeseries.sliding_agg + finite_difference, extra
+    registry): trailing 24-bucket sum/count via an integer RANGE frame
+    — gaps cost nothing, the series is never densified — exact HALF-UP
+    milli-unit window mean and inter-observation rate with the
+    sign-split (2|S|+N) div (2N) idiom. Different user subset from
+    timeseries_fill (hash residue 3) so the two rows exercise
+    different series."""
+    from edna_dbt_library_spark.operators.timeseries import (
+        HOUR_US,
+        finite_difference,
+        resample_sum,
+        sliding_agg,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(8)) == 3
+    )
+    cents = F.round(F.col("value") * F.lit(100)).cast("long").alias("cents")
+    r = resample_sum(
+        e.select("user_id", "ts", cents), ["user_id"], "ts", "cents", HOUR_US
+    )
+    out = finite_difference(sliding_agg(r, ["user_id"], 24), ["user_id"])
+    return out.select(
+        "user_id", "bucket", "window_v", "window_n", "mean_milli",
+        "delta_v", "delta_b", "rate_milli",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2D scalar surface
 

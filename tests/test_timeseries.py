@@ -9,11 +9,13 @@ from pyspark.sql import functions as F
 from edna_dbt_library_spark.operators.timeseries import (
     DAY_US,
     HOUR_US,
+    finite_difference,
     gap_fill,
     interpolate_linear,
     locf,
     resample_sum,
     rollup_buckets,
+    sliding_agg,
     time_bucket,
 )
 
@@ -124,6 +126,40 @@ def test_rollup_ladder_associative(spark):
         pv, pn = expect.get(k, (0, 0))
         expect[k] = (pv + v, pn + n)
     assert got == expect
+
+
+def test_sliding_agg_range_frame_skips_gaps(spark):
+    # sparse buckets 0, 2, 30: a 24-bucket trailing window at 2 sees
+    # {0, 2}; at 30 only {30} (0 and 2 fell out of range) — no densify
+    sparse = _series(spark, [(1, 0, 10, 1), (1, 2, 20, 2), (1, 30, 5, 1)])
+    got = {
+        r["bucket"]: (r["window_v"], r["window_n"], r["mean_milli"])
+        for r in sliding_agg(sparse, ["user_id"], 24).collect()
+    }
+    # mean_milli = HALF-UP(1000 * S / N)
+    assert got[0] == (10, 1, 10000)
+    assert got[2] == (30, 3, 10000)
+    assert got[30] == (5, 1, 5000)
+
+
+def test_finite_difference_rates_signed_half_up(spark):
+    sparse = _series(spark, [(1, 0, 100, 1), (1, 4, 106, 1), (1, 7, 100, 1)])
+    got = {
+        r["bucket"]: (r["delta_v"], r["delta_b"], r["rate_milli"])
+        for r in finite_difference(sparse, ["user_id"]).collect()
+    }
+    assert got[0] == (None, None, None)
+    # +6 over 4 buckets -> 1500 milli/bucket exactly
+    assert got[4] == (6, 4, 1500)
+    # -6 over 3 buckets -> -2000 exactly; and .5 rounds away from zero:
+    assert got[7] == (-6, 3, -2000)
+    s2 = _series(spark, [(2, 0, 0, 1), (2, 2, 1, 1), (3, 0, 0, 1), (3, 2, -1, 1)])
+    got2 = {
+        (r["user_id"], r["bucket"]): r["rate_milli"]
+        for r in finite_difference(s2, ["user_id"]).collect()
+    }
+    assert got2[(2, 2)] == 500
+    assert got2[(3, 2)] == -500
 
 
 def test_fill_plan_single_window_pass(spark):
