@@ -706,3 +706,135 @@ def run_replica_sync(
         "n_deleted_keys": n_delk,
         "replica_watermark": new_v,
     }
+
+
+def run_incremental_join_view(
+    wh: Warehouse,
+    left: Relation,
+    right: Relation,
+    target: Relation,
+    left_id: str,
+    right_id: str,
+    on: list[str],
+) -> dict:
+    """Maintain ``target = left INNER JOIN right USING (on)``
+    incrementally off BOTH sides' changelog feeds — join-view IVM (the
+    classic delta-join identity Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR, run as
+    merge-on-read DML). The reference's incremental models recompute a
+    joined window per run (incremental_partition_merge.sql staging
+    SELECTs join freely); this maintains the join itself, so a sync
+    costs O(changed rows ⋈ other side + key probes), never L⋈R.
+
+    Identity model: ``left_id`` / ``right_id`` are row identities in
+    their sources (the merge unique-key contract); a target row's
+    identity is the PAIR. Non-key output columns must be disjoint
+    between the sides (raise otherwise — an honest limit, callers
+    project first). ``on`` is the equi-join key list (common names).
+
+    Per window, with TL/TR = each side's touched ids (inserted ∪
+    deleted, masked feed — an id appended and deleted within the
+    window must not resurrect) and dLi/dRi = the window's inserted
+    rows pinned at the watermark snapshots:
+
+    1. ``upsert_matching(target, dLi ⋈ R_new, keys=[left_id],
+       delete_keys=TL)`` — atomically retires every pair touching a
+       changed left row and lands its replacements against the CURRENT
+       right side.
+    2. ``upsert_matching(target, L_new ⋈ dRi, keys=[right_id],
+       delete_keys=TR)`` — same for the right side; uses the FULL new
+       left (not left-minus-TL) because step 1's (dLi ⋈ dRi) pairs
+       carry right ids in TR and are re-landed here exactly once.
+
+    Algebra: after step 1 the view is L_keep⋈R_keep ∪ dLi⋈R_new;
+    step 2 removes the b∈TR pairs and adds L_new⋈dRi, giving
+    (L_keep∪dLi)⋈(R_keep∪dRi) = L_new⋈R_new. Locked by
+    test_join_view: maintained == direct join through multi-DML
+    windows on both sides.
+
+    Delivery: one ``joinview:<target>`` watermark snapshot per SOURCE,
+    taken first and promoted only after BOTH applies (the
+    _watermark_begin protocol) — a crash anywhere replays the window:
+    every inserted pair is touched on at least one side, so the
+    replay's delete masks re-retire any partial landings (exactly-once
+    EFFECT from at-least-once delivery, same contract as
+    run_replica_sync). A crash BETWEEN the applies leaves a
+    left-consistent view; readers needing pair-atomicity snapshot the
+    target. First run (or target dropped) is a full join materialize.
+
+    Scale shape: ΔL⋈R_new is a delta-to-table equi-join — AQE
+    broadcasts the delta side when small (never pinned); the key
+    probes are delete_matching's bloom/zonemap-prunable scans; the
+    full L⋈R join never runs again after the first materialize."""
+    l_note = f"joinview:{target.table_id}:l"
+    r_note = f"joinview:{target.table_id}:r"
+    l_last, l_prior, l_new = _watermark_begin(wh, left, l_note)
+    r_last, r_prior, r_new = _watermark_begin(wh, right, r_note)
+    if (l_last is None) != (r_last is None):
+        # one side re-baselined (first sight or dropped watermark):
+        # the pair algebra needs both windows — rebuild from scratch
+        l_last = r_last = None
+    if not wh.exists(target):
+        l_last = r_last = None
+
+    on = list(on)
+    try:
+        l_cur = wh.read_version(left, l_new)
+        r_cur = wh.read_version(right, r_new)
+        overlap = (set(l_cur.columns) & set(r_cur.columns)) - set(on)
+        if overlap:
+            raise ValueError(
+                f"non-key columns {sorted(overlap)} exist on both sides; "
+                "project them apart before maintaining the join view"
+            )
+        if l_last is None:
+            full = l_cur.join(r_cur, on=on, how="inner")
+            wh.create_as(target, full, TableMeta())
+            stats = {"mode": "full", "n_pairs_inserted": wh.read(target).count()}
+        else:
+            d_li = wh.read_changes(
+                left, l_last, to_version=l_new, masked=True
+            ).localCheckpoint(eager=True)
+            tl = (
+                d_li.select(left_id)
+                .unionByName(
+                    wh.read_deleted_rows(left, l_last, to_version=l_new).select(left_id)
+                )
+                .dropDuplicates([left_id])
+                .localCheckpoint(eager=True)
+            )
+            d_ri = wh.read_changes(
+                right, r_last, to_version=r_new, masked=True
+            ).localCheckpoint(eager=True)
+            tr = (
+                d_ri.select(right_id)
+                .unionByName(
+                    wh.read_deleted_rows(right, r_last, to_version=r_new).select(right_id)
+                )
+                .dropDuplicates([right_id])
+                .localCheckpoint(eager=True)
+            )
+            n_l, n_r = 0, 0
+            if tl.count() or d_li.count():
+                ins_l = d_li.join(r_cur, on=on, how="inner")
+                n_l = wh.upsert_matching(
+                    target, ins_l, [left_id], delete_keys_df=tl
+                ).get("n_upserted", 0)
+            if tr.count() or d_ri.count():
+                ins_r = l_cur.join(d_ri, on=on, how="inner")
+                n_r = wh.upsert_matching(
+                    target, ins_r, [right_id], delete_keys_df=tr
+                ).get("n_upserted", 0)
+            stats = {"mode": "delta", "n_pairs_inserted": int(n_l) + int(n_r)}
+    except Exception:
+        wh.drop_snapshot(left, l_new)
+        wh.drop_snapshot(right, r_new)
+        raise
+    wh.set_snapshot_note(left, l_new, l_note)
+    wh.set_snapshot_note(right, r_new, r_note)
+    for s in l_prior:
+        wh.drop_snapshot(left, s["version"])
+    for s in r_prior:
+        wh.drop_snapshot(right, s["version"])
+    stats["left_watermark"] = l_new
+    stats["right_watermark"] = r_new
+    return stats

@@ -1,0 +1,163 @@
+"""Incremental join-view maintenance (run_incremental_join_view):
+maintained view == direct join of the current sources through
+multi-DML windows on both sides, many-to-many fan-out, pure deletes,
+crash-replay convergence, re-baseline, and the honest-limit raise."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators import materializations as mat
+from edna_dbt_library_spark.operators.materializations import run_incremental_join_view
+from edna_dbt_library_spark.sources import TableMeta, Warehouse, load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+
+def _direct(wh, l, r, on):
+    return wh.read(l).join(wh.read(r), on=on, how="inner")
+
+
+def test_fact_dim_view_through_dml_windows(spark, sf_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_acctbal"
+    )
+    l = wh.relation("jv", "orders")
+    r = wh.relation("jv", "cust")
+    t = wh.relation("jv", "view")
+    wh.create_as(l, orders.where("o_orderkey % 3 = 0"), TableMeta())
+    wh.create_as(r, cust, TableMeta())
+
+    out = run_incremental_join_view(wh, l, r, t, "o_orderkey", "custkey", ["custkey"])
+    assert out["mode"] == "full"
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["custkey"]))
+
+    # window 2: inserts + updates + deletes on the fact, updates on the dim
+    wh.append(l, orders.where("o_orderkey % 3 = 1"))
+    wh.update_where(l, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice + 1.0"})
+    wh.delete_where(l, "o_orderkey % 11 = 0")
+    wh.update_where(r, "custkey % 5 = 0", {"c_acctbal": "c_acctbal * 2.0"})
+    out = run_incremental_join_view(wh, l, r, t, "o_orderkey", "custkey", ["custkey"])
+    assert out["mode"] == "delta"
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["custkey"]))
+
+    # window 3: pure deletes on the dim side only (fan-out retirement)
+    wh.delete_where(r, "custkey % 4 = 2")
+    out = run_incremental_join_view(wh, l, r, t, "o_orderkey", "custkey", ["custkey"])
+    assert out["mode"] == "delta"
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["custkey"]))
+
+    # quiet window: no changes -> no pairs inserted, view unchanged
+    before = _rows(wh.read(t))
+    out = run_incremental_join_view(wh, l, r, t, "o_orderkey", "custkey", ["custkey"])
+    assert out["mode"] == "delta" and out["n_pairs_inserted"] == 0
+    assert _rows(wh.read(t)) == before
+
+
+def test_many_to_many_delta_pairs(spark, tmp_path):
+    """Both-sides-changed window: the dLi x dRi pairs must land exactly
+    once (the step-2 full-left-side subtlety)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("jv", "l")
+    r = wh.relation("jv", "r")
+    t = wh.relation("jv", "v")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(9)], "l_id long, grp long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(6)], "r_id long, grp long, rv long"
+        ),
+        TableMeta(),
+    )
+    run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+
+    # same window touches BOTH sides, including the same group
+    wh.append(l, spark.createDataFrame([(20, 1, 777)], "l_id long, grp long, lv long"))
+    wh.append(r, spark.createDataFrame([(200, 1, 888)], "r_id long, grp long, rv long"))
+    wh.delete_where(l, "l_id = 1")
+    run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    got = _rows(wh.read(t))
+    assert got == _rows(_direct(wh, l, r, ["grp"]))
+    # the new-new pair exists exactly once
+    assert wh.read(t).where("l_id = 20 and r_id = 200").count() == 1
+
+
+def test_crash_replay_converges(spark, tmp_path, monkeypatch):
+    """Crash AFTER both applies but BEFORE the watermark promotion:
+    the rerun replays the window; its delete masks retire the partial
+    landings, so the view converges with no duplicates."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("jv", "l")
+    r = wh.relation("jv", "r")
+    t = wh.relation("jv", "v")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 2, i) for i in range(6)], "l_id long, grp long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(0, 0, 5), (1, 1, 6)], "r_id long, grp long, rv long"),
+        TableMeta(),
+    )
+    run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+
+    wh.append(l, spark.createDataFrame([(10, 0, 99)], "l_id long, grp long, lv long"))
+    real = mat.Warehouse.set_snapshot_note
+
+    def boom(self, rel, version, note):
+        raise RuntimeError("crash before watermark promote")
+
+    monkeypatch.setattr(mat.Warehouse, "set_snapshot_note", boom)
+    with pytest.raises(RuntimeError):
+        run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    monkeypatch.setattr(mat.Warehouse, "set_snapshot_note", real)
+
+    # the crashed window's pairs may already be in the view; the rerun
+    # must re-mask them, not double them
+    run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+    assert wh.read(t).where("l_id = 10").count() == 1
+
+
+def test_rebaseline_and_overlap_raise(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("jv", "l")
+    r = wh.relation("jv", "r")
+    t = wh.relation("jv", "v")
+    wh.create_as(
+        l, spark.createDataFrame([(1, 1, 2)], "l_id long, grp long, lv long"), TableMeta()
+    )
+    wh.create_as(
+        r, spark.createDataFrame([(9, 1, 3)], "r_id long, grp long, rv long"), TableMeta()
+    )
+    run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    # target dropped -> next run is a full rebuild, not a delta
+    wh.drop(t)
+    out = run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    assert out["mode"] == "full"
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+
+    # ambiguous non-key columns raise (honest limit)
+    bad = wh.relation("jv", "bad")
+    wh.create_as(
+        bad, spark.createDataFrame([(7, 1, 4)], "b_id long, grp long, lv long"), TableMeta()
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        run_incremental_join_view(
+            wh, l, bad, wh.relation("jv", "v2"), "l_id", "b_id", ["grp"]
+        )
