@@ -7193,6 +7193,87 @@ def replica_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_JOIN_VIEW_ORACLE = """
+WITH l AS (
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 OR o_orderkey % 4 = 1)
+      AND NOT o_orderkey % 9 = 0
+), r AS (
+    SELECT c_custkey AS ckey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS bal
+    FROM customer WHERE NOT c_custkey % 6 = 3
+)
+SELECT l.okey, l.ckey, l.price, r.bal
+FROM l JOIN r ON l.ckey = r.ckey
+"""
+
+
+@_register("join_view_state", _JOIN_VIEW_ORACLE)
+def join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM gate (operators/materializations.
+    run_incremental_join_view): a full orders⋈customer materialize,
+    then one multi-DML window touching BOTH sides (fact append +
+    price UPDATE + key DELETE; dimension balance UPDATE + key DELETE),
+    then ONE delta sync — the VIEW's row-level final state must equal
+    the oracle's direct join of the derived source states. A missed
+    retirement (stale pair for a deleted customer), resurrection
+    (pre-update price surviving) or Δ×Δ double-landing hash-mismatches
+    on its row. In-query asserts pin the modes and that the delta
+    inserted far fewer pairs than the view holds (a silent full re-join
+    fails the gate). Doubles stay exact: +1.0 / ×2.0 are IEEE-exact on
+    both engines. Same scratch-warehouse + localCheckpoint discipline
+    as replica_sync_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"), F.col("c_acctbal").alias("bal")
+    )
+    root = tempfile.mkdtemp(prefix="edna_joinview_")
+    try:
+        wh = Warehouse(spark, root)
+        l_rel = wh.relation("scratch", "jv_orders")
+        r_rel = wh.relation("scratch", "jv_cust")
+        t_rel = wh.relation("scratch", "jv_view")
+        wh.create_as(l_rel, o.where("okey % 2 = 0"), TableMeta())
+        wh.create_as(r_rel, c, TableMeta())
+        s1 = run_incremental_join_view(
+            wh, l_rel, r_rel, t_rel, "okey", "ckey", ["ckey"]
+        )
+        assert s1["mode"] == "full", s1
+        wh.append(l_rel, o.where("okey % 4 = 1"))
+        wh.update_where(l_rel, "okey % 7 = 0", {"price": "price + 1.0"})
+        wh.delete_where(l_rel, "okey % 9 = 0")
+        wh.update_where(r_rel, "ckey % 5 = 0", {"bal": "bal * 2.0"})
+        wh.delete_where(r_rel, "ckey % 6 = 3")
+        s2 = run_incremental_join_view(
+            wh, l_rel, r_rel, t_rel, "okey", "ckey", ["ckey"]
+        )
+        assert s2["mode"] == "delta", s2
+        res = wh.read(t_rel).select("okey", "ckey", "price", "bal").localCheckpoint(
+            eager=True
+        )
+        n_view = res.count()
+        assert 0 < s2["n_pairs_inserted"] < n_view, (s2, n_view)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _SQL_DML_ORACLE = """
 WITH base AS (
   SELECT o_orderkey AS okey,
