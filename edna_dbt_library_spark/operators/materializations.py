@@ -708,6 +708,29 @@ def run_replica_sync(
     }
 
 
+def _key_literal_filter(
+    df: DataFrame, delta: DataFrame, on: list[str], cap: int = 20_000
+) -> DataFrame:
+    """Prune a full-side scan with the delta's DISTINCT join-key
+    literals when they collect under ``cap`` (the static-literal
+    pruning idiom of get_partitions_literal_for_merge — an IN list
+    reaches the parquet scan, so row-group min/max skips on a
+    key-clustered layout and the join input shrinks either way).
+    Fail-open: multi-column keys or a wide key set return ``df``
+    unchanged — the inner join is semantics-identical with or without
+    the filter."""
+    if len(on) != 1:
+        return df
+    vals = [
+        r[0]
+        for r in delta.select(on[0]).dropDuplicates().limit(cap + 1).collect()
+        if r[0] is not None
+    ]
+    if not vals or len(vals) > cap:
+        return df
+    return df.where(F.col(on[0]).isin(vals))
+
+
 def run_incremental_join_view(
     wh: Warehouse,
     left: Relation,
@@ -764,7 +787,16 @@ def run_incremental_join_view(
     Scale shape: ΔL⋈R_new is a delta-to-table equi-join — AQE
     broadcasts the delta side when small (never pinned); the key
     probes are delete_matching's bloom/zonemap-prunable scans; the
-    full L⋈R join never runs again after the first materialize."""
+    full L⋈R join never runs again after the first materialize. Two
+    measured costs are engineered away (tools/joinview_scale_stress):
+    the delta-pair frames are PINNED (localCheckpoint) before the
+    upsert because upsert_matching evaluates its source twice (count +
+    write) and each evaluation would re-scan the wide other side; and
+    the other side's scan is pre-pruned with the delta's join-key
+    LITERALS (the get_partitions_literal_for_merge trick) whenever the
+    key set collects under a bound — an IN over scan-pushed literals
+    row-group-skips on a key-clustered layout and cuts the join input
+    either way, falling open to the plain join for wide key sets."""
     l_note = f"joinview:{target.table_id}:l"
     r_note = f"joinview:{target.table_id}:r"
     l_last, l_prior, l_new = _watermark_begin(wh, left, l_note)
@@ -815,12 +847,18 @@ def run_incremental_join_view(
             )
             n_l, n_r = 0, 0
             if tl.count() or d_li.count():
-                ins_l = d_li.join(r_cur, on=on, how="inner")
+                ins_l = (
+                    d_li.join(_key_literal_filter(r_cur, d_li, on), on=on, how="inner")
+                    .localCheckpoint(eager=True)  # bounded by delta pairs
+                )
                 n_l = wh.upsert_matching(
                     target, ins_l, [left_id], delete_keys_df=tl
                 ).get("n_upserted", 0)
             if tr.count() or d_ri.count():
-                ins_r = l_cur.join(d_ri, on=on, how="inner")
+                ins_r = (
+                    _key_literal_filter(l_cur, d_ri, on).join(d_ri, on=on, how="inner")
+                    .localCheckpoint(eager=True)
+                )
                 n_r = wh.upsert_matching(
                     target, ins_r, [right_id], delete_keys_df=tr
                 ).get("n_upserted", 0)
