@@ -161,3 +161,78 @@ def test_rebaseline_and_overlap_raise(spark, tmp_path):
         run_incremental_join_view(
             wh, l, bad, wh.relation("jv", "v2"), "l_id", "b_id", ["grp"]
         )
+
+
+# --- property fuzz: random DML windows on both sides ------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_SIDE_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("l_ins"), st.integers(0, 2)),
+        st.tuples(st.just("l_del"), st.integers(0, 4)),
+        st.tuples(st.just("l_upd"), st.integers(0, 4)),
+        st.tuples(st.just("r_ins"), st.integers(0, 2)),
+        st.tuples(st.just("r_del"), st.integers(0, 2)),
+        st.tuples(st.just("r_upd"), st.integers(0, 2)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+_WINDOWS = st.lists(_SIDE_OPS, min_size=1, max_size=3)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_WINDOWS)
+def test_join_view_fuzz_matches_direct_join(spark, tmp_path_factory, windows):
+    """Any interleaving of inserts/updates/deletes on either side,
+    chopped into any window boundaries, must leave the maintained view
+    equal to the direct join after every sync — the delta-join algebra
+    has no op-order or window-shape dependence."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("jvfuzz")))
+    l = wh.relation("f", "l")
+    r = wh.relation("f", "r")
+    t = wh.relation("f", "v")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(18)], "l_id long, grp long, lv long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(6)], "r_id long, grp long, rv long"
+        ).coalesce(1),
+        TableMeta(),
+    )
+    run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    next_l, next_r = 1000, 2000
+    for ops in windows:
+        for op, arg in ops:
+            if op == "l_ins":
+                wh.append(
+                    l,
+                    spark.createDataFrame(
+                        [(next_l, arg, next_l)], "l_id long, grp long, lv long"
+                    ),
+                )
+                next_l += 1
+            elif op == "l_del":
+                wh.delete_where(l, f"l_id % 5 = {arg}")
+            elif op == "l_upd":
+                wh.update_where(l, f"l_id % 5 = {arg}", {"lv": F.col("lv") + 1})
+            elif op == "r_ins":
+                wh.append(
+                    r,
+                    spark.createDataFrame(
+                        [(next_r, arg, next_r)], "r_id long, grp long, rv long"
+                    ),
+                )
+                next_r += 1
+            elif op == "r_del":
+                wh.delete_where(r, f"r_id % 3 = {arg}")
+            elif op == "r_upd":
+                wh.update_where(r, f"r_id % 3 = {arg}", {"rv": F.col("rv") + 1})
+        run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+        assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
