@@ -27,6 +27,12 @@ the DataFrame form of every statement run the identical plan:
   whole-row form is accepted (the Delta/Iceberg upsert idiom); richer
   WHEN clauses raise with a pointer to the DataFrame API.
 
+- ``CREATE [OR REPLACE] MATERIALIZED VIEW <t> UNIQUE KEYS (lid, rid)
+  AS SELECT * FROM <l> JOIN <r> USING (k, ...)`` -> a full
+  :func:`run_incremental_join_view` materialize with the definition
+  persisted per schema; ``REFRESH MATERIALIZED VIEW <t>`` -> one delta
+  sync off both sources' changelog windows (join-view IVM — the SQL
+  face of the maintained join).
 - ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
   AS <select>`` -> :meth:`Warehouse.create_as`;
   ``DROP TABLE [IF EXISTS] <t>`` -> :meth:`Warehouse.drop` — the DDL
@@ -45,6 +51,8 @@ the caller's alias map.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from typing import TYPE_CHECKING
 
@@ -63,8 +71,9 @@ if TYPE_CHECKING:  # pragma: no cover
 # callers with a 'cannot parse' raise (ADVICE r9 #4).
 DML_HEAD_RE = re.compile(
     r"^\s*(?:(delete|update|insert|merge)\b"
-    r"|(create)\s+(?:or\s+replace\s+)?table\b"
-    r"|(drop)\s+table\b)",
+    r"|(create)\s+(?:or\s+replace\s+)?(?:table|materialized\s+view)\b"
+    r"|(drop)\s+table\b"
+    r"|(refresh)\s+materialized\s+view\b)",
     re.I,
 )
 
@@ -435,6 +444,8 @@ def _rel_for_name(wh, tables, name: str):
 
 
 def _create(wh, tables, query: str) -> DataFrame:
+    if re.match(r"^\s*create\s+(?:or\s+replace\s+)?materialized\b", query, re.I):
+        return _create_mview(wh, tables, query)
     m = re.match(
         r"^\s*create\s+(or\s+replace\s+)?table\s+`?([\w.]+)`?\s*"
         r"(?:partitioned\s+by\s*\(\s*`?(\w+)`?\s*\)\s*)?as\b(.*?)\s*;?\s*$",
@@ -474,7 +485,118 @@ def _drop(wh, tables, query: str) -> DataFrame:
             return _stats(wh, "drop_table", rel, 0)
         raise ValueError(f"SQL DROP: {rel.table_id} does not exist")
     wh.drop(rel)
+    try:  # a dropped materialized view also sheds its definition
+        os.remove(_mview_def_path(wh, rel))
+    except OSError:
+        pass
     return _stats(wh, "drop_table", rel, 1)
+
+
+_MVIEW_DIR = "_edna_mviews"
+
+
+def _mview_def_path(wh, rel) -> str:
+    # OUTSIDE the view's table dir (whole-dir rewrites on a full
+    # rebuild would delete an in-dir sidecar), `_`-prefixed so the
+    # default table registration's listing ignores it
+    return os.path.join(wh.root, rel.schema, _MVIEW_DIR, rel.identifier + ".json")
+
+
+def _create_mview(wh, tables, query: str) -> DataFrame:
+    """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
+         UNIQUE KEYS (<left_id>, <right_id>)
+         AS SELECT * FROM <l> [INNER] JOIN <r> USING (c1[, ...])
+
+    -> one full run_incremental_join_view materialize; the definition
+    persists in a per-schema `_edna_mviews/` registry so REFRESH can
+    re-derive the delta sync. UNIQUE KEYS names each side's row
+    identity (the merge unique-key contract) — SQL MVs elsewhere infer
+    this from constraints the parquet warehouse doesn't have, so the
+    grammar states it. Only the whole-row equi-join form is accepted
+    (the shape join-view IVM maintains); richer SELECTs raise with a
+    pointer to run_cdc_refresh / the DataFrame API."""
+    m = re.match(
+        r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
+        r"unique\s+keys\s*\(\s*`?(\w+)`?\s*,\s*`?(\w+)`?\s*\)\s+"
+        r"as\s+select\s+\*\s+from\s+`?([\w.]+)`?\s+(?:inner\s+)?join\s+"
+        r"`?([\w.]+)`?\s+using\s*\(\s*([\w`,\s]+?)\s*\)\s*;?\s*$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: cannot parse — supported form is "
+            "CREATE [OR REPLACE] MATERIALIZED VIEW t UNIQUE KEYS (lid, rid) "
+            "AS SELECT * FROM l JOIN r USING (k); richer SELECTs need "
+            f"run_cdc_refresh or the DataFrame API: {query!r}"
+        )
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_view,
+    )
+
+    rel = _rel_for_name(wh, tables, m.group(2))
+    if wh.exists(rel) and not m.group(1):
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
+            "(use CREATE OR REPLACE)"
+        )
+    left = _rel_for_name(wh, tables, m.group(5))
+    right = _rel_for_name(wh, tables, m.group(6))
+    on = [c.strip().strip("`") for c in m.group(7).split(",") if c.strip()]
+    if wh.exists(rel):
+        wh.drop(rel)  # OR REPLACE: the op re-baselines a missing target
+    stats = run_incremental_join_view(
+        wh, left, right, rel, m.group(3), m.group(4), on
+    )
+    defn = {
+        "left": [left.schema, left.identifier],
+        "right": [right.schema, right.identifier],
+        "left_id": m.group(3),
+        "right_id": m.group(4),
+        "on": on,
+    }
+    path = _mview_def_path(wh, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(defn, f)
+    return _stats(wh, "create_materialized_view", rel, stats["n_pairs_inserted"])
+
+
+def _refresh_mview(wh, tables, query: str) -> DataFrame:
+    """REFRESH MATERIALIZED VIEW <t> -> one delta sync off both
+    sources' changelog windows (run_incremental_join_view); n_rows is
+    the window's landed pair count, 0 for a quiet window."""
+    m = re.match(
+        r"^\s*refresh\s+materialized\s+view\s+`?([\w.]+)`?\s*;?\s*$",
+        query,
+        re.I,
+    )
+    if not m:
+        raise ValueError(f"SQL REFRESH: cannot parse {query!r}")
+    rel = _rel_for_name(wh, tables, m.group(1))
+    path = _mview_def_path(wh, rel)
+    try:
+        with open(path) as f:
+            defn = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"SQL REFRESH: {rel.table_id} is not a materialized view "
+            "(no definition in the _edna_mviews registry)"
+        ) from None
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_view,
+    )
+
+    stats = run_incremental_join_view(
+        wh,
+        wh.relation(*defn["left"]),
+        wh.relation(*defn["right"]),
+        rel,
+        defn["left_id"],
+        defn["right_id"],
+        list(defn["on"]),
+    )
+    return _stats(wh, "refresh_materialized_view", rel, stats["n_pairs_inserted"])
 
 
 def dispatch(
@@ -492,4 +614,5 @@ def dispatch(
         "merge": _merge,
         "create": _create,
         "drop": _drop,
+        "refresh": _refresh_mview,
     }[head](wh, tables, query)

@@ -1,5 +1,6 @@
 from edna_dbt_library_spark.streaming.incremental_stream import (
     stream_cdc_refresh,
+    stream_join_view,
     stream_incremental_append,
     stream_interval_join,
     stream_jaccard_join,
@@ -37,6 +38,7 @@ __all__ = [
     "stream_warc_ingest",
     "stream_cdc_refresh",
     "stream_incremental_append",
+    "stream_join_view",
     "stream_interval_join",
     "stream_jaccard_join",
     "stream_semantic_dedup",

@@ -799,3 +799,54 @@ def stream_ivfpq_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_join_view(
+    wh,
+    left,
+    right,
+    target,
+    left_id: str,
+    right_id: str,
+    on: list[str],
+    checkpoint_path: str,
+    trigger_source=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous join-view maintenance: the streaming wrapper around
+    ``operators.materializations.run_incremental_join_view``. A file
+    feed over ``trigger_source`` (default: the LEFT table — pick the
+    busier side) fires a sync per micro-batch; each sync consumes BOTH
+    sides' changelog windows off the per-source watermark snapshots, so
+    changes on the quiet side ride along with the next trigger (an
+    ``available_now`` drain therefore always leaves the view equal to
+    the direct join, whichever side changed).
+
+    The batch rows themselves are ignored — the operator re-derives the
+    window from its watermarks, which is what makes at-least-once
+    redelivery free: a replayed trigger re-runs a sync whose window is
+    empty-or-replayed, and the operator's delete-masks-then-insert
+    apply converges (the crash-replay property test_join_view pins).
+    Not concurrent-safe with another maintainer of the SAME target —
+    one stream per view, same as the compact jobs.
+
+    Scale shape: the trigger ships only unseen file names (content
+    unused); each sync costs the batch operator's O(delta joined to
+    the other side + key probes)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_join_view(wh, left, right, target, left_id, right_id, on)
+
+    writer = (
+        stream_table(wh, trigger_source if trigger_source is not None else left,
+                     max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -236,3 +236,47 @@ def test_join_view_fuzz_matches_direct_join(spark, tmp_path_factory, windows):
                 wh.update_where(r, f"r_id % 3 = {arg}", {"rv": F.col("rv") + 1})
         run_incremental_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
         assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+
+
+def test_stream_join_view_drain_equals_direct_join(spark, sf_dir, tmp_path):
+    """A full drain of the streaming wrapper leaves the view equal to
+    the direct join, with changes on BOTH sides riding a left-side
+    trigger; a re-drain with nothing new is a no-op."""
+    from edna_dbt_library_spark.streaming import stream_join_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("sv", "l")
+    r = wh.relation("sv", "r")
+    t = wh.relation("sv", "v")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(12)], "l_id long, grp long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(3)], "r_id long, grp long, rv long"
+        ),
+        TableMeta(),
+    )
+    cp = str(tmp_path / "cp")
+    stream_join_view(wh, l, r, t, "l_id", "r_id", ["grp"], cp).awaitTermination(120)
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+
+    # both sides change; only the left lands a new FILE (the trigger)
+    wh.update_where(r, "r_id = 101", {"rv": F.lit(55)})
+    wh.delete_where(r, "r_id = 102")
+    wh.append(
+        l, spark.createDataFrame([(50, 2, 5)], "l_id long, grp long, lv long")
+    )
+    stream_join_view(wh, l, r, t, "l_id", "r_id", ["grp"], cp).awaitTermination(120)
+    got = _rows(wh.read(t))
+    assert got == _rows(_direct(wh, l, r, ["grp"]))
+    assert wh.read(t).where("rv = 55").count() > 0  # right-side update rode along
+
+    # nothing new: drain is a no-op
+    stream_join_view(wh, l, r, t, "l_id", "r_id", ["grp"], cp).awaitTermination(120)
+    assert _rows(wh.read(t)) == got

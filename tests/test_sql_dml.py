@@ -336,3 +336,95 @@ def test_non_table_create_drop_pass_through(spark, wh):
     # and the routed forms still dispatch to the DML grammar
     out = wh.sql("DELETE FROM s__t WHERE k = 0", {"s__t": rel}).first()
     assert out["operation"] == "delete" and out["n_rows"] == 1
+
+
+# --- materialized views (join-view IVM, SQL face) ---------------------------
+
+
+def _mv_tables(spark, wh):
+    l = wh.relation("s", "mvl")
+    r = wh.relation("s", "mvr")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(12)], "l_id long, grp long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(5)], "r_id long, grp long, rv long"
+        ),
+        TableMeta(),
+    )
+    return l, r
+
+
+def _pairs(wh, rel):
+    return sorted(
+        tuple(x) for x in wh.read(rel).select("grp", "l_id", "r_id", "lv", "rv").collect()
+    )
+
+
+def test_create_and_refresh_materialized_view(spark, wh):
+    l, r = _mv_tables(spark, wh)
+    out = wh.sql(
+        "CREATE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    ).first()
+    assert out["operation"] == "create_materialized_view"
+    mv = wh.relation("s", "mv")
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(l)
+        .join(wh.read(r), "grp")
+        .select("grp", "l_id", "r_id", "lv", "rv")
+        .collect()
+    )
+    assert _pairs(wh, mv) == direct()
+
+    # DML on both sides, then REFRESH = one delta sync
+    wh.sql("DELETE FROM s__mvr WHERE r_id = 101")
+    wh.sql("UPDATE s__mvl SET lv = lv + 1 WHERE l_id % 4 = 0")
+    wh.append(
+        l, spark.createDataFrame([(50, 1, 500)], "l_id long, grp long, lv long")
+    )
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__mv").first()
+    assert out["operation"] == "refresh_materialized_view" and out["n_rows"] > 0
+    assert _pairs(wh, mv) == direct()
+
+    # quiet window refreshes to the same state with zero pairs landed
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__mv").first()
+    assert out["n_rows"] == 0
+    assert _pairs(wh, mv) == direct()
+
+
+def test_materialized_view_guards(spark, wh):
+    l, r = _mv_tables(spark, wh)
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    )
+    # duplicate create without OR REPLACE raises; OR REPLACE rebuilds
+    with pytest.raises(ValueError, match="exists"):
+        wh.sql(
+            "CREATE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+            "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+        )
+    wh.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    )
+    # refresh of a non-MV raises; a dropped MV sheds its definition
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__mvl")
+    wh.sql("DROP TABLE s__mv")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__mv")
+    # richer SELECT forms raise with a pointer, never mis-execute
+    with pytest.raises(ValueError, match="cannot parse"):
+        wh.sql(
+            "CREATE MATERIALIZED VIEW s__mv2 UNIQUE KEYS (l_id, r_id) "
+            "AS SELECT l_id FROM s__mvl JOIN s__mvr USING (grp)"
+        )
