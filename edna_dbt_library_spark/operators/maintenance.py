@@ -57,7 +57,8 @@ class MaintenancePolicy:
     count exceeds both min_files and ceil(bytes/target).
     ``max_agg_segments``: fold a continuous-aggregate store when its
     live segment count exceeds this (each segment adds one scan to
-    every serve)."""
+    every serve); floored at 2 — a compacted store is merged segment +
+    kept open tail, so a lower threshold could never converge."""
 
     delta_ratio: float = 0.2
     delta_min_bytes: int = 4 << 20
@@ -166,7 +167,10 @@ def maintenance_plan(
 
     for store_path, keys in agg_stores:
         live, _ = _segments(store_path)
-        if len(live) > policy.max_agg_segments:
+        # floor of 2: a compacted store is merged-segment + the kept
+        # open tail batch, so a threshold below 2 could never converge
+        # (every run would re-plan a fold that has nothing to fold)
+        if len(live) > max(2, policy.max_agg_segments):
             plan.append(
                 {
                     "action": "compact_continuous_aggregate",

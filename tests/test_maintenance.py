@@ -154,3 +154,8 @@ def test_agg_store_segment_policy(spark, sf_dir, tmp_path):
     assert [p["action"] for p in plan] == ["compact_continuous_aggregate"]
     assert _rows(read_continuous_aggregate(spark, store, ["user_id"])) == before
     assert maintenance_plan(wh, agg_stores=[(store, ["user_id"])], policy=policy) == []
+
+    # a threshold below the structural floor (merged + open tail = 2
+    # live segments forever) must CONVERGE, not re-plan an empty fold
+    floor = MaintenancePolicy(max_agg_segments=1)
+    assert maintenance_plan(wh, agg_stores=[(store, ["user_id"])], policy=floor) == []
