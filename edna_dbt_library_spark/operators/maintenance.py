@@ -39,7 +39,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any
 
-__all__ = ["MaintenancePolicy", "maintenance_plan", "run_maintenance"]
+__all__ = ["MaintenancePolicy", "clustering_depth", "maintenance_plan", "run_maintenance"]
 
 
 @dataclass(frozen=True)
@@ -58,7 +58,14 @@ class MaintenancePolicy:
     ``max_agg_segments``: fold a continuous-aggregate store when its
     live segment count exceeds this (each segment adds one scan to
     every serve); floored at 2 — a compacted store is merged segment +
-    kept open tail, so a lower threshold could never converge."""
+    kept open tail, so a lower threshold could never converge.
+    ``max_cluster_depth``: re-Z-order (optimize_layout) a clustered
+    table whose best cluster dimension's zone-map intervals overlap an
+    average of more than this many files — depth 1.0 is a perfectly
+    range-clustered layout (every point probe opens one file), depth ≈
+    file count is a hash layout (zone maps prune nothing); applies
+    only past ``min_files_for_recluster`` files (re-clustering a small
+    table buys nothing)."""
 
     delta_ratio: float = 0.2
     delta_min_bytes: int = 4 << 20
@@ -67,6 +74,8 @@ class MaintenancePolicy:
     target_file_bytes: int = 128 << 20
     min_files: int = 8
     max_agg_segments: int = 8
+    max_cluster_depth: float = 8.0
+    min_files_for_recluster: int = 16
 
 
 def _table_bytes(wh, rel) -> tuple[int, int]:
@@ -91,6 +100,48 @@ def _fragmented_partitions(wh, rel, policy: MaintenancePolicy) -> dict:
         if nfiles > max(want, policy.min_files):
             out[part] = (nfiles, nbytes)
     return out
+
+
+def clustering_depth(wh, rel, col: str) -> float | None:
+    """Average zone-map interval overlap for ``col`` across the table's
+    live files — the clustering-health statistic (Delta OPTIMIZE's
+    clustering metrics analogue), computed ENTIRELY from the zone-map
+    sidecar: depth(file) = how many live files' [min, max] for ``col``
+    intersect its own, averaged. 1.0 = disjoint ranges (a point probe
+    opens one file); ≈ file count = every file spans the domain (zone
+    maps prune nothing). Returns None when the table has no zone map
+    for ``col`` or fewer than two stat-bearing files — fail-safe
+    don't-know, never a guess.
+
+    O(N log N) sweep on the driver over N = live file count (metadata
+    rows, not data): Σ intersecting pairs via sort-by-lo + a min-heap
+    of active his; depth = 1 + 2·pairs/N."""
+    import heapq
+
+    cols, index = wh._zm_load(rel)
+    if index is None or col not in (cols or []):
+        return None
+    live = set(wh._live_data_files(rel))
+    iv = []
+    for f, stats in index.items():
+        if f not in live:
+            continue
+        rng = (stats or {}).get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            continue
+        iv.append((rng[0], rng[1]))
+    n = len(iv)
+    if n < 2:
+        return None
+    iv.sort(key=lambda t: t[0])
+    pairs = 0
+    active: list = []  # min-heap of his currently open
+    for lo, hi in iv:
+        while active and active[0] < lo:
+            heapq.heappop(active)
+        pairs += len(active)
+        heapq.heappush(active, hi)
+    return 1.0 + 2.0 * pairs / n
 
 
 def _index_delta_action(wh, index, kind: str, policy: MaintenancePolicy):
@@ -142,7 +193,38 @@ def maintenance_plan(
                     "data_bytes": data_b,
                 }
             )
-        frag = _fragmented_partitions(wh, rel, policy)
+        meta = wh.read_meta(rel)
+        n_files, _ = _table_bytes(wh, rel)
+        reclustering = False
+        if meta.cluster_by and n_files >= policy.min_files_for_recluster:
+            # best (lowest-depth) clustered dimension is the health
+            # signal: Z-order keeps every dimension moderately
+            # prunable, so only a layout where even the best one
+            # overlaps past threshold has decayed
+            depths = [
+                d
+                for d in (
+                    clustering_depth(wh, rel, c) for c in meta.cluster_by
+                )
+                if d is not None
+            ]
+            if depths and min(depths) > policy.max_cluster_depth:
+                reclustering = True
+                plan.append(
+                    {
+                        "action": "optimize_layout",
+                        "target": f"{rel.schema}.{rel.identifier}",
+                        "reason": f"best cluster-dimension depth "
+                        f"{min(depths):.1f} > {policy.max_cluster_depth:g} "
+                        f"across {n_files} files",
+                        "depth": min(depths),
+                        "n_files": n_files,
+                    }
+                )
+        # optimize_layout already rewrites to target_file_bytes — a
+        # same-table compact would hash-rewrite AFTER it and destroy
+        # the clustering it just paid for
+        frag = {} if reclustering else _fragmented_partitions(wh, rel, policy)
         if frag:
             plan.append(
                 {
@@ -215,6 +297,11 @@ def run_maintenance(
                 rels[act["target"]],
                 target_file_bytes=policy.target_file_bytes,
                 min_files=policy.min_files,
+            )
+        elif kind == "optimize_layout":
+            wh.optimize_layout(
+                rels[act["target"]],
+                target_file_bytes=policy.target_file_bytes,
             )
         elif kind == "compact_bm25_index":
             from edna_dbt_library_spark.operators.retrieval import compact_bm25_index

@@ -159,3 +159,64 @@ def test_agg_store_segment_policy(spark, sf_dir, tmp_path):
     # live segments forever) must CONVERGE, not re-plan an empty fold
     floor = MaintenancePolicy(max_agg_segments=1)
     assert maintenance_plan(wh, agg_stores=[(store, ["user_id"])], policy=floor) == []
+
+
+def test_clustering_depth_policy_reclusters(spark, tmp_path):
+    """A clustered table decayed by full-domain appends (every file
+    spans the whole key range) must trip the depth threshold; the
+    policy's optimize_layout restores disjoint ranges and the re-plan
+    is empty. The same-table compact action is suppressed while a
+    recluster is planned (it would hash-rewrite the clustering away)."""
+    from edna_dbt_library_spark.operators.maintenance import clustering_depth
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel = wh.relation("m", "clustered")
+    base = spark.range(0, 60000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    wh.create_as(rel, base.where("id % 16 = 0").coalesce(1), TableMeta(cluster_by=["k"]))
+    for i in range(1, 16):  # each append spans the FULL k domain
+        wh.append(rel, base.where(f"id % 16 = {i}").coalesce(1))
+    wh.refresh_zone_maps(rel, ["k"])
+    d0 = clustering_depth(wh, rel, "k")
+    assert d0 is not None and d0 > 10  # every file overlaps ~all others
+
+    expect = _rows(wh.read(rel))
+    policy = MaintenancePolicy(
+        max_cluster_depth=4.0,
+        min_files_for_recluster=8,
+        target_file_bytes=16 << 10,
+        min_files=1,  # frag rule WOULD fire — must be suppressed
+    )
+    plan = maintenance_plan(wh, tables=[rel], policy=policy)
+    assert [p["action"] for p in plan] == ["optimize_layout"]
+    assert plan[0]["depth"] > 10
+
+    run_maintenance(wh, tables=[rel], policy=policy)
+    assert _rows(wh.read(rel)) == expect
+    d1 = clustering_depth(wh, rel, "k")
+    assert d1 is not None and d1 < d0 / 2  # ranges now (near-)disjoint
+
+    assert maintenance_plan(wh, tables=[rel], policy=policy) == []
+
+
+def test_clustering_depth_fail_safe_none(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel = wh.relation("m", "plain")
+    wh.create_as(
+        rel,
+        spark.range(0, 50).select(F.col("id").alias("k")),
+        TableMeta(cluster_by=["k"]),
+    )
+    # no zone maps -> None, and the plan never guesses
+    assert clustering_depth_import()(wh, rel, "k") is None
+    assert maintenance_plan(
+        wh, tables=[rel],
+        policy=MaintenancePolicy(min_files_for_recluster=1, min_files=999),
+    ) == []
+
+
+def clustering_depth_import():
+    from edna_dbt_library_spark.operators.maintenance import clustering_depth
+
+    return clustering_depth
