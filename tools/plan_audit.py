@@ -74,6 +74,28 @@ def main() -> None:
 # (slow — it deliberately runs the uncapped pathological case); keep the
 # latest numbers here so regenerating the plan table preserves them.
 STRESS_SECTION = """
+## Time-series scale stress — sparse RANGE frames vs densify
+
+`tools/timeseries_scale_stress.py`, measured 2026-08-16 (round 10) on
+local[32]: 20M events, 50k users, one year of hourly buckets (0.8%
+occupancy after resampling to 3.65M sparse rows, 3.6s — one map-side-
+combined shuffle).
+
+| operation | rows touched | wall |
+|---|---|---|
+| sliding 24h window, sparse integer RANGE frame (`sliding_agg`) | 3.65M | **0.9s** |
+| same answer via gap_fill + zero-fill + ROWS frame | 432M (118x blowup) | 124.3s (**143x slower**) |
+| dense gap_fill + LOCF + integer linear interpolation (when the dense grid IS the product) | 432M | 107.4s |
+
+The two sliding paths are asserted bit-identical on the occupied
+buckets in-run — the gap is pure zero-materialization overhead, which
+is why `sliding_agg`/`finite_difference` never densify: Spark's
+WindowExec walks the integer bucket range directly, so a 1%-occupied
+sensor series pays 1%-sized windows. `gap_fill` stays the explicit
+opt-in for when the regularized grid is itself the deliverable
+(dashboards, interpolation), sized by keys x time range, never by
+event volume.
+
 ## Join-view IVM scale stress — delta sync crosses over full re-join
 
 `tools/joinview_scale_stress.py`, measured 2026-08-16 (round 10) on
