@@ -65,6 +65,21 @@ def stream_continuous_aggregate(
     keys = list(keys)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _, upto = _segments(store_path)
+        if batch_id <= upto:
+            # a fresh checkpoint restarts batch ids at 0; on a
+            # compacted store those ids sit BELOW the merged-upto mask
+            # and the read path would silently swallow the new batches
+            # — data loss with no symptom. Resume with the original
+            # checkpoint (ids continue past the mask) or start a new
+            # store path.
+            raise ValueError(
+                f"continuous aggregate at {store_path}: batch id "
+                f"{batch_id} is at-or-below the compacted mask "
+                f"(merged-upto-{upto}) — this stream's checkpoint "
+                "restarted after a compaction; reuse the original "
+                "checkpoint or a fresh store path"
+            )
         part = resample_sum(batch_df, keys, ts_col, units_col, bucket_us)
         part.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/batch={batch_id}"

@@ -115,3 +115,42 @@ def test_replay_rewrites_batch_subdir(spark, sf_dir, tmp_path):
         stream, ["user_id"], "ts", "cents", store, str(tmp_path / "ckpt2")
     ).awaitTermination(120)
     assert _rows(read_continuous_aggregate(spark, store, ["user_id"])) == before
+
+
+def test_fresh_checkpoint_after_compaction_raises(spark, sf_dir, tmp_path):
+    """Batch ids restart at 0 under a fresh checkpoint; on a compacted
+    store those ids sit below the merged-upto mask and reads would
+    silently swallow them — the writer must RAISE instead."""
+    import pytest
+
+    from edna_dbt_library_spark.streaming.timeseries_stream import (
+        compact_continuous_aggregate,
+    )
+
+    ev = _events(spark, sf_dir)
+    src, store = (str(tmp_path / d) for d in ("src", "store"))
+    for k in range(2):
+        _drain(spark, ev, src, store, str(tmp_path / "ckpt"), F.col("event_id") % 2 == k)
+    compact_continuous_aggregate(spark, store, ["user_id"], keep_open_batches=0)
+    before = _rows(read_continuous_aggregate(spark, store, ["user_id"]))
+
+    ev.where(F.col("event_id") % 7 == 3).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = stream_continuous_aggregate(
+        stream, ["user_id"], "ts", "cents", store, str(tmp_path / "ckpt_fresh")
+    )
+    with pytest.raises(Exception, match="compacted mask"):
+        q.awaitTermination(120)
+        raise AssertionError("drain should have failed on the masked batch id")
+    # the store is untouched — no silently-masked partials landed
+    assert _rows(read_continuous_aggregate(spark, store, ["user_id"])) == before
+
+    # the ORIGINAL checkpoint continues past the mask and stays exact
+    _drain(spark, ev, src, store, str(tmp_path / "ckpt"), F.lit(False))
+    # the source dir now holds ALL events plus a duplicate file of the
+    # %7==3 rows — the file-source (correctly) counts both copies
+    whole = resample_sum(
+        ev.unionAll(ev.where(F.col("event_id") % 7 == 3)),
+        ["user_id"], "ts", "cents", HOUR_US,
+    )
+    assert _rows(read_continuous_aggregate(spark, store, ["user_id"])) == _rows(whole)
