@@ -74,6 +74,18 @@ def main() -> None:
 # (slow — it deliberately runs the uncapped pathological case); keep the
 # latest numbers here so regenerating the plan table preserves them.
 STRESS_SECTION = """
+## Same-host bench control — round 9 tip vs round 10 tip
+
+Measured 2026-08-16 on today's idle host: the r9 snapshot commit
+(`0d68426`) cloned clean to /tmp and benched, then compared to this
+tree's committed BENCH_FULL (same host, same day, idle both times):
+common 92 queries **119.8s -> 109.8s = 0.92x — the round got faster**,
+with one 1.18x flag (`ann_ivf_topk`, code untouched since r8) shown to
+be run-to-run noise by interleaved solo timings: warm medians ~4.3s on
+BOTH trees (r9 [4.34, 4.32, 4.01] vs r10 [4.76, 4.25, 4.24]). The one
+added bench query is `timeseries_fill` (4.1s, the new scored
+time-series row).
+
 ## Time-series scale stress — sparse RANGE frames vs densify
 
 `tools/timeseries_scale_stress.py`, measured 2026-08-16 (round 10) on
