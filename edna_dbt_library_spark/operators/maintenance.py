@@ -177,9 +177,14 @@ def maintenance_plan(
     planning: nothing is executed, no Spark job runs."""
     policy = policy or MaintenancePolicy()
     plan: list[dict[str, Any]] = []
+    # generators are legal inputs but must survive two passes
+    # (run_maintenance re-reads them for its lookup dicts) — and each
+    # table's file listing is walked ONCE, not once per threshold
+    tables, agg_stores = list(tables), list(agg_stores)
+    bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
 
     for rel in tables:
-        _, data_b = _table_bytes(wh, rel)
+        n_files, data_b = _table_bytes(wh, rel)
         del_b = _delete_sidecar_bytes(wh, rel)
         if del_b > max(policy.delete_min_bytes, int(data_b * policy.delete_ratio)):
             plan.append(
@@ -194,7 +199,6 @@ def maintenance_plan(
                 }
             )
         meta = wh.read_meta(rel)
-        n_files, _ = _table_bytes(wh, rel)
         reclustering = False
         if meta.cluster_by and n_files >= policy.min_files_for_recluster:
             # best (lowest-depth) clustered dimension is the health
@@ -279,13 +283,18 @@ def run_maintenance(
     a run, re-planning the same targets is empty (each fold clears the
     debt its threshold measures) — asserted in tests."""
     policy = policy or MaintenancePolicy()
+    # normalize BEFORE planning: a generator argument would be
+    # exhausted by maintenance_plan, leaving the lookup dicts below
+    # empty and a KeyError mid-execution after some actions already ran
+    tables, agg_stores = list(tables), list(agg_stores)
+    bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
     plan = maintenance_plan(
         wh, tables, bm25_indexes, ivfpq_indexes, agg_stores, policy
     )
-    rels = {f"{r.schema}.{r.identifier}": r for r in list(tables)}
+    rels = {f"{r.schema}.{r.identifier}": r for r in tables}
     idxs = {
         f"{r.schema}.{r.identifier}": r
-        for r in list(bm25_indexes) + list(ivfpq_indexes)
+        for r in bm25_indexes + ivfpq_indexes
     }
     aggs = {p: k for p, k in agg_stores}
     for act in plan:

@@ -709,7 +709,7 @@ def run_replica_sync(
 
 
 def _key_literal_filter(
-    df: DataFrame, delta: DataFrame, on: list[str], cap: int = 20_000
+    df: DataFrame, delta: DataFrame, on: list[str], cap: int = 4_000
 ) -> DataFrame:
     """Prune a full-side scan with the delta's DISTINCT join-key
     literals when they collect under ``cap`` (the static-literal
@@ -718,7 +718,11 @@ def _key_literal_filter(
     key-clustered layout and the join input shrinks either way).
     Fail-open: multi-column keys or a wide key set return ``df``
     unchanged — the inner join is semantics-identical with or without
-    the filter."""
+    the filter. The cap is deliberately small (4k, ADVICE r10 #5): a
+    scan-pushed IN list stays cheap there, while a ~20k-element
+    predicate adds a driver collect plus expression-tree cost to every
+    sync; past the cap the plain join + AQE broadcast of the delta
+    side is the better plan anyway."""
     if len(on) != 1:
         return df
     vals = [

@@ -149,17 +149,21 @@ def interpolate_linear(
     between anchors (h0, v0) and (h1, v1),
 
         S = v0·(h1 − h) + v1·(h − h0),  N = h1 − h0,
-        filled = (2·S + N) div (2·N)      # HALF-UP, S ≥ 0
+        filled = sign(S) · ((2·|S| + N) div (2·N))   # HALF-UP
 
     — the floor((2S+N)/(2N)) idiom (operators/retrieval.py
-    lm_cross_entropy), so the filled value is the half-up rounding of
-    the true rational interpolant with no float in the path and the
-    DuckDB oracle replays it digit for digit. Values must be
-    non-negative integers (quantized units); observed rows pass
-    through verbatim, NULLs outside any anchor pair (before the first
-    / after the last observation) stay NULL — gap_fill grids start and
-    end on observations, so none arise there. Two anchor lookups share
-    one window ordering (a single sort per key)."""
+    lm_cross_entropy) with the SIGN-SPLIT from sliding_agg (Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, so a
+    negative numerator must go through ``abs`` and re-negate — the
+    pagerank_int rule), so the filled value is the half-away-from-zero
+    rounding of the true rational interpolant for signed integer
+    values too, with no float in the path and the DuckDB oracle
+    replaying it digit for digit. Values must be integers (quantized
+    units — signed measures are fine); observed rows pass through
+    verbatim, NULLs outside any anchor pair (before the first / after
+    the last observation) stay NULL — gap_fill grids start and end on
+    observations, so none arise there. Two anchor lookups share one
+    window ordering (a single sort per key)."""
     o = out or value_col
     back = (
         _series_window(keys, bucket_col)
@@ -178,11 +182,12 @@ def interpolate_linear(
     filled = anchored.withColumn(
         "_s", F.col("_pv") * (F.col("_nh") - h) + F.col("_nv") * (h - F.col("_ph"))
     ).withColumn("_n", F.col("_nh") - F.col("_ph"))
+    mag = F.expr("(2 * abs(_s) + _n) div (2 * _n)")
     return (
         filled.withColumn(
             o,
             F.when(v.isNotNull(), v).otherwise(
-                F.expr("(2 * _s + _n) div (2 * _n)").cast("long")
+                F.when(F.col("_s") >= 0, mag).otherwise(-mag).cast("long")
             ),
         )
         .drop("_ab", "_pv", "_ph", "_nv", "_nh", "_s", "_n")

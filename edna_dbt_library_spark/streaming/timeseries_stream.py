@@ -81,9 +81,13 @@ def stream_continuous_aggregate(
                 "checkpoint or a fresh store path"
             )
         part = resample_sum(batch_df, keys, ts_col, units_col, bucket_us)
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{store_path}/batch={batch_id}"
-        )
+        # write with the resample's natural partitioning — a
+        # high-key-cardinality trigger (10^7 sensors x 24 buckets) must
+        # not funnel through one task (verdict r10 #3); the
+        # masked-merge compaction folds small files anyway. AQE already
+        # coalesces the post-shuffle partials to few tasks for small
+        # batches, so the common case still lands 1-2 files.
+        part.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path
@@ -179,7 +183,10 @@ def compact_continuous_aggregate(
         .agg(F.sum("v").cast("long").alias("v"), F.sum("n").cast("long").alias("n"))
         .localCheckpoint(eager=True)  # pin before any dir mutation
     )
-    folded.coalesce(1).write.mode("overwrite").parquet(
+    # natural (AQE-coalesced) partitioning, same rationale as
+    # write_batch: the merged segment holds the whole store's
+    # (keys x buckets) state and must not funnel through one task
+    folded.write.mode("overwrite").parquet(
         os.path.join(store_path, f"merged-upto-{new_upto}")
     )
     # visibility flip done — stale dirs are masked; removal is cleanup

@@ -112,6 +112,20 @@ def test_interpolation_recovers_linear_series(spark):
     assert got == {h: 17 * h + 3 for h in range(0, 25)}
 
 
+def test_interpolate_signed_values_half_away(spark):
+    # negative anchors (ADVICE r10 #4): Spark's div truncates toward
+    # zero while DuckDB's // floors, so a negative numerator must go
+    # through the sign-split — anchors (0,-1),(3,-2): true -4/3, -5/3
+    # -> half-away -1, -2; anchors (0,0),(2,-1): exact -1/2 -> -1
+    s = _series(
+        spark, [(1, 0, -1, 1), (1, 3, -2, 1), (2, 0, 0, 1), (2, 2, -1, 1)]
+    )
+    f = interpolate_linear(gap_fill(s, ["user_id"]), ["user_id"], "v")
+    got = {(r["user_id"], r["bucket"]): r["v"] for r in f.collect()}
+    assert got[(1, 1)] == -1 and got[(1, 2)] == -2
+    assert got[(2, 1)] == -1  # exact -.5 rounds away from zero
+
+
 def test_rollup_ladder_associative(spark):
     # hour -> day rollup from partials == direct day aggregation
     rows = [(1, h, (h * 31) % 97, 1) for h in range(0, 72)] + [
