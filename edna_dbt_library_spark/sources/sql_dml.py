@@ -467,6 +467,10 @@ def _create(wh, tables, query: str) -> DataFrame:
     pby = m.group(3)
     if pby and pby not in src.columns:
         raise ValueError(f"SQL CREATE: PARTITIONED BY column {pby!r} not in SELECT")
+    # the name stops being a materialized view (if it ever was one):
+    # shed the stale definition + pinned source watermarks, or a later
+    # REFRESH would run the IVM delta path against this plain table
+    _shed_mview(wh, rel)
     wh.create_as(rel, src, TableMeta(partition_by=pby))
     return _stats(wh, "create_table_as", rel, src.count())
 
@@ -485,10 +489,9 @@ def _drop(wh, tables, query: str) -> DataFrame:
             return _stats(wh, "drop_table", rel, 0)
         raise ValueError(f"SQL DROP: {rel.table_id} does not exist")
     wh.drop(rel)
-    try:  # a dropped materialized view also sheds its definition
-        os.remove(_mview_def_path(wh, rel))
-    except OSError:
-        pass
+    # a dropped materialized view sheds its definition AND the
+    # watermark snapshots it pinned on its sources
+    _shed_mview(wh, rel)
     return _stats(wh, "drop_table", rel, 1)
 
 
@@ -500,6 +503,48 @@ def _mview_def_path(wh, rel) -> str:
     # rebuild would delete an in-dir sidecar), `_`-prefixed so the
     # default table registration's listing ignores it
     return os.path.join(wh.root, rel.schema, _MVIEW_DIR, rel.identifier + ".json")
+
+
+def _shed_mview(wh, rel) -> None:
+    """Retire a materialized-view definition AND the watermark snapshots
+    it pinned on its sources. Called whenever the name stops being this
+    view — DROP TABLE, CREATE [OR REPLACE] TABLE over the name, or
+    CREATE OR REPLACE MATERIALIZED VIEW with (possibly different)
+    sources. Two hazards this closes (ADVICE r10 #1/#2): a stale
+    definition left behind a plain CREATE TABLE would let a later
+    REFRESH run the IVM delta path against user data (silent corruption
+    when columns align), and the sources' promoted ``joinview:<t>:l/r``
+    / ``aggview:<t>`` snapshots would otherwise stay pinned forever,
+    retaining deleted rows (hardlinked versions) against purge_keys'
+    right-to-be-forgotten contract. No-op when no definition exists."""
+    path = _mview_def_path(wh, rel)
+    try:
+        with open(path) as f:
+            defn = json.load(f)
+    except (OSError, ValueError):
+        return
+    tid = rel.table_id
+    # covers promoted notes and their '!pending' variants
+    prefixes = (f"joinview:{tid}:", f"aggview:{tid}")
+    srcs = []
+    if "left" in defn:
+        srcs += [defn["left"], defn["right"]]
+    if "source" in defn:
+        srcs.append(defn["source"])
+    for s in srcs:
+        src_rel = wh.relation(*s)
+        try:
+            snaps = wh.list_snapshots(src_rel)
+        except OSError:
+            continue
+        for sn in snaps:
+            note = sn.get("note") or ""
+            if note.startswith(prefixes):
+                wh.drop_snapshot(src_rel, sn["version"])
+    try:
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def _create_mview(wh, tables, query: str) -> DataFrame:
@@ -543,6 +588,10 @@ def _create_mview(wh, tables, query: str) -> DataFrame:
     left = _rel_for_name(wh, tables, m.group(5))
     right = _rel_for_name(wh, tables, m.group(6))
     on = [c.strip().strip("`") for c in m.group(7).split(",") if c.strip()]
+    # OR REPLACE (or a stale defn with no table): the PREVIOUS
+    # definition's source watermarks must not stay pinned — the new
+    # view may join different sources
+    _shed_mview(wh, rel)
     if wh.exists(rel):
         wh.drop(rel)  # OR REPLACE: the op re-baselines a missing target
     stats = run_incremental_join_view(

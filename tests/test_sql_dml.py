@@ -428,3 +428,41 @@ def test_materialized_view_guards(spark, wh):
             "CREATE MATERIALIZED VIEW s__mv2 UNIQUE KEYS (l_id, r_id) "
             "AS SELECT l_id FROM s__mvl JOIN s__mvr USING (grp)"
         )
+
+
+def _wm_notes(wh, rel, prefix):
+    return [
+        s["note"]
+        for s in wh.list_snapshots(rel)
+        if (s.get("note") or "").startswith(prefix)
+    ]
+
+
+def test_mview_lifecycle_sheds_definition_and_watermarks(spark, wh):
+    l, r = _mv_tables(spark, wh)
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    )
+    tid = wh.relation("s", "mv").table_id
+    pre = f"joinview:{tid}:"
+    assert _wm_notes(wh, l, pre) and _wm_notes(wh, r, pre)
+
+    # CREATE TABLE over the mview name: definition + pinned watermarks
+    # shed, so a later REFRESH raises instead of running the IVM delta
+    # path against user data (ADVICE r10 #1)
+    wh.sql("CREATE OR REPLACE TABLE s__mv AS SELECT 1 AS k")
+    assert not _wm_notes(wh, l, pre) and not _wm_notes(wh, r, pre)
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__mv")
+
+    # DROP TABLE of an mview drops the sources' pinned watermark
+    # snapshots too — they retain deleted rows forever otherwise
+    # (ADVICE r10 #2)
+    wh.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    )
+    assert _wm_notes(wh, l, pre)
+    wh.sql("DROP TABLE s__mv")
+    assert not _wm_notes(wh, l, pre) and not _wm_notes(wh, r, pre)
