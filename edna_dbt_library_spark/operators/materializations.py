@@ -880,3 +880,267 @@ def run_incremental_join_view(
     stats["left_watermark"] = l_new
     stats["right_watermark"] = r_new
     return stats
+
+
+def _agg_exprs(aggs: dict) -> list:
+    """The direct-aggregation expressions for a full (re)build."""
+    out = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            out.append(F.count(F.lit(1)).cast("long").alias(name))
+        else:
+            out.append(F.sum(col).alias(name))
+    return out
+
+
+def _validate_aggs(aggs: dict, schema, keys: list[str]) -> str:
+    """Returns the count(*) output column name; raises on a spec this
+    operator cannot maintain exactly."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    columns = schema.names
+    counts = [n for n, (fn, c) in aggs.items() if fn == "count"]
+    if len(counts) != 1 or aggs[counts[0]][1] != "*":
+        raise ValueError(
+            "agg view needs exactly one count(*) output column — it is "
+            "the retraction counter that lets a group collapse to zero "
+            "(delete the key at n=0); got count specs "
+            f"{[(n, aggs[n]) for n in counts]!r}"
+        )
+    for name, (fn, col) in aggs.items():
+        if fn not in ("count", "sum"):
+            raise ValueError(
+                f"agg view: unsupported aggregate {fn!r} for {name!r} — "
+                "only sum/count are exactly retractable off the "
+                "changelog (mean = sum/count at read; min/max need the "
+                "group's full history and want run_cdc_refresh)"
+            )
+        if fn == "sum":
+            if col not in columns:
+                raise ValueError(f"agg view: sum column {col!r} not in source")
+            if col in keys:
+                raise ValueError(f"agg view: sum column {col!r} is a group key")
+            if isinstance(schema[col].dataType, (DoubleType, FloatType)):
+                raise ValueError(
+                    f"agg view: sum column {col!r} is floating-point — "
+                    "float addition is not associative, so retraction "
+                    "(add then subtract) drifts; quantize to integer/"
+                    "decimal units first (the time-series contract)"
+                )
+        if name in keys:
+            raise ValueError(f"agg view: output {name!r} collides with a key")
+    return counts[0]
+
+
+def _check_sum_nulls(df: DataFrame, aggs: dict, what: str) -> None:
+    sum_cols = [c for _, (fn, c) in aggs.items() if fn == "sum"]
+    if not sum_cols:
+        return
+    pred = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in sum_cols]
+    )
+    if df.where(pred).limit(1).count():
+        raise ValueError(
+            f"agg view: NULL in sum column(s) {sum_cols} in {what} — "
+            "exact retraction needs NOT NULL measures (SQL sum skips "
+            "NULLs, so an all-NULL group would need a per-column "
+            "non-null counter in the view schema); filter or COALESCE "
+            "upstream"
+        )
+
+
+def run_incremental_agg_view(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> dict:
+    """Maintain ``target = SELECT keys, aggs FROM source GROUP BY keys``
+    incrementally off the source's changelog — aggregate-view IVM:
+    inserted rows ADD into their group's partials, deleted rows
+    SUBTRACT, and the mandatory count(*) column makes groups
+    retractable to zero (the key is deleted when its count reaches 0).
+    The reference's windowed models aggregate inside an append-only run
+    window (incremental_log.sql:66-73) and go blind the moment the
+    source takes an UPDATE or DELETE; this maintains the aggregate
+    under full DML for the cost of the window's changed rows — never a
+    source rescan.
+
+    ``aggs`` maps output column -> ("sum", col) | ("count", "*");
+    exactly one count(*) is required (the retraction counter), sum
+    measures must be NOT NULL integers/decimals (the quantize-first
+    contract of the time-series surface — float sums are not exactly
+    retractable, and ANSI overflow on the declared type raises rather
+    than wrapping). Mean is sum/count at read time.
+
+    Window algebra (per sync, between watermark snapshots): the insert
+    feed is read RAW (``masked=False``) and the delete feed in full, so
+    a row appended AND deleted within the window contributes +1 −1 = 0
+    — the opposite masking choice from the replica/join-view consumers,
+    whose keyed apply needs final states, not deltas (using the masked
+    feed here would subtract rows that were never added). Both feeds
+    reduce map-side to one net partial row per touched group
+    (Σ w·x, Σ w with w = ±1), the current partials for exactly the
+    touched groups are probed (key-literal scan prune + AQE broadcast
+    of the delta side), and ONE atomic ``upsert_matching`` lands the
+    new partials while masking every touched group — zero-count groups
+    are masked without replacement. A net count below zero means the
+    feeds disagree with the stored partials (corrupted window) and
+    raises before anything lands.
+
+    File-level boundary, self-healing: a maintenance fold on the source
+    during the window (compact / apply_deletes / optimize_layout /
+    partition overwrite — anything that REMOVES data files) re-emits
+    surviving rows in the insert feed with no matching deletes, which
+    would double-count. The sync detects removed files from the two
+    manifests (pure metadata) and REBASELINES — one full re-aggregation,
+    mode "rebaseline" in the stats — instead of silently drifting.
+    Schedule folds right after a sync to keep rebaselines rare.
+
+    Delivery: same ``aggview:<target>``-noted watermark protocol as the
+    join view — snapshot first, promote after the apply — PLUS a
+    target-side BASE snapshot, because this apply is an INCREMENT, not
+    the keyed replace of final states the join/replica views land: a
+    replayed window re-adding its net on top of a crashed attempt's
+    landings would double-count. Before the first apply of a window the
+    target is snapshotted with note ``aggbase:<target>:<last_v>`` —
+    keyed by the window's START watermark, which is stable across
+    replays — and ``cur`` partials are always read from that version;
+    a replay therefore masks the crashed increments and re-lands
+    base + net (exactly-once EFFECT). Base snapshots are dropped once
+    the watermark promotes.
+
+    Returns {"mode": "full"|"delta"|"rebaseline", "n_groups_upserted",
+    "n_groups_retracted", "agg_watermark"}."""
+    keys = list(keys)
+    note = f"aggview:{target.table_id}"
+    last_v, prior, new_v = _watermark_begin(wh, source, note)
+    if not wh.exists(target):
+        last_v = None
+    mode = "full" if last_v is None else "delta"
+    try:
+        count_col = _validate_aggs(
+            aggs, wh.read_version(source, new_v).schema, keys
+        )
+        if last_v is not None:
+            # metadata-only rewrite detection: merge-on-read DML never
+            # removes data files, so any removal means a fold/overwrite
+            # whose re-emitted rows would double-count below
+            _, m_since = wh._snapshot_manifest(source, last_v)
+            _, m_to = wh._snapshot_manifest(source, new_v)
+            if set(m_since["files"]) - set(m_to["files"]):
+                last_v, mode = None, "rebaseline"
+        if last_v is None:
+            cur = wh.read_version(source, new_v)
+            _check_sum_nulls(cur, aggs, "the source")
+            full = cur.groupBy(*keys).agg(*_agg_exprs(aggs))
+            if wh.exists(target):
+                wh.drop(target)
+            wh.create_as(target, full, TableMeta())
+            stats = {
+                "mode": mode,
+                "n_groups_upserted": wh.read(target).count(),
+                "n_groups_retracted": 0,
+            }
+        else:
+            ins = wh.read_changes(source, last_v, to_version=new_v)
+            dels = wh.read_deleted_rows(source, last_v, to_version=new_v)
+            # deduped: two sums over one measure must not select it twice
+            sum_cols = list(
+                dict.fromkeys(c for _, (fn, c) in aggs.items() if fn == "sum")
+            )
+            feed = (
+                ins.select(*keys, *sum_cols)
+                .withColumn("_w", F.lit(1))
+                .unionByName(
+                    dels.select(*keys, *sum_cols).withColumn("_w", F.lit(-1))
+                )
+            )
+            _check_sum_nulls(feed, aggs, "the window's changelog")
+            net_exprs = []
+            for name, (fn, col) in aggs.items():
+                src_expr = F.lit(1) if fn == "count" else F.col(col)
+                net_exprs.append(F.sum(F.col("_w") * src_expr).alias(name))
+            net = feed.groupBy(*keys).agg(*net_exprs).localCheckpoint(eager=True)
+            n_touched = net.count()
+            if not n_touched:
+                stats = {
+                    "mode": "delta",
+                    "n_groups_upserted": 0,
+                    "n_groups_retracted": 0,
+                }
+            else:
+                # idempotence anchor: cur comes from the window's BASE
+                # version of the target, never the live table — a
+                # replay of a crashed apply must not see (and re-add
+                # on top of) its own partial landings
+                base_note = f"aggbase:{target.table_id}:{last_v}"
+                bases = [
+                    s
+                    for s in wh.list_snapshots(target)
+                    if s.get("note") == base_note
+                ]
+                base_v = (
+                    bases[-1]["version"]
+                    if bases
+                    else wh.snapshot(target, note=base_note)
+                )
+                base_df = wh.read_version(target, base_v)
+                tgt_schema = base_df.schema
+                cur = _key_literal_filter(base_df, net, keys)
+                renames = {n: f"_cur_{n}" for n in aggs}
+                cur = cur.select(
+                    *keys, *[F.col(n).alias(renames[n]) for n in aggs]
+                )
+                merged = cur.join(net, keys, "right")
+                new_cols = {}
+                for name in aggs:
+                    t = tgt_schema[name].dataType
+                    new_cols[name] = (
+                        F.coalesce(F.col(renames[name]), F.lit(0).cast(t))
+                        + F.col(name)
+                    ).cast(t)
+                merged = (
+                    merged.withColumns({f"_new_{n}": c for n, c in new_cols.items()})
+                    .select(
+                        *keys, *[F.col(f"_new_{n}").alias(n) for n in aggs]
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                if merged.where(F.col(count_col) < 0).limit(1).count():
+                    raise ValueError(
+                        "agg view: a group's net count went negative — "
+                        "the changelog window disagrees with the stored "
+                        "partials (was the view edited out-of-band, or "
+                        "the source re-baselined without the view?); "
+                        "drop the target to rebuild"
+                    )
+                replace = merged.where(F.col(count_col) > 0).select(
+                    *[F.col(f.name).cast(f.dataType) for f in tgt_schema.fields]
+                )
+                touched = net.select(*keys)
+                r = wh.upsert_matching(
+                    target, replace, keys, delete_keys_df=touched
+                )
+                n_up = int(r.get("n_upserted", 0))
+                stats = {
+                    "mode": "delta",
+                    "n_groups_upserted": n_up,
+                    "n_groups_retracted": n_touched - n_up,
+                }
+    except Exception:
+        wh.drop_snapshot(source, new_v)
+        raise
+    wh.set_snapshot_note(source, new_v, note)
+    for s in prior:
+        wh.drop_snapshot(source, s["version"])
+    # window committed: its base anchors (and any stale ones from
+    # superseded windows) are no longer replayable
+    if wh.exists(target):
+        base_prefix = f"aggbase:{target.table_id}:"
+        for s in wh.list_snapshots(target):
+            if (s.get("note") or "").startswith(base_prefix):
+                wh.drop_snapshot(target, s["version"])
+    stats["agg_watermark"] = new_v
+    return stats

@@ -33,6 +33,13 @@ the DataFrame form of every statement run the identical plan:
   persisted per schema; ``REFRESH MATERIALIZED VIEW <t>`` -> one delta
   sync off both sources' changelog windows (join-view IVM — the SQL
   face of the maintained join).
+- ``CREATE [OR REPLACE] MATERIALIZED VIEW <t> AS SELECT k1, ...,
+  sum(x) AS sx, count(*) AS n FROM <src> GROUP BY k1, ...`` -> a full
+  :func:`run_incremental_agg_view` materialize (aggregate-view IVM:
+  inserts add, deletes subtract, groups retract to zero); the same
+  ``REFRESH`` statement then syncs one changelog window. The two MV
+  kinds share the registry — the definition's ``kind`` picks the
+  refresh path.
 - ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
   AS <select>`` -> :meth:`Warehouse.create_as`;
   ``DROP TABLE [IF EXISTS] <t>`` -> :meth:`Warehouse.drop` — the DDL
@@ -548,6 +555,101 @@ def _shed_mview(wh, rel) -> None:
 
 
 def _create_mview(wh, tables, query: str) -> DataFrame:
+    """Dispatch between the two maintained-view forms: the join form
+    is the one with a UNIQUE KEYS clause (a pair identity is a join
+    concept); everything else parses as the GROUP BY aggregate form."""
+    if re.search(r"\bunique\s+keys\b", query, re.I):
+        return _create_mview_join(wh, tables, query)
+    return _create_mview_agg(wh, tables, query)
+
+
+def _create_mview_agg(wh, tables, query: str) -> DataFrame:
+    """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
+         AS SELECT <k1, ..., sum(col) AS out, count(*) AS out2, ...>
+         FROM <src> GROUP BY <k1, ...>
+
+    -> one full run_incremental_agg_view materialize; REFRESH then
+    maintains it off the source's changelog (inserts add, deletes
+    subtract, the count(*) column retracts groups to zero). The
+    operator's exactness contract applies: exactly one count(*),
+    sum measures integer/decimal NOT NULL; violations raise before
+    anything is created or shed. The view's stored column order is
+    keys first, then the aggregate outputs in SELECT order."""
+    m = re.match(
+        r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
+        r"as\s+select\s+(.*?)\s+from\s+`?([\w.]+)`?\s+"
+        r"group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: cannot parse — supported forms "
+            "are the join view (... UNIQUE KEYS (lid, rid) AS SELECT * "
+            "FROM l JOIN r USING (k)) and the aggregate view (AS SELECT "
+            "k, sum(x) AS sx, count(*) AS n FROM src GROUP BY k); richer "
+            f"SELECTs need run_cdc_refresh or the DataFrame API: {query!r}"
+        )
+    from edna_dbt_library_spark.operators.materializations import (
+        _validate_aggs,
+        run_incremental_agg_view,
+    )
+
+    rel = _rel_for_name(wh, tables, m.group(2))
+    if wh.exists(rel) and not m.group(1):
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
+            "(use CREATE OR REPLACE)"
+        )
+    src = _rel_for_name(wh, tables, m.group(4))
+    keys = [c.strip().strip("`") for c in m.group(5).split(",") if c.strip()]
+    aggs: dict[str, tuple[str, str]] = {}
+    for item in _split_top(m.group(3), ","):
+        item = item.strip()
+        am = re.match(
+            r"^(sum|count)\s*\(\s*(\*|`?\w+`?)\s*\)\s+as\s+`?(\w+)`?$",
+            item,
+            re.I,
+        )
+        if am:
+            out = am.group(3)
+            if out in aggs:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: output {out!r} aliased twice"
+                )
+            aggs[out] = (am.group(1).lower(), am.group(2).strip("`"))
+            continue
+        bm = re.match(r"^`?(\w+)`?$", item)
+        if bm and bm.group(1) in keys:
+            continue  # group key riding in the SELECT list
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: cannot parse SELECT item "
+            f"{item!r} — the aggregate form takes group keys, "
+            "sum(col) AS name, and count(*) AS name only"
+        )
+    # validate the spec BEFORE shedding/dropping anything: a bad spec
+    # must never destroy the existing view on OR REPLACE
+    _validate_aggs(aggs, wh.read(src).schema, keys)
+    _shed_mview(wh, rel)
+    if wh.exists(rel):
+        wh.drop(rel)
+    stats = run_incremental_agg_view(wh, src, rel, keys, aggs)
+    defn = {
+        "kind": "agg",
+        "source": [src.schema, src.identifier],
+        "keys": keys,
+        "aggs": {k: list(v) for k, v in aggs.items()},
+    }
+    path = _mview_def_path(wh, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(defn, f)
+    return _stats(
+        wh, "create_materialized_view", rel, stats["n_groups_upserted"]
+    )
+
+
+def _create_mview_join(wh, tables, query: str) -> DataFrame:
     """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
          UNIQUE KEYS (<left_id>, <right_id>)
          AS SELECT * FROM <l> [INNER] JOIN <r> USING (c1[, ...])
@@ -598,6 +700,7 @@ def _create_mview(wh, tables, query: str) -> DataFrame:
         wh, left, right, rel, m.group(3), m.group(4), on
     )
     defn = {
+        "kind": "join",
         "left": [left.schema, left.identifier],
         "right": [right.schema, right.identifier],
         "left_id": m.group(3),
@@ -612,9 +715,10 @@ def _create_mview(wh, tables, query: str) -> DataFrame:
 
 
 def _refresh_mview(wh, tables, query: str) -> DataFrame:
-    """REFRESH MATERIALIZED VIEW <t> -> one delta sync off both
-    sources' changelog windows (run_incremental_join_view); n_rows is
-    the window's landed pair count, 0 for a quiet window."""
+    """REFRESH MATERIALIZED VIEW <t> -> one delta sync off the
+    definition's changelog window(s) — both sources for a join view,
+    the one source for an aggregate view; n_rows is the window's
+    landed pair/group count, 0 for a quiet window."""
     m = re.match(
         r"^\s*refresh\s+materialized\s+view\s+`?([\w.]+)`?\s*;?\s*$",
         query,
@@ -633,9 +737,21 @@ def _refresh_mview(wh, tables, query: str) -> DataFrame:
             "(no definition in the _edna_mviews registry)"
         ) from None
     from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
         run_incremental_join_view,
     )
 
+    if defn.get("kind", "join") == "agg":
+        stats = run_incremental_agg_view(
+            wh,
+            wh.relation(*defn["source"]),
+            rel,
+            list(defn["keys"]),
+            {k: tuple(v) for k, v in defn["aggs"].items()},
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
     stats = run_incremental_join_view(
         wh,
         wh.relation(*defn["left"]),

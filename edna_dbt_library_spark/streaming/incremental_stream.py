@@ -850,3 +850,46 @@ def stream_join_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_agg_view(
+    wh,
+    source,
+    target,
+    keys: list[str],
+    aggs: dict,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous aggregate-view maintenance: the streaming wrapper
+    around ``operators.materializations.run_incremental_agg_view``. A
+    file feed over the source fires one changelog sync per micro-batch;
+    the batch rows themselves are ignored — the operator re-derives the
+    window from its ``aggview:<target>`` watermark snapshots, so
+    at-least-once redelivery is free (a replayed trigger re-runs a sync
+    whose window is empty-or-replayed and the touched-group masks
+    converge). Complements ``stream_continuous_aggregate``: that store
+    regularizes an APPEND-ONLY event stream into time-bucket partials;
+    this maintains a GROUP-BY view of a warehouse table under full DML
+    — deletes retract, updates re-land, a group drained to zero rows
+    disappears. Not concurrent-safe with another maintainer of the
+    same target.
+
+    Scale shape: the trigger ships only unseen file names; each sync
+    costs the batch operator's O(changed rows + touched-group probe)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_agg_view(wh, source, target, keys, aggs)
+
+    writer = (
+        stream_table(wh, source, max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,250 @@
+"""Incremental aggregate-view maintenance (run_incremental_agg_view):
+maintained GROUP-BY view == direct aggregation of the current source
+through multi-DML windows, retraction to zero, crash-replay
+convergence, the maintenance-fold rebaseline, and the honest-limit
+raises (count(*) required, float sums, NULL measures, corrupted
+partials)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edna_dbt_library_spark.operators import materializations as mat
+from edna_dbt_library_spark.operators.materializations import run_incremental_agg_view
+from edna_dbt_library_spark.sources import TableMeta, Warehouse, load_table
+
+AGGS = {"total": ("sum", "amt"), "n_rows": ("count", "*")}
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+
+def _direct(wh, src, keys=("grp",)):
+    return (
+        wh.read(src)
+        .groupBy(*keys)
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _mk_source(spark, wh, rows, name="src"):
+    rel = wh.relation("av", name)
+    wh.create_as(
+        rel,
+        spark.createDataFrame(rows, "id long, grp long, amt long").coalesce(2),
+        TableMeta(),
+    )
+    return rel
+
+
+def test_agg_view_through_dml_windows(spark, sf_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_custkey") % 7).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    src = wh.relation("av", "orders")
+    t = wh.relation("av", "view")
+    wh.create_as(src, orders.where("id % 2 = 0"), TableMeta())
+
+    out = run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert out["mode"] == "full"
+    assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+
+    # window 2: inserts + updates + deletes
+    wh.append(src, orders.where("id % 4 = 1"))
+    wh.update_where(src, "id % 7 = 0", {"amt": "amt + 5"})
+    wh.delete_where(src, "id % 11 = 0")
+    out = run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert out["mode"] == "delta" and out["n_groups_upserted"] > 0
+    assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+
+    # quiet window: nothing touched
+    before = _rows(wh.read(t))
+    out = run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert out["mode"] == "delta" and out["n_groups_upserted"] == 0
+    assert _rows(wh.read(t)) == before
+
+
+def test_group_retracts_to_zero_and_in_window_churn(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 3, 10 * i) for i in range(9)])
+    t = wh.relation("av", "v")
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert wh.read(t).count() == 3
+
+    # drain group 1 to zero rows; add-and-delete a group-2 row within
+    # the SAME window (must net to exactly zero, the masked/raw feed
+    # asymmetry this operator documents)
+    wh.delete_where(src, "grp = 1")
+    wh.append(
+        src,
+        spark.createDataFrame([(100, 2, 999)], "id long, grp long, amt long"),
+    )
+    wh.delete_where(src, "id = 100")
+    out = run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert out["mode"] == "delta" and out["n_groups_retracted"] >= 1
+    assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+    assert wh.read(t).where("grp = 1").count() == 0
+
+
+def test_crash_replay_converges(spark, tmp_path, monkeypatch):
+    """Crash AFTER the apply but BEFORE the watermark promotion: the
+    rerun replays the window; the touched-group masks re-retire the
+    partial landings, so partials never double-count."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 2, i) for i in range(6)])
+    t = wh.relation("av", "v")
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+
+    wh.append(
+        src, spark.createDataFrame([(10, 0, 99)], "id long, grp long, amt long")
+    )
+    real = mat.Warehouse.set_snapshot_note
+
+    def boom(self, rel, version, note):
+        raise RuntimeError("crash before watermark promote")
+
+    monkeypatch.setattr(mat.Warehouse, "set_snapshot_note", boom)
+    with pytest.raises(RuntimeError):
+        run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    monkeypatch.setattr(mat.Warehouse, "set_snapshot_note", real)
+
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+
+
+def test_source_fold_triggers_rebaseline(spark, tmp_path):
+    """compact()/apply_deletes() during the window remove data files;
+    the changelog algebra would double-count their re-emitted rows, so
+    the sync must detect it from the manifests and fully re-aggregate
+    (mode 'rebaseline'), never silently drift."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 3, i) for i in range(12)])
+    t = wh.relation("av", "v")
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+
+    wh.delete_where(src, "id % 4 = 0")
+    wh.apply_deletes(src)  # fold: rewrites touched files
+    out = run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert out["mode"] == "rebaseline"
+    assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+
+    # and the next quiet window is a plain delta again
+    out = run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    assert out["mode"] == "delta"
+
+
+def test_agg_view_guards(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(1, 1, 2)])
+    t = wh.relation("av", "v")
+    with pytest.raises(ValueError, match="count"):
+        run_incremental_agg_view(wh, src, t, ["grp"], {"s": ("sum", "amt")})
+    with pytest.raises(ValueError, match="sum/count"):
+        run_incremental_agg_view(
+            wh, src, t, ["grp"], {"m": ("min", "amt"), "n": ("count", "*")}
+        )
+    fsrc = wh.relation("av", "fsrc")
+    wh.create_as(
+        fsrc,
+        spark.createDataFrame([(1, 1, 2.5)], "id long, grp long, amt double"),
+        TableMeta(),
+    )
+    with pytest.raises(ValueError, match="floating-point"):
+        run_incremental_agg_view(wh, fsrc, t, ["grp"], AGGS)
+    nsrc = wh.relation("av", "nsrc")
+    wh.create_as(
+        nsrc,
+        spark.createDataFrame(
+            [(1, 1, None)], "id long, grp long, amt long"
+        ),
+        TableMeta(),
+    )
+    with pytest.raises(ValueError, match="NULL in sum"):
+        run_incremental_agg_view(wh, nsrc, t, ["grp"], AGGS)
+
+    # out-of-band edit of the view's partials -> the next window's net
+    # count can go negative; the sync must raise, not land garbage
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    wh.delete_where(t, "grp = 1")  # corrupt: partials gone, source not
+    wh.delete_where(src, "id = 1")
+    with pytest.raises(ValueError, match="negative"):
+        run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+
+
+# --- property fuzz: random DML windows --------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("ins"), st.integers(0, 3)),
+        st.tuples(st.just("del"), st.integers(0, 4)),
+        st.tuples(st.just("upd"), st.integers(0, 4)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+_WINDOWS = st.lists(_OPS, min_size=1, max_size=3)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_WINDOWS)
+def test_agg_view_fuzz_matches_direct_aggregation(
+    spark, tmp_path_factory, windows
+):
+    """Any interleaving of inserts/updates/deletes, chopped into any
+    window boundaries, must leave the maintained view equal to the
+    direct aggregation after every sync — the retraction algebra has no
+    op-order or window-shape dependence."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("avfuzz")))
+    src = _mk_source(spark, wh, [(i, i % 4, i) for i in range(20)])
+    t = wh.relation("av", "v")
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    next_id = 1000
+    for ops in windows:
+        for op, arg in ops:
+            if op == "ins":
+                wh.append(
+                    src,
+                    spark.createDataFrame(
+                        [(next_id, arg, next_id)], "id long, grp long, amt long"
+                    ),
+                )
+                next_id += 1
+            elif op == "del":
+                wh.delete_where(src, f"id % 5 = {arg}")
+            elif op == "upd":
+                wh.update_where(src, f"id % 5 = {arg}", {"amt": F.col("amt") + 1})
+        run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+        assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+
+
+def test_stream_agg_view_drain_equals_direct(spark, tmp_path):
+    """A full drain of the streaming wrapper leaves the view equal to
+    the direct aggregation; a re-drain with nothing new is a no-op."""
+    from edna_dbt_library_spark.streaming import stream_agg_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 3, i * 10) for i in range(12)])
+    t = wh.relation("av", "v")
+    cp = str(tmp_path / "cp")
+    stream_agg_view(wh, src, t, ["grp"], AGGS, cp).awaitTermination(120)
+    assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+
+    wh.update_where(src, "id = 1", {"amt": F.lit(555)})
+    wh.delete_where(src, "grp = 2")
+    wh.append(
+        src, spark.createDataFrame([(50, 0, 7)], "id long, grp long, amt long")
+    )
+    stream_agg_view(wh, src, t, ["grp"], AGGS, cp).awaitTermination(120)
+    got = _rows(wh.read(t))
+    assert got == _rows(_direct(wh, src))
+    assert wh.read(t).where("grp = 2").count() == 0
+
+    stream_agg_view(wh, src, t, ["grp"], AGGS, cp).awaitTermination(120)
+    assert _rows(wh.read(t)) == got

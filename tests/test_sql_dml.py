@@ -430,6 +430,73 @@ def test_materialized_view_guards(spark, wh):
         )
 
 
+def test_create_and_refresh_aggregate_materialized_view(spark, wh):
+    src = wh.relation("s", "agsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, 10 * i) for i in range(12)], "id long, grp long, amt long"
+        ),
+        TableMeta(),
+    )
+    out = wh.sql(
+        "CREATE MATERIALIZED VIEW s__agv AS "
+        "SELECT grp, sum(amt) AS total, count(*) AS n_rows "
+        "FROM s__agsrc GROUP BY grp"
+    ).first()
+    assert out["operation"] == "create_materialized_view" and out["n_rows"] == 3
+    mv = wh.relation("s", "agv")
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(src)
+        .groupBy("grp")
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .collect()
+    )
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "total", "n_rows").collect()
+    )
+    assert view() == direct()
+
+    # DML window: update + delete (one group drained to zero) + insert
+    wh.sql("UPDATE s__agsrc SET amt = amt + 5 WHERE id % 4 = 0")
+    wh.sql("DELETE FROM s__agsrc WHERE grp = 1")
+    wh.append(
+        src, spark.createDataFrame([(50, 0, 7)], "id long, grp long, amt long")
+    )
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__agv").first()
+    assert out["operation"] == "refresh_materialized_view" and out["n_rows"] > 0
+    assert view() == direct()
+    assert wh.read(mv).where("grp = 1").count() == 0
+
+    # quiet window
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__agv").first()
+    assert out["n_rows"] == 0 and view() == direct()
+
+    # bad specs raise BEFORE touching the existing view
+    with pytest.raises(ValueError, match="count"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__agv AS "
+            "SELECT grp, sum(amt) AS total FROM s__agsrc GROUP BY grp"
+        )
+    with pytest.raises(ValueError, match="cannot parse SELECT item"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__agv AS "
+            "SELECT grp, avg(amt) AS a, count(*) AS n "
+            "FROM s__agsrc GROUP BY grp"
+        )
+    assert view() == direct()  # untouched by the failed replaces
+
+    # DROP sheds the aggview watermark on the source
+    tid = mv.table_id
+    assert _wm_notes(wh, src, f"aggview:{tid}")
+    wh.sql("DROP TABLE s__agv")
+    assert not _wm_notes(wh, src, f"aggview:{tid}")
+
+
 def _wm_notes(wh, rel, prefix):
     return [
         s["note"]
