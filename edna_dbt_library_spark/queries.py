@@ -7274,6 +7274,145 @@ def join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_AGG_VIEW_ORACLE = """
+WITH s0 AS (
+    SELECT o_orderkey AS okey,
+           o_orderpriority || '#' || (o_orderkey % 37)::VARCHAR AS grp,
+           o_custkey AS ck
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), s1 AS (
+    SELECT okey,
+           CASE WHEN okey % 7 = 0
+                THEN 'MV#' || (okey % 3)::VARCHAR ELSE grp END AS grp,
+           CASE WHEN okey % 11 = 0 THEN ck + 1 ELSE ck END AS ck
+    FROM s0
+), s2 AS (
+    SELECT * FROM s1
+    WHERE NOT okey % 9 = 0 AND grp NOT LIKE '5-LOW%'
+)
+SELECT grp, sum(ck)::BIGINT AS sck, count(*) AS n
+FROM s2 GROUP BY grp
+"""
+
+
+@_register("agg_view_state", _AGG_VIEW_ORACLE)
+def agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-view IVM gate (operators/materializations.
+    run_incremental_agg_view): a full GROUP-BY materialize of
+    SELECT grp, sum(ck), count(*) over a scratch orders projection,
+    then one multi-DML window (append, a group-MOVING update, a
+    measure update, a key-predicate delete, and a whole-group-family
+    delete), then ONE delta sync — the VIEW's final state must equal
+    the oracle's direct aggregation of the derived source state.
+    Retraction is exercised for real: every surviving '5-LOW#*' group
+    collapses to count 0 and must be DELETED, not left at zero
+    (asserted via n_groups_retracted > 0 and the LIKE filter on the
+    result). A group-moving update must subtract from the old group
+    AND add to the new one; a feed that uses the masked insert feed
+    (final states instead of deltas) nets wrong and hash-mismatches.
+    Measures are exact integers (sum of bigint custkeys) per the
+    operator's quantize-first contract. Same scratch-warehouse +
+    localCheckpoint discipline as join_view_state.
+    Reference analogue: incremental_log.sql:66-73 (windowed aggregate
+    models — this closes their update/delete blind spot)."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.concat(
+            F.col("o_orderpriority"),
+            F.lit("#"),
+            (F.col("o_orderkey") % 37).cast("string"),
+        ).alias("grp"),
+        F.col("o_custkey").alias("ck"),
+    )
+    aggs = {"sck": ("sum", "ck"), "n": ("count", "*")}
+    root = tempfile.mkdtemp(prefix="edna_aggview_")
+    try:
+        wh = Warehouse(spark, root)
+        src = wh.relation("scratch", "av_orders")
+        tgt = wh.relation("scratch", "av_view")
+        wh.create_as(src, o.where("okey % 2 = 0"), TableMeta())
+        s1 = run_incremental_agg_view(wh, src, tgt, ["grp"], aggs)
+        assert s1["mode"] == "full", s1
+        wh.append(src, o.where("okey % 4 = 1"))
+        wh.update_where(
+            src, "okey % 7 = 0", {"grp": "'MV#' || cast(okey % 3 as string)"}
+        )
+        wh.update_where(src, "okey % 11 = 0", {"ck": "ck + 1"})
+        wh.delete_where(src, "okey % 9 = 0")
+        wh.delete_where(src, "grp LIKE '5-LOW%'")
+        s2 = run_incremental_agg_view(wh, src, tgt, ["grp"], aggs)
+        assert s2["mode"] == "delta", s2
+        assert s2["n_groups_upserted"] > 0, s2
+        assert s2["n_groups_retracted"] > 0, s2  # 5-LOW#* collapsed to 0
+        res = (
+            wh.read(tgt).select("grp", "sck", "n").localCheckpoint(eager=True)
+        )
+        assert res.where("n <= 0").limit(1).count() == 0
+        assert res.where("grp LIKE '5-LOW%'").limit(1).count() == 0
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _incremental_view_oracle() -> str:
+    j = REGISTRY["join_view_state"].oracle
+    a = REGISTRY["agg_view_state"].oracle
+    return f"""
+SELECT 'join_view' AS src, okey AS id, '' AS key, ckey AS cell,
+       0::BIGINT AS n, price AS value, bal AS value2
+FROM ({j})
+UNION ALL
+SELECT 'agg_view' AS src, 0::BIGINT AS id, grp AS key, sck AS cell,
+       n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({a})"""
+
+
+@_register("incremental_view_state", _incremental_view_oracle())
+def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance in one src-tagged scored row (r11):
+    join-view IVM (run_incremental_join_view — Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR as
+    two atomic keyed upserts off both sides' changelogs, see
+    join_view_state) AND aggregate-view IVM (run_incremental_agg_view —
+    retractable SUM/COUNT GROUP-BY partials off the source changelog,
+    inserts add / deletes subtract / zero-count groups retire, see
+    agg_view_state). Together they gate the maintained-view surface the
+    SQL CREATE/REFRESH MATERIALIZED VIEW faces dispatch to: the two
+    view shapes a warehouse consumer materializes over DML'd sources.
+    Granulars join_view_state / agg_view_state stay registered.
+    Reference analogue: incremental_partition_merge.sql:248-265 (the
+    maintained-join contract) + incremental_log.sql:66-73 (windowed
+    aggregates, closed against update/delete)."""
+    jv = REGISTRY["join_view_state"].spark(spark, sf_dir)
+    av = REGISTRY["agg_view_state"].spark(spark, sf_dir)
+    return jv.select(
+        F.lit("join_view").alias("src"),
+        F.col("okey").cast("long").alias("id"),
+        F.lit("").alias("key"),
+        F.col("ckey").cast("long").alias("cell"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("price").cast("double").alias("value"),
+        F.col("bal").cast("double").alias("value2"),
+    ).unionAll(
+        av.select(
+            F.lit("agg_view").alias("src"),
+            F.lit(0).cast("long").alias("id"),
+            F.col("grp").alias("key"),
+            F.col("sck").cast("long").alias("cell"),
+            F.col("n").cast("long").alias("n"),
+            F.lit(0.0).cast("double").alias("value"),
+            F.lit(0.0).cast("double").alias("value2"),
+        )
+    )
+
+
 _SQL_DML_ORACLE = """
 WITH base AS (
   SELECT o_orderkey AS okey,
@@ -7538,6 +7677,7 @@ def sketch_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graph_linkage_oracle() -> str:
     p = REGISTRY["purchase_graph_pagerank"].oracle
     l = REGISTRY["name_linkage_collapsed"].oracle
+    c = REGISTRY["dedup_clusters"].oracle
     return f"""
 SELECT 'pagerank' AS src, node AS key, 0::BIGINT AS id_a, 0::BIGINT AS id_b,
        rank AS value, 0::BIGINT AS n_a, 0::BIGINT AS n_b
@@ -7545,37 +7685,60 @@ FROM ({p})
 UNION ALL
 SELECT 'linkage' AS src, '' AS key, doc_a AS id_a, doc_b AS id_b,
        distance::BIGINT AS value, n_a, n_b
-FROM ({l})"""
+FROM ({l})
+UNION ALL
+SELECT 'clusters' AS src, '' AS key, doc_id AS id_a, cluster_id AS id_b,
+       0::BIGINT AS value, 0::BIGINT AS n_a, 0::BIGINT AS n_b
+FROM ({c})"""
 
 
 @_register("graph_linkage", _graph_linkage_oracle())
 def graph_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution-over-relational-data in one src-tagged scored
-    row (r7): exact-integer PageRank over the bipartite customer<->
+    """The graph-algorithm family in one src-tagged scored row (r7;
+    widened r11): exact-integer PageRank over the bipartite customer<->
     supplier purchase graph (full rank vector after unrolled rounds,
     operators/graph.pagerank_int) AND distinct-collapsed edit-distance
     record linkage (the 100 TB production form: collapse-first, then
-    blocked join — operators/dedup.edit_distance_pairs). Granulars
-    purchase_graph_pagerank / name_linkage_collapsed stay registered."""
+    blocked join — operators/dedup.edit_distance_pairs) AND, since r11,
+    min-label connected-components dedup clustering over capped-LSH
+    candidate pairs (operators/dedup.duplicate_clusters — iterative
+    label propagation, gated by a DuckDB WITH RECURSIVE transitive
+    closure). Granulars purchase_graph_pagerank /
+    name_linkage_collapsed / dedup_clusters stay registered."""
     pr = REGISTRY["purchase_graph_pagerank"].spark(spark, sf_dir)
     lk = REGISTRY["name_linkage_collapsed"].spark(spark, sf_dir)
-    return pr.select(
-        F.lit("pagerank").alias("src"),
-        F.col("node").alias("key"),
-        F.lit(0).cast("long").alias("id_a"),
-        F.lit(0).cast("long").alias("id_b"),
-        F.col("rank").cast("long").alias("value"),
-        F.lit(0).cast("long").alias("n_a"),
-        F.lit(0).cast("long").alias("n_b"),
-    ).unionAll(
-        lk.select(
-            F.lit("linkage").alias("src"),
-            F.lit("").alias("key"),
-            F.col("doc_a").cast("long").alias("id_a"),
-            F.col("doc_b").cast("long").alias("id_b"),
-            F.col("distance").cast("long").alias("value"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
+    cl = REGISTRY["dedup_clusters"].spark(spark, sf_dir)
+    return (
+        pr.select(
+            F.lit("pagerank").alias("src"),
+            F.col("node").alias("key"),
+            F.lit(0).cast("long").alias("id_a"),
+            F.lit(0).cast("long").alias("id_b"),
+            F.col("rank").cast("long").alias("value"),
+            F.lit(0).cast("long").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+        )
+        .unionAll(
+            lk.select(
+                F.lit("linkage").alias("src"),
+                F.lit("").alias("key"),
+                F.col("doc_a").cast("long").alias("id_a"),
+                F.col("doc_b").cast("long").alias("id_b"),
+                F.col("distance").cast("long").alias("value"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+            )
+        )
+        .unionAll(
+            cl.select(
+                F.lit("clusters").alias("src"),
+                F.lit("").alias("key"),
+                F.col("doc_id").cast("long").alias("id_a"),
+                F.col("cluster_id").cast("long").alias("id_b"),
+                F.lit(0).cast("long").alias("value"),
+                F.lit(0).cast("long").alias("n_a"),
+                F.lit(0).cast("long").alias("n_b"),
+            )
         )
     )
 
@@ -7765,13 +7928,18 @@ CORE_ORDER = [
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "near_dup_pairs",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     # stateful stores (r7: consolidates incremental_store_state — the
     # converged persistent-store dedup states — with
     # warehouse_changes_state, the snapshot/CDC changed-file delta;
     # both granulars stay registered)
     "stateful_store_state",
+    # incremental view maintenance (r11: join-view + aggregate-view IVM
+    # in one src-tagged row — the surface CREATE/REFRESH MATERIALIZED
+    # VIEW dispatches to; the slot comes from folding dedup_clusters
+    # into graph_linkage, the graph-algorithm family row; granulars
+    # join_view_state / agg_view_state / dedup_clusters stay registered)
+    "incremental_view_state",
     # curation / text (curation_quality consolidates text_quality_langid
     # + repetition_filter + pii_redact_docs into the per-doc verdict row;
     # sampling_methods consolidates sample_stratified +
@@ -7797,7 +7965,8 @@ CORE_ORDER = [
     # itself hll_distinct_orders + cms_user_freq +
     # histogram_quantiles_price — with bloom_semi_join_urgent, freeing
     # one slot for graph_linkage = purchase_graph_pagerank +
-    # name_linkage_collapsed; all granulars stay registered)
+    # name_linkage_collapsed (+ dedup_clusters since r11); all
+    # granulars stay registered)
     "sketch_surface",
     "graph_linkage",
     "media_near_dup_pairs",

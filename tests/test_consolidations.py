@@ -623,7 +623,8 @@ def test_sketch_surface_equals_granular_composition(spark):
 
 
 def test_graph_linkage_equals_granular_composition(spark):
-    """r7 scored row == purchase_graph_pagerank ∪ name_linkage_collapsed."""
+    """r7 scored row (widened r11) == purchase_graph_pagerank ∪
+    name_linkage_collapsed ∪ dedup_clusters."""
     reg = qmod.all_queries()
     scored = reg["graph_linkage"](spark, SF)
     pr = reg["purchase_graph_pagerank"](spark, SF).select(
@@ -644,7 +645,50 @@ def test_graph_linkage_equals_granular_composition(spark):
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
-    assert _rows(scored) == _rows(pr.unionAll(lk).select(*scored.columns))
+    cl = reg["dedup_clusters"](spark, SF).select(
+        F.lit("clusters").alias("src"),
+        F.lit("").alias("key"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("cluster_id").cast("long").alias("id_b"),
+        F.lit(0).cast("long").alias("value"),
+        F.lit(0).cast("long").alias("n_a"),
+        F.lit(0).cast("long").alias("n_b"),
+    )
+    composed = pr.unionAll(lk).unionAll(cl)
+    assert _rows(scored) == _rows(composed.select(*scored.columns))
+    assert {r[0] for r in _rows(scored.select("src").distinct())} == {
+        "pagerank", "linkage", "clusters",
+    }
+
+
+def test_incremental_view_state_equals_granular_composition(spark):
+    """r11 scored row == join_view_state ∪ agg_view_state (the two IVM
+    families, src-tagged)."""
+    reg = qmod.all_queries()
+    scored = reg["incremental_view_state"](spark, SF)
+    jv = reg["join_view_state"](spark, SF).select(
+        F.lit("join_view").alias("src"),
+        F.col("okey").cast("long").alias("id"),
+        F.lit("").alias("key"),
+        F.col("ckey").cast("long").alias("cell"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("price").cast("double").alias("value"),
+        F.col("bal").cast("double").alias("value2"),
+    )
+    av = reg["agg_view_state"](spark, SF).select(
+        F.lit("agg_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("grp").alias("key"),
+        F.col("sck").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    composed = jv.unionAll(av)
+    assert _rows(scored) == _rows(composed.select(*scored.columns))
+    assert {r[0] for r in _rows(scored.select("src").distinct())} == {
+        "join_view", "agg_view",
+    }
 
 
 def test_coverage_doc_counts_match_registry():
