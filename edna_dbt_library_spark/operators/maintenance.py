@@ -16,8 +16,20 @@ the cheap-write half of a write-optimized/read-optimized trade:
 * **continuous-aggregate segments** (`batch=<id>` partial dirs):
   serving folds per-segment sums until `compact_continuous_aggregate`
   merges them (streaming/timeseries_stream.py).
+* **stale BM25 stats** (`_edna_stats_stale` marker): `stream_bm25_index`
+  upserts postings per batch but cannot transactionally co-update the
+  one-row exact stats cache, so serving scores use a lagging
+  (n_docs, sum_dl) until `refresh_bm25_stats` runs — a delta below the
+  fold threshold would otherwise hold scores stale indefinitely
+  (operators/retrieval.py).
+* **crashed-txn artifacts** (`_edna_pending` markers + invisible
+  txn-named files): a hard crash mid-DML leaves pending markers whose
+  orphans accumulate until `vacuum` sweeps them; markers older than
+  `crashed_txn_age_s` are dead by the same inactivity rule streaming
+  consumers use (`_settle_pending`) — marker mtimes refresh at every
+  staging step, so age measures idle time (sources/warehouse.py).
 
-This module is the missing policy layer: `maintenance_plan` inspects
+This module is the policy layer: `maintenance_plan` inspects
 ONLY file listings/sizes (os.stat over sidecar + data dirs — no Spark
 job, no data bytes; at 100 TB the plan is proportional to file count,
 and a scheduler can run it every few minutes) and emits the actions
@@ -65,7 +77,12 @@ class MaintenancePolicy:
     range-clustered layout (every point probe opens one file), depth ≈
     file count is a hash layout (zone maps prune nothing); applies
     only past ``min_files_for_recluster`` files (re-clustering a small
-    table buys nothing)."""
+    table buys nothing).
+    ``crashed_txn_age_s``: vacuum a table whose pending DML markers
+    have been idle at least this long (marker mtimes refresh at every
+    staging step, so age = inactivity; same default as the streaming
+    consumers' ``crashed_after_s``) — the sweep passes this age to
+    ``Warehouse.vacuum`` so an in-flight statement is never swept."""
 
     delta_ratio: float = 0.2
     delta_min_bytes: int = 4 << 20
@@ -76,6 +93,7 @@ class MaintenancePolicy:
     max_agg_segments: int = 8
     max_cluster_depth: float = 8.0
     min_files_for_recluster: int = 16
+    crashed_txn_age_s: float = 300.0
 
 
 def _table_bytes(wh, rel) -> tuple[int, int]:
@@ -144,6 +162,27 @@ def clustering_depth(wh, rel, col: str) -> float | None:
     return 1.0 + 2.0 * pairs / n
 
 
+def _stale_txn_markers(wh, rel, age_s: float) -> list[tuple[str, float]]:
+    """(txid, idle seconds) for pending DML markers idle >= age_s — one
+    listdir + an os.stat per marker, nothing else. Staging-dir orphans
+    (`_temporary` etc.) are NOT probed here (that would re-walk the
+    data tree per plan); vacuum sweeps them when a dead marker trips
+    it, which is when they exist."""
+    import time
+
+    now = time.time()
+    pdir = wh._pending_dir(rel)
+    out = []
+    for txid in wh._pending_txids(rel):
+        try:
+            idle = now - os.path.getmtime(os.path.join(pdir, f"{txid}.json"))
+        except OSError:
+            continue  # committed underfoot
+        if idle >= age_s:
+            out.append((txid, idle))
+    return out
+
+
 def _index_delta_action(wh, index, kind: str, policy: MaintenancePolicy):
     delta_rel = wh.relation(index.schema, index.identifier + "_delta")
     if not wh.exists(delta_rel) or not wh._has_data_files(delta_rel):
@@ -184,6 +223,20 @@ def maintenance_plan(
     bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
 
     for rel in tables:
+        stale_tx = _stale_txn_markers(wh, rel, policy.crashed_txn_age_s)
+        if stale_tx:
+            plan.append(
+                {
+                    "action": "vacuum",
+                    "target": f"{rel.schema}.{rel.identifier}",
+                    "reason": f"{len(stale_tx)} crashed-txn marker(s) idle "
+                    f">= {policy.crashed_txn_age_s:g}s (oldest "
+                    f"{max(i for _, i in stale_tx):.0f}s) — invisible "
+                    "artifacts + delete-sidecar dead entries accumulate "
+                    "until swept",
+                    "txids": [t for t, _ in stale_tx],
+                }
+            )
         n_files, data_b = _table_bytes(wh, rel)
         del_b = _delete_sidecar_bytes(wh, rel)
         if del_b > max(policy.delete_min_bytes, int(data_b * policy.delete_ratio)):
@@ -240,10 +293,25 @@ def maintenance_plan(
                 }
             )
 
+    from edna_dbt_library_spark.operators.retrieval import bm25_stats_stale
+
     for idx in bm25_indexes:
         act = _index_delta_action(wh, idx, "bm25", policy)
         if act:
+            # the fold ends in refresh_bm25_stats, so the staleness
+            # debt rides along — one action, not two
             plan.append(act)
+        elif bm25_stats_stale(wh, idx):
+            plan.append(
+                {
+                    "action": "refresh_bm25_stats",
+                    "target": f"{idx.schema}.{idx.identifier}",
+                    "reason": "_edna_stats_stale marker present — a "
+                    "streaming upsert landed postings without the stats "
+                    "finalizer; serving scores use a lagging "
+                    "(n_docs, sum_dl) until the one-scan refresh",
+                }
+            )
     for idx in ivfpq_indexes:
         act = _index_delta_action(wh, idx, "ivfpq", policy)
         if act:
@@ -299,7 +367,19 @@ def run_maintenance(
     aggs = {p: k for p, k in agg_stores}
     for act in plan:
         kind = act["action"]
-        if kind == "apply_deletes":
+        if kind == "vacuum":
+            # the age gate re-applies inside vacuum: a marker that went
+            # active again between plan and run stays untouched
+            wh.vacuum(
+                rels[act["target"]], older_than_s=policy.crashed_txn_age_s
+            )
+        elif kind == "refresh_bm25_stats":
+            from edna_dbt_library_spark.operators.retrieval import (
+                refresh_bm25_stats,
+            )
+
+            refresh_bm25_stats(wh, idxs[act["target"]])
+        elif kind == "apply_deletes":
             wh.apply_deletes(rels[act["target"]])
         elif kind == "compact":
             wh.compact(

@@ -353,6 +353,38 @@ def _bm25_live_postings(wh, index, terms: DataFrame | None = None) -> DataFrame:
     return main
 
 
+def _bm25_stats_stale_path(wh, index) -> str:
+    """The staleness marker lives INSIDE the index table dir with a
+    `_` prefix (the sidecar convention — Spark's file index and every
+    warehouse walk skip it): it exists exactly while the one-row stats
+    cache lags the postings."""
+    import os
+
+    return os.path.join(wh.path(index), "_edna_stats_stale")
+
+
+def mark_bm25_stats_stale(wh, index) -> None:
+    """Drop the staleness marker — one os.stat-class write, no Spark.
+    Written by ``stream_bm25_index``'s per-batch upsert so the
+    auto-maintenance policy can SEE the debt the streaming index
+    creates (serving between upsert and ``refresh_bm25_stats`` uses
+    main-only n_docs/sum_dl — correct postings, stale normalization);
+    cleared by ``refresh_bm25_stats`` (which ``compact_bm25_index``
+    ends in)."""
+    import os
+
+    path = _bm25_stats_stale_path(wh, index)
+    with open(path + ".tmp", "w") as f:
+        f.write("")
+    os.replace(path + ".tmp", path)
+
+
+def bm25_stats_stale(wh, index) -> bool:
+    import os
+
+    return os.path.exists(_bm25_stats_stale_path(wh, index))
+
+
 def refresh_bm25_stats(wh, index) -> None:
     """Recompute the one-row exact stats CACHE from the LIVE postings
     (both segments, delta superseding main): ``dl`` rides on every
@@ -363,9 +395,15 @@ def refresh_bm25_stats(wh, index) -> None:
     term NULL — and are excluded here exactly as the per-call path
     excludes them), so indexed == per-call stays bit-identical. Run
     after a streaming maintenance window (``stream_bm25_index`` upserts
-    postings but leaves the stats cache to this finalizer), after a
+    postings but leaves the stats cache to this finalizer — and marks
+    the debt so ``maintenance_plan`` schedules this refresh), after a
     crashed ``append_to_bm25_index`` (the recompute reconciles the
-    stats row the crash never updated), or any out-of-band surgery."""
+    stats row the crash never updated), or any out-of-band surgery.
+    Clears the ``_edna_stats_stale`` marker LAST — a crash mid-refresh
+    leaves the debt visible and the next plan retries."""
+    import contextlib
+    import os
+
     from edna_dbt_library_spark.sources.warehouse import TableMeta
 
     doclen = (
@@ -384,6 +422,8 @@ def refresh_bm25_stats(wh, index) -> None:
         exact,
         TableMeta(),
     )
+    with contextlib.suppress(OSError):
+        os.remove(_bm25_stats_stale_path(wh, index))
 
 
 def compact_bm25_index(wh, index, n_files: int | None = None) -> None:

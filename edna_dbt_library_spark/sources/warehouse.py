@@ -28,6 +28,7 @@ import json
 import os
 import shutil
 import sys
+import time
 import uuid
 import warnings
 from dataclasses import dataclass, field
@@ -1593,7 +1594,7 @@ class Warehouse:
         self._refresh_skipping_sidecars(rel)
         return {"n_updated": int(updated.count())}
 
-    def vacuum(self, rel: Relation) -> dict:
+    def vacuum(self, rel: Relation, older_than_s: float | None = None) -> dict:
         """Maintenance sweep for the table's dead metadata: removes
         failed-write staging dirs (`_temporary` / `.spark-staging*` —
         Spark cleans them on success but leaves them on executor
@@ -1605,12 +1606,32 @@ class Warehouse:
         committed — see :meth:`_txn`; single-writer contract: don't
         vacuum under a live writer). Bounded by the directory listing +
         the sidecar size — no data scan. Returns {"staging_removed",
-        "delete_entries_pruned", "txns_swept"}."""
+        "delete_entries_pruned", "txns_swept"}.
+
+        ``older_than_s`` restricts the txn sweep (and the staging-dir
+        removal) to artifacts whose marker/dir mtime is at least that
+        old — the auto-maintenance policy's safety margin: marker
+        mtimes are refreshed at every staging step (:meth:`_touch_txn`),
+        so age measures INACTIVITY and an in-flight statement or an
+        active Spark write task can never be swept out from under a
+        live writer. None (the default) keeps the manual-call contract:
+        sweep everything, the caller vouches there is no live writer."""
         base = self.path(rel)
+
+        def _old_enough(path: str) -> bool:
+            if older_than_s is None:
+                return True
+            try:
+                return (time.time() - os.path.getmtime(path)) >= older_than_s
+            except OSError:
+                return False  # vanished underfoot: not ours to sweep
         txns = 0
         for txid in self._pending_txids(rel):
+            marker = os.path.join(self._pending_dir(rel), f"{txid}.json")
+            if not _old_enough(marker):
+                continue
             self._sweep_txn(rel, txid)
-            os.unlink(os.path.join(self._pending_dir(rel), f"{txid}.json"))
+            os.unlink(marker)
             txns += 1
         with contextlib.suppress(OSError):
             os.rmdir(self._pending_dir(rel))
@@ -1618,9 +1639,11 @@ class Warehouse:
         for dirpath, dirs, _files in os.walk(base):
             for d in list(dirs):
                 if d == "_temporary" or d.startswith(".spark-staging"):
-                    shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                    full = os.path.join(dirpath, d)
+                    if _old_enough(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                        staging += 1
                     dirs.remove(d)
-                    staging += 1
             dirs[:] = [d for d in dirs if not _is_hidden(d)]
         pruned = 0
         dfiles = self._delete_files(rel)

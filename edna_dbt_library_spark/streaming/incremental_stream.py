@@ -678,6 +678,11 @@ def stream_bm25_index(
     segments, exact. Searches between batches see complete postings
     with a slightly stale (n_docs, avgdl); searches after the
     finalizer are bit-identical to the per-call build (pytest gate).
+    Each landing batch drops the ``_edna_stats_stale`` marker
+    (``mark_bm25_stats_stale`` — one file write) so the debt is
+    VISIBLE to ``maintenance_plan``, which schedules the refresh even
+    when the delta stays below its fold threshold; the operator no
+    longer has to remember the finalizer for serving to heal.
 
     Scale shape: each trigger ships only unseen source files; the
     upsert probes only the delta; the only corpus-sized work anywhere
@@ -685,6 +690,7 @@ def stream_bm25_index(
     from edna_dbt_library_spark.operators.retrieval import (
         _bm25_delta_rel,
         doc_term_freqs,
+        mark_bm25_stats_stale,
     )
     from edna_dbt_library_spark.functions.text import tokens
     from edna_dbt_library_spark.sources.warehouse import TableMeta
@@ -719,7 +725,11 @@ def stream_bm25_index(
             F.lit(0).cast("long").alias("tf"),
             F.lit(0).cast("int").alias("dl"),
         )
-        wh.upsert_matching(delta, postings.unionByName(tomb), ["doc_id"])
+        r = wh.upsert_matching(delta, postings.unionByName(tomb), ["doc_id"])
+        if r.get("n_upserted", 0):
+            # postings changed but the stats cache did not: record the
+            # debt where maintenance_plan can os.stat it
+            mark_bm25_stats_stale(wh, index)
 
     writer = (
         stream_table(wh, source, max_files_per_trigger)
