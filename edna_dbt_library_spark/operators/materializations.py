@@ -735,6 +735,27 @@ def _key_literal_filter(
     return df.where(F.col(on[0]).isin(vals))
 
 
+def _side_view(
+    df: DataFrame, where: str | None, cols: list[str] | None,
+    side: str, id_col: str, on: list[str],
+) -> DataFrame:
+    """Row-local WHERE + projection for one side of a maintained join
+    view. Filter BEFORE project (the predicate may reference dropped
+    columns); the projection must keep the side's row identity and the
+    join keys or the pair algebra has nothing to stand on."""
+    if where is not None:
+        df = df.where(where)
+    if cols is not None:
+        missing = [c for c in dict.fromkeys([id_col, *on]) if c not in cols]
+        if missing:
+            raise ValueError(
+                f"join view: the {side} projection must keep the row "
+                f"identity and join key(s); missing {missing}"
+            )
+        df = df.select(*cols)
+    return df
+
+
 def run_incremental_join_view(
     wh: Warehouse,
     left: Relation,
@@ -743,6 +764,10 @@ def run_incremental_join_view(
     left_id: str,
     right_id: str,
     on: list[str],
+    left_where: str | None = None,
+    right_where: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
 ) -> dict:
     """Maintain ``target = left INNER JOIN right USING (on)``
     incrementally off BOTH sides' changelog feeds — join-view IVM (the
@@ -757,6 +782,17 @@ def run_incremental_join_view(
     identity is the PAIR. Non-key output columns must be disjoint
     between the sides (raise otherwise — an honest limit, callers
     project first). ``on`` is the equi-join key list (common names).
+
+    ``left_where`` / ``right_where`` are ROW-LOCAL predicates and
+    ``left_cols`` / ``right_cols`` projections applied to each side
+    (the maintained view is σ(π(L)) ⋈ σ(π(R))): both are applied to
+    the current sides AND the insert feeds, while the touched-id sets
+    come from the UNFILTERED feeds — an update that moves a row OUT of
+    the predicate must still retire its pairs (its id is touched, its
+    replacement row filters away), and one that moves a row IN lands
+    pairs with nothing to retire. Projections must keep the side's id
+    and the join keys (raise otherwise); predicates must be row-local
+    (no aggregates/subqueries — they run inside per-row filters).
 
     Per window, with TL/TR = each side's touched ids (inserted ∪
     deleted, masked feed — an id appended and deleted within the
@@ -814,8 +850,14 @@ def run_incremental_join_view(
 
     on = list(on)
     try:
-        l_cur = wh.read_version(left, l_new)
-        r_cur = wh.read_version(right, r_new)
+        l_cur = _side_view(
+            wh.read_version(left, l_new), left_where, left_cols,
+            "left", left_id, on,
+        )
+        r_cur = _side_view(
+            wh.read_version(right, r_new), right_where, right_cols,
+            "right", right_id, on,
+        )
         overlap = (set(l_cur.columns) & set(r_cur.columns)) - set(on)
         if overlap:
             raise ValueError(
@@ -827,27 +869,35 @@ def run_incremental_join_view(
             wh.create_as(target, full, TableMeta())
             stats = {"mode": "full", "n_pairs_inserted": wh.read(target).count()}
         else:
-            d_li = wh.read_changes(
+            d_li_raw = wh.read_changes(
                 left, l_last, to_version=l_new, masked=True
             ).localCheckpoint(eager=True)
             tl = (
-                d_li.select(left_id)
+                d_li_raw.select(left_id)
                 .unionByName(
                     wh.read_deleted_rows(left, l_last, to_version=l_new).select(left_id)
                 )
                 .dropDuplicates([left_id])
                 .localCheckpoint(eager=True)
             )
-            d_ri = wh.read_changes(
+            # filter/project AFTER the touched set: a row that left the
+            # predicate stays touched (pairs retired) with no replacement
+            d_li = _side_view(
+                d_li_raw, left_where, left_cols, "left", left_id, on
+            )
+            d_ri_raw = wh.read_changes(
                 right, r_last, to_version=r_new, masked=True
             ).localCheckpoint(eager=True)
             tr = (
-                d_ri.select(right_id)
+                d_ri_raw.select(right_id)
                 .unionByName(
                     wh.read_deleted_rows(right, r_last, to_version=r_new).select(right_id)
                 )
                 .dropDuplicates([right_id])
                 .localCheckpoint(eager=True)
+            )
+            d_ri = _side_view(
+                d_ri_raw, right_where, right_cols, "right", right_id, on
             )
             n_l, n_r = 0, 0
             if tl.count() or d_li.count():
@@ -955,8 +1005,10 @@ def run_incremental_agg_view(
     target: Relation,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    where: str | None = None,
 ) -> dict:
-    """Maintain ``target = SELECT keys, aggs FROM source GROUP BY keys``
+    """Maintain ``target = SELECT keys, aggs FROM source [WHERE where]
+    GROUP BY keys``
     incrementally off the source's changelog — aggregate-view IVM:
     inserted rows ADD into their group's partials, deleted rows
     SUBTRACT, and the mandatory count(*) column makes groups
@@ -973,6 +1025,14 @@ def run_incremental_agg_view(
     contract of the time-series surface — float sums are not exactly
     retractable, and ANSI overflow on the declared type raises rather
     than wrapping). Mean is sum/count at read time.
+
+    ``where`` is a ROW-LOCAL predicate (the view is the aggregate of
+    σ(source)): it filters the full build AND both window feeds
+    symmetrically, so the ±1 algebra below stays exact — an update
+    moving a row OUT of the predicate contributes its original to the
+    delete feed (−1) and a filtered-away rewrite (nothing), net −1;
+    moving IN contributes net +1. No aggregates/subqueries in the
+    predicate (it runs inside per-row filters).
 
     Window algebra (per sync, between watermark snapshots): the insert
     feed is read RAW (``masked=False``) and the delete feed in full, so
@@ -1033,6 +1093,8 @@ def run_incremental_agg_view(
                 last_v, mode = None, "rebaseline"
         if last_v is None:
             cur = wh.read_version(source, new_v)
+            if where is not None:
+                cur = cur.where(where)
             _check_sum_nulls(cur, aggs, "the source")
             full = cur.groupBy(*keys).agg(*_agg_exprs(aggs))
             if wh.exists(target):
@@ -1046,6 +1108,10 @@ def run_incremental_agg_view(
         else:
             ins = wh.read_changes(source, last_v, to_version=new_v)
             dels = wh.read_deleted_rows(source, last_v, to_version=new_v)
+            if where is not None:
+                # symmetric feed filter: the ±1 weights below must see
+                # exactly the rows the view's σ admits, on both feeds
+                ins, dels = ins.where(where), dels.where(where)
             # deduped: two sums over one measure must not select it twice
             sum_cols = list(
                 dict.fromkeys(c for _, (fn, c) in aggs.items() if fn == "sum")

@@ -32,14 +32,18 @@ the DataFrame form of every statement run the identical plan:
   :func:`run_incremental_join_view` materialize with the definition
   persisted per schema; ``REFRESH MATERIALIZED VIEW <t>`` -> one delta
   sync off both sources' changelog windows (join-view IVM — the SQL
-  face of the maintained join).
+  face of the maintained join). Each side may be a row-local derived
+  table ``(SELECT cols FROM t [WHERE pred])`` — projection + filter
+  maintained incrementally (σ(π(L)) ⋈ σ(π(R))); the projection must
+  keep that side's UNIQUE KEY and the USING columns.
 - ``CREATE [OR REPLACE] MATERIALIZED VIEW <t> AS SELECT k1, ...,
-  sum(x) AS sx, count(*) AS n FROM <src> GROUP BY k1, ...`` -> a full
-  :func:`run_incremental_agg_view` materialize (aggregate-view IVM:
-  inserts add, deletes subtract, groups retract to zero); the same
-  ``REFRESH`` statement then syncs one changelog window. The two MV
-  kinds share the registry — the definition's ``kind`` picks the
-  refresh path.
+  sum(x) AS sx, count(*) AS n FROM <src> [WHERE pred] GROUP BY
+  k1, ...`` -> a full :func:`run_incremental_agg_view` materialize
+  (aggregate-view IVM: inserts add, deletes subtract, groups retract
+  to zero; the row-local WHERE filters both changelog feeds
+  symmetrically); the same ``REFRESH`` statement then syncs one
+  changelog window. The two MV kinds share the registry — the
+  definition's ``kind`` picks the refresh path.
 - ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
   AS <select>`` -> :meth:`Warehouse.create_as`;
   ``DROP TABLE [IF EXISTS] <t>`` -> :meth:`Warehouse.drop` — the DDL
@@ -566,18 +570,21 @@ def _create_mview(wh, tables, query: str) -> DataFrame:
 def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
          AS SELECT <k1, ..., sum(col) AS out, count(*) AS out2, ...>
-         FROM <src> GROUP BY <k1, ...>
+         FROM <src> [WHERE <row-local pred>] GROUP BY <k1, ...>
 
     -> one full run_incremental_agg_view materialize; REFRESH then
     maintains it off the source's changelog (inserts add, deletes
-    subtract, the count(*) column retracts groups to zero). The
-    operator's exactness contract applies: exactly one count(*),
-    sum measures integer/decimal NOT NULL; violations raise before
-    anything is created or shed. The view's stored column order is
-    keys first, then the aggregate outputs in SELECT order."""
+    subtract, the count(*) column retracts groups to zero; the WHERE
+    filters both feeds symmetrically — see the operator's σ contract).
+    The operator's exactness contract applies: exactly one count(*),
+    sum measures integer/decimal NOT NULL; violations — including a
+    predicate that does not analyze — raise before anything is
+    created or shed. The view's stored column order is keys first,
+    then the aggregate outputs in SELECT order."""
     m = re.match(
         r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
-        r"as\s+select\s+(.*?)\s+from\s+`?([\w.]+)`?\s+"
+        r"as\s+select\s+(.*?)\s+from\s+`?([\w.]+)`?"
+        r"(?:\s+where\s+(.+?))?\s+"
         r"group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
         query,
         re.I | re.S,
@@ -586,8 +593,10 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
         raise ValueError(
             "SQL CREATE MATERIALIZED VIEW: cannot parse — supported forms "
             "are the join view (... UNIQUE KEYS (lid, rid) AS SELECT * "
-            "FROM l JOIN r USING (k)) and the aggregate view (AS SELECT "
-            "k, sum(x) AS sx, count(*) AS n FROM src GROUP BY k); richer "
+            "FROM l JOIN r USING (k), each side optionally (SELECT cols "
+            "FROM t WHERE pred)) and the aggregate view (AS SELECT "
+            "k, sum(x) AS sx, count(*) AS n FROM src [WHERE pred] "
+            "GROUP BY k); richer "
             f"SELECTs need run_cdc_refresh or the DataFrame API: {query!r}"
         )
     from edna_dbt_library_spark.operators.materializations import (
@@ -602,7 +611,8 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
             "(use CREATE OR REPLACE)"
         )
     src = _rel_for_name(wh, tables, m.group(4))
-    keys = [c.strip().strip("`") for c in m.group(5).split(",") if c.strip()]
+    where = m.group(5).strip() if m.group(5) else None
+    keys = [c.strip().strip("`") for c in m.group(6).split(",") if c.strip()]
     aggs: dict[str, tuple[str, str]] = {}
     for item in _split_top(m.group(3), ","):
         item = item.strip()
@@ -630,15 +640,18 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     # validate the spec BEFORE shedding/dropping anything: a bad spec
     # must never destroy the existing view on OR REPLACE
     _validate_aggs(aggs, wh.read(src).schema, keys)
+    if where is not None:
+        wh.read(src).where(where).schema  # predicate must analyze
     _shed_mview(wh, rel)
     if wh.exists(rel):
         wh.drop(rel)
-    stats = run_incremental_agg_view(wh, src, rel, keys, aggs)
+    stats = run_incremental_agg_view(wh, src, rel, keys, aggs, where=where)
     defn = {
         "kind": "agg",
         "source": [src.schema, src.identifier],
         "keys": keys,
         "aggs": {k: list(v) for k, v in aggs.items()},
+        "where": where,
     }
     path = _mview_def_path(wh, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -649,24 +662,93 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     )
 
 
+def _mv_side(text: str) -> tuple[str, list[str] | None, str | None, str]:
+    """Parse one side of the MV join form from the head of ``text``:
+    either a bare table name, or a derived table
+    ``(SELECT <cols|*> FROM <name> [WHERE <row-local pred>])``.
+    Returns (name, cols|None, where|None, rest-of-text). Column items
+    must be bare names (expressions want the DataFrame API)."""
+    text = text.lstrip()
+    if text.startswith("("):
+        depth, q = 0, None
+        end = None
+        for i, ch in enumerate(text):
+            if q is not None:
+                if ch == q:
+                    q = None
+                continue
+            if ch in "'\"`":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: unbalanced ( in {text!r}"
+            )
+        inner, rest = text[1:end], text[end + 1 :]
+        sm = re.match(
+            r"^\s*select\s+(.*?)\s+from\s+`?([\w.]+)`?"
+            r"(?:\s+where\s+(.+?))?\s*$",
+            inner,
+            re.I | re.S,
+        )
+        if not sm:
+            raise ValueError(
+                "SQL CREATE MATERIALIZED VIEW: a derived-table side must "
+                "be (SELECT cols FROM t [WHERE pred]); got "
+                f"({inner.strip()!r})"
+            )
+        cols_txt = sm.group(1).strip()
+        if cols_txt == "*":
+            cols = None
+        else:
+            cols = [c.strip().strip("`") for c in _split_top(cols_txt, ",")]
+            bad = [c for c in cols if not re.fullmatch(r"\w+", c)]
+            if bad:
+                raise ValueError(
+                    "SQL CREATE MATERIALIZED VIEW: side projections take "
+                    f"bare column names only, got {bad!r} — computed "
+                    "columns want the DataFrame API"
+                )
+        where = sm.group(3).strip() if sm.group(3) else None
+        return sm.group(2), cols, where, rest
+    nm = re.match(r"^`?([\w.]+)`?", text)
+    if not nm:
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: cannot parse side at {text!r}"
+        )
+    return nm.group(1), None, None, text[nm.end() :]
+
+
 def _create_mview_join(wh, tables, query: str) -> DataFrame:
     """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
          UNIQUE KEYS (<left_id>, <right_id>)
          AS SELECT * FROM <l> [INNER] JOIN <r> USING (c1[, ...])
+
+    where each side <l>/<r> is a table name or a row-local derived
+    table ``(SELECT cols FROM t [WHERE pred])`` — the projection and
+    filter thread into run_incremental_join_view's σ(π(L)) ⋈ σ(π(R))
+    contract (projections must keep the side's UNIQUE KEY and the
+    USING columns; predicates filter the current side AND the insert
+    feed while touched ids come from the unfiltered feed).
 
     -> one full run_incremental_join_view materialize; the definition
     persists in a per-schema `_edna_mviews/` registry so REFRESH can
     re-derive the delta sync. UNIQUE KEYS names each side's row
     identity (the merge unique-key contract) — SQL MVs elsewhere infer
     this from constraints the parquet warehouse doesn't have, so the
-    grammar states it. Only the whole-row equi-join form is accepted
-    (the shape join-view IVM maintains); richer SELECTs raise with a
-    pointer to run_cdc_refresh / the DataFrame API."""
+    grammar states it. The outer SELECT stays ``*`` (the view's
+    columns are the sides'); richer forms raise with a pointer to
+    run_cdc_refresh / the DataFrame API."""
     m = re.match(
         r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
         r"unique\s+keys\s*\(\s*`?(\w+)`?\s*,\s*`?(\w+)`?\s*\)\s+"
-        r"as\s+select\s+\*\s+from\s+`?([\w.]+)`?\s+(?:inner\s+)?join\s+"
-        r"`?([\w.]+)`?\s+using\s*\(\s*([\w`,\s]+?)\s*\)\s*;?\s*$",
+        r"as\s+select\s+\*\s+from\s+(.*)$",
         query,
         re.I | re.S,
     )
@@ -674,10 +756,12 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
         raise ValueError(
             "SQL CREATE MATERIALIZED VIEW: cannot parse — supported form is "
             "CREATE [OR REPLACE] MATERIALIZED VIEW t UNIQUE KEYS (lid, rid) "
-            "AS SELECT * FROM l JOIN r USING (k); richer SELECTs need "
+            "AS SELECT * FROM l JOIN r USING (k), each side optionally "
+            "(SELECT cols FROM t WHERE pred); richer SELECTs need "
             f"run_cdc_refresh or the DataFrame API: {query!r}"
         )
     from edna_dbt_library_spark.operators.materializations import (
+        _side_view,
         run_incremental_join_view,
     )
 
@@ -687,9 +771,27 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
             f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
             "(use CREATE OR REPLACE)"
         )
-    left = _rel_for_name(wh, tables, m.group(5))
-    right = _rel_for_name(wh, tables, m.group(6))
-    on = [c.strip().strip("`") for c in m.group(7).split(",") if c.strip()]
+    rest = m.group(5)
+    l_name, l_cols, l_where, rest = _mv_side(rest)
+    jm = re.match(r"\s*(?:inner\s+)?join\s+", rest, re.I)
+    if not jm:
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: expected JOIN at {rest!r}"
+        )
+    r_name, r_cols, r_where, rest = _mv_side(rest[jm.end() :])
+    um = re.match(r"\s*using\s*\(\s*([\w`,\s]+?)\s*\)\s*;?\s*$", rest, re.I | re.S)
+    if not um:
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: expected USING (keys) at {rest!r}"
+        )
+    left = _rel_for_name(wh, tables, l_name)
+    right = _rel_for_name(wh, tables, r_name)
+    on = [c.strip().strip("`") for c in um.group(1).split(",") if c.strip()]
+    # validate BEFORE shedding/dropping: projections must keep id+keys
+    # and predicates must analyze — a bad spec must never destroy the
+    # existing view on OR REPLACE
+    _side_view(wh.read(left), l_where, l_cols, "left", m.group(3), on).schema
+    _side_view(wh.read(right), r_where, r_cols, "right", m.group(4), on).schema
     # OR REPLACE (or a stale defn with no table): the PREVIOUS
     # definition's source watermarks must not stay pinned — the new
     # view may join different sources
@@ -697,7 +799,9 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
     if wh.exists(rel):
         wh.drop(rel)  # OR REPLACE: the op re-baselines a missing target
     stats = run_incremental_join_view(
-        wh, left, right, rel, m.group(3), m.group(4), on
+        wh, left, right, rel, m.group(3), m.group(4), on,
+        left_where=l_where, right_where=r_where,
+        left_cols=l_cols, right_cols=r_cols,
     )
     defn = {
         "kind": "join",
@@ -706,6 +810,10 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
         "left_id": m.group(3),
         "right_id": m.group(4),
         "on": on,
+        "left_where": l_where,
+        "right_where": r_where,
+        "left_cols": l_cols,
+        "right_cols": r_cols,
     }
     path = _mview_def_path(wh, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -748,6 +856,7 @@ def _refresh_mview(wh, tables, query: str) -> DataFrame:
             rel,
             list(defn["keys"]),
             {k: tuple(v) for k, v in defn["aggs"].items()},
+            where=defn.get("where"),
         )
         return _stats(
             wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
@@ -760,6 +869,10 @@ def _refresh_mview(wh, tables, query: str) -> DataFrame:
         defn["left_id"],
         defn["right_id"],
         list(defn["on"]),
+        left_where=defn.get("left_where"),
+        right_where=defn.get("right_where"),
+        left_cols=defn.get("left_cols"),
+        right_cols=defn.get("right_cols"),
     )
     return _stats(wh, "refresh_materialized_view", rel, stats["n_pairs_inserted"])
 

@@ -533,3 +533,152 @@ def test_mview_lifecycle_sheds_definition_and_watermarks(spark, wh):
     assert _wm_notes(wh, l, pre)
     wh.sql("DROP TABLE s__mv")
     assert not _wm_notes(wh, l, pre) and not _wm_notes(wh, r, pre)
+
+
+def test_filtered_projected_materialized_view(spark, wh):
+    """The r10 verdict's 'a real user's first MV will have a WHERE
+    clause': each join side may be a row-local derived table — the
+    projection + filter are maintained incrementally, including
+    updates that move rows ACROSS the predicate boundary in both
+    directions."""
+    l, r = _mv_tables(spark, wh)
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__fmv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM (SELECT l_id, grp, lv FROM s__mvl WHERE lv >= 20) "
+        "JOIN (SELECT r_id, grp FROM s__mvr WHERE r_id != 103) USING (grp)"
+    )
+    mv = wh.relation("s", "fmv")
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(l)
+        .where("lv >= 20")
+        .select("l_id", "grp", "lv")
+        .join(wh.read(r).where("r_id != 103").select("r_id", "grp"), "grp")
+        .select("grp", "l_id", "lv", "r_id")
+        .collect()
+    )
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "l_id", "lv", "r_id").collect()
+    )
+    assert view() == direct()
+    assert wh.read(mv).columns == ["grp", "l_id", "lv", "r_id"]
+
+    # window: one row leaves the predicate (pairs must retire), one
+    # enters (pairs must land), plus a right delete and a left append
+    wh.sql("UPDATE s__mvl SET lv = 5 WHERE l_id = 6")    # 60 -> out
+    wh.sql("UPDATE s__mvl SET lv = 100 WHERE l_id = 1")  # 10 -> in
+    wh.sql("DELETE FROM s__mvr WHERE r_id = 102")
+    wh.append(
+        l, spark.createDataFrame([(50, 1, 500)], "l_id long, grp long, lv long")
+    )
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__fmv").first()
+    assert out["n_rows"] > 0
+    assert view() == direct()
+    assert not any(x[1] == 6 for x in view())  # left the predicate
+    assert any(x[1] == 1 for x in view())      # entered it
+
+    # quiet window converges
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__fmv").first()["n_rows"] == 0
+    assert view() == direct()
+
+
+def test_filtered_aggregate_materialized_view(spark, wh):
+    src = wh.relation("s", "fagsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, 10 * i) for i in range(12)], "id long, grp long, amt long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__fagv AS "
+        "SELECT grp, sum(amt) AS total, count(*) AS n_rows "
+        "FROM s__fagsrc WHERE amt >= 30 GROUP BY grp"
+    )
+    mv = wh.relation("s", "fagv")
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(src)
+        .where("amt >= 30")
+        .groupBy("grp")
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .collect()
+    )
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "total", "n_rows").collect()
+    )
+    assert view() == direct()
+
+    # rows cross the predicate both ways; one group drains out of σ
+    wh.sql("UPDATE s__fagsrc SET amt = 1 WHERE id = 4")     # 40 -> out
+    wh.sql("UPDATE s__fagsrc SET amt = 90 WHERE id = 2")    # 20 -> in
+    wh.sql("DELETE FROM s__fagsrc WHERE grp = 1 AND amt >= 30")
+    wh.append(
+        src, spark.createDataFrame([(50, 1, 7)], "id long, grp long, amt long")
+    )  # appended row is BELOW the predicate: must not appear
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__fagv").first()
+    assert out["operation"] == "refresh_materialized_view"
+    assert view() == direct()
+    assert wh.read(mv).where("grp = 1").count() == 0  # retracted group
+
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__fagv").first()["n_rows"] == 0
+    assert view() == direct()
+
+
+def test_mv_side_guards_validate_before_shed(spark, wh):
+    """A bad derived-table spec must raise BEFORE the existing view's
+    definition is shed — the OR REPLACE failure mode ADVICE r10 #1
+    guarded for the create path applies to side specs too."""
+    l, r = _mv_tables(spark, wh)
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__gmv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    )
+    # projection dropping the side's id
+    with pytest.raises(ValueError, match="must keep"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__gmv UNIQUE KEYS (l_id, r_id) "
+            "AS SELECT * FROM (SELECT grp, lv FROM s__mvl) "
+            "JOIN s__mvr USING (grp)"
+        )
+    # predicate that does not analyze
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__gmv UNIQUE KEYS (l_id, r_id) "
+            "AS SELECT * FROM (SELECT * FROM s__mvl WHERE no_such_col > 1) "
+            "JOIN s__mvr USING (grp)"
+        )
+    # computed projections point to the DataFrame API
+    with pytest.raises(ValueError, match="bare column names"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__gmv UNIQUE KEYS (l_id, r_id) "
+            "AS SELECT * FROM (SELECT l_id, grp, lv + 1 FROM s__mvl) "
+            "JOIN s__mvr USING (grp)"
+        )
+    # the original definition survived every failed replace
+    wh.sql("DELETE FROM s__mvr WHERE r_id = 104")
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__gmv").first()["n_rows"] >= 0
+    # agg form: bad predicate raises before shed too
+    src = wh.relation("s", "gsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame([(1, 1, 1)], "id long, grp long, amt long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__gagv AS SELECT grp, sum(amt) AS t, "
+        "count(*) AS n FROM s__gsrc GROUP BY grp"
+    )
+    with pytest.raises(AnalysisException):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__gagv AS SELECT grp, "
+            "sum(amt) AS t, count(*) AS n FROM s__gsrc WHERE nope = 1 "
+            "GROUP BY grp"
+        )
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__gagv").first()["n_rows"] == 0
