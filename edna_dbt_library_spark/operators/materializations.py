@@ -1006,6 +1006,7 @@ def run_incremental_agg_view(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
 ) -> dict:
     """Maintain ``target = SELECT keys, aggs FROM source [WHERE where]
     GROUP BY keys``
@@ -1033,6 +1034,19 @@ def run_incremental_agg_view(
     delete feed (−1) and a filtered-away rewrite (nothing), net −1;
     moving IN contributes net +1. No aggregates/subqueries in the
     predicate (it runs inside per-row filters).
+
+    ``derived_keys`` maps extra group-key names to ROW-LOCAL
+    DETERMINISTIC SQL expressions over the source's columns (e.g.
+    ``{"bucket": "unix_micros(ts) div 3600000000"}`` — the
+    time-bucketed continuous aggregate, see
+    :func:`run_incremental_timeseries_view`). The expressions are
+    computed identically on the full build and on BOTH window feeds,
+    so a deleted row retracts from exactly the group its insert landed
+    in — which is also why nondeterministic or non-row-local
+    expressions would silently corrupt the view (same class of rule as
+    the predicate's). ``where`` may reference derived keys (they are
+    projected first). Names must not collide with source columns,
+    plain keys, or aggregate outputs.
 
     Window algebra (per sync, between watermark snapshots): the insert
     feed is read RAW (``masked=False``) and the delete feed in full, so
@@ -1074,15 +1088,34 @@ def run_incremental_agg_view(
     Returns {"mode": "full"|"delta"|"rebaseline", "n_groups_upserted",
     "n_groups_retracted", "agg_watermark"}."""
     keys = list(keys)
+    derived_keys = dict(derived_keys or {})
     note = f"aggview:{target.table_id}"
     last_v, prior, new_v = _watermark_begin(wh, source, note)
     if not wh.exists(target):
         last_v = None
     mode = "full" if last_v is None else "delta"
+
+    def _with_derived(df: DataFrame) -> DataFrame:
+        if derived_keys:
+            df = df.withColumns(
+                {n: F.expr(e) for n, e in derived_keys.items()}
+            )
+        return df
+
     try:
-        count_col = _validate_aggs(
-            aggs, wh.read_version(source, new_v).schema, keys
-        )
+        src_schema = wh.read_version(source, new_v).schema
+        clash = [
+            n
+            for n in derived_keys
+            if n in src_schema.names or n in keys or n in aggs
+        ]
+        if clash:
+            raise ValueError(
+                f"agg view: derived key name(s) {clash} collide with a "
+                "source column, a plain key, or an aggregate output"
+            )
+        all_keys = keys + list(derived_keys)
+        count_col = _validate_aggs(aggs, src_schema, all_keys)
         if last_v is not None:
             # metadata-only rewrite detection: merge-on-read DML never
             # removes data files, so any removal means a fold/overwrite
@@ -1092,11 +1125,11 @@ def run_incremental_agg_view(
             if set(m_since["files"]) - set(m_to["files"]):
                 last_v, mode = None, "rebaseline"
         if last_v is None:
-            cur = wh.read_version(source, new_v)
+            cur = _with_derived(wh.read_version(source, new_v))
             if where is not None:
                 cur = cur.where(where)
             _check_sum_nulls(cur, aggs, "the source")
-            full = cur.groupBy(*keys).agg(*_agg_exprs(aggs))
+            full = cur.groupBy(*all_keys).agg(*_agg_exprs(aggs))
             if wh.exists(target):
                 wh.drop(target)
             wh.create_as(target, full, TableMeta())
@@ -1106,8 +1139,12 @@ def run_incremental_agg_view(
                 "n_groups_retracted": 0,
             }
         else:
-            ins = wh.read_changes(source, last_v, to_version=new_v)
-            dels = wh.read_deleted_rows(source, last_v, to_version=new_v)
+            ins = _with_derived(
+                wh.read_changes(source, last_v, to_version=new_v)
+            )
+            dels = _with_derived(
+                wh.read_deleted_rows(source, last_v, to_version=new_v)
+            )
             if where is not None:
                 # symmetric feed filter: the ±1 weights below must see
                 # exactly the rows the view's σ admits, on both feeds
@@ -1117,10 +1154,10 @@ def run_incremental_agg_view(
                 dict.fromkeys(c for _, (fn, c) in aggs.items() if fn == "sum")
             )
             feed = (
-                ins.select(*keys, *sum_cols)
+                ins.select(*all_keys, *sum_cols)
                 .withColumn("_w", F.lit(1))
                 .unionByName(
-                    dels.select(*keys, *sum_cols).withColumn("_w", F.lit(-1))
+                    dels.select(*all_keys, *sum_cols).withColumn("_w", F.lit(-1))
                 )
             )
             _check_sum_nulls(feed, aggs, "the window's changelog")
@@ -1128,7 +1165,7 @@ def run_incremental_agg_view(
             for name, (fn, col) in aggs.items():
                 src_expr = F.lit(1) if fn == "count" else F.col(col)
                 net_exprs.append(F.sum(F.col("_w") * src_expr).alias(name))
-            net = feed.groupBy(*keys).agg(*net_exprs).localCheckpoint(eager=True)
+            net = feed.groupBy(*all_keys).agg(*net_exprs).localCheckpoint(eager=True)
             n_touched = net.count()
             if not n_touched:
                 stats = {
@@ -1154,12 +1191,12 @@ def run_incremental_agg_view(
                 )
                 base_df = wh.read_version(target, base_v)
                 tgt_schema = base_df.schema
-                cur = _key_literal_filter(base_df, net, keys)
+                cur = _key_literal_filter(base_df, net, all_keys)
                 renames = {n: f"_cur_{n}" for n in aggs}
                 cur = cur.select(
-                    *keys, *[F.col(n).alias(renames[n]) for n in aggs]
+                    *all_keys, *[F.col(n).alias(renames[n]) for n in aggs]
                 )
-                merged = cur.join(net, keys, "right")
+                merged = cur.join(net, all_keys, "right")
                 new_cols = {}
                 for name in aggs:
                     t = tgt_schema[name].dataType
@@ -1170,7 +1207,7 @@ def run_incremental_agg_view(
                 merged = (
                     merged.withColumns({f"_new_{n}": c for n, c in new_cols.items()})
                     .select(
-                        *keys, *[F.col(f"_new_{n}").alias(n) for n in aggs]
+                        *all_keys, *[F.col(f"_new_{n}").alias(n) for n in aggs]
                     )
                     .localCheckpoint(eager=True)
                 )
@@ -1185,9 +1222,9 @@ def run_incremental_agg_view(
                 replace = merged.where(F.col(count_col) > 0).select(
                     *[F.col(f.name).cast(f.dataType) for f in tgt_schema.fields]
                 )
-                touched = net.select(*keys)
+                touched = net.select(*all_keys)
                 r = wh.upsert_matching(
-                    target, replace, keys, delete_keys_df=touched
+                    target, replace, all_keys, delete_keys_df=touched
                 )
                 n_up = int(r.get("n_upserted", 0))
                 stats = {
@@ -1210,3 +1247,52 @@ def run_incremental_agg_view(
                 wh.drop_snapshot(target, s["version"])
     stats["agg_watermark"] = new_v
     return stats
+
+
+def run_incremental_timeseries_view(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, tuple[str, str]],
+    bucket_us: int = 3_600_000_000,
+    where: str | None = None,
+) -> dict:
+    """The changelog-driven continuous aggregate: maintain
+    ``target = SELECT keys, time_bucket(ts), aggs FROM source GROUP BY
+    keys, bucket`` under FULL DML on the source — the retraction-aware
+    twin of ``streaming.timeseries_stream.stream_continuous_aggregate``
+    (which regularizes an APPEND-ONLY event stream and documents that
+    boundary; feeding it a DML'd table would silently ignore
+    retractions — r10 verdict What's-missing #5; this operator closes
+    the composition).
+
+    Pure delegation: the bucket is a derived group key
+    (``unix_micros(ts) div bucket_us`` — the exact-integer
+    ``operators.timeseries.time_bucket`` expression, never a float
+    quotient, same DuckDB replay ``epoch_us(ts) // bucket_us``), so
+    the agg-view algebra applies unchanged: a deleted event subtracts
+    from exactly the bucket its insert landed in, an UPDATE that moves
+    an event's timestamp across a bucket boundary retracts from the
+    old bucket and lands in the new one, and a bucket whose events all
+    die retracts to zero. Serving composes with the time-series
+    surface exactly like the streaming store: ``rollup_buckets`` for
+    coarser grains, ``gap_fill``/``locf`` when the dense grid is the
+    deliverable.
+
+    Scale shape: inherited — the sync shuffles one net partial row per
+    TOUCHED (key, bucket), probes current partials by key literals,
+    and lands ONE atomic upsert; the time range never sizes anything
+    (no densify)."""
+    return run_incremental_agg_view(
+        wh,
+        source,
+        target,
+        keys,
+        aggs,
+        where=where,
+        derived_keys={
+            "bucket": f"unix_micros(`{ts_col}`) div {int(bucket_us)}"
+        },
+    )

@@ -41,9 +41,13 @@ the DataFrame form of every statement run the identical plan:
   k1, ...`` -> a full :func:`run_incremental_agg_view` materialize
   (aggregate-view IVM: inserts add, deletes subtract, groups retract
   to zero; the row-local WHERE filters both changelog feeds
-  symmetrically); the same ``REFRESH`` statement then syncs one
-  changelog window. The two MV kinds share the registry — the
-  definition's ``kind`` picks the refresh path.
+  symmetrically). A ``time_bucket(ts, bucket_us) AS b`` SELECT item
+  (named in GROUP BY) makes it the changelog-driven CONTINUOUS
+  aggregate — the exact-integer bucket is a derived group key, so
+  deletes retract from and ts-moving updates re-land in the right
+  bucket. The same ``REFRESH`` statement then syncs one changelog
+  window. The two MV kinds share the registry — the definition's
+  ``kind`` picks the refresh path.
 - ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
   AS <select>`` -> :meth:`Warehouse.create_as`;
   ``DROP TABLE [IF EXISTS] <t>`` -> :meth:`Warehouse.drop` — the DDL
@@ -614,6 +618,7 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     where = m.group(5).strip() if m.group(5) else None
     keys = [c.strip().strip("`") for c in m.group(6).split(",") if c.strip()]
     aggs: dict[str, tuple[str, str]] = {}
+    derived: dict[str, str] = {}
     for item in _split_top(m.group(3), ","):
         item = item.strip()
         am = re.match(
@@ -629,29 +634,58 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                 )
             aggs[out] = (am.group(1).lower(), am.group(2).strip("`"))
             continue
+        dm = re.match(
+            r"^time_bucket\s*\(\s*`?(\w+)`?\s*,\s*(\d+)\s*\)\s+as\s+`?(\w+)`?$",
+            item,
+            re.I,
+        )
+        if dm:
+            # the continuous-aggregate derived key: the exact-integer
+            # time_bucket expression (micros div bucket — never a float
+            # quotient); must also be named in GROUP BY
+            name = dm.group(3)
+            if name not in keys:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: derived key {name!r} "
+                    "must appear in GROUP BY"
+                )
+            derived[name] = (
+                f"unix_micros(`{dm.group(1)}`) div {int(dm.group(2))}"
+            )
+            continue
         bm = re.match(r"^`?(\w+)`?$", item)
         if bm and bm.group(1) in keys:
             continue  # group key riding in the SELECT list
         raise ValueError(
             f"SQL CREATE MATERIALIZED VIEW: cannot parse SELECT item "
             f"{item!r} — the aggregate form takes group keys, "
-            "sum(col) AS name, and count(*) AS name only"
+            "time_bucket(ts, us) AS name, sum(col) AS name, and "
+            "count(*) AS name only"
         )
+    plain_keys = [k for k in keys if k not in derived]
     # validate the spec BEFORE shedding/dropping anything: a bad spec
     # must never destroy the existing view on OR REPLACE
     _validate_aggs(aggs, wh.read(src).schema, keys)
+    probe = wh.read(src)
+    if derived:
+        probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
+        probe.schema  # derived keys must analyze (ts column exists)
     if where is not None:
-        wh.read(src).where(where).schema  # predicate must analyze
+        probe.where(where).schema  # predicate must analyze
     _shed_mview(wh, rel)
     if wh.exists(rel):
         wh.drop(rel)
-    stats = run_incremental_agg_view(wh, src, rel, keys, aggs, where=where)
+    stats = run_incremental_agg_view(
+        wh, src, rel, plain_keys, aggs, where=where,
+        derived_keys=derived or None,
+    )
     defn = {
         "kind": "agg",
         "source": [src.schema, src.identifier],
-        "keys": keys,
+        "keys": plain_keys,
         "aggs": {k: list(v) for k, v in aggs.items()},
         "where": where,
+        "derived_keys": derived or None,
     }
     path = _mview_def_path(wh, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -857,6 +891,7 @@ def _refresh_mview(wh, tables, query: str) -> DataFrame:
             list(defn["keys"]),
             {k: tuple(v) for k, v in defn["aggs"].items()},
             where=defn.get("where"),
+            derived_keys=defn.get("derived_keys"),
         )
         return _stats(
             wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]

@@ -871,6 +871,8 @@ def stream_agg_view(
     checkpoint_path: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
 ):
     """Continuous aggregate-view maintenance: the streaming wrapper
     around ``operators.materializations.run_incremental_agg_view``. A
@@ -883,8 +885,11 @@ def stream_agg_view(
     regularizes an APPEND-ONLY event stream into time-bucket partials;
     this maintains a GROUP-BY view of a warehouse table under full DML
     — deletes retract, updates re-land, a group drained to zero rows
-    disappears. Not concurrent-safe with another maintainer of the
-    same target.
+    disappears. ``where`` / ``derived_keys`` pass through, so the
+    changelog-driven CONTINUOUS aggregate is one trigger away: derived
+    key ``unix_micros(ts) div bucket_us`` (or call
+    ``run_incremental_timeseries_view`` per window). Not
+    concurrent-safe with another maintainer of the same target.
 
     Scale shape: the trigger ships only unseen file names; each sync
     costs the batch operator's O(changed rows + touched-group probe)."""
@@ -893,7 +898,10 @@ def stream_agg_view(
     )
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        run_incremental_agg_view(wh, source, target, keys, aggs)
+        run_incremental_agg_view(
+            wh, source, target, keys, aggs,
+            where=where, derived_keys=derived_keys,
+        )
 
     writer = (
         stream_table(wh, source, max_files_per_trigger)

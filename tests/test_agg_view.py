@@ -248,3 +248,116 @@ def test_stream_agg_view_drain_equals_direct(spark, tmp_path):
 
     stream_agg_view(wh, src, t, ["grp"], AGGS, cp).awaitTermination(120)
     assert _rows(wh.read(t)) == got
+
+
+def _ts_rows(spark, pairs):
+    """(id, grp, epoch_seconds, amt) rows with a real timestamp col."""
+    df = spark.createDataFrame(
+        pairs, "id long, grp long, sec long, amt long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    return df
+
+
+def test_timeseries_view_through_dml_windows(spark, tmp_path):
+    """Changelog-driven continuous aggregate (the r10 verdict's
+    What's-missing #5): a time-bucketed SUM/COUNT view maintained
+    under full DML — a ts-moving UPDATE retracts from the old bucket
+    and lands in the new one, a bucket drained of events disappears,
+    and the maintained state equals the direct time_bucket aggregation
+    after every window."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_timeseries_view,
+    )
+    from edna_dbt_library_spark.operators.timeseries import HOUR_US, time_bucket
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "ev")
+    # 3 keys x events across 4 hour-buckets
+    rows = [
+        (i, i % 3, 3600 * (i % 4) + 60 * i, 10 * i + 1) for i in range(24)
+    ]
+    wh.create_as(src, _ts_rows(spark, rows).coalesce(2), TableMeta())
+    tgt = wh.relation("av", "ev_hourly")
+
+    def direct():
+        return (
+            time_bucket(wh.read(src), "ts", HOUR_US)
+            .groupBy("grp", "bucket")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+
+    s = run_incremental_timeseries_view(
+        wh, src, tgt, ["grp"], "ts", AGGS, bucket_us=HOUR_US
+    )
+    assert s["mode"] == "full"
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # window: measure update, a TS-moving update (bucket boundary
+    # cross), a whole-bucket drain, and fresh appends
+    wh.update_where(src, "id % 5 = 0", {"amt": "amt + 7"})
+    wh.update_where(src, "id = 1", {"ts": "ts + INTERVAL 2 HOURS"})
+    wh.delete_where(src, "unix_micros(ts) div 3600000000 = 3")
+    wh.append(src, _ts_rows(spark, [(100, 1, 3600 * 9, 5), (101, 2, 3600 * 9 + 30, 6)]))
+    s = run_incremental_timeseries_view(
+        wh, src, tgt, ["grp"], "ts", AGGS, bucket_us=HOUR_US
+    )
+    assert s["mode"] == "delta"
+    assert s["n_groups_retracted"] > 0  # the drained bucket's groups
+    assert _rows(wh.read(tgt)) == _rows(direct())
+    assert wh.read(tgt).where("bucket = 3").count() == 0
+
+    # quiet window
+    s = run_incremental_timeseries_view(
+        wh, src, tgt, ["grp"], "ts", AGGS, bucket_us=HOUR_US
+    )
+    assert s["n_groups_upserted"] == 0 and s["n_groups_retracted"] == 0
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_derived_key_collision_raises(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(1, 1, 1)])
+    tgt = wh.relation("av", "v")
+    for bad in ("grp", "amt", "total"):
+        with pytest.raises(ValueError, match="collide"):
+            run_incremental_agg_view(
+                wh, src, tgt, ["grp"], AGGS,
+                derived_keys={bad: "id div 2"},
+            )
+    assert not wh.exists(tgt)
+
+
+def test_derived_key_where_sees_derived_column(spark, tmp_path):
+    """where may reference a derived key (projected first): the view
+    aggregates only the sigma-admitted buckets, symmetrically on both
+    feeds."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(
+        spark, wh, [(i, i % 2, i) for i in range(20)], name="dsrc"
+    )
+    tgt = wh.relation("av", "dv")
+    kw = dict(derived_keys={"band": "id div 5"}, where="band != 1")
+    run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS, **kw)
+
+    def direct():
+        return (
+            wh.read(src)
+            .withColumn("band", F.expr("id div 5"))
+            .where("band != 1")
+            .groupBy("grp", "band")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+
+    assert _rows(wh.read(tgt)) == _rows(direct())
+    # moves across the sigma boundary via the DERIVED key
+    wh.update_where(src, "id = 7", {"id": "2"})   # band 1 -> 0: enters
+    wh.delete_where(src, "id >= 15")              # band 3 drains
+    s = run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS, **kw)
+    assert s["mode"] == "delta"
+    assert _rows(wh.read(tgt)) == _rows(direct())

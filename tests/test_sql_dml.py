@@ -682,3 +682,64 @@ def test_mv_side_guards_validate_before_shed(spark, wh):
             "GROUP BY grp"
         )
     assert wh.sql("REFRESH MATERIALIZED VIEW s__gagv").first()["n_rows"] == 0
+
+
+def test_time_bucketed_continuous_aggregate_mview(spark, wh):
+    """SQL face of the changelog-driven continuous aggregate: a
+    time_bucket(ts, us) derived key in the aggregate MV form —
+    deletes retract from, and ts-moving updates re-land in, the right
+    bucket; REFRESH maintains it off the changelog."""
+    src = wh.relation("s", "tsev")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 2, 3600 * (i % 3) + i, 10 * i + 1) for i in range(18)],
+            "id long, grp long, sec long, amt long",
+        ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__tshr AS "
+        "SELECT grp, time_bucket(ts, 3600000000) AS bucket, "
+        "sum(amt) AS total, count(*) AS n_rows "
+        "FROM s__tsev GROUP BY grp, bucket"
+    )
+    mv = wh.relation("s", "tshr")
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(src)
+        .withColumn("bucket", F.expr("unix_micros(ts) div 3600000000"))
+        .groupBy("grp", "bucket")
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .collect()
+    )
+    view = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(mv).select("grp", "bucket", "total", "n_rows").collect()
+    )
+    assert view() == direct()
+
+    wh.sql("UPDATE s__tsev SET ts = ts + INTERVAL 2 HOURS WHERE id = 1")
+    wh.sql("DELETE FROM s__tsev WHERE id % 3 = 2")
+    wh.append(
+        src,
+        spark.createDataFrame([(50, 0, 7)], "id long, grp long, amt long")
+        .withColumn("ts", F.timestamp_seconds(F.lit(3600 * 8))),
+    )
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__tshr").first()
+    assert out["operation"] == "refresh_materialized_view"
+    assert view() == direct()
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__tshr").first()["n_rows"] == 0
+
+    # a derived key not named in GROUP BY raises, pre-shed
+    with pytest.raises(ValueError, match="must appear in GROUP BY"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__tshr AS "
+            "SELECT grp, time_bucket(ts, 3600000000) AS b, "
+            "sum(amt) AS total, count(*) AS n_rows "
+            "FROM s__tsev GROUP BY grp"
+        )
+    assert view() == direct()  # definition survived
