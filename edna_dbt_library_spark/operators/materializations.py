@@ -716,23 +716,28 @@ def _key_literal_filter(
     pruning idiom of get_partitions_literal_for_merge — an IN list
     reaches the parquet scan, so row-group min/max skips on a
     key-clustered layout and the join input shrinks either way).
-    Fail-open: multi-column keys or a wide key set return ``df``
-    unchanged — the inner join is semantics-identical with or without
-    the filter. The cap is deliberately small (4k, ADVICE r10 #5): a
-    scan-pushed IN list stays cheap there, while a ~20k-element
+    Multi-column keys prune PER COLUMN (each column's IN-set is a
+    superset filter for the conjunctive equi-join, so any subset of
+    columns may apply independently — the time-bucketed agg view's
+    (sensor, bucket) probe typically prunes on the handful of touched
+    buckets even when the sensor set is wide). Fail-open per column: a
+    wide value set, or a NULL among the delta's values (NULL is a
+    legal GROUP BY key but never equi-joins, and an IN list would
+    silently drop the NULL group's current partial), leaves that
+    column unfiltered — the join is semantics-identical with or
+    without the filter. The cap is deliberately small (4k, ADVICE r10
+    #5): a scan-pushed IN list stays cheap there, while a ~20k-element
     predicate adds a driver collect plus expression-tree cost to every
     sync; past the cap the plain join + AQE broadcast of the delta
     side is the better plan anyway."""
-    if len(on) != 1:
-        return df
-    vals = [
-        r[0]
-        for r in delta.select(on[0]).dropDuplicates().limit(cap + 1).collect()
-        if r[0] is not None
-    ]
-    if not vals or len(vals) > cap:
-        return df
-    return df.where(F.col(on[0]).isin(vals))
+    for col in on:
+        rows = delta.select(col).dropDuplicates().limit(cap + 1).collect()
+        vals = [r[0] for r in rows if r[0] is not None]
+        if len(vals) != len(rows):  # a NULL group key is in play
+            continue
+        if vals and len(vals) <= cap:
+            df = df.where(F.col(col).isin(vals))
+    return df
 
 
 def _side_view(
@@ -982,6 +987,25 @@ def _validate_aggs(aggs: dict, schema, keys: list[str]) -> str:
     return counts[0]
 
 
+def _check_key_nulls(df: DataFrame, keys: list[str], what: str) -> None:
+    """NULL group keys raise: the view's apply is a keyed upsert whose
+    delete mask is an equi-join (warehouse._matching_delete_entries),
+    and SQL equi-joins never match NULL — a NULL-key group could be
+    inserted but never retired or replaced, so it would silently fork.
+    COALESCE keys upstream (or filter NULLs with the view's WHERE)."""
+    if not keys:
+        return
+    pred = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in keys]
+    )
+    if df.where(pred).limit(1).count():
+        raise ValueError(
+            f"agg view: NULL group key in {what} (keys={keys}) — the "
+            "keyed upsert's equi-join mask cannot retire a NULL-key "
+            "group; COALESCE the key or exclude NULLs via where="
+        )
+
+
 def _check_sum_nulls(df: DataFrame, aggs: dict, what: str) -> None:
     sum_cols = [c for _, (fn, c) in aggs.items() if fn == "sum"]
     if not sum_cols:
@@ -1129,6 +1153,7 @@ def run_incremental_agg_view(
             if where is not None:
                 cur = cur.where(where)
             _check_sum_nulls(cur, aggs, "the source")
+            _check_key_nulls(cur, all_keys, "the source")
             full = cur.groupBy(*all_keys).agg(*_agg_exprs(aggs))
             if wh.exists(target):
                 wh.drop(target)
@@ -1159,8 +1184,15 @@ def run_incremental_agg_view(
                 .unionByName(
                     dels.select(*all_keys, *sum_cols).withColumn("_w", F.lit(-1))
                 )
+                # PIN the window-sized feed: the delete side is a
+                # (file, pos) join over the window's affected files, and
+                # the two null probes + the net aggregation below would
+                # each re-run it (measured 3x wall on a scattered-DML
+                # window, tools/aggview_scale_stress.py)
+                .localCheckpoint(eager=True)
             )
             _check_sum_nulls(feed, aggs, "the window's changelog")
+            _check_key_nulls(feed, all_keys, "the window's changelog")
             net_exprs = []
             for name, (fn, col) in aggs.items():
                 src_expr = F.lit(1) if fn == "count" else F.col(col)

@@ -361,3 +361,30 @@ def test_derived_key_where_sees_derived_column(spark, tmp_path):
     s = run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS, **kw)
     assert s["mode"] == "delta"
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_null_group_key_raises(spark, tmp_path):
+    """NULL group keys raise (full build AND window feed): the keyed
+    upsert's equi-join mask can never retire a NULL-key group, so it
+    would silently fork — the same honest-limit class as float sums."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "nsrc")
+    tgt = wh.relation("av", "nv")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(1, None, 5), (2, 1, 6)], "id long, grp long, amt long"
+        ),
+        TableMeta(),
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS)
+    # clean build, then a NULL sneaks into the window: the sync raises
+    wh.delete_where(src, "grp IS NULL")
+    run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS)
+    wh.append(
+        src,
+        spark.createDataFrame([(3, None, 7)], "id long, grp long, amt long"),
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS)

@@ -137,6 +137,37 @@ operator's docstring: delta-pair frames pin before upsert_matching
 scan pre-prunes with the delta's join-key literals when they collect
 under a bound (the get_partitions_literal_for_merge idiom).
 
+## Aggregate-view IVM scale stress — sync cost tracks window + view, not source
+
+`tools/aggview_scale_stress.py`, measured 2026-08-16 (round 11) on
+local[32]: an event table (sensor, ts, amt) maintained as an hourly
+SUM/COUNT view (672k groups — fixed by sensors x hours while the
+source grows) through a ~16k-row DML window, one delta sync vs the
+full re-aggregation the reference's recompute-per-run model pays.
+Steady-state timing (min of two windows; this shared host swings
+single syncs up to 3x with page-cache/GC state — same rule as the
+bench's same-host pairing).
+
+| scenario | source rows | delta sync | full re-agg | ratio |
+|---|---|---|---|---|
+| localized (day-partitioned, window = last day) | 16M | 11.0s | 3.5s | 0.3x |
+| localized | 64M | **10.1s (flat)** | **9.5s (x2.7)** | ~1x and crossing |
+| uniform-scatter (worst case) | 64M | 15.7s | 18.2s | 1.2x |
+
+The shape is the claim: the sync is FLAT in source size (its cost is
+the window's affected files + an O(view) probe/upsert) while the
+recompute grows linearly — a narrow columnar source makes recompute
+cheap at fixture scale, so the crossover lands at ~64M here and
+widens from there (at 100 TB recompute is a full-corpus scan per
+window; the sync never rescans). Uniform-scatter deletes are the
+honest worst case: every source file carries delete entries, so the
+deleted-row (file, pos) join spans the table once — a time-localized
+window (late data in recent partitions, the production shape) prunes
+it to the touched day. One engineered cost is asserted in the
+operator: the window feed pins (localCheckpoint) before the two
+null-guard probes and the net aggregation, which would otherwise
+re-run the deleted-row join 3x.
+
 ## Dedup scale stress — the LSH stop-bucket cap bounds pair growth
 
 `tools/dedup_scale_stress.py`, measured 2026-08-13 (round 3) on
