@@ -1281,6 +1281,81 @@ def run_incremental_agg_view(
     return stats
 
 
+def run_incremental_distinct_view(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    keys: list[str],
+    col: str,
+    out: str = "n_distinct",
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+) -> dict:
+    """Maintain ``target = SELECT keys, count(DISTINCT col) AS out FROM
+    source GROUP BY keys`` under FULL DML — exact distinct counts,
+    which single-level SUM/COUNT IVM cannot express (a deleted row
+    only decrements the distinct count when it was its value's LAST
+    row, so per-(group, value) state is required).
+
+    Two-level composition of the agg view with ITSELF — the IVM stack
+    maintaining a view of a view:
+
+    * level 1 (``<target>__elems``): GROUP BY keys+[col], count(*) —
+      one row per live (group, value) with its multiplicity, synced
+      off the SOURCE's changelog. Rows whose multiplicity hits zero
+      retract (the agg view's retraction contract).
+    * level 2 (``target``): GROUP BY keys, count(*) over the CHILD —
+      synced off the child's OWN changelog, which exists because the
+      child is an ordinary warehouse table maintained by keyed DML.
+      A multiplicity change rewrites the child row (delete + insert of
+      the same key) and nets to zero here; only a (group, value)
+      appearing or retracting moves the distinct count by ±1 — exactly
+      COUNT(DISTINCT) semantics.
+
+    NULL values of ``col`` are excluded (SQL COUNT(DISTINCT) ignores
+    NULLs) by folding ``col IS NOT NULL`` into level 1's predicate.
+    ``derived_keys`` (e.g. a time bucket) become physical child
+    columns, so level 2 treats them as plain keys — time-bucketed
+    distinct counts compose for free.
+
+    Crash/fold behavior is inherited and convergent: a crash between
+    the levels leaves level 2's watermark behind, and the next sync's
+    child window covers both; a source fold rebaselines level 1 via
+    drop/create, which destroys the child's snapshots and forces level
+    2 to rebaseline too.
+
+    Scale shape: level 1 is the agg-view sync (window + child probe);
+    level 2's window is the child's churn — bounded by level 1's
+    touched groups, never the source. The child's size is the group ×
+    distinct-value domain (the same state any exact distinct engine
+    carries, e.g. a streaming dedup store); approximate at scale wants
+    the HLL sketch surface instead.
+
+    Returns {"mode", "n_groups_upserted", "n_groups_retracted"} from
+    level 2, plus {"elems": level-1 stats}."""
+    child = wh.relation(target.schema, target.identifier + "__elems")
+    not_null = f"`{col}` IS NOT NULL"
+    l1_where = f"({where}) AND {not_null}" if where else not_null
+    l1 = run_incremental_agg_view(
+        wh,
+        source,
+        child,
+        keys + [col],
+        {"_n": ("count", "*")},
+        where=l1_where,
+        derived_keys=derived_keys,
+    )
+    l2 = run_incremental_agg_view(
+        wh,
+        child,
+        target,
+        keys + list(derived_keys or {}),
+        {out: ("count", "*")},
+    )
+    l2["elems"] = l1
+    return l2
+
+
 def run_incremental_timeseries_view(
     wh: Warehouse,
     source: Relation,

@@ -7362,9 +7362,73 @@ def agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_DISTINCT_VIEW_ORACLE = """
+WITH s0 AS (
+    SELECT o_orderkey AS okey, o_orderpriority AS grp,
+           o_orderkey % 23 AS v
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), s1 AS (
+    SELECT okey, grp,
+           CASE WHEN okey % 7 = 0 THEN okey % 5 ELSE v END AS v
+    FROM s0
+), s2 AS (
+    SELECT * FROM s1 WHERE NOT okey % 9 = 0
+)
+SELECT grp, count(DISTINCT v)::BIGINT AS nd FROM s2 GROUP BY grp
+"""
+
+
+@_register("distinct_view_state", _DISTINCT_VIEW_ORACLE)
+def distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) IVM gate (operators/materializations.
+    run_incremental_distinct_view — the two-level agg-view composition:
+    a (group, value)-multiplicity child synced off the source, the
+    distinct count synced off the CHILD's changelog): full materialize,
+    then a window with an append, a value-moving update and a key
+    delete, then one composed delta sync — the view's final state must
+    equal DuckDB's direct count(DISTINCT) over the derived source.
+    The gate is sharp on the distinct semantics: deleting one of a
+    value's several rows must NOT move the count (the child row
+    rewrite nets to zero at level 2), deleting a value's last row
+    must. Same scratch-warehouse + localCheckpoint discipline as
+    agg_view_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_distinct_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 23).alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="edna_dview_")
+    try:
+        wh = Warehouse(spark, root)
+        src = wh.relation("scratch", "dv_orders")
+        tgt = wh.relation("scratch", "dv_view")
+        wh.create_as(src, o.where("okey % 2 = 0"), TableMeta())
+        s1 = run_incremental_distinct_view(wh, src, tgt, ["grp"], "v", out="nd")
+        assert s1["mode"] == "full", s1
+        wh.append(src, o.where("okey % 4 = 1"))
+        wh.update_where(src, "okey % 7 = 0", {"v": "okey % 5"})
+        wh.delete_where(src, "okey % 9 = 0")
+        s2 = run_incremental_distinct_view(wh, src, tgt, ["grp"], "v", out="nd")
+        assert s2["mode"] == "delta", s2
+        assert s2["elems"]["mode"] == "delta", s2
+        res = wh.read(tgt).select("grp", "nd").localCheckpoint(eager=True)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _incremental_view_oracle() -> str:
     j = REGISTRY["join_view_state"].oracle
     a = REGISTRY["agg_view_state"].oracle
+    d = REGISTRY["distinct_view_state"].oracle
     return f"""
 SELECT 'join_view' AS src, okey AS id, '' AS key, ckey AS cell,
        0::BIGINT AS n, price AS value, bal AS value2
@@ -7372,7 +7436,11 @@ FROM ({j})
 UNION ALL
 SELECT 'agg_view' AS src, 0::BIGINT AS id, grp AS key, sck AS cell,
        n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
-FROM ({a})"""
+FROM ({a})
+UNION ALL
+SELECT 'distinct_view' AS src, 0::BIGINT AS id, grp AS key, nd AS cell,
+       0::BIGINT AS n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({d})"""
 
 
 @_register("incremental_view_state", _incremental_view_oracle())
@@ -7383,32 +7451,51 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_view_state) AND aggregate-view IVM (run_incremental_agg_view —
     retractable SUM/COUNT GROUP-BY partials off the source changelog,
     inserts add / deletes subtract / zero-count groups retire, see
-    agg_view_state). Together they gate the maintained-view surface the
-    SQL CREATE/REFRESH MATERIALIZED VIEW faces dispatch to: the two
-    view shapes a warehouse consumer materializes over DML'd sources.
-    Granulars join_view_state / agg_view_state stay registered.
+    agg_view_state) AND exact COUNT(DISTINCT) IVM
+    (run_incremental_distinct_view — the two-level composition
+    maintaining a view OF a view, see distinct_view_state). Together
+    they gate the maintained-view surface the SQL CREATE/REFRESH
+    MATERIALIZED VIEW faces dispatch to: the view shapes a warehouse
+    consumer materializes over DML'd sources.
+    Granulars join_view_state / agg_view_state / distinct_view_state
+    stay registered.
     Reference analogue: incremental_partition_merge.sql:248-265 (the
     maintained-join contract) + incremental_log.sql:66-73 (windowed
     aggregates, closed against update/delete)."""
     jv = REGISTRY["join_view_state"].spark(spark, sf_dir)
     av = REGISTRY["agg_view_state"].spark(spark, sf_dir)
-    return jv.select(
-        F.lit("join_view").alias("src"),
-        F.col("okey").cast("long").alias("id"),
-        F.lit("").alias("key"),
-        F.col("ckey").cast("long").alias("cell"),
-        F.lit(0).cast("long").alias("n"),
-        F.col("price").cast("double").alias("value"),
-        F.col("bal").cast("double").alias("value2"),
-    ).unionAll(
-        av.select(
-            F.lit("agg_view").alias("src"),
-            F.lit(0).cast("long").alias("id"),
-            F.col("grp").alias("key"),
-            F.col("sck").cast("long").alias("cell"),
-            F.col("n").cast("long").alias("n"),
-            F.lit(0.0).cast("double").alias("value"),
-            F.lit(0.0).cast("double").alias("value2"),
+    dv = REGISTRY["distinct_view_state"].spark(spark, sf_dir)
+    return (
+        jv.select(
+            F.lit("join_view").alias("src"),
+            F.col("okey").cast("long").alias("id"),
+            F.lit("").alias("key"),
+            F.col("ckey").cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("price").cast("double").alias("value"),
+            F.col("bal").cast("double").alias("value2"),
+        )
+        .unionAll(
+            av.select(
+                F.lit("agg_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("grp").alias("key"),
+                F.col("sck").cast("long").alias("cell"),
+                F.col("n").cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            dv.select(
+                F.lit("distinct_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("grp").alias("key"),
+                F.col("nd").cast("long").alias("cell"),
+                F.lit(0).cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
         )
     )
 

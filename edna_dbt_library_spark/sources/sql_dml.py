@@ -46,7 +46,11 @@ the DataFrame form of every statement run the identical plan:
   aggregate — the exact-integer bucket is a derived group key, so
   deletes retract from and ts-moving updates re-land in the right
   bucket. The same ``REFRESH`` statement then syncs one changelog
-  window. The two MV kinds share the registry — the definition's
+  window. A lone ``count(DISTINCT col) AS name`` output instead
+  dispatches to :func:`run_incremental_distinct_view` — exact distinct
+  counts via the two-level composition (a ``<t>__elems`` child table
+  carries the (group, value) multiplicities; its lifecycle rides the
+  view's). The MV kinds share the registry — the definition's
   ``kind`` picks the refresh path.
 - ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
   AS <select>`` -> :meth:`Warehouse.create_as`;
@@ -546,6 +550,21 @@ def _shed_mview(wh, rel) -> None:
         srcs += [defn["left"], defn["right"]]
     if "source" in defn:
         srcs.append(defn["source"])
+    if defn.get("kind") == "distinct":
+        # two-level view: the SOURCE's watermark is pinned under the
+        # CHILD's name, and the child table (with its own snapshots,
+        # including the level-2 watermark) retires with the view
+        child_rel = wh.relation(*defn["child"])
+        src_rel = wh.relation(*defn["source"])
+        child_pref = f"aggview:{child_rel.table_id}"
+        try:
+            for sn in wh.list_snapshots(src_rel):
+                if (sn.get("note") or "").startswith(child_pref):
+                    wh.drop_snapshot(src_rel, sn["version"])
+        except OSError:
+            pass
+        if wh.exists(child_rel):
+            wh.drop(child_rel)
     for s in srcs:
         src_rel = wh.relation(*s)
         try:
@@ -619,8 +638,17 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     keys = [c.strip().strip("`") for c in m.group(6).split(",") if c.strip()]
     aggs: dict[str, tuple[str, str]] = {}
     derived: dict[str, str] = {}
+    distinct: dict[str, str] = {}
     for item in _split_top(m.group(3), ","):
         item = item.strip()
+        cdm = re.match(
+            r"^count\s*\(\s*distinct\s+`?(\w+)`?\s*\)\s+as\s+`?(\w+)`?$",
+            item,
+            re.I,
+        )
+        if cdm:
+            distinct[cdm.group(2)] = cdm.group(1)
+            continue
         am = re.match(
             r"^(sum|count)\s*\(\s*(\*|`?\w+`?)\s*\)\s+as\s+`?(\w+)`?$",
             item,
@@ -665,13 +693,71 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     plain_keys = [k for k in keys if k not in derived]
     # validate the spec BEFORE shedding/dropping anything: a bad spec
     # must never destroy the existing view on OR REPLACE
-    _validate_aggs(aggs, wh.read(src).schema, keys)
+    if distinct:
+        if len(distinct) > 1 or aggs:
+            raise ValueError(
+                "SQL CREATE MATERIALIZED VIEW: count(DISTINCT col) "
+                "stands alone — one distinct output, no other "
+                "aggregates (the two-level view's child carries only "
+                "the (group, value) multiplicities; mix forms via two "
+                "views or the DataFrame API)"
+            )
+        ((out, dcol),) = distinct.items()
+        schema = wh.read(src).schema
+        if dcol not in schema.names:
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: distinct column {dcol!r} "
+                "not in source"
+            )
+        if dcol in keys or out in keys:
+            raise ValueError(
+                "SQL CREATE MATERIALIZED VIEW: count(DISTINCT) column/"
+                "output must not be a group key"
+            )
+    else:
+        _validate_aggs(aggs, wh.read(src).schema, keys)
     probe = wh.read(src)
     if derived:
         probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
         probe.schema  # derived keys must analyze (ts column exists)
     if where is not None:
         probe.where(where).schema  # predicate must analyze
+    if distinct:
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_distinct_view,
+        )
+
+        child = wh.relation(rel.schema, rel.identifier + "__elems")
+        _shed_mview(wh, rel)
+        if wh.exists(rel):
+            wh.drop(rel)
+        if wh.exists(child):
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: {child.table_id} exists "
+                "— the distinct view needs that name for its element "
+                "child table"
+            )
+        stats = run_incremental_distinct_view(
+            wh, src, rel, plain_keys, dcol, out=out, where=where,
+            derived_keys=derived or None,
+        )
+        defn = {
+            "kind": "distinct",
+            "source": [src.schema, src.identifier],
+            "child": [child.schema, child.identifier],
+            "keys": plain_keys,
+            "col": dcol,
+            "out": out,
+            "where": where,
+            "derived_keys": derived or None,
+        }
+        path = _mview_def_path(wh, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(defn, f)
+        return _stats(
+            wh, "create_materialized_view", rel, stats["n_groups_upserted"]
+        )
     _shed_mview(wh, rel)
     if wh.exists(rel):
         wh.drop(rel)
@@ -883,6 +969,24 @@ def _refresh_mview(wh, tables, query: str) -> DataFrame:
         run_incremental_join_view,
     )
 
+    if defn.get("kind", "join") == "distinct":
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_distinct_view,
+        )
+
+        stats = run_incremental_distinct_view(
+            wh,
+            wh.relation(*defn["source"]),
+            rel,
+            list(defn["keys"]),
+            defn["col"],
+            out=defn["out"],
+            where=defn.get("where"),
+            derived_keys=defn.get("derived_keys"),
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
     if defn.get("kind", "join") == "agg":
         stats = run_incremental_agg_view(
             wh,

@@ -388,3 +388,119 @@ def test_null_group_key_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL group key"):
         run_incremental_agg_view(wh, src, tgt, ["grp"], AGGS)
+
+
+def test_distinct_view_through_dml_windows(spark, tmp_path):
+    """Exact COUNT(DISTINCT) via the two-level composition: the
+    distinct count moves only when a (group, value) appears or fully
+    retracts — deleting ONE of a value's rows must NOT decrement it,
+    deleting the LAST must; NULL values are ignored (SQL semantics)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_distinct_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "dsrc2")
+    tgt = wh.relation("av", "ddst")
+    rows = [(i, i % 3, (i % 7) if i % 11 else None) for i in range(40)]
+    wh.create_as(
+        src,
+        spark.createDataFrame(rows, "id long, grp long, v long").coalesce(2),
+        TableMeta(),
+    )
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(F.count_distinct("v").alias("n_distinct"))
+        )
+
+    s = run_incremental_distinct_view(wh, src, tgt, ["grp"], "v")
+    assert s["mode"] == "full" and s["elems"]["mode"] == "full"
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # window: kill ONE row of a multi-row value (count must hold),
+    # kill ALL rows of another value (count must drop), introduce a
+    # brand-new value, flip a row to NULL (drops from its value's
+    # multiplicity), append duplicates of an existing value (no-op)
+    wh.delete_where(src, "id = 1")            # (grp 1, v 1) loses one of several
+    wh.delete_where(src, "v = 6")             # value 6 fully retracts everywhere
+    wh.update_where(src, "id = 2", {"v": "99"})   # new value for grp 2
+    wh.update_where(src, "id = 3", {"v": "NULL"})  # -> ignored by distinct
+    wh.append(
+        src,
+        spark.createDataFrame([(100, 0, 0), (101, 0, 0)], "id long, grp long, v long"),
+    )
+    s = run_incremental_distinct_view(wh, src, tgt, ["grp"], "v")
+    assert s["mode"] == "delta" and s["elems"]["mode"] == "delta"
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # quiet window: both levels net zero
+    s = run_incremental_distinct_view(wh, src, tgt, ["grp"], "v")
+    assert s["n_groups_upserted"] == 0 and s["elems"]["n_groups_upserted"] == 0
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_distinct_view_time_bucketed_and_crash_between_levels(
+    spark, tmp_path, monkeypatch
+):
+    """derived_keys compose (bucketed distinct counts), and a crash
+    BETWEEN the two levels converges on the next sync (level 2's
+    child window covers both)."""
+    from edna_dbt_library_spark.operators import materializations as m
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_distinct_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "tsrc")
+    tgt = wh.relation("av", "tdst")
+    rows = [(i, i % 2, 3600 * (i % 3) + i, i % 5) for i in range(30)]
+    wh.create_as(
+        src,
+        spark.createDataFrame(rows, "id long, grp long, sec long, v long")
+        .withColumn("ts", F.timestamp_seconds("sec"))
+        .drop("sec")
+        .coalesce(2),
+        TableMeta(),
+    )
+    dk = {"bucket": "unix_micros(ts) div 3600000000"}
+
+    def direct():
+        return (
+            wh.read(src)
+            .withColumn("bucket", F.expr(dk["bucket"]))
+            .groupBy("grp", "bucket")
+            .agg(F.count_distinct("v").alias("n_distinct"))
+        )
+
+    run_incremental_distinct_view(
+        wh, src, tgt, ["grp"], "v", derived_keys=dk
+    )
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # crash between levels: level 1 lands, level 2 never runs
+    wh.delete_where(src, "v = 2")
+    real = m.run_incremental_agg_view
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        out = real(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash between levels")
+        return out
+
+    monkeypatch.setattr(m, "run_incremental_agg_view", crashing)
+    with pytest.raises(RuntimeError, match="between levels"):
+        run_incremental_distinct_view(
+            wh, src, tgt, ["grp"], "v", derived_keys=dk
+        )
+    monkeypatch.setattr(m, "run_incremental_agg_view", real)
+    # next sync: level 1 sees a quiet window, level 2 catches up
+    s = run_incremental_distinct_view(
+        wh, src, tgt, ["grp"], "v", derived_keys=dk
+    )
+    assert s["elems"]["n_groups_upserted"] == 0  # l1 already landed
+    assert _rows(wh.read(tgt)) == _rows(direct())

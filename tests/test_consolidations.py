@@ -662,8 +662,8 @@ def test_graph_linkage_equals_granular_composition(spark):
 
 
 def test_incremental_view_state_equals_granular_composition(spark):
-    """r11 scored row == join_view_state ∪ agg_view_state (the two IVM
-    families, src-tagged)."""
+    """r11 scored row == join_view_state ∪ agg_view_state ∪
+    distinct_view_state (the IVM families, src-tagged)."""
     reg = qmod.all_queries()
     scored = reg["incremental_view_state"](spark, SF)
     jv = reg["join_view_state"](spark, SF).select(
@@ -684,10 +684,19 @@ def test_incremental_view_state_equals_granular_composition(spark):
         F.lit(0.0).cast("double").alias("value"),
         F.lit(0.0).cast("double").alias("value2"),
     )
-    composed = jv.unionAll(av)
+    dv = reg["distinct_view_state"](spark, SF).select(
+        F.lit("distinct_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("grp").alias("key"),
+        F.col("nd").cast("long").alias("cell"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    composed = jv.unionAll(av).unionAll(dv)
     assert _rows(scored) == _rows(composed.select(*scored.columns))
     assert {r[0] for r in _rows(scored.select("src").distinct())} == {
-        "join_view", "agg_view",
+        "join_view", "agg_view", "distinct_view",
     }
 
 

@@ -743,3 +743,70 @@ def test_time_bucketed_continuous_aggregate_mview(spark, wh):
             "FROM s__tsev GROUP BY grp"
         )
     assert view() == direct()  # definition survived
+
+
+def test_distinct_materialized_view_lifecycle(spark, wh):
+    """count(DISTINCT col) MV: exact distinct counts maintained under
+    DML through the two-level child composition; the child table and
+    the source watermark it pins retire with the view (DROP and
+    name-reuse both)."""
+    src = wh.relation("s", "dvsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i % 7) for i in range(30)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__dv AS "
+        "SELECT grp, count(DISTINCT v) AS nd FROM s__dvsrc GROUP BY grp"
+    )
+    mv = wh.relation("s", "dv")
+    child = wh.relation("s", "dv__elems")
+    assert wh.exists(child)
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(src)
+        .groupBy("grp")
+        .agg(F.count_distinct("v").alias("nd"))
+        .collect()
+    )
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "nd").collect()
+    )
+    assert view() == direct()
+
+    # one-of-many delete holds the count; last-of-value drops it;
+    # an update introduces a new value
+    wh.sql("DELETE FROM s__dvsrc WHERE id = 0")
+    wh.sql("DELETE FROM s__dvsrc WHERE v = 5")
+    wh.sql("UPDATE s__dvsrc SET v = 42 WHERE id = 4")
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__dv").first()
+    assert out["operation"] == "refresh_materialized_view"
+    assert view() == direct()
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__dv").first()["n_rows"] == 0
+
+    # mixing distinct with other aggregates raises, pre-shed
+    with pytest.raises(ValueError, match="stands alone"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__dv AS "
+            "SELECT grp, count(DISTINCT v) AS nd, count(*) AS n "
+            "FROM s__dvsrc GROUP BY grp"
+        )
+    assert view() == direct()  # survived
+
+    # DROP retires the child and the source's child-named watermark
+    child_tid = child.table_id
+    assert any(
+        (s.get("note") or "").startswith(f"aggview:{child_tid}")
+        for s in wh.list_snapshots(src)
+    )
+    wh.sql("DROP TABLE s__dv")
+    assert not wh.exists(child)
+    assert not any(
+        (s.get("note") or "").startswith(f"aggview:{child_tid}")
+        for s in wh.list_snapshots(src)
+    )
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__dv")
