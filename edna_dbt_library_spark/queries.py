@@ -7362,6 +7362,87 @@ def agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_TIMESERIES_VIEW_ORACLE = """
+WITH s0 AS (
+    SELECT o_orderkey AS okey, o_orderpriority AS grp,
+           o_orderdate::TIMESTAMP AS ts,
+           o_orderkey % 97 + o_custkey % 13 AS units
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), s1 AS (
+    SELECT okey, grp,
+           CASE WHEN okey % 7 = 0 THEN ts + INTERVAL 36 HOUR ELSE ts END AS ts,
+           CASE WHEN okey % 11 = 0 THEN units + 1 ELSE units END AS units
+    FROM s0
+), s2 AS (
+    SELECT * FROM s1 WHERE NOT okey % 9 = 0
+)
+SELECT grp, epoch_us(ts) // 86400000000 AS bucket,
+       sum(units)::BIGINT AS total, count(*) AS n
+FROM s2 GROUP BY grp, bucket
+"""
+
+
+@_register("timeseries_view_state", _TIMESERIES_VIEW_ORACLE)
+def timeseries_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-driven continuous aggregate gate
+    (operators/materializations.run_incremental_timeseries_view — the
+    agg view with the exact-integer time bucket as a derived group
+    key): a DAY-bucketed SUM/COUNT view over scratch orders, one
+    multi-DML window including a TIMESTAMP-MOVING update (+36h crosses
+    the day-bucket boundary, so the old bucket must retract and the
+    new one land), a measure update, a key delete and an append, then
+    ONE delta sync — the view's final state must equal DuckDB's direct
+    bucketed aggregation of the derived source
+    (epoch_us // bucket, the engine's own div idiom). Extra-registry
+    twin of the scored agg_view arm; the operator is identical, the
+    derived-key path is what this row pins."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_timeseries_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        (F.col("o_orderkey") % 97 + F.col("o_custkey") % 13)
+        .cast("long")
+        .alias("units"),
+    )
+    aggs = {"total": ("sum", "units"), "n": ("count", "*")}
+    day_us = 86_400_000_000
+    root = tempfile.mkdtemp(prefix="edna_tsview_")
+    try:
+        wh = Warehouse(spark, root)
+        src = wh.relation("scratch", "tv_orders")
+        tgt = wh.relation("scratch", "tv_view")
+        wh.create_as(src, o.where("okey % 2 = 0"), TableMeta())
+        s1 = run_incremental_timeseries_view(
+            wh, src, tgt, ["grp"], "ts", aggs, bucket_us=day_us
+        )
+        assert s1["mode"] == "full", s1
+        wh.append(src, o.where("okey % 4 = 1"))
+        wh.update_where(src, "okey % 7 = 0", {"ts": "ts + INTERVAL 36 HOURS"})
+        wh.update_where(src, "okey % 11 = 0", {"units": "units + 1"})
+        wh.delete_where(src, "okey % 9 = 0")
+        s2 = run_incremental_timeseries_view(
+            wh, src, tgt, ["grp"], "ts", aggs, bucket_us=day_us
+        )
+        assert s2["mode"] == "delta", s2
+        assert s2["n_groups_upserted"] > 0, s2
+        res = (
+            wh.read(tgt)
+            .select("grp", "bucket", "total", "n")
+            .localCheckpoint(eager=True)
+        )
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _DISTINCT_VIEW_ORACLE = """
 WITH s0 AS (
     SELECT o_orderkey AS okey, o_orderpriority AS grp,

@@ -200,11 +200,28 @@ def test_agg_view_fuzz_matches_direct_aggregation(
     """Any interleaving of inserts/updates/deletes, chopped into any
     window boundaries, must leave the maintained view equal to the
     direct aggregation after every sync — the retraction algebra has no
-    op-order or window-shape dependence."""
+    op-order or window-shape dependence. The maintained view carries a
+    DERIVED key (band = id div 7) and a sigma the fuzz's amt updates
+    cross in both directions (amt % 3 != 1), so the derived-key and
+    symmetric-feed-filter paths are fuzzed at the same cost."""
+    kw = dict(derived_keys={"band": "id div 7"}, where="amt % 3 != 1")
     wh = Warehouse(spark, str(tmp_path_factory.mktemp("avfuzz")))
     src = _mk_source(spark, wh, [(i, i % 4, i) for i in range(20)])
     t = wh.relation("av", "v")
-    run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
+    run_incremental_agg_view(wh, src, t, ["grp"], AGGS, **kw)
+
+    def direct():
+        return (
+            wh.read(src)
+            .withColumn("band", F.expr("id div 7"))
+            .where("amt % 3 != 1")
+            .groupBy("grp", "band")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+
     next_id = 1000
     for ops in windows:
         for op, arg in ops:
@@ -220,8 +237,8 @@ def test_agg_view_fuzz_matches_direct_aggregation(
                 wh.delete_where(src, f"id % 5 = {arg}")
             elif op == "upd":
                 wh.update_where(src, f"id % 5 = {arg}", {"amt": F.col("amt") + 1})
-        run_incremental_agg_view(wh, src, t, ["grp"], AGGS)
-        assert _rows(wh.read(t)) == _rows(_direct(wh, src))
+        run_incremental_agg_view(wh, src, t, ["grp"], AGGS, **kw)
+        assert _rows(wh.read(t)) == _rows(direct())
 
 
 def test_stream_agg_view_drain_equals_direct(spark, tmp_path):
