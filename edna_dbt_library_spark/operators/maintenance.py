@@ -28,6 +28,11 @@ the cheap-write half of a write-optimized/read-optimized trade:
   `crashed_txn_age_s` are dead by the same inactivity rule streaming
   consumers use (`_settle_pending`) — marker mtimes refresh at every
   staging step, so age measures idle time (sources/warehouse.py).
+* **stale materialized views** (`_edna_mviews` registry): a view whose
+  source took DML past its promoted watermark serves the OLD state
+  until someone issues REFRESH; freshness is a pure metadata diff —
+  the watermark snapshot's manifest (files + delete_files) against
+  the source's current listing (sources/sql_dml.py).
 
 This module is the policy layer: `maintenance_plan` inspects
 ONLY file listings/sizes (os.stat over sidecar + data dirs — no Spark
@@ -183,6 +188,84 @@ def _stale_txn_markers(wh, rel, age_s: float) -> list[tuple[str, float]]:
     return out
 
 
+def _mview_defs(wh, schema: str) -> list[tuple[str, dict]]:
+    """(view name, definition) pairs from the schema's `_edna_mviews`
+    registry — one listdir + one small JSON read per view."""
+    import json
+
+    d = os.path.join(wh.root, schema, "_edna_mviews")
+    out = []
+    try:
+        names = sorted(os.listdir(d))
+    except FileNotFoundError:
+        return out
+    for fn in names:
+        if not fn.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, fn)) as f:
+                out.append((fn[:-5], json.load(f)))
+        except (OSError, ValueError):
+            continue  # mid-write / swept underfoot: next plan sees it
+    return out
+
+
+def _source_moved(wh, src_rel, note: str) -> bool:
+    """Has the source table changed since the view's promoted watermark
+    snapshot? Pure metadata: the manifest's (files, delete_files)
+    against the current listing — data files never rewrite in place,
+    so ANY difference (append, delete-sidecar growth, fold) means a
+    REFRESH has a non-empty window. No promoted watermark at all (a
+    hard-crashed first sync) also reads as due."""
+    try:
+        snaps = wh.list_snapshots(src_rel)
+    except OSError:
+        return True
+    prior = [s for s in snaps if s.get("note") == note]
+    if not prior:
+        return True
+    _, m = wh._snapshot_manifest(src_rel, prior[-1]["version"])
+    if sorted(wh._live_data_files(src_rel)) != sorted(m.get("files", [])):
+        return True
+    cur_dels = sorted(os.path.basename(p) for p in wh._delete_files(src_rel))
+    return cur_dels != sorted(m.get("delete_files", []))
+
+
+def _mview_freshness_actions(wh, schema: str) -> list[dict]:
+    out: list[dict] = []
+    for name, defn in _mview_defs(wh, schema):
+        rel = wh.relation(schema, name)
+        tid = rel.table_id
+        kind = defn.get("kind", "join")
+        if kind == "join":
+            checks = [
+                (wh.relation(*defn["left"]), f"joinview:{tid}:l", "left"),
+                (wh.relation(*defn["right"]), f"joinview:{tid}:r", "right"),
+            ]
+        elif kind == "distinct":
+            child_tid = wh.relation(*defn["child"]).table_id
+            checks = [
+                (wh.relation(*defn["source"]), f"aggview:{child_tid}", "source")
+            ]
+        else:
+            checks = [(wh.relation(*defn["source"]), f"aggview:{tid}", "source")]
+        moved = [
+            side for src, note, side in checks if _source_moved(wh, src, note)
+        ]
+        if moved:
+            out.append(
+                {
+                    "action": "refresh_materialized_view",
+                    "target": f"{schema}.{name}",
+                    "reason": f"{'/'.join(moved)} source file listing "
+                    "moved past the promoted watermark — the view "
+                    "serves stale state until a REFRESH syncs the window",
+                    "kind": kind,
+                }
+            )
+    return out
+
+
 def _index_delta_action(wh, index, kind: str, policy: MaintenancePolicy):
     delta_rel = wh.relation(index.schema, index.identifier + "_delta")
     if not wh.exists(delta_rel) or not wh._has_data_files(delta_rel):
@@ -209,11 +292,19 @@ def maintenance_plan(
     ivfpq_indexes=(),
     agg_stores=(),
     policy: MaintenancePolicy | None = None,
+    mview_schemas=(),
 ) -> list[dict[str, Any]]:
     """Inspect the targets' metadata and return the due actions —
     dicts with ``action`` / ``target`` / ``reason`` plus the metrics
     that tripped the threshold (so operators can see WHY). Pure
-    planning: nothing is executed, no Spark job runs."""
+    planning: nothing is executed, no Spark job runs.
+
+    ``mview_schemas`` names schemas whose `_edna_mviews` registries are
+    swept for STALE views (sources moved past the promoted watermark —
+    a manifest-vs-listing diff per source); due views plan a
+    ``refresh_materialized_view`` action. The freshness check is
+    deliberately binary, not thresholded: a REFRESH of a quiet window
+    is near-free, while a stale view serves wrong answers."""
     policy = policy or MaintenancePolicy()
     plan: list[dict[str, Any]] = []
     # generators are legal inputs but must survive two passes
@@ -221,6 +312,9 @@ def maintenance_plan(
     # table's file listing is walked ONCE, not once per threshold
     tables, agg_stores = list(tables), list(agg_stores)
     bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
+
+    for schema in mview_schemas:
+        plan.extend(_mview_freshness_actions(wh, schema))
 
     for rel in tables:
         stale_tx = _stale_txn_markers(wh, rel, policy.crashed_txn_age_s)
@@ -345,6 +439,7 @@ def run_maintenance(
     ivfpq_indexes=(),
     agg_stores=(),
     policy: MaintenancePolicy | None = None,
+    mview_schemas=(),
 ) -> list[dict[str, Any]]:
     """Plan, then execute each due action; returns the plan with an
     ``executed`` flag per entry. Idempotent at the policy level: after
@@ -356,8 +451,10 @@ def run_maintenance(
     # empty and a KeyError mid-execution after some actions already ran
     tables, agg_stores = list(tables), list(agg_stores)
     bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
+    mview_schemas = list(mview_schemas)
     plan = maintenance_plan(
-        wh, tables, bm25_indexes, ivfpq_indexes, agg_stores, policy
+        wh, tables, bm25_indexes, ivfpq_indexes, agg_stores, policy,
+        mview_schemas=mview_schemas,
     )
     rels = {f"{r.schema}.{r.identifier}": r for r in tables}
     idxs = {
@@ -372,6 +469,13 @@ def run_maintenance(
             # active again between plan and run stays untouched
             wh.vacuum(
                 rels[act["target"]], older_than_s=policy.crashed_txn_age_s
+            )
+        elif kind == "refresh_materialized_view":
+            from edna_dbt_library_spark.sources.sql_dml import _refresh_mview
+
+            schema, name = act["target"].split(".", 1)
+            _refresh_mview(
+                wh, {}, f"REFRESH MATERIALIZED VIEW {schema}__{name}"
             )
         elif kind == "refresh_bm25_stats":
             from edna_dbt_library_spark.operators.retrieval import (

@@ -911,3 +911,44 @@ def stream_agg_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_distinct_view(
+    wh,
+    source,
+    target,
+    keys: list[str],
+    col: str,
+    checkpoint_path: str,
+    out: str = "n_distinct",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+):
+    """Continuous exact COUNT(DISTINCT) maintenance: the streaming
+    wrapper around ``run_incremental_distinct_view`` — one composed
+    two-level sync per file-feed micro-batch (same trigger discipline
+    as ``stream_agg_view``: batch rows ignored, windows re-derived from
+    the watermark snapshots, so at-least-once redelivery converges; a
+    crash BETWEEN the levels heals on the next trigger because level
+    2's child window covers both). Not concurrent-safe with another
+    maintainer of the same target or its ``<target>__elems`` child."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_distinct_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_distinct_view(
+            wh, source, target, keys, col, out=out,
+            where=where, derived_keys=derived_keys,
+        )
+
+    writer = (
+        stream_table(wh, source, max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

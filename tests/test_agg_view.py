@@ -521,3 +521,40 @@ def test_distinct_view_time_bucketed_and_crash_between_levels(
     )
     assert s["elems"]["n_groups_upserted"] == 0  # l1 already landed
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_stream_distinct_view_drain_equals_direct(spark, tmp_path):
+    """A full drain of the streaming distinct-view wrapper leaves the
+    view equal to the direct count(DISTINCT); a re-drain with nothing
+    new is a no-op."""
+    from edna_dbt_library_spark.streaming import stream_distinct_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "sdsrc")
+    tgt = wh.relation("av", "sddst")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i % 6) for i in range(24)], "id long, grp long, v long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    q = stream_distinct_view(wh, src, tgt, ["grp"], "v", str(tmp_path / "cp"))
+    q.awaitTermination()
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(F.count_distinct("v").alias("n_distinct"))
+        )
+
+    assert _rows(wh.read(tgt)) == _rows(direct())
+    # DML between drains: deletes retract, new values land
+    wh.delete_where(src, "v = 5")
+    wh.append(
+        src, spark.createDataFrame([(100, 0, 77)], "id long, grp long, v long")
+    )
+    q = stream_distinct_view(wh, src, tgt, ["grp"], "v", str(tmp_path / "cp"))
+    q.awaitTermination()
+    assert _rows(wh.read(tgt)) == _rows(direct())

@@ -373,3 +373,83 @@ def test_vacuum_age_gate_spares_reactivated_marker(spark, tmp_path):
     v = wh.vacuum(rel)  # manual call: caller vouches, sweeps all
     assert v["txns_swept"] == 1
     assert wh._pending_txids(rel) == []
+
+
+def test_mview_freshness_policy(spark, tmp_path):
+    """Stale materialized views are a planned debt class: sources that
+    moved past the promoted watermark (appends, sidecar-only deletes,
+    updates) trip a refresh_materialized_view action from a pure
+    manifest-vs-listing diff; fresh views plan nothing; the executed
+    refresh restores direct-derivation equality and the re-plan is
+    empty."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("s", "mvl")
+    r = wh.relation("s", "mvr")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, 10 * i) for i in range(12)], "l_id long, grp long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(5)], "r_id long, grp long, rv long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__mv UNIQUE KEYS (l_id, r_id) "
+        "AS SELECT * FROM s__mvl JOIN s__mvr USING (grp)"
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__agv AS SELECT grp, sum(lv) AS t, "
+        "count(*) AS n FROM s__mvl GROUP BY grp"
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []  # fresh
+
+    # a sidecar-only DELETE must read as movement (data files unchanged)
+    wh.sql("DELETE FROM s__mvr WHERE r_id = 101")
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["action"], p["target"]) for p in plan] == [
+        ("refresh_materialized_view", "s.mv")
+    ]
+    assert plan[0]["kind"] == "join" and "right" in plan[0]["reason"]
+
+    # an append on the shared left side trips BOTH views
+    wh.append(
+        l, spark.createDataFrame([(50, 1, 500)], "l_id long, grp long, lv long")
+    )
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert sorted(p["target"] for p in plan) == ["s.agv", "s.mv"]
+    # planning is pure: the join view still serves the stale state
+    assert wh.read(wh.relation("s", "mv")).where("l_id = 50").count() == 0
+
+    report = run_maintenance(wh, mview_schemas=["s"])
+    assert all(p.get("executed") for p in report)
+    direct = (
+        wh.read(l).join(wh.read(r), "grp").select("grp", "l_id", "r_id", "lv", "rv")
+    )
+    got = wh.read(wh.relation("s", "mv")).select("grp", "l_id", "r_id", "lv", "rv")
+    assert _rows(got) == _rows(direct)
+    agg = wh.read(wh.relation("s", "agv")).select("grp", "t", "n")
+    dagg = wh.read(l).groupBy("grp").agg(
+        F.sum("lv").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    assert _rows(agg) == _rows(dagg)
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+    # the distinct kind's freshness rides its level-1 (child) watermark
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__dv AS "
+        "SELECT grp, count(DISTINCT lv) AS nd FROM s__mvl GROUP BY grp"
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+    wh.sql("UPDATE s__mvl SET lv = 7 WHERE l_id = 2")
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert sorted(p["target"] for p in plan) == ["s.agv", "s.dv", "s.mv"]
+    run_maintenance(wh, mview_schemas=["s"])
+    ddv = wh.read(l).groupBy("grp").agg(F.count_distinct("lv").alias("nd"))
+    assert _rows(wh.read(wh.relation("s", "dv")).select("grp", "nd")) == _rows(ddv)
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
