@@ -1281,6 +1281,162 @@ def run_incremental_agg_view(
     return stats
 
 
+def run_incremental_extrema_view(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+) -> dict:
+    """Maintain ``target = SELECT keys, min/max(col)... FROM source
+    GROUP BY keys`` under FULL DML — the NON-retractable aggregates the
+    agg view refuses (deleting the current extremum needs the group's
+    remaining history, which no ± algebra carries). Design: TOUCHED-
+    GROUP RECOMPUTE — the classic scoped-recompute IVM for
+    non-invertible aggregates:
+
+    1. Touched groups = the distinct keys of both window feeds (insert
+       feed RAW + delete feed, each through the same derived-key
+       projection and σ as the view — an update moving a row across
+       the predicate touches its group from whichever side admits it).
+    2. Re-aggregate ONLY those groups from the CURRENT source (the
+       key-literal scan prune bounds the rescan; fail-open to a full
+       scan for wide touched sets).
+    3. ONE atomic ``upsert_matching`` keyed on the group: recomputed
+       rows replace, and a touched group with zero surviving σ-rows is
+       simply absent from the recompute — the delete mask retracts it.
+
+    The apply is a keyed REPLACE (idempotent), so replays converge
+    with no base-snapshot anchor (unlike the agg view's increments) —
+    a crashed window's partial landings are re-replaced wholesale.
+    In-window maintenance folds still rebaseline (recompute ALL
+    groups): a fold can swallow a delete's changelog evidence, hiding
+    a touched group, so the manifest check from the agg view applies
+    unchanged.
+
+    ``aggs`` maps output -> ("min"|"max", col); any column type with a
+    total order works (no numeric/NULL constraints — SQL min/max skip
+    NULLs and an all-NULL group yields NULL, both reproduced by the
+    recompute). For SUM/COUNT keep ``run_incremental_agg_view`` (its
+    delta never rescans the source); a consumer wanting both joins the
+    two views on the keys.
+
+    Scale shape: sync cost = O(window + touched groups' source rows).
+    The rescan term is the price of non-invertibility — bounded by the
+    touched groups' fan-in, pruned by the key-literal IN when the
+    touched set collects under the cap, never the whole source on a
+    quiet-ish window.
+
+    Returns {"mode": "full"|"delta"|"rebaseline", "n_groups_upserted",
+    "n_groups_retracted", "agg_watermark"}."""
+    keys = list(keys)
+    derived_keys = dict(derived_keys or {})
+    for name, (fn, col) in aggs.items():
+        if fn not in ("min", "max"):
+            raise ValueError(
+                f"extrema view: unsupported aggregate {fn!r} for "
+                f"{name!r} — this operator maintains min/max only "
+                "(sum/count are exactly retractable and belong in "
+                "run_incremental_agg_view)"
+            )
+        if name in keys or name in derived_keys:
+            raise ValueError(f"extrema view: output {name!r} collides with a key")
+    note = f"extview:{target.table_id}"
+    last_v, prior, new_v = _watermark_begin(wh, source, note)
+    if not wh.exists(target):
+        last_v = None
+    mode = "full" if last_v is None else "delta"
+
+    def _view(df: DataFrame) -> DataFrame:
+        if derived_keys:
+            df = df.withColumns(
+                {n: F.expr(e) for n, e in derived_keys.items()}
+            )
+        if where is not None:
+            df = df.where(where)
+        return df
+
+    all_keys = keys + list(derived_keys)
+    exprs = [
+        (F.min(col) if fn == "min" else F.max(col)).alias(name)
+        for name, (fn, col) in aggs.items()
+    ]
+    try:
+        clash = [
+            n
+            for n in derived_keys
+            if n in wh.read_version(source, new_v).schema.names or n in keys
+        ]
+        if clash:
+            raise ValueError(
+                f"extrema view: derived key name(s) {clash} collide "
+                "with a source column or a plain key"
+            )
+        if last_v is not None:
+            _, m_since = wh._snapshot_manifest(source, last_v)
+            _, m_to = wh._snapshot_manifest(source, new_v)
+            if set(m_since["files"]) - set(m_to["files"]):
+                last_v, mode = None, "rebaseline"
+        cur = _view(wh.read_version(source, new_v))
+        if last_v is None:
+            _check_key_nulls(cur, all_keys, "the source")
+            full = cur.groupBy(*all_keys).agg(*exprs)
+            if wh.exists(target):
+                wh.drop(target)
+            wh.create_as(target, full, TableMeta())
+            stats = {
+                "mode": mode,
+                "n_groups_upserted": wh.read(target).count(),
+                "n_groups_retracted": 0,
+            }
+        else:
+            ins = _view(wh.read_changes(source, last_v, to_version=new_v))
+            dels = _view(
+                wh.read_deleted_rows(source, last_v, to_version=new_v)
+            )
+            touched = (
+                ins.select(*all_keys)
+                .unionByName(dels.select(*all_keys))
+                .dropDuplicates(all_keys)
+                .localCheckpoint(eager=True)
+            )
+            _check_key_nulls(touched, all_keys, "the window's changelog")
+            n_touched = touched.count()
+            if not n_touched:
+                stats = {
+                    "mode": "delta",
+                    "n_groups_upserted": 0,
+                    "n_groups_retracted": 0,
+                }
+            else:
+                pruned = _key_literal_filter(cur, touched, all_keys)
+                recomputed = (
+                    pruned.join(touched, all_keys, "left_semi")
+                    .groupBy(*all_keys)
+                    .agg(*exprs)
+                    .localCheckpoint(eager=True)
+                )
+                r = wh.upsert_matching(
+                    target, recomputed, all_keys, delete_keys_df=touched
+                )
+                n_up = int(r.get("n_upserted", 0))
+                stats = {
+                    "mode": "delta",
+                    "n_groups_upserted": n_up,
+                    "n_groups_retracted": n_touched - n_up,
+                }
+    except Exception:
+        wh.drop_snapshot(source, new_v)
+        raise
+    wh.set_snapshot_note(source, new_v, note)
+    for s in prior:
+        wh.drop_snapshot(source, s["version"])
+    stats["agg_watermark"] = new_v
+    return stats
+
+
 def run_incremental_distinct_view(
     wh: Warehouse,
     source: Relation,

@@ -7362,6 +7362,70 @@ def agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_EXTREMA_VIEW_ORACLE = """
+WITH s0 AS (
+    SELECT o_orderkey AS okey, o_orderpriority AS grp,
+           o_orderkey % 1000 AS v
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), s1 AS (
+    SELECT okey, grp,
+           CASE WHEN okey % 7 = 0 THEN v + 5000 ELSE v END AS v
+    FROM s0
+), s2 AS (
+    SELECT * FROM s1 WHERE NOT okey % 9 = 0
+)
+SELECT grp, min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
+FROM s2 GROUP BY grp
+"""
+
+
+@_register("extrema_view_state", _EXTREMA_VIEW_ORACLE)
+def extrema_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view IVM gate (operators/materializations.
+    run_incremental_extrema_view — touched-group recompute, the scoped
+    rescan design for non-retractable aggregates): full materialize,
+    then a window whose deletes kill current extrema (okey%9=0 removes
+    max-bumped okey%63 rows) and whose update creates new ones
+    (v+5000 on okey%7=0), then ONE delta sync — final state must equal
+    DuckDB's direct min/max over the derived source. A recompute that
+    misses a touched group (stale extremum) or rescans a group wrong
+    hash-mismatches on its row. Extra-registry; same scratch-warehouse
+    discipline as agg_view_state."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_extrema_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 1000).alias("v"),
+    )
+    aggs = {"lo": ("min", "v"), "hi": ("max", "v")}
+    root = tempfile.mkdtemp(prefix="edna_extview_")
+    try:
+        wh = Warehouse(spark, root)
+        src = wh.relation("scratch", "xv_orders")
+        tgt = wh.relation("scratch", "xv_view")
+        wh.create_as(src, o.where("okey % 2 = 0"), TableMeta())
+        s1 = run_incremental_extrema_view(wh, src, tgt, ["grp"], aggs)
+        assert s1["mode"] == "full", s1
+        wh.append(src, o.where("okey % 4 = 1"))
+        wh.update_where(src, "okey % 7 = 0", {"v": "v + 5000"})
+        wh.delete_where(src, "okey % 9 = 0")
+        s2 = run_incremental_extrema_view(wh, src, tgt, ["grp"], aggs)
+        assert s2["mode"] == "delta", s2
+        assert s2["n_groups_upserted"] > 0, s2
+        return wh.read(tgt).select("grp", "lo", "hi").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _TIMESERIES_VIEW_ORACLE = """
 WITH s0 AS (
     SELECT o_orderkey AS okey, o_orderpriority AS grp,

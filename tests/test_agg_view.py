@@ -558,3 +558,114 @@ def test_stream_distinct_view_drain_equals_direct(spark, tmp_path):
     q = stream_distinct_view(wh, src, tgt, ["grp"], "v", str(tmp_path / "cp"))
     q.awaitTermination()
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_extrema_view_through_dml_windows(spark, tmp_path):
+    """min/max views via touched-group recompute: deleting the current
+    extremum must surface the runner-up (the case no retraction algebra
+    can serve), untouched groups are never rescanned wrong, drained
+    groups retract, and the maintained state equals the direct min/max
+    after every window."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_extrema_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 3, 10 * i) for i in range(15)], "xsrc")
+    tgt = wh.relation("av", "xv")
+    XAGGS = {"lo": ("min", "amt"), "hi": ("max", "amt")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(F.min("amt").alias("lo"), F.max("amt").alias("hi"))
+        )
+
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s["mode"] == "full"
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # delete group 0's CURRENT max (id=12, amt=120): the runner-up must
+    # surface; bump group 1's max via update; drain group 2 entirely
+    wh.delete_where(src, "id = 12")
+    wh.update_where(src, "id = 13", {"amt": "amt + 1000"})
+    wh.delete_where(src, "grp = 2")
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s["mode"] == "delta"
+    assert s["n_groups_retracted"] == 1  # grp 2
+    assert _rows(wh.read(tgt)) == _rows(direct())
+    assert wh.read(tgt).where("grp = 0 AND hi = 90").count() == 1
+    assert wh.read(tgt).where("grp = 2").count() == 0
+
+    # quiet window
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s["n_groups_upserted"] == 0 and s["n_groups_retracted"] == 0
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # in-window fold swallows changelog evidence -> rebaseline
+    wh.delete_where(src, "id % 4 = 0")
+    wh.apply_deletes(src)
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s["mode"] == "rebaseline"
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # guards: sum/count belong in the agg view
+    with pytest.raises(ValueError, match="min/max only"):
+        run_incremental_extrema_view(
+            wh, src, tgt, ["grp"], {"t": ("sum", "amt")}
+        )
+
+
+def test_extrema_view_sigma_and_derived_keys(spark, tmp_path, monkeypatch):
+    """Boundary-crossing updates touch the group from whichever feed
+    admits them; derived keys bucket the extrema; crash-before-promote
+    replays converge (the apply is a keyed replace)."""
+    from edna_dbt_library_spark.operators import materializations as m
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_extrema_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 2, i) for i in range(20)], "ysrc")
+    tgt = wh.relation("av", "yv")
+    kw = dict(
+        derived_keys={"band": "id div 5"},
+        where="amt % 4 != 1",
+    )
+    XAGGS = {"hi": ("max", "amt")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .withColumn("band", F.expr("id div 5"))
+            .where("amt % 4 != 1")
+            .groupBy("grp", "band")
+            .agg(F.max("amt").alias("hi"))
+        )
+
+    run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS, **kw)
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # the group max moves OUT of sigma (amt 19 -> 21, 21%4=1): the
+    # runner-up inside sigma must surface
+    wh.update_where(src, "id = 19", {"amt": "21"})
+    wh.delete_where(src, "id >= 15 AND id < 18")
+    run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS, **kw)
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # crash before the watermark promotes: replay re-replaces
+    wh.append(
+        src, spark.createDataFrame([(100, 0, 400)], "id long, grp long, amt long")
+    )
+    real = m.Warehouse.set_snapshot_note
+
+    def boom(self, rel, version, note):
+        raise RuntimeError("crash before promote")
+
+    monkeypatch.setattr(m.Warehouse, "set_snapshot_note", boom)
+    with pytest.raises(RuntimeError):
+        run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS, **kw)
+    monkeypatch.setattr(m.Warehouse, "set_snapshot_note", real)
+    run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS, **kw)
+    assert _rows(wh.read(tgt)) == _rows(direct())
