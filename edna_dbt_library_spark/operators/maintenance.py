@@ -243,10 +243,23 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
                 (wh.relation(*defn["right"]), f"joinview:{tid}:r", "right"),
             ]
         elif kind == "distinct":
-            child_tid = wh.relation(*defn["child"]).table_id
+            # BOTH levels: source vs level-1 watermark (on the child),
+            # AND child vs level-2 watermark (on the target) — a crash
+            # between the levels leaves level 1 promoted and the child
+            # moved past level 2, with the SOURCE reading fresh; without
+            # the child edge the view would serve stale counts
+            # indefinitely on a quiet source (r11 verdict wrong #1)
+            child_rel = wh.relation(*defn["child"])
             checks = [
-                (wh.relation(*defn["source"]), f"aggview:{child_tid}", "source")
+                (
+                    wh.relation(*defn["source"]),
+                    f"aggview:{child_rel.table_id}",
+                    "source",
+                ),
+                (child_rel, f"aggview:{tid}", "child"),
             ]
+        elif kind == "extrema":
+            checks = [(wh.relation(*defn["source"]), f"extview:{tid}", "source")]
         else:
             checks = [(wh.relation(*defn["source"]), f"aggview:{tid}", "source")]
         moved = [
@@ -257,6 +270,11 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
                 {
                     "action": "refresh_materialized_view",
                     "target": f"{schema}.{name}",
+                    # exact pair for the runner: the joined target
+                    # string is ambiguous when the schema itself
+                    # contains '.'/'__' (nothing forbids either)
+                    "schema": schema,
+                    "name": name,
                     "reason": f"{'/'.join(moved)} source file listing "
                     "moved past the promoted watermark — the view "
                     "serves stale state until a REFRESH syncs the window",
@@ -471,12 +489,11 @@ def run_maintenance(
                 rels[act["target"]], older_than_s=policy.crashed_txn_age_s
             )
         elif kind == "refresh_materialized_view":
-            from edna_dbt_library_spark.sources.sql_dml import _refresh_mview
-
-            schema, name = act["target"].split(".", 1)
-            _refresh_mview(
-                wh, {}, f"REFRESH MATERIALIZED VIEW {schema}__{name}"
+            from edna_dbt_library_spark.sources.sql_dml import (
+                _refresh_mview_rel,
             )
+
+            _refresh_mview_rel(wh, wh.relation(act["schema"], act["name"]))
         elif kind == "refresh_bm25_stats":
             from edna_dbt_library_spark.operators.retrieval import (
                 refresh_bm25_stats,

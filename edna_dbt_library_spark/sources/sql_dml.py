@@ -728,15 +728,29 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
         )
 
         child = wh.relation(rel.schema, rel.identifier + "__elems")
+        # collision check BEFORE shedding: OR REPLACE over an existing
+        # view must never destroy it and THEN raise on an unrelated
+        # table occupying the child name (ADVICE r11) — the child slot
+        # is fine only when the PRIOR definition is a distinct view
+        # that owns it (shed retires it along with the view)
+        if wh.exists(child):
+            try:
+                with open(_mview_def_path(wh, rel)) as f:
+                    prior_defn = json.load(f)
+            except (OSError, ValueError):
+                prior_defn = {}
+            owns = prior_defn.get("kind") == "distinct" and prior_defn.get(
+                "child"
+            ) == [child.schema, child.identifier]
+            if not owns:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: {child.table_id} exists "
+                    "— the distinct view needs that name for its element "
+                    "child table"
+                )
         _shed_mview(wh, rel)
         if wh.exists(rel):
             wh.drop(rel)
-        if wh.exists(child):
-            raise ValueError(
-                f"SQL CREATE MATERIALIZED VIEW: {child.table_id} exists "
-                "— the distinct view needs that name for its element "
-                "child table"
-            )
         stats = run_incremental_distinct_view(
             wh, src, rel, plain_keys, dcol, out=out, where=where,
             derived_keys=derived or None,
@@ -954,7 +968,15 @@ def _refresh_mview(wh, tables, query: str) -> DataFrame:
     )
     if not m:
         raise ValueError(f"SQL REFRESH: cannot parse {query!r}")
-    rel = _rel_for_name(wh, tables, m.group(1))
+    return _refresh_mview_rel(wh, _rel_for_name(wh, tables, m.group(1)))
+
+
+def _refresh_mview_rel(wh, rel) -> DataFrame:
+    """The REFRESH body on an already-resolved relation — the
+    maintenance runner calls this directly with the exact (schema,
+    name) pair its plan carried, never re-parsing a reconstructed
+    statement string (whose `<schema>__<name>` form is ambiguous when
+    the schema itself contains '__' — ADVICE r11)."""
     path = _mview_def_path(wh, rel)
     try:
         with open(path) as f:

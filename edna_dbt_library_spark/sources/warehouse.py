@@ -1609,12 +1609,15 @@ class Warehouse:
         "delete_entries_pruned", "txns_swept"}.
 
         ``older_than_s`` restricts the txn sweep (and the staging-dir
-        removal) to artifacts whose marker/dir mtime is at least that
-        old — the auto-maintenance policy's safety margin: marker
-        mtimes are refreshed at every staging step (:meth:`_touch_txn`),
-        so age measures INACTIVITY and an in-flight statement or an
-        active Spark write task can never be swept out from under a
-        live writer. None (the default) keeps the manual-call contract:
+        removal) to artifacts idle at least that long — the
+        auto-maintenance policy's safety margin: marker mtimes are
+        refreshed at every staging step (:meth:`_touch_txn`), and a
+        staging dir's age is its NEWEST tree mtime (tasks write into
+        nested attempt dirs without touching the root, so the root's
+        own mtime would read a live long write as idle), so age
+        measures INACTIVITY and an in-flight statement or an active
+        Spark write task can never be swept out from under a live
+        writer. None (the default) keeps the manual-call contract:
         sweep everything, the caller vouches there is no live writer."""
         base = self.path(rel)
 
@@ -1625,6 +1628,21 @@ class Warehouse:
                 return (time.time() - os.path.getmtime(path)) >= older_than_s
             except OSError:
                 return False  # vanished underfoot: not ours to sweep
+
+        def _tree_old_enough(path: str) -> bool:
+            # a LIVE Spark write refreshes mtimes deep inside nested
+            # task-attempt dirs while the staging root's own mtime stays
+            # at write start — gate on the NEWEST mtime found anywhere
+            # under the dir, or a long write would be rmtree'd mid-task
+            if older_than_s is None:
+                return True
+            if not _old_enough(path):
+                return False
+            for dirpath, dns, fns in os.walk(path):
+                for entry in dns + fns:
+                    if not _old_enough(os.path.join(dirpath, entry)):
+                        return False
+            return True
         txns = 0
         for txid in self._pending_txids(rel):
             marker = os.path.join(self._pending_dir(rel), f"{txid}.json")
@@ -1640,7 +1658,7 @@ class Warehouse:
             for d in list(dirs):
                 if d == "_temporary" or d.startswith(".spark-staging"):
                     full = os.path.join(dirpath, d)
-                    if _old_enough(full):
+                    if _tree_old_enough(full):
                         shutil.rmtree(full, ignore_errors=True)
                         staging += 1
                     dirs.remove(d)

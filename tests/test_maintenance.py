@@ -453,3 +453,115 @@ def test_mview_freshness_policy(spark, tmp_path):
     ddv = wh.read(l).groupBy("grp").agg(F.count_distinct("lv").alias("nd"))
     assert _rows(wh.read(wh.relation("s", "dv")).select("grp", "nd")) == _rows(ddv)
     assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+
+def test_mview_freshness_sees_crash_between_distinct_levels(spark, tmp_path):
+    """The distinct view's LEVEL-2 staleness is a planned debt: after a
+    crash between the two levels (level 1 landed and promoted, level 2
+    never ran) on a then-quiet source, the source-vs-level-1 diff is
+    clean but the CHILD moved past the level-2 watermark — the sweep
+    must still plan a refresh and run_maintenance must converge the
+    target (r11 verdict wrong #1)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("s", "dsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i % 5) for i in range(20)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__dv2 AS "
+        "SELECT grp, count(DISTINCT v) AS nd FROM s__dsrc GROUP BY grp"
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+    # the crash scenario, constructed directly: DML the source, then
+    # run ONLY level 1 (the child sync) — exactly what a crash between
+    # the levels leaves behind; the source now reads fresh against the
+    # promoted level-1 watermark while the child is ahead of level 2
+    wh.sql("DELETE FROM s__dsrc WHERE v = 2")
+    child = wh.relation("s", "dv2__elems")
+    run_incremental_agg_view(
+        wh, src, child, ["grp", "v"], {"_n": ("count", "*")},
+        where="`v` IS NOT NULL",
+    )
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["action"], p["target"]) for p in plan] == [
+        ("refresh_materialized_view", "s.dv2")
+    ]
+    assert "child" in plan[0]["reason"]
+    run_maintenance(wh, mview_schemas=["s"])
+    direct = wh.read(src).groupBy("grp").agg(F.count_distinct("v").alias("nd"))
+    assert _rows(wh.read(wh.relation("s", "dv2")).select("grp", "nd")) == _rows(
+        direct
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+
+def test_run_maintenance_refresh_handles_dunder_schema(spark, tmp_path):
+    """run_maintenance executes a refresh with the plan's exact
+    (schema, name) pair — a schema containing '__' must resolve to the
+    right relation (the old SQL-text round trip re-split on the first
+    '__' and refreshed a nonexistent view; ADVICE r11)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("a__b", "src")
+    tgt = wh.relation("a__b", "agv")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(12)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW tgt AS SELECT grp, sum(v) AS t, "
+        "count(*) AS n FROM src GROUP BY grp",
+        {"tgt": tgt, "src": src},
+    )
+    wh.append(src, spark.createDataFrame([(50, 1, 500)], "id long, grp long, v long"))
+    report = run_maintenance(wh, mview_schemas=["a__b"])
+    assert [p["action"] for p in report] == ["refresh_materialized_view"]
+    direct = wh.read(src).groupBy("grp").agg(
+        F.sum("v").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    assert _rows(wh.read(tgt).select("grp", "t", "n")) == _rows(direct)
+    assert maintenance_plan(wh, mview_schemas=["a__b"]) == []
+
+
+def test_vacuum_staging_gate_uses_newest_tree_mtime(spark, tmp_path):
+    """A staging dir whose ROOT mtime is old but whose nested
+    task-attempt files are fresh is a LIVE write — vacuum's age gate
+    must look at the newest mtime anywhere under the dir, not the
+    root's (set once at write start; ADVICE r11)."""
+    import time
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel = wh.relation("m", "t3")
+    wh.create_as(
+        rel, spark.range(0, 10).select(F.col("id").alias("k")), TableMeta()
+    )
+    staging = os.path.join(wh.path(rel), "_temporary", "0", "attempt_1")
+    os.makedirs(staging)
+    part = os.path.join(staging, "part-0001.parquet")
+    with open(part, "wb") as f:
+        f.write(b"x")  # freshly written task output
+    old = time.time() - 3600
+    for p in (
+        os.path.join(wh.path(rel), "_temporary"),
+        os.path.join(wh.path(rel), "_temporary", "0"),
+        staging,
+    ):
+        os.utime(p, (old, old))  # dir mtimes all stale; the FILE is fresh
+    v = wh.vacuum(rel, older_than_s=300.0)
+    assert v["staging_removed"] == 0
+    assert os.path.exists(part)
+    os.utime(part, (old, old))  # write finished long ago: now sweepable
+    v = wh.vacuum(rel, older_than_s=300.0)
+    assert v["staging_removed"] == 1
+    assert not os.path.exists(os.path.join(wh.path(rel), "_temporary"))

@@ -810,3 +810,57 @@ def test_distinct_materialized_view_lifecycle(spark, wh):
     )
     with pytest.raises(ValueError, match="not a materialized view"):
         wh.sql("REFRESH MATERIALIZED VIEW s__dv")
+
+
+def test_or_replace_distinct_mview_elems_collision_preserves_view(spark, wh):
+    """The `<view>__elems` collision check runs BEFORE shedding: a
+    CREATE OR REPLACE ... count(DISTINCT) over an existing view must
+    raise on an unrelated table occupying the child name WITHOUT
+    destroying the view, its definition, or its watermarks (ADVICE
+    r11 — every other validation in the create path honors this)."""
+    src = wh.relation("s", "ocsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i % 5) for i in range(20)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__ocv AS SELECT grp, sum(v) AS t, "
+        "count(*) AS n FROM s__ocsrc GROUP BY grp"
+    )
+    # an UNRELATED table squats on the child name the distinct form needs
+    squatter = wh.relation("s", "ocv__elems")
+    wh.create_as(
+        squatter, spark.createDataFrame([(1,)], "x long"), TableMeta()
+    )
+    with pytest.raises(ValueError, match="__elems exists"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__ocv AS "
+            "SELECT grp, count(DISTINCT v) AS nd FROM s__ocsrc GROUP BY grp"
+        )
+    # the original view survived intact AND still refreshes (definition
+    # + watermarks were not shed)
+    mv = wh.relation("s", "ocv")
+    assert wh.exists(mv)
+    wh.sql("DELETE FROM s__ocsrc WHERE v = 2")
+    wh.sql("REFRESH MATERIALIZED VIEW s__ocv")
+    direct = wh.read(src).groupBy("grp").agg(
+        F.sum("v").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    assert sorted(map(tuple, wh.read(mv).select("grp", "t", "n").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # a PRIOR distinct view that owns the child still replaces cleanly
+    wh.sql("DROP TABLE s__ocv")
+    wh.drop(squatter)
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__ocv AS "
+        "SELECT grp, count(DISTINCT v) AS nd FROM s__ocsrc GROUP BY grp"
+    )
+    wh.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW s__ocv AS "
+        "SELECT grp, count(DISTINCT v) AS nd2 FROM s__ocsrc GROUP BY grp"
+    )
+    assert "nd2" in wh.read(mv).columns
