@@ -258,6 +258,21 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
                 ),
                 (child_rel, f"aggview:{tid}", "child"),
             ]
+        elif kind == "join_agg":
+            # three edges: both base tables vs the CHILD join view's
+            # watermarks, and the child vs the level-2 agg watermark
+            # (the crash-between-levels class, same as distinct)
+            child_rel = wh.relation(*defn["child"])
+            child_tid = child_rel.table_id
+            checks = [
+                (wh.relation(*defn["left"]), f"joinview:{child_tid}:l", "left"),
+                (
+                    wh.relation(*defn["right"]),
+                    f"joinview:{child_tid}:r",
+                    "right",
+                ),
+                (child_rel, f"aggview:{tid}", "child"),
+            ]
         elif kind == "extrema":
             checks = [(wh.relation(*defn["source"]), f"extview:{tid}", "source")]
         else:

@@ -967,8 +967,9 @@ def _validate_aggs(aggs: dict, schema, keys: list[str]) -> str:
             raise ValueError(
                 f"agg view: unsupported aggregate {fn!r} for {name!r} — "
                 "only sum/count are exactly retractable off the "
-                "changelog (mean = sum/count at read; min/max need the "
-                "group's full history and want run_cdc_refresh)"
+                "changelog (avg is served as a derived output of the "
+                "maintained sum+count; min/max need the group's full "
+                "history and want run_incremental_extrema_view)"
             )
         if fn == "sum":
             if col not in columns:
@@ -980,7 +981,9 @@ def _validate_aggs(aggs: dict, schema, keys: list[str]) -> str:
                     f"agg view: sum column {col!r} is floating-point — "
                     "float addition is not associative, so retraction "
                     "(add then subtract) drifts; quantize to integer/"
-                    "decimal units first (the time-series contract)"
+                    "decimal units first (the time-series contract), "
+                    "or use the sugar ('sum', col, {'quantize': d}) to "
+                    "maintain cast(round(col * 10^d) as bigint) exactly"
                 )
         if name in keys:
             raise ValueError(f"agg view: output {name!r} collides with a key")
@@ -1044,12 +1047,30 @@ def run_incremental_agg_view(
     under full DML for the cost of the window's changed rows — never a
     source rescan.
 
-    ``aggs`` maps output column -> ("sum", col) | ("count", "*");
-    exactly one count(*) is required (the retraction counter), sum
-    measures must be NOT NULL integers/decimals (the quantize-first
-    contract of the time-series surface — float sums are not exactly
-    retractable, and ANSI overflow on the declared type raises rather
-    than wrapping). Mean is sum/count at read time.
+    ``aggs`` maps output column -> ("sum", col) | ("count", "*") |
+    ("avg", col); exactly one count(*) is required (the retraction
+    counter), sum measures must be NOT NULL integers/decimals (the
+    quantize-first contract of the time-series surface — float sums
+    are not exactly retractable, and ANSI overflow on the declared
+    type raises rather than wrapping).
+
+    ``("avg", col)`` is a DERIVED output: the view physically
+    maintains the exact hidden sum ``_<name>__sum`` (same retraction
+    algebra as any sum) and stores the served division
+    ``sum / count(*)`` as a double column, recomputed for every
+    touched group at sync time — untouched groups' stored quotients
+    stay correct because their sum and count did not move. The
+    division is IEEE-exact-reproducible (exact integer sum cast to
+    double, divided by the exact count), so a DuckDB
+    ``sum(x)::DOUBLE / count(*)`` replays it bit-identically.
+
+    A float measure may opt into exact maintenance with
+    ``("sum"|"avg", col, {"quantize": d})`` — the row-local derivation
+    ``cast(round(col * 10^d) as bigint)`` runs on the full build and
+    BOTH window feeds (so retraction subtracts exactly what insertion
+    added), and the stored sum is in 10^-d units; ANSI raises on
+    overflow rather than drifting. This is sugar for the time-series
+    surface's quantize-first contract, not a float sum.
 
     ``where`` is a ROW-LOCAL predicate (the view is the aggregate of
     σ(source)): it filters the full build AND both window feeds
@@ -1113,6 +1134,38 @@ def run_incremental_agg_view(
     "n_groups_retracted", "agg_watermark"}."""
     keys = list(keys)
     derived_keys = dict(derived_keys or {})
+    out_aggs = {n: tuple(v) for n, v in aggs.items()}  # user-facing spec
+    # --- normalize the spec: quantize sugar + avg derived outputs ----
+    quant_exprs: dict[str, str] = {}  # derived measure col -> row-local expr
+    norm: dict[str, tuple[str, str]] = {}
+    for n, spec in out_aggs.items():
+        if len(spec) == 3:
+            fn, col, opts = spec
+            d = opts.get("quantize") if isinstance(opts, dict) else None
+            if fn not in ("sum", "avg") or d is None or set(opts) != {"quantize"}:
+                raise ValueError(
+                    f"agg view: cannot parse 3-part spec {spec!r} for "
+                    f"{n!r} — the only supported option is "
+                    '("sum"|"avg", col, {"quantize": d})'
+                )
+            qcol = f"_{n}__q"
+            quant_exprs[qcol] = (
+                f"cast(round(`{col}` * 1e{int(d)}) as bigint)"
+            )
+            norm[n] = (fn, qcol)
+        else:
+            norm[n] = tuple(spec)
+    avg_specs = {n: c for n, (fn, c) in norm.items() if fn == "avg"}
+    aggs = {n: v for n, v in norm.items() if v[0] != "avg"}
+    for n, c in avg_specs.items():
+        hidden = f"_{n}__sum"
+        if hidden in norm or n in keys or n in derived_keys:
+            raise ValueError(
+                f"agg view: avg output {n!r} collides with a key or "
+                "its hidden sum column name"
+            )
+        aggs[hidden] = ("sum", c)
+    hidden_sums = [f"_{n}__sum" for n in avg_specs]
     note = f"aggview:{target.table_id}"
     last_v, prior, new_v = _watermark_begin(wh, source, note)
     if not wh.exists(target):
@@ -1120,9 +1173,28 @@ def run_incremental_agg_view(
     mode = "full" if last_v is None else "delta"
 
     def _with_derived(df: DataFrame) -> DataFrame:
-        if derived_keys:
+        # derived group keys AND quantized measures: both are row-local
+        # deterministic projections that must hit the full build and
+        # BOTH window feeds identically, or retraction lands wrong
+        cols = {n: F.expr(e) for n, e in derived_keys.items()}
+        cols.update({n: F.expr(e) for n, e in quant_exprs.items()})
+        if cols:
+            df = df.withColumns(cols)
+        return df
+
+    def _with_avgs(df: DataFrame, count_col: str) -> DataFrame:
+        # served division, recomputed for exactly the rows being landed;
+        # guarded for the delta path's zero-count rows (retracted groups
+        # are filtered AFTER this projection — ANSI division would throw)
+        if avg_specs:
             df = df.withColumns(
-                {n: F.expr(e) for n, e in derived_keys.items()}
+                {
+                    n: F.when(
+                        F.col(count_col) > 0,
+                        F.col(f"_{n}__sum").cast("double") / F.col(count_col),
+                    )
+                    for n in avg_specs
+                }
             )
         return df
 
@@ -1131,7 +1203,7 @@ def run_incremental_agg_view(
         clash = [
             n
             for n in derived_keys
-            if n in src_schema.names or n in keys or n in aggs
+            if n in src_schema.names or n in keys or n in norm
         ]
         if clash:
             raise ValueError(
@@ -1139,7 +1211,15 @@ def run_incremental_agg_view(
                 "source column, a plain key, or an aggregate output"
             )
         all_keys = keys + list(derived_keys)
-        count_col = _validate_aggs(aggs, src_schema, all_keys)
+        agg_schema = (
+            _with_derived(wh.read_version(source, new_v)).schema
+            if quant_exprs
+            else src_schema
+        )
+        count_col = _validate_aggs(aggs, agg_schema, all_keys)
+        # stored column order: keys, then outputs in SELECT order
+        # (avg at its declared position), then the hidden exact sums
+        out_cols = all_keys + list(out_aggs) + hidden_sums
         if last_v is not None:
             # metadata-only rewrite detection: merge-on-read DML never
             # removes data files, so any removal means a fold/overwrite
@@ -1154,7 +1234,9 @@ def run_incremental_agg_view(
                 cur = cur.where(where)
             _check_sum_nulls(cur, aggs, "the source")
             _check_key_nulls(cur, all_keys, "the source")
-            full = cur.groupBy(*all_keys).agg(*_agg_exprs(aggs))
+            full = _with_avgs(
+                cur.groupBy(*all_keys).agg(*_agg_exprs(aggs)), count_col
+            ).select(*out_cols)
             if wh.exists(target):
                 wh.drop(target)
             wh.create_as(target, full, TableMeta())
@@ -1236,13 +1318,14 @@ def run_incremental_agg_view(
                         F.coalesce(F.col(renames[name]), F.lit(0).cast(t))
                         + F.col(name)
                     ).cast(t)
-                merged = (
-                    merged.withColumns({f"_new_{n}": c for n, c in new_cols.items()})
-                    .select(
+                merged = _with_avgs(
+                    merged.withColumns(
+                        {f"_new_{n}": c for n, c in new_cols.items()}
+                    ).select(
                         *all_keys, *[F.col(f"_new_{n}").alias(n) for n in aggs]
-                    )
-                    .localCheckpoint(eager=True)
-                )
+                    ),
+                    count_col,
+                ).localCheckpoint(eager=True)
                 if merged.where(F.col(count_col) < 0).limit(1).count():
                     raise ValueError(
                         "agg view: a group's net count went negative — "
@@ -1559,3 +1642,70 @@ def run_incremental_timeseries_view(
             "bucket": f"unix_micros(`{ts_col}`) div {int(bucket_us)}"
         },
     )
+
+
+def run_incremental_join_agg_view(
+    wh: Warehouse,
+    left: Relation,
+    right: Relation,
+    target: Relation,
+    left_id: str,
+    right_id: str,
+    on: list[str],
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    left_where: str | None = None,
+    right_where: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+) -> dict:
+    """Maintain ``target = SELECT keys, aggs FROM left JOIN right
+    USING (on) [WHERE where] GROUP BY keys`` under FULL DML on BOTH
+    base tables — the joined-then-aggregated view every consuming dbt
+    project materializes (the reference's staging SELECTs join freely
+    and aggregate inside the run window:
+    incremental_partition_merge.sql:248-265 + incremental_log.sql:66-73
+    — blind to updates/deletes; this maintains the composition).
+
+    Two-level IVM stack, the same view-of-a-view pattern as
+    :func:`run_incremental_distinct_view`:
+
+    * level 1 (``<target>__join``): the maintained INNER JOIN
+      (:func:`run_incremental_join_view` — Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR as
+      atomic keyed upserts off both sides' changelogs, with the side
+      projections/predicates threading into σ(π(L)) ⋈ σ(π(R))).
+    * level 2 (``target``): the retractable SUM/COUNT/AVG aggregate
+      (:func:`run_incremental_agg_view`) synced off the CHILD's OWN
+      changelog — the child is an ordinary warehouse table maintained
+      by keyed DML, so a pair retiring subtracts from its group, a
+      re-landed pair re-adds, and a group drained of pairs retracts.
+
+    Crash/fold behavior is inherited and convergent: a crash between
+    the levels leaves level 2's watermark behind and the next sync's
+    child window covers both; a join-view full rebuild (one side's
+    watermark lost) rewrites the child in place, destroying its
+    snapshots, which forces level 2 to rebaseline.
+
+    Scale shape: level 1 costs O(changed rows ⋈ other side + key
+    probes) — never L⋈R after the first materialize; level 2's window
+    is the child's churn (the window's touched pairs), shuffling one
+    net partial row per touched group. The child's size is the live
+    pair domain — the same state ANY join-aggregate IVM must carry
+    (an aggregate-only state cannot retract a deleted base row's
+    contribution without knowing its joined multiplicity).
+
+    Returns level-2 stats plus {"join": level-1 stats}."""
+    child = wh.relation(target.schema, target.identifier + "__join")
+    l1 = run_incremental_join_view(
+        wh, left, right, child, left_id, right_id, on,
+        left_where=left_where, right_where=right_where,
+        left_cols=left_cols, right_cols=right_cols,
+    )
+    l2 = run_incremental_agg_view(
+        wh, child, target, keys, aggs,
+        where=where, derived_keys=derived_keys,
+    )
+    l2["join"] = l1
+    return l2

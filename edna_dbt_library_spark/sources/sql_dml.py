@@ -543,8 +543,19 @@ def _shed_mview(wh, rel) -> None:
     except (OSError, ValueError):
         return
     tid = rel.table_id
-    # covers promoted notes and their '!pending' variants
-    prefixes = (f"joinview:{tid}:", f"aggview:{tid}")
+
+    def _owned(note: str, owner_tid: str) -> bool:
+        # exact note (or its '!pending' variant) — never a bare prefix
+        # match, which would also shed a SIBLING view whose table id
+        # merely extends this one (s.v vs s.v2 on a shared source)
+        base = note.split("!", 1)[0]
+        return base in (
+            f"joinview:{owner_tid}:l",
+            f"joinview:{owner_tid}:r",
+            f"aggview:{owner_tid}",
+            f"extview:{owner_tid}",
+        )
+
     srcs = []
     if "left" in defn:
         srcs += [defn["left"], defn["right"]]
@@ -556,13 +567,29 @@ def _shed_mview(wh, rel) -> None:
         # including the level-2 watermark) retires with the view
         child_rel = wh.relation(*defn["child"])
         src_rel = wh.relation(*defn["source"])
-        child_pref = f"aggview:{child_rel.table_id}"
+        child_tid = child_rel.table_id
         try:
             for sn in wh.list_snapshots(src_rel):
-                if (sn.get("note") or "").startswith(child_pref):
+                if _owned(sn.get("note") or "", child_tid):
                     wh.drop_snapshot(src_rel, sn["version"])
         except OSError:
             pass
+        if wh.exists(child_rel):
+            wh.drop(child_rel)
+    if defn.get("kind") == "join_agg":
+        # two-level join-aggregate: BOTH base tables carry the
+        # join-view watermarks under the CHILD's name; the child (with
+        # its own level-2 watermark snapshots) retires with the view
+        child_rel = wh.relation(*defn["child"])
+        child_tid = child_rel.table_id
+        for s in (defn["left"], defn["right"]):
+            src_rel = wh.relation(*s)
+            try:
+                for sn in wh.list_snapshots(src_rel):
+                    if _owned(sn.get("note") or "", child_tid):
+                        wh.drop_snapshot(src_rel, sn["version"])
+            except OSError:
+                continue
         if wh.exists(child_rel):
             wh.drop(child_rel)
     for s in srcs:
@@ -572,8 +599,7 @@ def _shed_mview(wh, rel) -> None:
         except OSError:
             continue
         for sn in snaps:
-            note = sn.get("note") or ""
-            if note.startswith(prefixes):
+            if _owned(sn.get("note") or "", tid):
                 wh.drop_snapshot(src_rel, sn["version"])
     try:
         os.remove(path)
@@ -582,64 +608,39 @@ def _shed_mview(wh, rel) -> None:
 
 
 def _create_mview(wh, tables, query: str) -> DataFrame:
-    """Dispatch between the two maintained-view forms: the join form
-    is the one with a UNIQUE KEYS clause (a pair identity is a join
-    concept); everything else parses as the GROUP BY aggregate form."""
+    """Dispatch between the maintained-view forms: a UNIQUE KEYS clause
+    means the sides join (a pair identity is a join concept) — with a
+    GROUP BY on top it is the composed join-aggregate form, without one
+    the plain join view; everything else parses as the GROUP BY
+    aggregate form over one source."""
     if re.search(r"\bunique\s+keys\b", query, re.I):
+        if re.search(r"\bgroup\s+by\b", query, re.I):
+            return _create_mview_join_agg(wh, tables, query)
         return _create_mview_join(wh, tables, query)
     return _create_mview_agg(wh, tables, query)
 
 
-def _create_mview_agg(wh, tables, query: str) -> DataFrame:
-    """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
-         AS SELECT <k1, ..., sum(col) AS out, count(*) AS out2, ...>
-         FROM <src> [WHERE <row-local pred>] GROUP BY <k1, ...>
-
-    -> one full run_incremental_agg_view materialize; REFRESH then
-    maintains it off the source's changelog (inserts add, deletes
-    subtract, the count(*) column retracts groups to zero; the WHERE
-    filters both feeds symmetrically — see the operator's σ contract).
-    The operator's exactness contract applies: exactly one count(*),
-    sum measures integer/decimal NOT NULL; violations — including a
-    predicate that does not analyze — raise before anything is
-    created or shed. The view's stored column order is keys first,
-    then the aggregate outputs in SELECT order."""
-    m = re.match(
-        r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
-        r"as\s+select\s+(.*?)\s+from\s+`?([\w.]+)`?"
-        r"(?:\s+where\s+(.+?))?\s+"
-        r"group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
-        query,
-        re.I | re.S,
-    )
-    if not m:
-        raise ValueError(
-            "SQL CREATE MATERIALIZED VIEW: cannot parse — supported forms "
-            "are the join view (... UNIQUE KEYS (lid, rid) AS SELECT * "
-            "FROM l JOIN r USING (k), each side optionally (SELECT cols "
-            "FROM t WHERE pred)) and the aggregate view (AS SELECT "
-            "k, sum(x) AS sx, count(*) AS n FROM src [WHERE pred] "
-            "GROUP BY k); richer "
-            f"SELECTs need run_cdc_refresh or the DataFrame API: {query!r}"
-        )
-    from edna_dbt_library_spark.operators.materializations import (
-        _validate_aggs,
-        run_incremental_agg_view,
-    )
-
-    rel = _rel_for_name(wh, tables, m.group(2))
-    if wh.exists(rel) and not m.group(1):
-        raise ValueError(
-            f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
-            "(use CREATE OR REPLACE)"
-        )
-    src = _rel_for_name(wh, tables, m.group(4))
-    where = m.group(5).strip() if m.group(5) else None
-    keys = [c.strip().strip("`") for c in m.group(6).split(",") if c.strip()]
-    aggs: dict[str, tuple[str, str]] = {}
+def _parse_mv_agg_items(
+    select_txt: str, keys: list[str]
+) -> tuple[dict, dict, dict, dict]:
+    """Parse the aggregate-form SELECT list into (aggs, derived_keys,
+    distinct, extrema): sum/count/avg outputs in SELECT order, the
+    exact-integer time_bucket derived keys, count(DISTINCT) outputs,
+    and min/max (extrema) outputs. Shared by the single-source
+    aggregate form and the composed join-aggregate form."""
+    aggs: dict[str, tuple[str, str]] = {}  # sum/count/avg, SELECT order
     derived: dict[str, str] = {}
     distinct: dict[str, str] = {}
-    for item in _split_top(m.group(3), ","):
+    extrema: dict[str, tuple[str, str]] = {}
+
+    def _claim(out: str) -> str:
+        if out in aggs or out in extrema or out in distinct:
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: output {out!r} aliased twice"
+            )
+        return out
+
+    for item in _split_top(select_txt, ","):
         item = item.strip()
         cdm = re.match(
             r"^count\s*\(\s*distinct\s+`?(\w+)`?\s*\)\s+as\s+`?(\w+)`?$",
@@ -647,20 +648,26 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
             re.I,
         )
         if cdm:
-            distinct[cdm.group(2)] = cdm.group(1)
+            distinct[_claim(cdm.group(2))] = cdm.group(1)
             continue
         am = re.match(
-            r"^(sum|count)\s*\(\s*(\*|`?\w+`?)\s*\)\s+as\s+`?(\w+)`?$",
+            r"^(sum|count|min|max|avg)\s*\(\s*(\*|`?\w+`?)\s*\)\s+as\s+`?(\w+)`?$",
             item,
             re.I,
         )
         if am:
-            out = am.group(3)
-            if out in aggs:
-                raise ValueError(
-                    f"SQL CREATE MATERIALIZED VIEW: output {out!r} aliased twice"
-                )
-            aggs[out] = (am.group(1).lower(), am.group(2).strip("`"))
+            fn = am.group(1).lower()
+            out = _claim(am.group(3))
+            col = am.group(2).strip("`")
+            if fn in ("min", "max"):
+                extrema[out] = (fn, col)
+            else:
+                if fn == "avg" and col == "*":
+                    raise ValueError(
+                        "SQL CREATE MATERIALIZED VIEW: avg(*) is not a "
+                        "thing — avg takes a column"
+                    )
+                aggs[out] = (fn, col)
             continue
         dm = re.match(
             r"^time_bucket\s*\(\s*`?(\w+)`?\s*,\s*(\d+)\s*\)\s+as\s+`?(\w+)`?$",
@@ -687,14 +694,94 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
         raise ValueError(
             f"SQL CREATE MATERIALIZED VIEW: cannot parse SELECT item "
             f"{item!r} — the aggregate form takes group keys, "
-            "time_bucket(ts, us) AS name, sum(col) AS name, and "
-            "count(*) AS name only"
+            "time_bucket(ts, us) AS name, sum(col) / count(*) / "
+            "avg(col) AS name, count(DISTINCT col) AS name, and "
+            "min(col) / max(col) AS name (extrema form) only"
         )
+    return aggs, derived, distinct, extrema
+
+
+def _validate_avg_base(aggs: dict, keys: list[str], schema) -> None:
+    """Pre-shed validation mirroring the operator's avg preprocessing:
+    each avg maintains a hidden exact sum next to the count(*)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        _validate_aggs,
+    )
+
+    base_aggs: dict[str, tuple[str, str]] = {}
+    for n, (fn, c) in aggs.items():
+        if fn == "avg":
+            if n in keys:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: output {n!r} "
+                    "collides with a group key"
+                )
+            base_aggs[f"_{n}__sum"] = ("sum", c)
+        else:
+            base_aggs[n] = (fn, c)
+    _validate_aggs(base_aggs, schema, keys)
+
+
+def _create_mview_agg(wh, tables, query: str) -> DataFrame:
+    """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
+         AS SELECT <k1, ..., sum(col) AS out, count(*) AS out2, ...>
+         FROM <src> [WHERE <row-local pred>] GROUP BY <k1, ...>
+
+    -> one full run_incremental_agg_view materialize; REFRESH then
+    maintains it off the source's changelog (inserts add, deletes
+    subtract, the count(*) column retracts groups to zero; the WHERE
+    filters both feeds symmetrically — see the operator's σ contract).
+    The operator's exactness contract applies: exactly one count(*),
+    sum measures integer/decimal NOT NULL; violations — including a
+    predicate that does not analyze — raise before anything is
+    created or shed. The view's stored column order is keys first,
+    then the aggregate outputs in SELECT order.
+
+    ``min(col) AS out`` / ``max(col) AS out`` outputs dispatch the
+    whole view to ``run_incremental_extrema_view`` (kind "extrema" —
+    touched-group recompute, the scoped-rescan IVM for non-invertible
+    aggregates): all outputs must then be min/max, no count(*)
+    required. ``avg(col) AS out`` is a DERIVED output of the agg form:
+    the view physically maintains the exact hidden sum (`_<out>__sum`)
+    and serves the division off the count(*) column, recomputed for
+    every touched group at sync time."""
+    m = re.match(
+        r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
+        r"as\s+select\s+(.*?)\s+from\s+`?([\w.]+)`?"
+        r"(?:\s+where\s+(.+?))?\s+"
+        r"group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: cannot parse — supported forms "
+            "are the join view (... UNIQUE KEYS (lid, rid) AS SELECT * "
+            "FROM l JOIN r USING (k), each side optionally (SELECT cols "
+            "FROM t WHERE pred)) and the aggregate view (AS SELECT "
+            "k, sum(x) AS sx, count(*) AS n FROM src [WHERE pred] "
+            "GROUP BY k); richer "
+            f"SELECTs need run_cdc_refresh or the DataFrame API: {query!r}"
+        )
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
+    )
+
+    rel = _rel_for_name(wh, tables, m.group(2))
+    if wh.exists(rel) and not m.group(1):
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
+            "(use CREATE OR REPLACE)"
+        )
+    src = _rel_for_name(wh, tables, m.group(4))
+    where = m.group(5).strip() if m.group(5) else None
+    keys = [c.strip().strip("`") for c in m.group(6).split(",") if c.strip()]
+    aggs, derived, distinct, extrema = _parse_mv_agg_items(m.group(3), keys)
     plain_keys = [k for k in keys if k not in derived]
     # validate the spec BEFORE shedding/dropping anything: a bad spec
     # must never destroy the existing view on OR REPLACE
     if distinct:
-        if len(distinct) > 1 or aggs:
+        if len(distinct) > 1 or aggs or extrema:
             raise ValueError(
                 "SQL CREATE MATERIALIZED VIEW: count(DISTINCT col) "
                 "stands alone — one distinct output, no other "
@@ -714,8 +801,29 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                 "SQL CREATE MATERIALIZED VIEW: count(DISTINCT) column/"
                 "output must not be a group key"
             )
+    elif extrema:
+        if aggs:
+            raise ValueError(
+                "SQL CREATE MATERIALIZED VIEW: min/max outputs make an "
+                "EXTREMA view (touched-group recompute) and cannot mix "
+                "with sum/count/avg in one view — the sum family is "
+                "retractable and belongs in its own agg view; a "
+                "consumer wanting both joins the two views on the keys"
+            )
+        schema = wh.read(src).schema
+        for out, (_fn, col) in extrema.items():
+            if col not in schema.names:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: min/max column "
+                    f"{col!r} not in source"
+                )
+            if out in keys:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: output {out!r} "
+                    "collides with a group key"
+                )
     else:
-        _validate_aggs(aggs, wh.read(src).schema, keys)
+        _validate_avg_base(aggs, keys, wh.read(src).schema)
     probe = wh.read(src)
     if derived:
         probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
@@ -762,6 +870,33 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
             "keys": plain_keys,
             "col": dcol,
             "out": out,
+            "where": where,
+            "derived_keys": derived or None,
+        }
+        path = _mview_def_path(wh, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(defn, f)
+        return _stats(
+            wh, "create_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if extrema:
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_extrema_view,
+        )
+
+        _shed_mview(wh, rel)
+        if wh.exists(rel):
+            wh.drop(rel)
+        stats = run_incremental_extrema_view(
+            wh, src, rel, plain_keys, extrema, where=where,
+            derived_keys=derived or None,
+        )
+        defn = {
+            "kind": "extrema",
+            "source": [src.schema, src.identifier],
+            "keys": plain_keys,
+            "aggs": {k: list(v) for k, v in extrema.items()},
             "where": where,
             "derived_keys": derived or None,
         }
@@ -956,6 +1091,151 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
     return _stats(wh, "create_materialized_view", rel, stats["n_pairs_inserted"])
 
 
+def _create_mview_join_agg(wh, tables, query: str) -> DataFrame:
+    """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
+         UNIQUE KEYS (<left_id>, <right_id>)
+         AS SELECT <k..., sum/count/avg aggregates>
+         FROM <l> [INNER] JOIN <r> USING (c1[, ...])
+         [WHERE <row-local pred>] GROUP BY <k1, ...>
+
+    The composed join-aggregate view — the shape real warehouses
+    materialize most (a fact joined to a dimension, then grouped) as
+    ONE maintained view: run_incremental_join_agg_view stacks the
+    join-view IVM (a hidden ``<t>__join`` child off both sides'
+    changelogs) under the retractable aggregate view (synced off the
+    CHILD's changelog). Sides take the join form's derived-table
+    projections/predicates; the SELECT list takes the aggregate form's
+    sum/count/avg + time_bucket items (count(DISTINCT) / min/max want
+    their own view kinds); WHERE between USING and GROUP BY is the
+    aggregate's row-local σ over the joined row. UNIQUE KEYS names the
+    sides' row identities exactly as in the plain join form."""
+    m = re.match(
+        r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
+        r"unique\s+keys\s*\(\s*`?(\w+)`?\s*,\s*`?(\w+)`?\s*\)\s+"
+        r"as\s+select\s+(.*?)\s+from\s+(.*)$",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: cannot parse — the "
+            "join-aggregate form is CREATE [OR REPLACE] MATERIALIZED "
+            "VIEW t UNIQUE KEYS (lid, rid) AS SELECT k, sum(x) AS sx, "
+            "count(*) AS n FROM l JOIN r USING (c) [WHERE pred] "
+            f"GROUP BY k: {query!r}"
+        )
+    from edna_dbt_library_spark.operators.materializations import (
+        _side_view,
+        run_incremental_join_agg_view,
+    )
+
+    rel = _rel_for_name(wh, tables, m.group(2))
+    if wh.exists(rel) and not m.group(1):
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
+            "(use CREATE OR REPLACE)"
+        )
+    rest = m.group(6)
+    l_name, l_cols, l_where, rest = _mv_side(rest)
+    jm = re.match(r"\s*(?:inner\s+)?join\s+", rest, re.I)
+    if not jm:
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: expected JOIN at {rest!r}"
+        )
+    r_name, r_cols, r_where, rest = _mv_side(rest[jm.end() :])
+    um = re.match(
+        r"\s*using\s*\(\s*([\w`,\s]+?)\s*\)\s+"
+        r"(?:where\s+(.+?)\s+)?group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
+        rest,
+        re.I | re.S,
+    )
+    if not um:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: expected USING (keys) "
+            f"[WHERE pred] GROUP BY keys at {rest!r}"
+        )
+    left = _rel_for_name(wh, tables, l_name)
+    right = _rel_for_name(wh, tables, r_name)
+    on = [c.strip().strip("`") for c in um.group(1).split(",") if c.strip()]
+    where = um.group(2).strip() if um.group(2) else None
+    keys = [c.strip().strip("`") for c in um.group(3).split(",") if c.strip()]
+    aggs, derived, distinct, extrema = _parse_mv_agg_items(m.group(5), keys)
+    if distinct or extrema:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: the join-aggregate form "
+            "maintains sum/count/avg only — count(DISTINCT) and "
+            "min/max want their own view kind over the joined child "
+            "(or the DataFrame API)"
+        )
+    plain_keys = [k for k in keys if k not in derived]
+    # validate BEFORE shedding/dropping: sides must keep id+keys, the
+    # aggregate spec must be maintainable over the JOINED schema, and
+    # derived keys / predicate must analyze on the joined row
+    l_probe = _side_view(wh.read(left), l_where, l_cols, "left", m.group(3), on)
+    r_probe = _side_view(
+        wh.read(right), r_where, r_cols, "right", m.group(4), on
+    )
+    probe = l_probe.join(r_probe, on=on, how="inner")
+    _validate_avg_base(aggs, keys, probe.schema)
+    if derived:
+        probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
+        probe.schema  # derived keys must analyze on the joined row
+    if where is not None:
+        probe.where(where).schema  # predicate must analyze
+    child = wh.relation(rel.schema, rel.identifier + "__join")
+    # child-name collision check BEFORE shedding (same invariant as the
+    # distinct form's __elems): the slot is fine only when the prior
+    # definition is a join-agg view that owns it
+    if wh.exists(child):
+        try:
+            with open(_mview_def_path(wh, rel)) as f:
+                prior_defn = json.load(f)
+        except (OSError, ValueError):
+            prior_defn = {}
+        owns = prior_defn.get("kind") == "join_agg" and prior_defn.get(
+            "child"
+        ) == [child.schema, child.identifier]
+        if not owns:
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: {child.table_id} exists "
+                "— the join-aggregate view needs that name for its "
+                "joined child table"
+            )
+    _shed_mview(wh, rel)
+    if wh.exists(rel):
+        wh.drop(rel)
+    stats = run_incremental_join_agg_view(
+        wh, left, right, rel, m.group(3), m.group(4), on, plain_keys, aggs,
+        left_where=l_where, right_where=r_where,
+        left_cols=l_cols, right_cols=r_cols,
+        where=where, derived_keys=derived or None,
+    )
+    defn = {
+        "kind": "join_agg",
+        "left": [left.schema, left.identifier],
+        "right": [right.schema, right.identifier],
+        "child": [child.schema, child.identifier],
+        "left_id": m.group(3),
+        "right_id": m.group(4),
+        "on": on,
+        "left_where": l_where,
+        "right_where": r_where,
+        "left_cols": l_cols,
+        "right_cols": r_cols,
+        "keys": plain_keys,
+        "aggs": {k: list(v) for k, v in aggs.items()},
+        "where": where,
+        "derived_keys": derived or None,
+    }
+    path = _mview_def_path(wh, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(defn, f)
+    return _stats(
+        wh, "create_materialized_view", rel, stats["n_groups_upserted"]
+    )
+
+
 def _refresh_mview(wh, tables, query: str) -> DataFrame:
     """REFRESH MATERIALIZED VIEW <t> -> one delta sync off the
     definition's changelog window(s) — both sources for a join view,
@@ -1003,6 +1283,48 @@ def _refresh_mview_rel(wh, rel) -> DataFrame:
             list(defn["keys"]),
             defn["col"],
             out=defn["out"],
+            where=defn.get("where"),
+            derived_keys=defn.get("derived_keys"),
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if defn.get("kind", "join") == "join_agg":
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_join_agg_view,
+        )
+
+        stats = run_incremental_join_agg_view(
+            wh,
+            wh.relation(*defn["left"]),
+            wh.relation(*defn["right"]),
+            rel,
+            defn["left_id"],
+            defn["right_id"],
+            list(defn["on"]),
+            list(defn["keys"]),
+            {k: tuple(v) for k, v in defn["aggs"].items()},
+            left_where=defn.get("left_where"),
+            right_where=defn.get("right_where"),
+            left_cols=defn.get("left_cols"),
+            right_cols=defn.get("right_cols"),
+            where=defn.get("where"),
+            derived_keys=defn.get("derived_keys"),
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if defn.get("kind", "join") == "extrema":
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_extrema_view,
+        )
+
+        stats = run_incremental_extrema_view(
+            wh,
+            wh.relation(*defn["source"]),
+            rel,
+            list(defn["keys"]),
+            {k: tuple(v) for k, v in defn["aggs"].items()},
             where=defn.get("where"),
             derived_keys=defn.get("derived_keys"),
         )

@@ -952,3 +952,101 @@ def stream_distinct_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extrema_view(
+    wh,
+    source,
+    target,
+    keys: list[str],
+    aggs: dict,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+):
+    """Continuous MIN/MAX view maintenance: the streaming wrapper around
+    ``operators.materializations.run_incremental_extrema_view`` — same
+    trigger discipline as ``stream_agg_view`` (file feed over the
+    source, batch rows ignored, window re-derived from the
+    ``extview:<target>`` watermark snapshots, so at-least-once
+    redelivery converges: the apply is a keyed REPLACE of recomputed
+    touched groups, idempotent by construction). Not concurrent-safe
+    with another maintainer of the same target.
+
+    Scale shape: the trigger ships only unseen file names; each sync
+    costs the batch operator's O(window + touched groups' fan-in) —
+    the scoped rescan that non-invertible aggregates require."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_extrema_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_extrema_view(
+            wh, source, target, keys, aggs,
+            where=where, derived_keys=derived_keys,
+        )
+
+    writer = (
+        stream_table(wh, source, max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_join_agg_view(
+    wh,
+    left,
+    right,
+    target,
+    left_id: str,
+    right_id: str,
+    on: list[str],
+    keys: list[str],
+    aggs: dict,
+    checkpoint_path: str,
+    trigger_source=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+):
+    """Continuous join-aggregate maintenance: the streaming wrapper
+    around ``run_incremental_join_agg_view`` — one composed two-level
+    sync (join-view child off both sides' changelogs, retractable
+    aggregate off the child's) per file-feed micro-batch over
+    ``trigger_source`` (default: the LEFT table — pick the busier
+    side; the quiet side's changes ride along with the next trigger,
+    so an ``available_now`` drain leaves the view equal to the direct
+    join-aggregate whichever side changed). Batch rows are ignored —
+    windows re-derive from the watermark snapshots, so at-least-once
+    redelivery converges, and a crash BETWEEN the levels heals on the
+    next trigger (level 2's child window covers both). Not
+    concurrent-safe with another maintainer of the same target or its
+    ``<target>__join`` child."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_join_agg_view(
+            wh, left, right, target, left_id, right_id, on, keys, aggs,
+            where=where, derived_keys=derived_keys,
+        )
+
+    writer = (
+        stream_table(
+            wh,
+            trigger_source if trigger_source is not None else left,
+            max_files_per_trigger,
+        )
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

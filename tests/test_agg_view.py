@@ -669,3 +669,149 @@ def test_extrema_view_sigma_and_derived_keys(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(m.Warehouse, "set_snapshot_note", real)
     run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS, **kw)
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_avg_derived_output_through_dml_windows(spark, tmp_path):
+    """("avg", col): the view maintains the hidden exact sum and serves
+    the stored sum/count division — through DML windows the avg column
+    must equal the direct exact-sum-over-count quotient BIT-identically
+    (exact long sum cast to double, divided by the exact count), and
+    untouched groups' stored quotients must stay correct."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _mk_source(spark, wh, [(i, i % 4, 7 * i + 1) for i in range(40)], "asrc")
+    t = wh.relation("av", "avgv")
+    aggs = {"n_rows": ("count", "*"), "mean_amt": ("avg", "amt")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (
+                    F.sum("amt").cast("double")
+                    / F.count(F.lit(1)).cast("long")
+                ).alias("mean_amt"),
+            )
+        )
+
+    s = run_incremental_agg_view(wh, src, t, ["grp"], aggs)
+    assert s["mode"] == "full"
+    got = wh.read(t)
+    # declared outputs at their positions, hidden exact sum last
+    assert got.columns == ["grp", "n_rows", "mean_amt", "_mean_amt__sum"]
+    assert _rows(got.select("grp", "n_rows", "mean_amt")) == _rows(direct())
+
+    wh.append(
+        src,
+        spark.createDataFrame(
+            [(100, 0, 999), (101, 9, 5)], "id long, grp long, amt long"
+        ),
+    )
+    wh.update_where(src, "id % 5 = 0", {"amt": "amt + 13"})
+    wh.delete_where(src, "id % 7 = 3")
+    s = run_incremental_agg_view(wh, src, t, ["grp"], aggs)
+    assert s["mode"] == "delta" and s["n_groups_upserted"] > 0
+    assert _rows(wh.read(t).select("grp", "n_rows", "mean_amt")) == _rows(direct())
+
+    # quiet window: stored quotients stay put
+    before = _rows(wh.read(t))
+    run_incremental_agg_view(wh, src, t, ["grp"], aggs)
+    assert _rows(wh.read(t)) == before
+
+
+def test_quantize_sugar_maintains_float_measures_exactly(spark, tmp_path):
+    """("sum", col, {"quantize": d}) admits a DOUBLE measure by
+    maintaining cast(round(col * 10^d) as bigint) — the stored sum is
+    exact integer units, retraction subtracts exactly what insertion
+    added (same row-local derivation on both feeds), and a bare float
+    sum still raises with a pointer to the sugar."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel = wh.relation("av", "qsrc")
+    rows = [(i, i % 3, i * 0.1 + 0.01) for i in range(30)]
+    wh.create_as(
+        rel,
+        spark.createDataFrame(rows, "id long, grp long, amt double").coalesce(2),
+        TableMeta(),
+    )
+    t = wh.relation("av", "qv")
+    with pytest.raises(ValueError, match="quantize"):
+        run_incremental_agg_view(
+            wh, rel, t, ["grp"], {"s": ("sum", "amt"), "n": ("count", "*")}
+        )
+    aggs = {
+        "s": ("sum", "amt", {"quantize": 9}),
+        "n": ("count", "*"),
+        "m": ("avg", "amt", {"quantize": 9}),
+    }
+
+    def direct():
+        q = F.round(F.col("amt") * F.lit(1e9)).cast("long")
+        return (
+            wh.read(rel)
+            .groupBy("grp")
+            .agg(
+                F.sum(q).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.sum(q).cast("double") / F.count(F.lit(1))).alias("m"),
+            )
+        )
+
+    s = run_incremental_agg_view(wh, rel, t, ["grp"], aggs)
+    assert s["mode"] == "full"
+    assert _rows(wh.read(t).select("grp", "s", "n", "m")) == _rows(direct())
+
+    wh.update_where(rel, "id % 4 = 1", {"amt": "amt * 2.0"})
+    wh.delete_where(rel, "id % 5 = 0")
+    wh.append(
+        rel,
+        spark.createDataFrame([(200, 1, 3.30001)], "id long, grp long, amt double"),
+    )
+    s = run_incremental_agg_view(wh, rel, t, ["grp"], aggs)
+    assert s["mode"] == "delta"
+    assert _rows(wh.read(t).select("grp", "s", "n", "m")) == _rows(direct())
+
+    # malformed 3-part specs raise before anything lands
+    with pytest.raises(ValueError, match="3-part spec"):
+        run_incremental_agg_view(
+            wh, rel, wh.relation("av", "qv2"), ["grp"],
+            {"s": ("count", "*", {"quantize": 2}), "n": ("count", "*")},
+        )
+
+
+def test_stream_extrema_view_drain_equals_direct(spark, tmp_path):
+    """A full drain of the streaming extrema-view wrapper leaves the
+    view equal to the direct min/max; DML between drains retracts dead
+    extrema and lands new ones."""
+    from edna_dbt_library_spark.streaming import stream_extrema_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "sxsrc")
+    tgt = wh.relation("av", "sxdst")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, (11 * i) % 40) for i in range(24)],
+            "id long, grp long, v long",
+        ).coalesce(2),
+        TableMeta(),
+    )
+    aggs = {"lo": ("min", "v"), "hi": ("max", "v")}
+    q = stream_extrema_view(wh, src, tgt, ["grp"], aggs, str(tmp_path / "cp"))
+    q.awaitTermination()
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        )
+
+    assert _rows(wh.read(tgt)) == _rows(direct())
+    wh.delete_where(src, "v >= 35")  # kills current maxima
+    wh.append(
+        src, spark.createDataFrame([(100, 1, -5)], "id long, grp long, v long")
+    )
+    q = stream_extrema_view(wh, src, tgt, ["grp"], aggs, str(tmp_path / "cp"))
+    q.awaitTermination()
+    assert _rows(wh.read(tgt)) == _rows(direct())

@@ -280,3 +280,163 @@ def test_stream_join_view_drain_equals_direct_join(spark, sf_dir, tmp_path):
     # nothing new: drain is a no-op
     stream_join_view(wh, l, r, t, "l_id", "r_id", ["grp"], cp).awaitTermination(120)
     assert _rows(wh.read(t)) == got
+
+
+def _direct_join_agg(wh, l, r, on, keys):
+    return (
+        wh.read(l)
+        .join(wh.read(r), on=on, how="inner")
+        .groupBy(*keys)
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def test_join_agg_view_through_dml_windows(spark, tmp_path):
+    """The composed join-aggregate view (run_incremental_join_agg_view):
+    maintained SELECT k, sum, count FROM l JOIN r USING (j) GROUP BY k
+    == the direct join-aggregate through multi-DML windows on BOTH base
+    tables — a dim-key move must re-group its fact rows, a deleted fact
+    row must retract from its group, a dim delete must retract every
+    joined contribution, and a group drained of pairs must disappear."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("ja", "fact")
+    r = wh.relation("ja", "dim")
+    t = wh.relation("ja", "view")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 7, 10 * i) for i in range(60)],
+            "fid long, j long, amt long",
+        ).coalesce(2),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(j, j % 3) for j in range(7)], "j long, grp long"
+        ),
+        TableMeta(),
+    )
+    aggs = {"total": ("sum", "amt"), "n": ("count", "*")}
+    s = run_incremental_join_agg_view(
+        wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs
+    )
+    assert s["mode"] == "full" and s["join"]["mode"] == "full"
+    assert wh.exists(wh.relation("ja", "view__join"))
+    assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))
+
+    # window: fact append + measure update + fact delete; dim group
+    # move + dim delete (retracts a whole join fan-out)
+    wh.append(
+        l,
+        spark.createDataFrame([(100, 1, 5), (101, 6, 7)], "fid long, j long, amt long"),
+    )
+    wh.update_where(l, "fid % 5 = 0", {"amt": "amt + 1"})
+    wh.delete_where(l, "fid % 11 = 3")
+    wh.update_where(r, "j = 2", {"grp": "9"})
+    wh.delete_where(r, "j = 4")
+    s = run_incremental_join_agg_view(
+        wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs
+    )
+    assert s["mode"] == "delta" and s["join"]["mode"] == "delta"
+    assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))
+
+    # quiet window: both levels net zero
+    s = run_incremental_join_agg_view(
+        wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs
+    )
+    assert s["n_groups_upserted"] == 0 and s["join"]["n_pairs_inserted"] == 0
+    assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))
+
+
+def test_join_agg_view_crash_between_levels_converges(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the join child lands but BEFORE the aggregate
+    syncs heals on the next composed sync — level 2's child window
+    covers both (the distinct view's crash contract, inherited)."""
+    from edna_dbt_library_spark.operators import materializations as m
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("ja", "f2")
+    r = wh.relation("ja", "d2")
+    t = wh.relation("ja", "v2")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 5, i) for i in range(30)], "fid long, j long, amt long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(j, j % 2) for j in range(5)], "j long, grp long"),
+        TableMeta(),
+    )
+    aggs = {"total": ("sum", "amt"), "n": ("count", "*")}
+    run_incremental_join_agg_view(wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs)
+
+    wh.delete_where(l, "j = 1")
+    real = m.run_incremental_agg_view
+
+    def crashing(*a, **k):
+        raise RuntimeError("crash between levels")
+
+    monkeypatch.setattr(m, "run_incremental_agg_view", crashing)
+    with pytest.raises(RuntimeError, match="between levels"):
+        run_incremental_join_agg_view(
+            wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs
+        )
+    monkeypatch.setattr(m, "run_incremental_agg_view", real)
+    s = run_incremental_join_agg_view(
+        wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs
+    )
+    assert s["join"]["n_pairs_inserted"] == 0  # level 1 already landed
+    assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))
+
+
+def test_stream_join_agg_view_drain_equals_direct(spark, tmp_path):
+    """A full drain of the streaming join-aggregate wrapper leaves the
+    view equal to the direct join-aggregate; DML on BOTH sides between
+    drains rides the next trigger."""
+    from edna_dbt_library_spark.streaming import stream_join_agg_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("ja", "f3")
+    r = wh.relation("ja", "d3")
+    t = wh.relation("ja", "v3")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 4, i) for i in range(24)], "fid long, j long, amt long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(j, j % 2) for j in range(4)], "j long, grp long"),
+        TableMeta(),
+    )
+    aggs = {"total": ("sum", "amt"), "n": ("count", "*")}
+    q = stream_join_agg_view(
+        wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs, str(tmp_path / "cp")
+    )
+    q.awaitTermination()
+    assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))
+    wh.delete_where(r, "j = 3")  # quiet-left window: dim-only change
+    wh.append(l, spark.createDataFrame([(100, 0, 9)], "fid long, j long, amt long"))
+    q = stream_join_agg_view(
+        wh, l, r, t, "fid", "j", ["j"], ["grp"], aggs, str(tmp_path / "cp")
+    )
+    q.awaitTermination()
+    assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))

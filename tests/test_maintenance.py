@@ -565,3 +565,112 @@ def test_vacuum_staging_gate_uses_newest_tree_mtime(spark, tmp_path):
     v = wh.vacuum(rel, older_than_s=300.0)
     assert v["staging_removed"] == 1
     assert not os.path.exists(os.path.join(wh.path(rel), "_temporary"))
+
+
+def test_mview_freshness_covers_extrema_kind(spark, tmp_path):
+    """kind == 'extrema' views are freshness-swept off their
+    extview:<tid> watermark: a moved source plans a refresh and
+    run_maintenance converges the view to the direct min/max."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("s", "xsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i * 7 % 31) for i in range(20)],
+            "id long, grp long, v long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__xv AS SELECT grp, min(v) AS lo, "
+        "max(v) AS hi FROM s__xsrc GROUP BY grp"
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+    wh.sql("DELETE FROM s__xsrc WHERE v > 25")
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["action"], p["target"], p["kind"]) for p in plan] == [
+        ("refresh_materialized_view", "s.xv", "extrema")
+    ]
+    run_maintenance(wh, mview_schemas=["s"])
+    direct = wh.read(src).groupBy("grp").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    assert _rows(wh.read(wh.relation("s", "xv")).select("grp", "lo", "hi")) == _rows(
+        direct
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+
+def test_mview_freshness_covers_join_agg_kind(spark, tmp_path):
+    """kind == 'join_agg' views are freshness-swept on all THREE edges:
+    either base table moving past the child join view's watermarks, or
+    the child moving past the level-2 aggregate watermark (the
+    crash-between-levels class)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("s", "jal")
+    r = wh.relation("s", "jar")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 4, i) for i in range(20)], "fid long, j long, amt long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(j, j % 2) for j in range(4)], "j long, grp long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__jag UNIQUE KEYS (fid, j) AS "
+        "SELECT grp, sum(amt) AS total, count(*) AS n "
+        "FROM s__jal JOIN s__jar USING (j) GROUP BY grp"
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+    # a dim-side delete trips the right edge
+    wh.sql("DELETE FROM s__jar WHERE j = 3")
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["action"], p["target"], p["kind"]) for p in plan] == [
+        ("refresh_materialized_view", "s.jag", "join_agg")
+    ]
+    assert "right" in plan[0]["reason"]
+    run_maintenance(wh, mview_schemas=["s"])
+
+    def direct():
+        return (
+            wh.read(l)
+            .join(wh.read(r), "j")
+            .groupBy("grp")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    assert _rows(
+        wh.read(wh.relation("s", "jag")).select("grp", "total", "n")
+    ) == _rows(direct())
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+    # crash between levels: the JOIN child lands, level 2 never runs —
+    # both bases then read fresh; only the child edge catches it
+    wh.sql("DELETE FROM s__jal WHERE fid % 5 = 1")
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_view,
+    )
+
+    child = wh.relation("s", "jag__join")
+    run_incremental_join_view(wh, l, r, child, "fid", "j", ["j"])
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["target"], p["kind"]) for p in plan] == [("s.jag", "join_agg")]
+    assert "child" in plan[0]["reason"]
+    run_maintenance(wh, mview_schemas=["s"])
+    assert _rows(
+        wh.read(wh.relation("s", "jag")).select("grp", "total", "n")
+    ) == _rows(direct())
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []

@@ -864,3 +864,192 @@ def test_or_replace_distinct_mview_elems_collision_preserves_view(spark, wh):
         "SELECT grp, count(DISTINCT v) AS nd2 FROM s__ocsrc GROUP BY grp"
     )
     assert "nd2" in wh.read(mv).columns
+
+
+def test_extrema_materialized_view_lifecycle(spark, wh):
+    """min/max outputs dispatch the MV to the extrema operator
+    (touched-group recompute): maintained under DML via REFRESH,
+    min/max cannot mix with the sum family (pre-shed raise), and DROP
+    sheds the definition plus the extview watermark."""
+    src = wh.relation("s", "exsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, (7 * i) % 50) for i in range(40)],
+            "id long, grp long, v long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__exv AS SELECT grp, min(v) AS lo, "
+        "max(v) AS hi FROM s__exsrc GROUP BY grp"
+    )
+    mv = wh.relation("s", "exv")
+    direct = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(src)
+        .groupBy("grp")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "lo", "hi").collect()
+    )
+    assert view() == direct()
+
+    # kill a current max, bump a new min in, delete a whole group's rows
+    wh.sql("DELETE FROM s__exsrc WHERE v >= 45")
+    wh.sql("UPDATE s__exsrc SET v = v + 100 WHERE id % 5 = 0")
+    wh.sql("DELETE FROM s__exsrc WHERE grp = 2")
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__exv").first()
+    assert out["operation"] == "refresh_materialized_view"
+    assert view() == direct()
+    assert wh.read(mv).where("grp = 2").count() == 0  # group retracted
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__exv").first()["n_rows"] == 0
+
+    # mixing extrema with the sum family raises BEFORE shedding
+    with pytest.raises(ValueError, match="cannot mix"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__exv AS "
+            "SELECT grp, min(v) AS lo, count(*) AS n FROM s__exsrc GROUP BY grp"
+        )
+    assert view() == direct()  # survived
+
+    wh.sql("DROP TABLE s__exv")
+    assert not any(
+        (s.get("note") or "").startswith(f"extview:{mv.table_id}")
+        for s in wh.list_snapshots(src)
+    )
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__exv")
+
+
+def test_avg_materialized_view_bit_identical(spark, wh):
+    """avg(col) AS m is a derived MV output: the view maintains the
+    hidden exact sum + count(*) and stores the served division — after
+    a DML window + REFRESH the avg column equals the direct
+    exact-sum/count quotient bit-identically."""
+    src = wh.relation("s", "avsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 4, 3 * i + 1) for i in range(36)],
+            "id long, grp long, v long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__avv AS SELECT grp, count(*) AS n, "
+        "avg(v) AS m FROM s__avsrc GROUP BY grp"
+    )
+    mv = wh.relation("s", "avv")
+    assert wh.read(mv).columns == ["grp", "n", "m", "_m__sum"]
+
+    def direct():
+        return sorted(
+            tuple(x)
+            for x in wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.sum("v").cast("double") / F.count(F.lit(1))).alias("m"),
+            )
+            .collect()
+        )
+
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "n", "m").collect()
+    )
+    assert view() == direct()
+    wh.sql("DELETE FROM s__avsrc WHERE id % 5 = 2")
+    wh.sql("UPDATE s__avsrc SET v = v + 10 WHERE grp = 1")
+    wh.sql("REFRESH MATERIALIZED VIEW s__avv")
+    assert view() == direct()
+
+
+def test_join_agg_materialized_view_lifecycle(spark, wh):
+    """The composed join-aggregate MV (UNIQUE KEYS + GROUP BY): one
+    statement materializes SELECT k, sum, count, avg FROM l JOIN r
+    USING (j) [WHERE pred] GROUP BY k as a maintained view; REFRESH
+    syncs DML from BOTH base tables through the hidden __join child;
+    DROP retires the child and both sides' watermarks."""
+    l = wh.relation("s", "jfact")
+    r = wh.relation("s", "jdim")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 5, 3 * i) for i in range(40)], "fid long, j long, amt long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(j, j % 2) for j in range(5)], "j long, grp long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__jav UNIQUE KEYS (fid, j) AS "
+        "SELECT grp, sum(amt) AS total, count(*) AS n, avg(amt) AS m "
+        "FROM s__jfact JOIN s__jdim USING (j) "
+        "WHERE amt >= 0 GROUP BY grp"
+    )
+    mv = wh.relation("s", "jav")
+    child = wh.relation("s", "jav__join")
+    assert wh.exists(child)
+    assert wh.read(mv).columns == ["grp", "total", "n", "m", "_m__sum"]
+
+    def direct():
+        return sorted(
+            tuple(x)
+            for x in wh.read(l)
+            .join(wh.read(r), "j")
+            .where("amt >= 0")
+            .groupBy("grp")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.sum("amt").cast("double") / F.count(F.lit(1))).alias("m"),
+            )
+            .collect()
+        )
+
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "total", "n", "m").collect()
+    )
+    assert view() == direct()
+
+    # DML on both sides, one REFRESH
+    wh.sql("DELETE FROM s__jfact WHERE fid % 7 = 2")
+    wh.sql("UPDATE s__jfact SET amt = amt + 5 WHERE fid % 3 = 0")
+    wh.sql("UPDATE s__jdim SET grp = 7 WHERE j = 1")
+    wh.sql("DELETE FROM s__jdim WHERE j = 4")
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__jav").first()
+    assert out["operation"] == "refresh_materialized_view"
+    assert view() == direct()
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__jav").first()["n_rows"] == 0
+
+    # distinct/extrema in the join-agg form raise pre-shed
+    with pytest.raises(ValueError, match="own view kind"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__jav UNIQUE KEYS (fid, j) "
+            "AS SELECT grp, min(amt) AS lo, count(*) AS n "
+            "FROM s__jfact JOIN s__jdim USING (j) GROUP BY grp"
+        )
+    assert view() == direct()  # survived
+
+    # DROP sheds the child table and BOTH sides' joinview watermarks
+    child_tid = child.table_id
+    for side in (l, r):
+        assert any(
+            (s.get("note") or "").startswith(f"joinview:{child_tid}:")
+            for s in wh.list_snapshots(side)
+        )
+    wh.sql("DROP TABLE s__jav")
+    assert not wh.exists(child)
+    for side in (l, r):
+        assert not any(
+            (s.get("note") or "").startswith(f"joinview:{child_tid}:")
+            for s in wh.list_snapshots(side)
+        )
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__jav")
