@@ -275,6 +275,24 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
             ]
         elif kind == "extrema":
             checks = [(wh.relation(*defn["source"]), f"extview:{tid}", "source")]
+        elif kind == "agg_distinct":
+            # five edges: source vs both children's level-1 watermarks,
+            # the distinct child's internal level-2 edge, and BOTH
+            # children vs the target's SERVE watermarks (a crash after
+            # the children sync but before the serve rewrite)
+            src_rel = wh.relation(*defn["source"])
+            child_a = wh.relation(*defn["child_agg"])
+            child_d = wh.relation(*defn["child_dcnt"])
+            elems = wh.relation(
+                child_d.schema, child_d.identifier + "__elems"
+            )
+            checks = [
+                (src_rel, f"aggview:{child_a.table_id}", "source"),
+                (src_rel, f"aggview:{elems.table_id}", "source"),
+                (elems, f"aggview:{child_d.table_id}", "child"),
+                (child_a, f"aggdview:{tid}:a", "serve"),
+                (child_d, f"aggdview:{tid}:d", "serve"),
+            ]
         else:
             checks = [(wh.relation(*defn["source"]), f"aggview:{tid}", "source")]
         moved = [

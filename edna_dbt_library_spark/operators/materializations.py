@@ -1709,3 +1709,98 @@ def run_incremental_join_agg_view(
     )
     l2["join"] = l1
     return l2
+
+
+def run_incremental_agg_distinct_view(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    col: str,
+    out: str = "n_distinct",
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+) -> dict:
+    """Maintain ``target = SELECT keys, aggs, count(DISTINCT col) AS out
+    FROM source [WHERE where] GROUP BY keys`` under FULL DML — the most
+    common analytics rollup shape (counts/sums next to a distinct
+    count), which neither single view kind can carry alone: the agg
+    view's ± algebra cannot retract a distinct count, and the distinct
+    view's child tracks only (group, value) multiplicities.
+
+    Composition, not a new algebra: TWO maintained children share the
+    source's changelog feeds —
+
+    * ``<target>__agg``: the retractable SUM/COUNT/AVG view
+      (:func:`run_incremental_agg_view`);
+    * ``<target>__dcnt``: the exact COUNT(DISTINCT) view
+      (:func:`run_incremental_distinct_view`, itself the two-level
+      stack with its own ``__dcnt__elems`` multiplicity child) —
+
+    and the target is the SERVE JOIN: agg-child LEFT JOIN dcnt-child on
+    the group keys, ``coalesce(out, 0)`` (SQL semantics: a group whose
+    values are all NULL counts 0 distinct; the group set is exactly the
+    agg child's, whose count(*) > 0 contract defines liveness). The
+    serve is a full rewrite of the GROUP-DOMAIN-sized target — never a
+    source scan — and is SKIPPED when both children's serve watermarks
+    show nothing moved (a quiet REFRESH is pure metadata). Serve
+    watermarks (``aggdview:<target>:a/:d`` snapshots on the children)
+    also give the maintenance freshness sweep the children→target
+    edges, so a crash AFTER the children sync but BEFORE the serve
+    rewrite is planned debt, not silent staleness.
+
+    Stored column order: keys, agg outputs in spec order, the distinct
+    output, then any hidden exact avg sums.
+
+    Returns {"agg": child stats, "distinct": child stats,
+    "n_groups_upserted": both children's upserts (0 for a quiet
+    window), "served": whether the target was rewritten}."""
+    child_a = wh.relation(target.schema, target.identifier + "__agg")
+    child_d = wh.relation(target.schema, target.identifier + "__dcnt")
+    la = run_incremental_agg_view(
+        wh, source, child_a, keys, aggs, where=where,
+        derived_keys=derived_keys,
+    )
+    ld = run_incremental_distinct_view(
+        wh, source, child_d, keys, col, out=out, where=where,
+        derived_keys=derived_keys,
+    )
+    all_keys = keys + list(derived_keys or {})
+    note_a = f"aggdview:{target.table_id}:a"
+    note_d = f"aggdview:{target.table_id}:d"
+    from edna_dbt_library_spark.operators.maintenance import _source_moved
+
+    if (
+        wh.exists(target)
+        and not _source_moved(wh, child_a, note_a)
+        and not _source_moved(wh, child_d, note_d)
+    ):
+        served = False
+    else:
+        served = True
+        a, d = wh.read(child_a), wh.read(child_d)
+        joined = a.join(d, all_keys, "left").withColumn(
+            out, F.coalesce(F.col(out), F.lit(0).cast("long"))
+        )
+        a_cols = [c for c in a.columns if c not in all_keys]
+        hid = [c for c in a_cols if c.startswith("_") and c.endswith("__sum")]
+        vis = [c for c in a_cols if c not in hid]
+        frame = joined.select(*all_keys, *vis, out, *hid).localCheckpoint(
+            eager=True
+        )
+        wh.create_as(target, frame, TableMeta())
+        for child, note in ((child_a, note_a), (child_d, note_d)):
+            prior = [
+                s for s in wh.list_snapshots(child) if s.get("note") == note
+            ]
+            wh.snapshot(child, note=note)
+            for s in prior:
+                wh.drop_snapshot(child, s["version"])
+    return {
+        "agg": la,
+        "distinct": ld,
+        "n_groups_upserted": int(la["n_groups_upserted"])
+        + int(ld["n_groups_upserted"]),
+        "served": served,
+    }

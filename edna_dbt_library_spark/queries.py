@@ -7570,10 +7570,97 @@ def distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_JOIN_AGG_VIEW_ORACLE = """
+WITH l0 AS (
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           o_orderkey % 97 AS units
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), l1 AS (
+    SELECT okey, ckey,
+           CASE WHEN okey % 7 = 0 THEN units + 100 ELSE units END AS units
+    FROM l0
+), l2 AS (
+    SELECT * FROM l1 WHERE NOT okey % 9 = 0
+), r0 AS (
+    SELECT c_custkey AS ckey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 25
+                ELSE c_nationkey END::BIGINT AS nk
+    FROM customer WHERE NOT c_custkey % 6 = 3
+)
+SELECT nk, sum(units)::BIGINT AS su, count(*) AS n
+FROM l2 JOIN r0 USING (ckey) GROUP BY nk
+"""
+
+
+@_register("join_agg_view_state", _JOIN_AGG_VIEW_ORACLE)
+def join_agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed join-aggregate IVM gate (operators/materializations.
+    run_incremental_join_agg_view — the two-level stack: join-view
+    child off BOTH sides' changelogs, retractable SUM/COUNT aggregate
+    off the CHILD's): full materialize of SELECT nk, sum(units),
+    count(*) FROM orders ⋈ customer GROUP BY nk, then one multi-DML
+    window touching both bases (fact append + measure update + key
+    delete; dimension GROUP-MOVING update + key delete — the move must
+    retract the fan-out from the old group and land it in the new one),
+    then ONE composed sync — the view's final state must equal DuckDB's
+    direct join-aggregate of the derived sources. In-query asserts pin
+    both levels' modes. Extra-registry granular of the scored
+    incremental_view_state arm. Reference analogue:
+    incremental_partition_merge.sql:248-265 + incremental_log.sql:66-73
+    (the joined-then-aggregated model every consuming project writes)."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        (F.col("o_orderkey") % 97).alias("units"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    aggs = {"su": ("sum", "units"), "n": ("count", "*")}
+    root = tempfile.mkdtemp(prefix="edna_jaview_")
+    try:
+        wh = Warehouse(spark, root)
+        l_rel = wh.relation("scratch", "jav_orders")
+        r_rel = wh.relation("scratch", "jav_cust")
+        t_rel = wh.relation("scratch", "jav_view")
+        wh.create_as(l_rel, o.where("okey % 2 = 0"), TableMeta())
+        wh.create_as(r_rel, c, TableMeta())
+        s1 = run_incremental_join_agg_view(
+            wh, l_rel, r_rel, t_rel, "okey", "ckey", ["ckey"], ["nk"], aggs
+        )
+        assert s1["mode"] == "full" and s1["join"]["mode"] == "full", s1
+        wh.append(l_rel, o.where("okey % 4 = 1"))
+        wh.update_where(l_rel, "okey % 7 = 0", {"units": "units + 100"})
+        wh.delete_where(l_rel, "okey % 9 = 0")
+        wh.update_where(r_rel, "ckey % 5 = 0", {"nk": "nk + 25"})
+        wh.delete_where(r_rel, "ckey % 6 = 3")
+        s2 = run_incremental_join_agg_view(
+            wh, l_rel, r_rel, t_rel, "okey", "ckey", ["ckey"], ["nk"], aggs
+        )
+        assert s2["mode"] == "delta" and s2["join"]["mode"] == "delta", s2
+        assert s2["n_groups_upserted"] > 0, s2
+        return wh.read(t_rel).select("nk", "su", "n").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _incremental_view_oracle() -> str:
     j = REGISTRY["join_view_state"].oracle
     a = REGISTRY["agg_view_state"].oracle
     d = REGISTRY["distinct_view_state"].oracle
+    x = REGISTRY["extrema_view_state"].oracle
+    g = REGISTRY["join_agg_view_state"].oracle
     return f"""
 SELECT 'join_view' AS src, okey AS id, '' AS key, ckey AS cell,
        0::BIGINT AS n, price AS value, bal AS value2
@@ -7585,7 +7672,15 @@ FROM ({a})
 UNION ALL
 SELECT 'distinct_view' AS src, 0::BIGINT AS id, grp AS key, nd AS cell,
        0::BIGINT AS n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
-FROM ({d})"""
+FROM ({d})
+UNION ALL
+SELECT 'extrema_view' AS src, 0::BIGINT AS id, grp AS key, lo AS cell,
+       hi AS n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({x})
+UNION ALL
+SELECT 'join_agg_view' AS src, 0::BIGINT AS id, nk::VARCHAR AS key,
+       su AS cell, n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({g})"""
 
 
 @_register("incremental_view_state", _incremental_view_oracle())
@@ -7598,18 +7693,26 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts add / deletes subtract / zero-count groups retire, see
     agg_view_state) AND exact COUNT(DISTINCT) IVM
     (run_incremental_distinct_view — the two-level composition
-    maintaining a view OF a view, see distinct_view_state). Together
-    they gate the maintained-view surface the SQL CREATE/REFRESH
-    MATERIALIZED VIEW faces dispatch to: the view shapes a warehouse
-    consumer materializes over DML'd sources.
-    Granulars join_view_state / agg_view_state / distinct_view_state
-    stay registered.
+    maintaining a view OF a view, see distinct_view_state) AND, since
+    r12, MIN/MAX extrema IVM (run_incremental_extrema_view —
+    touched-group recompute, the scoped rescan for non-invertible
+    aggregates, see extrema_view_state) AND the composed
+    join-aggregate IVM (run_incremental_join_agg_view — a hidden
+    join-view child off both sides' changelogs under a retractable
+    aggregate view, see join_agg_view_state). Together they gate the
+    maintained-view surface the SQL CREATE/REFRESH MATERIALIZED VIEW
+    faces dispatch to: the view shapes a warehouse consumer
+    materializes over DML'd sources.
+    Granulars join_view_state / agg_view_state / distinct_view_state /
+    extrema_view_state / join_agg_view_state stay registered.
     Reference analogue: incremental_partition_merge.sql:248-265 (the
     maintained-join contract) + incremental_log.sql:66-73 (windowed
     aggregates, closed against update/delete)."""
     jv = REGISTRY["join_view_state"].spark(spark, sf_dir)
     av = REGISTRY["agg_view_state"].spark(spark, sf_dir)
     dv = REGISTRY["distinct_view_state"].spark(spark, sf_dir)
+    xv = REGISTRY["extrema_view_state"].spark(spark, sf_dir)
+    gv = REGISTRY["join_agg_view_state"].spark(spark, sf_dir)
     return (
         jv.select(
             F.lit("join_view").alias("src"),
@@ -7638,6 +7741,28 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("grp").alias("key"),
                 F.col("nd").cast("long").alias("cell"),
                 F.lit(0).cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            xv.select(
+                F.lit("extrema_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("grp").alias("key"),
+                F.col("lo").cast("long").alias("cell"),
+                F.col("hi").cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            gv.select(
+                F.lit("join_agg_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("nk").cast("string").alias("key"),
+                F.col("su").cast("long").alias("cell"),
+                F.col("n").cast("long").alias("n"),
                 F.lit(0.0).cast("double").alias("value"),
                 F.lit(0.0).cast("double").alias("value2"),
             )

@@ -592,6 +592,27 @@ def _shed_mview(wh, rel) -> None:
                 continue
         if wh.exists(child_rel):
             wh.drop(child_rel)
+    if defn.get("kind") == "agg_distinct":
+        # mixed form: the SOURCE carries watermarks under BOTH children
+        # (the agg child's, and the distinct child's __elems level-1);
+        # all three child tables retire with the view — their own
+        # snapshots (level-2 + serve watermarks) vanish with them
+        child_a = wh.relation(*defn["child_agg"])
+        child_d = wh.relation(*defn["child_dcnt"])
+        elems = wh.relation(child_d.schema, child_d.identifier + "__elems")
+        src_rel = wh.relation(*defn["source"])
+        try:
+            for sn in wh.list_snapshots(src_rel):
+                note = sn.get("note") or ""
+                if _owned(note, child_a.table_id) or _owned(
+                    note, elems.table_id
+                ):
+                    wh.drop_snapshot(src_rel, sn["version"])
+        except OSError:
+            pass
+        for c in (child_a, child_d, elems):
+            if wh.exists(c):
+                wh.drop(c)
     for s in srcs:
         src_rel = wh.relation(*s)
         try:
@@ -781,13 +802,13 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     # validate the spec BEFORE shedding/dropping anything: a bad spec
     # must never destroy the existing view on OR REPLACE
     if distinct:
-        if len(distinct) > 1 or aggs or extrema:
+        if len(distinct) > 1 or extrema:
             raise ValueError(
-                "SQL CREATE MATERIALIZED VIEW: count(DISTINCT col) "
-                "stands alone — one distinct output, no other "
-                "aggregates (the two-level view's child carries only "
-                "the (group, value) multiplicities; mix forms via two "
-                "views or the DataFrame API)"
+                "SQL CREATE MATERIALIZED VIEW: at most ONE "
+                "count(DISTINCT col) output, and it cannot mix with "
+                "min/max (the mixed form composes the agg view with "
+                "the distinct view's multiplicity child; extrema want "
+                "their own view joined on the keys)"
             )
         ((out, dcol),) = distinct.items()
         schema = wh.read(src).schema
@@ -801,6 +822,10 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                 "SQL CREATE MATERIALIZED VIEW: count(DISTINCT) column/"
                 "output must not be a group key"
             )
+        if aggs:
+            # mixed form: the sum/count/avg side validates exactly as
+            # its own agg view would (pre-shed)
+            _validate_avg_base(aggs, keys, schema)
     elif extrema:
         if aggs:
             raise ValueError(
@@ -830,6 +855,64 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
         probe.schema  # derived keys must analyze (ts column exists)
     if where is not None:
         probe.where(where).schema  # predicate must analyze
+    if distinct and aggs:
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_agg_distinct_view,
+        )
+
+        child_a = wh.relation(rel.schema, rel.identifier + "__agg")
+        child_d = wh.relation(rel.schema, rel.identifier + "__dcnt")
+        elems = wh.relation(rel.schema, rel.identifier + "__dcnt__elems")
+        squatted = [c for c in (child_a, child_d, elems) if wh.exists(c)]
+        if squatted:
+            # same pre-shed invariant as the distinct form's __elems:
+            # the slots are fine only when the PRIOR definition is an
+            # agg_distinct view that owns them
+            try:
+                with open(_mview_def_path(wh, rel)) as f:
+                    prior_defn = json.load(f)
+            except (OSError, ValueError):
+                prior_defn = {}
+            owns = (
+                prior_defn.get("kind") == "agg_distinct"
+                and prior_defn.get("child_agg")
+                == [child_a.schema, child_a.identifier]
+                and prior_defn.get("child_dcnt")
+                == [child_d.schema, child_d.identifier]
+            )
+            if not owns:
+                raise ValueError(
+                    "SQL CREATE MATERIALIZED VIEW: "
+                    f"{squatted[0].table_id} exists — the mixed "
+                    "aggregate+distinct view needs the __agg/__dcnt "
+                    "child names"
+                )
+        _shed_mview(wh, rel)
+        if wh.exists(rel):
+            wh.drop(rel)
+        stats = run_incremental_agg_distinct_view(
+            wh, src, rel, plain_keys, aggs, dcol, out=out, where=where,
+            derived_keys=derived or None,
+        )
+        defn = {
+            "kind": "agg_distinct",
+            "source": [src.schema, src.identifier],
+            "child_agg": [child_a.schema, child_a.identifier],
+            "child_dcnt": [child_d.schema, child_d.identifier],
+            "keys": plain_keys,
+            "aggs": {k: list(v) for k, v in aggs.items()},
+            "col": dcol,
+            "out": out,
+            "where": where,
+            "derived_keys": derived or None,
+        }
+        path = _mview_def_path(wh, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(defn, f)
+        return _stats(
+            wh, "create_materialized_view", rel, stats["n_groups_upserted"]
+        )
     if distinct:
         from edna_dbt_library_spark.operators.materializations import (
             run_incremental_distinct_view,
@@ -1281,6 +1364,25 @@ def _refresh_mview_rel(wh, rel) -> DataFrame:
             wh.relation(*defn["source"]),
             rel,
             list(defn["keys"]),
+            defn["col"],
+            out=defn["out"],
+            where=defn.get("where"),
+            derived_keys=defn.get("derived_keys"),
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if defn.get("kind", "join") == "agg_distinct":
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_agg_distinct_view,
+        )
+
+        stats = run_incremental_agg_distinct_view(
+            wh,
+            wh.relation(*defn["source"]),
+            rel,
+            list(defn["keys"]),
+            {k: tuple(v) for k, v in defn["aggs"].items()},
             defn["col"],
             out=defn["out"],
             where=defn.get("where"),

@@ -815,3 +815,68 @@ def test_stream_extrema_view_drain_equals_direct(spark, tmp_path):
     q = stream_extrema_view(wh, src, tgt, ["grp"], aggs, str(tmp_path / "cp"))
     q.awaitTermination()
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_agg_distinct_view_through_dml_windows(spark, tmp_path):
+    """The mixed rollup (run_incremental_agg_distinct_view): counts/sums
+    next to an exact count(DISTINCT) in ONE maintained target — through
+    DML windows the serve join must equal the direct mixed aggregation,
+    a group with all-NULL values must show 0 distinct, and a quiet
+    window must SKIP the serve rewrite (pure metadata no-op)."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_distinct_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "adsrc")
+    tgt = wh.relation("av", "addst")
+    rows = [(i, i % 4, 10 * i, (i % 6) if i % 9 else None) for i in range(40)]
+    # grp 3 gets only NULL values for v
+    rows += [(100 + i, 5, 7, None) for i in range(3)]
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            rows, "id long, grp long, amt long, v long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    aggs = {"total": ("sum", "amt"), "n": ("count", "*")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.count_distinct("v").alias("nd"),
+            )
+        )
+
+    s = run_incremental_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "v", out="nd"
+    )
+    assert s["served"] and s["agg"]["mode"] == "full"
+    got = wh.read(tgt)
+    assert got.columns == ["grp", "total", "n", "nd"]
+    assert _rows(got) == _rows(direct())
+    assert wh.read(tgt).where("grp = 5").first()["nd"] == 0  # all-NULL group
+
+    # window: value churn + measure churn + group drain
+    wh.delete_where(src, "id % 7 = 2")
+    wh.update_where(src, "id % 5 = 0", {"v": "99"})
+    wh.update_where(src, "id % 11 = 3", {"amt": "amt + 4"})
+    wh.delete_where(src, "grp = 2")
+    s = run_incremental_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "v", out="nd"
+    )
+    assert s["served"] and s["n_groups_upserted"] > 0
+    assert _rows(wh.read(tgt)) == _rows(direct())
+    assert wh.read(tgt).where("grp = 2").count() == 0
+
+    # quiet window: children net zero, serve rewrite SKIPPED
+    s = run_incremental_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "v", out="nd"
+    )
+    assert not s["served"] and s["n_groups_upserted"] == 0
+    assert _rows(wh.read(tgt)) == _rows(direct())

@@ -662,8 +662,9 @@ def test_graph_linkage_equals_granular_composition(spark):
 
 
 def test_incremental_view_state_equals_granular_composition(spark):
-    """r11 scored row == join_view_state ∪ agg_view_state ∪
-    distinct_view_state (the IVM families, src-tagged)."""
+    """r11 scored row (widened r12) == join_view_state ∪ agg_view_state
+    ∪ distinct_view_state ∪ extrema_view_state ∪ join_agg_view_state
+    (the IVM families, src-tagged)."""
     reg = qmod.all_queries()
     scored = reg["incremental_view_state"](spark, SF)
     jv = reg["join_view_state"](spark, SF).select(
@@ -693,10 +694,29 @@ def test_incremental_view_state_equals_granular_composition(spark):
         F.lit(0.0).cast("double").alias("value"),
         F.lit(0.0).cast("double").alias("value2"),
     )
-    composed = jv.unionAll(av).unionAll(dv)
+    xv = reg["extrema_view_state"](spark, SF).select(
+        F.lit("extrema_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("grp").alias("key"),
+        F.col("lo").cast("long").alias("cell"),
+        F.col("hi").cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    gv = reg["join_agg_view_state"](spark, SF).select(
+        F.lit("join_agg_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("nk").cast("string").alias("key"),
+        F.col("su").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    composed = jv.unionAll(av).unionAll(dv).unionAll(xv).unionAll(gv)
     assert _rows(scored) == _rows(composed.select(*scored.columns))
     assert {r[0] for r in _rows(scored.select("src").distinct())} == {
-        "join_view", "agg_view", "distinct_view",
+        "join_view", "agg_view", "distinct_view", "extrema_view",
+        "join_agg_view",
     }
 
 

@@ -674,3 +674,73 @@ def test_mview_freshness_covers_join_agg_kind(spark, tmp_path):
         wh.read(wh.relation("s", "jag")).select("grp", "total", "n")
     ) == _rows(direct())
     assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+
+def test_mview_freshness_covers_agg_distinct_kind(spark, tmp_path):
+    """kind == 'agg_distinct' views are freshness-swept on all five
+    edges — including the serve edge: children synced but the serve
+    rewrite crashed leaves every child watermark promoted, and only
+    the children-vs-serve snapshots catch the stale target."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_view,
+        run_incremental_distinct_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("s", "mdsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i, i % 4) for i in range(24)],
+            "id long, grp long, amt long, u long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__md AS SELECT grp, count(*) AS n, "
+        "sum(amt) AS total, count(DISTINCT u) AS nu FROM s__mdsrc GROUP BY grp"
+    )
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+    # source moved: both source edges due
+    wh.sql("DELETE FROM s__mdsrc WHERE id % 6 = 1")
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["action"], p["target"], p["kind"]) for p in plan] == [
+        ("refresh_materialized_view", "s.md", "agg_distinct")
+    ]
+    run_maintenance(wh, mview_schemas=["s"])
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").alias("total"),
+                F.count_distinct("u").alias("nu"),
+            )
+        )
+
+    assert _rows(
+        wh.read(wh.relation("s", "md")).select("grp", "n", "total", "nu")
+    ) == _rows(direct())
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+    # crash AFTER both children sync, BEFORE the serve rewrite: every
+    # child watermark promoted, only the serve edges see the debt
+    wh.sql("UPDATE s__mdsrc SET u = 9 WHERE id % 4 = 2")
+    child_a = wh.relation("s", "md__agg")
+    child_d = wh.relation("s", "md__dcnt")
+    run_incremental_agg_view(
+        wh, src, child_a, ["grp"],
+        {"n": ("count", "*"), "total": ("sum", "amt")},
+    )
+    run_incremental_distinct_view(wh, src, child_d, ["grp"], "u", out="nu")
+    plan = maintenance_plan(wh, mview_schemas=["s"])
+    assert [(p["target"], p["kind"]) for p in plan] == [("s.md", "agg_distinct")]
+    assert "serve" in plan[0]["reason"]
+    run_maintenance(wh, mview_schemas=["s"])
+    assert _rows(
+        wh.read(wh.relation("s", "md")).select("grp", "n", "total", "nu")
+    ) == _rows(direct())
+    assert maintenance_plan(wh, mview_schemas=["s"]) == []

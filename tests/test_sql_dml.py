@@ -1053,3 +1053,83 @@ def test_join_agg_materialized_view_lifecycle(spark, wh):
         )
     with pytest.raises(ValueError, match="not a materialized view"):
         wh.sql("REFRESH MATERIALIZED VIEW s__jav")
+
+
+def test_mixed_agg_distinct_materialized_view_lifecycle(spark, wh):
+    """SELECT k, count(*), sum(x), count(DISTINCT u) in ONE MV (the
+    most common rollup shape): creates the composed agg_distinct view,
+    REFRESH syncs DML (quiet refresh reports 0), and DROP/name-reuse
+    sheds all three child tables and both source watermarks."""
+    src = wh.relation("s", "mxsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, 2 * i, i % 5) for i in range(30)],
+            "id long, grp long, amt long, u long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__mx AS SELECT grp, count(*) AS n, "
+        "sum(amt) AS total, count(DISTINCT u) AS nu "
+        "FROM s__mxsrc GROUP BY grp"
+    )
+    mv = wh.relation("s", "mx")
+    child_a = wh.relation("s", "mx__agg")
+    child_d = wh.relation("s", "mx__dcnt")
+    elems = wh.relation("s", "mx__dcnt__elems")
+    for c in (child_a, child_d, elems):
+        assert wh.exists(c)
+    assert wh.read(mv).columns == ["grp", "n", "total", "nu"]
+
+    def direct():
+        return sorted(
+            tuple(x)
+            for x in wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").alias("total"),
+                F.count_distinct("u").alias("nu"),
+            )
+            .collect()
+        )
+
+    view = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "n", "total", "nu").collect()
+    )
+    assert view() == direct()
+
+    wh.sql("DELETE FROM s__mxsrc WHERE id % 5 = 1")
+    wh.sql("UPDATE s__mxsrc SET u = 77 WHERE id % 4 = 0")
+    wh.sql("UPDATE s__mxsrc SET amt = amt + 3 WHERE grp = 1")
+    out = wh.sql("REFRESH MATERIALIZED VIEW s__mx").first()
+    assert out["operation"] == "refresh_materialized_view" and out["n_rows"] > 0
+    assert view() == direct()
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__mx").first()["n_rows"] == 0
+
+    # name-reuse over a squatted child raises pre-shed; owned children
+    # replace cleanly
+    squat = wh.relation("s", "mx2__agg")
+    wh.create_as(squat, spark.createDataFrame([(1,)], "x long"), TableMeta())
+    with pytest.raises(ValueError, match="__agg exists"):
+        wh.sql(
+            "CREATE MATERIALIZED VIEW s__mx2 AS SELECT grp, count(*) AS n, "
+            "count(DISTINCT u) AS nu FROM s__mxsrc GROUP BY grp"
+        )
+    wh.drop(squat)
+    wh.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW s__mx AS SELECT grp, "
+        "count(*) AS n2, count(DISTINCT amt) AS na FROM s__mxsrc GROUP BY grp"
+    )
+    assert wh.read(mv).columns == ["grp", "n2", "na"]
+
+    # DROP retires children + the source's child-named watermarks
+    wh.sql("DROP TABLE s__mx")
+    for c in (child_a, child_d, elems):
+        assert not wh.exists(c)
+    assert not any(
+        "mx__" in (s.get("note") or "") for s in wh.list_snapshots(src)
+    )
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__mx")
