@@ -56,7 +56,13 @@ import os
 from dataclasses import dataclass, field
 from typing import Any
 
-__all__ = ["MaintenancePolicy", "clustering_depth", "maintenance_plan", "run_maintenance"]
+__all__ = [
+    "MaintenancePolicy",
+    "clustering_depth",
+    "discover_targets",
+    "maintenance_plan",
+    "run_maintenance",
+]
 
 
 @dataclass(frozen=True)
@@ -336,19 +342,122 @@ def _index_delta_action(wh, index, kind: str, policy: MaintenancePolicy):
     }
 
 
+def discover_targets(wh) -> dict[str, Any]:
+    """Sweep the warehouse ROOT for maintenance targets — the
+    auto-discovery that closes the 'forgotten target silently accrues
+    debt' gap (r11 verdict missing #4): one os.walk-depth-2 listing,
+    no Spark job, no data bytes.
+
+    * a directory is a TABLE iff it carries the `_edna_meta.json`
+      sidecar (every warehouse table writes one; continuous-aggregate
+      stores and foreign dirs don't);
+    * a table with `<name>_centroids` + `<name>_codebooks` siblings is
+      an IVF-PQ index; one with a `<name>_stats` sibling is a BM25
+      index — index tables and their companion tables are EXCLUDED
+      from the generic table sweep (their maintenance is the LSM fold
+      / stats refresh, and a generic compact would hash-rewrite the
+      term-/cell-clustered layout the index paid for);
+    * a schema with an `_edna_mviews` registry joins the freshness
+      sweep.
+
+    Continuous-aggregate stores are NOT discoverable: they live at
+    caller-chosen paths outside the relation namespace — pass
+    ``agg_stores`` explicitly, as before. A user table that merely
+    LOOKS like an index (coincidental `_stats` sibling) is classified
+    as one, which costs it the generic sweep but plans nothing wrong —
+    documented trade for a zero-configuration default."""
+    tables, bm25, ivfpq, mview_schemas = [], [], [], []
+    try:
+        schemas = sorted(os.listdir(wh.root))
+    except FileNotFoundError:
+        schemas = []
+    for schema in schemas:
+        sdir = os.path.join(wh.root, schema)
+        if schema.startswith(("_", ".")) or not os.path.isdir(sdir):
+            continue
+        if os.path.isdir(os.path.join(sdir, "_edna_mviews")):
+            mview_schemas.append(schema)
+        names = set()
+        for name in sorted(os.listdir(sdir)):
+            if name.startswith(("_", ".")):
+                continue
+            if os.path.isfile(os.path.join(sdir, name, "_edna_meta.json")):
+                names.add(name)
+        companions: set[str] = set()
+        for name in sorted(names):
+            if name + "_centroids" in names and name + "_codebooks" in names:
+                ivfpq.append(wh.relation(schema, name))
+                companions.update(
+                    {name, name + "_centroids", name + "_codebooks"}
+                )
+                if name + "_delta" in names:
+                    companions.add(name + "_delta")
+            elif name + "_stats" in names:
+                bm25.append(wh.relation(schema, name))
+                companions.update({name, name + "_stats"})
+                if name + "_delta" in names:
+                    companions.add(name + "_delta")
+        tables.extend(
+            wh.relation(schema, name)
+            for name in sorted(names)
+            if name not in companions
+        )
+    return {
+        "tables": tables,
+        "bm25_indexes": bm25,
+        "ivfpq_indexes": ivfpq,
+        "mview_schemas": mview_schemas,
+    }
+
+
+def _resolve_targets(wh, tables, bm25_indexes, ivfpq_indexes, mview_schemas):
+    """None means 'discover'; an explicit list (even empty) is taken
+    verbatim. One discovery sweep serves every None argument."""
+    if None in (tables, bm25_indexes, ivfpq_indexes, mview_schemas):
+        d = discover_targets(wh)
+        tables = d["tables"] if tables is None else list(tables)
+        bm25_indexes = (
+            d["bm25_indexes"] if bm25_indexes is None else list(bm25_indexes)
+        )
+        ivfpq_indexes = (
+            d["ivfpq_indexes"]
+            if ivfpq_indexes is None
+            else list(ivfpq_indexes)
+        )
+        mview_schemas = (
+            d["mview_schemas"]
+            if mview_schemas is None
+            else list(mview_schemas)
+        )
+        return tables, bm25_indexes, ivfpq_indexes, mview_schemas
+    return (
+        list(tables),
+        list(bm25_indexes),
+        list(ivfpq_indexes),
+        list(mview_schemas),
+    )
+
+
 def maintenance_plan(
     wh,
-    tables=(),
-    bm25_indexes=(),
-    ivfpq_indexes=(),
+    tables=None,
+    bm25_indexes=None,
+    ivfpq_indexes=None,
     agg_stores=(),
     policy: MaintenancePolicy | None = None,
-    mview_schemas=(),
+    mview_schemas=None,
 ) -> list[dict[str, Any]]:
     """Inspect the targets' metadata and return the due actions —
     dicts with ``action`` / ``target`` / ``reason`` plus the metrics
     that tripped the threshold (so operators can see WHY). Pure
     planning: nothing is executed, no Spark job runs.
+
+    Every target list defaults to None = AUTO-DISCOVERED from the
+    warehouse root (:func:`discover_targets`) — ``maintenance_plan(wh)``
+    sweeps everything, so a table nobody remembered to list cannot
+    silently accrue debt. Pass an explicit list (even empty) to scope
+    the sweep. ``agg_stores`` stays explicit: continuous-aggregate
+    stores live at caller-chosen paths the root listing cannot see.
 
     ``mview_schemas`` names schemas whose `_edna_mviews` registries are
     swept for STALE views (sources moved past the promoted watermark —
@@ -361,8 +470,10 @@ def maintenance_plan(
     # generators are legal inputs but must survive two passes
     # (run_maintenance re-reads them for its lookup dicts) — and each
     # table's file listing is walked ONCE, not once per threshold
-    tables, agg_stores = list(tables), list(agg_stores)
-    bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
+    tables, bm25_indexes, ivfpq_indexes, mview_schemas = _resolve_targets(
+        wh, tables, bm25_indexes, ivfpq_indexes, mview_schemas
+    )
+    agg_stores = list(agg_stores)
 
     for schema in mview_schemas:
         plan.extend(_mview_freshness_actions(wh, schema))
@@ -485,24 +596,28 @@ def maintenance_plan(
 
 def run_maintenance(
     wh,
-    tables=(),
-    bm25_indexes=(),
-    ivfpq_indexes=(),
+    tables=None,
+    bm25_indexes=None,
+    ivfpq_indexes=None,
     agg_stores=(),
     policy: MaintenancePolicy | None = None,
-    mview_schemas=(),
+    mview_schemas=None,
 ) -> list[dict[str, Any]]:
     """Plan, then execute each due action; returns the plan with an
-    ``executed`` flag per entry. Idempotent at the policy level: after
-    a run, re-planning the same targets is empty (each fold clears the
-    debt its threshold measures) — asserted in tests."""
+    ``executed`` flag per entry. None target lists auto-discover, same
+    as :func:`maintenance_plan` — ``run_maintenance(wh)`` services the
+    whole warehouse. Idempotent at the policy level: after a run,
+    re-planning the same targets is empty (each fold clears the debt
+    its threshold measures) — asserted in tests."""
     policy = policy or MaintenancePolicy()
-    # normalize BEFORE planning: a generator argument would be
-    # exhausted by maintenance_plan, leaving the lookup dicts below
-    # empty and a KeyError mid-execution after some actions already ran
-    tables, agg_stores = list(tables), list(agg_stores)
-    bm25_indexes, ivfpq_indexes = list(bm25_indexes), list(ivfpq_indexes)
-    mview_schemas = list(mview_schemas)
+    # resolve/normalize BEFORE planning: discovery must happen ONCE so
+    # the plan and the lookup dicts below see the same target set, and
+    # a generator argument would be exhausted by maintenance_plan,
+    # leaving the lookups empty and a KeyError mid-execution
+    tables, bm25_indexes, ivfpq_indexes, mview_schemas = _resolve_targets(
+        wh, tables, bm25_indexes, ivfpq_indexes, mview_schemas
+    )
+    agg_stores = list(agg_stores)
     plan = maintenance_plan(
         wh, tables, bm25_indexes, ivfpq_indexes, agg_stores, policy,
         mview_schemas=mview_schemas,

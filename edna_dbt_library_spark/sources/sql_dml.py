@@ -800,7 +800,9 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     aggs, derived, distinct, extrema = _parse_mv_agg_items(m.group(3), keys)
     plain_keys = [k for k in keys if k not in derived]
     # validate the spec BEFORE shedding/dropping anything: a bad spec
-    # must never destroy the existing view on OR REPLACE
+    # must never destroy the existing view on OR REPLACE — one source
+    # probe (metadata-only) serves every check below
+    src_df = wh.read(src)
     if distinct:
         if len(distinct) > 1 or extrema:
             raise ValueError(
@@ -811,7 +813,7 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                 "their own view joined on the keys)"
             )
         ((out, dcol),) = distinct.items()
-        schema = wh.read(src).schema
+        schema = src_df.schema
         if dcol not in schema.names:
             raise ValueError(
                 f"SQL CREATE MATERIALIZED VIEW: distinct column {dcol!r} "
@@ -835,7 +837,7 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                 "retractable and belongs in its own agg view; a "
                 "consumer wanting both joins the two views on the keys"
             )
-        schema = wh.read(src).schema
+        schema = src_df.schema
         for out, (_fn, col) in extrema.items():
             if col not in schema.names:
                 raise ValueError(
@@ -848,8 +850,8 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                     "collides with a group key"
                 )
     else:
-        _validate_avg_base(aggs, keys, wh.read(src).schema)
-    probe = wh.read(src)
+        _validate_avg_base(aggs, keys, src_df.schema)
+    probe = src_df
     if derived:
         probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
         probe.schema  # derived keys must analyze (ts column exists)

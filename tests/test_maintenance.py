@@ -744,3 +744,72 @@ def test_mview_freshness_covers_agg_distinct_kind(spark, tmp_path):
         wh.read(wh.relation("s", "md")).select("grp", "n", "total", "nu")
     ) == _rows(direct())
     assert maintenance_plan(wh, mview_schemas=["s"]) == []
+
+
+def test_auto_discovery_plans_forgotten_targets(spark, tmp_path):
+    """maintenance_plan(wh) with NO target lists sweeps the whole
+    warehouse: a debt-bearing table nobody listed is planned anyway;
+    discovery classifies index pairs by their companion tables and
+    keeps them (and the companions) out of the generic table sweep;
+    mview schemas join the freshness sweep automatically."""
+    import time
+
+    import pytest
+
+    from edna_dbt_library_spark.operators.maintenance import discover_targets
+    from edna_dbt_library_spark.sources.warehouse import InjectedCrash
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # the "forgotten" table with crashed-txn debt
+    rel = wh.relation("m", "forgotten")
+    wh.create_as(
+        rel, spark.range(0, 30).select(F.col("id").alias("k")), TableMeta()
+    )
+    wh._txn_crash_point = "before_commit"
+    with pytest.raises(InjectedCrash):
+        wh.delete_where(rel, "k < 3")
+    wh._txn_crash_point = None
+    (txid,) = wh._pending_txids(rel)
+    old = time.time() - 400.0
+    os.utime(os.path.join(wh._pending_dir(rel), f"{txid}.json"), (old, old))
+
+    # a persisted BM25 index (main + _stats [+ _delta]) and a stale MV
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 7} w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    from edna_dbt_library_spark.operators.retrieval import build_bm25_index
+
+    idx = wh.relation("m", "bm25idx")
+    build_bm25_index(wh, idx, docs)
+    src = wh.relation("m", "mvsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(12)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW m__amv AS SELECT grp, sum(v) AS t, "
+        "count(*) AS n FROM m__mvsrc GROUP BY grp"
+    )
+    wh.append(src, spark.createDataFrame([(50, 1, 5)], "id long, grp long, v long"))
+
+    d = discover_targets(wh)
+    names = {(r.schema, r.identifier) for r in d["tables"]}
+    assert ("m", "forgotten") in names and ("m", "mvsrc") in names
+    assert ("m", "bm25idx") not in names  # index: LSM-fold territory
+    assert ("m", "bm25idx_stats") not in names  # companion excluded
+    assert [(r.schema, r.identifier) for r in d["bm25_indexes"]] == [
+        ("m", "bm25idx")
+    ]
+    assert d["mview_schemas"] == ["m"]
+
+    plan = maintenance_plan(wh, policy=MaintenancePolicy(crashed_txn_age_s=300.0))
+    acts = {(p["action"], p["target"]) for p in plan}
+    assert ("vacuum", "m.forgotten") in acts
+    assert ("refresh_materialized_view", "m.amv") in acts
+    run_maintenance(wh, policy=MaintenancePolicy(crashed_txn_age_s=300.0))
+    assert wh._pending_txids(rel) == []
+    assert maintenance_plan(wh) == []

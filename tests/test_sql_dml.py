@@ -485,7 +485,7 @@ def test_create_and_refresh_aggregate_materialized_view(spark, wh):
     with pytest.raises(ValueError, match="cannot parse SELECT item"):
         wh.sql(
             "CREATE OR REPLACE MATERIALIZED VIEW s__agv AS "
-            "SELECT grp, avg(amt) AS a, count(*) AS n "
+            "SELECT grp, median(amt) AS a, count(*) AS n "
             "FROM s__agsrc GROUP BY grp"
         )
     assert view() == direct()  # untouched by the failed replaces
@@ -787,11 +787,12 @@ def test_distinct_materialized_view_lifecycle(spark, wh):
     assert view() == direct()
     assert wh.sql("REFRESH MATERIALIZED VIEW s__dv").first()["n_rows"] == 0
 
-    # mixing distinct with other aggregates raises, pre-shed
-    with pytest.raises(ValueError, match="stands alone"):
+    # two distinct outputs (or distinct mixed with min/max) still
+    # raise, pre-shed — sum/count/avg mix via the agg_distinct form
+    with pytest.raises(ValueError, match="at most ONE"):
         wh.sql(
             "CREATE OR REPLACE MATERIALIZED VIEW s__dv AS "
-            "SELECT grp, count(DISTINCT v) AS nd, count(*) AS n "
+            "SELECT grp, count(DISTINCT v) AS nd, count(DISTINCT id) AS ni "
             "FROM s__dvsrc GROUP BY grp"
         )
     assert view() == direct()  # survived
