@@ -440,3 +440,86 @@ def test_stream_join_agg_view_drain_equals_direct(spark, tmp_path):
     )
     q.awaitTermination()
     assert _rows(wh.read(t)) == _rows(_direct_join_agg(wh, l, r, ["j"], ["grp"]))
+
+
+@settings(max_examples=3, deadline=None)
+@given(_WINDOWS)
+def test_join_agg_view_fuzz_matches_direct(spark, tmp_path_factory, windows):
+    """Any interleaving of inserts/updates/deletes on either base,
+    chopped into any window boundaries, must leave the COMPOSED
+    join-aggregate view equal to the direct join-aggregate after every
+    sync — the two-level stack inherits both levels' window-shape
+    independence."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("jafuzz")))
+    l = wh.relation("f", "fl")
+    r = wh.relation("f", "fr")
+    t = wh.relation("f", "fv")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(18)], "l_id long, grp long, lv long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j % 2) for j in range(6)],
+            "r_id long, grp long, seg long",
+        ).coalesce(1),
+        TableMeta(),
+    )
+    aggs = {"total": ("sum", "lv"), "n": ("count", "*")}
+
+    def direct():
+        return (
+            wh.read(l)
+            .join(wh.read(r), "grp")
+            .groupBy("seg")
+            .agg(
+                F.sum("lv").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    run_incremental_join_agg_view(
+        wh, l, r, t, "l_id", "r_id", ["grp"], ["seg"], aggs
+    )
+    next_l, next_r = 1000, 2000
+    for ops in windows:
+        for op, arg in ops:
+            if op == "l_ins":
+                wh.append(
+                    l,
+                    spark.createDataFrame(
+                        [(next_l, arg, next_l)], "l_id long, grp long, lv long"
+                    ),
+                )
+                next_l += 1
+            elif op == "l_del":
+                wh.delete_where(l, f"l_id % 5 = {arg}")
+            elif op == "l_upd":
+                wh.update_where(l, f"l_id % 5 = {arg}", {"lv": F.col("lv") + 1})
+            elif op == "r_ins":
+                wh.append(
+                    r,
+                    spark.createDataFrame(
+                        [(next_r, arg, next_r % 2)],
+                        "r_id long, grp long, seg long",
+                    ),
+                )
+                next_r += 1
+            elif op == "r_del":
+                wh.delete_where(r, f"r_id % 3 = {arg}")
+            elif op == "r_upd":
+                # SEGMENT-moving dim update: the whole join fan-out must
+                # retract from the old group and land in the new one
+                wh.update_where(r, f"r_id % 3 = {arg}", {"seg": "1 - seg"})
+        run_incremental_join_agg_view(
+            wh, l, r, t, "l_id", "r_id", ["grp"], ["seg"], aggs
+        )
+        assert _rows(wh.read(t)) == _rows(direct())

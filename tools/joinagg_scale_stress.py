@@ -115,6 +115,20 @@ def one_size(spark, facts: int) -> tuple[float, float, int, int]:
     t_delta = min(t_delta, time.time() - t0)
     assert s3["mode"] == "delta"
 
+    # the production-common window shape: fact APPEND ONLY (late data),
+    # no deletes, no dim churn — isolates the sync's window-sized cost
+    # from the two scan terms (uniform-scatter delete join, dim-churn
+    # fan-in over the unclustered fact)
+    wh.append(
+        l, _fact(spark, facts + 20 * WINDOW_ROWS, facts + 21 * WINDOW_ROWS).coalesce(4)
+    )
+    t0 = time.time()
+    s4 = run_incremental_join_agg_view(
+        wh, l, r, tgt, "fid", "j", ["j"], ["grp"], AGGS
+    )
+    t_append = time.time() - t0
+    assert s4["mode"] == "delta"
+
     # the recompute-per-run alternative: full join + re-aggregation to
     # a scratch table (both sides pay a write)
     alt = wh.relation("stress", "by_grp_rejoin")
@@ -145,7 +159,7 @@ def one_size(spark, facts: int) -> tuple[float, float, int, int]:
     touched = s3["n_groups_upserted"] + s3["n_groups_retracted"]
     n_pairs = wh.read(wh.relation("stress", "by_grp__join")).count()
     shutil.rmtree(root, ignore_errors=True)
-    return t_delta, t_rejoin, touched, n_pairs
+    return t_delta, t_append, t_rejoin, touched, n_pairs
 
 
 def main():
@@ -157,11 +171,11 @@ def main():
     )
     rows = []
     for facts in SIZES:
-        d, r, touched, n_pairs = one_size(spark, facts)
+        d, a, r, touched, n_pairs = one_size(spark, facts)
         rows.append((facts, d, r))
         print(
             f"\nRESULT joinagg facts={facts} delta={d:.1f}s "
-            f"rejoin={r:.1f}s ratio={r / d:.2f}x "
+            f"append_only={a:.1f}s rejoin={r:.1f}s ratio={r / d:.2f}x "
             f"touched_groups={touched} child_pairs={n_pairs}",
             flush=True,
         )
