@@ -7655,12 +7655,86 @@ def join_agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_AGG_DISTINCT_VIEW_ORACLE = """
+WITH s0 AS (
+    SELECT o_orderkey AS okey, o_orderpriority AS grp,
+           o_orderkey % 101 AS amt, o_orderkey % 17 AS u
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), s1 AS (
+    SELECT okey, grp,
+           CASE WHEN okey % 11 = 0 THEN amt + 7 ELSE amt END AS amt,
+           CASE WHEN okey % 7 = 0 THEN okey % 5 ELSE u END AS u
+    FROM s0
+), s2 AS (
+    SELECT * FROM s1 WHERE NOT okey % 9 = 0
+)
+SELECT grp, count(*) AS n, sum(amt)::BIGINT AS sa,
+       count(DISTINCT u)::BIGINT AS nu
+FROM s2 GROUP BY grp
+"""
+
+
+@_register("agg_distinct_view_state", _AGG_DISTINCT_VIEW_ORACLE)
+def agg_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-rollup IVM gate (operators/materializations.
+    run_incremental_agg_distinct_view — counts/sums next to an exact
+    count(DISTINCT) in ONE maintained target: the agg child and the
+    distinct child share the source's changelog feeds, the target is
+    the group-domain serve join): full materialize, then a window with
+    an append, a value-moving update (distinct churn), a measure
+    update, and a key delete, then one composed sync — the target must
+    equal DuckDB's direct mixed aggregation. A serve that joins wrong
+    (missing coalesce-0, stale child) or a distinct count moving on a
+    non-last-row delete hash-mismatches. Extra-registry granular of
+    the scored incremental_view_state arm."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_distinct_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 101).alias("amt"),
+        (F.col("o_orderkey") % 17).alias("u"),
+    )
+    aggs = {"n": ("count", "*"), "sa": ("sum", "amt")}
+    root = tempfile.mkdtemp(prefix="edna_adview_")
+    try:
+        wh = Warehouse(spark, root)
+        src = wh.relation("scratch", "ad_orders")
+        tgt = wh.relation("scratch", "ad_view")
+        wh.create_as(src, o.where("okey % 2 = 0"), TableMeta())
+        s1 = run_incremental_agg_distinct_view(
+            wh, src, tgt, ["grp"], aggs, "u", out="nu"
+        )
+        assert s1["served"] and s1["agg"]["mode"] == "full", s1
+        wh.append(src, o.where("okey % 4 = 1"))
+        wh.update_where(src, "okey % 11 = 0", {"amt": "amt + 7"})
+        wh.update_where(src, "okey % 7 = 0", {"u": "okey % 5"})
+        wh.delete_where(src, "okey % 9 = 0")
+        s2 = run_incremental_agg_distinct_view(
+            wh, src, tgt, ["grp"], aggs, "u", out="nu"
+        )
+        assert s2["served"] and s2["agg"]["mode"] == "delta", s2
+        assert s2["n_groups_upserted"] > 0, s2
+        return wh.read(tgt).select("grp", "n", "sa", "nu").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _incremental_view_oracle() -> str:
     j = REGISTRY["join_view_state"].oracle
     a = REGISTRY["agg_view_state"].oracle
     d = REGISTRY["distinct_view_state"].oracle
     x = REGISTRY["extrema_view_state"].oracle
     g = REGISTRY["join_agg_view_state"].oracle
+    md = REGISTRY["agg_distinct_view_state"].oracle
     return f"""
 SELECT 'join_view' AS src, okey AS id, '' AS key, ckey AS cell,
        0::BIGINT AS n, price AS value, bal AS value2
@@ -7680,7 +7754,11 @@ FROM ({x})
 UNION ALL
 SELECT 'join_agg_view' AS src, 0::BIGINT AS id, nk::VARCHAR AS key,
        su AS cell, n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
-FROM ({g})"""
+FROM ({g})
+UNION ALL
+SELECT 'agg_distinct_view' AS src, 0::BIGINT AS id, grp AS key,
+       sa AS cell, n, nu::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({md})"""
 
 
 @_register("incremental_view_state", _incremental_view_oracle())
@@ -7699,12 +7777,16 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, see extrema_view_state) AND the composed
     join-aggregate IVM (run_incremental_join_agg_view — a hidden
     join-view child off both sides' changelogs under a retractable
-    aggregate view, see join_agg_view_state). Together they gate the
-    maintained-view surface the SQL CREATE/REFRESH MATERIALIZED VIEW
-    faces dispatch to: the view shapes a warehouse consumer
-    materializes over DML'd sources.
+    aggregate view, see join_agg_view_state) AND the mixed rollup
+    (run_incremental_agg_distinct_view — counts/sums next to an exact
+    count(DISTINCT) through two shared-feed children and a
+    group-domain serve join, see agg_distinct_view_state). Together
+    they gate the maintained-view surface the SQL CREATE/REFRESH
+    MATERIALIZED VIEW faces dispatch to: the view shapes a warehouse
+    consumer materializes over DML'd sources.
     Granulars join_view_state / agg_view_state / distinct_view_state /
-    extrema_view_state / join_agg_view_state stay registered.
+    extrema_view_state / join_agg_view_state /
+    agg_distinct_view_state stay registered.
     Reference analogue: incremental_partition_merge.sql:248-265 (the
     maintained-join contract) + incremental_log.sql:66-73 (windowed
     aggregates, closed against update/delete)."""
@@ -7713,6 +7795,7 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = REGISTRY["distinct_view_state"].spark(spark, sf_dir)
     xv = REGISTRY["extrema_view_state"].spark(spark, sf_dir)
     gv = REGISTRY["join_agg_view_state"].spark(spark, sf_dir)
+    mv = REGISTRY["agg_distinct_view_state"].spark(spark, sf_dir)
     return (
         jv.select(
             F.lit("join_view").alias("src"),
@@ -7764,6 +7847,17 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("su").cast("long").alias("cell"),
                 F.col("n").cast("long").alias("n"),
                 F.lit(0.0).cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            mv.select(
+                F.lit("agg_distinct_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("grp").alias("key"),
+                F.col("sa").cast("long").alias("cell"),
+                F.col("n").cast("long").alias("n"),
+                F.col("nu").cast("double").alias("value"),
                 F.lit(0.0).cast("double").alias("value2"),
             )
         )

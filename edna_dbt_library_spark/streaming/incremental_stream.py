@@ -1050,3 +1050,47 @@ def stream_join_agg_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_agg_distinct_view(
+    wh,
+    source,
+    target,
+    keys: list[str],
+    aggs: dict,
+    col: str,
+    checkpoint_path: str,
+    out: str = "n_distinct",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+):
+    """Continuous mixed-rollup maintenance: the streaming wrapper around
+    ``run_incremental_agg_distinct_view`` — one composed sync (agg
+    child + distinct child off the source's changelog, then the
+    group-domain serve join, skipped when nothing moved) per file-feed
+    micro-batch. Same trigger discipline as the sibling wrappers: batch
+    rows ignored, windows re-derived from watermark snapshots, so
+    at-least-once redelivery converges and a crash anywhere (including
+    between the children's syncs and the serve rewrite) heals on the
+    next trigger. Not concurrent-safe with another maintainer of the
+    same target or its ``__agg``/``__dcnt`` children."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_distinct_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_agg_distinct_view(
+            wh, source, target, keys, aggs, col, out=out,
+            where=where, derived_keys=derived_keys,
+        )
+
+    writer = (
+        stream_table(wh, source, max_files_per_trigger)
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -880,3 +880,50 @@ def test_agg_distinct_view_through_dml_windows(spark, tmp_path):
     )
     assert not s["served"] and s["n_groups_upserted"] == 0
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+
+def test_stream_agg_distinct_view_drain_equals_direct(spark, tmp_path):
+    """A full drain of the streaming mixed-rollup wrapper leaves the
+    target equal to the direct counts+sum+count(DISTINCT); DML between
+    drains syncs both children and re-serves."""
+    from edna_dbt_library_spark.streaming import stream_agg_distinct_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "sadsrc")
+    tgt = wh.relation("av", "saddst")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i, i % 5) for i in range(24)],
+            "id long, grp long, amt long, u long",
+        ).coalesce(2),
+        TableMeta(),
+    )
+    aggs = {"n": ("count", "*"), "total": ("sum", "amt")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").alias("total"),
+                F.count_distinct("u").alias("nu"),
+            )
+        )
+
+    q = stream_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "u", str(tmp_path / "cp"), out="nu"
+    )
+    q.awaitTermination()
+    assert _rows(wh.read(tgt).select("grp", "n", "total", "nu")) == _rows(direct())
+    wh.delete_where(src, "u = 2")
+    wh.append(
+        src,
+        spark.createDataFrame([(100, 1, 9, 77)], "id long, grp long, amt long, u long"),
+    )
+    q = stream_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "u", str(tmp_path / "cp"), out="nu"
+    )
+    q.awaitTermination()
+    assert _rows(wh.read(tgt).select("grp", "n", "total", "nu")) == _rows(direct())

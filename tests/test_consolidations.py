@@ -712,11 +712,22 @@ def test_incremental_view_state_equals_granular_composition(spark):
         F.lit(0.0).cast("double").alias("value"),
         F.lit(0.0).cast("double").alias("value2"),
     )
-    composed = jv.unionAll(av).unionAll(dv).unionAll(xv).unionAll(gv)
+    mv = reg["agg_distinct_view_state"](spark, SF).select(
+        F.lit("agg_distinct_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("grp").alias("key"),
+        F.col("sa").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.col("nu").cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    composed = (
+        jv.unionAll(av).unionAll(dv).unionAll(xv).unionAll(gv).unionAll(mv)
+    )
     assert _rows(scored) == _rows(composed.select(*scored.columns))
     assert {r[0] for r in _rows(scored.select("src").distinct())} == {
         "join_view", "agg_view", "distinct_view", "extrema_view",
-        "join_agg_view",
+        "join_agg_view", "agg_distinct_view",
     }
 
 

@@ -170,6 +170,21 @@ operator: the window feed pins (localCheckpoint) before the two
 null-guard probes and the net aggregation, which would otherwise
 re-run the deleted-row join 3x.
 
+## Round-12 same-host bench control — the line held
+
+Interleaved clean-clone control (r11 tip `bbe510b` vs r12 tip), THREE
+bench.py runs each in A/B/A/B/A/B order on the post-pytest host,
+min-of-three per tree over the 93 common queries: **111.3s -> 113.9s =
+1.024x**. One per-query flag above 1.15x+0.2s (simhash60 1.74s ->
+2.07s, 1.19x) sits on code untouched this round — no r12 change is on
+any bench query's path (the round's diffs are materializations /
+sql_dml / maintenance / vacuum, none executed by bench) — and inside
+the host's own swing (r12's three runs totaled 130.2 / 132.0 / 116.2s,
+a 12% spread; min-of-two had shown 1.047x with ten such phantom flags
+before the third cycle tightened the minimum). The r12 additions are
+stateful scored rows (scratch-warehouse DML scenarios), which bench.py
+excludes by design.
+
 ## Join-aggregate view IVM scale stress — sync cost decomposed honestly
 
 `tools/joinagg_scale_stress.py`, measured 2026-08-16 (round 12) on an
