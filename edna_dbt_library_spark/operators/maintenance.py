@@ -58,9 +58,11 @@ from typing import Any
 
 __all__ = [
     "MaintenancePolicy",
+    "auto_maintain",
     "clustering_depth",
     "discover_targets",
     "maintenance_plan",
+    "maintenance_tick",
     "run_maintenance",
 ]
 
@@ -243,7 +245,9 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
         rel = wh.relation(schema, name)
         tid = rel.table_id
         kind = defn.get("kind", "join")
-        if kind == "join":
+        if kind in ("join", "left_join"):
+            # the LEFT view rides the same joinview:<t>:l/:r watermark
+            # notes as the inner view — identical freshness edges
             checks = [
                 (wh.relation(*defn["left"]), f"joinview:{tid}:l", "left"),
                 (wh.relation(*defn["right"]), f"joinview:{tid}:r", "right"),
@@ -265,20 +269,56 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
                 (child_rel, f"aggview:{tid}", "child"),
             ]
         elif kind == "join_agg":
-            # three edges: both base tables vs the CHILD join view's
-            # watermarks, and the child vs the level-2 agg watermark
-            # (the crash-between-levels class, same as distinct)
-            child_rel = wh.relation(*defn["child"])
-            child_tid = child_rel.table_id
+            # the full chain's edges: both base tables vs the FIRST
+            # join child's watermarks, each chain child (and its dim)
+            # vs the NEXT child's, then the level-2 stack's edges off
+            # the LAST child — per the l2 kind, covering EVERY level
+            # (the crash-between-levels class, same as distinct; the
+            # r11 rule that a new kind must enumerate every serve edge)
+            chain = [
+                wh.relation(*c)
+                for c in (defn.get("children") or [defn["child"]])
+            ]
+            first_tid = chain[0].table_id
             checks = [
-                (wh.relation(*defn["left"]), f"joinview:{child_tid}:l", "left"),
+                (wh.relation(*defn["left"]), f"joinview:{first_tid}:l", "left"),
                 (
                     wh.relation(*defn["right"]),
-                    f"joinview:{child_tid}:r",
+                    f"joinview:{first_tid}:r",
                     "right",
                 ),
-                (child_rel, f"aggview:{tid}", "child"),
             ]
+            for i, d in enumerate(defn.get("dims") or []):
+                ch_tid = chain[i + 1].table_id
+                checks += [
+                    (chain[i], f"joinview:{ch_tid}:l", "chain"),
+                    (wh.relation(*d["rel"]), f"joinview:{ch_tid}:r", "dim"),
+                ]
+            last = chain[-1]
+            l2 = defn.get("l2", "agg")
+            if l2 == "extrema":
+                checks.append((last, f"extview:{tid}", "child"))
+            elif l2 == "distinct":
+                elems = wh.relation(rel.schema, rel.identifier + "__elems")
+                checks += [
+                    (last, f"aggview:{elems.table_id}", "child"),
+                    (elems, f"aggview:{tid}", "child2"),
+                ]
+            elif l2 == "agg_distinct":
+                child_a = wh.relation(rel.schema, rel.identifier + "__agg")
+                child_d = wh.relation(rel.schema, rel.identifier + "__dcnt")
+                delems = wh.relation(
+                    child_d.schema, child_d.identifier + "__elems"
+                )
+                checks += [
+                    (last, f"aggview:{child_a.table_id}", "child"),
+                    (last, f"aggview:{delems.table_id}", "child"),
+                    (delems, f"aggview:{child_d.table_id}", "child2"),
+                    (child_a, f"aggdview:{tid}:a", "serve"),
+                    (child_d, f"aggdview:{tid}:d", "serve"),
+                ]
+            else:
+                checks.append((last, f"aggview:{tid}", "child"))
         elif kind == "extrema":
             checks = [(wh.relation(*defn["source"]), f"extview:{tid}", "source")]
         elif kind == "agg_distinct":
@@ -628,6 +668,19 @@ def run_maintenance(
         for r in bm25_indexes + ivfpq_indexes
     }
     aggs = {p: k for p, k in agg_stores}
+    # FOLDS FIRST, view refreshes LAST: a fold on a view's source
+    # (compact / apply_deletes / vacuum) moves its file listing past
+    # any watermark promoted earlier in the same run, so refreshing
+    # before folding would leave the view due again the moment the run
+    # ends (the one-tick-convergence the service contract wants). After
+    # the folds, the freshness sweep re-runs and any views THEY made
+    # stale are refreshed in this same pass — appended to the returned
+    # plan as executed actions.
+    plan.sort(key=lambda a: a["action"] == "refresh_materialized_view")
+    refreshed: set[tuple[str, str]] = set()
+    folds_ran = any(
+        a["action"] != "refresh_materialized_view" for a in plan
+    )
     for act in plan:
         kind = act["action"]
         if kind == "vacuum":
@@ -642,6 +695,7 @@ def run_maintenance(
             )
 
             _refresh_mview_rel(wh, wh.relation(act["schema"], act["name"]))
+            refreshed.add((act["schema"], act["name"]))
         elif kind == "refresh_bm25_stats":
             from edna_dbt_library_spark.operators.retrieval import (
                 refresh_bm25_stats,
@@ -678,4 +732,124 @@ def run_maintenance(
                 wh.spark, act["target"], aggs[act["target"]]
             )
         act["executed"] = True
+    if folds_ran and mview_schemas:
+        # post-fold freshness re-sweep: refresh views the FOLDS just
+        # made stale (their sources' listings moved during this run)
+        from edna_dbt_library_spark.sources.sql_dml import _refresh_mview_rel
+
+        for schema in mview_schemas:
+            for act in _mview_freshness_actions(wh, schema):
+                _refresh_mview_rel(
+                    wh, wh.relation(act["schema"], act["name"])
+                )
+                act["executed"] = True
+                act["reason"] = "post-fold re-sweep: " + act["reason"]
+                plan.append(act)
     return plan
+
+
+def maintenance_tick(
+    wh,
+    tables=None,
+    bm25_indexes=None,
+    ivfpq_indexes=None,
+    agg_stores=(),
+    policy: MaintenancePolicy | None = None,
+    mview_schemas=None,
+    log_rel=None,
+    tick: int = 0,
+) -> list[dict[str, Any]]:
+    """One service tick: plan + execute the due maintenance
+    (:func:`run_maintenance`, auto-discovering targets by default) and
+    append one row per executed action to the ``maintenance_log``
+    table — the observability record an operator greps when asking
+    "who rewrote that partition last night".
+
+    ``log_rel`` defaults to ``<root>/_maintenance/log`` — an
+    underscore-prefixed schema, which :func:`discover_targets`
+    deliberately skips: the log never feeds back into its own sweep
+    (a busy warehouse would otherwise accrete log-compaction actions
+    that log more rows). Schema:
+    ``(ts timestamp, tick long, action string, target string,
+    reason string, executed boolean)``; an idle tick appends nothing.
+
+    Returns the executed plan (same shape as ``run_maintenance``)."""
+    from datetime import datetime, timezone
+
+    plan = run_maintenance(
+        wh, tables, bm25_indexes, ivfpq_indexes, agg_stores, policy,
+        mview_schemas=mview_schemas,
+    )
+    if plan:
+        from edna_dbt_library_spark.sources.warehouse import TableMeta
+
+        if log_rel is None:
+            log_rel = wh.relation("_maintenance", "log")
+        now = datetime.now(timezone.utc)
+        rows = [
+            (
+                now,
+                int(tick),
+                a["action"],
+                str(a["target"]),
+                a.get("reason", ""),
+                bool(a.get("executed")),
+            )
+            for a in plan
+        ]
+        df = wh.spark.createDataFrame(
+            rows,
+            "ts timestamp, tick long, action string, target string, "
+            "reason string, executed boolean",
+        )
+        if wh.exists(log_rel):
+            wh.append(log_rel, df)
+        else:
+            wh.create_as(log_rel, df, TableMeta())
+    return plan
+
+
+def auto_maintain(
+    wh,
+    interval_s: float,
+    max_ticks: int | None = None,
+    stop_when_idle: bool = False,
+    **kwargs,
+) -> int:
+    """Run the maintenance policy as a SERVICE: tick →
+    :func:`maintenance_tick` (auto-discovered targets, logged actions)
+    → sleep ``interval_s`` → repeat. The loop owns nothing but the
+    schedule — each tick re-discovers targets, so tables created after
+    the service started are swept without registration (the
+    zero-configuration contract of ``discover_targets``).
+
+    ``max_ticks`` bounds the loop (tests; one-shot cron bodies);
+    ``stop_when_idle`` returns after the first tick that plans nothing
+    (drain-the-debt mode). Extra kwargs pass through to
+    ``maintenance_tick`` (policy, explicit target lists, agg_stores,
+    log_rel). Returns the number of ticks run.
+
+    The plan step is pure metadata (os.stat over sidecars — no Spark
+    job), so a short interval is cheap on an idle warehouse; each FOLD
+    a tick dispatches is the same one-index/one-partition job the
+    thresholds amortize. Concurrency contract unchanged: don't point
+    two maintainers (or a maintainer and an active maintenance stream)
+    at the same targets.
+
+    An alternative scheduling host is any Structured Streaming
+    ``foreachBatch`` consumer: call ``maintenance_tick(wh)`` at the
+    end of a batch to piggyback maintenance on an existing trigger
+    cadence (the tick is idempotent at the policy level — a quiet
+    warehouse plans empty)."""
+    import time
+
+    n = 0
+    while max_ticks is None or n < max_ticks:
+        plan = maintenance_tick(wh, tick=n, **kwargs)
+        n += 1
+        if stop_when_idle and not plan:
+            break
+        if max_ticks is not None and n >= max_ticks:
+            break
+        time.sleep(interval_s)
+    return n

@@ -577,21 +577,34 @@ def _shed_mview(wh, rel) -> None:
         if wh.exists(child_rel):
             wh.drop(child_rel)
     if defn.get("kind") == "join_agg":
-        # two-level join-aggregate: BOTH base tables carry the
-        # join-view watermarks under the CHILD's name; the child (with
-        # its own level-2 watermark snapshots) retires with the view
-        child_rel = wh.relation(*defn["child"])
-        child_tid = child_rel.table_id
-        for s in (defn["left"], defn["right"]):
+        # multi-level join-aggregate: the base tables (and each chain
+        # child) carry join-view watermarks under the NEXT child's
+        # name; every hidden child — the __join* chain plus the
+        # level-2 children (__elems / __agg / __dcnt / __dcnt__elems)
+        # — retires with the view, taking its own snapshots (level
+        # watermarks + serve watermarks) along
+        chain = [
+            wh.relation(*c)
+            for c in (defn.get("children") or [defn["child"]])
+        ]
+        chain_tids = {c.table_id for c in chain}
+        ext_srcs = [defn["left"], defn["right"]] + [
+            d["rel"] for d in defn.get("dims") or []
+        ]
+        for s in ext_srcs:
             src_rel = wh.relation(*s)
             try:
                 for sn in wh.list_snapshots(src_rel):
-                    if _owned(sn.get("note") or "", child_tid):
+                    note = sn.get("note") or ""
+                    if any(_owned(note, t) for t in chain_tids):
                         wh.drop_snapshot(src_rel, sn["version"])
             except OSError:
                 continue
-        if wh.exists(child_rel):
-            wh.drop(child_rel)
+        for c in chain + [
+            wh.relation(*c) for c in defn.get("l2_children") or []
+        ]:
+            if wh.exists(c):
+                wh.drop(c)
     if defn.get("kind") == "agg_distinct":
         # mixed form: the SOURCE carries watermarks under BOTH children
         # (the agg child's, and the distinct child's __elems level-1);
@@ -690,6 +703,31 @@ def _parse_mv_agg_items(
                     )
                 aggs[out] = (fn, col)
             continue
+        # EXPRESSION measures: sum/avg over an arbitrary row-local
+        # expression, with the quantize(expr, d) sugar for float-typed
+        # ones — sum(l_extendedprice * (1 - l_discount)) is the measure
+        # shape the reference's consuming models compile
+        # (incremental_log.sql:66-73); threads into the operator's
+        # ("sum"|"avg", None, {"expr": ..., "quantize": ...}) spec
+        em = re.match(
+            r"^(sum|avg)\s*\((.+)\)\s+as\s+`?(\w+)`?$", item, re.I | re.S
+        )
+        if em and em.group(2).count("(") == em.group(2).count(")"):
+            fn = em.group(1).lower()
+            out = _claim(em.group(3))
+            inner = em.group(2).strip()
+            qm = re.match(
+                r"^quantize\s*\((.+)\s*,\s*(\d+)\s*\)$", inner, re.I | re.S
+            )
+            if qm and qm.group(1).count("(") == qm.group(1).count(")"):
+                aggs[out] = (
+                    fn,
+                    None,
+                    {"expr": qm.group(1).strip(), "quantize": int(qm.group(2))},
+                )
+            else:
+                aggs[out] = (fn, None, {"expr": inner})
+            continue
         dm = re.match(
             r"^time_bucket\s*\(\s*`?(\w+)`?\s*,\s*(\d+)\s*\)\s+as\s+`?(\w+)`?$",
             item,
@@ -716,30 +754,38 @@ def _parse_mv_agg_items(
             f"SQL CREATE MATERIALIZED VIEW: cannot parse SELECT item "
             f"{item!r} — the aggregate form takes group keys, "
             "time_bucket(ts, us) AS name, sum(col) / count(*) / "
-            "avg(col) AS name, count(DISTINCT col) AS name, and "
-            "min(col) / max(col) AS name (extrema form) only"
+            "avg(col) AS name, sum|avg(<row-local expr>) AS name "
+            "(wrap a float-typed expression in quantize(expr, d)), "
+            "count(DISTINCT col) AS name, and min(col) / max(col) AS "
+            "name (extrema form) only"
         )
     return aggs, derived, distinct, extrema
 
 
-def _validate_avg_base(aggs: dict, keys: list[str], schema) -> None:
-    """Pre-shed validation mirroring the operator's avg preprocessing:
-    each avg maintains a hidden exact sum next to the count(*)."""
+def _validate_avg_base(aggs: dict, keys: list[str], schema, df=None) -> None:
+    """Pre-shed validation mirroring the operator's spec preprocessing
+    (each avg maintains a hidden exact sum next to the count(*);
+    quantize/expr 3-part specs derive a measure column) — the SAME
+    normalization the operator runs, so a bad spec raises here before
+    anything is shed or dropped. ``df`` (when given) lets expression
+    measures analyze against the real source frame."""
     from edna_dbt_library_spark.operators.materializations import (
+        _normalize_agg_specs,
         _validate_aggs,
     )
 
-    base_aggs: dict[str, tuple[str, str]] = {}
-    for n, (fn, c) in aggs.items():
-        if fn == "avg":
-            if n in keys:
-                raise ValueError(
-                    f"SQL CREATE MATERIALIZED VIEW: output {n!r} "
-                    "collides with a group key"
-                )
-            base_aggs[f"_{n}__sum"] = ("sum", c)
-        else:
-            base_aggs[n] = (fn, c)
+    for n in aggs:
+        if n in keys:
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: output {n!r} "
+                "collides with a group key"
+            )
+    base_aggs, measure_exprs, _avg, _scale, _hidden = _normalize_agg_specs(
+        {n: tuple(v) for n, v in aggs.items()}, keys, {}
+    )
+    if measure_exprs and df is not None:
+        df = df.withColumns({n: F.expr(e) for n, e in measure_exprs.items()})
+        schema = df.schema  # expression measures must analyze
     _validate_aggs(base_aggs, schema, keys)
 
 
@@ -827,7 +873,7 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
         if aggs:
             # mixed form: the sum/count/avg side validates exactly as
             # its own agg view would (pre-shed)
-            _validate_avg_base(aggs, keys, schema)
+            _validate_avg_base(aggs, keys, schema, df=src_df)
     elif extrema:
         if aggs:
             raise ValueError(
@@ -850,7 +896,7 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
                     "collides with a group key"
                 )
     else:
-        _validate_avg_base(aggs, keys, src_df.schema)
+        _validate_avg_base(aggs, keys, src_df.schema, df=src_df)
     probe = src_df
     if derived:
         probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
@@ -1082,7 +1128,14 @@ def _mv_side(text: str) -> tuple[str, list[str] | None, str | None, str]:
 def _create_mview_join(wh, tables, query: str) -> DataFrame:
     """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
          UNIQUE KEYS (<left_id>, <right_id>)
-         AS SELECT * FROM <l> [INNER] JOIN <r> USING (c1[, ...])
+         AS SELECT * FROM <l> [INNER|LEFT [OUTER]] JOIN <r>
+            USING (c1[, ...])
+
+    ``LEFT JOIN`` dispatches to :func:`run_incremental_left_join_view`
+    (kind "left_join"): unmatched left rows ride null-extended, a
+    late-arriving dimension match retracts the null-extension, the
+    last match dying re-lands it — same watermark protocol and side
+    σ(π(·)) contract as the inner form.
 
     where each side <l>/<r> is a table name or a row-local derived
     table ``(SELECT cols FROM t [WHERE pred])`` — the projection and
@@ -1127,11 +1180,14 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
         )
     rest = m.group(5)
     l_name, l_cols, l_where, rest = _mv_side(rest)
-    jm = re.match(r"\s*(?:inner\s+)?join\s+", rest, re.I)
+    jm = re.match(
+        r"\s*(?:(left)\s+(?:outer\s+)?|inner\s+)?join\s+", rest, re.I
+    )
     if not jm:
         raise ValueError(
             f"SQL CREATE MATERIALIZED VIEW: expected JOIN at {rest!r}"
         )
+    is_left = jm.group(1) is not None
     r_name, r_cols, r_where, rest = _mv_side(rest[jm.end() :])
     um = re.match(r"\s*using\s*\(\s*([\w`,\s]+?)\s*\)\s*;?\s*$", rest, re.I | re.S)
     if not um:
@@ -1152,13 +1208,21 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
     _shed_mview(wh, rel)
     if wh.exists(rel):
         wh.drop(rel)  # OR REPLACE: the op re-baselines a missing target
-    stats = run_incremental_join_view(
+    if is_left:
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_left_join_view,
+        )
+
+        op = run_incremental_left_join_view
+    else:
+        op = run_incremental_join_view
+    stats = op(
         wh, left, right, rel, m.group(3), m.group(4), on,
         left_where=l_where, right_where=r_where,
         left_cols=l_cols, right_cols=r_cols,
     )
     defn = {
-        "kind": "join",
+        "kind": "left_join" if is_left else "join",
         "left": [left.schema, left.identifier],
         "right": [right.schema, right.identifier],
         "left_id": m.group(3),
@@ -1173,30 +1237,45 @@ def _create_mview_join(wh, tables, query: str) -> DataFrame:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(defn, f)
-    return _stats(wh, "create_materialized_view", rel, stats["n_pairs_inserted"])
+    return _stats(
+        wh,
+        "create_materialized_view",
+        rel,
+        stats["n_rows_upserted" if is_left else "n_pairs_inserted"],
+    )
 
 
 def _create_mview_join_agg(wh, tables, query: str) -> DataFrame:
     """CREATE [OR REPLACE] MATERIALIZED VIEW <t>
-         UNIQUE KEYS (<left_id>, <right_id>)
-         AS SELECT <k..., sum/count/avg aggregates>
-         FROM <l> [INNER] JOIN <r> USING (c1[, ...])
+         UNIQUE KEYS (<id1>, <id2>[, <id3>, ...])
+         AS SELECT <k..., aggregates>
+         FROM <t1> [INNER] JOIN <t2> USING (c1[, ...])
+              [JOIN <t3> USING (c2[, ...]) ...]
          [WHERE <row-local pred>] GROUP BY <k1, ...>
 
     The composed join-aggregate view — the shape real warehouses
-    materialize most (a fact joined to a dimension, then grouped) as
-    ONE maintained view: run_incremental_join_agg_view stacks the
-    join-view IVM (a hidden ``<t>__join`` child off both sides'
-    changelogs) under the retractable aggregate view (synced off the
-    CHILD's changelog). Sides take the join form's derived-table
-    projections/predicates; the SELECT list takes the aggregate form's
-    sum/count/avg + time_bucket items (count(DISTINCT) / min/max want
-    their own view kinds); WHERE between USING and GROUP BY is the
-    aggregate's row-local σ over the joined row. UNIQUE KEYS names the
-    sides' row identities exactly as in the plain join form."""
+    materialize most (a fact joined to its dimensions, then grouped)
+    as ONE maintained view: run_incremental_join_agg_view nests one
+    hidden join child per JOIN step (``<t>__join``, ``<t>__join2``,
+    ...; each synced off the previous level's changelog with a
+    COMPOSITE row identity) under the level-2 view picked by the
+    SELECT list:
+
+    * sum/count/avg (incl. expression measures) → the retractable
+      aggregate view;
+    * one count(DISTINCT col), alone → the exact distinct view;
+    * count(DISTINCT col) next to sum/count/avg → the mixed
+      agg_distinct rollup (incremental serve);
+    * min/max only → the extrema view (touched-group recompute over
+      the CHILD, never the bases).
+
+    Sides take the join form's derived-table projections/predicates;
+    WHERE between the last USING and GROUP BY is the aggregate's
+    row-local σ over the joined row. UNIQUE KEYS names each table's
+    row identity in FROM order (the merge unique-key contract)."""
     m = re.match(
         r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
-        r"unique\s+keys\s*\(\s*`?(\w+)`?\s*,\s*`?(\w+)`?\s*\)\s+"
+        r"unique\s+keys\s*\(\s*([\w`,\s]+?)\s*\)\s+"
         r"as\s+select\s+(.*?)\s+from\s+(.*)$",
         query,
         re.I | re.S,
@@ -1205,9 +1284,9 @@ def _create_mview_join_agg(wh, tables, query: str) -> DataFrame:
         raise ValueError(
             "SQL CREATE MATERIALIZED VIEW: cannot parse — the "
             "join-aggregate form is CREATE [OR REPLACE] MATERIALIZED "
-            "VIEW t UNIQUE KEYS (lid, rid) AS SELECT k, sum(x) AS sx, "
-            "count(*) AS n FROM l JOIN r USING (c) [WHERE pred] "
-            f"GROUP BY k: {query!r}"
+            "VIEW t UNIQUE KEYS (id1, id2[, ...]) AS SELECT k, sum(x) "
+            "AS sx, count(*) AS n FROM a JOIN b USING (c) [JOIN c "
+            f"USING (d) ...] [WHERE pred] GROUP BY k: {query!r}"
         )
     from edna_dbt_library_spark.operators.materializations import (
         _side_view,
@@ -1220,95 +1299,210 @@ def _create_mview_join_agg(wh, tables, query: str) -> DataFrame:
             f"SQL CREATE MATERIALIZED VIEW: {rel.table_id} exists "
             "(use CREATE OR REPLACE)"
         )
-    rest = m.group(6)
+    uids = [c.strip().strip("`") for c in m.group(3).split(",") if c.strip()]
+    rest = m.group(5)
     l_name, l_cols, l_where, rest = _mv_side(rest)
-    jm = re.match(r"\s*(?:inner\s+)?join\s+", rest, re.I)
-    if not jm:
+    joins = []  # (name, cols, where, on) per joined table, FROM order
+    while True:
+        jm = re.match(r"\s*(?:inner\s+)?join\s+", rest, re.I)
+        if not jm:
+            break
+        s_name, s_cols, s_where, rest = _mv_side(rest[jm.end() :])
+        um = re.match(
+            r"\s*using\s*\(\s*([\w`,\s]+?)\s*\)", rest, re.I | re.S
+        )
+        if not um:
+            raise ValueError(
+                f"SQL CREATE MATERIALIZED VIEW: expected USING (keys) "
+                f"at {rest!r}"
+            )
+        on_i = [
+            c.strip().strip("`") for c in um.group(1).split(",") if c.strip()
+        ]
+        rest = rest[um.end() :]
+        joins.append((s_name, s_cols, s_where, on_i))
+    if not joins:
         raise ValueError(
             f"SQL CREATE MATERIALIZED VIEW: expected JOIN at {rest!r}"
         )
-    r_name, r_cols, r_where, rest = _mv_side(rest[jm.end() :])
-    um = re.match(
-        r"\s*using\s*\(\s*([\w`,\s]+?)\s*\)\s+"
-        r"(?:where\s+(.+?)\s+)?group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
+    if len(uids) != len(joins) + 1:
+        raise ValueError(
+            f"SQL CREATE MATERIALIZED VIEW: UNIQUE KEYS names {len(uids)} "
+            f"identities for {len(joins) + 1} joined tables — one per "
+            "table, in FROM order"
+        )
+    tm = re.match(
+        r"\s*(?:where\s+(.+?)\s+)?group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
         rest,
         re.I | re.S,
     )
-    if not um:
+    if not tm:
         raise ValueError(
-            "SQL CREATE MATERIALIZED VIEW: expected USING (keys) "
-            f"[WHERE pred] GROUP BY keys at {rest!r}"
+            "SQL CREATE MATERIALIZED VIEW: expected [WHERE pred] "
+            f"GROUP BY keys at {rest!r}"
         )
     left = _rel_for_name(wh, tables, l_name)
-    right = _rel_for_name(wh, tables, r_name)
-    on = [c.strip().strip("`") for c in um.group(1).split(",") if c.strip()]
-    where = um.group(2).strip() if um.group(2) else None
-    keys = [c.strip().strip("`") for c in um.group(3).split(",") if c.strip()]
-    aggs, derived, distinct, extrema = _parse_mv_agg_items(m.group(5), keys)
-    if distinct or extrema:
+    right = _rel_for_name(wh, tables, joins[0][0])
+    on = joins[0][3]
+    r_cols, r_where = joins[0][1], joins[0][2]
+    dim_rels = [_rel_for_name(wh, tables, j[0]) for j in joins[1:]]
+    where = tm.group(1).strip() if tm.group(1) else None
+    keys = [c.strip().strip("`") for c in tm.group(2).split(",") if c.strip()]
+    aggs, derived, distinct, extrema = _parse_mv_agg_items(m.group(4), keys)
+    if extrema and (aggs or distinct):
         raise ValueError(
-            "SQL CREATE MATERIALIZED VIEW: the join-aggregate form "
-            "maintains sum/count/avg only — count(DISTINCT) and "
-            "min/max want their own view kind over the joined child "
-            "(or the DataFrame API)"
+            "SQL CREATE MATERIALIZED VIEW: min/max outputs make an "
+            "EXTREMA view over the joined child and cannot mix with "
+            "sum/count/avg or count(DISTINCT) in one view"
         )
+    if len(distinct) > 1:
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: at most ONE "
+            "count(DISTINCT col) output"
+        )
+    dcol, dout = (None, "n_distinct")
+    if distinct:
+        ((dout, dcol),) = distinct.items()
     plain_keys = [k for k in keys if k not in derived]
     # validate BEFORE shedding/dropping: sides must keep id+keys, the
     # aggregate spec must be maintainable over the JOINED schema, and
     # derived keys / predicate must analyze on the joined row
-    l_probe = _side_view(wh.read(left), l_where, l_cols, "left", m.group(3), on)
-    r_probe = _side_view(
-        wh.read(right), r_where, r_cols, "right", m.group(4), on
-    )
-    probe = l_probe.join(r_probe, on=on, how="inner")
-    _validate_avg_base(aggs, keys, probe.schema)
+    probe = _side_view(wh.read(left), l_where, l_cols, "left", uids[0], on)
+    for i, (s_name, s_cols, s_where, on_i) in enumerate(joins):
+        side = _side_view(
+            _rel_and_read(wh, tables, s_name), s_where, s_cols,
+            "right", uids[i + 1], on_i,
+        )
+        probe = probe.join(side, on=on_i, how="inner")
+    if extrema:
+        for out_n, (_fn, col) in extrema.items():
+            if col not in probe.columns:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: min/max column "
+                    f"{col!r} not in the joined row"
+                )
+            if out_n in keys:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: output {out_n!r} "
+                    "collides with a group key"
+                )
+    else:
+        if aggs:
+            _validate_avg_base(aggs, keys, probe.schema, df=probe)
+        if dcol is not None:
+            if dcol not in probe.columns:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: distinct column "
+                    f"{dcol!r} not in the joined row"
+                )
+            if dcol in keys or dout in keys or dout in aggs:
+                raise ValueError(
+                    "SQL CREATE MATERIALIZED VIEW: count(DISTINCT) "
+                    "column/output must not be a group key or an "
+                    "aggregate output"
+                )
     if derived:
         probe = probe.withColumns({n: F.expr(e) for n, e in derived.items()})
         probe.schema  # derived keys must analyze on the joined row
     if where is not None:
         probe.where(where).schema  # predicate must analyze
-    child = wh.relation(rel.schema, rel.identifier + "__join")
+    # the hidden child slots this view will claim
+    chain = [wh.relation(rel.schema, rel.identifier + "__join")] + [
+        wh.relation(rel.schema, f"{rel.identifier}__join{i}")
+        for i in range(2, len(joins) + 1)
+    ]
+    if extrema:
+        l2 = "extrema"
+        l2_children = []
+    elif dcol is not None and aggs:
+        l2 = "agg_distinct"
+        l2_children = [
+            wh.relation(rel.schema, rel.identifier + s)
+            for s in ("__agg", "__dcnt", "__dcnt__elems")
+        ]
+    elif dcol is not None:
+        l2 = "distinct"
+        l2_children = [wh.relation(rel.schema, rel.identifier + "__elems")]
+    else:
+        l2 = "agg"
+        l2_children = []
     # child-name collision check BEFORE shedding (same invariant as the
-    # distinct form's __elems): the slot is fine only when the prior
-    # definition is a join-agg view that owns it
-    if wh.exists(child):
+    # distinct form's __elems): the slots are fine only when the prior
+    # definition is a join-agg view that owns them
+    squatted = [c for c in chain + l2_children if wh.exists(c)]
+    if squatted:
         try:
             with open(_mview_def_path(wh, rel)) as f:
                 prior_defn = json.load(f)
         except (OSError, ValueError):
             prior_defn = {}
-        owns = prior_defn.get("kind") == "join_agg" and prior_defn.get(
-            "child"
-        ) == [child.schema, child.identifier]
+        prior_children = prior_defn.get("children") or (
+            [prior_defn["child"]] if "child" in prior_defn else []
+        )
+        prior_l2 = prior_defn.get("l2_children") or []
+        owned = {tuple(c) for c in prior_children + prior_l2}
+        owns = prior_defn.get("kind") == "join_agg" and all(
+            (c.schema, c.identifier) in owned for c in squatted
+        )
         if not owns:
             raise ValueError(
-                f"SQL CREATE MATERIALIZED VIEW: {child.table_id} exists "
-                "— the join-aggregate view needs that name for its "
-                "joined child table"
+                f"SQL CREATE MATERIALIZED VIEW: {squatted[0].table_id} "
+                "exists — the join-aggregate view needs its __join*/"
+                "level-2 child names"
             )
     _shed_mview(wh, rel)
     if wh.exists(rel):
         wh.drop(rel)
+    dims = [
+        {
+            "rel": dim_rels[i],
+            "id": uids[i + 2],
+            "on": joins[i + 1][3],
+            "where": joins[i + 1][2],
+            "cols": joins[i + 1][1],
+        }
+        for i in range(len(dim_rels))
+    ]
     stats = run_incremental_join_agg_view(
-        wh, left, right, rel, m.group(3), m.group(4), on, plain_keys, aggs,
+        wh, left, right, rel, uids[0], uids[1], on, plain_keys,
+        extrema if extrema else aggs,
         left_where=l_where, right_where=r_where,
         left_cols=l_cols, right_cols=r_cols,
         where=where, derived_keys=derived or None,
+        dims=dims or None,
+        distinct_col=dcol, distinct_out=dout,
     )
     defn = {
         "kind": "join_agg",
         "left": [left.schema, left.identifier],
         "right": [right.schema, right.identifier],
-        "child": [child.schema, child.identifier],
-        "left_id": m.group(3),
-        "right_id": m.group(4),
+        "child": [chain[-1].schema, chain[-1].identifier],
+        "children": [[c.schema, c.identifier] for c in chain],
+        "l2": l2,
+        "l2_children": [[c.schema, c.identifier] for c in l2_children],
+        "left_id": uids[0],
+        "right_id": uids[1],
         "on": on,
         "left_where": l_where,
         "right_where": r_where,
         "left_cols": l_cols,
         "right_cols": r_cols,
+        "dims": [
+            {
+                "rel": [d["rel"].schema, d["rel"].identifier],
+                "id": d["id"],
+                "on": d["on"],
+                "where": d["where"],
+                "cols": d["cols"],
+            }
+            for d in dims
+        ],
         "keys": plain_keys,
-        "aggs": {k: list(v) for k, v in aggs.items()},
+        "aggs": {
+            k: list(v) for k, v in (extrema if extrema else aggs).items()
+        },
+        "col": dcol,
+        "out": dout,
         "where": where,
         "derived_keys": derived or None,
     }
@@ -1319,6 +1513,10 @@ def _create_mview_join_agg(wh, tables, query: str) -> DataFrame:
     return _stats(
         wh, "create_materialized_view", rel, stats["n_groups_upserted"]
     )
+
+
+def _rel_and_read(wh, tables, name: str):
+    return wh.read(_rel_for_name(wh, tables, name))
 
 
 def _refresh_mview(wh, tables, query: str) -> DataFrame:
@@ -1398,6 +1596,16 @@ def _refresh_mview_rel(wh, rel) -> DataFrame:
             run_incremental_join_agg_view,
         )
 
+        dims = [
+            {
+                "rel": wh.relation(*d["rel"]),
+                "id": d["id"],
+                "on": list(d["on"]),
+                "where": d.get("where"),
+                "cols": d.get("cols"),
+            }
+            for d in defn.get("dims") or []
+        ]
         stats = run_incremental_join_agg_view(
             wh,
             wh.relation(*defn["left"]),
@@ -1414,9 +1622,33 @@ def _refresh_mview_rel(wh, rel) -> DataFrame:
             right_cols=defn.get("right_cols"),
             where=defn.get("where"),
             derived_keys=defn.get("derived_keys"),
+            dims=dims or None,
+            distinct_col=defn.get("col"),
+            distinct_out=defn.get("out") or "n_distinct",
         )
         return _stats(
             wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if defn.get("kind", "join") == "left_join":
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_left_join_view,
+        )
+
+        stats = run_incremental_left_join_view(
+            wh,
+            wh.relation(*defn["left"]),
+            wh.relation(*defn["right"]),
+            rel,
+            defn["left_id"],
+            defn["right_id"],
+            list(defn["on"]),
+            left_where=defn.get("left_where"),
+            right_where=defn.get("right_where"),
+            left_cols=defn.get("left_cols"),
+            right_cols=defn.get("right_cols"),
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_rows_upserted"]
         )
     if defn.get("kind", "join") == "extrema":
         from edna_dbt_library_spark.operators.materializations import (

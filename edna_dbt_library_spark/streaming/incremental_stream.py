@@ -811,6 +811,25 @@ def stream_ivfpq_index(
     return writer.start()
 
 
+def _union_trigger(wh, rels, max_files_per_trigger):
+    """One trigger stream over SEVERAL tables: each side's file feed
+    projected to a single constant column and unioned, so a file landed
+    on ANY side fires a micro-batch. This closes the quiet-side blind
+    spot (ADVICE r12 #2): with a one-side trigger, an availableNow
+    drain after DML that touched ONLY the other side emits zero
+    micro-batches and the sync never runs."""
+    feeds = [
+        stream_table(wh, r, max_files_per_trigger).select(
+            F.lit(1).alias("_trigger")
+        )
+        for r in rels
+    ]
+    df = feeds[0]
+    for f in feeds[1:]:
+        df = df.unionByName(f)
+    return df
+
+
 def stream_join_view(
     wh,
     left,
@@ -825,13 +844,15 @@ def stream_join_view(
     available_now: bool = True,
 ):
     """Continuous join-view maintenance: the streaming wrapper around
-    ``operators.materializations.run_incremental_join_view``. A file
-    feed over ``trigger_source`` (default: the LEFT table — pick the
-    busier side) fires a sync per micro-batch; each sync consumes BOTH
-    sides' changelog windows off the per-source watermark snapshots, so
-    changes on the quiet side ride along with the next trigger (an
-    ``available_now`` drain therefore always leaves the view equal to
-    the direct join, whichever side changed).
+    ``operators.materializations.run_incremental_join_view``. By
+    default the trigger is the UNION of BOTH sides' file feeds, so a
+    file landed on either base fires a sync (an ``available_now``
+    drain always leaves the view equal to the direct join, whichever
+    side changed — including windows that touched ONLY one side).
+    Pass ``trigger_source`` to ride a single table's feed instead
+    (e.g. an append-hot fact whose dims change through this same
+    pipeline); each sync still consumes BOTH sides' changelog windows
+    off the per-source watermark snapshots.
 
     The batch rows themselves are ignored — the operator re-derives the
     window from its watermarks, which is what makes at-least-once
@@ -851,9 +872,57 @@ def stream_join_view(
     def apply(batch: DataFrame, epoch_id: int) -> None:
         run_incremental_join_view(wh, left, right, target, left_id, right_id, on)
 
+    trigger = (
+        stream_table(wh, trigger_source, max_files_per_trigger)
+        if trigger_source is not None
+        else _union_trigger(wh, [left, right], max_files_per_trigger)
+    )
     writer = (
-        stream_table(wh, trigger_source if trigger_source is not None else left,
-                     max_files_per_trigger)
+        trigger
+        .writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_left_join_view(
+    wh,
+    left,
+    right,
+    target,
+    left_id: str,
+    right_id: str,
+    on: list[str],
+    checkpoint_path: str,
+    trigger_source=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous LEFT-join-view maintenance: the streaming wrapper
+    around ``run_incremental_left_join_view`` — same trigger
+    discipline as ``stream_join_view`` (default both-sides union feed,
+    batch rows ignored, windows re-derived from the watermark
+    snapshots; the keyed replaces are idempotent so at-least-once
+    redelivery converges). Not concurrent-safe with another maintainer
+    of the same target."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_left_join_view,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        run_incremental_left_join_view(
+            wh, left, right, target, left_id, right_id, on
+        )
+
+    trigger = (
+        stream_table(wh, trigger_source, max_files_per_trigger)
+        if trigger_source is not None
+        else _union_trigger(wh, [left, right], max_files_per_trigger)
+    )
+    writer = (
+        trigger
         .writeStream.option("checkpointLocation", checkpoint_path)
         .foreachBatch(apply)
     )
@@ -1014,20 +1083,26 @@ def stream_join_agg_view(
     available_now: bool = True,
     where: str | None = None,
     derived_keys: dict[str, str] | None = None,
+    dims: list | None = None,
+    distinct_col: str | None = None,
+    distinct_out: str = "n_distinct",
 ):
     """Continuous join-aggregate maintenance: the streaming wrapper
-    around ``run_incremental_join_agg_view`` — one composed two-level
-    sync (join-view child off both sides' changelogs, retractable
-    aggregate off the child's) per file-feed micro-batch over
-    ``trigger_source`` (default: the LEFT table — pick the busier
-    side; the quiet side's changes ride along with the next trigger,
-    so an ``available_now`` drain leaves the view equal to the direct
-    join-aggregate whichever side changed). Batch rows are ignored —
-    windows re-derive from the watermark snapshots, so at-least-once
-    redelivery converges, and a crash BETWEEN the levels heals on the
-    next trigger (level 2's child window covers both). Not
+    around ``run_incremental_join_agg_view`` — one composed multi-level
+    sync (join-view chain off every base's changelog, the level-2 view
+    off the last child's) per file-feed micro-batch. The default
+    trigger is the UNION of EVERY base table's file feed (left, right,
+    and each extra ``dims`` entry), so a window that touched ONLY a
+    quiet dim still fires — an ``available_now`` drain always leaves
+    the view equal to the direct join-aggregate (ADVICE r12 #2 closed;
+    pass ``trigger_source`` to ride one table's feed instead). Batch
+    rows are ignored — windows re-derive from the watermark snapshots,
+    so at-least-once redelivery converges, and a crash BETWEEN levels
+    heals on the next trigger (each level's child window covers it).
+    ``dims``/``distinct_col``/``distinct_out`` pass through to the
+    operator (multi-way chains; distinct / mixed-rollup level 2). Not
     concurrent-safe with another maintainer of the same target or its
-    ``<target>__join`` child."""
+    hidden children."""
     from edna_dbt_library_spark.operators.materializations import (
         run_incremental_join_agg_view,
     )
@@ -1036,14 +1111,17 @@ def stream_join_agg_view(
         run_incremental_join_agg_view(
             wh, left, right, target, left_id, right_id, on, keys, aggs,
             where=where, derived_keys=derived_keys,
+            dims=dims, distinct_col=distinct_col, distinct_out=distinct_out,
         )
 
+    bases = [left, right] + [d["rel"] for d in (dims or [])]
+    trigger = (
+        stream_table(wh, trigger_source, max_files_per_trigger)
+        if trigger_source is not None
+        else _union_trigger(wh, bases, max_files_per_trigger)
+    )
     writer = (
-        stream_table(
-            wh,
-            trigger_source if trigger_source is not None else left,
-            max_files_per_trigger,
-        )
+        trigger
         .writeStream.option("checkpointLocation", checkpoint_path)
         .foreachBatch(apply)
     )

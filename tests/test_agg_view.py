@@ -617,6 +617,68 @@ def test_extrema_view_through_dml_windows(spark, tmp_path):
         )
 
 
+def test_extrema_append_only_fast_path(spark, tmp_path):
+    """A window with NO deletes takes the merge fast path (stats carry
+    fast_path='append'): greatest/least(stored, window partials) with
+    no touched-group source rescan — new groups land, existing extrema
+    widen or hold, NULL semantics match SQL min/max; a later window
+    WITH a delete takes the recompute path and still matches."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_extrema_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "fpsrc")
+    tgt = wh.relation("av", "fpx")
+    rows = [(i, i % 3, (17 * i) % 50 if i % 5 else None) for i in range(20)]
+    wh.create_as(
+        src,
+        spark.createDataFrame(rows, "id long, grp long, v long").coalesce(2),
+        TableMeta(),
+    )
+    XAGGS = {"lo": ("min", "v"), "hi": ("max", "v")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        )
+
+    run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+
+    # append-only window: new group (grp 7), widened extrema, NULL rows
+    wh.append(
+        src,
+        spark.createDataFrame(
+            [(100, 7, 5), (101, 0, 999), (102, 1, None), (103, 0, -4)],
+            "id long, grp long, v long",
+        ),
+    )
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s["mode"] == "delta" and s.get("fast_path") == "append"
+    assert s["n_groups_retracted"] == 0
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # append-only again, values INSIDE current extrema: stored rows hold
+    wh.append(
+        src,
+        spark.createDataFrame([(110, 0, 10)], "id long, grp long, v long"),
+    )
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s.get("fast_path") == "append"
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # a delete in the window: the slow recompute path (no fast_path key)
+    wh.delete_where(src, "id = 101")  # grp 0's max dies, runner-up surfaces
+    wh.append(
+        src, spark.createDataFrame([(120, 2, 77)], "id long, grp long, v long")
+    )
+    s = run_incremental_extrema_view(wh, src, tgt, ["grp"], XAGGS)
+    assert s["mode"] == "delta" and "fast_path" not in s
+    assert _rows(wh.read(tgt)) == _rows(direct())
+
+
 def test_extrema_view_sigma_and_derived_keys(spark, tmp_path, monkeypatch):
     """Boundary-crossing updates touch the group from whichever feed
     admits them; derived keys bucket the extrema; crash-before-promote
@@ -725,7 +787,9 @@ def test_quantize_sugar_maintains_float_measures_exactly(spark, tmp_path):
     maintaining cast(round(col * 10^d) as bigint) — the stored sum is
     exact integer units, retraction subtracts exactly what insertion
     added (same row-local derivation on both feeds), and a bare float
-    sum still raises with a pointer to the sugar."""
+    sum still raises with a pointer to the sugar. A quantized AVG is
+    served in ORIGINAL units (sum / 10^d / count, fixed IEEE order —
+    ADVICE r12 #1)."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
     rel = wh.relation("av", "qsrc")
     rows = [(i, i % 3, i * 0.1 + 0.01) for i in range(30)]
@@ -753,7 +817,9 @@ def test_quantize_sugar_maintains_float_measures_exactly(spark, tmp_path):
             .agg(
                 F.sum(q).alias("s"),
                 F.count(F.lit(1)).cast("long").alias("n"),
-                (F.sum(q).cast("double") / F.count(F.lit(1))).alias("m"),
+                (
+                    F.sum(q).cast("double") / F.lit(1e9) / F.count(F.lit(1))
+                ).alias("m"),
             )
         )
 
@@ -777,6 +843,88 @@ def test_quantize_sugar_maintains_float_measures_exactly(spark, tmp_path):
             wh, rel, wh.relation("av", "qv2"), ["grp"],
             {"s": ("count", "*", {"quantize": 2}), "n": ("count", "*")},
         )
+    # non-dict opts are the SAME parse error, not a TypeError (ADVICE r12)
+    with pytest.raises(ValueError, match="3-part spec"):
+        run_incremental_agg_view(
+            wh, rel, wh.relation("av", "qv2"), ["grp"],
+            {"s": ("sum", "amt", 2), "n": ("count", "*")},
+        )
+
+
+def test_expression_measures_maintain_exactly(spark, tmp_path):
+    """("sum"|"avg", None, {"expr": sql[, "quantize": d]}) aggregates a
+    row-local expression: the derivation runs identically on the full
+    build and both window feeds, so retraction is exact through
+    updates/deletes; a DOUBLE-typed expression still raises without
+    quantize (the exactness contract is on the EXPRESSION's type)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rel = wh.relation("av", "esrc")
+    rows = [(i, i % 3, i % 50, (i * 7) % 100) for i in range(40)]
+    wh.create_as(
+        rel,
+        spark.createDataFrame(
+            rows, "id long, grp long, price long, disc long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    t = wh.relation("av", "ev")
+    # double-typed expression without quantize: the float-sum raise
+    # (note 1.0-style literals parse as DECIMAL in Spark and are
+    # legally retractable — the raise needs a genuine double)
+    with pytest.raises(ValueError, match="floating-point"):
+        run_incremental_agg_view(
+            wh, rel, t, ["grp"],
+            {
+                "rev": (
+                    "sum",
+                    None,
+                    {"expr": "cast(price as double) * (1.0 - disc / 100.0)"},
+                ),
+                "n": ("count", "*"),
+            },
+        )
+    aggs = {
+        "rev": ("sum", None, {"expr": "price * (100 - disc)"}),
+        "n": ("count", "*"),
+        "m": (
+            "avg",
+            None,
+            {"expr": "price * (1.0 - disc / 100.0)", "quantize": 6},
+        ),
+    }
+
+    def direct():
+        e = F.expr("price * (100 - disc)")
+        q = F.round(
+            F.expr("price * (1.0 - disc / 100.0)") * F.lit(1e6)
+        ).cast("long")
+        return (
+            wh.read(rel)
+            .groupBy("grp")
+            .agg(
+                F.sum(e).alias("rev"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (
+                    F.sum(q).cast("double") / F.lit(1e6) / F.count(F.lit(1))
+                ).alias("m"),
+            )
+        )
+
+    s = run_incremental_agg_view(wh, rel, t, ["grp"], aggs)
+    assert s["mode"] == "full"
+    assert _rows(wh.read(t).select("grp", "rev", "n", "m")) == _rows(direct())
+
+    wh.update_where(rel, "id % 4 = 1", {"disc": "disc + 5"})
+    wh.delete_where(rel, "id % 5 = 0")
+    wh.append(
+        rel,
+        spark.createDataFrame(
+            [(200, 1, 30, 15)], "id long, grp long, price long, disc long"
+        ),
+    )
+    s = run_incremental_agg_view(wh, rel, t, ["grp"], aggs)
+    assert s["mode"] == "delta"
+    assert _rows(wh.read(t).select("grp", "rev", "n", "m")) == _rows(direct())
 
 
 def test_stream_extrema_view_drain_equals_direct(spark, tmp_path):
@@ -856,7 +1004,7 @@ def test_agg_distinct_view_through_dml_windows(spark, tmp_path):
     s = run_incremental_agg_distinct_view(
         wh, src, tgt, ["grp"], aggs, "v", out="nd"
     )
-    assert s["served"] and s["agg"]["mode"] == "full"
+    assert s["served"] == "full" and s["agg"]["mode"] == "full"
     got = wh.read(tgt)
     assert got.columns == ["grp", "total", "n", "nd"]
     assert _rows(got) == _rows(direct())
@@ -870,7 +1018,8 @@ def test_agg_distinct_view_through_dml_windows(spark, tmp_path):
     s = run_incremental_agg_distinct_view(
         wh, src, tgt, ["grp"], aggs, "v", out="nd"
     )
-    assert s["served"] and s["n_groups_upserted"] > 0
+    # incremental serve: touched-group keyed upsert, not a rewrite
+    assert s["served"] == "delta" and s["n_groups_upserted"] > 0
     assert _rows(wh.read(tgt)) == _rows(direct())
     assert wh.read(tgt).where("grp = 2").count() == 0
 
@@ -880,6 +1029,100 @@ def test_agg_distinct_view_through_dml_windows(spark, tmp_path):
     )
     assert not s["served"] and s["n_groups_upserted"] == 0
     assert _rows(wh.read(tgt)) == _rows(direct())
+
+    # out/key collision raises UP FRONT, before any child syncs
+    # (ADVICE r12 #3 — a DataFrame caller would otherwise hit an
+    # ambiguous-column AnalysisException at serve time)
+    with pytest.raises(ValueError, match="collides"):
+        run_incremental_agg_distinct_view(
+            wh, src, wh.relation("av", "adbad"), ["grp"], aggs, "v",
+            out="total",
+        )
+    assert not wh.exists(wh.relation("av", "adbad__agg"))
+
+
+def test_agg_distinct_delta_serve_replay_and_rebaseline(spark, tmp_path):
+    """The incremental serve's delivery contract: a crash AFTER the
+    children sync but BEFORE the serve apply (simulated by sweeping the
+    pending serve watermark) replays the window convergently — the
+    keyed REPLACE lands the same final state; and a child rebaseline
+    (snapshots destroyed) falls back to the full group-domain
+    rewrite."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_distinct_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("av", "rsrc")
+    tgt = wh.relation("av", "rdst")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i, i % 5) for i in range(30)],
+            "id long, grp long, amt long, u long",
+        ).coalesce(2),
+        TableMeta(),
+    )
+    aggs = {"n": ("count", "*"), "total": ("sum", "amt")}
+
+    def direct():
+        return (
+            wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").alias("total"),
+                F.count_distinct("u").alias("nu"),
+            )
+        )
+
+    run_incremental_agg_distinct_view(wh, src, tgt, ["grp"], aggs, "u", out="nu")
+    wh.update_where(src, "id % 4 = 0", {"u": "9"})
+    wh.delete_where(src, "id % 7 = 1")
+    s = run_incremental_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "u", out="nu"
+    )
+    assert s["served"] == "delta"
+    assert _rows(wh.read(tgt).select("grp", "n", "total", "nu")) == _rows(direct())
+
+    # crash-replay: inject a crash AT THE PROMOTE (serve already
+    # applied, watermark still '!pending', prior promoted note intact)
+    # — the next sync must replay the window and the keyed REPLACE
+    # must converge to the same state
+    wh.update_where(src, "id % 6 = 2", {"amt": "amt + 1"})
+    orig_set_note = wh.set_snapshot_note
+
+    def crashing_set_note(rel, v, note):
+        if note.startswith("aggdview:"):
+            raise RuntimeError("injected crash at serve promote")
+        return orig_set_note(rel, v, note)
+
+    wh.set_snapshot_note = crashing_set_note
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_incremental_agg_distinct_view(
+                wh, src, tgt, ["grp"], aggs, "u", out="nu"
+            )
+    finally:
+        wh.set_snapshot_note = orig_set_note
+    # the crashed apply already landed — the table is correct but the
+    # watermark did not move; the replay must re-serve convergently
+    s = run_incremental_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "u", out="nu"
+    )
+    assert s["served"] == "delta"
+    assert _rows(wh.read(tgt).select("grp", "n", "total", "nu")) == _rows(direct())
+
+    # child rebaseline: a fold on the source forces the agg child to
+    # drop/create, destroying its serve watermark — the next serve
+    # must fall back to the full rewrite and still match
+    wh.delete_where(src, "id % 11 = 3")
+    wh.apply_deletes(src)
+    s = run_incremental_agg_distinct_view(
+        wh, src, tgt, ["grp"], aggs, "u", out="nu"
+    )
+    assert s["agg"]["mode"] == "rebaseline" and s["served"] == "full"
+    assert _rows(wh.read(tgt).select("grp", "n", "total", "nu")) == _rows(direct())
 
 
 def test_stream_agg_distinct_view_drain_equals_direct(spark, tmp_path):

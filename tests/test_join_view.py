@@ -523,3 +523,260 @@ def test_join_agg_view_fuzz_matches_direct(spark, tmp_path_factory, windows):
             wh, l, r, t, "l_id", "r_id", ["grp"], ["seg"], aggs
         )
         assert _rows(wh.read(t)) == _rows(direct())
+
+
+# ---------------------------------------------------------------------------
+# LEFT JOIN view (run_incremental_left_join_view)
+
+
+def _direct_left(wh, l, r, on):
+    return wh.read(l).join(wh.read(r), on=on, how="left")
+
+
+def _rows_n(df):
+    # None-safe total order (LEFT join outputs carry NULLs)
+    return sorted(
+        map(tuple, df.select(*sorted(df.columns)).collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_left_join_view_through_dml_windows(spark, tmp_path):
+    """The maintained LEFT join: unmatched left rows ride null-extended,
+    a late-arriving dimension match RETRACTS the null-extension, the
+    last match dying RE-LANDS it, and every window leaves the view
+    equal to the direct LEFT JOIN."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_left_join_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("lj", "fact")
+    r = wh.relation("lj", "dim")
+    t = wh.relation("lj", "view")
+    # keys 0..5 on the fact; the dim covers only 0..2 (3..5 unmatched)
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 6, i) for i in range(24)], "l_id long, k long, lv long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j, 10 * j) for j in range(3)], "r_id long, k long, rv long"
+        ).coalesce(1),
+        TableMeta(),
+    )
+    out = run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"])
+    assert out["mode"] == "full"
+    assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
+    assert wh.read(t).where("rv IS NULL").count() == 12  # k in 3..5
+
+    # late-arriving dim rows: k=3 gains its FIRST match (null-extension
+    # retracts), k=0 gains a SECOND match (fan-out widens)
+    wh.append(
+        r,
+        spark.createDataFrame(
+            [(103, 3, 30), (110, 0, 99)], "r_id long, k long, rv long"
+        ),
+    )
+    out = run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"])
+    assert out["mode"] == "delta" and out["n_rows_upserted"] > 0
+    assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
+    assert wh.read(t).where("k = 3 AND rv IS NULL").count() == 0
+
+    # the last match dies: k=1's rows must re-land null-extended;
+    # one of k=0's two matches dies: fan-out narrows, no null rows
+    wh.delete_where(r, "r_id = 101")
+    wh.delete_where(r, "r_id = 110")
+    out = run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"])
+    assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
+    assert wh.read(t).where("k = 1 AND rv IS NULL").count() == 4
+    assert wh.read(t).where("k = 0 AND rv IS NULL").count() == 0
+
+    # fact DML: update moves a row to an unmatched key, delete retires
+    wh.update_where(l, "l_id = 0", {"k": "5"})
+    wh.delete_where(l, "l_id % 7 = 3")
+    wh.append(
+        l, spark.createDataFrame([(200, 2, 7)], "l_id long, k long, lv long")
+    )
+    out = run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"])
+    assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
+
+    # quiet window
+    before = _rows_n(wh.read(t))
+    out = run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"])
+    assert out["mode"] == "delta" and out["n_rows_upserted"] == 0
+    assert _rows_n(wh.read(t)) == before
+
+
+def test_left_join_view_null_keys_and_sigma(spark, tmp_path):
+    """NULL join keys on the fact never match and stay null-extended
+    through right-side DML; side predicates follow the σ contract — a
+    dim row leaving the predicate kills its matches."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_left_join_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("lj", "f2")
+    r = wh.relation("lj", "d2")
+    t = wh.relation("lj", "v2")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(1, 0, 10), (2, None, 20), (3, 1, 30), (4, 2, 40)],
+            "l_id long, k long, lv long",
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100, 0, 1, 5), (101, 1, 1, 6), (102, 2, 0, 7)],
+            "r_id long, k long, live long, rv long",
+        ),
+        TableMeta(),
+    )
+
+    def direct():
+        return wh.read(l).join(
+            wh.read(r).where("live = 1").select("r_id", "k", "rv"),
+            on=["k"],
+            how="left",
+        )
+
+    kw = dict(right_where="live = 1", right_cols=["r_id", "k", "rv"])
+    run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"], **kw)
+    assert _rows_n(wh.read(t)) == _rows_n(direct())
+    assert wh.read(t).where("l_id = 2").first()["rv"] is None
+    assert wh.read(t).where("l_id = 4").first()["rv"] is None  # σ excludes
+
+    # dim row ENTERS the predicate (gains match), another LEAVES it
+    wh.update_where(r, "r_id = 102", {"live": "1"})
+    wh.update_where(r, "r_id = 101", {"live": "0"})
+    run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"], **kw)
+    assert _rows_n(wh.read(t)) == _rows_n(direct())
+    assert wh.read(t).where("l_id = 4").first()["rv"] == 7
+    assert wh.read(t).where("l_id = 3").first()["rv"] is None
+    assert wh.read(t).where("l_id = 2").first()["rv"] is None
+
+
+@settings(max_examples=4, deadline=None)
+@given(_WINDOWS)
+def test_left_join_view_fuzz_matches_direct(spark, tmp_path_factory, windows):
+    """Any interleaving of inserts/updates/deletes on either side must
+    leave the maintained LEFT view equal to the direct LEFT JOIN after
+    every sync — including matches dying to null-extension and back."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_left_join_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("ljfuzz")))
+    l = wh.relation("f", "ll")
+    r = wh.relation("f", "lr")
+    t = wh.relation("f", "lv")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 5, i) for i in range(18)], "l_id long, grp long, lv long"
+        ).coalesce(2),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(5)], "r_id long, grp long, rv long"
+        ).coalesce(1),
+        TableMeta(),
+    )
+    run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+    next_l, next_r = 1000, 2000
+    for ops in windows:
+        for op, arg in ops:
+            if op == "l_ins":
+                wh.append(
+                    l,
+                    spark.createDataFrame(
+                        [(next_l, arg + 3, next_l)], "l_id long, grp long, lv long"
+                    ),
+                )
+                next_l += 1
+            elif op == "l_del":
+                wh.delete_where(l, f"l_id % 5 = {arg}")
+            elif op == "l_upd":
+                wh.update_where(l, f"l_id % 5 = {arg}", {"lv": F.col("lv") + 1})
+            elif op == "r_ins":
+                wh.append(
+                    r,
+                    spark.createDataFrame(
+                        [(next_r, arg, next_r)], "r_id long, grp long, rv long"
+                    ),
+                )
+                next_r += 1
+            elif op == "r_del":
+                wh.delete_where(r, f"r_id % 3 = {arg}")
+            elif op == "r_upd":
+                wh.update_where(r, f"r_id % 3 = {arg}", {"rv": F.col("rv") + 1})
+        run_incremental_left_join_view(wh, l, r, t, "l_id", "r_id", ["grp"])
+        assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["grp"]))
+
+
+def test_stream_join_view_quiet_side_only_window_syncs(spark, tmp_path):
+    """ADVICE r12 #2: with the default BOTH-SIDES union trigger, a
+    window that touched ONLY the right table still fires a micro-batch
+    and the drain leaves the view equal to the direct join (the
+    one-side trigger used to emit zero batches here); same for the
+    composed join-aggregate wrapper."""
+    from edna_dbt_library_spark.streaming import (
+        stream_join_agg_view,
+        stream_join_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("qs", "l")
+    r = wh.relation("qs", "r")
+    t = wh.relation("qs", "v")
+    ta = wh.relation("qs", "av")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(12)], "l_id long, grp long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame(
+            [(100 + j, j % 3, j) for j in range(3)], "r_id long, grp long, rv long"
+        ),
+        TableMeta(),
+    )
+    cp1, cp2 = str(tmp_path / "cp1"), str(tmp_path / "cp2")
+    stream_join_view(wh, l, r, t, "l_id", "r_id", ["grp"], cp1).awaitTermination(120)
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+    aggs = {"total": ("sum", "lv"), "n": ("count", "*")}
+    stream_join_agg_view(
+        wh, l, r, ta, "l_id", "r_id", ["grp"], ["rv"], aggs, cp2
+    ).awaitTermination(120)
+
+    # RIGHT-side-only window: a new dim row (new FILE on r, none on l)
+    wh.append(
+        r, spark.createDataFrame([(200, 1, 77)], "r_id long, grp long, rv long")
+    )
+    stream_join_view(wh, l, r, t, "l_id", "r_id", ["grp"], cp1).awaitTermination(120)
+    assert _rows(wh.read(t)) == _rows(_direct(wh, l, r, ["grp"]))
+    assert wh.read(t).where("rv = 77").count() > 0
+
+    stream_join_agg_view(
+        wh, l, r, ta, "l_id", "r_id", ["grp"], ["rv"], aggs, cp2
+    ).awaitTermination(120)
+    direct = (
+        wh.read(l)
+        .join(wh.read(r), "grp")
+        .groupBy("rv")
+        .agg(F.sum("lv").alias("total"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    assert _rows(wh.read(ta)) == _rows(direct)

@@ -813,3 +813,89 @@ def test_auto_discovery_plans_forgotten_targets(spark, tmp_path):
     run_maintenance(wh, policy=MaintenancePolicy(crashed_txn_age_s=300.0))
     assert wh._pending_txids(rel) == []
     assert maintenance_plan(wh) == []
+
+
+def test_auto_maintain_service_tick_clears_debt_and_logs(spark, tmp_path):
+    """The scheduled maintainer (auto_maintain → maintenance_tick):
+    injected debt across three classes (delete sidecar + fragmentation,
+    crashed txn, stale MV) is cleared by ONE tick with auto-discovered
+    targets, one maintenance_log row lands per executed action, and a
+    re-tick plans (and logs) nothing."""
+    import time
+
+    import pytest
+
+    from edna_dbt_library_spark.operators.maintenance import (
+        auto_maintain,
+        maintenance_tick,
+    )
+    from edna_dbt_library_spark.sources.warehouse import InjectedCrash
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # class 1: deletes + fragmentation
+    rel, base = _fragmented_table(spark, wh)
+    wh.delete_where(rel, "k % 7 = 0")
+    expect = _rows(wh.read(rel))
+    # class 2: crashed txn, idle past the age gate
+    rel2 = wh.relation("m", "crashy")
+    wh.create_as(
+        rel2, spark.range(0, 30).select(F.col("id").alias("k")), TableMeta()
+    )
+    wh._txn_crash_point = "before_commit"
+    with pytest.raises(InjectedCrash):
+        wh.delete_where(rel2, "k < 3")
+    wh._txn_crash_point = None
+    (txid,) = wh._pending_txids(rel2)
+    old = time.time() - 400.0
+    os.utime(os.path.join(wh._pending_dir(rel2), f"{txid}.json"), (old, old))
+    # class 3: stale MV
+    src = wh.relation("m", "amsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(12)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW m__amv2 AS SELECT grp, sum(v) AS t, "
+        "count(*) AS n FROM m__amsrc GROUP BY grp"
+    )
+    wh.append(src, spark.createDataFrame([(50, 1, 5)], "id long, grp long, v long"))
+
+    policy = MaintenancePolicy(
+        delete_min_bytes=1, delete_ratio=0.0, target_file_bytes=1 << 30,
+        min_files=2, crashed_txn_age_s=300.0,
+    )
+    n = auto_maintain(wh, interval_s=0.01, max_ticks=1, policy=policy)
+    assert n == 1
+
+    # debt cleared across all three classes
+    assert wh._delete_files(rel) == []
+    assert wh._pending_txids(rel2) == []
+    assert _rows(wh.read(rel)) == expect
+    mv = wh.relation("m", "amv2")
+    assert _rows(wh.read(mv).where("grp = 1").select("t")) == _rows(
+        wh.read(src).where("grp = 1").groupBy().agg(F.sum("v").alias("t"))
+    )
+
+    # one log row per executed action, in the _maintenance schema
+    # (underscore-prefixed: discovery never sweeps the log itself)
+    log = wh.relation("_maintenance", "log")
+    assert wh.exists(log)
+    rows = wh.read(log).collect()
+    acts = {(r["action"], r["target"]) for r in rows}
+    assert ("vacuum", "m.crashy") in acts
+    assert ("refresh_materialized_view", "m.amv2") in acts
+    assert any(a in {x[0] for x in acts} for a in ("apply_deletes", "compact"))
+    assert all(r["executed"] for r in rows)
+    n_logged = len(rows)
+
+    # idle re-tick: plans nothing, logs nothing (stop_when_idle exits)
+    n = auto_maintain(
+        wh, interval_s=0.01, max_ticks=3, stop_when_idle=True, policy=policy
+    )
+    assert n == 1
+    assert wh.read(log).count() == n_logged
+    # direct tick API parity: idle tick returns an empty plan
+    assert maintenance_tick(wh, policy=policy) == []

@@ -1029,8 +1029,9 @@ def test_join_agg_materialized_view_lifecycle(spark, wh):
     assert view() == direct()
     assert wh.sql("REFRESH MATERIALIZED VIEW s__jav").first()["n_rows"] == 0
 
-    # distinct/extrema in the join-agg form raise pre-shed
-    with pytest.raises(ValueError, match="own view kind"):
+    # min/max mixed with sum/count in the join-agg form raises pre-shed
+    # (pure extrema and count(DISTINCT) forms are their OWN l2 kinds)
+    with pytest.raises(ValueError, match="cannot mix"):
         wh.sql(
             "CREATE OR REPLACE MATERIALIZED VIEW s__jav UNIQUE KEYS (fid, j) "
             "AS SELECT grp, min(amt) AS lo, count(*) AS n "
@@ -1134,3 +1135,321 @@ def test_mixed_agg_distinct_materialized_view_lifecycle(spark, wh):
     )
     with pytest.raises(ValueError, match="not a materialized view"):
         wh.sql("REFRESH MATERIALIZED VIEW s__mx")
+
+
+def test_multiway_join_agg_materialized_view_lifecycle(spark, wh):
+    """The 3-table star join-aggregate MV: UNIQUE KEYS (fid, d1, d2)
+    with two JOIN ... USING segments nests TWO hidden join children
+    (__join, __join2); REFRESH syncs DML from ALL THREE bases —
+    including a dim-key MOVE deep in the chain — and DROP sheds the
+    whole stack."""
+    f = wh.relation("s", "m3fact")
+    d1 = wh.relation("s", "m3d1")
+    d2 = wh.relation("s", "m3d2")
+    wh.create_as(
+        f,
+        spark.createDataFrame(
+            [(i, i % 5, i % 3, 2 * i) for i in range(40)],
+            "fid long, j1 long, j2 long, amt long",
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        d1,
+        spark.createDataFrame(
+            [(j, j % 2) for j in range(5)], "j1 long, reg long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        d2,
+        spark.createDataFrame(
+            [(j, 10 + j) for j in range(3)], "j2 long, seg long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__m3v UNIQUE KEYS (fid, j1, j2) AS "
+        "SELECT reg, seg, sum(amt) AS total, count(*) AS n "
+        "FROM s__m3fact JOIN s__m3d1 USING (j1) JOIN s__m3d2 USING (j2) "
+        "GROUP BY reg, seg"
+    )
+    mv = wh.relation("s", "m3v")
+    c1 = wh.relation("s", "m3v__join")
+    c2 = wh.relation("s", "m3v__join2")
+    assert wh.exists(c1) and wh.exists(c2)
+
+    def direct():
+        return sorted(
+            tuple(x)
+            for x in wh.read(f)
+            .join(wh.read(d1), "j1")
+            .join(wh.read(d2), "j2")
+            .groupBy("reg", "seg")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        )
+
+    view = lambda: sorted(  # noqa: E731
+        tuple(x)
+        for x in wh.read(mv).select("reg", "seg", "total", "n").collect()
+    )
+    assert view() == direct()
+
+    # DML on all three bases, incl. a key move on the DEEP dim: the
+    # fan-out must retract from the old (reg, seg) and land in the new
+    wh.sql("DELETE FROM s__m3fact WHERE fid % 7 = 3")
+    wh.sql("UPDATE s__m3fact SET amt = amt + 1 WHERE fid % 4 = 0")
+    wh.sql("UPDATE s__m3d1 SET reg = 9 WHERE j1 = 2")
+    wh.sql("UPDATE s__m3d2 SET seg = 77 WHERE j2 = 1")
+    wh.sql("DELETE FROM s__m3d2 WHERE j2 = 0")
+    wh.sql("REFRESH MATERIALIZED VIEW s__m3v")
+    assert view() == direct()
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__m3v").first()["n_rows"] == 0
+
+    # DROP sheds both chain children and every base's watermarks
+    c1_tid, c2_tid = c1.table_id, c2.table_id
+    wh.sql("DROP TABLE s__m3v")
+    assert not wh.exists(c1) and not wh.exists(c2)
+    for side, tid in ((f, c1_tid), (d1, c1_tid), (d2, c2_tid)):
+        assert not any(
+            (s.get("note") or "").startswith(f"joinview:{tid}:")
+            for s in wh.list_snapshots(side)
+        )
+
+
+def test_join_distinct_materialized_view_lifecycle(spark, wh):
+    """count(DISTINCT u) over a join — alone (distinct l2) and next to
+    sum/count (agg_distinct l2) — through base DML on both sides."""
+    l = wh.relation("s", "jdfact")
+    r = wh.relation("s", "jddim")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 4, i % 7, i) for i in range(40)],
+            "fid long, j long, u long, amt long",
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(j, j % 2) for j in range(4)], "j long, grp long"),
+        TableMeta(),
+    )
+    # distinct-only over the join
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__jdv UNIQUE KEYS (fid, j) AS "
+        "SELECT grp, count(DISTINCT u) AS nu "
+        "FROM s__jdfact JOIN s__jddim USING (j) GROUP BY grp"
+    )
+    mv = wh.relation("s", "jdv")
+
+    def direct_d():
+        return sorted(
+            tuple(x)
+            for x in wh.read(l)
+            .join(wh.read(r), "j")
+            .groupBy("grp")
+            .agg(F.count_distinct("u").alias("nu"))
+            .collect()
+        )
+
+    assert sorted(tuple(x) for x in wh.read(mv).collect()) == direct_d()
+    wh.sql("UPDATE s__jdfact SET u = 99 WHERE fid % 5 = 0")
+    wh.sql("UPDATE s__jddim SET grp = 3 WHERE j = 1")
+    wh.sql("DELETE FROM s__jdfact WHERE fid % 9 = 2")
+    wh.sql("REFRESH MATERIALIZED VIEW s__jdv")
+    assert sorted(tuple(x) for x in wh.read(mv).collect()) == direct_d()
+
+    # mixed: count(*), sum, count(DISTINCT) over the join
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__jmv UNIQUE KEYS (fid, j) AS "
+        "SELECT grp, count(*) AS n, sum(amt) AS total, "
+        "count(DISTINCT u) AS nu "
+        "FROM s__jdfact JOIN s__jddim USING (j) GROUP BY grp"
+    )
+    mv2 = wh.relation("s", "jmv")
+
+    def direct_m():
+        return sorted(
+            tuple(x)
+            for x in wh.read(l)
+            .join(wh.read(r), "j")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").alias("total"),
+                F.count_distinct("u").alias("nu"),
+            )
+            .collect()
+        )
+
+    got2 = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv2).select("grp", "n", "total", "nu").collect()
+    )
+    assert got2() == direct_m()
+    wh.sql("DELETE FROM s__jddim WHERE j = 0")
+    wh.sql("UPDATE s__jdfact SET amt = amt + 3 WHERE fid % 2 = 1")
+    wh.sql("REFRESH MATERIALIZED VIEW s__jmv")
+    assert got2() == direct_m()
+
+    # DROP sheds every hidden child of both stacks
+    wh.sql("DROP TABLE s__jdv")
+    wh.sql("DROP TABLE s__jmv")
+    for name in (
+        "jdv__join", "jdv__elems", "jmv__join", "jmv__agg", "jmv__dcnt",
+        "jmv__dcnt__elems",
+    ):
+        assert not wh.exists(wh.relation("s", name)), name
+
+
+def test_left_join_materialized_view_lifecycle(spark, wh):
+    """LEFT JOIN MV (kind left_join): null-extended rows retract when a
+    match arrives and re-land when the last match dies, via plain
+    REFRESH."""
+    l = wh.relation("s", "ljfact")
+    r = wh.relation("s", "ljdim")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 4, i) for i in range(16)], "fid long, k long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(100, 0, 5), (101, 1, 6)], "rid long, k long, rv long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__ljv UNIQUE KEYS (fid, rid) AS "
+        "SELECT * FROM s__ljfact LEFT JOIN s__ljdim USING (k)"
+    )
+    mv = wh.relation("s", "ljv")
+
+    def direct():
+        return sorted(
+            (tuple(x) for x in wh.read(l).join(wh.read(r), "k", "left").collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    got = lambda: sorted(  # noqa: E731
+        (
+            tuple(x)
+            for x in wh.read(mv)
+            .select(*wh.read(l).join(wh.read(r), "k", "left").columns)
+            .collect()
+        ),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert got() == direct()
+    assert wh.read(mv).where("rv IS NULL").count() == 8  # k in 2..3
+
+    # late-arriving dim + a dying match
+    wh.sql("INSERT INTO s__ljdim VALUES (102, 2, 7)")
+    wh.sql("DELETE FROM s__ljdim WHERE rid = 101")
+    wh.sql("REFRESH MATERIALIZED VIEW s__ljv")
+    assert got() == direct()
+    assert wh.read(mv).where("k = 2 AND rv IS NULL").count() == 0
+    assert wh.read(mv).where("k = 1 AND rv IS NULL").count() == 4
+
+    wh.sql("DROP TABLE s__ljv")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW s__ljv")
+
+
+def test_expression_measure_materialized_views(spark, wh):
+    """sum(<expr>) AS out — the revenue-measure shape — in the agg form
+    AND the join-agg form, with quantize(expr, d) admitting a
+    float-typed expression; maintained exactly through DML windows."""
+    src = wh.relation("s", "exsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, i % 50, (i * 7) % 30) for i in range(40)],
+            "id long, grp long, price long, disc long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__exv AS SELECT grp, "
+        "sum(price * (100 - disc)) AS rev, count(*) AS n, "
+        "avg(quantize(price * (1d - disc / 100d), 6)) AS m "
+        "FROM s__exsrc GROUP BY grp"
+    )
+    mv = wh.relation("s", "exv")
+
+    def direct():
+        e = F.expr("price * (100 - disc)")
+        q = F.round(F.expr("price * (1d - disc / 100d)") * F.lit(1e6)).cast(
+            "long"
+        )
+        return sorted(
+            tuple(x)
+            for x in wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.sum(e).alias("rev"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (
+                    F.sum(q).cast("double") / F.lit(1e6) / F.count(F.lit(1))
+                ).alias("m"),
+            )
+            .collect()
+        )
+
+    got = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "rev", "n", "m").collect()
+    )
+    assert got() == direct()
+    wh.sql("UPDATE s__exsrc SET disc = disc + 5 WHERE id % 4 = 1")
+    wh.sql("DELETE FROM s__exsrc WHERE id % 5 = 0")
+    wh.sql("REFRESH MATERIALIZED VIEW s__exv")
+    assert got() == direct()
+
+    # a float-typed expression WITHOUT quantize raises pre-shed
+    with pytest.raises(ValueError, match="floating-point"):
+        wh.sql(
+            "CREATE MATERIALIZED VIEW s__exbad AS SELECT grp, "
+            "sum(price * (1d - disc / 100d)) AS rev, count(*) AS n "
+            "FROM s__exsrc GROUP BY grp"
+        )
+
+    # the join-agg form takes the same expression measures
+    dim = wh.relation("s", "exdim")
+    wh.create_as(
+        dim,
+        spark.createDataFrame([(g, g % 2) for g in range(3)], "grp long, reg long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__exjv UNIQUE KEYS (id, grp) AS "
+        "SELECT reg, sum(price * (100 - disc)) AS rev, count(*) AS n "
+        "FROM s__exsrc JOIN s__exdim USING (grp) GROUP BY reg"
+    )
+    mvj = wh.relation("s", "exjv")
+
+    def direct_j():
+        return sorted(
+            tuple(x)
+            for x in wh.read(src)
+            .join(wh.read(dim), "grp")
+            .groupBy("reg")
+            .agg(
+                F.sum(F.expr("price * (100 - disc)")).alias("rev"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        )
+
+    gotj = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mvj).select("reg", "rev", "n").collect()
+    )
+    assert gotj() == direct_j()
+    wh.sql("UPDATE s__exdim SET reg = 5 WHERE grp = 1")
+    wh.sql("UPDATE s__exsrc SET price = price + 2 WHERE id % 3 = 0")
+    wh.sql("REFRESH MATERIALIZED VIEW s__exjv")
+    assert gotj() == direct_j()
