@@ -321,6 +321,19 @@ def _mview_freshness_actions(wh, schema: str) -> list[dict]:
                 checks.append((last, f"aggview:{tid}", "child"))
         elif kind == "extrema":
             checks = [(wh.relation(*defn["source"]), f"extview:{tid}", "source")]
+        elif kind == "agg_having":
+            # two levels: source vs the full-state child's agg
+            # watermark, and the child vs the havview serve watermark
+            # (a crash AFTER the child syncs but BEFORE the σ serve)
+            child_rel = wh.relation(*defn["child"])
+            checks = [
+                (
+                    wh.relation(*defn["source"]),
+                    f"aggview:{child_rel.table_id}",
+                    "source",
+                ),
+                (child_rel, f"havview:{tid}", "serve"),
+            ]
         elif kind == "agg_distinct":
             # five edges: source vs both children's level-1 watermarks,
             # the distinct child's internal level-2 edge, and BOTH

@@ -2078,6 +2078,109 @@ def run_incremental_join_agg_view(
     return l2
 
 
+def run_incremental_agg_having_view(
+    wh: Warehouse,
+    source: Relation,
+    target: Relation,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    having: str,
+    where: str | None = None,
+    derived_keys: dict[str, str] | None = None,
+) -> dict:
+    """Maintain ``target = SELECT keys, aggs FROM source [WHERE where]
+    GROUP BY keys HAVING having`` under FULL DML — the post-aggregation
+    filter (r12 verdict next #7). The subtlety HAVING forces: the
+    TARGET cannot be the maintained state, because a group the filter
+    currently excludes must keep its exact partials (a later +1 on a
+    just-below-threshold group has to read them) — filtering the agg
+    view's own table would destroy the partials the ± algebra needs.
+
+    So the full state lives in a hidden child (``<target>__state``, an
+    ordinary :func:`run_incremental_agg_view`), and the target is the
+    maintained σ over it, synced off the CHILD's changelog: per window
+    the touched group keys are the child's churn, the child is probed
+    for exactly those groups (key-literal prune), and ONE atomic keyed
+    upsert replaces the qualifying rows — a group crossing the HAVING
+    boundary in EITHER direction is touched (its child row was
+    rewritten), so it enters or leaves the target in the same apply.
+    Serve cost is O(touched groups), never O(|view|).
+
+    ``having`` is ROW-LOCAL over the view's OUTPUT columns (group keys
+    + aggregate outputs, avg included — the stored served quotient):
+    e.g. ``"n > 10"`` or ``"total / n > 5"``. No subqueries. Crash
+    safety: ``havview:<target>`` serve watermark on the child via the
+    ``_watermark_begin`` protocol; the keyed replace is idempotent so
+    replays converge; a child rebaseline (file removal in the
+    manifest) falls back to a full σ rewrite.
+
+    Returns level-2 serve stats plus {"state": level-1 stats}."""
+    child = wh.relation(target.schema, target.identifier + "__state")
+    all_keys = keys + list(derived_keys or {})
+    l1 = run_incremental_agg_view(
+        wh, source, child, keys, aggs, where=where,
+        derived_keys=derived_keys,
+    )
+    # the predicate must analyze over the child row BEFORE any apply
+    wh.read(child).where(having).schema
+    note = f"havview:{target.table_id}"
+    last_v, prior, new_v = _watermark_begin(wh, child, note)
+    if not wh.exists(target):
+        last_v = None
+    if last_v is not None:
+        _, m_since = wh._snapshot_manifest(child, last_v)
+        _, m_to = wh._snapshot_manifest(child, new_v)
+        if set(m_since["files"]) - set(m_to["files"]):
+            last_v = None  # child rebaselined: full σ rewrite
+    try:
+        if last_v is None:
+            frame = (
+                wh.read_version(child, new_v)
+                .where(having)
+                .localCheckpoint(eager=True)
+            )
+            wh.create_as(target, frame, TableMeta())
+            stats = {"served": "full", "n_groups_upserted": frame.count()}
+        else:
+            touched = (
+                wh.read_changes(child, last_v, to_version=new_v)
+                .select(*all_keys)
+                .unionByName(
+                    wh.read_deleted_rows(
+                        child, last_v, to_version=new_v
+                    ).select(*all_keys)
+                )
+                .dropDuplicates(all_keys)
+                .localCheckpoint(eager=True)
+            )
+            if not touched.count():
+                stats = {"served": False, "n_groups_upserted": 0}
+            else:
+                replace = (
+                    _key_literal_filter(
+                        wh.read_version(child, new_v), touched, all_keys
+                    )
+                    .join(touched, all_keys, "left_semi")
+                    .where(having)
+                    .localCheckpoint(eager=True)
+                )
+                r = wh.upsert_matching(
+                    target, replace, all_keys, delete_keys_df=touched
+                )
+                stats = {
+                    "served": "delta",
+                    "n_groups_upserted": int(r.get("n_upserted", 0)),
+                }
+    except Exception:
+        wh.drop_snapshot(child, new_v)
+        raise
+    wh.set_snapshot_note(child, new_v, note)
+    for s in prior:
+        wh.drop_snapshot(child, s["version"])
+    stats["state"] = l1
+    return stats
+
+
 def run_incremental_agg_distinct_view(
     wh: Warehouse,
     source: Relation,

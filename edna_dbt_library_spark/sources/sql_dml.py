@@ -605,6 +605,21 @@ def _shed_mview(wh, rel) -> None:
         ]:
             if wh.exists(c):
                 wh.drop(c)
+    if defn.get("kind") == "agg_having":
+        # two-level: the SOURCE carries the level-1 watermark under the
+        # CHILD's name; the child (with the havview serve watermark
+        # among its snapshots) retires with the view
+        child_rel = wh.relation(*defn["child"])
+        src_rel = wh.relation(*defn["source"])
+        child_tid = child_rel.table_id
+        try:
+            for sn in wh.list_snapshots(src_rel):
+                if _owned(sn.get("note") or "", child_tid):
+                    wh.drop_snapshot(src_rel, sn["version"])
+        except OSError:
+            pass
+        if wh.exists(child_rel):
+            wh.drop(child_rel)
     if defn.get("kind") == "agg_distinct":
         # mixed form: the SOURCE carries watermarks under BOTH children
         # (the agg child's, and the distinct child's __elems level-1);
@@ -816,7 +831,8 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
         r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+`?([\w.]+)`?\s+"
         r"as\s+select\s+(.*?)\s+from\s+`?([\w.]+)`?"
         r"(?:\s+where\s+(.+?))?\s+"
-        r"group\s+by\s+([\w`,\s]+?)\s*;?\s*$",
+        r"group\s+by\s+([\w`,\s]+?)"
+        r"(?:\s+having\s+(.+?))?\s*;?\s*$",
         query,
         re.I | re.S,
     )
@@ -843,7 +859,15 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
     src = _rel_for_name(wh, tables, m.group(4))
     where = m.group(5).strip() if m.group(5) else None
     keys = [c.strip().strip("`") for c in m.group(6).split(",") if c.strip()]
+    having = m.group(7).strip() if m.group(7) else None
     aggs, derived, distinct, extrema = _parse_mv_agg_items(m.group(3), keys)
+    if having is not None and (distinct or extrema):
+        raise ValueError(
+            "SQL CREATE MATERIALIZED VIEW: HAVING is supported on the "
+            "sum/count/avg aggregate form only (the distinct/extrema "
+            "kinds serve their state directly; filter at read time or "
+            "compose via the DataFrame API)"
+        )
     plain_keys = [k for k in keys if k not in derived]
     # validate the spec BEFORE shedding/dropping anything: a bad spec
     # must never destroy the existing view on OR REPLACE — one source
@@ -1028,6 +1052,76 @@ def _create_mview_agg(wh, tables, query: str) -> DataFrame:
             "source": [src.schema, src.identifier],
             "keys": plain_keys,
             "aggs": {k: list(v) for k, v in extrema.items()},
+            "where": where,
+            "derived_keys": derived or None,
+        }
+        path = _mview_def_path(wh, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(defn, f)
+        return _stats(
+            wh, "create_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if having is not None:
+        from edna_dbt_library_spark.operators.materializations import (
+            _agg_exprs,
+            _normalize_agg_specs,
+            run_incremental_agg_having_view,
+        )
+
+        # pre-shed: HAVING must analyze over the OUTPUT row (keys +
+        # aggregate outputs, avg included) — built as a direct
+        # aggregate over the probe, exactly the stored schema
+        base_aggs, m_exprs, avg_specs, avg_scale, _hid = (
+            _normalize_agg_specs(
+                {n: tuple(v) for n, v in aggs.items()}, keys, derived
+            )
+        )
+        hp = probe
+        if m_exprs:
+            hp = hp.withColumns({n: F.expr(e) for n, e in m_exprs.items()})
+        hframe = hp.groupBy(*keys).agg(*_agg_exprs(base_aggs))
+        if avg_specs:
+            count_col = next(
+                k for k, v in base_aggs.items() if v[0] == "count"
+            )
+            hframe = hframe.withColumns(
+                {
+                    n: F.col(f"_{n}__sum").cast("double") / F.col(count_col)
+                    for n in avg_specs
+                }
+            )
+        hframe.where(having).schema  # must analyze
+        child = wh.relation(rel.schema, rel.identifier + "__state")
+        if wh.exists(child):
+            try:
+                with open(_mview_def_path(wh, rel)) as f:
+                    prior_defn = json.load(f)
+            except (OSError, ValueError):
+                prior_defn = {}
+            owns = prior_defn.get("kind") == "agg_having" and prior_defn.get(
+                "child"
+            ) == [child.schema, child.identifier]
+            if not owns:
+                raise ValueError(
+                    f"SQL CREATE MATERIALIZED VIEW: {child.table_id} "
+                    "exists — the HAVING view needs that name for its "
+                    "full-state child table"
+                )
+        _shed_mview(wh, rel)
+        if wh.exists(rel):
+            wh.drop(rel)
+        stats = run_incremental_agg_having_view(
+            wh, src, rel, plain_keys, aggs, having, where=where,
+            derived_keys=derived or None,
+        )
+        defn = {
+            "kind": "agg_having",
+            "source": [src.schema, src.identifier],
+            "child": [child.schema, child.identifier],
+            "keys": plain_keys,
+            "aggs": {k: list(v) for k, v in aggs.items()},
+            "having": having,
             "where": where,
             "derived_keys": derived or None,
         }
@@ -1566,6 +1660,24 @@ def _refresh_mview_rel(wh, rel) -> DataFrame:
             list(defn["keys"]),
             defn["col"],
             out=defn["out"],
+            where=defn.get("where"),
+            derived_keys=defn.get("derived_keys"),
+        )
+        return _stats(
+            wh, "refresh_materialized_view", rel, stats["n_groups_upserted"]
+        )
+    if defn.get("kind", "join") == "agg_having":
+        from edna_dbt_library_spark.operators.materializations import (
+            run_incremental_agg_having_view,
+        )
+
+        stats = run_incremental_agg_having_view(
+            wh,
+            wh.relation(*defn["source"]),
+            rel,
+            list(defn["keys"]),
+            {k: tuple(v) for k, v in defn["aggs"].items()},
+            defn["having"],
             where=defn.get("where"),
             derived_keys=defn.get("derived_keys"),
         )

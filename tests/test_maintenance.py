@@ -899,3 +899,106 @@ def test_auto_maintain_service_tick_clears_debt_and_logs(spark, tmp_path):
     assert wh.read(log).count() == n_logged
     # direct tick API parity: idle tick returns an empty plan
     assert maintenance_tick(wh, policy=policy) == []
+
+
+def test_mview_freshness_covers_agg_having_kind(spark, tmp_path):
+    """kind == 'agg_having' is freshness-swept on BOTH levels: source
+    past the state child's watermark, AND a crash after the child
+    synced but before the σ serve promoted (the serve edge)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = wh.relation("s", "hfsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 3, 1) for i in range(12)], "id long, grp long, v long"
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__hfv AS SELECT grp, count(*) AS n "
+        "FROM s__hfsrc GROUP BY grp HAVING n > 2"
+    )
+    assert maintenance_plan(wh, tables=[], mview_schemas=["s"]) == []
+
+    # level-1 edge: source DML past the child watermark
+    wh.append(src, spark.createDataFrame([(50, 1, 1)], "id long, grp long, v long"))
+    plan = maintenance_plan(wh, tables=[], mview_schemas=["s"])
+    assert [(p["target"], p["kind"]) for p in plan] == [("s.hfv", "agg_having")]
+    run_maintenance(wh, tables=[], mview_schemas=["s"])
+    assert maintenance_plan(wh, tables=[], mview_schemas=["s"]) == []
+
+    # serve edge: demote the promoted havview note to pending — the
+    # state child reads synced but the target σ did not land
+    child = wh.relation("s", "hfv__state")
+    note = f"havview:{wh.relation('s', 'hfv').table_id}"
+    snaps = [sn for sn in wh.list_snapshots(child) if sn.get("note") == note]
+    assert snaps
+    wh.set_snapshot_note(child, snaps[-1]["version"], note + "!pending")
+    plan = maintenance_plan(wh, tables=[], mview_schemas=["s"])
+    assert [(p["target"], p["kind"]) for p in plan] == [("s.hfv", "agg_having")]
+    run_maintenance(wh, tables=[], mview_schemas=["s"])
+    assert maintenance_plan(wh, tables=[], mview_schemas=["s"]) == []
+
+
+def test_mview_freshness_covers_multiway_and_left_join_kinds(spark, tmp_path):
+    """Freshness edges for the r13 kinds: a 3-table join_agg chain is
+    due when the DEEP dim moves (the chain edge), and a left_join view
+    is due on either side's DML."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    f = wh.relation("s", "mwf")
+    d1 = wh.relation("s", "mwd1")
+    d2 = wh.relation("s", "mwd2")
+    wh.create_as(
+        f,
+        spark.createDataFrame(
+            [(i, i % 3, i % 2, i) for i in range(12)],
+            "fid long, j1 long, j2 long, amt long",
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        d1, spark.createDataFrame([(j, j) for j in range(3)], "j1 long, a long"),
+        TableMeta(),
+    )
+    wh.create_as(
+        d2, spark.createDataFrame([(j, 5 + j) for j in range(2)], "j2 long, b long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__mwv UNIQUE KEYS (fid, j1, j2) AS "
+        "SELECT a, b, sum(amt) AS t, count(*) AS n "
+        "FROM s__mwf JOIN s__mwd1 USING (j1) JOIN s__mwd2 USING (j2) "
+        "GROUP BY a, b"
+    )
+    assert maintenance_plan(wh, tables=[], mview_schemas=["s"]) == []
+    # the DEEP dim moves: only the chain's second-level edge sees it
+    wh.update_where(d2, "j2 = 1", {"b": "99"})
+    plan = maintenance_plan(wh, tables=[], mview_schemas=["s"])
+    assert [(p["target"], p["kind"]) for p in plan] == [("s.mwv", "join_agg")]
+    run_maintenance(wh, tables=[], mview_schemas=["s"])
+    assert maintenance_plan(wh, tables=[], mview_schemas=["s"]) == []
+
+    # left_join kind rides the joinview edges
+    lf = wh.relation("s", "ljf")
+    ld = wh.relation("s", "ljd")
+    wh.create_as(
+        lf, spark.createDataFrame([(1, 0), (2, 1)], "fid long, k long"),
+        TableMeta(),
+    )
+    wh.create_as(
+        ld, spark.createDataFrame([(10, 0, 7)], "rid long, k long, rv long"),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__ljmv UNIQUE KEYS (fid, rid) AS "
+        "SELECT * FROM s__ljf LEFT JOIN s__ljd USING (k)"
+    )
+    plan = maintenance_plan(wh, tables=[], mview_schemas=["s"])
+    assert plan == []
+    wh.append(ld, spark.createDataFrame([(11, 1, 8)], "rid long, k long, rv long"))
+    plan = maintenance_plan(wh, tables=[], mview_schemas=["s"])
+    assert [(p["target"], p["kind"]) for p in plan] == [("s.ljmv", "left_join")]
+    run_maintenance(wh, tables=[], mview_schemas=["s"])
+    assert maintenance_plan(wh, tables=[], mview_schemas=["s"]) == []
+    mv = wh.relation("s", "ljmv")
+    assert wh.read(mv).where("fid = 2 AND rv = 8").count() == 1

@@ -1453,3 +1453,79 @@ def test_expression_measure_materialized_views(spark, wh):
     wh.sql("UPDATE s__exsrc SET price = price + 2 WHERE id % 3 = 0")
     wh.sql("REFRESH MATERIALIZED VIEW s__exjv")
     assert gotj() == direct_j()
+
+
+def test_having_materialized_view_lifecycle(spark, wh):
+    """GROUP BY ... HAVING on the agg MV: the full state lives in the
+    hidden __state child, the target is the maintained σ over it, and
+    groups crossing the HAVING boundary in BOTH directions enter/leave
+    the target through plain REFRESH."""
+    src = wh.relation("s", "hvsrc")
+    wh.create_as(
+        src,
+        spark.createDataFrame(
+            [(i, i % 4, 1) for i in range(20)] + [(100, 9, 1)],
+            "id long, grp long, v long",
+        ),
+        TableMeta(),
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW s__hv AS SELECT grp, count(*) AS n, "
+        "sum(v) AS t FROM s__hvsrc GROUP BY grp HAVING n > 3"
+    )
+    mv = wh.relation("s", "hv")
+    child = wh.relation("s", "hv__state")
+    assert wh.exists(child)
+
+    def direct():
+        return sorted(
+            tuple(x)
+            for x in wh.read(src)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").alias("t"),
+            )
+            .where("n > 3")
+            .collect()
+        )
+
+    got = lambda: sorted(  # noqa: E731
+        tuple(x) for x in wh.read(mv).select("grp", "n", "t").collect()
+    )
+    assert got() == direct()
+    assert wh.read(mv).where("grp = 9").count() == 0  # n=1, filtered
+
+    # grp 9 crosses INTO the filter; grp 0 falls OUT (delete to n<=3)
+    wh.sql("INSERT INTO s__hvsrc VALUES (101, 9, 1), (102, 9, 1), (103, 9, 1)")
+    wh.sql("DELETE FROM s__hvsrc WHERE grp = 0 AND id > 3")
+    wh.sql("REFRESH MATERIALIZED VIEW s__hv")
+    assert got() == direct()
+    assert wh.read(mv).where("grp = 9").count() == 1
+    assert wh.read(mv).where("grp = 0").count() == 0
+    # the full state child still carries the filtered-out group exactly
+    assert wh.read(child).where("grp = 0").first()["n"] > 0
+
+    # quiet refresh, then back across the boundary
+    assert wh.sql("REFRESH MATERIALIZED VIEW s__hv").first()["n_rows"] == 0
+    wh.sql("INSERT INTO s__hvsrc VALUES (200, 0, 1), (201, 0, 1), (202, 0, 1)")
+    wh.sql("REFRESH MATERIALIZED VIEW s__hv")
+    assert got() == direct()
+    assert wh.read(mv).where("grp = 0").count() == 1
+
+    # HAVING on distinct/extrema kinds raises honestly, pre-shed
+    with pytest.raises(ValueError, match="HAVING is supported"):
+        wh.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW s__hv AS SELECT grp, "
+            "count(DISTINCT v) AS nd FROM s__hvsrc GROUP BY grp HAVING nd > 1"
+        )
+    assert got() == direct()  # survived
+
+    # DROP sheds the state child and the source watermark
+    child_tid = child.table_id
+    wh.sql("DROP TABLE s__hv")
+    assert not wh.exists(child)
+    assert not any(
+        (s.get("note") or "").startswith(f"aggview:{child_tid}")
+        for s in wh.list_snapshots(src)
+    )
