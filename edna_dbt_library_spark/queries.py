@@ -7728,6 +7728,357 @@ def agg_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_LEFT_JOIN_VIEW_ORACLE = """
+WITH l0 AS (
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           o_orderkey % 97 AS price
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), l1 AS (
+    SELECT okey, ckey,
+           CASE WHEN okey % 7 = 0 THEN price + 100 ELSE price END AS price
+    FROM l0
+), l2 AS (
+    SELECT * FROM l1 WHERE NOT okey % 9 = 0
+), r0 AS (
+    SELECT c_custkey AS ckey, c_custkey % 53 AS bal
+    FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 3 = 1
+), r1 AS (
+    SELECT ckey, CASE WHEN ckey % 5 = 0 THEN bal + 7 ELSE bal END AS bal
+    FROM r0
+), r2 AS (
+    SELECT * FROM r1 WHERE NOT ckey % 6 = 2
+)
+SELECT okey, ckey, price, bal FROM l2 LEFT JOIN r2 USING (ckey)
+"""
+
+
+@_register("left_join_view_state", _LEFT_JOIN_VIEW_ORACLE)
+def left_join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-join IVM gate (operators/materializations.
+    run_incremental_left_join_view — null-extension algebra keyed on
+    the left identity: left DML replaces each touched left row's
+    output wholesale; right DML recomputes exactly the left rows whose
+    join key the window touched): full materialize with the dim
+    covering only part of the key domain (unmatched facts ride
+    null-extended), then one window where LATE-ARRIVING dim rows land
+    (null-extensions must retract), dim rows die (the last match dying
+    must re-land the null-extension), and the fact takes
+    append/update/delete — the final state must equal DuckDB's direct
+    LEFT JOIN of the derived sources. Extra-registry granular of the
+    scored incremental_view_state arm. Reference analogue: the
+    fact-LEFT-JOIN-dim staging shape consuming models merge
+    (incremental_partition_merge.sql:248-265)."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_left_join_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        (F.col("o_orderkey") % 97).alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        (F.col("c_custkey") % 53).alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="edna_ljview_")
+    try:
+        wh = Warehouse(spark, root)
+        l_rel = wh.relation("scratch", "lj_orders")
+        r_rel = wh.relation("scratch", "lj_cust")
+        t_rel = wh.relation("scratch", "lj_view")
+        wh.create_as(l_rel, o.where("okey % 2 = 0"), TableMeta())
+        wh.create_as(r_rel, c.where("ckey % 3 = 0"), TableMeta())
+        s1 = run_incremental_left_join_view(
+            wh, l_rel, r_rel, t_rel, "okey", "ckey", ["ckey"]
+        )
+        assert s1["mode"] == "full", s1
+        wh.append(l_rel, o.where("okey % 4 = 1"))
+        wh.update_where(l_rel, "okey % 7 = 0", {"price": "price + 100"})
+        wh.delete_where(l_rel, "okey % 9 = 0")
+        wh.append(r_rel, c.where("ckey % 3 = 1"))  # late-arriving dims
+        wh.update_where(r_rel, "ckey % 5 = 0", {"bal": "bal + 7"})
+        wh.delete_where(r_rel, "ckey % 6 = 2")  # matches die
+        s2 = run_incremental_left_join_view(
+            wh, l_rel, r_rel, t_rel, "okey", "ckey", ["ckey"]
+        )
+        assert s2["mode"] == "delta" and s2["n_rows_upserted"] > 0, s2
+        return (
+            wh.read(t_rel)
+            .select("okey", "ckey", "price", "bal")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MULTIWAY_JOIN_AGG_ORACLE = """
+WITH f0 AS (
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           o_orderkey % 97 AS units
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), f1 AS (
+    SELECT okey, ckey,
+           CASE WHEN okey % 7 = 0 THEN units + 100 ELSE units END AS units
+    FROM f0
+), f2 AS (
+    SELECT * FROM f1 WHERE NOT okey % 9 = 0
+), d1a AS (
+    SELECT c_custkey AS ckey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 25
+                ELSE c_nationkey END::BIGINT AS nk
+    FROM customer WHERE NOT c_custkey % 6 = 3
+), d2a AS (
+    SELECT n_nationkey::BIGINT AS nk,
+           CASE WHEN n_nationkey % 4 = 1 THEN n_regionkey + 50
+                ELSE n_regionkey END::BIGINT AS rk
+    FROM nation WHERE NOT n_nationkey % 7 = 2
+)
+SELECT rk, sum(units)::BIGINT AS su, count(*) AS n
+FROM f2 JOIN d1a USING (ckey) JOIN d2a USING (nk) GROUP BY rk
+"""
+
+
+@_register("multiway_join_agg_view_state", _MULTIWAY_JOIN_AGG_ORACLE)
+def multiway_join_agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table star join-aggregate IVM gate (r12 verdict missing #2 —
+    run_incremental_join_agg_view with dims: TWO nested join children
+    `__join`/`__join2`, the second keyed on the COMPOSITE (okey, ckey)
+    identity, under the retractable aggregate): full materialize of
+    SELECT rk, sum(units), count(*) FROM orders ⋈ customer ⋈ nation,
+    then one window with fact append/update/delete, a GROUP-MOVING
+    update on the near dim, and a GROUP-MOVING update + delete on the
+    DEEP dim — the deep move's fan-out must retract through BOTH chain
+    levels and re-land. Final state equals DuckDB's direct 3-way
+    join-aggregate. Extra-registry granular of the scored
+    incremental_view_state arm."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        (F.col("o_orderkey") % 97).alias("units"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"),
+        F.col("n_regionkey").cast("long").alias("rk"),
+    )
+    aggs = {"su": ("sum", "units"), "n": ("count", "*")}
+    root = tempfile.mkdtemp(prefix="edna_mwview_")
+    try:
+        wh = Warehouse(spark, root)
+        f_rel = wh.relation("scratch", "mw_orders")
+        d1_rel = wh.relation("scratch", "mw_cust")
+        d2_rel = wh.relation("scratch", "mw_nation")
+        t_rel = wh.relation("scratch", "mw_view")
+        wh.create_as(f_rel, o.where("okey % 2 = 0"), TableMeta())
+        wh.create_as(d1_rel, c, TableMeta())
+        wh.create_as(d2_rel, n, TableMeta())
+        dims = [
+            {"rel": d2_rel, "id": "nk", "on": ["nk"], "where": None,
+             "cols": None}
+        ]
+        s1 = run_incremental_join_agg_view(
+            wh, f_rel, d1_rel, t_rel, "okey", "ckey", ["ckey"], ["rk"],
+            aggs, dims=dims,
+        )
+        assert s1["mode"] == "full", s1
+        assert len(s1["joins"]) == 2, s1
+        wh.append(f_rel, o.where("okey % 4 = 1"))
+        wh.update_where(f_rel, "okey % 7 = 0", {"units": "units + 100"})
+        wh.delete_where(f_rel, "okey % 9 = 0")
+        wh.update_where(d1_rel, "ckey % 5 = 0", {"nk": "nk + 25"})
+        wh.delete_where(d1_rel, "ckey % 6 = 3")
+        wh.update_where(d2_rel, "nk % 4 = 1", {"rk": "rk + 50"})
+        wh.delete_where(d2_rel, "nk % 7 = 2")
+        s2 = run_incremental_join_agg_view(
+            wh, f_rel, d1_rel, t_rel, "okey", "ckey", ["ckey"], ["rk"],
+            aggs, dims=dims,
+        )
+        assert s2["mode"] == "delta", s2
+        assert all(j["mode"] == "delta" for j in s2["joins"]), s2
+        return wh.read(t_rel).select("rk", "su", "n").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_JOIN_DISTINCT_VIEW_ORACLE = """
+WITH f0 AS (
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           o_orderkey % 13 AS u, o_orderkey % 41 AS amt
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), f1 AS (
+    SELECT okey, ckey,
+           CASE WHEN okey % 7 = 0 THEN okey % 5 ELSE u END AS u,
+           CASE WHEN okey % 11 = 0 THEN amt + 3 ELSE amt END AS amt
+    FROM f0
+), f2 AS (
+    SELECT * FROM f1 WHERE NOT okey % 9 = 0
+), d0 AS (
+    SELECT c_custkey AS ckey,
+           CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey % 4) + 10
+                ELSE c_nationkey % 4 END::BIGINT AS grp
+    FROM customer WHERE NOT c_custkey % 6 = 3
+)
+SELECT grp, count(*) AS n, sum(amt)::BIGINT AS sa,
+       count(DISTINCT u)::BIGINT AS nu
+FROM f2 JOIN d0 USING (ckey) GROUP BY grp
+"""
+
+
+@_register("join_distinct_view_state", _JOIN_DISTINCT_VIEW_ORACLE)
+def join_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) OVER A JOIN gate (r12 verdict missing #4 —
+    run_incremental_join_agg_view with distinct_col: the mixed
+    agg_distinct rollup composed off the `__join` child's changelog,
+    served INCREMENTALLY per r13): SELECT grp, count(*), sum(amt),
+    count(DISTINCT u) FROM orders ⋈ customer GROUP BY grp through a
+    window with value churn on the distinct column, measure churn,
+    fact deletes, and a GROUP-MOVING dim update — the distinct count
+    must follow the moved fan-out exactly. Final state equals DuckDB's
+    direct mixed join-aggregate. Extra-registry granular of the scored
+    incremental_view_state arm."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        (F.col("o_orderkey") % 13).alias("u"),
+        (F.col("o_orderkey") % 41).alias("amt"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        (F.col("c_nationkey") % 4).cast("long").alias("grp"),
+    )
+    aggs = {"n": ("count", "*"), "sa": ("sum", "amt")}
+    root = tempfile.mkdtemp(prefix="edna_jdview_")
+    try:
+        wh = Warehouse(spark, root)
+        f_rel = wh.relation("scratch", "jd_orders")
+        d_rel = wh.relation("scratch", "jd_cust")
+        t_rel = wh.relation("scratch", "jd_view")
+        wh.create_as(f_rel, o.where("okey % 2 = 0"), TableMeta())
+        wh.create_as(d_rel, c, TableMeta())
+        s1 = run_incremental_join_agg_view(
+            wh, f_rel, d_rel, t_rel, "okey", "ckey", ["ckey"], ["grp"],
+            aggs, distinct_col="u", distinct_out="nu",
+        )
+        assert s1["served"] == "full", s1
+        wh.append(f_rel, o.where("okey % 4 = 1"))
+        wh.update_where(f_rel, "okey % 7 = 0", {"u": "okey % 5"})
+        wh.update_where(f_rel, "okey % 11 = 0", {"amt": "amt + 3"})
+        wh.delete_where(f_rel, "okey % 9 = 0")
+        wh.update_where(d_rel, "ckey % 5 = 0", {"grp": "grp + 10"})
+        wh.delete_where(d_rel, "ckey % 6 = 3")
+        s2 = run_incremental_join_agg_view(
+            wh, f_rel, d_rel, t_rel, "okey", "ckey", ["ckey"], ["grp"],
+            aggs, distinct_col="u", distinct_out="nu",
+        )
+        assert s2["served"] == "delta", s2
+        return (
+            wh.read(t_rel)
+            .select("grp", "n", "sa", "nu")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_HAVING_EXPR_VIEW_ORACLE = """
+WITH s0 AS (
+    SELECT o_orderkey AS okey, o_orderkey % 37 AS grp,
+           o_orderkey % 50 AS price, (o_orderkey * 7) % 30 AS disc
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+), s1 AS (
+    SELECT okey, grp, price,
+           CASE WHEN okey % 11 = 0 THEN disc + 5 ELSE disc END AS disc
+    FROM s0
+), s2 AS (
+    SELECT * FROM s1 WHERE NOT okey % 9 = 0
+), agg AS (
+    SELECT grp, count(*) AS n,
+           sum(price * (100 - disc))::BIGINT AS rev
+    FROM s2 GROUP BY grp
+)
+SELECT grp, n, rev FROM agg WHERE rev % 3 <> 1
+"""
+
+
+@_register("having_expr_view_state", _HAVING_EXPR_VIEW_ORACLE)
+def having_expr_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + EXPRESSION-MEASURE gate in one flow (r12 verdict next
+    #7 + #2 — run_incremental_agg_having_view over a
+    sum(price * (100 - disc)) expression measure): the full state
+    lives in the hidden __state child, the target is the maintained σ
+    (HAVING rev % 3 <> 1 — value-dependent, so the window's disc
+    churn moves groups ACROSS the boundary in both directions), and
+    the final target equals DuckDB's direct aggregate-then-filter.
+    Extra-registry granular of the scored incremental_view_state
+    arm."""
+    import shutil
+    import tempfile
+
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_agg_having_view,
+    )
+    from edna_dbt_library_spark.sources.warehouse import TableMeta, Warehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_orderkey") % 37).alias("grp"),
+        (F.col("o_orderkey") % 50).alias("price"),
+        ((F.col("o_orderkey") * 7) % 30).alias("disc"),
+    )
+    aggs = {
+        "n": ("count", "*"),
+        "rev": ("sum", None, {"expr": "price * (100 - disc)"}),
+    }
+    root = tempfile.mkdtemp(prefix="edna_hvview_")
+    try:
+        wh = Warehouse(spark, root)
+        src = wh.relation("scratch", "hv_orders")
+        tgt = wh.relation("scratch", "hv_view")
+        wh.create_as(src, o.where("okey % 2 = 0"), TableMeta())
+        s1 = run_incremental_agg_having_view(
+            wh, src, tgt, ["grp"], aggs, "rev % 3 <> 1"
+        )
+        assert s1["served"] == "full" and s1["state"]["mode"] == "full", s1
+        wh.append(src, o.where("okey % 4 = 1"))
+        wh.update_where(src, "okey % 11 = 0", {"disc": "disc + 5"})
+        wh.delete_where(src, "okey % 9 = 0")
+        s2 = run_incremental_agg_having_view(
+            wh, src, tgt, ["grp"], aggs, "rev % 3 <> 1"
+        )
+        assert s2["served"] == "delta" and s2["state"]["mode"] == "delta", s2
+        return wh.read(tgt).select("grp", "n", "rev").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _incremental_view_oracle() -> str:
     j = REGISTRY["join_view_state"].oracle
     a = REGISTRY["agg_view_state"].oracle
@@ -7735,6 +8086,10 @@ def _incremental_view_oracle() -> str:
     x = REGISTRY["extrema_view_state"].oracle
     g = REGISTRY["join_agg_view_state"].oracle
     md = REGISTRY["agg_distinct_view_state"].oracle
+    lj = REGISTRY["left_join_view_state"].oracle
+    mw = REGISTRY["multiway_join_agg_view_state"].oracle
+    jd = REGISTRY["join_distinct_view_state"].oracle
+    hv = REGISTRY["having_expr_view_state"].oracle
     return f"""
 SELECT 'join_view' AS src, okey AS id, '' AS key, ckey AS cell,
        0::BIGINT AS n, price AS value, bal AS value2
@@ -7758,7 +8113,23 @@ FROM ({g})
 UNION ALL
 SELECT 'agg_distinct_view' AS src, 0::BIGINT AS id, grp AS key,
        sa AS cell, n, nu::DOUBLE AS value, 0.0::DOUBLE AS value2
-FROM ({md})"""
+FROM ({md})
+UNION ALL
+SELECT 'left_join_view' AS src, okey AS id, '' AS key, ckey AS cell,
+       price AS n, 0.0::DOUBLE AS value, bal::DOUBLE AS value2
+FROM ({lj})
+UNION ALL
+SELECT 'multiway_view' AS src, 0::BIGINT AS id, rk::VARCHAR AS key,
+       su AS cell, n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({mw})
+UNION ALL
+SELECT 'join_distinct_view' AS src, 0::BIGINT AS id, grp::VARCHAR AS key,
+       sa AS cell, n, nu::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({jd})
+UNION ALL
+SELECT 'having_view' AS src, 0::BIGINT AS id, grp::VARCHAR AS key,
+       rev AS cell, n, 0.0::DOUBLE AS value, 0.0::DOUBLE AS value2
+FROM ({hv})"""
 
 
 @_register("incremental_view_state", _incremental_view_oracle())
@@ -7784,9 +8155,20 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     they gate the maintained-view surface the SQL CREATE/REFRESH
     MATERIALIZED VIEW faces dispatch to: the view shapes a warehouse
     consumer materializes over DML'd sources.
+    Since r13 four more arms: the LEFT-join view
+    (run_incremental_left_join_view — null-extension algebra, see
+    left_join_view_state), the 3-table star join-aggregate
+    (composite-identity join chain, see multiway_join_agg_view_state),
+    count(DISTINCT) over a join (the mixed rollup composed off the
+    __join child with the INCREMENTAL serve, see
+    join_distinct_view_state), and HAVING over an expression measure
+    (full-state child + maintained σ serve, see
+    having_expr_view_state).
     Granulars join_view_state / agg_view_state / distinct_view_state /
-    extrema_view_state / join_agg_view_state /
-    agg_distinct_view_state stay registered.
+    extrema_view_state / join_agg_view_state / agg_distinct_view_state
+    / left_join_view_state / multiway_join_agg_view_state /
+    join_distinct_view_state / having_expr_view_state stay
+    registered.
     Reference analogue: incremental_partition_merge.sql:248-265 (the
     maintained-join contract) + incremental_log.sql:66-73 (windowed
     aggregates, closed against update/delete)."""
@@ -7796,6 +8178,10 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     xv = REGISTRY["extrema_view_state"].spark(spark, sf_dir)
     gv = REGISTRY["join_agg_view_state"].spark(spark, sf_dir)
     mv = REGISTRY["agg_distinct_view_state"].spark(spark, sf_dir)
+    lj = REGISTRY["left_join_view_state"].spark(spark, sf_dir)
+    mw = REGISTRY["multiway_join_agg_view_state"].spark(spark, sf_dir)
+    jd = REGISTRY["join_distinct_view_state"].spark(spark, sf_dir)
+    hv = REGISTRY["having_expr_view_state"].spark(spark, sf_dir)
     return (
         jv.select(
             F.lit("join_view").alias("src"),
@@ -7858,6 +8244,50 @@ def incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sa").cast("long").alias("cell"),
                 F.col("n").cast("long").alias("n"),
                 F.col("nu").cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            lj.select(
+                F.lit("left_join_view").alias("src"),
+                F.col("okey").cast("long").alias("id"),
+                F.lit("").alias("key"),
+                F.col("ckey").cast("long").alias("cell"),
+                F.col("price").cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
+                F.col("bal").cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            mw.select(
+                F.lit("multiway_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("rk").cast("string").alias("key"),
+                F.col("su").cast("long").alias("cell"),
+                F.col("n").cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            jd.select(
+                F.lit("join_distinct_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("grp").cast("string").alias("key"),
+                F.col("sa").cast("long").alias("cell"),
+                F.col("n").cast("long").alias("n"),
+                F.col("nu").cast("double").alias("value"),
+                F.lit(0.0).cast("double").alias("value2"),
+            )
+        )
+        .unionAll(
+            hv.select(
+                F.lit("having_view").alias("src"),
+                F.lit(0).cast("long").alias("id"),
+                F.col("grp").cast("string").alias("key"),
+                F.col("rev").cast("long").alias("cell"),
+                F.col("n").cast("long").alias("n"),
+                F.lit(0.0).cast("double").alias("value"),
                 F.lit(0.0).cast("double").alias("value2"),
             )
         )

@@ -721,13 +721,51 @@ def test_incremental_view_state_equals_granular_composition(spark):
         F.col("nu").cast("double").alias("value"),
         F.lit(0.0).cast("double").alias("value2"),
     )
+    lj = reg["left_join_view_state"](spark, SF).select(
+        F.lit("left_join_view").alias("src"),
+        F.col("okey").cast("long").alias("id"),
+        F.lit("").alias("key"),
+        F.col("ckey").cast("long").alias("cell"),
+        F.col("price").cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.col("bal").cast("double").alias("value2"),
+    )
+    mw = reg["multiway_join_agg_view_state"](spark, SF).select(
+        F.lit("multiway_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("rk").cast("string").alias("key"),
+        F.col("su").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    jd = reg["join_distinct_view_state"](spark, SF).select(
+        F.lit("join_distinct_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("grp").cast("string").alias("key"),
+        F.col("sa").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.col("nu").cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
+    hv = reg["having_expr_view_state"](spark, SF).select(
+        F.lit("having_view").alias("src"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("grp").cast("string").alias("key"),
+        F.col("rev").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit(0.0).cast("double").alias("value2"),
+    )
     composed = (
         jv.unionAll(av).unionAll(dv).unionAll(xv).unionAll(gv).unionAll(mv)
+        .unionAll(lj).unionAll(mw).unionAll(jd).unionAll(hv)
     )
     assert _rows(scored) == _rows(composed.select(*scored.columns))
     assert {r[0] for r in _rows(scored.select("src").distinct())} == {
         "join_view", "agg_view", "distinct_view", "extrema_view",
-        "join_agg_view", "agg_distinct_view",
+        "join_agg_view", "agg_distinct_view", "left_join_view",
+        "multiway_view", "join_distinct_view", "having_view",
     }
 
 
