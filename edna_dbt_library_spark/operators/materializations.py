@@ -2280,6 +2280,7 @@ def run_incremental_agg_distinct_view(
         vis = [c for c in a_cols if c not in hid]
         return joined.select(*all_keys, *vis, out, *hid)
 
+    n_served = 0
     if (
         wh.exists(target)
         and not _source_moved(wh, child_a, note_a)
@@ -2315,6 +2316,7 @@ def run_incremental_agg_distinct_view(
                 ).localCheckpoint(eager=True)
                 wh.create_as(target, frame, TableMeta())
                 served = "full"
+                n_served = wh.read(target).count()
             else:
                 touched = (
                     wh.read_changes(child_a, a_last, to_version=a_new)
@@ -2337,7 +2339,8 @@ def run_incremental_agg_distinct_view(
                     .dropDuplicates(all_keys)
                     .localCheckpoint(eager=True)
                 )
-                if not touched.count():
+                n_served = touched.count()
+                if not n_served:
                     served = False
                 else:
                     a_probe = _key_literal_filter(
@@ -2380,4 +2383,8 @@ def run_incremental_agg_distinct_view(
         "n_groups_upserted": int(la["n_groups_upserted"])
         + int(ld["n_groups_upserted"]),
         "served": served,
+        # serve WRITE VOLUME: groups shipped to the target this window
+        # (touched groups for a delta serve, |view| for a full one) —
+        # the number the incremental serve bounds at scale
+        "n_groups_served": int(n_served),
     }

@@ -201,14 +201,18 @@ def test_agg_view_fuzz_matches_direct_aggregation(
     window boundaries, must leave the maintained view equal to the
     direct aggregation after every sync — the retraction algebra has no
     op-order or window-shape dependence. The maintained view carries a
-    DERIVED key (band = id div 7) and a sigma the fuzz's amt updates
-    cross in both directions (amt % 3 != 1), so the derived-key and
-    symmetric-feed-filter paths are fuzzed at the same cost."""
+    DERIVED key (band = id div 7), a sigma the fuzz's amt updates
+    cross in both directions (amt % 3 != 1), and since r13 an
+    EXPRESSION measure (sum(amt * (3 + id % 2))) — derived-key,
+    symmetric-feed-filter, and measure-expression paths are fuzzed at
+    the same cost."""
+    fuzz_aggs = dict(AGGS)
+    fuzz_aggs["rev"] = ("sum", None, {"expr": "amt * (3 + id % 2)"})
     kw = dict(derived_keys={"band": "id div 7"}, where="amt % 3 != 1")
     wh = Warehouse(spark, str(tmp_path_factory.mktemp("avfuzz")))
     src = _mk_source(spark, wh, [(i, i % 4, i) for i in range(20)])
     t = wh.relation("av", "v")
-    run_incremental_agg_view(wh, src, t, ["grp"], AGGS, **kw)
+    run_incremental_agg_view(wh, src, t, ["grp"], fuzz_aggs, **kw)
 
     def direct():
         return (
@@ -219,6 +223,7 @@ def test_agg_view_fuzz_matches_direct_aggregation(
             .agg(
                 F.sum("amt").alias("total"),
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr("amt * (3 + id % 2)")).alias("rev"),
             )
         )
 
@@ -237,7 +242,7 @@ def test_agg_view_fuzz_matches_direct_aggregation(
                 wh.delete_where(src, f"id % 5 = {arg}")
             elif op == "upd":
                 wh.update_where(src, f"id % 5 = {arg}", {"amt": F.col("amt") + 1})
-        run_incremental_agg_view(wh, src, t, ["grp"], AGGS, **kw)
+        run_incremental_agg_view(wh, src, t, ["grp"], fuzz_aggs, **kw)
         assert _rows(wh.read(t)) == _rows(direct())
 
 
