@@ -28,14 +28,23 @@ the DataFrame form of every statement run the identical plan:
   WHEN clauses raise with a pointer to the DataFrame API.
 
 - ``CREATE [OR REPLACE] MATERIALIZED VIEW <t> UNIQUE KEYS (lid, rid)
-  AS SELECT * FROM <l> JOIN <r> USING (k, ...)`` -> a full
-  :func:`run_incremental_join_view` materialize with the definition
-  persisted per schema; ``REFRESH MATERIALIZED VIEW <t>`` -> one delta
-  sync off both sources' changelog windows (join-view IVM — the SQL
-  face of the maintained join). Each side may be a row-local derived
-  table ``(SELECT cols FROM t [WHERE pred])`` — projection + filter
-  maintained incrementally (σ(π(L)) ⋈ σ(π(R))); the projection must
-  keep that side's UNIQUE KEY and the USING columns.
+  AS SELECT * FROM <l> [INNER|LEFT [OUTER]] JOIN <r> USING (k, ...)``
+  -> a full :func:`run_incremental_join_view` (or, for LEFT,
+  :func:`run_incremental_left_join_view` — null-extended rows retract
+  when a match arrives and re-land when the last match dies)
+  materialize with the definition persisted per schema; ``REFRESH
+  MATERIALIZED VIEW <t>`` -> one delta sync off both sources'
+  changelog windows (join-view IVM — the SQL face of the maintained
+  join). Each side may be a row-local derived table ``(SELECT cols
+  FROM t [WHERE pred])`` — projection + filter maintained
+  incrementally (σ(π(L)) ⋈ σ(π(R))); the projection must keep that
+  side's UNIQUE KEY and the USING columns. With a GROUP BY on top it
+  is the composed join-aggregate form: ``UNIQUE KEYS (id1, id2[,
+  id3...]) AS SELECT k, sum(x) AS sx, count(*) AS n [,
+  count(DISTINCT u) AS du | min/max(col) AS m] FROM a JOIN b USING
+  (c) [JOIN c USING (d) ...] [WHERE pred] GROUP BY k`` — one hidden
+  join child per JOIN step (composite identities), the level-2 view
+  picked by the SELECT list (agg / distinct / mixed / extrema).
 - ``CREATE [OR REPLACE] MATERIALIZED VIEW <t> AS SELECT k1, ...,
   sum(x) AS sx, count(*) AS n FROM <src> [WHERE pred] GROUP BY
   k1, ...`` -> a full :func:`run_incremental_agg_view` materialize
@@ -50,8 +59,13 @@ the DataFrame form of every statement run the identical plan:
   dispatches to :func:`run_incremental_distinct_view` — exact distinct
   counts via the two-level composition (a ``<t>__elems`` child table
   carries the (group, value) multiplicities; its lifecycle rides the
-  view's). The MV kinds share the registry — the definition's
-  ``kind`` picks the refresh path.
+  view's). ``sum|avg(<row-local expr>) AS name`` items are EXPRESSION
+  measures (wrap a float-typed expression in ``quantize(expr, d)``);
+  ``GROUP BY k HAVING pred`` dispatches the agg form to
+  :func:`run_incremental_agg_having_view` (full state in a hidden
+  ``<t>__state`` child, the target is the maintained σ over it). The
+  MV kinds share the registry — the definition's ``kind`` picks the
+  refresh path.
 - ``CREATE [OR REPLACE] TABLE <schema>__<t> [PARTITIONED BY (col)]
   AS <select>`` -> :meth:`Warehouse.create_as`;
   ``DROP TABLE [IF EXISTS] <t>`` -> :meth:`Warehouse.drop` — the DDL

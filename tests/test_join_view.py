@@ -780,3 +780,38 @@ def test_stream_join_view_quiet_side_only_window_syncs(spark, tmp_path):
         .agg(F.sum("lv").alias("total"), F.count(F.lit(1)).cast("long").alias("n"))
     )
     assert _rows(wh.read(ta)) == _rows(direct)
+
+
+def test_stream_left_join_view_drain_equals_direct(spark, tmp_path):
+    """A full drain of the streaming LEFT-join wrapper equals the direct
+    LEFT JOIN; a right-side-only window (late-arriving dim) fires via
+    the default both-sides union trigger and retracts the
+    null-extension."""
+    from edna_dbt_library_spark.streaming import stream_left_join_view
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    l = wh.relation("sl", "l")
+    r = wh.relation("sl", "r")
+    t = wh.relation("sl", "v")
+    wh.create_as(
+        l,
+        spark.createDataFrame(
+            [(i, i % 4, i) for i in range(8)], "l_id long, k long, lv long"
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        r,
+        spark.createDataFrame([(100, 0, 5)], "r_id long, k long, rv long"),
+        TableMeta(),
+    )
+    cp = str(tmp_path / "cp")
+    stream_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"], cp).awaitTermination(120)
+    assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
+    assert wh.read(t).where("rv IS NULL").count() == 6
+
+    # right-only window: k=1 gains its first match
+    wh.append(r, spark.createDataFrame([(101, 1, 6)], "r_id long, k long, rv long"))
+    stream_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"], cp).awaitTermination(120)
+    assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
+    assert wh.read(t).where("k = 1 AND rv IS NULL").count() == 0
