@@ -815,3 +815,86 @@ def test_stream_left_join_view_drain_equals_direct(spark, tmp_path):
     stream_left_join_view(wh, l, r, t, "l_id", "r_id", ["k"], cp).awaitTermination(120)
     assert _rows_n(wh.read(t)) == _rows_n(_direct_left(wh, l, r, ["k"]))
     assert wh.read(t).where("k = 1 AND rv IS NULL").count() == 0
+
+
+def test_multiway_chain_crash_between_levels_converges(spark, tmp_path):
+    """A crash AFTER the first join child synced but BEFORE the second
+    (injected at the second child's watermark promote) leaves the chain
+    torn mid-level; the next composed sync must cover the gap — the
+    second child's window spans both attempts — and converge to the
+    direct 3-way join-aggregate."""
+    from edna_dbt_library_spark.operators.materializations import (
+        run_incremental_join_agg_view,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    f = wh.relation("mc", "f")
+    d1 = wh.relation("mc", "d1")
+    d2 = wh.relation("mc", "d2")
+    t = wh.relation("mc", "v")
+    wh.create_as(
+        f,
+        spark.createDataFrame(
+            [(i, i % 3, i % 2, i) for i in range(18)],
+            "fid long, j1 long, j2 long, amt long",
+        ),
+        TableMeta(),
+    )
+    wh.create_as(
+        d1, spark.createDataFrame([(j, j * 10) for j in range(3)], "j1 long, a long"),
+        TableMeta(),
+    )
+    wh.create_as(
+        d2, spark.createDataFrame([(j, 100 + j) for j in range(2)], "j2 long, b long"),
+        TableMeta(),
+    )
+    dims = [{"rel": d2, "id": "j2", "on": ["j2"], "where": None, "cols": None}]
+    aggs = {"total": ("sum", "amt"), "n": ("count", "*")}
+
+    def sync():
+        return run_incremental_join_agg_view(
+            wh, f, d1, t, "fid", "j1", ["j1"], ["a", "b"], aggs, dims=dims
+        )
+
+    def direct():
+        return (
+            wh.read(f)
+            .join(wh.read(d1), "j1")
+            .join(wh.read(d2), "j2")
+            .groupBy("a", "b")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    sync()
+    assert _rows(wh.read(t)) == _rows(direct())
+
+    # window touching all three bases, then crash at child2's promote
+    wh.update_where(f, "fid % 4 = 0", {"amt": "amt + 7"})
+    wh.update_where(d1, "j1 = 1", {"a": "99"})
+    wh.update_where(d2, "j2 = 0", {"b": "888"})
+    child2 = wh.relation("mc", "v__join2")
+    orig = wh.set_snapshot_note
+
+    def crashing(rel, v, note):
+        if note.startswith(f"joinview:{child2.table_id}:"):
+            raise RuntimeError("injected crash mid-chain")
+        return orig(rel, v, note)
+
+    wh.set_snapshot_note = crashing
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="mid-chain"):
+            sync()
+    finally:
+        wh.set_snapshot_note = orig
+    # the replayed composed sync covers the torn window and converges
+    sync()
+    assert _rows(wh.read(t)) == _rows(direct())
+    # and a quiet re-sync holds
+    before = _rows(wh.read(t))
+    sync()
+    assert _rows(wh.read(t)) == before
