@@ -36,17 +36,32 @@ def tokens(text: Column | str) -> Column:
 def shingles(text: Column | str, n: int = 2) -> Column:
     """Word n-gram shingles (space-joined) of lowercased text — the MinHash
     input for near-dup detection at n>1 (word order matters, unlike the
-    unigram set). Pure HOF: transform over an index sequence + slice."""
+    unigram set).
+
+    Built by zip_with-ing n position-shifted slices of the token array —
+    NOT by `transform(sequence(1, count), i -> array_join(slice(toks, i,
+    n)))`: in that form `toks` is a correlated subexpression inside the
+    lambda, and interpreted HOF evaluation re-runs the whole
+    lower+split+filter tokenization once PER OUTPUT ELEMENT — an O(W²)
+    per-document blowup (measured 5.4x wall on the sf0.1 documents
+    corpus for n=3: 4.07s -> 0.76s, bit-identical multiset). Same trap
+    and same cure as curation._hashed_ngram_structs; the slice form
+    evaluates the token array exactly n times per row."""
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = tokens(text)
     if n == 1:
         return toks
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    return F.when(count > 0, F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def build() -> Column:
+        m = F.size(toks) - (n - 1)
+        g = F.slice(toks, 1, m)
+        for j in range(1, n):
+            g = F.zip_with(g, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b))
+        return g
+
+    return F.when(count > 0, build()).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(text: Column | str) -> Column:

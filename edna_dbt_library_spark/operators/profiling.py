@@ -43,14 +43,20 @@ def profile_columns(
     if missing:
         raise ValueError(f"unknown columns: {missing}")
 
+    # exact=True: n_distinct comes from the shared top-value counts frame
+    # below (one row per distinct (column, value-as-string) — counting
+    # those rows per column IS the exact cardinality, since every
+    # profiled atomic type renders to string injectively: BIGINT/VARCHAR
+    # trivially, timestamps/decimals/doubles via Spark's round-tripping
+    # formats). Keeping count_distinct(c) x N columns in the wide agg
+    # instead planned an N-way Expand — every input row replicated once
+    # per distinct aggregate — which measured 4.3x on the wide agg alone
+    # (sf0.1 orders probe: 2.17s vs 0.50s) for identical results.
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"))
-        aggs.append(
-            (F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)).alias(
-                f"_dist_{c}"
-            )
-        )
+        if not exact:
+            aggs.append(F.approx_count_distinct(c).alias(f"_dist_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
     wide = df.agg(*aggs)
@@ -60,7 +66,7 @@ def profile_columns(
         stack_args += [
             F.lit(c),
             F.col(f"_nulls_{c}"),
-            F.col(f"_dist_{c}"),
+            (F.lit(None).cast("long") if exact else F.col(f"_dist_{c}")),
             F.col(f"_min_{c}"),
             F.col(f"_max_{c}"),
         ]
@@ -68,13 +74,13 @@ def profile_columns(
         F.col("_n").alias("n_rows"),
         F.stack(
             F.lit(len(cols)), *stack_args
-        ).alias("column", "n_nulls", "n_distinct", "min_value", "max_value"),
+        ).alias("column", "n_nulls", "_dist_wide", "min_value", "max_value"),
     ).select(
         "column",
         "n_rows",
         "n_nulls",
         F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("_dist_wide").cast("long").alias("_dist_wide"),
         "min_value",
         "max_value",
     )
@@ -100,17 +106,32 @@ def profile_columns(
     )
     counts = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("column").orderBy(F.col("cnt").desc(), F.col("value").asc())
+    # one pass over counts yields BOTH the top value (rank 1) and, for
+    # exact=True, the exact per-column cardinality (row count); all-null
+    # columns have no counts rows and coalesce to n_distinct = 0, the
+    # same value count_distinct produced.
     top = (
         counts.withColumn("_r", F.row_number().over(w))
+        .withColumn("_nd", F.count(F.lit(1)).over(Window.partitionBy("column")))
         .where(F.col("_r") == 1)
-        .select("column", F.col("value").alias("top_value"), F.col("cnt").alias("top_value_count"))
+        .select(
+            "column",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_value_count"),
+            F.col("_nd").cast("long").alias("_nd"),
+        )
+    )
+    n_distinct = (
+        F.coalesce(F.col("_nd"), F.lit(0).cast("long"))
+        if exact
+        else F.col("_dist_wide")
     )
     return profile.join(top, "column", "left").select(
         "column",
         "n_rows",
         "n_nulls",
         "null_frac",
-        "n_distinct",
+        n_distinct.alias("n_distinct"),
         "min_value",
         "max_value",
         "top_value",

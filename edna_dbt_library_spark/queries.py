@@ -666,10 +666,21 @@ def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(8)) == 1
     )
     cents = F.round(F.col("value") * F.lit(100)).cast("long").alias("cents")
+    # r13: pin the shared feeds. The four union arms (and gap_fill's
+    # internal bounds aggregate) each re-evaluated the resample subtree
+    # — the before-plan (plans/r13/timeseries_fill_before.txt) scans
+    # events 12 times with 6 resample Exchanges; with r and dense
+    # localCheckpoint'd the events scan + hourly aggregation run once
+    # and gap_fill's densify once (CLAUDE.md multi-consumer rule). At
+    # sf0.1 on the idle host this is a wash (4.65s -> 4.63s: the events
+    # scan is cheap and the checkpoint write cancels the savings) but it
+    # is the scale shape — source-scan count 12 -> 1, so cost stops
+    # multiplying with input size. Measured 3.3x under a loaded host
+    # where the redundant scans actually queued.
     r = resample_sum(
         e.select("user_id", "ts", cents), ["user_id"], "ts", "cents", HOUR_US
-    )
-    dense = gap_fill(r, ["user_id"])
+    ).localCheckpoint(eager=True)
+    dense = gap_fill(r, ["user_id"]).localCheckpoint(eager=True)
     obs_n = F.when(F.col("observed"), F.lit(1)).otherwise(F.lit(0)).cast("long")
     cols = ["user_id", "bucket", "v", "n"]
     return (
@@ -3505,10 +3516,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, the EUROPE suppliers offering the minimum supply cost. The
     correlation is re-expressed as a per-part min aggregate joined back on
     (part, cost): equality on the exact DECIMAL min keeps ties identical
-    across engines. Scale: supply is one lineitem shuffle; part/supplier/
-    nation/region are broadcast dims; the min-join re-shuffles only the
-    already-aggregated supply rows."""
-    l = _t(spark, sf_dir, "lineitem")
+    across engines.
+
+    r13 restructure (guide §2.3/§3.1): the p_size = 15 filter is applied
+    FIRST as a broadcast semi-join on lineitem, so the supply aggregate,
+    the dim joins, and the per-part min all run over ~1/50 of the rows —
+    the filter commutes with the per-(part, supplier) min because it
+    selects whole part keys. The previous form aggregated ALL parts and
+    filtered last; its euro-side min-join planned a SortMergeJoin whose
+    BOTH sides re-aggregated lineitem (plans/r13/q2_..._before.txt: 24
+    Exchanges, 1 SMJ). euro is localCheckpoint'd (it feeds best + the
+    join-back), and best broadcasts. Measured 5.0x (probe, identical
+    multiset): plan is now 0 SMJ with one lineitem-sized Exchange."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     supply = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(_dec("l_extendedprice")).alias("cost")
     )
@@ -3520,11 +3545,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("l_partkey", "cost", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .localCheckpoint(eager=True)
     )
     best = euro.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
-    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
     return (
-        euro.join(best, ["l_partkey"])
+        euro.join(F.broadcast(best), ["l_partkey"])
         .where(F.col("cost") == F.col("best_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
@@ -3700,9 +3725,14 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
     excluding a NOT-IN supplier set. The part-supplier relation is the
     distinct (l_partkey, l_suppkey) projection of lineitem (no partsupp
-    fixture); NOT IN over the non-null key is a left_anti join."""
+    fixture); NOT IN over the non-null key is a left_anti join.
+
+    r13: the selective part predicate joins (broadcast) BEFORE the
+    distinct(), so the distinct's shuffle carries only qualifying-part
+    rows (~1/6 of lineitem) — the q2 filter-first pattern (guide §2.3);
+    the join on l_partkey commutes with distinct on (l_partkey,
+    l_suppkey) exactly."""
     l = _t(spark, sf_dir, "lineitem")
-    supply = l.select("l_partkey", "l_suppkey").distinct()
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#45")
         & (F.col("p_type") != "PROMO")
@@ -3713,9 +3743,13 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") < 0)
         .select(F.col("s_suppkey").alias("bad_suppkey"))
     )
+    supply = (
+        l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+    )
     return (
         supply.join(F.broadcast(bad), supply.l_suppkey == F.col("bad_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
