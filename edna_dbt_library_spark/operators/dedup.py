@@ -51,13 +51,20 @@ def _word_set(text_col: str) -> Column:
     return F.array_distinct(tokens(F.col(text_col)))
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def _fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Ensure enough input partitions to use every core before a
     row-multiplying explode. A small documents table often arrives as ONE
     parquet file = one partition, serializing the whole shingle+hash map
     side; the fix is a cheap pre-explode repartition of the compact rows.
     No-op (no shuffle) when the scan is already parallel enough — at real
     scale (many files) this never triggers.
+
+    With ``keys``, the fan-out hash-partitions on those columns instead of
+    round-robin, so a downstream window/groupBy clustered on the same keys
+    reuses the partitioning (guide §2.4: two operations keyed the same way
+    share one exchange) — the fan-out then REPLACES that operator's own
+    exchange of the post-explode rows with an exchange of the compact
+    pre-explode rows, rather than adding one.
 
     The check reads the plan's backing file list (``inputFiles`` — pure
     plan inspection, no job, no RDD lineage; an RDD-based partition count
@@ -86,6 +93,8 @@ def _fan_out(df: DataFrame) -> DataFrame:
                 return df
         except Exception:
             pass
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 
@@ -474,16 +483,25 @@ def winnowing_fingerprints(
         .withColumn("_w", (F.col("_len") - k - window + 2).cast("long"))
     )
     seg_size = F.col("_w") if segment is None else F.lit(int(segment)).cast("long")
-    segs = base.select(
-        F.col(id_col),
-        F.col("_t"),
-        F.col("_w"),
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.floor((F.col("_w") - 1) / seg_size).cast("long"),
-            )
-        ).alias("_seg"),
+    # Keyed fan-out of the COMPACT (doc, segment) rows: a single-file scan
+    # otherwise computes every gram md5 in one task (measured 2.7s of the
+    # 3.7s sf0.1 wall serial), and hash-partitioning on the window's own
+    # keys here means the window below reuses this exchange instead of
+    # shuffling the L-per-doc gram rows (guide §2.4).
+    segs = _fan_out(
+        base.select(
+            F.col(id_col),
+            F.col("_t"),
+            F.col("_w"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("_w") - 1) / seg_size).cast("long"),
+                )
+            ).alias("_seg"),
+        ),
+        id_col,
+        "_seg",
     )
     w_start = F.col("_seg") * seg_size + 1  # first window-start pos (global)
     w_end = F.least((F.col("_seg") + 1) * seg_size, F.col("_w"))  # last one

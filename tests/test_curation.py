@@ -385,15 +385,24 @@ def test_dedup_lines_short_line_bypass_and_determinism(spark):
 
 def test_curation_verdict_fused_single_scan(spark):
     """The fused production verdict matches the per-family operators
-    value-for-value AND its plan is one scan with zero shuffle
-    exchanges and no joins."""
+    value-for-value AND its plan is one scan with no keyed shuffle
+    exchanges and no joins. The r13 scale-adaptive fan-out may add ONE
+    round-robin exchange of the compact input rows on an under-parallel
+    scan (it is a no-op at real scale, where the scan has >= cores
+    files); that is the only exchange kind permitted. The input is
+    pinned via localCheckpoint so the limit does not itself plan a
+    SinglePartition exchange under the fan-out."""
     import re
 
     from edna_dbt_library_spark.functions.text import lang_id, pii_flags, quality_score
     from edna_dbt_library_spark.operators.curation import curation_verdict, repetition_filter
     from edna_dbt_library_spark.sources import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .limit(100)
+        .localCheckpoint(eager=True)
+    )
     v = curation_verdict(docs)
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)", plan), plan
