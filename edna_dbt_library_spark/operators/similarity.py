@@ -1016,7 +1016,7 @@ def _pq_sub_dists(
     )
 
 
-def _inrow_cell_dists(qv: "F.Column", cent_rows) -> "F.Column":
+def _inrow_cell_dists(qv_name: str, cent_rows) -> "F.Column":
     """In-row coarse-quantizer candidates: ``array<struct<dist, cid>>``
     of the exact-integer squared L2 from this row's QUANTIZED vector to
     every collected centroid. With the centroid set driver-collected
@@ -1026,22 +1026,29 @@ def _inrow_cell_dists(qv: "F.Column", cent_rows) -> "F.Column":
     are both row-local Column algebra: no crossJoin, no per-vector
     shuffle, no window — bit-identical to the _assign_cells
     crossJoin+groupBy form because every distance is the same exact
-    int64. ``qv`` must be a PROJECTED column (an alias used n_cells
-    times is exempt from CollapseProject inlining), not an inline
-    quantize_vec expression — inlined, the 64-element round/cast runs
-    once per centroid instead of once per row (measured 2x wall on the
-    30k-vector stress corpus)."""
-    return F.array(
-        *[
-            F.struct(
-                _int_sqdist(
-                    qv, F.array(*[F.lit(int(v)).cast("long") for v in r["cv"]])
-                ).alias("dist"),
-                F.lit(int(r["cid"])).cast("long").alias("cid"),
-            )
-            for r in cent_rows
-        ]
-    )
+    int64. ``qv_name`` must name a PROJECTED column (an alias used
+    n_cells times is exempt from CollapseProject inlining), not an
+    inline quantize_vec expression — inlined, the 64-element round/cast
+    runs once per centroid instead of once per row (measured 2x wall on
+    the 30k-vector stress corpus).
+
+    Built as ONE ``F.expr`` text parsed in the JVM, not per-element
+    ``F.lit``/``F.struct`` Column composition: the literal form paid one
+    py4j round-trip per centroid component (n_cells x dims ~ 2000
+    calls), measured 3.0-3.4s of pure DRIVER wall per ivf_pq_topk call
+    at sf0.1 (guide §5: the driver should do almost no work). The text
+    replicates _int_sqdist exactly: zip_with (x-y)*(x-y) folded with a
+    CAST(0 AS BIGINT) init — same exact-int64 arithmetic, same struct
+    field order, bit-identical candidates."""
+    parts = []
+    for r in cent_rows:
+        arr = ",".join(f"{int(v)}L" for v in r["cv"])
+        d = (
+            f"aggregate(zip_with({qv_name}, array({arr}), (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        parts.append(f"named_struct('dist', {d}, 'cid', {int(r['cid'])}L)")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def pq_encode(
@@ -1228,7 +1235,7 @@ def _ivfpq_probes(
     """(query_id, cell): each query's n_probe nearest coarse cells, in-row
     (array_sort over the driver-collected centroid distances — no window,
     no shuffle)."""
-    cands = _inrow_cell_dists(F.col("_qv"), cent_rows)
+    cands = _inrow_cell_dists("_qv", cent_rows)
     return (
         queries.withColumn("_qv", quantize_vec(vec_col, scale))
         .select(
