@@ -113,6 +113,19 @@ def _int_mean(s: "F.Column", n: "F.Column") -> "F.Column":
     return F.when(s >= 0, mag).otherwise(-mag)
 
 
+def _py_int_mean(s: int, n: int) -> int:
+    """Driver-side replica of ``_int_mean`` for the Lloyd trainers'
+    driver-held centroid updates: the SAME long->double conversions and
+    IEEE double division (``float()`` is exactly Spark's long->double
+    rounding; Python floats are IEEE doubles), so the integer mean is
+    bit-identical to the Column form for every in-range input — the
+    DuckDB oracle CTE chains replay unchanged."""
+    import math
+
+    mag = int(math.floor(float(2 * abs(s) + n) / float(2 * n)))
+    return mag if s >= 0 else -mag
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -149,43 +162,51 @@ def kmeans_cells(
     posexplode + groupBy(cell, dim) shuffle whose key space is exactly
     n_cells × dims — map-side combine collapses the traffic to
     #partitions × n_cells × dims rows regardless of corpus size.
-    Centroids (n_cells rows) are localCheckpoint'd each round to cut the
-    re-execution lineage, mirroring dedup.duplicate_clusters."""
+
+    The Lloyd loop is DRIVER-HELD: the per-iteration reduction is only
+    n_cells × dims (cell, dim, sum, count) rows — bounded metadata, never
+    corpus-sized — so it is collect()ed and the centroid update applied
+    in exact Python integers (``_py_int_mean`` replicates ``_int_mean``
+    bit-for-bit). Each iteration is then ONE job whose lineage starts
+    from the corpus scan and a LocalRelation of centroid literals:
+    no per-round localCheckpoint write, no centroid⋈update join, no
+    window over the seeds, and no lineage growth across rounds (the
+    literal centroids cut it exactly where the checkpoint used to).
+    Measured 2.4s -> 1.3s per training call at sf0.1 (OPTIMIZATION_r13,
+    the fixed per-job overhead was the cost; the shuffle shapes that
+    matter at 100 TB are unchanged)."""
+    spark = embeddings.sparkSession
     q = embeddings.select(
         F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
     )
     if seed == "lowest-id":
         # true n_cells lowest ids, NOT `vid < n_cells`: a filter on the id
         # value silently yields fewer (possibly zero) centroids when ids
-        # are sparse or non-zero-based. Same TakeOrderedAndProject shape
-        # as the hash mode; the rank window runs over n_cells rows only.
-        picked = q.orderBy("vid").limit(n_cells)
-        w = Window.orderBy("vid")
-        cent = picked.select(
-            (F.row_number().over(w) - 1).cast("long").alias("cid"),
-            F.col("qv").alias("cv"),
+        # are sparse or non-zero-based. TakeOrderedAndProject pick; the
+        # 0-based rank (cid) is assigned driver-side over n_cells rows.
+        picked = sorted(
+            q.orderBy("vid").limit(n_cells).collect(), key=lambda r: r["vid"]
         )
     elif seed == "hash":
         from edna_dbt_library_spark.operators.dedup import minhash_word_value
 
         h = minhash_word_value(F.col("vid").cast("string"), fast=False)
-        picked = q.select("vid", "qv", h.alias("_h")).orderBy("_h", "vid").limit(n_cells)
-        # the window runs over the n_cells surviving rows only
-        w = Window.orderBy("_h", "vid")
-        cent = picked.select(
-            (F.row_number().over(w) - 1).cast("long").alias("cid"),
-            F.col("qv").alias("cv"),
+        picked = sorted(
+            q.select("vid", "qv", h.alias("_h")).orderBy("_h", "vid").limit(n_cells).collect(),
+            key=lambda r: (r["_h"], r["vid"]),
         )
     else:
         raise ValueError(f"unknown seed mode: {seed!r}")
-    cent = cent.localCheckpoint(eager=True)
+    cent_rows = [(cid, [int(v) for v in r["qv"]]) for cid, r in enumerate(picked)]
+    cent_schema = "cid long, cv array<long>"
     for _ in range(iters):
+        cent = F.broadcast(spark.createDataFrame(cent_rows, cent_schema))
         # argmin as a map-side-combinable min(struct(dist, cid)) — ties
         # break on smallest cid by struct ordering. Beats a row_number
         # window (which must SORT every vector's n_cells rows in one
         # task per vid hash range); the aggregate pre-combines per
         # partition, so the shuffle carries one row per vector.
-        scored = q.crossJoin(F.broadcast(cent)).select(
+        scored = q.crossJoin(cent).select(
             "vid", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
         )
         assigned = (
@@ -196,27 +217,23 @@ def kmeans_cells(
             )
             .select("vid", "qv", F.col("_m.cid").alias("cell"))
         )
-        sums = (
+        stats = (
             assigned.select("cell", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cell", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        upd = (
-            sums.select("cell", "dim", _int_mean(F.col("s"), F.col("n")).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cv_new")
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = _py_int_mean(
+                int(r["s"]), int(r["n"])
             )
-        )
-        cent = (
-            cent.join(upd, cent.cid == upd.cell, "left")
-            .select("cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    return cent
+        # a cell that loses all members keeps its previous centroid
+        cent_rows = [
+            (cid, [by_cell[cid][d] for d in range(len(cv))] if cid in by_cell else cv)
+            for cid, cv in cent_rows
+        ]
+    return spark.createDataFrame(cent_rows, cent_schema)
 
 
 def ivf_topk(
@@ -804,10 +821,18 @@ def pq_codebooks(
     lanes, same seeds — the n_cells lowest-id vectors seed every
     subspace — same argmin tie-breaks, same integer means; equality is
     pytest-locked), which keeps the per-subspace oracle CTE chains
-    valid."""
+    valid.
+
+    Like kmeans_cells, the Lloyd loop is DRIVER-HELD: the per-iteration
+    reduction is m × n_cells × d0 = (full dim count) × n_cells rows of
+    (sub, cell, dim, sum, count) — bounded metadata — collect()ed and
+    applied with the exact ``_py_int_mean``; each round is one job from
+    the corpus scan and a LocalRelation of centroid literals (no
+    checkpoint write, no centroid⋈update join, no lineage growth)."""
     dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    spark = embeddings.sparkSession
     d0 = dims // m
     subs = F.posexplode(
         F.array(*[F.slice(F.col("__pq_qv"), s * d0 + 1, d0) for s in range(m)])
@@ -815,20 +840,27 @@ def pq_codebooks(
     q = embeddings.withColumn("__pq_qv", quantize_vec(vec_col, scale)).select(
         F.col(id_col).alias("vid"), subs.alias("sub", "qv")
     )
-    w = Window.orderBy("vid")
-    seeds = (
-        embeddings.select(F.col(id_col).alias("vid"))
+    # seeds: the n_cells lowest-id vectors seed EVERY subspace; one
+    # TakeOrderedAndProject collect of their quantized vectors, sliced
+    # into lanes driver-side (list slicing of exact ints == F.slice).
+    picked = sorted(
+        embeddings.select(
+            F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
+        )
         .orderBy("vid")
         .limit(n_cells)
-        .select("vid", (F.row_number().over(w) - 1).cast("long").alias("cid"))
+        .collect(),
+        key=lambda r: r["vid"],
     )
-    cent = (
-        q.join(F.broadcast(seeds), "vid")
-        .select(F.col("sub").cast("long").alias("sub"), "cid", F.col("qv").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
+    cent_rows = [
+        (s, cid, [int(v) for v in r["qv"][s * d0 : (s + 1) * d0]])
+        for s in range(m)
+        for cid, r in enumerate(picked)
+    ]
+    cent_schema = "sub long, cid long, cv array<long>"
     for _ in range(iters):
-        scored = q.join(F.broadcast(cent), "sub").select(
+        cent = F.broadcast(spark.createDataFrame(cent_rows, cent_schema))
+        scored = q.join(cent, "sub").select(
             "vid", "sub", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
         )
         assigned = (
@@ -836,39 +868,28 @@ def pq_codebooks(
             .agg(F.min(F.struct("dist", "cid")).alias("_m"), F.first("qv").alias("qv"))
             .select("vid", "sub", "qv", F.col("_m.cid").alias("cell"))
         )
-        sums = (
+        stats = (
             assigned.select("sub", "cell", F.posexplode("qv").alias("dim", "v"))
             .groupBy("sub", "cell", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        upd = (
-            sums.select("sub", "cell", "dim", _int_mean(F.col("s"), F.col("n")).alias("m"))
-            .groupBy("sub", "cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cv_new")
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in stats:
+            by_key.setdefault((int(r["sub"]), int(r["cell"])), {})[int(r["dim"])] = (
+                _py_int_mean(int(r["s"]), int(r["n"]))
             )
-        )
-        # aliased + qualified: upd derives from cent (shared lineage),
-        # the trivially-true-predicate ambiguity class (judge r8 #2)
-        cent = (
-            cent.alias("t")
-            .join(
-                upd.alias("u"),
-                (F.col("t.sub") == F.col("u.sub"))
-                & (F.col("t.cid") == F.col("u.cell")),
-                "left",
+        cent_rows = [
+            (
+                s,
+                cid,
+                [by_key[(s, cid)][d] for d in range(len(cv))]
+                if (s, cid) in by_key
+                else cv,
             )
-            .select(
-                F.col("t.sub"),
-                "cid",
-                F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cent
+            for s, cid, cv in cent_rows
+        ]
+    return spark.createDataFrame(cent_rows, cent_schema)
 
 
 def train_ivfpq(
@@ -899,10 +920,19 @@ def train_ivfpq(
     lowest-id seeds (joined in one pass via a merged seed map), same
     argmin tie-breaks and exact integer means; equality is
     pytest-locked (test_bucketed_ivf) — so the existing oracle CTE
-    chains replay unchanged."""
+    chains replay unchanged.
+
+    Like kmeans_cells/pq_codebooks, the Lloyd loop is DRIVER-HELD:
+    per-iteration (sub, cell, dim, sum, count) rows are bounded by
+    (m+1) lanes × cells × dims — collect()ed, updated with the exact
+    ``_py_int_mean``, re-materialized as a LocalRelation of literals.
+    One job per round, no checkpoint writes, no lineage growth; the
+    coarse/books split is a driver-side list partition instead of two
+    more checkpointed filters."""
     dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    spark = embeddings.sparkSession
     d0 = dims // m
     lanes = F.posexplode(
         F.array(
@@ -915,31 +945,28 @@ def train_ivfpq(
         .select(F.col(id_col).alias("vid"), lanes.alias("_pos", "qv"))
         .select("vid", (F.col("_pos").cast("long") - 1).alias("sub"), "qv")
     )
-    w = Window.orderBy("vid")
-
-    def _seed(k: int, name: str) -> DataFrame:
-        return (
-            embeddings.select(F.col(id_col).alias("vid"))
-            .orderBy("vid")
-            .limit(k)
-            .select("vid", (F.row_number().over(w) - 1).cast("long").alias(name))
+    # one TakeOrderedAndProject collect seeds every lane: the lowest
+    # max(n_cells, pq_cells) ids' quantized vectors, sliced driver-side
+    picked = sorted(
+        embeddings.select(
+            F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
         )
-
-    seeds = _seed(n_cells, "cid_c").join(_seed(pq_cells, "cid_p"), "vid", "full_outer")
-    cent = (
-        q.join(F.broadcast(seeds), "vid")
-        .select(
-            "sub",
-            F.when(F.col("sub") == -1, F.col("cid_c"))
-            .otherwise(F.col("cid_p"))
-            .alias("cid"),
-            F.col("qv").alias("cv"),
-        )
-        .where(F.col("cid").isNotNull())
-        .localCheckpoint(eager=True)
+        .orderBy("vid")
+        .limit(max(n_cells, pq_cells))
+        .collect(),
+        key=lambda r: r["vid"],
     )
+    cent_rows = [
+        (-1, cid, [int(v) for v in r["qv"]]) for cid, r in enumerate(picked[:n_cells])
+    ] + [
+        (s, cid, [int(v) for v in r["qv"][s * d0 : (s + 1) * d0]])
+        for s in range(m)
+        for cid, r in enumerate(picked[:pq_cells])
+    ]
+    cent_schema = "sub long, cid long, cv array<long>"
     for _ in range(iters):
-        scored = q.join(F.broadcast(cent), "sub").select(
+        cent = F.broadcast(spark.createDataFrame(cent_rows, cent_schema))
+        scored = q.join(cent, "sub").select(
             "vid", "sub", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
         )
         assigned = (
@@ -947,40 +974,32 @@ def train_ivfpq(
             .agg(F.min(F.struct("dist", "cid")).alias("_m"), F.first("qv").alias("qv"))
             .select("vid", "sub", "qv", F.col("_m.cid").alias("cell"))
         )
-        sums = (
+        stats = (
             assigned.select("sub", "cell", F.posexplode("qv").alias("dim", "v"))
             .groupBy("sub", "cell", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        upd = (
-            sums.select("sub", "cell", "dim", _int_mean(F.col("s"), F.col("n")).alias("m"))
-            .groupBy("sub", "cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cv_new")
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in stats:
+            by_key.setdefault((int(r["sub"]), int(r["cell"])), {})[int(r["dim"])] = (
+                _py_int_mean(int(r["s"]), int(r["n"]))
             )
-        )
-        # aliased + qualified (same ambiguity class as pq_codebooks)
-        cent = (
-            cent.alias("t")
-            .join(
-                upd.alias("u"),
-                (F.col("t.sub") == F.col("u.sub"))
-                & (F.col("t.cid") == F.col("u.cell")),
-                "left",
+        cent_rows = [
+            (
+                s,
+                cid,
+                [by_key[(s, cid)][d] for d in range(len(cv))]
+                if (s, cid) in by_key
+                else cv,
             )
-            .select(
-                F.col("t.sub"),
-                "cid",
-                F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    coarse = cent.where(F.col("sub") == -1).select("cid", "cv").localCheckpoint(eager=True)
-    books = cent.where(F.col("sub") >= 0).select("sub", "cid", "cv").localCheckpoint(
-        eager=True
+            for s, cid, cv in cent_rows
+        ]
+    coarse = spark.createDataFrame(
+        [(cid, cv) for s, cid, cv in cent_rows if s == -1], "cid long, cv array<long>"
+    )
+    books = spark.createDataFrame(
+        [r for r in cent_rows if r[0] >= 0], cent_schema
     )
     return coarse, books
 
@@ -1108,10 +1127,7 @@ def pq_adc_topk(
         if codebooks is None
         else codebooks
     )
-    mrow = cb.groupBy().agg(
-        (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
-    ).first()
-    m, d0 = int(mrow["m"]), int(mrow["d0"])
+    m, d0 = _pq_shape(cb)
     dists = _pq_sub_dists(embeddings, cb, m, d0, scale, id_col, vec_col)
     codes = (
         dists.groupBy("vid", "sub")
@@ -1208,7 +1224,12 @@ def ivf_pq_topk(
             if codebooks is None
             else codebooks
         )
-    cent = cent.localCheckpoint(eager=True)
+    if not cent.isLocal():
+        # caller-passed centroids of unknown lineage feed two consumers
+        # (the collect below + codes_cell); trainer outputs are already
+        # LocalRelations — collect() on those runs NO job (executeCollect
+        # short-circuits) and a checkpoint would only add one.
+        cent = cent.localCheckpoint(eager=True)
     cent_rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
     probes = _ivfpq_probes(queries, cent_rows, n_probe, scale, id_col, vec_col)
     m, d0 = _pq_shape(cb)
@@ -1222,7 +1243,12 @@ def ivf_pq_topk(
 
 
 def _pq_shape(codebooks: DataFrame) -> tuple:
-    """(m, d0) from a codebook frame — one tiny aggregate."""
+    """(m, d0) from a codebook frame — driver-local (no job) when the
+    frame is a trainer-produced LocalRelation, one tiny aggregate
+    otherwise (caller-passed / warehouse-read codebooks)."""
+    if codebooks.isLocal():
+        rows = codebooks.select("sub", F.size("cv").alias("d")).collect()
+        return int(max(r["sub"] for r in rows)) + 1, int(min(r["d"] for r in rows))
     mrow = codebooks.groupBy().agg(
         (F.max("sub") + 1).alias("m"), F.min(F.size("cv")).alias("d0")
     ).first()
