@@ -615,8 +615,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    # The init IS the first propagation round: with label(id) = id, round
+    # one's "min over self ∪ neighbors" is min(u, min of u's neighbors) —
+    # one grouped aggregation straight over the edge list, no join, no
+    # separate identity-labels checkpoint. Saves one full round plus the
+    # init materialization versus starting from identity labels.
+    labels = (
+        edges.select("u", F.col("v").alias("label"))
+        .unionAll(edges.select("u", F.col("u").alias("label")))
+        .groupBy("u")
+        .agg(F.min("label").alias("label"))
+        .select(F.col("u").alias("id"), "label")
+        .localCheckpoint(eager=True)
+    )
     # One count up front sizes the whole loop: below the broadcast
     # threshold each round's edge⋈label join is map-side (zero edge
     # shuffle); above it the join falls back to a shuffle join — the
@@ -625,20 +636,27 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     small_labels = n_nodes <= 8_000_000  # ~128 MB of (long,long) rows
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
     for _ in range(max_iter):
-        # Single-shuffle round: neighbor label contributions union the
-        # node's own label, then one grouped min. (The previous
-        # formulation ran a second left join of labels against the
-        # neighbor minima — an extra shuffle per round for the same
-        # "min over self ∪ neighbors" result.)
-        lbl = F.broadcast(labels) if small_labels else labels
-        contrib = edges.join(lbl, edges.v == lbl.id).select("u", "label")
-        new_labels = (
-            contrib.unionAll(labels.select(F.col("id").alias("u"), "label"))
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("u").alias("id"), "label")
-            .localCheckpoint(eager=True)
-        )
+        # TWO single-shuffle hops per materialization: each hop is
+        # neighbor label contributions unioned with the node's own label,
+        # then one grouped min. Composing two hops in one plan halves the
+        # checkpoint writes and driver round-trips per converged
+        # component diameter; the first hop's (unmaterialized) result is
+        # consumed twice inside the plan (join probe + union), costing
+        # one extra edges⋈labels evaluation per round — cheaper than the
+        # checkpoint + scheduling of the round it replaces (measured:
+        # labels frames are node-sized, the join is broadcast below the
+        # threshold either way).
+        cur = labels
+        for _hop in range(2):
+            lbl = F.broadcast(cur) if small_labels else cur
+            contrib = edges.join(lbl, edges.v == lbl.id).select("u", "label")
+            cur = (
+                contrib.unionAll(cur.select(F.col("id").alias("u"), "label"))
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+                .select(F.col("u").alias("id"), "label")
+            )
+        new_labels = cur.localCheckpoint(eager=True)
         # labels only ever decrease, so the exact label sum is a strictly
         # decreasing convergence metric: comparing sums costs one scan of
         # the checkpointed frame instead of a join+shuffle per round.

@@ -3147,27 +3147,45 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sole-late-supplier query — a semi-join (some OTHER supplier in the
     order) stacked on an anti-join (no OTHER supplier late), both
     correlated on the order key with a supplier-inequality residual."""
+    from pyspark.sql import Window
+
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    l1 = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select("l_orderkey", "l_suppkey")
+    # Single-scan rewrite of the semi+anti self-join stack (guide §2.4):
+    # per (order, supplier) group, n_late = this supplier's late lines in
+    # the order; over the order, n_supp = distinct suppliers and
+    # n_late_supp = distinct LATE suppliers. A late line survives the
+    # original semi-join iff ANY other supplier touched the order
+    # (n_supp >= 2) and the anti-join iff NO other supplier was late
+    # (n_late_supp == 1, the row's own supplier being late). numwait then
+    # sums the group's late-line counts — identical multiset to joining
+    # the late lines against two more lineitem scans, but ONE scan, one
+    # (orderkey, suppkey) aggregation whose partitioning the window
+    # reuses (no second exchange), and no SMJ self-joins.
+    g = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.count(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.lit(1))
+            ).alias("n_late")
+        )
     )
-    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    some_other = l1.join(
-        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    w = Window.partitionBy("l_orderkey")
+    g = g.select(
+        "l_suppkey",
+        "n_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.count(F.when(F.col("n_late") > 0, F.lit(1))).over(w).alias("n_late_supp"),
     )
-    # other LATE lines of the same order: reuse l1, already lateness-filtered
-    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    sole_late = some_other.join(
-        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    sole_late = g.where(
+        (F.col("n_late") > 0) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
     )
 
 
