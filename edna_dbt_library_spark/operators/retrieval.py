@@ -556,11 +556,19 @@ def tfidf_top_terms(
 def _bigrams(toks: "F.Column") -> "F.Column":
     """Adjacent-pair composite keys via position-shifted slice+zip_with —
     the projection-collapse-immune gram construction (each array input
-    evaluates once per row; see PLAN_AUDIT.md round-3 catch)."""
-    n = F.size(toks)
+    evaluates once per row; see PLAN_AUDIT.md round-3 catch). TOTAL on
+    short inputs: arrays of size < 2 yield [] (the greatest() guard —
+    slice() throws on a negative length), so callers need no
+    ``size >= 2`` pre-filter. That matters for cost, not just
+    convenience: a filter on ``size(tokens(text))`` pushes below the
+    bigram projection and re-derives the whole tokenize expression
+    inside the predicate — one extra corpus-wide tokenize per consumer
+    (measured 0.28s/eval on the sf0.1 corpus; explode([]) drops the
+    short rows for free instead)."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
         lambda a, c: F.concat(a, F.lit(BIGRAM_SEP), c),
     )
 
@@ -578,8 +586,7 @@ def bigram_model(
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     big = (
-        toks.where(F.size("_toks") >= 2)
-        .select(F.explode(_bigrams(F.col("_toks"))).alias("bg"))
+        toks.select(F.explode(_bigrams(F.col("_toks"))).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
@@ -623,7 +630,6 @@ def lm_cross_entropy(
 
     doc_bg = (
         documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
-        .where(F.size("_toks") >= 2)
         .select("doc_id", F.explode(_bigrams(F.col("_toks"))).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("n"))
