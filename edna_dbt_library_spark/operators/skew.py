@@ -38,12 +38,22 @@ def salted_aggregate(
     ``salted_aggregate(events, ["user_id"], {"n": ("count", "*"),
     "total": ("sum", "value")})`` ≡ the plain groupBy, but the first
     shuffle keys on (user_id, salt) so no reducer sees a whole hot key.
+
+    The salt is xxhash64 over the full row, not rand(): a random salt
+    re-draws when a fetch failure re-runs map tasks, routing the re-run
+    rows to different (key, salt) reducers than the surviving shuffle
+    output — double- or under-counted partials (SPARK-38388; guide
+    §2.5). The row hash is retry-stable with the same uniformity.
     """
     for name, (fn, _col) in aggs.items():
         if fn not in _MERGE:
             raise ValueError(f"salted_aggregate: unsupported aggregate '{fn}' for '{name}'")
 
-    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        .cast("int")
+        .alias("__salt")
+    )
     partial_exprs: list[Column] = []
     for name, (fn, col) in aggs.items():
         src = F.lit(1) if (fn == "count" and col == "*") else F.col(col)
@@ -74,8 +84,15 @@ def salted_join(
     ``left``: each big-side row joins the single small-side replica
     carrying its salt, so no duplicates and no misses. (``right``/``full``
     are rejected — the replicated small side would multiply unmatched
-    right rows.) The salt is a per-row uniform draw that never reaches the
-    output, so its value needs no cross-run stability — only uniformity.
+    right rows.) The salt never reaches the output, so only its
+    uniformity matters — but it must be DETERMINISTIC per row: a rand()
+    salt re-draws on task retry, and a fetch failure that re-runs part
+    of the map stage then routes the re-run rows to different reducers
+    than the surviving shuffle output — duplicated or lost rows at
+    scale (SPARK-38388; guide §2.5). xxhash64 over the full row is
+    retry-stable and spreads a hot key by its payload columns; rows
+    identical in EVERY column share a bucket, which is the one shape
+    salting cannot split anyway (they are interchangeable).
 
     AQE's skew-join splitting (enabled in session.py) handles moderate
     skew automatically at runtime; explicit salting is the deterministic
@@ -85,7 +102,9 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how in {'inner','left'}")
     ks = list(keys)
-    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast(
+        "int"
+    )
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
