@@ -111,10 +111,15 @@ def corpus_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     projection: a column-pruned scan with map-side partial aggregation
     to one row — cheaper at scale than re-shuffling the tf table by doc
     (docs with zero tokens have no postings and are excluded on both
-    paths)."""
+    paths). The zero-token filter is the raw-column predicate
+    ``text rlike '\\S'`` — exactly ``size(tokens(text)) > 0`` (same Java
+    regex whitespace class as the tokenizer split, NULL-safe on both
+    paths) but pushable to the scan: filtering on the derived dl column
+    re-derives the whole tokenize expression inside the pushed
+    predicate (one extra corpus-wide tokenize)."""
     return (
-        documents.select(F.size(tokens(text_col)).alias("dl"))
-        .where(F.col("dl") > 0)
+        documents.where(F.col(text_col).rlike(r"\S"))
+        .select(F.size(tokens(text_col)).alias("dl"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -130,10 +135,12 @@ def corpus_stats_exact(documents: DataFrame, text_col: str = "text") -> DataFram
     into the (n_docs double, avgdl double) frame the scoring core
     consumes with the same cast-then-divide ``corpus_stats`` uses, so
     indexed == per-call stays bit-identical across any append
-    history."""
+    history. Zero-token filter: same scan-pushable raw-column predicate
+    as ``corpus_stats`` (must stay identical — indexed == per-call
+    bit-identity rides both excluding the same rows)."""
     return (
-        documents.select(F.size(tokens(text_col)).alias("dl"))
-        .where(F.col("dl") > 0)
+        documents.where(F.col(text_col).rlike(r"\S"))
+        .select(F.size(tokens(text_col)).alias("dl"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),

@@ -2270,13 +2270,20 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     below half their part's average quantity. The per-part average is a
     decimal-exact sum over a double count, so the 0.5*avg threshold is
     bit-identical in both engines."""
+    from pyspark.sql import Window
+
     l = _t(spark, sf_dir, "lineitem")
-    avg_qty = (
-        l.groupBy("l_partkey")
-        .agg((_r2d(F.sum(_dec("l_quantity"))) / F.count(F.lit(1))).alias("part_avg"))
-    )
+    # the per-part average rides a whole-partition window instead of a
+    # separate aggregate + self-join (guide §2.4): ONE lineitem scan and
+    # ONE exchange — the final groupBy(l_partkey) reuses the window's
+    # partitioning — versus two scans and a join that shuffles both
+    # sides. Same decimal-exact sum over double count, so the
+    # 0.5*avg threshold is bit-identical (verified by multiset compare
+    # + the oracle).
+    w = Window.partitionBy("l_partkey")
+    part_avg = _r2d(F.sum(_dec("l_quantity")).over(w)) / F.count(F.lit(1)).over(w)
     return (
-        l.join(avg_qty, "l_partkey")
+        l.select("l_partkey", "l_quantity", "l_extendedprice", part_avg.alias("part_avg"))
         .where(F.col("l_quantity") < 0.5 * F.col("part_avg"))
         .groupBy("l_partkey")
         .agg(
