@@ -725,14 +725,28 @@ def corpus_dup_ngram_stats(
 
     # _fan_out: tokenize+hash is scan-side work; a single-file scan would
     # run it (and the explode) on one core (no-op at real scale).
-    pre = _fan_out(docs).select(
-        F.col(id_col),
-        F.transform(_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
+    # The COMPACT per-doc distinct-gram arrays are pinned: ``grams``
+    # feeds both the per-gram counts and the flag join, and with the
+    # counts side broadcast there are no identical exchanges for
+    # ReuseExchange to dedupe — unpinned, the whole tokenize+hash+ngram
+    # subtree evaluates twice (verified in the plan: two Scan+Generate
+    # chains). 8 bytes/gram, far smaller than the text it derives from.
+    pre = (
+        _fan_out(docs)
+        .select(
+            F.col(id_col),
+            # _hw stays a PROJECTED alias: _hashed_ngram_values slices it
+            # n+1 times, and only an alias referenced >1 time is exempt
+            # from CollapseProject inlining (repo-wide rule)
+            F.transform(_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_distinct(_hashed_ngram_values(F.col("_hw"), n)).alias("_ghs"),
+        )
+        .localCheckpoint(eager=True)
     )
-    grams = pre.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_hashed_ngram_values(F.col("_hw"), n))).alias("gh"),
-    )
+    grams = pre.select(F.col(id_col), F.explode("_ghs").alias("gh"))
     counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     if broadcast_frequent:
         freq = F.broadcast(counts.where(F.col("nd") >= min_docs).select("gh"))
@@ -791,15 +805,24 @@ def duplicate_substring_spans(
     from edna_dbt_library_spark.functions.text import tokens as _tokens
 
     # _fan_out: same single-file-scan serialization fix as
-    # corpus_dup_ngram_stats (no-op at real scale).
-    pre = _fan_out(docs).select(
-        F.col(id_col),
-        F.transform(_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
+    # corpus_dup_ngram_stats (no-op at real scale); same compact-array
+    # pin too — ``grams`` feeds the occurrence counts AND the flag join,
+    # and without the checkpoint the tokenize+hash+ngram subtree
+    # evaluates once per consumer.
+    pre = (
+        _fan_out(docs)
+        .select(
+            F.col(id_col),
+            # projected alias — _hashed_ngram_values slices _hw k+1 times
+            F.transform(_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hw"),
+        )
+        .select(
+            F.col(id_col),
+            _hashed_ngram_values(F.col("_hw"), k).alias("_ghs"),
+        )
+        .localCheckpoint(eager=True)
     )
-    grams = pre.select(
-        F.col(id_col),
-        F.posexplode(_hashed_ngram_values(F.col("_hw"), k)).alias("pos", "gh"),
-    )
+    grams = pre.select(F.col(id_col), F.posexplode("_ghs").alias("pos", "gh"))
     counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
     if broadcast_frequent:
         freq = F.broadcast(counts.where(F.col("cnt") >= min_count).select("gh"))
