@@ -882,13 +882,16 @@ def simhash(
         raise ValueError("bits must be in [1, 60]")
     words = _fan_out(docs).select(F.col(id_col), F.explode(_word_set(text_col)).alias("w"))
     words = words.withColumn("h", minhash_word_value(F.col("w")))
+    # per-bit ±1 sums ride as raw bit sums + one count: Σ(±1) = 2·Σbit − n,
+    # so "Σ(±1) > 0" is exactly "2·Σbit > n" — drops the per-row-per-bit
+    # conditional from the 60-aggregate update loop (~15% of the pass)
     sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = words.groupBy(id_col).agg(*sums)
+    agg = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *sums)
     sig = F.concat(*[
-        F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(2 * F.col(f"s{i}") > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
         for i in range(bits - 1, -1, -1)
     ])
     return agg.select(F.col(id_col), sig.alias("simhash_bits"))
