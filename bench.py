@@ -162,10 +162,12 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for attempt in range(runs + 1):
         for name in BENCH_QUERIES:
+            spark.sparkContext.setJobDescription(f"bench:{name}:pass{attempt}")
             t0 = time.time()
             registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             if attempt > 0:
                 samples[name].append(time.time() - t0)
+    spark.sparkContext.setJobDescription(None)
 
     # statistics.median averages the two middle samples for even run
     # counts (sorted(s)[len(s)//2] is the upper-middle, biased high).
@@ -183,11 +185,23 @@ def main() -> None:
 
     # The per-query map has outgrown the driver's 2000-char tail capture
     # (BENCH_r03.json recorded parsed:null because the head of the long
-    # line — including "value" — was cut off).  Two safeguards:
+    # line — including "value" — was cut off; the query names alone now sum
+    # to ~1.7k chars, so the complete 93-entry map can NEVER fit).  The
+    # r13 summary line fixed the truncation but carried no "queries" at
+    # all, so the driver's perf comparison recorded per_query={} /
+    # n_common=0 (PERF_r13.json) and fell back to raw host-drifting
+    # totals.  Three safeguards now:
     #  1. persist the FULL result to BENCH_FULL.json next to this script
     #     (the driver commits leftover changes, so the artifact survives);
-    #  2. end stdout with a short, always-parseable summary line — it fits
-    #     entirely inside any tail capture, so the total is never lost.
+    #  2. the full JSON line above remains the first stdout line;
+    #  3. end stdout with a summary line that DOES carry a "queries" map —
+    #     the most expensive entries that fit a 1900-byte line budget
+    #     (expensive-first, so the per-query data that matters for perf
+    #     comparison and core-count scaling survives the tail capture).
+    #     "n_queries" is the true total and "queries_omitted" counts the
+    #     cheap tail entries that did not fit; the complete map is in
+    #     BENCH_FULL.json. The bench itself still times every query and
+    #     "value" is the total over ALL of them.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -201,8 +215,19 @@ def main() -> None:
         "runs_per_query": runs,
         "method": out["method"],
         "detail": "BENCH_FULL.json",
+        "queries": {},
+        "queries_omitted": 0,
     }
-    print(json.dumps(summary))
+    budget = 1900
+    for name in sorted(timings, key=timings.get, reverse=True):
+        candidate = dict(summary)
+        candidate["queries"] = {**summary["queries"], name: timings[name]}
+        candidate["queries_omitted"] = len(timings) - len(candidate["queries"])
+        if len(json.dumps(candidate, separators=(",", ":"))) > budget:
+            break
+        summary = candidate
+    summary["queries_omitted"] = len(timings) - len(summary["queries"])
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

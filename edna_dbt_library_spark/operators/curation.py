@@ -774,6 +774,7 @@ def duplicate_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_frequent: bool = False,
+    pin_storage: str = "local",
 ) -> DataFrame:
     """EXACT-substring duplicate spans (the ExactSubstr dedup of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models
@@ -805,10 +806,19 @@ def duplicate_substring_spans(
     from edna_dbt_library_spark.functions.text import tokens as _tokens
 
     # _fan_out: same single-file-scan serialization fix as
-    # corpus_dup_ngram_stats (no-op at real scale); same compact-array
+    # corpus_dup_ngram_stats (no-op at real scale); same two-consumer
     # pin too — ``grams`` feeds the occurrence counts AND the flag join,
     # and without the checkpoint the tokenize+hash+ngram subtree
-    # evaluates once per consumer.
+    # evaluates once per consumer. SIZE HONESTY (ADVICE r13): unlike
+    # corpus_dup_ngram_stats, this variant pins the NON-distinct per-doc
+    # gram array — ~8 bytes per token POSITION, i.e. the same order as
+    # the hashed token stream itself, not "far smaller than the text";
+    # and localCheckpoint blocks are not fault-tolerant (an executor
+    # loss fails the job instead of recomputing). At cluster scale
+    # prefer ``pin_storage="disk"`` below (persist(DISK_ONLY): lineage
+    # kept, so executor loss recomputes; blocks live on local disk not
+    # executor memory) — the default stays localCheckpoint for the
+    # single-JVM bench where the pin is cheap and eager.
     pre = (
         _fan_out(docs)
         .select(
@@ -820,8 +830,15 @@ def duplicate_substring_spans(
             F.col(id_col),
             _hashed_ngram_values(F.col("_hw"), k).alias("_ghs"),
         )
-        .localCheckpoint(eager=True)
     )
+    if pin_storage == "disk":
+        from pyspark import StorageLevel
+
+        pre = pre.persist(StorageLevel.DISK_ONLY)
+    elif pin_storage == "local":
+        pre = pre.localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"pin_storage must be 'local' or 'disk', got {pin_storage!r}")
     grams = pre.select(F.col(id_col), F.posexplode("_ghs").alias("pos", "gh"))
     counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
     if broadcast_frequent:

@@ -609,10 +609,25 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
     doc appearing in any pair, cluster_id = min doc id of its component.
     """
+    # Pin the compact (doc_a, doc_b) rows BEFORE the symmetric union: the
+    # two union branches are different projections of the same subtree
+    # (no identical exchange for ReuseExchange to dedupe), so an
+    # unpinned candidate-pair pipeline — typically a full LSH
+    # bucket+self-join DAG — would evaluate TWICE in the edges job
+    # (CLAUDE.md multi-consumer rule; measured: dedup_clusters carries
+    # the whole minhash pipeline, one evaluation is ~1.4s of its 4.9s
+    # solo wall at sf0.1/c32).
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # No .distinct() on the symmetric union: distinct pairs (a < b, the
+    # contract of every candidate generator here) can never produce a
+    # duplicate directed edge, so the dedup was a pure no-op SHUFFLE of
+    # the whole edge list. Min-label propagation is duplicate-TOLERANT
+    # anyway (min over a multiset == min over its set), so callers
+    # passing duplicated pairs lose nothing but join width; a caller
+    # with heavy duplication should pre-distinct.
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     # The init IS the first propagation round: with label(id) = id, round
@@ -620,34 +635,46 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # one grouped aggregation straight over the edge list, no join, no
     # separate identity-labels checkpoint. Saves one full round plus the
     # init materialization versus starting from identity labels.
+    # lazy checkpoint: the stats aggregate right below is the first
+    # action, so ONE job materializes the checkpoint blocks AND returns
+    # the loop-sizing stats (an eager pin + separate count + separate
+    # sum was three jobs for the same answers).
     labels = (
         edges.select("u", F.col("v").alias("label"))
         .unionAll(edges.select("u", F.col("u").alias("label")))
         .groupBy("u")
         .agg(F.min("label").alias("label"))
         .select(F.col("u").alias("id"), "label")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # One count up front sizes the whole loop: below the broadcast
+    # One stats pass up front sizes the whole loop: below the broadcast
     # threshold each round's edge⋈label join is map-side (zero edge
     # shuffle); above it the join falls back to a shuffle join — the
     # only choice when the node set itself is cluster-scale.
-    n_nodes = labels.count()
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    n_nodes, prev_sum = stats["n"], stats["s"]
     small_labels = n_nodes <= 8_000_000  # ~128 MB of (long,long) rows
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    # TWO single-shuffle hops per materialization in the BROADCAST regime
+    # only: each hop is neighbor label contributions unioned with the
+    # node's own label, then one grouped min. Composing two hops in one
+    # plan halves the checkpoint writes and driver round-trips per
+    # converged component diameter; the first hop's (unmaterialized)
+    # result is consumed twice inside the plan (join probe + union),
+    # costing one extra edges⋈labels evaluation per round — cheaper than
+    # the checkpoint + scheduling of the round it replaces while that
+    # extra evaluation is a broadcast probe (measured at bench scale).
+    # Above the broadcast threshold the duplicated hop-1 subplan would
+    # re-run a SHUFFLE join of the full edge list — roughly doubling
+    # per-round shuffle work — so the shuffle-join regime keeps one
+    # checkpointed hop per round (ADVICE r13: the 'cheaper than a
+    # checkpoint' measurement only covered the broadcast regime).
+    hops_per_round = 2 if small_labels else 1
     for _ in range(max_iter):
-        # TWO single-shuffle hops per materialization: each hop is
-        # neighbor label contributions unioned with the node's own label,
-        # then one grouped min. Composing two hops in one plan halves the
-        # checkpoint writes and driver round-trips per converged
-        # component diameter; the first hop's (unmaterialized) result is
-        # consumed twice inside the plan (join probe + union), costing
-        # one extra edges⋈labels evaluation per round — cheaper than the
-        # checkpoint + scheduling of the round it replaces (measured:
-        # labels frames are node-sized, the join is broadcast below the
-        # threshold either way).
         cur = labels
-        for _hop in range(2):
+        for _hop in range(hops_per_round):
             lbl = F.broadcast(cur) if small_labels else cur
             contrib = edges.join(lbl, edges.v == lbl.id).select("u", "label")
             cur = (
@@ -656,7 +683,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .agg(F.min("label").alias("label"))
                 .select(F.col("u").alias("id"), "label")
             )
-        new_labels = cur.localCheckpoint(eager=True)
+        # lazy checkpoint + the convergence aggregate as its first action:
+        # one job both materializes the round's label blocks and returns
+        # the sum (eager pin + separate sum was two jobs per round).
+        new_labels = cur.localCheckpoint(eager=False)
         # labels only ever decrease, so the exact label sum is a strictly
         # decreasing convergence metric: comparing sums costs one scan of
         # the checkpointed frame instead of a join+shuffle per round.

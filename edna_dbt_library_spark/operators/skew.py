@@ -26,6 +26,36 @@ _MERGE = {
 }
 
 
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts: MapType (at any nesting depth) is
+    unhashable and raises AnalysisException, so drop any column whose
+    dtype mentions a map. rand() salted any schema; the deterministic
+    retry-stable salt must filter instead."""
+    return [c for c, t in df.dtypes if "map<" not in t]
+
+
+def _salt_col(df: DataFrame, keys: Sequence[str], salt_buckets: int, op: str) -> Column:
+    """Deterministic per-row salt over the hashable NON-KEY columns.
+
+    Key columns contribute nothing to spreading a hot key (all of the hot
+    key's rows share them — the salt must vary WITHIN a key), so they are
+    excluded from the hash. When no hashable non-key column exists the
+    salt would be constant per key and salting silently degrades to a
+    plain groupBy/join with the hot key still pinned to one reducer —
+    raise instead of pretending to help (the plain operator's map-side
+    partial aggregation already covers the all-columns-are-keys shape)."""
+    key_set = set(keys)
+    cols = [c for c in _hashable_cols(df) if c not in key_set]
+    if not cols:
+        raise ValueError(
+            f"{op}: no hashable non-key column to derive a salt from "
+            f"(keys={list(keys)}, columns={df.columns}); the salt would be "
+            "constant per key, so salting cannot spread a hot key here — "
+            "use a plain groupBy/join, or add a varying payload column"
+        )
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets)).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -39,21 +69,21 @@ def salted_aggregate(
     "total": ("sum", "value")})`` ≡ the plain groupBy, but the first
     shuffle keys on (user_id, salt) so no reducer sees a whole hot key.
 
-    The salt is xxhash64 over the full row, not rand(): a random salt
-    re-draws when a fetch failure re-runs map tasks, routing the re-run
-    rows to different (key, salt) reducers than the surviving shuffle
-    output — double- or under-counted partials (SPARK-38388; guide
-    §2.5). The row hash is retry-stable with the same uniformity.
+    The salt is xxhash64 over the hashable non-key columns, not rand():
+    a random salt re-draws when a fetch failure re-runs map tasks,
+    routing the re-run rows to different (key, salt) reducers than the
+    surviving shuffle output — double- or under-counted partials
+    (SPARK-38388; guide §2.5). The row hash is retry-stable with the
+    same uniformity. Map-typed columns are excluded (xxhash64 cannot
+    hash them), and a frame with NO hashable non-key column is rejected:
+    its salt would be constant per key, silently degrading to the plain
+    groupBy this operator exists to beat.
     """
     for name, (fn, _col) in aggs.items():
         if fn not in _MERGE:
             raise ValueError(f"salted_aggregate: unsupported aggregate '{fn}' for '{name}'")
 
-    salt = (
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
-        .cast("int")
-        .alias("__salt")
-    )
+    salt = _salt_col(df, keys, salt_buckets, "salted_aggregate").alias("__salt")
     partial_exprs: list[Column] = []
     for name, (fn, col) in aggs.items():
         src = F.lit(1) if (fn == "count" and col == "*") else F.col(col)
@@ -89,10 +119,15 @@ def salted_join(
     salt re-draws on task retry, and a fetch failure that re-runs part
     of the map stage then routes the re-run rows to different reducers
     than the surviving shuffle output — duplicated or lost rows at
-    scale (SPARK-38388; guide §2.5). xxhash64 over the full row is
-    retry-stable and spreads a hot key by its payload columns; rows
-    identical in EVERY column share a bucket, which is the one shape
-    salting cannot split anyway (they are interchangeable).
+    scale (SPARK-38388; guide §2.5). xxhash64 over the hashable
+    NON-KEY columns is retry-stable and spreads a hot key by its
+    payload columns (map-typed columns are skipped — xxhash64 cannot
+    hash them; key columns are skipped because a hot key's rows all
+    share them, so they cannot vary the salt). Rows identical in every
+    payload column share a bucket, which is the one shape salting
+    cannot split anyway (they are interchangeable); a big side with NO
+    hashable payload column is rejected rather than silently salted
+    with a per-key constant.
 
     AQE's skew-join splitting (enabled in session.py) handles moderate
     skew automatically at runtime; explicit salting is the deterministic
@@ -102,9 +137,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how in {'inner','left'}")
     ks = list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast(
-        "int"
-    )
+    salt = _salt_col(big, ks, salt_buckets, "salted_join")
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -680,23 +680,52 @@ def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = resample_sum(
         e.select("user_id", "ts", cents), ["user_id"], "ts", "cents", HOUR_US
     ).localCheckpoint(eager=True)
-    dense = gap_fill(r, ["user_id"]).localCheckpoint(eager=True)
+    # r14: fuse the locf and interp arms into ONE window pass. Both
+    # window over (user_id ORDER BY bucket), so chaining the two
+    # operators shares a single Exchange+Sort (the second WindowExec's
+    # required ordering is already satisfied); the two method rows are
+    # then emitted per dense row via explode — projection only, no
+    # second evaluation. That leaves gap_fill's densify with a single
+    # consumer, so the r13 `dense` localCheckpoint (one full grid
+    # materialization) is dropped too. Plan: the locf/interp subtrees'
+    # 2 Exchange + 2 Sort collapse to 1 + 1 and one checkpoint job
+    # disappears; rows identical (same labels, values, counts).
+    dense = gap_fill(r, ["user_id"])
+    fused = interpolate_linear(
+        locf(dense, ["user_id"], "v", out="locf_v"),
+        ["user_id"],
+        "v",
+        out="interp_v",
+    )
     obs_n = F.when(F.col("observed"), F.lit(1)).otherwise(F.lit(0)).cast("long")
     cols = ["user_id", "bucket", "v", "n"]
+    fill_arms = (
+        fused.select(
+            "user_id",
+            "bucket",
+            obs_n.alias("_n"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("locf").alias("method"), F.col("locf_v").alias("v")
+                    ),
+                    F.struct(
+                        F.lit("interp").alias("method"), F.col("interp_v").alias("v")
+                    ),
+                )
+            ).alias("_mv"),
+        )
+        .select(
+            F.col("_mv.method").alias("method"),
+            "user_id",
+            "bucket",
+            F.col("_mv.v").alias("v"),
+            F.col("_n").alias("n"),
+        )
+    )
     return (
         r.select(F.lit("resample").alias("method"), *cols)
-        .unionAll(
-            locf(dense, ["user_id"], "v").select(
-                F.lit("locf").alias("method"), "user_id", "bucket", "v",
-                obs_n.alias("n"),
-            )
-        )
-        .unionAll(
-            interpolate_linear(dense, ["user_id"], "v").select(
-                F.lit("interp").alias("method"), "user_id", "bucket", "v",
-                obs_n.alias("n"),
-            )
-        )
+        .unionAll(fill_arms)
         .unionAll(
             rollup_buckets(r, ["user_id"], 24).select(
                 F.lit("rollup_day").alias("method"), *cols

@@ -591,6 +591,19 @@ def test_duplicate_substring_spans_hand_vectors(spark):
         )
     assert {k: sorted(v) for k, v in bc.items()} == got
 
+    # the cluster-scale pin (persist DISK_ONLY: fault-tolerant, off-heap)
+    # must be result-identical to the localCheckpoint default (r14)
+    dk = {}
+    for r in duplicate_substring_spans(docs, k=3, pin_storage="disk").collect():
+        dk.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert {k: sorted(v) for k, v in dk.items()} == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pin_storage"):
+        duplicate_substring_spans(docs, k=3, pin_storage="nope")
+
 
 def test_scrub_duplicate_substrings_removes_spans(spark):
     """The destructive half: every token inside a duplicated span is

@@ -135,11 +135,59 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
 def test_salted_join_rejects_right_and_full(spark):
     from edna_dbt_library_spark.operators.skew import salted_join
 
-    df = spark.range(5).select(F.col("id").alias("k"))
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="full")
+
+
+def test_salted_aggregate_rejects_keys_only_frame(spark):
+    """Columns == group keys ⇒ the salt (a pure function of the row) is
+    constant per key, so salting silently degrades to a plain groupBy
+    with the hot key still pinned — reject instead (ADVICE r13)."""
+    import pytest as _pytest
+
+    df = spark.range(100).select((F.col("id") % 3).alias("k"))
+    with _pytest.raises(ValueError, match="constant per key"):
+        salted_aggregate(df, ["k"], {"n": ("count", "*")})
+
+
+def test_salted_ops_skip_map_columns(spark):
+    """xxhash64 raises on MapType; the salt must hash only hashable
+    columns so a frame carrying a map column still salts (ADVICE r13)."""
+    from edna_dbt_library_spark.operators.skew import salted_join
+
+    big = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("payload"),
+        F.create_map(F.lit("a"), F.col("id")).alias("m"),
+    )
+    small = spark.range(7).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    joined = salted_join(big.select("k", "payload", "m"), small, ["k"], "inner", salt_buckets=4)
+    assert joined.count() == 2000
+
+    agg = salted_aggregate(big, ["k"], {"n": ("count", "*"), "mx": ("max", "payload")})
+    got = {r["k"]: (r["n"], r["mx"]) for r in agg.collect()}
+    plain = {
+        r["k"]: (r["n"], r["mx"])
+        for r in big.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("payload").alias("mx"))
+        .collect()
+    }
+    assert got == plain
+
+
+def test_salted_aggregate_map_only_payload_rejected(spark):
+    """A frame whose only non-key column is a map has no hashable salt
+    source — reject with the constant-per-key diagnostic."""
+    import pytest as _pytest
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("k"), F.create_map(F.lit("a"), F.col("id")).alias("m")
+    )
+    with _pytest.raises(ValueError, match="constant per key"):
+        salted_aggregate(df, ["k"], {"n": ("count", "*")})
 
 
 def test_stream_content_fingerprint_dedup(spark, tmp_path):

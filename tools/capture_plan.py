@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into plans/$SPARK_GRAFT_PLAN_ROUND/ (default r14).
 
 Usage:
     python tools/capture_plan.py before q2_min_cost_supplier [more ...]
     python tools/capture_plan.py after  q2_min_cost_supplier [more ...]
 
-Writes plans/r13/<query>_<tag>.txt. Uses sf0.1 (the bench SF) so plan
+Writes plans/<round>/<query>_<tag>.txt. Uses sf0.1 (the bench SF) so plan
 shapes (broadcast choices, AQE thresholds) match what the bench times.
 """
 
@@ -22,7 +22,7 @@ from edna_dbt_library_spark import queries as _q
 from edna_dbt_library_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
 
 
 def main() -> None:
