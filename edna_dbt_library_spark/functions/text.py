@@ -94,10 +94,16 @@ def approx_bpe_token_count(text: Column | str) -> Column:
     return fragments + long_word_extra
 
 
-def word_stats(text: Column | str) -> dict[str, Column]:
+def word_stats(text: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """n_words, avg word length, stopword ratio — building blocks for the
-    quality score. Returned as a dict of named Columns."""
-    toks = tokens(text)
+    quality score. Returned as a dict of named Columns.
+
+    ``toks``: pass a PROJECTED token-array column to share one
+    tokenization across every consumer — inline, the tokens(text)
+    subtree is copied into each returned Column and interpreted HOF
+    evaluation re-runs the lower+split+filter once per signal (r14;
+    the same multi-consumer rule as shingles/CollapseProject)."""
+    toks = tokens(text) if toks is None else toks
     n = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
@@ -116,12 +122,12 @@ def punct_ratio(text: Column | str) -> Column:
     return F.when(n > 0, punct / n).otherwise(F.lit(None).cast("double"))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Deterministic [0,1] quality heuristic: rewards mid-length documents,
     plausible word lengths and some stopword presence; penalizes extreme
     punctuation. The exact blend is arbitrary but fixed — it is a filter
-    signal, not a model."""
-    stats = word_stats(text)
+    signal, not a model. ``toks``: see word_stats."""
+    stats = word_stats(text, toks)
     n_words = stats["n_words"].cast("double")
     awl = F.coalesce(stats["avg_word_len"], F.lit(0.0))
     stop = F.coalesce(stats["stopword_ratio"], F.lit(0.0))
@@ -140,16 +146,19 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language stopword-hit counts (the lang-ID signal)."""
-    toks = tokens(text)
+def lang_scores(text: Column | str, toks: Column | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-ID signal). ``toks``:
+    see word_stats — inline, the token subtree is copied once per
+    LANGUAGE."""
+    toks = tokens(text) if toks is None else toks
     return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     """Language with the highest stopword-hit count; ties broken by language
-    code order; 'und' (undetermined) when nothing matches."""
-    scores = lang_scores(text)
+    code order; 'und' (undetermined) when nothing matches. ``toks``: see
+    word_stats."""
+    scores = lang_scores(text, toks)
     pairs = F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())])
     best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
     # array_max on struct compares by (score, lang); reverse-sort lang for

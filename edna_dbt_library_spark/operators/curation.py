@@ -591,7 +591,11 @@ def repetition_stats(
     the input row (e.g. language ID, quality score, PII flags): they are
     computed in the same scan projection and ride through to the output,
     letting curation_verdict fuse every row-local curation family into
-    this one pass with no join.
+    this one pass with no join. A carry value may also be a CALLABLE
+    taking the projected token-array column and returning the Column —
+    token-reading carries (lang_id, quality_score) then share this
+    pass's single tokenization instead of re-deriving it per signal
+    (r14).
     """
     from edna_dbt_library_spark.functions.text import tokens
 
@@ -617,13 +621,32 @@ def repetition_stats(
     # single-file scan would fold every document on one core — measured
     # 2.35s -> 0.64s at sf0.1 on local[32] (no-op at real scale).
     docs = _fan_out(docs)
+    # tokens(text) projected ONCE and consumed by every token reader
+    # (hashes, lengths, and any callable carry): an alias referenced
+    # more than once is exempt from CollapseProject inlining (repo
+    # rule), so the lower+split+filter tokenization runs one time per
+    # row instead of once per consumer (r14; it previously appeared
+    # verbatim in both the _hw and _lw builders, and each token-reading
+    # carry column — lang_id, quality_score — re-derived it again).
+    # A carry VALUE may be a callable: it receives the projected token
+    # array column and returns the carry Column (computed in the second
+    # projection, where the raw text column is still present).
     pre = docs.select(
         F.col(id_col),
+        text,
         F.length(text).cast("bigint").alias("_dc"),
         line_structs.alias("_lines"),
-        F.transform(tokens(text), lambda x: F.xxhash64(x)).alias("_hw"),
-        F.transform(tokens(text), lambda x: F.length(x).cast("long")).alias("_lw"),
-        *[c.alias(name) for name, c in carry.items()],
+        tokens(text).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("_dc"),
+        F.col("_lines"),
+        F.transform(F.col("_t"), lambda x: F.xxhash64(x)).alias("_hw"),
+        F.transform(F.col("_t"), lambda x: F.length(x).cast("long")).alias("_lw"),
+        *[
+            (c(F.col("_t")) if callable(c) else c).alias(name)
+            for name, c in carry.items()
+        ],
     )
     sel = pre.select(
         F.col(id_col),
@@ -1076,8 +1099,11 @@ def curation_verdict(
     text = F.col(text_col)
     flags = pii_flags(text)
     carry = {
-        "pred_lang": lang_id(text),
-        "quality": quality_score(text),
+        # callables: share repetition_stats' single projected
+        # tokenization instead of re-deriving lower+split+filter once
+        # per language score + once per quality signal (r14)
+        "pred_lang": lambda t: lang_id(text, toks=t),
+        "quality": lambda t: quality_score(text, toks=t),
         "redacted": pii_redact(text),
         "has_email": flags["has_email"],
         "has_ip": flags["has_ip"],

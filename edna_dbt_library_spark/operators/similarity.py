@@ -41,7 +41,7 @@ def _ranked_topk(joined: DataFrame, k: int) -> DataFrame:
     # candidate) pair — 3 array folds per pair instead of 1. The value is
     # bit-identical (same expression over the same doubles), only the
     # evaluation count changes.
-    d = dot(F.col("q_embedding"), F.col("c_embedding"))
+    d = dot("q_embedding", "c_embedding")
     sim = F.when(
         (F.col("q_norm") > 0) & (F.col("c_norm") > 0), d / (F.col("q_norm") * F.col("c_norm"))
     ).otherwise(F.lit(None).cast("double"))
@@ -70,14 +70,14 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_embedding"),
-            norm(F.col(vec_col)).alias("q_norm"),
+            norm(vec_col).alias("q_norm"),
         )
     )
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _label_expr(embeddings),
         F.col(vec_col).alias("c_embedding"),
-        norm(F.col(vec_col)).alias("c_norm"),
+        norm(vec_col).alias("c_norm"),
     )
     joined = c.crossJoin(q).where(F.col("vec_id") != F.col("query_id"))
     return _ranked_topk(joined, k)
@@ -93,12 +93,36 @@ def quantize_vec(vec: "F.Column | str", scale: int = KMEANS_SCALE) -> "F.Column"
     DuckDB alike — so the quantized vector is bit-identical across
     engines, which is what lets k-means run as exact integer arithmetic
     under the parity gate."""
+    from edna_dbt_library_spark.functions.vectors import _sql_ref
+
+    ref = _sql_ref(vec)
+    if ref:
+        # one-parse expr text (r13 wave-3 / r14: each lambda HOF built
+        # through the Python API costs ~20 ms of py4j; this helper runs
+        # inside every trainer iteration and every ANN builder). The
+        # text replicates the Column form exactly: double cast, int
+        # literal multiply (promoted to double), half-away round, BIGINT
+        # cast.
+        return F.expr(
+            f"transform({ref}, x -> CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
+        )
     c = vec if not isinstance(vec, str) else F.col(vec)
     return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
 
-def _int_sqdist(a: "F.Column", b: "F.Column") -> "F.Column":
-    """Exact squared L2 distance between two array<long> vectors."""
+def _int_sqdist(a: "F.Column | str", b: "F.Column | str") -> "F.Column":
+    """Exact squared L2 distance between two array<long> vectors. With
+    both inputs as plain column names the expression is ONE parsed expr
+    string — the same text _inrow_cell_dists already uses (identical
+    zip_with/aggregate arithmetic, CAST(0 AS BIGINT) fold init)."""
+    from edna_dbt_library_spark.functions.vectors import _sql_ref
+
+    ra, rb = _sql_ref(a), _sql_ref(b)
+    if ra and rb:
+        return F.expr(
+            f"aggregate(zip_with({ra}, {rb}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -207,7 +231,7 @@ def kmeans_cells(
         # task per vid hash range); the aggregate pre-combines per
         # partition, so the shuffle carries one row per vector.
         scored = q.crossJoin(cent).select(
-            "vid", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+            "vid", "qv", "cid", _int_sqdist("qv", "cv").alias("dist")
         )
         assigned = (
             scored.groupBy("vid")
@@ -279,12 +303,12 @@ def ivf_topk(
         side = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias("e"),
-            norm(F.col(vec_col)).alias("n"),
+            norm(vec_col).alias("n"),
             quantize_vec(vec_col).alias("qv"),
             _label_expr(df),
         )
         return side.crossJoin(cent).withColumn(
-            "dist", _int_sqdist(F.col("qv"), F.col("cv"))
+            "dist", _int_sqdist("qv", "cv")
         )
 
     # index: nearest cell per vector (ties -> smallest cid) — same
@@ -339,11 +363,11 @@ def embedding_near_duplicates(
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("e"),
-        norm(F.col(vec_col)).alias("n"),
+        norm(vec_col).alias("n"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     ).localCheckpoint(eager=True)
     a, c = b.alias("a"), b.alias("b")
-    d = dot(F.col("a.e"), F.col("b.e"))
+    d = dot("a.e", "b.e")
     sim = F.when((F.col("a.n") > 0) & (F.col("b.n") > 0), d / (F.col("a.n") * F.col("b.n")))
     return (
         a.join(c, "bucket")
@@ -369,14 +393,14 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_embedding"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        norm(vec_col).alias("q_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _label_expr(embeddings),
         F.col(vec_col).alias("c_embedding"),
-        norm(F.col(vec_col)).alias("c_norm"),
+        norm(vec_col).alias("c_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))
@@ -439,11 +463,11 @@ def semantic_dedup(
         F.col(id_col).alias("vec_id"),
         label.alias("label"),
         F.col(vec_col).alias("e"),
-        norm(F.col(vec_col)).alias("n"),
+        norm(vec_col).alias("n"),
         quantize_vec(vec_col).alias("qv"),
     )
     scored = q.crossJoin(cent).select(
-        "vec_id", "label", "e", "n", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+        "vec_id", "label", "e", "n", "cid", _int_sqdist("qv", "cv").alias("dist")
     )
     assigned = (
         scored.groupBy("vec_id")
@@ -471,7 +495,7 @@ def semantic_dedup(
         )
         join_keys = ["cell", "_sub"]
     a, b = assigned.alias("a"), assigned.alias("b")
-    d = dot(F.col("a.e"), F.col("b.e"))
+    d = dot("a.e", "b.e")
     sim = F.when((F.col("a.n") > 0) & (F.col("b.n") > 0), d / (F.col("a.n") * F.col("b.n")))
     pairs = (
         a.join(b, join_keys)
@@ -538,7 +562,7 @@ def cell_outliers(
         quantize_vec(vec_col).alias("qv"),
     )
     scored = q.crossJoin(cent).select(
-        "vec_id", "label", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+        "vec_id", "label", "cid", _int_sqdist("qv", "cv").alias("dist")
     )
     assigned = (
         scored.groupBy("vec_id")
@@ -563,11 +587,11 @@ def _assign_cells(
     q = batch.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("e"),
-        norm(F.col(vec_col)).alias("n"),
+        norm(vec_col).alias("n"),
         quantize_vec(vec_col).alias("qv"),
     )
     scored = q.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "e", "n", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+        "vec_id", "e", "n", "cid", _int_sqdist("qv", "cv").alias("dist")
     )
     return (
         scored.groupBy("vec_id")
@@ -653,7 +677,7 @@ def run_incremental_semantic_dedup(
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.when(
         (F.col("a.n") > 0) & (F.col("b.n") > 0),
-        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")),
+        dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n")),
     )
     batch_pairs = (
         a.join(b, "cell")
@@ -683,7 +707,7 @@ def run_incremental_semantic_dedup(
         )
         ksim = F.when(
             (F.col("n") > 0) & (F.col("k_n") > 0),
-            dot(F.col("e"), F.col("k_e")) / (F.col("n") * F.col("k_n")),
+            dot("e", "k_e") / (F.col("n") * F.col("k_n")),
         )
         dup_of_store = (
             reps.join(k, "cell")
@@ -758,12 +782,12 @@ def ivf_topk_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_e"),
-        norm(F.col(vec_col)).alias("q_n"),
+        norm(vec_col).alias("q_n"),
         quantize_vec(vec_col).alias("qv"),
     )
     qcells = (
         q.crossJoin(cent)
-        .withColumn("dist", _int_sqdist(F.col("qv"), F.col("cv")))
+        .withColumn("dist", _int_sqdist("qv", "cv"))
         .withColumn(
             "_r",
             F.row_number().over(
@@ -777,7 +801,7 @@ def ivf_topk_indexed(
     joined = idx.join(F.broadcast(qcells), "cell").where(
         F.col("vec_id") != F.col("query_id")
     )
-    d = dot(F.col("q_e"), F.col("e"))
+    d = dot("q_e", "e")
     sim = F.when(
         (F.col("q_n") > 0) & (F.col("n") > 0), d / (F.col("q_n") * F.col("n"))
     ).otherwise(F.lit(None).cast("double"))
@@ -829,20 +853,13 @@ def pq_codebooks(
     applied with the exact ``_py_int_mean``; each round is one job from
     the corpus scan and a LocalRelation of centroid literals (no
     checkpoint write, no centroid⋈update join, no lineage growth)."""
-    dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    if dims % m != 0:
-        raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
     spark = embeddings.sparkSession
-    d0 = dims // m
-    subs = F.posexplode(
-        F.array(*[F.slice(F.col("__pq_qv"), s * d0 + 1, d0) for s in range(m)])
-    )
-    q = embeddings.withColumn("__pq_qv", quantize_vec(vec_col, scale)).select(
-        F.col(id_col).alias("vid"), subs.alias("sub", "qv")
-    )
     # seeds: the n_cells lowest-id vectors seed EVERY subspace; one
     # TakeOrderedAndProject collect of their quantized vectors, sliced
     # into lanes driver-side (list slicing of exact ints == F.slice).
+    # Collected FIRST so the vector dimensionality comes for free from
+    # the seed rows — the separate dims job (a full-frame first()) is
+    # gone (r14: one fewer sequential job per training call).
     picked = sorted(
         embeddings.select(
             F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
@@ -851,6 +868,18 @@ def pq_codebooks(
         .limit(n_cells)
         .collect(),
         key=lambda r: r["vid"],
+    )
+    if not picked:
+        raise ValueError("pq_codebooks: empty embeddings frame")
+    dims = len(picked[0]["qv"])
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    d0 = dims // m
+    subs = F.posexplode(
+        F.array(*[F.slice(F.col("__pq_qv"), s * d0 + 1, d0) for s in range(m)])
+    )
+    q = embeddings.withColumn("__pq_qv", quantize_vec(vec_col, scale)).select(
+        F.col(id_col).alias("vid"), subs.alias("sub", "qv")
     )
     cent_rows = [
         (s, cid, [int(v) for v in r["qv"][s * d0 : (s + 1) * d0]])
@@ -861,7 +890,7 @@ def pq_codebooks(
     for _ in range(iters):
         cent = F.broadcast(spark.createDataFrame(cent_rows, cent_schema))
         scored = q.join(cent, "sub").select(
-            "vid", "sub", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+            "vid", "sub", "qv", "cid", _int_sqdist("qv", "cv").alias("dist")
         )
         assigned = (
             scored.groupBy("vid", "sub")
@@ -929,10 +958,25 @@ def train_ivfpq(
     One job per round, no checkpoint writes, no lineage growth; the
     coarse/books split is a driver-side list partition instead of two
     more checkpointed filters."""
-    dims = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    spark = embeddings.sparkSession
+    # one TakeOrderedAndProject collect seeds every lane: the lowest
+    # max(n_cells, pq_cells) ids' quantized vectors, sliced driver-side.
+    # Collected FIRST so dims comes for free from the seed rows — no
+    # separate full-frame first() job (r14).
+    picked = sorted(
+        embeddings.select(
+            F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
+        )
+        .orderBy("vid")
+        .limit(max(n_cells, pq_cells))
+        .collect(),
+        key=lambda r: r["vid"],
+    )
+    if not picked:
+        raise ValueError("train_ivfpq: empty embeddings frame")
+    dims = len(picked[0]["qv"])
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
-    spark = embeddings.sparkSession
     d0 = dims // m
     lanes = F.posexplode(
         F.array(
@@ -945,17 +989,6 @@ def train_ivfpq(
         .select(F.col(id_col).alias("vid"), lanes.alias("_pos", "qv"))
         .select("vid", (F.col("_pos").cast("long") - 1).alias("sub"), "qv")
     )
-    # one TakeOrderedAndProject collect seeds every lane: the lowest
-    # max(n_cells, pq_cells) ids' quantized vectors, sliced driver-side
-    picked = sorted(
-        embeddings.select(
-            F.col(id_col).alias("vid"), quantize_vec(vec_col, scale).alias("qv")
-        )
-        .orderBy("vid")
-        .limit(max(n_cells, pq_cells))
-        .collect(),
-        key=lambda r: r["vid"],
-    )
     cent_rows = [
         (-1, cid, [int(v) for v in r["qv"]]) for cid, r in enumerate(picked[:n_cells])
     ] + [
@@ -967,7 +1000,7 @@ def train_ivfpq(
     for _ in range(iters):
         cent = F.broadcast(spark.createDataFrame(cent_rows, cent_schema))
         scored = q.join(cent, "sub").select(
-            "vid", "sub", "qv", "cid", _int_sqdist(F.col("qv"), F.col("cv")).alias("dist")
+            "vid", "sub", "qv", "cid", _int_sqdist("qv", "cv").alias("dist")
         )
         assigned = (
             scored.groupBy("vid", "sub")
@@ -1031,7 +1064,7 @@ def _pq_sub_dists(
         F.col(id_col).alias("vid"), *[F.col(c) for c in carry], subs.alias("sub", "qsub")
     )
     return q.join(F.broadcast(codebooks), "sub").select(
-        "vid", *carry, "sub", "cid", _int_sqdist(F.col("qsub"), F.col("cv")).alias("dist")
+        "vid", *carry, "sub", "cid", _int_sqdist("qsub", "cv").alias("dist")
     )
 
 
@@ -1300,7 +1333,7 @@ def _ivfpq_codes_cell(
             F.col(id_col).alias("vid"),
             F.lit(-1).cast("long").alias("sub"),
             "cid",
-            _int_sqdist(F.col("_qv"), F.col("cv")).alias("dist"),
+            _int_sqdist("_qv", "cv").alias("dist"),
         )
     )
     per_vid = (

@@ -1715,8 +1715,16 @@ FROM derived
 
 @_register("text_stats", _text_stats_oracle())
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    stats = word_stats(F.col("text"))
+    # r14: tokens projected once and shared by every signal (word_stats'
+    # three readers + quality_score's four) — inline, the interpreted
+    # HOF evaluator re-ran the lower+split+filter per consumer.
+    from edna_dbt_library_spark.functions.text import tokens as _tk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tk(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
+    stats = word_stats(F.col("text"), toks=toks)
     return d.select(
         "doc_id",
         stats["n_words"].alias("n_words"),
@@ -1724,7 +1732,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stats["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("n_tokens_est"),
-        quality_score(F.col("text")).alias("quality"),
+        quality_score(F.col("text"), toks=toks).alias("quality"),
     )
 
 
@@ -1757,8 +1765,16 @@ FROM scored
 
 @_register("lang_id_pred", _lang_oracle())
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+    # r14: tokens projected once — inline, lang_id re-tokenized once per
+    # language's stopword counter.
+    from edna_dbt_library_spark.functions.text import tokens as _tk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _tk(F.col("text")).alias("_toks")
+    )
+    return d.select(
+        "doc_id", "lang", lang_id(F.col("text"), toks=F.col("_toks")).alias("pred_lang")
+    )
 
 
 def _text_quality_langid_oracle() -> str:
@@ -1817,8 +1833,14 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats, token estimate, quality score, and n-gram-heuristic language ID
     (functions/text.py). Driver-facing consolidation of text_stats +
     lang_id_pred (which stay registered as granular variants)."""
-    d = _t(spark, sf_dir, "documents")
-    stats = word_stats(F.col("text"))
+    # r14: one projected tokenization shared by all ~11 token readers
+    from edna_dbt_library_spark.functions.text import tokens as _tk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _tk(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
+    stats = word_stats(F.col("text"), toks=toks)
     return d.select(
         "doc_id",
         "lang",
@@ -1827,8 +1849,8 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stats["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("n_tokens_est"),
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text"), toks=toks).alias("quality"),
+        lang_id(F.col("text"), toks=toks).alias("pred_lang"),
     )
 
 
@@ -3381,8 +3403,19 @@ def salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent to the plain join, so the oracle IS the plain join."""
     from edna_dbt_library_spark.operators import salted_join
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    # r14 (guide §2.3 project before the exchange): the aggregate needs
+    # two lineitem columns and one orders column, so the salted shuffle
+    # now carries (l_orderkey, l_extendedprice) instead of all 16
+    # lineitem columns — 8x fewer shuffle bytes — and the per-row salt
+    # hashes one payload column instead of 15. The result is invariant
+    # to the salt by salted_join's exactness contract (oracle = the
+    # plain join, unchanged).
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderpriority")
+    )
     return (
         salted_join(li, o, ["l_orderkey"], "inner", salt_buckets=8)
         .groupBy("o_orderpriority")
@@ -4045,10 +4078,14 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the curriculum/quality-mixing step of a training-data pipeline.
     Deterministic md5 coin against floor(quality * 2^60); scan-side
     filter, zero shuffle (operators.curation.weighted_sample)."""
+    from edna_dbt_library_spark.functions.text import tokens as _tk
     from edna_dbt_library_spark.operators.curation import weighted_sample
 
-    d = _t(spark, sf_dir, "documents")
-    q = quality_score(F.col("text"))
+    # r14: one projected tokenization shared by quality_score's signals
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tk(F.col("text")).alias("_toks")
+    )
+    q = quality_score(F.col("text"), toks=F.col("_toks"))
     return weighted_sample(d.withColumn("quality", q), F.col("quality"), "doc_id").select(
         "doc_id", "quality"
     )
