@@ -150,22 +150,60 @@ def minhash_signatures(
     universal integer family above — deterministic across engines, runs and
     partitionings (dedup keys need the same reproducibility as the
     reference's UUIDv5, macros/utils/uuid_generation.sql). Signature
-    columns are named mh0..mh{n-1}."""
+    columns are named mh0..mh{n-1}.
+
+    ROW-LOCAL (r14, guide §2.4 remove shuffles outright): each lane's
+    minimum is ``array_min`` over a per-row transform of the projected
+    word-hash array — the previous explode + groupBy(id) shuffled one
+    combined row per (doc, partition) for an aggregation whose inputs
+    never leave the row. Zero exchanges now; the min over the same
+    per-word values is identical by commutativity. The base word hash is
+    projected ONCE (`_xs`, an alias consumed by all ``num_hashes`` lanes
+    — CollapseProject-exempt), so md5-per-word still evaluates once per
+    word. Empty shingle sets (formerly dropped by the explode) are
+    excluded by an equivalent RAW-column predicate — ``rlike`` with
+    ``shingle_n`` whitespace-separated token groups — which pushes to
+    the scan instead of re-deriving the tokenize inside a pushed
+    size()-filter (the wave-6/8 trap). Requires ``id_col``-unique input
+    rows (every caller is a per-doc corpus; the old groupBy silently
+    merged duplicate ids instead of flagging them)."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
     if shingle_n == 1:
         sh = _word_set(text_col)
+        # tokens() splits on \s+ after lower(): at least one token
+        # exists iff the raw text has a non-whitespace char (same Java
+        # regex class; NULL-safe — NULL rlike drops the row)
+        nonempty = F.col(text_col).rlike(r"\S")
     else:
         from edna_dbt_library_spark.functions.text import shingles
 
         sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
-    words = _fan_out(docs).select(F.col(id_col), F.explode(sh).alias("w"))
-    x = minhash_word_value(F.col("w")) % MINHASH_MODULUS
-    aggs = [
-        F.min(F.pmod(x * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_MODULUS))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return words.groupBy(id_col).agg(*aggs)
+        # >= shingle_n whitespace-separated tokens <=> at least one
+        # n-gram shingle (shingles() yields empty below n tokens)
+        nonempty = F.col(text_col).rlike(r"\S+(\s+\S+){%d}" % (shingle_n - 1))
+    base = (
+        _fan_out(docs)
+        .where(nonempty)
+        .select(
+            F.col(id_col),
+            F.transform(
+                sh, lambda w: minhash_word_value(w) % MINHASH_MODULUS
+            ).alias("_xs"),
+        )
+    )
+    def _lane(i: int) -> Column:
+        # NB: closing over i via this factory, NOT a default-arg lambda —
+        # PySpark's HOF machinery reads a default arg as the 2-parameter
+        # (element, index) form (same trap as text._stopword_hits)
+        return F.array_min(
+            F.transform(
+                F.col("_xs"),
+                lambda x: F.pmod(x * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_MODULUS)),
+            )
+        ).alias(f"mh{i}")
+
+    return base.select(F.col(id_col), *[_lane(i) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(

@@ -70,7 +70,7 @@ def main() -> int:
 
     print("preflight: [2/2] pytest (log: /tmp/preflight/pytest.log)", flush=True)
     pytest_ok, pytest_s = _run(
-        [sys.executable, "-m", "pytest", "tests/", "-q"], "/tmp/preflight/pytest.log"
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--durations=40"], "/tmp/preflight/pytest.log"
     )
     print(f"preflight: pytest {'OK' if pytest_ok else 'FAIL'} ({pytest_s:.0f}s)", flush=True)
 
