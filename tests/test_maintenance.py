@@ -389,14 +389,14 @@ def test_mview_freshness_policy(spark, tmp_path):
         l,
         spark.createDataFrame(
             [(i, i % 3, 10 * i) for i in range(12)], "l_id long, grp long, lv long"
-        ),
+        ).coalesce(1),
         TableMeta(),
     )
     wh.create_as(
         r,
         spark.createDataFrame(
             [(100 + j, j % 3, j) for j in range(5)], "r_id long, grp long, rv long"
-        ),
+        ).coalesce(1),
         TableMeta(),
     )
     wh.sql(
@@ -419,7 +419,7 @@ def test_mview_freshness_policy(spark, tmp_path):
 
     # an append on the shared left side trips BOTH views
     wh.append(
-        l, spark.createDataFrame([(50, 1, 500)], "l_id long, grp long, lv long")
+        l, spark.createDataFrame([(50, 1, 500)], "l_id long, grp long, lv long").coalesce(1)
     )
     plan = maintenance_plan(wh, mview_schemas=["s"])
     assert sorted(p["target"] for p in plan) == ["s.agv", "s.mv"]
@@ -516,7 +516,7 @@ def test_run_maintenance_refresh_handles_dunder_schema(spark, tmp_path):
         src,
         spark.createDataFrame(
             [(i, i % 3, i) for i in range(12)], "id long, grp long, v long"
-        ),
+        ).coalesce(1),
         TableMeta(),
     )
     wh.sql(
@@ -524,7 +524,7 @@ def test_run_maintenance_refresh_handles_dunder_schema(spark, tmp_path):
         "count(*) AS n FROM src GROUP BY grp",
         {"tgt": tgt, "src": src},
     )
-    wh.append(src, spark.createDataFrame([(50, 1, 500)], "id long, grp long, v long"))
+    wh.append(src, spark.createDataFrame([(50, 1, 500)], "id long, grp long, v long").coalesce(1))
     report = run_maintenance(wh, mview_schemas=["a__b"])
     assert [p["action"] for p in report] == ["refresh_materialized_view"]
     direct = wh.read(src).groupBy("grp").agg(
@@ -693,7 +693,7 @@ def test_mview_freshness_covers_agg_distinct_kind(spark, tmp_path):
         spark.createDataFrame(
             [(i, i % 3, i, i % 4) for i in range(24)],
             "id long, grp long, amt long, u long",
-        ),
+        ).coalesce(1),
         TableMeta(),
     )
     wh.sql(
